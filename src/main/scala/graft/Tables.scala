@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated benchmark corpus (TESTDATA.md).
+  *
+  * Scale notes (100 TB design): every reader takes the parquet path as-is and
+  * lets the DataSource V2 scan handle split planning — at cluster scale the
+  * same code reads a partitioned directory tree; filters/projections push into
+  * the scan (verify with `.explain("formatted")` → `PushedFilters`,
+  * `ReadSchema`). Dimension tables (`region`, `nation`, `supplier`, `part`,
+  * `customer` at TPC-H proportions) stay broadcast-joinable; fact tables
+  * (`lineitem`, `orders`, `events`, `documents`, `embeddings`) are the ones
+  * whose shuffles we budget.
+  */
+object Tables {
+  val factNames = Seq("lineitem", "orders", "events", "documents", "embeddings")
+  val dimNames  = Seq("region", "nation", "customer", "supplier", "part")
+  val names: Seq[String] = dimNames ++ factNames
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def lineitem(spark: SparkSession, d: String): DataFrame  = load(spark, d, "lineitem")
+  def orders(spark: SparkSession, d: String): DataFrame    = load(spark, d, "orders")
+  def customer(spark: SparkSession, d: String): DataFrame  = load(spark, d, "customer")
+  def supplier(spark: SparkSession, d: String): DataFrame  = load(spark, d, "supplier")
+  def part(spark: SparkSession, d: String): DataFrame      = load(spark, d, "part")
+  def nation(spark: SparkSession, d: String): DataFrame    = load(spark, d, "nation")
+  def region(spark: SparkSession, d: String): DataFrame    = load(spark, d, "region")
+  /** `events.ts` is TIMESTAMP(NANOS) in parquet, which Spark's vectorized
+    * reader rejects; read nanos as long (legacy conf) and truncate to
+    * microsecond TimestampType (`DIV 1000` in integer space — a double
+    * division would lose precision at 1.7e18 ns epochs).
+    */
+  def events(spark: SparkSession, d: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(spark, d, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts DIV 1000")))
+  }
+  def documents(spark: SparkSession, d: String): DataFrame = load(spark, d, "documents")
+  def embeddings(spark: SparkSession, d: String): DataFrame = load(spark, d, "embeddings")
+}

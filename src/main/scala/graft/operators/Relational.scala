@@ -1,0 +1,261 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Batch relational operators covering SURVEY.md §2 (scans, projections,
+  * filters, joins, aggregations, sorts, set ops) re-expressed over the driver
+  * corpus. Each function is a pure `DataFrame => DataFrame` so ScalaTest and
+  * the DuckDB oracle exercise identical plans.
+  *
+  * Determinism policy for oracle hashing: monetary/quantity aggregates are
+  * computed in DECIMAL (exact, order-independent) rather than DOUBLE, because
+  * double summation order differs between engines. Counts/min/max are exact by
+  * nature.
+  *
+  * Scale notes (100 TB): aggregations rely on hash-partial aggregation
+  * (map-side combine) — no driver collects anywhere; joins declare the small
+  * side with `broadcast()` so Catalyst plans BroadcastHashJoin instead of
+  * shuffling the fact table; sort+limit compiles to TakeOrderedAndProject
+  * (per-partition top-k, no global sort).
+  */
+object Relational {
+
+  private val dec = DecimalType(20, 4)
+  // exact decimal accumulation (order-independent), double result so the
+  // parquet/oracle value representations are bit-identical
+  private def dsum(c: Column): Column = sum(c.cast(dec)).cast("double")
+
+  /** A1/Q2 analog — grouped running-count semantics in batch shape.
+    * TPC-H Q1-style pricing summary (ref: consumers/ksql.py:24-40 for the
+    * grouped-count pattern). Partial agg on 6000..600M rows, shuffle only the
+    * tiny per-group state.
+    */
+  def pricingSummary(lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("date"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** A1 direct analog — `SELECT station_id, COUNT(*) GROUP BY station_id`
+    * (ref: consumers/ksql.py:37-39), over the events stream table.
+    */
+  def groupedCount(events: DataFrame): DataFrame =
+    events.groupBy(col("user_id")).agg(count(lit(1)).as("event_count"))
+      .orderBy(col("user_id"))
+
+  /** P1/P4 — boolean/equality filter + projection (ref:
+    * producers/simulation.py:52-56, producers/models/line.py:31-37). Filter
+    * and 3-column projection both push into the parquet scan.
+    */
+  def filterProject(lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(col("l_returnflag") === "R" && col("l_quantity") > 40)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** P3/T3 — distinct projection (ref: producers/models/line.py:29). */
+  def distinctProjection(orders: DataFrame): DataFrame =
+    orders.select(col("o_orderpriority")).distinct().orderBy(col("o_orderpriority"))
+
+  /** T1/T2/T4 — sort + top-k. Catalyst plans TakeOrderedAndProject: each
+    * partition keeps k rows, only k*numPartitions reach the driver-side merge.
+    */
+  def topKOrders(orders: DataFrame, k: Int = 25): DataFrame =
+    orders
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(k)
+
+  /** J1/J2 analog — stream-table equi-join; the dimension is broadcast so the
+    * fact side never shuffles (ref: consumers/models/line.py:47-54 dict
+    * lookup == hand-rolled broadcast hash join).
+    */
+  def ordersWithCustomer(orders: DataFrame, customer: DataFrame): DataFrame =
+    orders
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("c_name"), col("c_mktsegment"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+
+  /** J5 analog — left-outer join + aggregate: customers with their order
+    * counts, keeping customers that never ordered (ref:
+    * templates/status.html:29-39 keeps stations with no train).
+    */
+  def customerOrderCounts(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer
+      .join(orders, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(count(col("o_orderkey")).as("order_count"))
+      .orderBy(col("c_custkey"))
+
+  /** J1's drop-unmatched semantics as an explicit left-semi join (ref:
+    * consumers/models/line.py:73-76 skip-unknown-station guard).
+    */
+  def customersWithOrders(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer
+      .join(orders, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  /** Anti-join complement of the guard above. */
+  def customersWithoutOrders(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer
+      .join(orders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  /** J5's crossJoin(weatherLatest) analog — every region row paired with the
+    * single global-aggregate row. The 1-row side is broadcast; never shuffle a
+    * fact table for a cross join against a scalar.
+    */
+  def regionsWithGlobalStats(region: DataFrame, orders: DataFrame): DataFrame = {
+    val stats = orders.agg(
+      dsum(col("o_totalprice")).as("global_total"),
+      count(lit(1)).as("global_orders"))
+    region.crossJoin(broadcast(stats))
+      .select(col("r_regionkey"), col("r_name"), col("global_total"), col("global_orders"))
+      .orderBy(col("r_regionkey"))
+  }
+
+  /** J5 full dashboard-assembly analog — multi-way join fact ⋈ dims with
+    * group-by rollup to (nation) grain, dims broadcast (ref:
+    * consumers/server.py:55-87 wiring + status.html render join).
+    */
+  def revenueByNation(
+      lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
+      nation: DataFrame, region: DataFrame): DataFrame =
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("line_count"))
+      .orderBy(col("r_name"), col("n_name"))
+
+  /** P7/Q1 analog — projection + prioritized CASE (ref:
+    * consumers/faust_stream.py:72-92: red→blue→green priority, null
+    * otherwise). Pure narrow op; whole-stage-codegen'd, no shuffle.
+    */
+  def caseProjection(orders: DataFrame): DataFrame =
+    orders
+      .select(
+        col("o_orderkey"),
+        when(col("o_orderstatus") === "F", "finished")
+          .when(col("o_orderstatus") === "O", "open")
+          .when(col("o_orderstatus") === "P", "pending")
+          .otherwise(lit(null)).as("status_name"),
+        when(col("o_totalprice") > 200000, "large")
+          .when(col("o_totalprice") > 50000, "medium")
+          .otherwise("small").as("size_class"))
+      .orderBy(col("o_orderkey"))
+
+  /** A2/A3/O1 — latest-value-per-key (Faust table upsert / latest weather) in
+    * batch shape: row_number over (key ORDER BY ts DESC, tiebreak event_id
+    * DESC) == 1 (ref: consumers/faust_stream.py:52-57,
+    * consumers/models/weather.py:17-30). At scale this is one shuffle on the
+    * key — the same partitioning the streaming state store would use.
+    */
+  def latestEventPerUser(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    events
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+      .orderBy(col("user_id"))
+  }
+
+  /** O3 batch shape — latest event per composite key (station, direction) ≈
+    * (user_id, event_type) (ref: consumers/models/station.py:26-39). Same
+    * single-shuffle plan as latestEventPerUser, wider key.
+    */
+  def latestEventPerUserType(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    events
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("event_id"), col("value"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  /** F6 — time-part extraction + diurnal histogram (ref:
+    * producers/models/turnstile_hardware.py:48-56 hourly-curve lookup).
+    */
+  def eventsByHour(events: DataFrame): DataFrame =
+    events
+      .groupBy(hour(col("ts")).as("hour_of_day"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .orderBy(col("hour_of_day"))
+
+  /** A4/F7 analog — arithmetic entry model: floor(value*ratio/steps) clamped
+    * at 0 (ref: producers/models/turnstile_hardware.py:46-66, noise term
+    * omitted: rand() has no cross-engine oracle).
+    */
+  def entriesModel(events: DataFrame): DataFrame =
+    events
+      .select(
+        col("event_id"),
+        greatest(lit(0), floor(col("value") * lit(0.125) / lit(3)).cast("long"))
+          .as("entries"),
+        least(lit(100.0), col("value")).as("clamped"))
+      .orderBy(col("event_id"))
+
+  /** Set ops (engine surface beyond the reference — SURVEY §2.6 notes the
+    * per-line frames partition one frame). Union/intersect/except of key sets.
+    */
+  def keySetOps(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val a = orders.select(col("o_orderkey").as("key"))
+    val b = lineitem.select(col("l_orderkey").as("key"))
+    val inBoth = a.intersect(b).withColumn("tag", lit("both"))
+    val onlyA = a.except(b).withColumn("tag", lit("orders_only"))
+    inBoth.union(onlyA)
+      .groupBy(col("tag")).agg(count(lit(1)).as("n"))
+      .orderBy(col("tag"))
+  }
+
+  /** Grouping sets — rollup over (status, priority) (SURVEY §2.4: Catalyst
+    * supplies cube/rollup for the generalized surface).
+    */
+  def orderRollup(orders: DataFrame): DataFrame =
+    orders
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+
+  /** Windowed analytics — running total per user ordered by time (engine
+    * surface; batch twin of a streaming cumulative agg). One shuffle on
+    * user_id, then in-partition sort: the partitioning would be reused by any
+    * downstream per-user op.
+    */
+  def runningTotalPerUser(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .select(
+        col("user_id"), col("event_id"),
+        sum(col("value").cast(dec)).over(w).cast("double").as("running_value"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** Exact distinct count per group (A1 family; approx_count_distinct is the
+    * scale path but has no cross-engine oracle — see Bench).
+    */
+  def distinctUsersPerType(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("distinct_users"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+}

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.operators.Relational
+
+class RelationalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pricingSummary groups and sums exactly") {
+    val li = Seq(
+      ("A", "F", 10.0, 100.0, 0.1, java.sql.Timestamp.valueOf("1995-01-01 00:00:00")),
+      ("A", "F", 20.0, 200.0, 0.0, java.sql.Timestamp.valueOf("1995-01-02 00:00:00")),
+      ("R", "O", 5.0, 50.0, 0.5, java.sql.Timestamp.valueOf("1999-01-01 00:00:00")) // filtered out
+    ).toDF("l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate")
+    val out = Relational.pricingSummary(li).collect()
+    assert(out.length == 1)
+    assert(out(0) == Row("A", "F", 30.0, 300.0, 290.0, 2L))
+  }
+
+  test("groupedCount counts per key") {
+    val ev = Seq((1L, "a"), (1L, "b"), (2L, "a")).toDF("user_id", "event_type")
+    val out = Relational.groupedCount(ev).as[(Long, Long)].collect()
+    assert(out.toSeq == Seq((1L, 2L), (2L, 1L)))
+  }
+
+  test("latestEventPerUser keeps the newest row per key with tiebreak") {
+    val ev = Seq(
+      (1L, 1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "x", 1.0),
+      (1L, 2L, java.sql.Timestamp.valueOf("2024-01-02 00:00:00"), "y", 2.0),
+      (1L, 3L, java.sql.Timestamp.valueOf("2024-01-02 00:00:00"), "z", 3.0)
+    ).toDF("user_id", "event_id", "ts", "event_type", "value")
+    val out = Relational.latestEventPerUser(ev).collect()
+    assert(out.length == 1 && out(0).getAs[Long]("event_id") == 3L)
+  }
+
+  test("case projection priority order") {
+    val o = Seq((1L, "F", 300000.0), (2L, "X", 60000.0), (3L, "O", 10.0))
+      .toDF("o_orderkey", "o_orderstatus", "o_totalprice")
+    val out = Relational.caseProjection(o).as[(Long, Option[String], String)].collect()
+    assert(out.toSeq == Seq(
+      (1L, Some("finished"), "large"), (2L, None, "medium"), (3L, Some("open"), "small")))
+  }
+
+  test("semi/anti joins partition the customer set") {
+    val c = Tables.customer(spark, sf)
+    val o = Tables.orders(spark, sf)
+    val withO = Relational.customersWithOrders(c, o).count()
+    val withoutO = Relational.customersWithoutOrders(c, o).count()
+    assert(withO + withoutO == c.count())
+  }
+
+  test("topK is ordered and bounded") {
+    val out = Relational.topKOrders(Tables.orders(spark, sf), 10).collect()
+    assert(out.length == 10)
+    val prices = out.map(_.getAs[Double]("o_totalprice"))
+    assert(prices.sameElements(prices.sorted.reverse))
+  }
+
+  test("broadcast join plans a BroadcastHashJoin, not a shuffle join") {
+    val plan = Relational.ordersWithCustomer(
+      Tables.orders(spark, sf), Tables.customer(spark, sf))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("filterProject pushes filters into the parquet scan") {
+    val plan = Relational.filterProject(Tables.lineitem(spark, sf))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_returnflag), IsNotNull(l_quantity)")
+      || plan.contains("EqualTo(l_returnflag,R)"))
+  }
+}
