@@ -1,7 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.Relational
+import org.apache.spark.sql.functions.col
+import graft.operators.{Dedup, Relational, SimilaritySearch, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -42,7 +43,48 @@ object SparkEntry {
     "q_rollup" -> ((s, d) => Relational.orderRollup(Tables.orders(s, d))),
     "q_running_total" -> ((s, d) => Relational.runningTotalPerUser(Tables.events(s, d))),
     "q_distinct_count" -> ((s, d) => Relational.distinctUsersPerType(Tables.events(s, d))),
+    // LLM-pipeline: dedup
+    "q_dedup_exact" -> ((s, d) => Dedup.exactDuplicateGroups(Tables.documents(s, d))),
+    "q_dedup_keepfirst" -> ((s, d) => Dedup.dedupKeepFirst(Tables.documents(s, d))),
+    "q_dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(Tables.documents(s, d))),
+    "q_dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d))),
+    "q_simhash" -> ((s, d) => Dedup.simhashFingerprints(Tables.documents(s, d))),
+    "q_embedding_neardup" -> ((s, d) => Dedup.embeddingNearDupPairs(Tables.embeddings(s, d))),
+    // LLM-pipeline: similarity search
+    "q_ann_bruteforce" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      SimilaritySearch.bruteForceTopK(emb, emb.filter(col("vec_id") < 5))
+    }),
+    "q_ann_lsh" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      SimilaritySearch.lshTopK(emb, emb.filter(col("vec_id") < 5))
+    }),
+    // LLM-pipeline: text analysis
+    "q_doc_stats" -> ((s, d) => TextAnalysis.docStats(Tables.documents(s, d))),
+    "q_lang_id" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
+    "q_quality_score" -> ((s, d) => TextAnalysis.qualityScore(Tables.documents(s, d))),
+    "q_token_freq" -> ((s, d) => TextAnalysis.tokenFrequencies(Tables.documents(s, d))),
+    "q_fingerprint" -> ((s, d) => TextAnalysis.fingerprints(Tables.documents(s, d))),
   )
+
+  // DuckDB-side shared fragments for the LLM-pipeline oracles
+  private val duckShingles =
+    """SELECT doc_id, lang, list_distinct(list_transform(
+      |    range(1, greatest(len(string_split(text,' '))-1, 1)),
+      |    i -> array_to_string(string_split(text,' ')[i:i+2], ' '))) AS sh
+      |  FROM documents""".stripMargin
+  private val duckTokenHashes =
+    """list_transform(string_split(text,' '),
+      |    t -> ('0x' || substr(md5(t),1,15))::BIGINT)""".stripMargin
+  private val duckEmb =
+    "SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings"
+  private def duckDot(a: String, b: String): String =
+    s"list_sum(list_transform(range(1,65), i -> $a[i]*$b[i]))"
+  private def duckCos(a: String, b: String): String =
+    s"round(${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)})), 6)"
+  private def duckStopHits(list: String): String =
+    s"len(list_filter(string_split(text,' '), t -> list_contains($list, t)))"
+  private val enStopList = "['the','a','of','and','to','in','is','it']"
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -155,5 +197,126 @@ object SparkEntry {
     "q_distinct_count" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS distinct_users, COUNT(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS text_hash, COUNT(*) AS n_docs, MIN(doc_id) AS keeper_id
+        |FROM documents GROUP BY md5(text) ORDER BY text_hash""".stripMargin,
+    "q_dedup_keepfirst" ->
+      "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY doc_id",
+    "q_dedup_minhash_lsh" -> {
+      val sigEntries = (0 until 12)
+        .map(s => s"list_min(list_transform(sh, x -> md5('$s:' || x)))")
+        .mkString(",\n      ")
+      val bandEntries = (0 until 4)
+        .map(b => s"md5(array_to_string(sig[${b * 3 + 1}:${b * 3 + 3}], '|'))")
+        .mkString(",\n      ")
+      s"""WITH shs AS ($duckShingles),
+         |sigs AS (SELECT doc_id, sh, [
+         |      $sigEntries] AS sig FROM shs),
+         |banded AS (SELECT doc_id, unnest(range(0, 4)) AS band, unnest([
+         |      $bandEntries]) AS bh FROM sigs),
+         |cand AS (SELECT DISTINCT x.doc_id AS i, y.doc_id AS j
+         |  FROM banded x JOIN banded y
+         |  ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
+         |scored AS (SELECT i, j,
+         |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |        CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE), 6) AS jac
+         |  FROM cand JOIN sigs a ON cand.i = a.doc_id JOIN sigs b ON cand.j = b.doc_id)
+         |SELECT i, j, jac FROM scored WHERE jac >= 0.6 ORDER BY i, j""".stripMargin
+    },
+    "q_dedup_ngram_jaccard" ->
+      s"""WITH shs AS ($duckShingles),
+         |scored AS (SELECT a.doc_id AS i, b.doc_id AS j,
+         |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |        CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE), 6) AS jac
+         |  FROM shs a JOIN shs b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+         |SELECT i, j, jac FROM scored WHERE jac >= 0.6 ORDER BY i, j""".stripMargin,
+    "q_simhash" ->
+      s"""WITH h AS (SELECT doc_id, $duckTokenHashes AS hs FROM documents)
+         |SELECT doc_id, array_to_string(list_transform(range(0, 60),
+         |  j -> CASE WHEN list_sum(list_transform(hs, th -> ((th >> j) & 1)*2 - 1)) > 0
+         |       THEN '1' ELSE '0' END), '') AS simhash
+         |FROM h ORDER BY doc_id""".stripMargin,
+    "q_embedding_neardup" ->
+      s"""WITH e AS ($duckEmb),
+         |scored AS (SELECT a.vec_id AS i, b.vec_id AS j,
+         |    ${duckCos("a.emb", "b.emb")} AS cos
+         |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+         |SELECT i, j, cos FROM scored WHERE cos >= 0.45 ORDER BY i, j""".stripMargin,
+    "q_ann_bruteforce" ->
+      s"""WITH e AS ($duckEmb),
+         |q AS (SELECT vec_id AS query_id, emb AS q_emb FROM e WHERE vec_id < 5),
+         |scored AS (SELECT query_id, vec_id AS neighbor_id,
+         |    ${duckCos("q_emb", "emb")} AS cos
+         |  FROM e CROSS JOIN q WHERE vec_id != query_id)
+         |SELECT query_id, neighbor_id, rank, cos FROM (
+         |  SELECT *, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM scored) WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "q_ann_lsh" -> {
+      val bucketExpr =
+        """array_to_string(list_transform(range(0, 4),
+          |    p -> CASE WHEN list_sum(list_transform(range(1, 65),
+          |      i -> emb[i] * (CASE WHEN ('0x' || substr(md5(p || ':' || i), 1, 15))::BIGINT % 2 = 1
+          |                     THEN 1.0 ELSE -1.0 END))) > 0
+          |    THEN '1' ELSE '0' END), '')""".stripMargin
+      s"""WITH e AS ($duckEmb),
+         |b AS (SELECT vec_id, emb, $bucketExpr AS bucket FROM e),
+         |q AS (SELECT vec_id AS query_id, emb AS q_emb, bucket AS q_bucket FROM b WHERE vec_id < 5),
+         |scored AS (SELECT query_id, vec_id AS neighbor_id,
+         |    ${duckCos("q_emb", "emb")} AS cos
+         |  FROM b JOIN q ON b.bucket = q.q_bucket AND b.vec_id != q.query_id)
+         |SELECT query_id, neighbor_id, rank, cos FROM (
+         |  SELECT *, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM scored) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    },
+    "q_doc_stats" ->
+      s"""SELECT doc_id,
+         |  len(string_split(text,' ')) AS token_count,
+         |  length(text) AS char_count,
+         |  round(CAST(list_sum(list_transform(string_split(text,' '), t -> CAST(length(t) AS BIGINT))) AS DOUBLE)
+         |    / CAST(len(string_split(text,' ')) AS DOUBLE), 6) AS avg_token_len,
+         |  round(CAST(${duckStopHits(enStopList)} AS DOUBLE)
+         |    / CAST(len(string_split(text,' ')) AS DOUBLE), 6) AS stopword_ratio
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_lang_id" ->
+      s"""WITH h AS (SELECT doc_id, lang AS labeled_lang,
+         |  ${duckStopHits(enStopList)} AS en_hits,
+         |  ${duckStopHits("['le','la','et','les','des','un','une','du']")} AS fr_hits,
+         |  ${duckStopHits("['der','die','und','das','ein','nicht','mit','ist']")} AS de_hits,
+         |  ${duckStopHits("['el','la','de','que','y','los','un','una']")} AS es_hits
+         |FROM documents)
+         |SELECT doc_id, labeled_lang, en_hits, fr_hits, de_hits, es_hits,
+         |  CASE WHEN greatest(en_hits, fr_hits, de_hits, es_hits) = 0 THEN 'und'
+         |       WHEN en_hits >= greatest(fr_hits, de_hits, es_hits) THEN 'en'
+         |       WHEN fr_hits >= greatest(de_hits, es_hits) THEN 'fr'
+         |       WHEN de_hits >= es_hits THEN 'de'
+         |       ELSE 'es' END AS lang_guess
+         |FROM h ORDER BY doc_id""".stripMargin,
+    "q_quality_score" ->
+      s"""WITH s AS (SELECT doc_id,
+         |  CAST(len(string_split(text,' ')) AS DOUBLE) AS tc,
+         |  CAST(${duckStopHits(enStopList)} AS DOUBLE) AS sw,
+         |  CAST(list_sum(list_transform(string_split(text,' '), t -> CAST(length(t) AS BIGINT))) AS DOUBLE) AS totlen
+         |FROM documents)
+         |SELECT doc_id,
+         |  round(least(1.0, tc/100.0)*0.5 +
+         |    (CASE WHEN sw/tc BETWEEN 0.01 AND 0.5 THEN 0.3 ELSE 0.0 END) +
+         |    (CASE WHEN totlen/tc BETWEEN 3.0 AND 8.0 THEN 0.2 ELSE 0.0 END), 6) AS quality,
+         |  CASE WHEN least(1.0, tc/100.0)*0.5 +
+         |    (CASE WHEN sw/tc BETWEEN 0.01 AND 0.5 THEN 0.3 ELSE 0.0 END) +
+         |    (CASE WHEN totlen/tc BETWEEN 3.0 AND 8.0 THEN 0.2 ELSE 0.0 END) >= 0.5
+         |    THEN 'keep' ELSE 'drop' END AS verdict
+         |FROM s ORDER BY doc_id""".stripMargin,
+    "q_token_freq" ->
+      """SELECT token, COUNT(*) AS n FROM (
+        |  SELECT unnest(string_split(text,' ')) AS token FROM documents)
+        |GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin,
+    "q_fingerprint" ->
+      s"""SELECT doc_id,
+         |  list_reduce(list_prepend(0, $duckTokenHashes),
+         |    (acc, h) -> (acc*31 + h) % 2147483647) AS rolling_fp,
+         |  md5(text) AS md5_fp
+         |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

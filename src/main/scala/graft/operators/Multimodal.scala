@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column operators: image/audio/video as opaque `binary` columns
+  * with typed metadata. The Spark-side plumbing — schema, partition-preserving
+  * batch shape, iterator-based per-partition decoding (the Scala analog of
+  * `mapInPandas` batches) — is real and tested; the actual media decoding is
+  * STUBBED behind [[Decoder]] because no image/audio libraries exist in this
+  * environment. Swap [[DeterministicFakeDecoder]] for a JNI/FFmpeg-backed
+  * implementation without touching any plan shape.
+  *
+  * Scale notes: decode is the classic CPU-heavy narrow stage — it must stay
+  * in mapPartitions (one decoder init per partition, streaming iterator, no
+  * per-row setup) and NEVER force a shuffle; partition sizing is governed by
+  * bytes not rows (`spark.sql.files.maxPartitionBytes`), since one row can
+  * be a 100 MB video.
+  */
+object Multimodal {
+
+  /** Media row: opaque payload + typed metadata. */
+  case class MediaRecord(
+      media_id: Long, kind: String, mime: String,
+      width: Int, height: Int, duration_ms: Long, content: Array[Byte])
+
+  case class MediaFeatures(media_id: Long, feature: Array[Float], decoder: String)
+
+  /** Batch decode interface — the seam where a real codec plugs in.
+    * Implementations must be serializable (constructed per partition).
+    */
+  trait Decoder extends Serializable {
+    def name: String
+    /** Decode a batch; called once per partition with a streaming iterator. */
+    def decode(records: Iterator[MediaRecord]): Iterator[MediaFeatures]
+  }
+
+  /** STUB decoder — no media libraries in this container. Emits a
+    * deterministic 8-dim feature from the md5 of the payload so downstream
+    * plumbing (schema, joins, ANN) is exercised with stable values. A real
+    * implementation decodes pixels/samples here.
+    */
+  object DeterministicFakeDecoder extends Decoder {
+    val name = "fake-md5"
+    def decode(records: Iterator[MediaRecord]): Iterator[MediaFeatures] = {
+      // one digest instance per partition — the "decoder init" cost the
+      // mapPartitions shape exists to amortize
+      val md = java.security.MessageDigest.getInstance("MD5")
+      records.map { r =>
+        val d = md.digest(r.content)
+        val feats = Array.tabulate(8)(i => ((d(i) & 0xff) / 255.0f) - 0.5f)
+        MediaFeatures(r.media_id, feats, name)
+      }
+    }
+  }
+
+  /** Decode/feature-extract: partition-parallel, no shuffle. */
+  def extractFeatures(
+      media: Dataset[MediaRecord],
+      decoder: Decoder = DeterministicFakeDecoder): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(decoder.decode _)
+  }
+
+  /** Resize planning — pure metadata projection (narrow, codegen'd): target
+    * box fit preserving aspect ratio; the byte-level resample happens in the
+    * decoder seam.
+    */
+  def resizePlan(media: DataFrame, maxSide: Int = 512): DataFrame = {
+    val scale = least(
+      lit(maxSide).cast("double") / col("width"),
+      lit(maxSide).cast("double") / col("height"),
+      lit(1.0))
+    media.select(
+      col("media_id"), col("kind"), col("width"), col("height"),
+      floor(col("width") * scale).cast("int").as("target_width"),
+      floor(col("height") * scale).cast("int").as("target_height"))
+  }
+
+  /** Frame sampling for video rows: one output row per sampled frame at
+    * `everyMs` intervals — a generator (posexplode), the plumbing a
+    * frame-extraction stage hangs off.
+    */
+  def frameSamples(media: DataFrame, everyMs: Long = 1000L): DataFrame =
+    media.filter(col("kind") === "video")
+      .select(
+        col("media_id"),
+        posexplode(sequence(lit(0L), greatest(col("duration_ms") - 1, lit(0L)), lit(everyMs))))
+      .toDF("media_id", "frame_idx", "frame_ts_ms")
+}

@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+/** Text-analysis operators for training-data pipelines over `documents`.
+  * All narrow projections + one aggregation (token frequencies) — codegen'd
+  * end to end, trivially scalable; the only shuffle is the frequency groupBy.
+  */
+object TextAnalysis {
+
+  /** Per-document statistics: token/char counts, average token length,
+    * stopword ratio.
+    */
+  def docStats(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    docs.select(
+      col("doc_id"),
+      size(toks).as("token_count"),
+      length(col("text")).as("char_count"),
+      round(
+        aggregate(transform(toks, t => length(t).cast("long")), lit(0L), _ + _)
+          .cast("double") / size(toks).cast("double"), 6).as("avg_token_len"),
+      round(stopwordHits(toks, EnStop).cast("double") / size(toks).cast("double"), 6)
+        .as("stopword_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Language-ID heuristic: argmax of per-language stopword frequency with
+    * fixed priority en > fr > de > es on ties; "und" when nothing hits.
+    */
+  def langId(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val en = stopwordHits(toks, EnStop)
+    val fr = stopwordHits(toks, FrStop)
+    val de = stopwordHits(toks, DeStop)
+    val es = stopwordHits(toks, EsStop)
+    docs.select(
+      col("doc_id"), col("lang").as("labeled_lang"),
+      en.as("en_hits"), fr.as("fr_hits"), de.as("de_hits"), es.as("es_hits"))
+      .withColumn("lang_guess",
+        when(greatest(col("en_hits"), col("fr_hits"), col("de_hits"), col("es_hits")) === 0, "und")
+          .when(col("en_hits") >= greatest(col("fr_hits"), col("de_hits"), col("es_hits")), "en")
+          .when(col("fr_hits") >= greatest(col("de_hits"), col("es_hits")), "fr")
+          .when(col("de_hits") >= col("es_hits"), "de")
+          .otherwise("es"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Quality score ∈ [0,1]: length component (saturates at 100 tokens) +
+    * stopword-band component + token-length-band component; "keep" label at
+    * ≥ 0.5. The shape of heuristics used for corpus filtering.
+    */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val tc = size(toks).cast("double")
+    val swRatio = stopwordHits(toks, EnStop).cast("double") / tc
+    val avgLen =
+      aggregate(transform(toks, t => length(t).cast("long")), lit(0L), _ + _)
+        .cast("double") / tc
+    docs.select(
+      col("doc_id"),
+      round(
+        least(lit(1.0), tc / 100.0) * 0.5 +
+          when(swRatio.between(0.01, 0.5), 0.3).otherwise(0.0) +
+          when(avgLen.between(3.0, 8.0), 0.2).otherwise(0.0), 6).as("quality"),
+      when(
+        least(lit(1.0), tc / 100.0) * 0.5 +
+          when(swRatio.between(0.01, 0.5), 0.3).otherwise(0.0) +
+          when(avgLen.between(3.0, 8.0), 0.2).otherwise(0.0) >= 0.5, "keep")
+        .otherwise("drop").as("verdict"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Corpus token frequencies (top `k` by count desc, token asc) — the
+    * explode/generator operator (Spark explode == DuckDB unnest).
+    */
+  def tokenFrequencies(docs: DataFrame, k: Int = 50): DataFrame =
+    docs.select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(k)
+
+  /** Document fingerprints: order-sensitive rolling hash + content md5. */
+  def fingerprints(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      rollingFingerprint(transform(tokens(col("text")), tokenHash _)).as("rolling_fp"),
+      md5(col("text")).as("md5_fp"))
+      .orderBy(col("doc_id"))
+}

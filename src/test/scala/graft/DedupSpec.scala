@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+import graft.functions.TextFunctions
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String, String)*) =
+    rows.toDF("doc_id", "text", "lang")
+
+  test("exact dedup groups identical texts and keeps min id") {
+    val d = docs((1L, "a b c", "en"), (2L, "a b c", "en"), (3L, "x y z", "en"))
+    val groups = Dedup.exactDuplicateGroups(d).collect()
+    assert(groups.length == 2)
+    assert(groups.map(_.getAs[Long]("n_docs")).sum == 3)
+    val survivors = Dedup.dedupKeepFirst(d).as[Long].collect().toSet
+    assert(survivors == Set(1L, 3L))
+  }
+
+  test("tokenHash matches the cross-engine pinned value") {
+    // '0x'||substr(md5('tok'),1,15) in DuckDB — pins the md5/conv parity
+    val v = Seq("tok").toDF("t")
+      .select(TextFunctions.tokenHash(col("t"))).as[Long].head()
+    assert(v == 435407939895074749L)
+  }
+
+  test("minhash LSH finds planted near-duplicates and skips unrelated docs") {
+    val base = (0 until 40).map(i => s"w$i").mkString(" ")
+    val nearDup = (0 until 40).map(i => if (i == 7) "CHANGED" else s"w$i").mkString(" ")
+    val other = (100 until 140).map(i => s"v$i").mkString(" ")
+    val d = docs((1L, base, "en"), (2L, nearDup, "en"), (3L, other, "en"))
+    val pairs = Dedup.minhashLshPairs(d).collect()
+    assert(pairs.length == 1)
+    assert(pairs(0).getAs[Long]("i") == 1L && pairs(0).getAs[Long]("j") == 2L)
+    assert(pairs(0).getAs[Double]("jac") > 0.8)
+  }
+
+  test("minhash LSH recall on the corpus' planted dups matches brute force at high jaccard") {
+    val d = Tables.documents(spark, sf)
+    val lsh = Dedup.minhashLshPairs(d, threshold = 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force without lang blocking = ground truth
+    val base = d.select(col("doc_id"),
+      array_distinct(TextFunctions.shingles(TextFunctions.tokens(col("text")), 3)).as("sh"))
+    val brute = base.as("a").join(base.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .withColumn("jac", TextFunctions.jaccard(col("a.sh"), col("b.sh")))
+      .filter(col("jac") >= 0.8)
+      .select(col("a.doc_id"), col("b.doc_id")).as[(Long, Long)].collect().toSet
+    assert(brute.nonEmpty, "corpus should contain planted near-dups")
+    // at jaccard>=0.8 with 4 bands x 3 rows, collision prob >= 95% per pair;
+    // on this corpus the candidate set is exhaustive
+    assert(lsh == brute)
+  }
+
+  test("simhash: near-identical docs are Hamming-close, unrelated docs are not") {
+    val base = (0 until 60).map(i => s"w$i").mkString(" ")
+    val nearDup = (0 until 60).map(i => if (i == 30) "CHANGED" else s"w$i").mkString(" ")
+    val other = (200 until 260).map(i => s"u$i").mkString(" ")
+    val d = docs((1L, base, "en"), (2L, nearDup, "en"), (3L, other, "en"))
+    val fp = Dedup.simhashFingerprints(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("simhash")).toMap
+    def hamming(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
+    assert(hamming(fp(1L), fp(2L)) <= 8)
+    assert(hamming(fp(1L), fp(3L)) >= 15)
+  }
+
+  test("embedding near-dup finds planted duplicate vectors") {
+    val v = (0 until 16).map(_.toFloat / 16).toArray
+    val vDup = v.clone(); vDup(3) += 0.001f
+    val unrelated = (0 until 16).map(i => if (i % 2 == 0) 1f else -1f).toArray
+    val emb = Seq((1L, v), (2L, vDup), (3L, unrelated)).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDupPairs(emb, threshold = 0.99).collect()
+    assert(pairs.length == 1)
+    assert(pairs(0).getAs[Long]("i") == 1L && pairs(0).getAs[Long]("j") == 2L)
+  }
+
+  test("LSH plan: no shuffle before the band join; candidate join is on band keys") {
+    val plan = Dedup.minhashLshPairs(Tables.documents(spark, sf))
+      .queryExecution.executedPlan.toString
+    // signature computation must stay narrow (no Exchange between scan and generate)
+    assert(plan.contains("Generate"), "band explode should be a Generate node")
+  }
+}

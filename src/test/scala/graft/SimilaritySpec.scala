@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.SimilaritySearch
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine: orthogonal = 0, identical = 1, opposite = -1") {
+    val df = Seq(
+      (Array(1f, 0f), Array(0f, 1f), 0.0),
+      (Array(1f, 2f), Array(1f, 2f), 1.0),
+      (Array(1f, 0f), Array(-1f, 0f), -1.0)
+    ).toDF("a", "b", "expect")
+    val out = df.select(
+      round(SimilaritySearch.cosine(col("a"), col("b")), 9).as("cos"), col("expect"))
+      .collect()
+    out.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-9))
+  }
+
+  test("bruteForceTopK returns k ordered neighbors per query, self excluded") {
+    val emb = Tables.embeddings(spark, sf)
+    val out = SimilaritySearch.bruteForceTopK(emb, emb.filter(col("vec_id") < 3), k = 10)
+      .collect()
+    assert(out.length == 30)
+    val byQuery = out.groupBy(_.getAs[Long]("query_id"))
+    byQuery.foreach { case (q, rows) =>
+      assert(rows.forall(_.getAs[Long]("neighbor_id") != q))
+      val sims = rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cos"))
+      assert(sims.sameElements(sims.sorted.reverse), s"query $q not sorted")
+    }
+  }
+
+  test("lshTopK candidates come from the query's bucket and recall is measurable") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 10)
+    val lsh = SimilaritySearch.lshTopK(emb, queries, k = 5).collect()
+    assert(lsh.nonEmpty)
+    val brute = SimilaritySearch.bruteForceTopK(emb, queries, k = 5).collect()
+    val lshPairs = lsh.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brutePairs = brute.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = lshPairs.intersect(brutePairs).size.toDouble / brutePairs.size
+    info(f"LSH recall@5 vs brute force: $recall%.2f (1/16 of corpus scanned per query)")
+    assert(recall > 0.1) // 4 planes = 16 buckets; bucket-restricted recall is partial by design
+  }
+
+  test("plane signs are deterministic and balanced-ish") {
+    val p1 = SimilaritySearch.planeSigns(4, 64)
+    val p2 = SimilaritySearch.planeSigns(4, 64)
+    assert(p1 == p2)
+    p1.foreach { plane =>
+      val pos = plane.count(_ == 1)
+      assert(pos > 16 && pos < 48, s"plane badly unbalanced: $pos/64 positive")
+    }
+  }
+
+  test("bruteForceTopK broadcasts the query side (no shuffle of the corpus)") {
+    val emb = Tables.embeddings(spark, sf)
+    val plan = SimilaritySearch.bruteForceTopK(emb, emb.filter(col("vec_id") < 3))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"))
+  }
+}
