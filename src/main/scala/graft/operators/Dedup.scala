@@ -45,14 +45,70 @@ object Dedup {
     * deterministic, so the DuckDB oracle reproduces it including its false
     * negatives.
     */
+  /** Shingle sets + MinHash signatures as a mapPartitions kernel: one md5
+    * digest instance per partition, k·|sh| digests per doc in a tight loop —
+    * the declarative [[graft.functions.TextFunctions.minhashSignature]] runs
+    * the same arithmetic through k interpreted array traversals per row.
+    * Identical outputs (same md5 bytes, same lexicographic min).
+    */
+  private def shingleSignatures(docs: DataFrame, k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hexChars = "0123456789abcdef".toCharArray
+        val prefixes = Array.tabulate(k)(s => (s.toString + ":").getBytes("UTF-8"))
+        // min over hex strings == min over digest bytes compared unsigned —
+        // hex-encode only the k winners, not all k·|sh| digests
+        def lessUnsigned(a: Array[Byte], b: Array[Byte]): Boolean = {
+          var i = 0
+          while (i < a.length) {
+            val x = a(i) & 0xff; val y = b(i) & 0xff
+            if (x != y) return x < y
+            i += 1
+          }
+          false
+        }
+        def hex(bytes: Array[Byte]): String = {
+          val out = new Array[Char](bytes.length * 2)
+          var i = 0
+          while (i < bytes.length) {
+            val b = bytes(i) & 0xff
+            out(i * 2) = hexChars(b >>> 4); out(i * 2 + 1) = hexChars(b & 0xf)
+            i += 1
+          }
+          new String(out)
+        }
+        it.map { case (id, text) =>
+          val toks = text.split(" ", -1)
+          val sh: Array[String] =
+            if (toks.length >= 3)
+              Array.tabulate(toks.length - 2)(i =>
+                s"${toks(i)} ${toks(i + 1)} ${toks(i + 2)}").distinct
+            else Array.empty[String]
+          val shBytes = sh.map(_.getBytes("UTF-8"))
+          val sig = Array.tabulate(k) { s =>
+            var min: Array[Byte] = null
+            var x = 0
+            while (x < shBytes.length) {
+              md.update(prefixes(s)); md.update(shBytes(x))
+              val d = md.digest()
+              if (min == null || lessUnsigned(d, min)) min = d
+              x += 1
+            }
+            if (min == null) null else hex(min)
+          }
+          (id, sh, sig)
+        }
+      }.toDF("doc_id", "sh", "sig")
+  }
+
   def minhashLshPairs(
       docs: DataFrame, k: Int = 12, bands: Int = 4, rows: Int = 3,
       threshold: Double = 0.6): DataFrame = {
     require(bands * rows == k, "bands*rows must equal signature length")
-    val base = docs.select(
-      col("doc_id"),
-      array_distinct(shingles(tokens(col("text")), 3)).as("sh"))
-      .withColumn("sig", minhashSignature(col("sh"), k))
+    val base = shingleSignatures(docs, k)
     val banded = base.select(
       col("doc_id"), posexplode(bandHashes(col("sig"), bands, rows)))
       .toDF("doc_id", "band", "bh")
@@ -71,42 +127,102 @@ object Dedup {
       .orderBy(col("i"), col("j"))
   }
 
-  /** Brute-force n-gram Jaccard near-dup pairs, blocked by `lang` — the
+  /** Exact n-gram Jaccard near-dup pairs, blocked by `lang` — the
     * exact-recall baseline the LSH variant trades against.
+    *
+    * Inverted-index formulation: explode to (shingle, doc) postings and join
+    * postings on (shingle, lang) to count |A∩B| per pair — only pairs
+    * sharing ≥1 shingle materialize (a pair with jaccard ≥ t > 0 always
+    * does, so output equals the naive n² loop's). Cost is Σ_s df(s)² instead
+    * of n²·|sh| — at scale, cap df(s) (drop boilerplate shingles) to bound
+    * the skew; exact here since the corpus has no ultra-frequent shingles.
     */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.6): DataFrame = {
     val base = docs.select(
       col("doc_id"), col("lang"),
       array_distinct(shingles(tokens(col("text")), 3)).as("sh"))
-    base.as("a").join(base.as("b"),
-        col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id"))
-      .withColumn("jac", round(jaccard(col("a.sh"), col("b.sh")), 6))
+      .withColumn("sz", size(col("sh")))
+    val postings = base.select(
+      col("doc_id"), col("lang"), col("sz"), explode(col("sh")).as("s"))
+    postings.as("a").join(postings.as("b"),
+        col("a.s") === col("b.s") && col("a.lang") === col("b.lang") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(
+        col("a.doc_id").as("i"), col("b.doc_id").as("j"),
+        col("a.sz").as("sz_i"), col("b.sz").as("sz_j"))
+      .agg(count(lit(1)).as("common"))
+      .withColumn("jac", round(col("common").cast("double") /
+        (col("sz_i") + col("sz_j") - col("common")).cast("double"), 6))
       .filter(col("jac") >= threshold)
-      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"), col("jac"))
+      .select(col("i"), col("j"), col("jac"))
       .orderBy(col("i"), col("j"))
   }
 
   /** SimHash fingerprints (60-bit, as a bit string): Hamming-near rows are
     * near-dups. Pair extraction at scale: band the bit string into 4 chunks
     * and join on chunk equality (Hamming ≤ 3 ⇒ ≥1 identical chunk).
+    *
+    * Implemented as a mapPartitions kernel: the declarative form (60
+    * per-bit higher-order aggregates per row —
+    * [[graft.functions.TextFunctions.simhashBits]]) evaluates interpreted
+    * and costs ~60 array traversals/row; the kernel does one md5 + one
+    * 60-bit scan per token with identical integer arithmetic, so outputs
+    * stay oracle-identical. Narrow, partition-preserving, no shuffle.
     */
-  def simhashFingerprints(docs: DataFrame): DataFrame =
-    docs.select(
-      col("doc_id"),
-      simhashBits(transform(tokens(col("text")), tokenHash _), 60).as("simhash"))
+  def simhashFingerprints(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, text) =>
+          val counts = new Array[Long](60)
+          text.split(" ", -1).foreach { t =>
+            val d = md.digest(t.getBytes("UTF-8"))
+            val hex = d.take(8).map("%02x".format(_)).mkString.substring(0, 15)
+            val h = java.lang.Long.parseLong(hex, 16)
+            var j = 0
+            while (j < 60) { counts(j) += ((h >> j) & 1L) * 2 - 1; j += 1 }
+          }
+          (id, counts.map(c => if (c > 0) '1' else '0').mkString)
+        }
+      }
+      .toDF("doc_id", "simhash")
       .orderBy(col("doc_id"))
+  }
 
   /** Embedding-cosine near-dup pairs (brute force; the ANN path for scale is
     * SimilaritySearch.lshTopK). Cosine is computed in double, sequentially,
     * index-ascending — bit-identical to the oracle's list_sum.
     */
-  def embeddingNearDupPairs(embeddings: DataFrame, threshold: Double = 0.45): DataFrame = {
-    val base = embeddings.select(col("vec_id"), col("embedding"))
-    base.as("a").join(base.as("b"), col("a.vec_id") < col("b.vec_id"))
-      .withColumn("cos",
-        round(SimilaritySearch.cosine(col("a.embedding"), col("b.embedding")), 6))
-      .filter(col("cos") >= threshold)
-      .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"), col("cos"))
-      .orderBy(col("i"), col("j"))
+  def embeddingNearDupPairs(
+      embeddings: DataFrame, threshold: Double = 0.45, dim: Int = 64): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val vecs = embeddings.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+    // The comparison side is broadcast as a primitive matrix and each
+    // partition runs a tight JVM loop — the all-pairs kernel is O(n²·dim)
+    // regardless of engine, and Catalyst row machinery per pair would
+    // dominate it. The broadcast side must fit an executor (it's the
+    // exactness baseline; SimilaritySearch.lshTopK is the scale path).
+    val mat = spark.sparkContext.broadcast(
+      vecs.collect().sortBy(_._1)
+        .map { case (id, f) => (id, f.map(_.toDouble)) }
+        .map { case (id, d) => (id, d, SimilaritySearch.l2NormKernel(d)) })
+    vecs.mapPartitions { it =>
+      val all = mat.value
+      it.flatMap { case (id, f) =>
+        val e = f.map(_.toDouble)
+        val ne = SimilaritySearch.l2NormKernel(e)
+        all.iterator
+          .filter(_._1 > id)
+          .map { case (jd, v, nv) =>
+            (id, jd, SimilaritySearch.round6(
+              SimilaritySearch.dotKernel(e, v) / (ne * nv)))
+          }
+          .filter(_._3 >= threshold)
+      }
+    }.toDF("i", "j", "cos").orderBy(col("i"), col("j"))
   }
 }

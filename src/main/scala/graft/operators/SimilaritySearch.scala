@@ -21,22 +21,57 @@ object SimilaritySearch {
     * exact arithmetic DuckDB's list_sum(list_transform(...)) performs, so
     * results are bit-identical across engines.
     */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
+  def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Element-wise dot via higher-order functions — works for any dimension. */
+  def dot(x: Column, y: Column): Column =
+    aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** JVM-side twins of the column math for mapPartitions kernels — identical
+    * index-ascending summation, so results match the SQL forms bit-for-bit.
+    */
+  def dotKernel(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
   }
+
+  def l2NormKernel(a: Array[Double]): Double = math.sqrt(dotKernel(a, a))
+
+  /** HALF_UP 6-decimal rounding — the arithmetic of Spark's `round(x, 6)`. */
+  def round6(x: Double): Double =
+    new java.math.BigDecimal(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
 
   /** Brute-force cosine top-k: for each query vector (from `queries`), the k
     * nearest corpus vectors. Ranking uses the ROUNDED similarity (ties broken
     * by neighbor id) so ordering is reproducible across engines.
     */
-  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int = 10): DataFrame = {
-    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-    val scored = corpus.select(col("vec_id").as("neighbor_id"), col("embedding"))
-      .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", round(cosine(col("q_emb"), col("embedding")), 6))
+  def bruteForceTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int = 10, dim: Int = 64): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // query side broadcast as a primitive matrix; scoring is a tight JVM
+    // loop per corpus row (Catalyst row overhead per pair would dominate a
+    // 64-flop kernel). The per-query top-k stays declarative: row_number
+    // compiles to one shuffle on query_id over k·P pre-filtered rows.
+    val qMat = spark.sparkContext.broadcast(
+      queries.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+        .collect().sortBy(_._1)
+        .map { case (id, f) => val d = f.map(_.toDouble); (id, d, l2NormKernel(d)) })
+    val scored = corpus.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val qs = qMat.value
+        it.flatMap { case (nid, f) =>
+          val e = f.map(_.toDouble)
+          val ne = l2NormKernel(e)
+          qs.iterator.filter(_._1 != nid).map { case (qid, qv, qn) =>
+            (qid, nid, round6(dotKernel(qv, e) / (qn * ne)))
+          }
+        }
+      }.toDF("query_id", "neighbor_id", "cos")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored
@@ -80,17 +115,21 @@ object SimilaritySearch {
     val planes = planeSigns(numPlanes, dim)
     val bucketed = corpus.select(
       col("vec_id"), col("embedding"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("n_norm"),
       lshBucket(col("embedding"), planes).as("bucket"))
     val q = queries.select(
       col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("q_norm"),
       lshBucket(col("embedding"), planes).as("q_bucket"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     bucketed
       .join(broadcast(q),
         col("bucket") === col("q_bucket") && col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("q_emb"), col("embedding"))
-      .withColumn("cos", round(cosine(col("q_emb"), col("embedding")), 6))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("q_emb"), col("embedding"), col("q_norm"), col("n_norm"))
+      .withColumn("cos", round(
+        dot(col("q_emb"), col("embedding")) / (col("q_norm") * col("n_norm")), 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
