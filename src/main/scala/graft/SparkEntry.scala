@@ -49,6 +49,7 @@ object SparkEntry {
     "q_dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(Tables.documents(s, d))),
     "q_dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d))),
     "q_simhash" -> ((s, d) => Dedup.simhashFingerprints(Tables.documents(s, d))),
+    "q_simhash_pairs" -> ((s, d) => Dedup.simhashNearDupPairs(Tables.documents(s, d))),
     "q_embedding_neardup" -> ((s, d) => Dedup.embeddingNearDupPairs(Tables.embeddings(s, d))),
     // LLM-pipeline: similarity search
     "q_ann_bruteforce" -> ((s, d) => {
@@ -236,6 +237,22 @@ object SparkEntry {
          |  j -> CASE WHEN list_sum(list_transform(hs, th -> ((th >> j) & 1)*2 - 1)) > 0
          |       THEN '1' ELSE '0' END), '') AS simhash
          |FROM h ORDER BY doc_id""".stripMargin,
+    "q_simhash_pairs" ->
+      s"""WITH h AS (SELECT doc_id, array_to_string(list_transform(range(0, 60),
+         |    j -> CASE WHEN list_sum(list_transform($duckTokenHashes, th -> ((th >> j) & 1)*2 - 1)) > 0
+         |         THEN '1' ELSE '0' END), '') AS simhash FROM documents),
+         |chunked AS (SELECT doc_id, simhash, unnest(range(0, 4)) AS chunk_idx,
+         |  unnest([substr(simhash,1,15), substr(simhash,16,15),
+         |          substr(simhash,31,15), substr(simhash,46,15)]) AS chunk FROM h),
+         |cand AS (SELECT DISTINCT x.doc_id AS i, y.doc_id AS j,
+         |    x.simhash AS sh_i, y.simhash AS sh_j
+         |  FROM chunked x JOIN chunked y
+         |  ON x.chunk_idx = y.chunk_idx AND x.chunk = y.chunk AND x.doc_id < y.doc_id)
+         |SELECT i, j, hamming FROM (
+         |  SELECT i, j, CAST(list_sum(list_transform(range(1, 61),
+         |    p -> CASE WHEN substr(sh_i, p, 1) != substr(sh_j, p, 1) THEN 1 ELSE 0 END)) AS INTEGER) AS hamming
+         |  FROM cand)
+         |WHERE hamming <= 3 ORDER BY i, j""".stripMargin,
     "q_embedding_neardup" ->
       s"""WITH e AS ($duckEmb),
          |scored AS (SELECT a.vec_id AS i, b.vec_id AS j,

@@ -191,6 +191,35 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** SimHash near-dup pairs: 60-bit fingerprints banded into 4 15-bit
+    * chunks; by pigeonhole, Hamming ≤ 3 ⇒ at least one identical chunk, so
+    * the chunk-equality self-join is an EXACT blocking (no recall loss at
+    * the ≤3 threshold). Verification uses the native
+    * [[graft.plans.HammingDistance]] codegen expression.
+    */
+  def simhashNearDupPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    graft.plans.GraftFunctions.register(spark)
+    val fp = simhashFingerprints(docs)
+    val chunked = fp.select(
+      col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(c =>
+        substring(col("simhash"), c * 15 + 1, 15)): _*)))
+      .toDF("doc_id", "simhash", "chunk_idx", "chunk")
+    val cand = chunked.as("x").join(chunked.as("y"),
+        col("x.chunk_idx") === col("y.chunk_idx") && col("x.chunk") === col("y.chunk") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(
+        col("x.doc_id").as("i"), col("y.doc_id").as("j"),
+        col("x.simhash").as("sh_i"), col("y.simhash").as("sh_j"))
+      .distinct()
+    cand
+      .withColumn("hamming", call_function("hamming_distance", col("sh_i"), col("sh_j")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("i"), col("j"), col("hamming"))
+      .orderBy(col("i"), col("j"))
+  }
+
   /** Embedding-cosine near-dup pairs (brute force; the ANN path for scale is
     * SimilaritySearch.lshTopK). Cosine is computed in double, sequentially,
     * index-ascending — bit-identical to the oracle's list_sum.

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.RandomFns
+import graft.plans.GraftFunctions
+
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def draws(c: org.apache.spark.sql.Column, n: Int = 10000) =
+    spark.range(n).select(c.as("x"))
+
+  test("uniformInt covers [lo, hi) uniformly and deterministically") {
+    val out = draws(RandomFns.uniformInt(42L, -5, 5)).as[Int].collect()
+    assert(out.min == -5 && out.max == 4)
+    val counts = out.groupBy(identity).view.mapValues(_.size)
+    counts.values.foreach(c => assert(c > 700 && c < 1300)) // ~1000 each
+    val again = draws(RandomFns.uniformInt(42L, -5, 5)).as[Int].collect()
+    assert(out.sameElements(again)) // seeded determinism
+  }
+
+  test("triangular(a,b,c) stays in range with mode-heavy mass") {
+    val out = draws(RandomFns.triangular(7L, -10, 10, 0)).as[Double].collect()
+    assert(out.forall(v => v >= -10 && v <= 10))
+    val nearMode = out.count(v => math.abs(v) < 5).toDouble / out.length
+    val nearEdges = out.count(v => math.abs(v) > 5).toDouble / out.length
+    assert(nearMode > nearEdges) // triangular: center beats tails (75/25 split)
+    val mean = out.sum / out.length
+    assert(math.abs(mean) < 0.5) // symmetric around the mode
+  }
+
+  test("categorical draws every value roughly uniformly") {
+    val vals = Seq("sunny", "partly_cloudy", "cloudy", "windy", "precipitation")
+    val out = draws(RandomFns.categorical(3L, vals)).as[String].collect()
+    val counts = out.groupBy(identity).view.mapValues(_.size)
+    assert(counts.keySet == vals.toSet)
+    counts.values.foreach(c => assert(c > 1400 && c < 2600))
+  }
+
+  test("hamming_distance: native expression evals and codegens correctly") {
+    GraftFunctions.register(spark)
+    val df = Seq(
+      ("10101", "10101", 0),
+      ("10101", "10001", 1),
+      ("00000", "11111", 5),
+      ("101", "10100", 2) // length diff counts
+    ).toDF("a", "b", "expect")
+    val out = df.select(
+      call_function("hamming_distance", col("a"), col("b")).as("d"), col("expect"))
+      .collect()
+    out.foreach(r => assert(r.getInt(0) == r.getInt(1)))
+    // also callable from SQL once registered
+    df.createOrReplaceTempView("hd_test")
+    val viaSql = spark.sql("SELECT hamming_distance(a, b) AS d FROM hd_test ORDER BY d")
+      .as[Int].collect()
+    assert(viaSql.toSeq == Seq(0, 1, 2, 5))
+    // null propagation
+    val withNull = Seq((Option("101"), Option.empty[String])).toDF("a", "b")
+      .select(call_function("hamming_distance", col("a"), col("b")))
+      .collect()
+    assert(withNull(0).isNullAt(0))
+  }
+
+  test("simhashNearDupPairs finds the corpus' planted near-dups via chunk blocking") {
+    val pairs = graft.operators.Dedup.simhashNearDupPairs(
+      Tables.documents(spark, sf)).collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall(_.getAs[Int]("hamming") <= 3))
+  }
+}
