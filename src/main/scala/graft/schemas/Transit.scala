@@ -108,4 +108,32 @@ object Transit {
   /** F2 — train id format `f"{color[0].upper()}L{num:03d}"` (line.py:55-57). */
   def trainIdCol(lineColor: Column, num: Column): Column =
     concat(upper(substring(lineColor, 1, 1)), lit("L"), lpad(num.cast("string"), 3, "0"))
+
+  /** F12 — checked-in Avro schemas (no registry dependency, zero-egress;
+    * SURVEY §1.3). Byte-compatible with the reference's producer contracts
+    * (producers/models/schemas/ arrival_value, turnstile_value,
+    * weather_value, arrival_key .json). On a cluster with spark-avro these
+    * feed `from_avro`/`to_avro` at the KafkaIO swap sites; the key schema is
+    * the shared `{timestamp}` record (producer.py:93-95).
+    */
+  val AvroKeySchema: String =
+    """{"namespace":"org.chicago.cta","type":"record","name":"arrival.key","fields":[{"name":"timestamp","type":"long"}]}"""
+  val ArrivalAvroSchema: String =
+    """{"namespace":"org.chicago.cta","type":"record","name":"arrival.value","fields":[
+      |{"name":"station_id","type":"int"},
+      |{"name":"train_id","type":"string"},
+      |{"name":"direction","type":"string"},
+      |{"name":"line","type":"string"},
+      |{"name":"train_status","type":"string"},
+      |{"name":"prev_station_id","type":["int","null"]},
+      |{"name":"prev_direction","type":["string","null"]}]}""".stripMargin
+  val TurnstileAvroSchema: String =
+    """{"namespace":"org.chicago.cta","type":"record","name":"turnstile.value","fields":[
+      |{"name":"station_id","type":"int"},
+      |{"name":"station_name","type":"string"},
+      |{"name":"line","type":"string"}]}""".stripMargin
+  val WeatherAvroSchema: String =
+    """{"namespace":"org.chicago.cta","type":"record","name":"weather.value","fields":[
+      |{"name":"temperature","type":"float"},
+      |{"name":"status","type":"string"}]}""".stripMargin
 }

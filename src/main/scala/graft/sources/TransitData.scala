@@ -46,6 +46,21 @@ object TransitData {
       .csv(s"$dataDir/cta_stations.csv")
       .orderBy(col("order"))
 
+  /** S3 — JDBC stations source with the connector's incremental contract
+    * (producers/connector.py:26-48): `mode=incrementing` on `stop_id`,
+    * ≤500 rows per fetch. Catalyst pushes the predicate into Postgres; call
+    * per poll tick with the max stop_id seen so far (the Kafka-Connect 60 s
+    * poll loop becomes a driver-side timer or a file/Delta snapshot stream).
+    * Compiles against spark-sql only; needs a JDBC driver jar at runtime.
+    */
+  def stationsJdbc(
+      spark: SparkSession, url: String, props: java.util.Properties,
+      lastStopId: Option[Int] = None): DataFrame = {
+    props.setProperty("fetchsize", "500") // batch.max.rows=500 (connector.py:37)
+    val df = spark.read.jdbc(url, "stations", props)
+    lastStopId.fold(df)(last => df.filter(col("stop_id") > last))
+  }
+
   /** S2 — ridership seed (144 rows) + hourly curve (25 rows), broadcast-sized. */
   def ridershipSeed(spark: SparkSession, dataDir: String = DefaultDataDir): DataFrame =
     spark.read.option("header", "true").schema(ridershipSeedSchema)
