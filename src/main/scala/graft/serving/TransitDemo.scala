@@ -7,13 +7,16 @@ import graft.schemas.Transit._
   * consumers/server.py:42-101): seeded simulator → the Q1/Q2/Q3/Q4 operators
   * → serving state → HTTP dashboard.
   *
-  * Usage: `graft.serving.TransitDemo [ticks] [port]` — renders at
-  * http://localhost:<port>/ until killed (port 0 = render once to stdout).
+  * Usage: `graft.serving.TransitDemo [ticks] [port] [batch|stream]` —
+  * renders at http://localhost:<port>/ until killed (port 0 = render once to
+  * stdout). `stream` runs the checkpointed Structured Streaming pipeline
+  * (graft.streaming.TransitPipeline) over file sources instead of batch ops.
   */
 object TransitDemo {
   def main(args: Array[String]): Unit = {
     val ticks = args.headOption.map(_.toInt).getOrElse(60)
     val port = args.drop(1).headOption.map(_.toInt).getOrElse(8888)
+    val mode = args.drop(2).headOption.getOrElse("batch")
     val spark = SparkSession.builder()
       .master("local[4]")
       .appName("graft-transit-demo")
@@ -36,10 +39,22 @@ object TransitDemo {
     val dash = new Dashboard
     dash.upsertStations(graft.operators.Transit.transformStations(stations)
       .dropDuplicates("station_id").as[TransformedStation])
-    dash.upsertCounts(graft.operators.Transit.turnstileSummary(turnstiles.toDF()))
-    dash.upsertPlatforms(graft.operators.Transit.trainPositions(arrivals.toDF()).as[PlatformState])
-    weather.toDS().sparkSession // force encoder init
-    dash.upsertWeather(weather.toDS())
+    if (mode == "stream") {
+      val root = java.nio.file.Files.createTempDirectory("graft-demo").toString
+      arrivals.toDS().write.parquet(s"$root/arrivals")
+      turnstiles.toDS().write.parquet(s"$root/turnstile")
+      weather.toDS().write.parquet(s"$root/weather")
+      val qs = graft.streaming.TransitPipeline.start(spark,
+        graft.streaming.TransitPipeline.Config(
+          s"$root/arrivals", s"$root/turnstile", s"$root/weather", s"$root/chk"),
+        dash)
+      qs.foreach(_.processAllAvailable())
+      println(s"[demo] streaming pipeline caught up (${qs.size} queries, checkpoints at $root/chk)")
+    } else {
+      dash.upsertCounts(graft.operators.Transit.turnstileSummary(turnstiles.toDF()))
+      dash.upsertPlatforms(graft.operators.Transit.trainPositions(arrivals.toDF()).as[PlatformState])
+      dash.upsertWeather(weather.toDS())
+    }
 
     if (port == 0) {
       println(dash.renderHtml)
