@@ -43,6 +43,9 @@ object SparkEntry {
     "q_rollup" -> ((s, d) => Relational.orderRollup(Tables.orders(s, d))),
     "q_running_total" -> ((s, d) => Relational.runningTotalPerUser(Tables.events(s, d))),
     "q_distinct_count" -> ((s, d) => Relational.distinctUsersPerType(Tables.events(s, d))),
+    // sketches: no oracle (engine-specific internals) → rows-only check
+    "q_approx_distinct" -> ((s, d) => Relational.approxDistinctUsersPerType(Tables.events(s, d))),
+    "q_approx_quantiles" -> ((s, d) => Relational.approxPriceQuantiles(Tables.lineitem(s, d))),
     // LLM-pipeline: dedup
     "q_dedup_exact" -> ((s, d) => Dedup.exactDuplicateGroups(Tables.documents(s, d))),
     "q_dedup_keepfirst" -> ((s, d) => Dedup.dedupKeepFirst(Tables.documents(s, d))),

@@ -249,6 +249,30 @@ object Relational {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** Approximate sketch aggregates — the 100 TB path for distinct counts and
+    * quantiles (HLL++ / KLL): constant memory per group vs the exact
+    * variants' linear state. Engine-specific sketch internals ⇒ no DuckDB
+    * oracle (driver records the weaker rows-only check); exactness is bounded
+    * by the rsd/accuracy parameters and cross-checked against the exact twins
+    * in RelationalSpec.
+    */
+  def approxDistinctUsersPerType(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+
+  def approxPriceQuantiles(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        percentile_approx(col("l_extendedprice"),
+          array(lit(0.5), lit(0.95), lit(0.99)), lit(10000)).as("price_quantiles"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
   /** Exact distinct count per group (A1 family; approx_count_distinct is the
     * scale path but has no cross-engine oracle — see Bench).
     */

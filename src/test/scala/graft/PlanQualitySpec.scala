@@ -1,0 +1,54 @@
+package graft
+
+/** Plan-shape assertions for the headline queries (the `.explain` review the
+  * 100 TB design demands): pushdowns reach the scan, dimensions broadcast,
+  * top-k compiles to TakeOrdered, aggregates are partial (map-side combine).
+  */
+class PlanQualitySpec extends SparkSpec {
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
+
+  test("pricing summary: partial aggregation and shipdate filter pushed to scan") {
+    val p = plan("q_pricing_summary")
+    assert(p.contains("HashAggregate"))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "expected partial+final agg")
+    assert(p.contains("PushedFilters") && p.contains("l_shipdate"), p)
+  }
+
+  test("revenue by nation: all dimension joins broadcast, no sort-merge join") {
+    val p = plan("q_revenue_by_nation")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("filter+project reads only 3 columns from the scan") {
+    val p = plan("q_filter_project")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_quantity"))
+    assert(!readSchema.contains("l_extendedprice"), s"column pruning failed: $readSchema")
+  }
+
+  test("doc stats prunes to doc_id + text") {
+    val p = plan("q_doc_stats")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("source") && !readSchema.contains("n_chars"),
+      s"column pruning failed: $readSchema")
+  }
+
+  test("top-k compiles to TakeOrderedAndProject (no global sort)") {
+    val p = plan("q_topk_orders")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("grouped count: map-side partial agg over a vectorized 1-column scan") {
+    // (AQE prints the pre-execution plan without WholeStageCodegen wrappers;
+    // the codegen-ability is implied by Batched vectorized scan + HashAggregate)
+    val p = plan("q_grouped_count")
+    assert(p.contains("partial_count"), p)
+    assert(p.contains("Batched: true"), p)
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("props") && !readSchema.contains("event_type"),
+      s"column pruning failed: $readSchema")
+  }
+}

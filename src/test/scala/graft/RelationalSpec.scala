@@ -65,6 +65,22 @@ class RelationalSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"))
   }
 
+  test("approx sketches land within tolerance of their exact twins") {
+    val ev = Tables.events(spark, sf)
+    val exact = Relational.distinctUsersPerType(ev).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = Relational.approxDistinctUsersPerType(ev).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, n) =>
+      assert(math.abs(approx(k) - n).toDouble / n < 0.1, s"$k: $n vs ${approx(k)}")
+    }
+    val q = Relational.approxPriceQuantiles(Tables.lineitem(spark, sf)).collect()
+    q.foreach { r =>
+      val qs = r.getAs[scala.collection.Seq[Double]]("price_quantiles")
+      assert(qs.length == 3 && qs.sameElements(qs.sorted))
+    }
+  }
+
   test("filterProject pushes filters into the parquet scan") {
     val plan = Relational.filterProject(Tables.lineitem(spark, sf))
       .queryExecution.executedPlan.toString
