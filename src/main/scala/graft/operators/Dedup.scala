@@ -138,18 +138,42 @@ object Dedup {
     * the skew; exact here since the corpus has no ultra-frequent shingles.
     */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.6): DataFrame = {
-    val base = docs.select(
-      col("doc_id"), col("lang"),
-      array_distinct(shingles(tokens(col("text")), 3)).as("sh"))
+    // shingling as a kernel: the declarative form re-evaluates split(text)
+    // inside the transform lambda for every shingle (CollapseProject inlines
+    // the alias), turning an O(tokens) job into O(tokens·shingles)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val base = docs.select(col("doc_id"), col("lang"), col("text"))
+      .as[(Long, String, String)]
+      .mapPartitions(_.map { case (id, lang, text) =>
+        val toks = text.split(" ", -1)
+        val sh: Array[String] =
+          if (toks.length >= 3)
+            Array.tabulate(toks.length - 2)(i =>
+              s"${toks(i)} ${toks(i + 1)} ${toks(i + 2)}").distinct
+          else Array.empty[String]
+        (id, lang, sh)
+      })
+      .toDF("doc_id", "lang", "sh")
       .withColumn("sz", size(col("sh")))
+    // one shuffle on the posting key, pairs generated in-group (a self-join
+    // would shuffle the postings twice and recompute the shingle kernel for
+    // each side); df is hash-bounded (max 14 docs/key at sf0.1)
     val postings = base.select(
       col("doc_id"), col("lang"), col("sz"), explode(col("sh")).as("s"))
-    postings.as("a").join(postings.as("b"),
-        col("a.s") === col("b.s") && col("a.lang") === col("b.lang") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .groupBy(
-        col("a.doc_id").as("i"), col("b.doc_id").as("j"),
-        col("a.sz").as("sz_i"), col("b.sz").as("sz_j"))
+      .as[(Long, String, Int, String)]
+    postings
+      .groupByKey { case (_, lang, _, s) => (lang, s) }
+      .flatMapGroups { (_, rows) =>
+        val ds = rows.map { case (id, _, sz, _) => (id, sz) }.toArray
+        java.util.Arrays.sort(ds, Ordering.by((t: (Long, Int)) => t._1))
+        for {
+          i <- ds.indices.iterator
+          j <- (i + 1 until ds.length).iterator
+        } yield (ds(i)._1, ds(j)._1, ds(i)._2, ds(j)._2)
+      }
+      .toDF("i", "j", "sz_i", "sz_j")
+      .groupBy(col("i"), col("j"), col("sz_i"), col("sz_j"))
       .agg(count(lit(1)).as("common"))
       .withColumn("jac", round(col("common").cast("double") /
         (col("sz_i") + col("sz_j") - col("common")).cast("double"), 6))
