@@ -43,6 +43,8 @@ object SparkEntry {
     "q_rollup" -> ((s, d) => Relational.orderRollup(Tables.orders(s, d))),
     "q_running_total" -> ((s, d) => Relational.runningTotalPerUser(Tables.events(s, d))),
     "q_distinct_count" -> ((s, d) => Relational.distinctUsersPerType(Tables.events(s, d))),
+    "q_pivot" -> ((s, d) => Relational.eventCountsPivot(
+      Tables.events(s, d), Seq("click", "error", "purchase", "signup", "view"))),
     // sketches: no oracle (engine-specific internals) → rows-only check
     "q_approx_distinct" -> ((s, d) => Relational.approxDistinctUsersPerType(Tables.events(s, d))),
     "q_approx_quantiles" -> ((s, d) => Relational.approxPriceQuantiles(Tables.lineitem(s, d))),
@@ -201,6 +203,14 @@ object SparkEntry {
     "q_distinct_count" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS distinct_users, COUNT(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_pivot" ->
+      """SELECT user_id,
+        |  COUNT(*) FILTER (event_type = 'click') AS click,
+        |  COUNT(*) FILTER (event_type = 'error') AS error,
+        |  COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+        |  COUNT(*) FILTER (event_type = 'signup') AS signup,
+        |  COUNT(*) FILTER (event_type = 'view') AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_dedup_exact" ->
       """SELECT md5(text) AS text_hash, COUNT(*) AS n_docs, MIN(doc_id) AS keeper_id
         |FROM documents GROUP BY md5(text) ORDER BY text_hash""".stripMargin,

@@ -273,6 +273,20 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy(col("l_returnflag"))
 
+  /** Pivot — events per (user, type) as one row per user with a column per
+    * type (the dashboard's dir-a/dir-b pivot generalized; SURVEY §2.3 J5
+    * uses the max(when(...)) form of the same op). Explicit value list keeps
+    * the output schema static, which is what a 100 TB plan needs anyway
+    * (dynamic pivot = extra distinct-scan job).
+    */
+  def eventCountsPivot(events: DataFrame, types: Seq[String]): DataFrame =
+    events
+      .groupBy(col("user_id"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .na.fill(0L, types)
+      .orderBy(col("user_id"))
+
   /** Exact distinct count per group (A1 family; approx_count_distinct is the
     * scale path but has no cross-engine oracle — see Bench).
     */

@@ -57,6 +57,34 @@ object Windows {
         col("session_window.end").as("session_end"),
         col("station_id"), col("entries"))
 
+  /** Stream–stream join (absent from the reference — SURVEY §2.3 "not
+    * present"; part of the generalized engine surface): turnstile entries
+    * joined with the weather reading of the same clock hour. Equality on the
+    * hour window + watermarks on both sides bounds each side's join state to
+    * the watermark horizon.
+    */
+  def entriesWithWeather(
+      turnstile: DataFrame, weather: DataFrame,
+      watermark: String = "2 hours"): DataFrame = {
+    // each side keeps ONE event-time column: the hour window itself (a
+    // second one alongside it is rejected by the streaming planner)
+    val t = turnstile
+      .withColumn("event_time", timestamp_millis(col("timestamp")))
+      .withWatermark("event_time", watermark)
+      .withColumn("hour_window", window(col("event_time"), "1 hour"))
+      .select(col("hour_window"), col("station_id"), col("station_name"), col("line"))
+    val w = weather
+      .withColumn("w_time", timestamp_millis(col("timestamp")))
+      .withWatermark("w_time", watermark)
+      .withColumn("hour_window", window(col("w_time"), "1 hour"))
+      .select(col("hour_window"), col("temperature"), col("status").as("weather_status"))
+    t.join(w, "hour_window")
+      .select(
+        col("station_id"), col("station_name"), col("line"),
+        col("hour_window.start").as("entry_hour"),
+        col("temperature"), col("weather_status"))
+  }
+
   /** The simulator as a streaming job (SURVEY §3.1 "rebuild shape"): a
     * `rate` source drives synthetic turnstile events via the same column
     * math as the batch entries model — modular station assignment
