@@ -37,6 +37,7 @@ object SparkEntry {
     "q_case_projection" -> ((s, d) => Relational.caseProjection(Tables.orders(s, d))),
     "q_latest_per_key" -> ((s, d) => Relational.latestEventPerUser(Tables.events(s, d))),
     "q_latest_per_key2" -> ((s, d) => Relational.latestEventPerUserType(Tables.events(s, d))),
+    "q_latest_per_key_agg" -> ((s, d) => Relational.latestEventPerUserAgg(Tables.events(s, d))),
     "q_events_by_hour" -> ((s, d) => Relational.eventsByHour(Tables.events(s, d))),
     "q_entries_model" -> ((s, d) => Relational.entriesModel(Tables.events(s, d))),
     "q_set_ops" -> ((s, d) => Relational.keySetOps(Tables.orders(s, d), Tables.lineitem(s, d))),
@@ -160,6 +161,11 @@ object SparkEntry {
         |       ELSE 'small' END AS size_class
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q_latest_per_key" ->
+      """SELECT user_id, event_id, event_type, value FROM (
+        |  SELECT *, ROW_NUMBER() OVER (
+        |    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "q_latest_per_key_agg" ->
       """SELECT user_id, event_id, event_type, value FROM (
         |  SELECT *, ROW_NUMBER() OVER (
         |    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn

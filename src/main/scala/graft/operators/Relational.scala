@@ -175,6 +175,25 @@ object Relational {
       .orderBy(col("user_id"))
   }
 
+  /** latestEventPerUser's aggregation twin: max_by over a (ts, event_id)
+    * ordering struct instead of window row_number. Same rows out, different
+    * physical strategy — the window form sorts every partition group; this
+    * form is a hash aggregate with map-side partials and constant state per
+    * key, which wins when keys are many and rows-per-key large (the 100 TB
+    * shape). Kept as a first-class operator so both plans stay measurable
+    * side by side in Bench.
+    */
+  def latestEventPerUserAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"))
+      .agg(max_by(
+        struct(col("event_id"), col("event_type"), col("value")),
+        struct(col("ts"), col("event_id"))).as("last"))
+      .select(
+        col("user_id"), col("last.event_id").as("event_id"),
+        col("last.event_type").as("event_type"), col("last.value").as("value"))
+      .orderBy(col("user_id"))
+
   /** O3 batch shape — latest event per composite key (station, direction) ≈
     * (user_id, event_type) (ref: consumers/models/station.py:26-39). Same
     * single-shuffle plan as latestEventPerUser, wider key.

@@ -43,15 +43,28 @@ object KafkaIO {
       case Left(topic)    => base.option("subscribe", topic)
       case Right(pattern) => base.option("subscribePattern", pattern)
     }
-    src.load()
-      .select(
-        // [avro swap site] from_json → from_avro for Avro-carrying topics
-        from_json(col("value").cast("string"), valueSchema).as("v"),
-        get_json_object(col("key").cast("string"), "$.timestamp")
-          .cast("long").as("key_timestamp"),
-        col("topic"))
-      .select(col("v.*"), col("key_timestamp"), col("topic"))
+    decodeJsonValue(src.load(), valueSchema)
   }
+
+  /** Decode a Kafka-shaped frame (binary key/value + topic): JSON value to
+    * typed columns, epoch-millis key to `key_timestamp`. Malformed payloads
+    * decode to all-null columns (PERMISSIVE) — the reference logs and skips
+    * them (consumers/models/lines.py:33-39); drop with
+    * [[dropUndecodable]]. Factored from the streaming reader so serde
+    * behavior is batch-testable without a broker.
+    */
+  def decodeJsonValue(df: DataFrame, valueSchema: StructType): DataFrame =
+    df.select(
+      // [avro swap site] from_json → from_avro for Avro-carrying topics
+      from_json(col("value").cast("string"), valueSchema).as("v"),
+      get_json_object(col("key").cast("string"), "$.timestamp")
+        .cast("long").as("key_timestamp"),
+      col("topic"))
+      .select(col("v.*"), col("key_timestamp"), col("topic"))
+
+  /** The reference's skip-unroutable guard: require the given fields. */
+  def dropUndecodable(df: DataFrame, requiredField: String): DataFrame =
+    df.filter(col(requiredField).isNotNull)
 
   /** S5/S12/S13 — changelog sink: key by `keyCol`, JSON-encode all value
     * columns (update-mode changelog like Faust's table topic /
