@@ -66,6 +66,10 @@ object SparkEntry {
       val emb = Tables.embeddings(s, d)
       SimilaritySearch.lshTopK(emb, emb.filter(col("vec_id") < 5))
     }),
+    "q_ann_ivf" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      SimilaritySearch.ivfTopK(emb, emb.filter(col("vec_id") < 5))
+    }),
     // LLM-pipeline: text analysis
     "q_doc_stats" -> ((s, d) => TextAnalysis.docStats(Tables.documents(s, d))),
     "q_lang_id" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
@@ -306,6 +310,23 @@ object SparkEntry {
          |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
          |  FROM scored) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
     },
+    "q_ann_ivf" ->
+      s"""WITH e AS ($duckEmb),
+         |c AS (SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id % 37 = 0),
+         |asg AS (SELECT vec_id, cid FROM (
+         |  SELECT e.vec_id, c.cid, ROW_NUMBER() OVER (
+         |      PARTITION BY e.vec_id ORDER BY ${duckCos("e.emb", "c.cemb")} DESC, c.cid) AS rn
+         |  FROM e CROSS JOIN c) WHERE rn = 1),
+         |q AS (SELECT e.vec_id AS query_id, e.emb AS q_emb, asg.cid AS cell
+         |  FROM e JOIN asg ON e.vec_id = asg.vec_id WHERE e.vec_id < 5),
+         |scored AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+         |    ${duckCos("q.q_emb", "e.emb")} AS cos
+         |  FROM e JOIN asg ON e.vec_id = asg.vec_id
+         |  JOIN q ON asg.cid = q.cell AND e.vec_id != q.query_id)
+         |SELECT query_id, neighbor_id, rank, cos FROM (
+         |  SELECT *, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM scored) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "q_doc_stats" ->
       s"""SELECT doc_id,
          |  len(string_split(text,' ')) AS token_count,

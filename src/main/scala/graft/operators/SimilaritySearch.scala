@@ -95,6 +95,61 @@ object SimilaritySearch {
     }
   }
 
+  /** IVF (inverted-file) approximate top-k — the learned-quantizer scale
+    * path: corpus vectors are assigned to the nearest of a small centroid
+    * set, queries probe only their own cell. Centroids here are a
+    * deterministic corpus sample (vec_id % modulus == 0) standing in for
+    * k-means means — same plan shape, reproducible in the oracle; a trained
+    * quantizer drops in by replacing the centroid frame. Assignment is a
+    * broadcast-matrix kernel (argmax over centroids, ties to the lowest
+    * centroid id on the rounded cosine); the probe is a hash equi-join on
+    * cell id.
+    */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame,
+      k: Int = 5, modulus: Int = 37): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centroids = spark.sparkContext.broadcast(
+      corpus.filter(col("vec_id") % modulus === 0)
+        .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+        .collect().sortBy(_._1)
+        .map { case (id, f) => val d = f.map(_.toDouble); (id, d, l2NormKernel(d)) })
+
+    def assigned(df: DataFrame): DataFrame =
+      df.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+        .mapPartitions { it =>
+          val cs = centroids.value
+          it.map { case (id, f) =>
+            val e = f.map(_.toDouble)
+            val ne = l2NormKernel(e)
+            var bestId = -1L; var best = Double.NegativeInfinity
+            cs.foreach { case (cid, cv, cn) =>
+              val cos = round6(dotKernel(e, cv) / (ne * cn))
+              if (cos > best) { best = cos; bestId = cid } // ascending ids: first wins ties
+            }
+            (id, f, bestId)
+          }
+        }.toDF("vec_id", "embedding", "cell")
+
+    val corpusCells = assigned(corpus)
+    val queryCells = assigned(queries).select(
+      col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("cell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    corpusCells
+      .join(broadcast(queryCells), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("q_emb"), col("embedding"))
+      .withColumn("cos", round(
+        dot(col("q_emb"), col("embedding")) /
+          (sqrt(dot(col("q_emb"), col("q_emb"))) * sqrt(dot(col("embedding"), col("embedding")))), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Bucket id = bit string of hyperplane-side signs (dot(v, plane) > 0). */
   def lshBucket(emb: Column, planes: Seq[Seq[Int]]): Column =
     concat(planes.map { plane =>

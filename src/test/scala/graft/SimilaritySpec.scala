@@ -44,6 +44,22 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.1) // 4 planes = 16 buckets; bucket-restricted recall is partial by design
   }
 
+  test("ivfTopK probes only the query's cell and returns ordered neighbors") {
+    val emb = Tables.embeddings(spark, sf)
+    val out = SimilaritySearch.ivfTopK(emb, emb.filter(col("vec_id") < 5), k = 5)
+      .collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rows) =>
+      assert(rows.forall(_.getAs[Long]("neighbor_id") != q))
+      val sims = rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cos"))
+      assert(sims.sameElements(sims.sorted.reverse))
+    }
+  }
+
+  test("entry() flagship query returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("plane signs are deterministic and balanced-ish") {
     val p1 = SimilaritySearch.planeSigns(4, 64)
     val p2 = SimilaritySearch.planeSigns(4, 64)
