@@ -59,6 +59,23 @@ case class HammingDistance(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Optimizer rule for the custom expression: `hamming_distance(x, x)` folds
+  * to 0 (deterministic, null-safe when x is non-nullable) — constant-folding
+  * Catalyst cannot do for an opaque function. Demonstrates the
+  * injectOptimizerRule insertion point next to injectFunction.
+  */
+object SimplifyHammingSelfCompare
+    extends org.apache.spark.sql.catalyst.rules.Rule[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.Literal
+  import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case HammingDistance(a, b) if a.semanticEquals(b) && !a.nullable =>
+        Literal(0, IntegerType)
+    }
+}
+
 object GraftFunctions {
   val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (new FunctionIdentifier("hamming_distance"),
@@ -76,6 +93,8 @@ object GraftFunctions {
   * graft function library into every session of the cluster.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => SimplifyHammingSelfCompare)
+  }
 }

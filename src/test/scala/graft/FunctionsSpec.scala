@@ -61,6 +61,26 @@ class FunctionsSpec extends SparkSpec {
     assert(withNull(0).isNullAt(0))
   }
 
+  test("SimplifyHammingSelfCompare folds hamming_distance(x, x) to a literal") {
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Literal}
+    import org.apache.spark.sql.types.StringType
+    val x = AttributeReference("x", StringType, nullable = false)()
+    val plan = org.apache.spark.sql.catalyst.plans.logical.Project(
+      Seq(org.apache.spark.sql.catalyst.expressions.Alias(
+        graft.plans.HammingDistance(x, x), "d")()),
+      org.apache.spark.sql.catalyst.plans.logical.LocalRelation(x))
+    val optimized = graft.plans.SimplifyHammingSelfCompare(plan)
+    val folded = optimized.expressions.head.children.head
+    assert(folded == Literal(0, org.apache.spark.sql.types.IntegerType))
+    // nullable input must NOT fold (null propagation would be lost)
+    val xn = AttributeReference("x", StringType, nullable = true)()
+    val plan2 = org.apache.spark.sql.catalyst.plans.logical.Project(
+      Seq(org.apache.spark.sql.catalyst.expressions.Alias(
+        graft.plans.HammingDistance(xn, xn), "d")()),
+      org.apache.spark.sql.catalyst.plans.logical.LocalRelation(xn))
+    assert(graft.plans.SimplifyHammingSelfCompare(plan2) == plan2)
+  }
+
   test("simhashNearDupPairs finds the corpus' planted near-dups via chunk blocking") {
     val pairs = graft.operators.Dedup.simhashNearDupPairs(
       Tables.documents(spark, sf)).collect()
