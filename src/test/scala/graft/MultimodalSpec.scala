@@ -34,6 +34,18 @@ class MultimodalSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"decode stage must not shuffle:\n$plan")
   }
 
+  test("end-to-end multimodal retrieval: decode → features → ANN search") {
+    import org.apache.spark.sql.functions.col
+    // the full pipeline shape: opaque media → feature extraction (stub
+    // codec) → similarity search over the feature vectors
+    val feats = Multimodal.extractFeatures(media(40).toDS())
+      .toDF().select(col("media_id").as("vec_id"), col("feature").as("embedding"))
+    val out = graft.operators.SimilaritySearch.bruteForceTopK(
+      feats, feats.filter(col("vec_id") < 2), k = 3, dim = 8).collect()
+    assert(out.length == 6) // 2 queries × top-3
+    assert(out.forall(r => r.getAs[Long]("neighbor_id") != r.getAs[Long]("query_id")))
+  }
+
   test("resizePlan fits within the box preserving aspect ratio, never upscales") {
     val df = Seq(
       (1L, "image", 1024, 768),
