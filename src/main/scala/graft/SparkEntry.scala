@@ -44,6 +44,13 @@ object SparkEntry {
     "q_rollup" -> ((s, d) => Relational.orderRollup(Tables.orders(s, d))),
     "q_running_total" -> ((s, d) => Relational.runningTotalPerUser(Tables.events(s, d))),
     "q_distinct_count" -> ((s, d) => Relational.distinctUsersPerType(Tables.events(s, d))),
+    "q_cube" -> ((s, d) => Relational.orderCube(Tables.orders(s, d))),
+    "q_string_fns" -> ((s, d) => Relational.partNameFormats(Tables.part(s, d))),
+    "q_date_parts" -> ((s, d) => Relational.orderDateParts(Tables.orders(s, d))),
+    "q_window_lag" -> ((s, d) => Relational.eventDeltas(Tables.events(s, d))),
+    "q_conditional_agg" -> ((s, d) => Relational.conditionalAggs(Tables.orders(s, d))),
+    "q_null_fns" -> ((s, d) => Relational.nullHandling(Tables.orders(s, d))),
+    "q_median" -> ((s, d) => Relational.quantityMedian(Tables.lineitem(s, d))),
     "q_pivot" -> ((s, d) => Relational.eventCountsPivot(
       Tables.events(s, d), Seq("click", "error", "purchase", "signup", "view"))),
     // sketches: no oracle (engine-specific internals) → rows-only check
@@ -213,6 +220,51 @@ object SparkEntry {
     "q_distinct_count" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS distinct_users, COUNT(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q_string_fns" ->
+      """SELECT p_partkey,
+        |  lower(replace(replace(p_name, ' ', '_'), '-', '_')) AS sanitized,
+        |  upper(substr(p_brand, 1, 1)) || '#' || lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS padded_id,
+        |  upper(substr(p_type, 1, 1)) || lower(substr(p_type, 2, 1000)) AS type_titled,
+        |  length(p_name) AS name_len
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q_date_parts" ->
+      """SELECT EXTRACT(year FROM o_orderdate) AS y,
+        |  EXTRACT(month FROM o_orderdate) AS m,
+        |  dayofweek(o_orderdate) + 1 AS dow,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY 1, 2, 3 ORDER BY y, m, dow""".stripMargin,
+    "q_window_lag" ->
+      """SELECT user_id, event_id,
+        |  value - LAG(value, 1) OVER w AS delta_prev,
+        |  LEAD(event_id, 1) OVER w AS next_event_id,
+        |  RANK() OVER w AS seq
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, seq""".stripMargin,
+    "q_conditional_agg" ->
+      """SELECT o_orderpriority,
+        |  COUNT(*) FILTER (o_orderstatus = 'F') AS n_finished,
+        |  COUNT(*) FILTER (o_totalprice > 200000) AS n_large,
+        |  CAST(SUM(DISTINCT o_custkey) AS BIGINT) AS sum_distinct_cust,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_null_fns" ->
+      """SELECT o_orderkey,
+        |  COALESCE(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END, -1.0) AS filled,
+        |  NULLIF(o_orderstatus, 'P') AS status_or_null,
+        |  (CASE WHEN o_orderstatus = 'O' THEN o_totalprice END) IS NULL AS was_null,
+        |  (CASE WHEN o_orderstatus = 'O' THEN o_totalprice END) IS NOT DISTINCT FROM NULL AS null_safe_eq
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_median" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS median_qty,
+        |  MIN(l_quantity) AS min_qty,
+        |  MAX(l_quantity) AS max_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_pivot" ->
       """SELECT user_id,
         |  COUNT(*) FILTER (event_type = 'click') AS click,

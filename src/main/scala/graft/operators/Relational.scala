@@ -252,6 +252,89 @@ object Relational {
       .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
       .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
 
+  /** Cube — all grouping-set combinations over (status, priority). */
+  def orderCube(orders: DataFrame): DataFrame =
+    orders
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+
+  /** F1/F2/F4 string-function battery over part names: sanitize-style
+    * replace chain, zero-pad formatting, manual title-case (engine-portable
+    * initcap), substring extraction.
+    */
+  def partNameFormats(part: DataFrame): DataFrame =
+    part.select(
+      col("p_partkey"),
+      lower(regexp_replace(regexp_replace(col("p_name"), " ", "_"), "-", "_")).as("sanitized"),
+      concat(upper(substring(col("p_brand"), 1, 1)), lit("#"),
+        lpad(col("p_partkey").cast("string"), 8, "0")).as("padded_id"),
+      concat(upper(substring(col("p_type"), 1, 1)),
+        lower(substring(col("p_type"), 2, 1000))).as("type_titled"),
+      length(col("p_name")).as("name_len"))
+      .orderBy(col("p_partkey"))
+
+  /** F6 extended — full date-part extraction histogram. */
+  def orderDateParts(orders: DataFrame): DataFrame =
+    orders
+      .groupBy(
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofweek(col("o_orderdate")).as("dow"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("y"), col("m"), col("dow"))
+
+  /** lag/lead analytics — per-user deltas between consecutive events. */
+  def eventDeltas(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events
+      .select(
+        col("user_id"), col("event_id"),
+        (col("value") - lag(col("value"), 1).over(w)).as("delta_prev"),
+        lead(col("event_id"), 1).over(w).as("next_event_id"),
+        rank().over(w).as("seq"))
+      .orderBy(col("user_id"), col("seq"))
+  }
+
+  /** Conditional + distinct aggregation: count_if / filtered sums /
+    * sum(DISTINCT).
+    */
+  def conditionalAggs(orders: DataFrame): DataFrame =
+    orders
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(when(col("o_orderstatus") === "F", 1)).as("n_finished"),
+        count(when(col("o_totalprice") > 200000, 1)).as("n_large"),
+        sum_distinct(col("o_custkey")).as("sum_distinct_cust"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority"))
+
+  /** Null-handling functions: coalesce / nullif / null-safe compare over a
+    * derived nullable column.
+    */
+  def nullHandling(orders: DataFrame): DataFrame =
+    orders
+      .withColumn("maybe", when(col("o_orderstatus") === "O", col("o_totalprice")))
+      .select(
+        col("o_orderkey"),
+        coalesce(col("maybe"), lit(-1.0)).as("filled"),
+        nullif(col("o_orderstatus"), lit("P")).as("status_or_null"),
+        col("maybe").isNull.as("was_null"),
+        (col("maybe") <=> lit(null)).as("null_safe_eq"))
+      .orderBy(col("o_orderkey"))
+
+  /** Exact interpolated median per group (both engines: linear interpolation
+    * between adjacent order statistics).
+    */
+  def quantityMedian(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        percentile(col("l_quantity"), lit(0.5)).as("median_qty"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"))
+      .orderBy(col("l_returnflag"))
+
   /** Windowed analytics — running total per user ordered by time (engine
     * surface; batch twin of a streaming cumulative agg). One shuffle on
     * user_id, then in-partition sort: the partitioning would be reused by any
