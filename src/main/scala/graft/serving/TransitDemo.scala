@@ -44,9 +44,11 @@ object TransitDemo {
       arrivals.toDS().write.parquet(s"$root/arrivals")
       turnstiles.toDS().write.parquet(s"$root/turnstile")
       weather.toDS().write.parquet(s"$root/weather")
+      val ttl = sys.env.get("GRAFT_STATE_TTL") // e.g. "30 minutes"
       val qs = graft.streaming.TransitPipeline.start(spark,
         graft.streaming.TransitPipeline.Config(
-          s"$root/arrivals", s"$root/turnstile", s"$root/weather", s"$root/chk"),
+          s"$root/arrivals", s"$root/turnstile", s"$root/weather", s"$root/chk",
+          stateTtl = ttl),
         dash)
       qs.foreach(_.processAllAvailable())
       println(s"[demo] streaming pipeline caught up (${qs.size} queries, checkpoints at $root/chk)")

@@ -24,7 +24,12 @@ object TransitPipeline {
       turnstileDir: String,
       weatherDir: String,
       checkpointRoot: String,
-      triggerMs: Long = 500L)
+      triggerMs: Long = 500L,
+      /** Some(horizon): evict platforms idle past the watermark horizon
+        * (bounded state — trainPositionsWithTTL); None: reference-faithful
+        * unbounded state.
+        */
+      stateTtl: Option[String] = None)
 
   /** Start the three queries; returns them for await/stop. Restart with the
     * same checkpointRoot to recover all state.
@@ -36,7 +41,9 @@ object TransitPipeline {
     val arrivals = spark.readStream
       .schema(Encoders.product[Arrival].schema)
       .parquet(cfg.arrivalsDir).as[Arrival]
-    val positions = TransitStreams.trainPositions(arrivals)
+    val tracked = cfg.stateTtl.fold(TransitStreams.trainPositions(arrivals))(
+      h => TransitStreams.trainPositionsWithTTL(arrivals, h))
+    val positions = tracked
       .writeStream
       .outputMode(OutputMode.Update())
       .option("checkpointLocation", s"${cfg.checkpointRoot}/positions")

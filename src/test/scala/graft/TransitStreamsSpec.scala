@@ -82,6 +82,30 @@ class TransitStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("trainPositionsWithTTL evicts platforms idle past the watermark horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val T0 = 1704067200000L
+    val input = MemoryStream[Arrival]
+    val q = TransitStreams.trainPositionsWithTTL(input.toDS(), "30 minutes")
+      .writeStream.format("memory").queryName("ttl_tp")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(Arrival(T0, 10, "RL001", "b", "red", "in_service", None, None))
+      q.processAllAvailable()
+      // 3 hours later on another platform: watermark sweeps past 10's timeout
+      input.addData(Arrival(T0 + 3 * 3600 * 1000L, 20, "RL002", "b", "red", "in_service", None, None))
+      q.processAllAvailable()
+      // one more batch so the timeout fires with the advanced watermark
+      input.addData(Arrival(T0 + 4 * 3600 * 1000L, 30, "RL003", "b", "red", "in_service", None, None))
+      q.processAllAvailable()
+      val rows = spark.table("ttl_tp").as[PlatformState].collect()
+      val latestAt10 = rows.filter(_.station_id == 10).maxBy(_.updated)
+      assert(latestAt10.train_id.isEmpty, s"platform 10 should be evicted: $latestAt10")
+      val latestAt20 = rows.filter(_.station_id == 20).maxBy(_.updated)
+      assert(latestAt20.train_id.contains("RL002")) // still within horizon of later events? evicted or not — must exist
+    } finally q.stop()
+  }
+
   test("latestWeather stream keeps newest across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[WeatherReading]
