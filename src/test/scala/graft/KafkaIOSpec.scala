@@ -42,6 +42,26 @@ class KafkaIOSpec extends SparkSpec {
       && r.getAs[Int]("station_id") == 2))
   }
 
+  test("serde round-trip: writeTopic's payload shape decodes back to the original rows") {
+    import org.apache.spark.sql.functions._
+    val summary = Seq((40020, 123L), (40380, 7L)).toDF("STATION_ID", "COUNT")
+    // the exact payload projection writeTopic sends to Kafka
+    val wire = summary.select(
+      col("STATION_ID").cast("string").as("key"),
+      to_json(struct(summary.columns.map(col): _*)).as("value"))
+    // ...reshaped as the broker would hand it back to readTopic
+    val kafkaShape = wire.select(
+      concat(lit("""{"timestamp": 1, "key": """"), col("key"), lit(""""}""")).cast("binary").as("key"),
+      col("value").cast("binary").as("value"),
+      lit(TurnstileSummaryTopic).as("topic"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("STATION_ID", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("COUNT", org.apache.spark.sql.types.LongType)))
+    val back = KafkaIO.decodeJsonValue(kafkaShape, schema)
+      .select(col("STATION_ID"), col("COUNT"))
+    assert(back.collect().toSet == summary.collect().toSet)
+  }
+
   test("topicsExist degrades to pass without kafka-clients on the classpath") {
     assert(KafkaIO.topicsExist("localhost:9092", Seq(TurnstileTopic)))
   }
