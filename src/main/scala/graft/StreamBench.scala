@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.OutputMode
+import graft.schemas.Transit._
+
+/** Streaming-throughput measurement against the reference's own metric
+  * (BASELINE.md: peak ≈ 41 events/s sustained by the simulator).
+  *
+  * Replays N synthetic turnstile events + M arrivals through the two
+  * heavyweight continuous queries (grouped-count aggregation and the
+  * flatMapGroupsWithState train tracker) from file sources in multiple
+  * micro-batches, and prints events/s.
+  *
+  * Usage: `graft.StreamBench [nTurnstile] [nArrivalTicks]`
+  */
+object StreamBench {
+  def main(args: Array[String]): Unit = {
+    val nTurnstile = args.headOption.map(_.toInt).getOrElse(1000000)
+    val ticks = args.drop(1).headOption.map(_.toInt).getOrElse(2000)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val root = java.nio.file.Files.createTempDirectory("graft-sbench").toString
+
+    // --- fixture generation (not timed) ---
+    val turnstiles = spark.range(nTurnstile).select(
+      (org.apache.spark.sql.functions.col("id") * 7L % 86400000L).as("timestamp"),
+      (org.apache.spark.sql.functions.col("id") % 200).cast("int").as("station_id"),
+      org.apache.spark.sql.functions.concat(
+        org.apache.spark.sql.functions.lit("station-"),
+        (org.apache.spark.sql.functions.col("id") % 200)).as("station_name"),
+      org.apache.spark.sql.functions.element_at(
+        org.apache.spark.sql.functions.array(
+          org.apache.spark.sql.functions.lit("red"),
+          org.apache.spark.sql.functions.lit("blue"),
+          org.apache.spark.sql.functions.lit("green")),
+        (org.apache.spark.sql.functions.col("id") % 3 + 1).cast("int")).as("line"))
+    turnstiles.repartition(8).write.parquet(s"$root/turnstile")
+
+    val sim = graft.sim.Simulator.fromStations(
+      graft.sources.TransitData.stations(spark), numTrains = 10)
+    val (arrivals, _, _) = sim.run(ticks) // 30 arrivals per tick
+    arrivals.toDS().repartition(8).write.parquet(s"$root/arrivals")
+
+    // --- timed: grouped-count over the turnstile replay ---
+    def timeQuery(label: String, n: Long)(start: => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+      val t0 = System.nanoTime()
+      val q = start
+      q.processAllAvailable(); q.stop()
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"[stream-bench] $label: $n%d events in $s%.1f s = ${n / s}%.0f events/s")
+    }
+
+    timeQuery("turnstile grouped-count", nTurnstile) {
+      spark.readStream
+        .schema(turnstiles.schema)
+        .option("maxFilesPerTrigger", "2") // force multiple micro-batches
+        .parquet(s"$root/turnstile")
+        .groupBy($"station_id").count()
+        .writeStream.format("noop").outputMode(OutputMode.Complete())
+        .option("checkpointLocation", s"$root/chk1").start()
+    }
+
+    timeQuery("train tracker (flatMapGroupsWithState)", arrivals.size.toLong) {
+      val src: Dataset[Arrival] = spark.readStream
+        .schema(org.apache.spark.sql.Encoders.product[Arrival].schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(s"$root/arrivals").as[Arrival]
+      graft.streaming.TransitStreams.trainPositions(src)
+        .writeStream.format("noop").outputMode(OutputMode.Update())
+        .option("checkpointLocation", s"$root/chk2").start()
+    }
+
+    spark.stop()
+  }
+}
