@@ -252,6 +252,48 @@ object Relational {
       .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
       .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
 
+  /** As-of join (composed from built-ins, SURVEY §7.3 preference (a)): each
+    * event picks the latest 'error' event of the same user at-or-before its
+    * timestamp. Plan: equi-join on the key + range predicate, then
+    * row_number()==1 per left row — the right side is the sparse series so
+    * the range fan-out stays bounded; at scale, bucket both sides by key and
+    * time-bucket the range (the standard point-in-time-join layout).
+    */
+  def asOfJoinLatestError(events: DataFrame): DataFrame = {
+    val errors = events.filter(col("event_type") === "error")
+      .select(
+        col("user_id").as("e_user_id"), col("ts").as("e_ts"),
+        col("event_id").as("error_event_id"), col("value").as("error_value"))
+    val w = Window.partitionBy(col("event_id"))
+      .orderBy(col("e_ts").desc, col("error_event_id").desc)
+    events
+      .join(errors,
+        col("user_id") === col("e_user_id") &&
+          col("e_ts") <= col("ts") && col("error_event_id") =!= col("event_id"),
+        "left_outer")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("event_id"), col("user_id"), col("error_event_id"), col("error_value"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Range (interval) join: per user, pairs of events within `windowSec` of
+    * each other. The time-band predicate bounds the fan-out; at scale the
+    * band becomes the join's bucketing key.
+    */
+  def eventPairsWithinWindow(events: DataFrame, windowSec: Int = 60): DataFrame = {
+    val a = events.select(
+      col("user_id"), col("event_id").as("i"), col("ts").as("ts_i"))
+    val b = events.select(
+      col("user_id").as("b_user_id"), col("event_id").as("j"), col("ts").as("ts_j"))
+    a.join(b,
+        col("user_id") === col("b_user_id") && col("i") < col("j") &&
+          abs(col("ts_j").cast("long") - col("ts_i").cast("long")) <= windowSec)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("close_pairs"))
+      .orderBy(col("user_id"))
+  }
+
   /** Cube — all grouping-set combinations over (status, priority). */
   def orderCube(orders: DataFrame): DataFrame =
     orders
