@@ -167,14 +167,13 @@ object SimilaritySearch {
   def lshTopK(
       corpus: DataFrame, queries: DataFrame,
       numPlanes: Int = 4, dim: Int = 64, k: Int = 5): DataFrame = {
+    graft.plans.GraftFunctions.register(corpus.sparkSession)
     val planes = planeSigns(numPlanes, dim)
     val bucketed = corpus.select(
       col("vec_id"), col("embedding"),
-      sqrt(dot(col("embedding"), col("embedding"))).as("n_norm"),
       lshBucket(col("embedding"), planes).as("bucket"))
     val q = queries.select(
       col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-      sqrt(dot(col("embedding"), col("embedding"))).as("q_norm"),
       lshBucket(col("embedding"), planes).as("q_bucket"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
@@ -182,9 +181,11 @@ object SimilaritySearch {
       .join(broadcast(q),
         col("bucket") === col("q_bucket") && col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        col("q_emb"), col("embedding"), col("q_norm"), col("n_norm"))
+        col("q_emb"), col("embedding"))
+      // native codegen'd expression — same index-ascending double arithmetic
+      // as the HOF composition and the oracle (see CosineSimilarity)
       .withColumn("cos", round(
-        dot(col("q_emb"), col("embedding")) / (col("q_norm") * col("n_norm")), 6))
+        call_function("cosine_similarity", col("q_emb"), col("embedding")), 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))

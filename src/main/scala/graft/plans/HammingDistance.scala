@@ -80,7 +80,8 @@ object GraftFunctions {
   val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (new FunctionIdentifier("hamming_distance"),
       new ExpressionInfo(classOf[HammingDistance].getName, "hamming_distance"),
-      (children: Seq[Expression]) => HammingDistance(children(0), children(1))))
+      (children: Seq[Expression]) => HammingDistance(children(0), children(1))),
+    CosineSimilarity.registration)
 
   /** Programmatic registration (tests, notebooks). */
   def register(spark: SparkSession): Unit =

@@ -61,6 +61,25 @@ class FunctionsSpec extends SparkSpec {
     assert(withNull(0).isNullAt(0))
   }
 
+  test("cosine_similarity native expression equals the HOF composition bit-for-bit") {
+    GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, sf).limit(100)
+    val both = emb.as("a").join(emb.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .limit(500)
+      .select(
+        call_function("cosine_similarity", col("a.embedding"), col("b.embedding")).as("native"),
+        graft.operators.SimilaritySearch.cosine(col("a.embedding"), col("b.embedding")).as("hof"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach(r => assert(r.getDouble(0) == r.getDouble(1))) // exact, not approx
+    // SQL-callable
+    emb.createOrReplaceTempView("emb_cs")
+    val viaSql = spark.sql(
+      "SELECT cosine_similarity(embedding, embedding) AS s FROM emb_cs LIMIT 5")
+      .collect()
+    viaSql.foreach(r => assert(math.abs(r.getDouble(0) - 1.0) < 1e-12))
+  }
+
   test("SimplifyHammingSelfCompare folds hamming_distance(x, x) to a literal") {
     import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Literal}
     import org.apache.spark.sql.types.StringType
