@@ -80,13 +80,13 @@ class WindowsSpec extends SparkSpec {
       .outputMode(OutputMode.Append()).start()
     try {
       // rate source needs wall-clock time to emit
-      val deadline = System.currentTimeMillis() + 15000
+      val deadline = System.currentTimeMillis() + 30000
       var n = 0L
       while (n == 0 && System.currentTimeMillis() < deadline) {
         Thread.sleep(500); q.processAllAvailable()
         n = spark.table("synth").count()
       }
-      assert(n > 0, "rate source emitted nothing within 15s")
+      assert(n > 0, "rate source emitted nothing within 30s")
       val row = spark.table("synth").head()
       assert(row.getAs[Long]("timestamp") > 0)
       assert(Seq("red", "blue", "green").contains(row.getAs[String]("line")))
