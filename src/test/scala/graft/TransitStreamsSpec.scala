@@ -82,6 +82,25 @@ class TransitStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stale out-of-order arrivals do not regress platform state") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Arrival]
+    val q = TransitStreams.trainPositions(input.toDS())
+      .writeStream.format("memory").queryName("ooo_tp")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      input.addData(Arrival(5000L, 10, "RL002", "b", "red", "in_service", None, None))
+      q.processAllAvailable()
+      // an older arrival for the same platform lands in a later micro-batch
+      input.addData(Arrival(1000L, 10, "RL001", "b", "red", "in_service", None, None))
+      q.processAllAvailable()
+      val latest = spark.table("ooo_tp").as[PlatformState].collect()
+        .filter(_.station_id == 10).maxBy(_.updated)
+      assert(latest.train_id.contains("RL002")) // newer state survives
+      assert(latest.updated == 5000L)
+    } finally q.stop()
+  }
+
   test("trainPositionsWithTTL evicts platforms idle past the watermark horizon") {
     implicit val sqlCtx = spark.sqlContext
     val T0 = 1704067200000L
