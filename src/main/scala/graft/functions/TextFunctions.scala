@@ -40,7 +40,7 @@ object TextFunctions {
     */
   def minhashSignature(shinglesCol: Column, k: Int): Column =
     array((0 until k).map { s =>
-      array_min(transform(shinglesCol, x => md5(concat(lit(s + ":"), x))))
+      array_min(transform(shinglesCol, x => md5(concat(lit(s"$s:"), x))))
     }: _*)
 
   /** LSH band hashes: md5 over each `rows`-wide signature slice. Equal band

@@ -76,7 +76,7 @@ object KafkaIO {
     val payload = df.select(
       col(keyCol).cast("string").as("key"),
       // [avro swap site] to_json → to_avro on Avro clusters
-      to_json(struct(df.columns.map(col): _*)).as("value"))
+      to_json(struct(df.columns.toIndexedSeq.map(col): _*)).as("value"))
     payload.writeStream.format("kafka")
       .option("kafka.bootstrap.servers", bootstrap)
       .option("topic", topic)
