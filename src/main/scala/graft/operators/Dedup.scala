@@ -223,20 +223,29 @@ object Dedup {
     */
   def simhashNearDupPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val spark = docs.sparkSession
+    import spark.implicits._
     graft.plans.GraftFunctions.register(spark)
     val fp = simhashFingerprints(docs)
+    // one shuffle on the chunk key with in-group pair generation — a
+    // chunk-equality self-join would run the fingerprint kernel once per side
     val chunked = fp.select(
       col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(c =>
         substring(col("simhash"), c * 15 + 1, 15)): _*)))
       .toDF("doc_id", "simhash", "chunk_idx", "chunk")
-    val cand = chunked.as("x").join(chunked.as("y"),
-        col("x.chunk_idx") === col("y.chunk_idx") && col("x.chunk") === col("y.chunk") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(
-        col("x.doc_id").as("i"), col("y.doc_id").as("j"),
-        col("x.simhash").as("sh_i"), col("y.simhash").as("sh_j"))
-      .distinct()
+      .as[(Long, String, Int, String)]
+    val cand = chunked
+      .groupByKey { case (_, _, ci, c) => (ci, c) }
+      .flatMapGroups { (_, rows) =>
+        val ds = rows.map { case (id, sh, _, _) => (id, sh) }.toArray
+        java.util.Arrays.sort(ds, Ordering.by((t: (Long, String)) => t._1))
+        for {
+          i <- ds.indices.iterator
+          j <- (i + 1 until ds.length).iterator
+        } yield (ds(i)._1, ds(j)._1, ds(i)._2, ds(j)._2)
+      }
+      .toDF("i", "j", "sh_i", "sh_j")
+      .distinct() // a pair may collide in several chunks
     cand
       .withColumn("hamming", call_function("hamming_distance", col("sh_i"), col("sh_j")))
       .filter(col("hamming") <= maxHamming)
