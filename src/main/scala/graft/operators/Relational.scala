@@ -413,8 +413,16 @@ object Relational {
       .groupBy(col("l_returnflag"))
       .agg(
         percentile_approx(col("l_extendedprice"),
-          array(lit(0.5), lit(0.95), lit(0.99)), lit(10000)).as("price_quantiles"),
+          array(lit(0.5), lit(0.95), lit(0.99)), lit(10000)).as("q"),
         count(lit(1)).as("n"))
+      // flatten the sketch output to scalar columns: one KLL sketch per
+      // group, three probes of it — and a scalar-only schema for sinks
+      .select(
+        col("l_returnflag"),
+        col("q").getItem(0).as("p50"),
+        col("q").getItem(1).as("p95"),
+        col("q").getItem(2).as("p99"),
+        col("n"))
       .orderBy(col("l_returnflag"))
 
   /** Pivot — events per (user, type) as one row per user with a column per

@@ -15,7 +15,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * Arithmetic contract (matches [[graft.operators.SimilaritySearch]] and the
   * DuckDB oracle): each float widens to double, products/sums accumulate in
   * index-ascending order, result = dot/(sqrt(na)*sqrt(nb)). Returns null if
-  * either input is null; NaN on zero-norm inputs (same as the composition).
+  * either input is null OR any compared element is null — the same
+  * propagation as the aggregate∘zip_with composition (null product → null
+  * sum); NaN on zero-norm inputs.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -32,6 +34,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
   }
 
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def prettyName: String = "cosine_similarity"
 
   override protected def nullSafeEval(l: Any, r: Any): Any = {
@@ -41,6 +44,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val x = a.getFloat(i).toDouble
       val y = b.getFloat(i).toDouble
       dot += x * y; na += x * x; nb += y * y
@@ -58,11 +62,14 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |int $n = Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  double $x = (double) $a.getFloat($i);
          |  double $y = (double) $b.getFloat($i);
          |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
          |}
-         |${ev.value} = $dot / (Math.sqrt($na) * Math.sqrt($nb));
+         |if (!${ev.isNull}) {
+         |  ${ev.value} = $dot / (Math.sqrt($na) * Math.sqrt($nb));
+         |}
        """.stripMargin
     })
 

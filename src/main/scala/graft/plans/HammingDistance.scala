@@ -71,7 +71,10 @@ object SimplifyHammingSelfCompare
   import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
-      case HammingDistance(a, b) if a.semanticEquals(b) && !a.nullable =>
+      // a.deterministic required: a rand()-derived string appearing as both
+      // children re-evaluates per reference, so the fold would be unsound
+      case HammingDistance(a, b)
+          if a.semanticEquals(b) && !a.nullable && a.deterministic =>
         Literal(0, IntegerType)
     }
 }

@@ -35,17 +35,24 @@ object TransitStreams {
 
   /** Q1's table half — keep the latest TransformedStation per station_id
     * (Faust Table upsert, faust_stream.py:52-57). Update output mode.
+    *
+    * Each input row carries an explicit version (Kafka source offset, or the
+    * record's event timestamp) and the upsert keeps the max-version row.
+    * Iterator order inside mapGroupsWithState is NOT arrival order — rows for
+    * one key from different shuffle partitions interleave nondeterministically
+    * — so "last one wins" must be pinned to a data column, exactly as
+    * [[latestWeather]] does. This also makes checkpoint replay deterministic.
     */
-  def stationsTable(transformed: Dataset[TransformedStation]): Dataset[TransformedStation] = {
+  def stationsTable(
+      transformed: Dataset[(Long, TransformedStation)]): Dataset[TransformedStation] = {
     import transformed.sparkSession.implicits._
     transformed
-      .groupByKey(_.station_id)
-      .mapGroupsWithState[TransformedStation, TransformedStation](
+      .groupByKey(_._2.station_id)
+      .mapGroupsWithState[(Long, TransformedStation), TransformedStation](
         GroupStateTimeout.NoTimeout()) { (_, rows, state) =>
-        // arrival order within a micro-batch == upsert order in the reference
-        val last = rows.toSeq.last
-        state.update(last)
-        last
+        val newest = (state.getOption.iterator ++ rows).maxBy(_._1)
+        state.update(newest)
+        newest._2
       }
   }
 

@@ -76,8 +76,8 @@ class RelationalSpec extends SparkSpec {
     }
     val q = Relational.approxPriceQuantiles(Tables.lineitem(spark, sf)).collect()
     q.foreach { r =>
-      val qs = r.getAs[scala.collection.Seq[Double]]("price_quantiles")
-      assert(qs.length == 3 && qs.sameElements(qs.sorted))
+      val qs = Seq(r.getAs[Double]("p50"), r.getAs[Double]("p95"), r.getAs[Double]("p99"))
+      assert(qs.sameElements(qs.sorted))
     }
   }
 

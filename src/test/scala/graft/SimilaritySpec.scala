@@ -18,6 +18,23 @@ class SimilaritySpec extends SparkSpec {
     out.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-9))
   }
 
+  test("cosine_similarity expression propagates null elements like the HOF form") {
+    graft.plans.GraftFunctions.register(spark)
+    val sql =
+      """SELECT cosine_similarity(
+        |  array(cast(1.0 as float), cast(null as float)),
+        |  array(cast(1.0 as float), cast(2.0 as float))) AS c""".stripMargin
+    assert(spark.sql(sql).collect().head.isNullAt(0))
+    // the aggregate∘zip_with composition it claims parity with also nulls
+    val hof = spark.sql(
+      """SELECT aggregate(
+        |  zip_with(array(cast(1.0 as float), cast(null as float)),
+        |           array(cast(1.0 as float), cast(2.0 as float)),
+        |           (p, q) -> cast(p as double) * cast(q as double)),
+        |  cast(0.0 as double), (acc, v) -> acc + v) AS c""".stripMargin)
+    assert(hof.collect().head.isNullAt(0))
+  }
+
   test("bruteForceTopK returns k ordered neighbors per query, self excluded") {
     val emb = Tables.embeddings(spark, sf)
     val out = SimilaritySearch.bruteForceTopK(emb, emb.filter(col("vec_id") < 3), k = 10)

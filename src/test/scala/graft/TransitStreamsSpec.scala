@@ -140,16 +140,22 @@ class TransitStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("stationsTable upserts latest record per station") {
+  test("stationsTable upserts max-version record per station") {
     implicit val sqlCtx = spark.sqlContext
-    val input = MemoryStream[TransformedStation]
+    val input = MemoryStream[(Long, TransformedStation)]
     val q = TransitStreams.stationsTable(input.toDS())
       .writeStream.format("memory").queryName("st_table")
       .outputMode(OutputMode.Update()).start()
     try {
-      input.addData(TransformedStation(1, "Old Name", 0, Some("red")))
+      input.addData((1L, TransformedStation(1, "Old Name", 0, Some("red"))))
       q.processAllAvailable()
-      input.addData(TransformedStation(1, "New Name", 0, Some("red")))
+      // same batch, both versions for one key: order of arrival must not matter
+      input.addData(
+        (3L, TransformedStation(1, "New Name", 0, Some("red"))),
+        (2L, TransformedStation(1, "Mid Name", 0, Some("red"))))
+      q.processAllAvailable()
+      // a stale version arriving later never regresses the table
+      input.addData((0L, TransformedStation(1, "Stale Name", 0, Some("red"))))
       q.processAllAvailable()
       val rows = spark.table("st_table").as[TransformedStation].collect()
       assert(rows.last.station_name == "New Name")
