@@ -21,8 +21,19 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  def lineitem(spark: SparkSession, d: String): DataFrame  = load(spark, d, "lineitem")
-  def orders(spark: SparkSession, d: String): DataFrame    = load(spark, d, "orders")
+  /** Fact tables ship as ONE file with ONE row group, and parquet splits only
+    * at row-group boundaries — so the scan plans a single partition and every
+    * downstream pipeline stage runs on one core. Fan the scan out to the
+    * session's parallelism; on a realistically-split input (the 100 TB case)
+    * this is a no-op. Row order is not load-bearing anywhere: every window /
+    * row_number in the query set carries a unique tiebreak column precisely
+    * so results are partitioning-independent.
+    */
+  private def loadFact(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    graft.operators.Par.spread(load(spark, sfDir, name))
+
+  def lineitem(spark: SparkSession, d: String): DataFrame  = loadFact(spark, d, "lineitem")
+  def orders(spark: SparkSession, d: String): DataFrame    = loadFact(spark, d, "orders")
   def customer(spark: SparkSession, d: String): DataFrame  = load(spark, d, "customer")
   def supplier(spark: SparkSession, d: String): DataFrame  = load(spark, d, "supplier")
   def part(spark: SparkSession, d: String): DataFrame      = load(spark, d, "part")
@@ -35,10 +46,10 @@ object Tables {
     */
   def events(spark: SparkSession, d: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, d, "events")
+    loadFact(spark, d, "events")
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts DIV 1000")))
   }
-  def documents(spark: SparkSession, d: String): DataFrame = load(spark, d, "documents")
-  def embeddings(spark: SparkSession, d: String): DataFrame = load(spark, d, "embeddings")
+  def documents(spark: SparkSession, d: String): DataFrame = loadFact(spark, d, "documents")
+  def embeddings(spark: SparkSession, d: String): DataFrame = loadFact(spark, d, "embeddings")
 }

@@ -54,7 +54,7 @@ object Dedup {
   private def shingleSignatures(docs: DataFrame, k: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+    Par.spread(docs.select(col("doc_id"), col("text"))).as[(Long, String)]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
         val hexChars = "0123456789abcdef".toCharArray
@@ -80,6 +80,22 @@ object Dedup {
           }
           new String(out)
         }
+        // shingles repeat across docs (planted near-dups, shared boilerplate)
+        // — memoize each shingle's k digests per partition; the k-way min
+        // fold then touches each digest array once per (doc, shingle)
+        val cache = new java.util.HashMap[String, Array[Array[Byte]]]()
+        def shingleDigests(s: String): Array[Array[Byte]] = {
+          val hit = cache.get(s)
+          if (hit != null) hit
+          else {
+            val sb = s.getBytes("UTF-8")
+            val ds = Array.tabulate(k) { i =>
+              md.update(prefixes(i)); md.update(sb); md.digest()
+            }
+            if (cache.size() < (1 << 18)) cache.put(s, ds)
+            ds
+          }
+        }
         it.map { case (id, text) =>
           val toks = text.split(" ", -1)
           val sh: Array[String] =
@@ -87,18 +103,16 @@ object Dedup {
               Array.tabulate(toks.length - 2)(i =>
                 s"${toks(i)} ${toks(i + 1)} ${toks(i + 2)}").distinct
             else Array.empty[String]
-          val shBytes = sh.map(_.getBytes("UTF-8"))
-          val sig = Array.tabulate(k) { s =>
-            var min: Array[Byte] = null
-            var x = 0
-            while (x < shBytes.length) {
-              md.update(prefixes(s)); md.update(shBytes(x))
-              val d = md.digest()
-              if (min == null || lessUnsigned(d, min)) min = d
-              x += 1
+          val mins = new Array[Array[Byte]](k)
+          sh.foreach { s =>
+            val ds = shingleDigests(s)
+            var i = 0
+            while (i < k) {
+              if (mins(i) == null || lessUnsigned(ds(i), mins(i))) mins(i) = ds(i)
+              i += 1
             }
-            if (min == null) null else hex(min)
           }
+          val sig = mins.map(m => if (m == null) null else hex(m))
           (id, sh, sig)
         }
       }.toDF("doc_id", "sh", "sig")
@@ -143,7 +157,7 @@ object Dedup {
     // the alias), turning an O(tokens) job into O(tokens·shingles)
     val spark = docs.sparkSession
     import spark.implicits._
-    val base = docs.select(col("doc_id"), col("lang"), col("text"))
+    val base = Par.spread(docs.select(col("doc_id"), col("lang"), col("text")))
       .as[(Long, String, String)]
       .mapPartitions(_.map { case (id, lang, text) =>
         val toks = text.split(" ", -1)
@@ -196,15 +210,30 @@ object Dedup {
   def simhashFingerprints(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+    Par.spread(docs.select(col("doc_id"), col("text"))).as[(Long, String)]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
+        // first 15 hex chars of md5 == first 8 digest bytes big-endian >>> 4
+        // (identical to parsing the hex prefix, without the formatting cost);
+        // tokens repeat heavily, so memoize token -> 60-bit hash per partition
+        val cache = new java.util.HashMap[String, java.lang.Long]()
+        def tokenHash(t: String): Long = {
+          val hit = cache.get(t)
+          if (hit != null) hit.longValue()
+          else {
+            val d = md.digest(t.getBytes("UTF-8"))
+            var h = 0L
+            var b = 0
+            while (b < 8) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
+            h >>>= 4
+            if (cache.size() < (1 << 20)) cache.put(t, h)
+            h
+          }
+        }
         it.map { case (id, text) =>
           val counts = new Array[Long](60)
           text.split(" ", -1).foreach { t =>
-            val d = md.digest(t.getBytes("UTF-8"))
-            val hex = d.take(8).map("%02x".format(_)).mkString.substring(0, 15)
-            val h = java.lang.Long.parseLong(hex, 16)
+            val h = tokenHash(t)
             var j = 0
             while (j < 60) { counts(j) += ((h >> j) & 1L) * 2 - 1; j += 1 }
           }
@@ -263,6 +292,8 @@ object Dedup {
     import spark.implicits._
     val vecs = embeddings.select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
+    val spreadVecs = Par.spread(embeddings.select(col("vec_id"), col("embedding")))
+      .as[(Long, Array[Float])]
     // The comparison side is broadcast as a primitive matrix and each
     // partition runs a tight JVM loop — the all-pairs kernel is O(n²·dim)
     // regardless of engine, and Catalyst row machinery per pair would
@@ -272,14 +303,24 @@ object Dedup {
       vecs.collect().sortBy(_._1)
         .map { case (id, f) => (id, f.map(_.toDouble)) }
         .map { case (id, d) => (id, d, SimilaritySearch.l2NormKernel(d)) })
-    vecs.mapPartitions { it =>
+    spreadVecs.mapPartitions { it =>
       val all = mat.value
+      // sorted by id — binary search the first strictly-greater index so the
+      // i<j half-triangle never iterates (or evaluates) the lower half
+      def lowerBound(id: Long): Int = {
+        var lo = 0; var hi = all.length
+        while (lo < hi) {
+          val mid = (lo + hi) >>> 1
+          if (all(mid)._1 <= id) lo = mid + 1 else hi = mid
+        }
+        lo
+      }
       it.flatMap { case (id, f) =>
         val e = f.map(_.toDouble)
         val ne = SimilaritySearch.l2NormKernel(e)
-        all.iterator
-          .filter(_._1 > id)
-          .map { case (jd, v, nv) =>
+        Iterator.range(lowerBound(id), all.length)
+          .map { x =>
+            val (jd, v, nv) = all(x)
             (id, jd, SimilaritySearch.round6(
               SimilaritySearch.dotKernel(e, v) / (ne * nv)))
           }

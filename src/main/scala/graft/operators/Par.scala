@@ -1,0 +1,25 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+/** Input-parallelism guard for compute-heavy operators.
+  *
+  * The benchmark corpus ships each table as ONE parquet file with ONE row
+  * group, and parquet splits only at row-group boundaries — so every scan
+  * plans a single partition and a mapPartitions kernel (or an interpreted
+  * higher-order projection) runs on one core no matter the cluster size.
+  * `spread` fans such inputs out to the session's default parallelism; on a
+  * realistically-split input (many files / row groups — the 100 TB case) the
+  * partition count already meets the target and this is a no-op, so no
+  * gratuitous shuffle appears in the scaled-up plan.
+  *
+  * Only used by operators whose results are insensitive to row order within
+  * a partition (row-wise kernels followed by keyed aggregation or a final
+  * orderBy on a unique key).
+  */
+private[graft] object Par {
+  def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
+}

@@ -412,8 +412,11 @@ object Relational {
     lineitem
       .groupBy(col("l_returnflag"))
       .agg(
+        // accuracy 1000 ⇒ ≤0.1% rank error — plenty for corpus statistics,
+        // and an order of magnitude cheaper to build AND to merge across
+        // partitions (merge cost is what a 1000-executor rollup pays)
         percentile_approx(col("l_extendedprice"),
-          array(lit(0.5), lit(0.95), lit(0.99)), lit(10000)).as("q"),
+          array(lit(0.5), lit(0.95), lit(0.99)), lit(1000)).as("q"),
         count(lit(1)).as("n"))
       // flatten the sketch output to scalar columns: one KLL sketch per
       // group, three probes of it — and a scalar-only schema for sinks

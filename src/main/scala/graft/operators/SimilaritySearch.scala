@@ -60,7 +60,7 @@ object SimilaritySearch {
       queries.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
         .collect().sortBy(_._1)
         .map { case (id, f) => val d = f.map(_.toDouble); (id, d, l2NormKernel(d)) })
-    val scored = corpus.select(col("vec_id"), col("embedding"))
+    val scored = Par.spread(corpus.select(col("vec_id"), col("embedding")))
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
         val qs = qMat.value
@@ -110,6 +110,7 @@ object SimilaritySearch {
       k: Int = 5, modulus: Int = 37): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    graft.plans.GraftFunctions.register(spark)
     val centroids = spark.sparkContext.broadcast(
       corpus.filter(col("vec_id") % modulus === 0)
         .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
@@ -117,7 +118,7 @@ object SimilaritySearch {
         .map { case (id, f) => val d = f.map(_.toDouble); (id, d, l2NormKernel(d)) })
 
     def assigned(df: DataFrame): DataFrame =
-      df.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      Par.spread(df.select(col("vec_id"), col("embedding"))).as[(Long, Array[Float])]
         .mapPartitions { it =>
           val cs = centroids.value
           it.map { case (id, f) =>
@@ -141,9 +142,10 @@ object SimilaritySearch {
       .join(broadcast(queryCells), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("q_emb"), col("embedding"))
+      // native codegen'd expression — identical index-ascending double
+      // arithmetic to the HOF composition (KernelParitySpec pins this)
       .withColumn("cos", round(
-        dot(col("q_emb"), col("embedding")) /
-          (sqrt(dot(col("q_emb"), col("q_emb"))) * sqrt(dot(col("embedding"), col("embedding")))), 6))
+        call_function("cosine_similarity", col("q_emb"), col("embedding")), 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))

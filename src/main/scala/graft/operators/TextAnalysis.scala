@@ -15,7 +15,7 @@ object TextAnalysis {
     */
   def docStats(docs: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
-    docs.select(
+    Par.spread(docs).select(
       col("doc_id"),
       size(toks).as("token_count"),
       length(col("text")).as("char_count"),
@@ -36,7 +36,7 @@ object TextAnalysis {
     val fr = stopwordHits(toks, FrStop)
     val de = stopwordHits(toks, DeStop)
     val es = stopwordHits(toks, EsStop)
-    docs.select(
+    Par.spread(docs).select(
       col("doc_id"), col("lang").as("labeled_lang"),
       en.as("en_hits"), fr.as("fr_hits"), de.as("de_hits"), es.as("es_hits"))
       .withColumn("lang_guess",
@@ -59,7 +59,7 @@ object TextAnalysis {
     val avgLen =
       aggregate(transform(toks, t => length(t).cast("long")), lit(0L), _ + _)
         .cast("double") / tc
-    docs.select(
+    Par.spread(docs).select(
       col("doc_id"),
       round(
         least(lit(1.0), tc / 100.0) * 0.5 +
@@ -77,7 +77,7 @@ object TextAnalysis {
     * explode/generator operator (Spark explode == DuckDB unnest).
     */
   def tokenFrequencies(docs: DataFrame, k: Int = 50): DataFrame =
-    docs.select(explode(tokens(col("text"))).as("token"))
+    Par.spread(docs).select(explode(tokens(col("text"))).as("token"))
       .groupBy(col("token"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("token"))
@@ -85,7 +85,7 @@ object TextAnalysis {
 
   /** Document fingerprints: order-sensitive rolling hash + content md5. */
   def fingerprints(docs: DataFrame): DataFrame =
-    docs.select(
+    Par.spread(docs).select(
       col("doc_id"),
       rollingFingerprint(transform(tokens(col("text")), tokenHash _)).as("rolling_fp"),
       md5(col("text")).as("md5_fp"))
