@@ -80,6 +80,14 @@ object SparkEntry {
       SimilaritySearch.ivfTopK(emb, emb.filter(col("vec_id") < 5))
     }),
     // LLM-pipeline: text analysis
+    "q_dedup_clusters" -> ((s, d) => Dedup.nearDupClusters(Tables.documents(s, d))),
+    // corpus curation / analytics extensions
+    "q_tfidf" -> ((s, d) => TextAnalysis.tfidfTopTerms(Tables.documents(s, d))),
+    "q_sessionize" -> ((s, d) => Relational.sessionize(Tables.events(s, d))),
+    "q_topk_per_group" -> ((s, d) => Relational.topOrdersPerSegment(Tables.orders(s, d), Tables.customer(s, d))),
+    "q_histogram" -> ((s, d) => Relational.priceHistogram(Tables.orders(s, d))),
+    "q_quartiles" -> ((s, d) => Relational.priceQuartiles(Tables.orders(s, d))),
+    "q_hash_sample" -> ((s, d) => Relational.hashStratifiedSample(Tables.documents(s, d))),
     "q_doc_stats" -> ((s, d) => TextAnalysis.docStats(Tables.documents(s, d))),
     "q_lang_id" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
     "q_quality_score" -> ((s, d) => TextAnalysis.qualityScore(Tables.documents(s, d))),
@@ -396,6 +404,72 @@ object SparkEntry {
          |  SELECT *, ROW_NUMBER() OVER (
          |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
          |  FROM scored) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE shs AS ($duckShingles),
+         |scored AS (SELECT a.doc_id AS i, b.doc_id AS j,
+         |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |        CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE), 6) AS jac
+         |  FROM shs a JOIN shs b ON a.lang = b.lang AND a.doc_id < b.doc_id),
+         |edges AS (SELECT i, j FROM scored WHERE jac >= 0.6
+         |  UNION ALL SELECT j AS i, i AS j FROM scored WHERE jac >= 0.6),
+         |walk(id, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.i, w.lbl FROM edges e JOIN walk w ON w.id = e.j)
+         |SELECT id AS doc_id, MIN(lbl) AS cluster_id
+         |FROM walk GROUP BY id ORDER BY doc_id""".stripMargin,
+    "q_tfidf" ->
+      """WITH dt AS (SELECT doc_id, unnest(string_split(text,' ')) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM dt GROUP BY doc_id, token),
+        |df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY token),
+        |n AS (SELECT COUNT(*) AS n FROM documents),
+        |scored AS (SELECT doc_id, token,
+        |    round(CAST(tf AS DOUBLE) * ln(CAST(n.n AS DOUBLE) / CAST(df.df AS DOUBLE)), 6) AS tfidf
+        |  FROM tf JOIN df USING (token) CROSS JOIN n)
+        |SELECT doc_id, rank, token, tfidf FROM (
+        |  SELECT *, ROW_NUMBER() OVER (
+        |    PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rank FROM scored)
+        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "q_sessionize" ->
+      """WITH x AS (SELECT user_id, event_id, ts, value,
+        |    LAG(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |y AS (SELECT *, CASE WHEN prev_ts IS NULL
+        |    OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(prev_ts)) AS BIGINT) > 1800
+        |    THEN 1 ELSE 0 END AS is_new FROM x),
+        |z AS (SELECT *, CAST(SUM(is_new) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+        |  FROM y)
+        |SELECT user_id, session_idx, COUNT(*) AS n_events,
+        |  MAX(CAST(floor(epoch(ts)) AS BIGINT)) - MIN(CAST(floor(epoch(ts)) AS BIGINT)) AS dur_sec,
+        |  CAST(SUM(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS session_value
+        |FROM z GROUP BY user_id, session_idx ORDER BY user_id, session_idx""".stripMargin,
+    "q_topk_per_group" ->
+      """SELECT c_mktsegment, rank, o_orderkey, o_totalprice FROM (
+        |  SELECT c_mktsegment, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rank
+        |  FROM orders JOIN customer ON o_custkey = c_custkey)
+        |WHERE rank <= 3 ORDER BY c_mktsegment, rank""".stripMargin,
+    "q_histogram" ->
+      """SELECT CAST(LEAST(FLOOR(o_totalprice / 25000.0), 20) AS BIGINT) AS bin,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) AS bin_total
+        |FROM orders GROUP BY 1 ORDER BY bin""".stripMargin,
+    "q_quartiles" ->
+      """SELECT quartile, COUNT(*) AS n,
+        |  MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM (
+        |  SELECT o_totalprice, NTILE(4) OVER (
+        |    ORDER BY o_totalprice, o_orderkey) AS quartile FROM orders)
+        |GROUP BY quartile ORDER BY quartile""".stripMargin,
+    "q_hash_sample" ->
+      """SELECT doc_id, lang, bucket FROM (
+        |  SELECT doc_id, lang,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket
+        |  FROM documents)
+        |WHERE bucket < CASE WHEN lang = 'en' THEN 50 ELSE 20 END
+        |ORDER BY doc_id""".stripMargin,
     "q_doc_stats" ->
       s"""SELECT doc_id,
          |  len(string_split(text,' ')) AS token_count,

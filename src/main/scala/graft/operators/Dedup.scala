@@ -282,6 +282,68 @@ object Dedup {
       .orderBy(col("i"), col("j"))
   }
 
+  /** Near-duplicate CLUSTERS — connected components over the exact-Jaccard
+    * pair graph, as iterative min-label propagation: every doc starts
+    * labeled with its own id, then repeatedly takes the min label over
+    * itself and its neighbors until a fixpoint. The fixpoint label is the
+    * min doc_id reachable in the component — a canonical, deterministic
+    * cluster id (the survivor a dedup pass would keep).
+    *
+    * Scale notes: each iteration is one join edges⋈labels + one min-agg +
+    * one left join — all hash-partitioned on doc id, no driver-side graph.
+    * Iteration count is bounded by component diameter (near-dup components
+    * are quasi-cliques, so 2-3 rounds in practice); for adversarial
+    * chain-shaped graphs the large-star/small-star variant (Kiveris et al.,
+    * "Connected Components in MapReduce") halves diameter per round — same
+    * join shapes, different edge rewriting. Labels are persisted per round
+    * and the previous round unpersisted, so lineage stays O(1) deep.
+    */
+  def nearDupClusters(
+      docs: DataFrame, threshold: Double = 0.6, maxIter: Int = 20): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val pairs = ngramJaccardPairs(docs, threshold).select(col("i"), col("j"))
+    val edges = pairs
+      .union(pairs.select(col("j").as("i"), col("i").as("j")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // only vertices with degree >= 1 can ever change label — iterate over
+    // that (much smaller) set; singletons join back at the end labeled by
+    // their own id
+    var persisted = edges.select(col("i").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = persisted
+    labels.count()
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIter) {
+      val nmin = edges
+        .join(labels.select(col("doc_id").as("jid"), col("cluster_id")),
+          col("j") === col("jid"))
+        .groupBy(col("i")).agg(min(col("cluster_id")).as("nmin"))
+      // carry the previous label so materialization and the convergence
+      // check are ONE action per round, not two
+      val next = labels
+        .join(nmin, labels("doc_id") === nmin("i"), "left_outer")
+        .select(labels("doc_id"),
+          least(labels("cluster_id"), coalesce(col("nmin"), labels("cluster_id")))
+            .as("cluster_id"),
+          labels("cluster_id").as("prev"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      done = next.filter(col("cluster_id") =!= col("prev")).isEmpty
+      persisted.unpersist()
+      persisted = next
+      labels = next.select(col("doc_id"), col("cluster_id"))
+      iter += 1
+    }
+    edges.unpersist()
+    docs.select(col("doc_id"))
+      .join(labels.select(col("doc_id"), col("cluster_id").as("comp")),
+        Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("comp"), col("doc_id")).as("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Embedding-cosine near-dup pairs (brute force; the ANN path for scale is
     * SimilaritySearch.lshTopK). Cosine is computed in double, sequentially,
     * index-ascending — bit-identical to the oracle's list_sum.

@@ -442,6 +442,94 @@ object Relational {
       .na.fill(0L, types)
       .orderBy(col("user_id"))
 
+  /** Batch sessionization — split each user's event stream into sessions at
+    * `gapSec` inactivity gaps (the batch twin of the streaming
+    * `session_window`; see streaming/Windows). Classic gaps-and-islands: a
+    * lag-based boundary flag, a running sum to number sessions, then a
+    * per-session rollup. One shuffle on user_id, reused by both windows and
+    * the final aggregation (same sort order), so at scale this costs a
+    * single exchange of the fact table.
+    */
+  def sessionize(events: DataFrame, gapSec: Long = 1800): DataFrame = {
+    val order = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val cum = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(order))
+      .withColumn("is_new", when(
+        col("prev_ts").isNull ||
+          col("ts").cast("long") - col("prev_ts").cast("long") > gapSec, 1L)
+        .otherwise(0L))
+      .withColumn("session_idx", sum(col("is_new")).over(cum))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        (max(col("ts").cast("long")) - min(col("ts").cast("long"))).as("dur_sec"),
+        dsum(col("value")).as("session_value"))
+      .orderBy(col("user_id"), col("session_idx"))
+  }
+
+  /** Per-group top-k — the distributed "top N per key" pattern (window
+    * row_number over a unique ordering, filtered to k). At scale this is one
+    * shuffle on the group key; no global sort ever materializes.
+    */
+  def topOrdersPerSegment(orders: DataFrame, customer: DataFrame, k: Int = 3): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("c_mktsegment"), col("rank"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("c_mktsegment"), col("rank"))
+  }
+
+  /** Fixed-width histogram of order totals — binning as pure column math
+    * (floor-divide + clamp), one hash aggregation. The shape every data
+    * profiler runs over a 100 TB column.
+    */
+  def priceHistogram(orders: DataFrame, binWidth: Double = 25000.0, maxBin: Int = 20): DataFrame =
+    orders
+      .groupBy(least(floor(col("o_totalprice") / binWidth), lit(maxBin))
+        .cast("long").as("bin"))
+      .agg(
+        count(lit(1)).as("n"),
+        dsum(col("o_totalprice")).as("bin_total"))
+      .orderBy(col("bin"))
+
+  /** Quantile binning via ntile — equal-population quartiles over a unique
+    * total ordering (price, orderkey), rolled up to one row per quartile.
+    * The window's global sort is the honest cost of exact quantile binning;
+    * the approximate twin is approxPriceQuantiles.
+    */
+  def priceQuartiles(orders: DataFrame): DataFrame = {
+    val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+    orders
+      .withColumn("quartile", ntile(4).over(w))
+      .groupBy(col("quartile"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("o_totalprice")).as("lo"),
+        max(col("o_totalprice")).as("hi"))
+      .orderBy(col("quartile"))
+  }
+
+  /** Deterministic hash-stratified sampling — reproducible corpus sampling
+    * with a per-stratum rate: keep a doc iff its md5-derived bucket (0-99)
+    * falls under the stratum's rate. Unlike rand()-based sampling this is
+    * replayable on any engine and stable under re-partitioning — the
+    * property a training-data pipeline needs for audited subsets.
+    */
+  def hashStratifiedSample(docs: DataFrame, enRate: Int = 50, otherRate: Int = 20): DataFrame =
+    docs
+      .withColumn("bucket",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+          .cast("long") % 100)
+      .filter(col("bucket") <
+        when(col("lang") === "en", enRate).otherwise(otherRate))
+      .select(col("doc_id"), col("lang"), col("bucket"))
+      .orderBy(col("doc_id"))
+
   /** Exact distinct count per group (A1 family; approx_count_distinct is the
     * scale path but has no cross-engine oracle — see Bench).
     */

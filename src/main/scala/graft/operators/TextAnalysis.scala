@@ -83,6 +83,40 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("token"))
       .limit(k)
 
+  /** TF-IDF top terms per document — the classic corpus-weighting operator.
+    *
+    * tf = in-doc term count; idf = ln(N / df) over the whole corpus;
+    * top `k` terms per doc by (rounded score desc, token asc). Plan shape at
+    * scale: one explode + two hash aggregations (doc-term and term grain) +
+    * a broadcast of the (small) per-term df table back onto the doc-term
+    * frame, then a per-doc top-k window. Ranking on the ROUNDED score keeps
+    * the ordering reproducible across engines (same policy as the cosine
+    * rankings).
+    */
+  def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
+    val spread = Par.spread(docs)
+    val n = docs.count()
+    val docTerms = spread
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df = docTerms
+      .groupBy(col("token"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("token"))
+    docTerms
+      .join(broadcast(df), "token")
+      .withColumn("tfidf", round(
+        col("tf").cast("double") *
+          log(lit(n.toDouble) / col("df").cast("double")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("token"), col("tfidf"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
   /** Document fingerprints: order-sensitive rolling hash + content md5. */
   def fingerprints(docs: DataFrame): DataFrame =
     Par.spread(docs).select(

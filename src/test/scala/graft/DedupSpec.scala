@@ -76,6 +76,20 @@ class DedupSpec extends SparkSpec {
     assert(pairs(0).getAs[Long]("i") == 1L && pairs(0).getAs[Long]("j") == 2L)
   }
 
+  test("near-dup clusters: transitive chains collapse to the min reachable id") {
+    // 1~2 and 2~3 are near-dups (one token changed each step); 4 is unrelated.
+    // Even if 1~3 falls below threshold, transitivity must put all three in
+    // cluster 1; the singleton clusters to itself.
+    val base = (0 until 40).map(i => s"w$i").mkString(" ")
+    val step1 = (0 until 40).map(i => if (i == 5) "X" else s"w$i").mkString(" ")
+    val step2 = (0 until 40).map(i => if (i == 5) "X" else if (i == 30) "Y" else s"w$i").mkString(" ")
+    val other = (100 until 140).map(i => s"v$i").mkString(" ")
+    val d = docs((1L, base, "en"), (2L, step1, "en"), (3L, step2, "en"), (4L, other, "en"))
+    val clusters = Dedup.nearDupClusters(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L))
+  }
+
   test("LSH plan: no shuffle before the band join; candidate join is on band keys") {
     val plan = Dedup.minhashLshPairs(Tables.documents(spark, sf))
       .queryExecution.executedPlan.toString

@@ -81,6 +81,44 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("sessionize splits at inactivity gaps and aggregates per session") {
+    import spark.implicits._
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val ev = Seq(
+      (1L, 10L, ts(0L), 1.0), (1L, 11L, ts(10L), 2.0),
+      (1L, 12L, ts(2000L), 3.0), (1L, 13L, ts(2010L), 4.0),
+      (2L, 20L, ts(5L), 5.0))
+      .toDF("user_id", "event_id", "ts", "value")
+    val s = Relational.sessionize(ev, gapSec = 1800).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("dur_sec"))).toMap
+    assert(s == Map(
+      (1L, 1L) -> (2L, 10L), (1L, 2L) -> (2L, 10L), (2L, 1L) -> (1L, 0L)))
+  }
+
+  test("quartile binning yields near-equal populations; histogram covers all rows") {
+    val orders = Tables.orders(spark, sf)
+    val total = orders.count()
+    val quart = Relational.priceQuartiles(orders).collect()
+    assert(quart.length == 4)
+    val counts = quart.map(_.getAs[Long]("n"))
+    assert(counts.sum == total && counts.max - counts.min <= 1)
+    val hist = Relational.priceHistogram(orders).collect()
+    assert(hist.map(_.getAs[Long]("n")).sum == total)
+  }
+
+  test("hash-stratified sample is deterministic and respects stratum rates") {
+    val docs = Tables.documents(spark, sf)
+    val s1 = Relational.hashStratifiedSample(docs).collect().map(_.getLong(0)).toSeq
+    val s2 = Relational.hashStratifiedSample(docs).collect().map(_.getLong(0)).toSeq
+    assert(s1 == s2 && s1.nonEmpty)
+    val buckets = Relational.hashStratifiedSample(docs).collect()
+    buckets.foreach { r =>
+      val cap = if (r.getString(1) == "en") 50 else 20
+      assert(r.getAs[Long]("bucket") < cap)
+    }
+  }
+
   test("filterProject pushes filters into the parquet scan") {
     val plan = Relational.filterProject(Tables.lineitem(spark, sf))
       .queryExecution.executedPlan.toString
