@@ -89,9 +89,12 @@ object TransitStreams {
     * change events BEFORE keying, then flatMapGroupsWithState holds one
     * PlatformState per (station_id, direction).
     */
-  def trainPositions(arrivals: Dataset[Arrival]): Dataset[PlatformState] = {
+  /** Explode arrivals to keyed change events (J6): one arrive at the current
+    * platform plus, when the previous platform is known, one depart there.
+    */
+  def arrivalChangeEvents(arrivals: Dataset[Arrival]): Dataset[ChangeEvent] = {
     import arrivals.sparkSession.implicits._
-    val changes: Dataset[ChangeEvent] = arrivals.flatMap { a =>
+    arrivals.flatMap { a =>
       val arrive = ChangeEvent(a.station_id, a.direction, a.timestamp,
         "arrive", a.train_id, a.train_status)
       val depart = for {
@@ -99,29 +102,44 @@ object TransitStreams {
       } yield ChangeEvent(ps, pd, a.timestamp, "depart", a.train_id, a.train_status)
       Iterator(arrive) ++ depart.iterator
     }
-    changes
+  }
+
+  /** The platform-state transition shared by every stateful API twin
+    * (flatMapGroupsWithState here, transformWithState in [[TwsOps]]).
+    * Event order: by timestamp, departures applied BEFORE arrivals at equal
+    * ts so a same-tick arrive of the next train survives the previous
+    * train's departure (same tiebreak as the batch twin); stale events never
+    * regress newer state, even across micro-batches.
+    */
+  private[streaming] def applyPlatformChanges(
+      stationId: Int, direction: String,
+      current: Option[PlatformState],
+      events: Iterator[ChangeEvent]): Option[PlatformState] = {
+    val ordered = events.toSeq.sortBy(e =>
+      (e.timestamp, if (e.kind == "depart") 0 else 1))
+    ordered.foldLeft(current) { (st, e) =>
+      if (st.exists(_.updated > e.timestamp)) st
+      // equal-ts arrive already holds the platform → the depart lost
+      // the tiebreak, even when it arrives in a later micro-batch
+      else if (e.kind == "depart" &&
+        st.exists(s => s.updated == e.timestamp && s.train_id.isDefined)) st
+      else e.kind match {
+        case "arrive" => Some(PlatformState(
+          stationId, direction, Some(e.train_id), Some(e.train_status), e.timestamp))
+        case _ => Some(PlatformState(stationId, direction, None, None, e.timestamp))
+      }
+    }
+  }
+
+  def trainPositions(arrivals: Dataset[Arrival]): Dataset[PlatformState] = {
+    import arrivals.sparkSession.implicits._
+    arrivalChangeEvents(arrivals)
       .groupByKey(e => (e.station_id, e.direction))
       .flatMapGroupsWithState[PlatformState, PlatformState](
         OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
         case ((stationId, direction), events, state: GroupState[PlatformState]) =>
-          // Event order: by timestamp, departures applied BEFORE arrivals at
-          // equal ts so a same-tick arrive of the next train survives the
-          // previous train's departure (same tiebreak as the batch twin).
-          val ordered = events.toSeq.sortBy(e =>
-            (e.timestamp, if (e.kind == "depart") 0 else 1))
           val current = state.getOption
-          val next = ordered.foldLeft(current) { (st, e) =>
-            if (st.exists(_.updated > e.timestamp)) st
-            // equal-ts arrive already holds the platform → the depart lost
-            // the tiebreak, even when it arrives in a later micro-batch
-            else if (e.kind == "depart" &&
-              st.exists(s => s.updated == e.timestamp && s.train_id.isDefined)) st
-            else e.kind match {
-              case "arrive" => Some(PlatformState(
-                stationId, direction, Some(e.train_id), Some(e.train_status), e.timestamp))
-              case _ => Some(PlatformState(stationId, direction, None, None, e.timestamp))
-            }
-          }
+          val next = applyPlatformChanges(stationId, direction, current, events)
           next.foreach(state.update)
           if (next != current) next.iterator else Iterator.empty
       }
