@@ -301,10 +301,14 @@ object Dedup {
   def nearDupClusters(
       docs: DataFrame, threshold: Double = 0.6, maxIter: Int = 20): DataFrame = {
     import org.apache.spark.storage.StorageLevel
+    // materialize the pair graph ONCE before mirroring it — a union of two
+    // branches of the same uncached plan would run the whole shingle +
+    // posting pipeline twice
     val pairs = ngramJaccardPairs(docs, threshold).select(col("i"), col("j"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    pairs.count()
     val edges = pairs
       .union(pairs.select(col("j").as("i"), col("i").as("j")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
     // only vertices with degree >= 1 can ever change label — iterate over
     // that (much smaller) set; singletons join back at the end labeled by
     // their own id
@@ -335,7 +339,7 @@ object Dedup {
       labels = next.select(col("doc_id"), col("cluster_id"))
       iter += 1
     }
-    edges.unpersist()
+    pairs.unpersist()
     docs.select(col("doc_id"))
       .join(labels.select(col("doc_id"), col("cluster_id").as("comp")),
         Seq("doc_id"), "left_outer")
