@@ -79,6 +79,19 @@ object StreamBench {
         .option("checkpointLocation", s"$root/chk2").start()
     }
 
+    // v2 stateful API on the RocksDB store (the provider it requires)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    timeQuery("train tracker (transformWithState, RocksDB)", arrivals.size.toLong) {
+      val src: Dataset[Arrival] = spark.readStream
+        .schema(org.apache.spark.sql.Encoders.product[Arrival].schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(s"$root/arrivals").as[Arrival]
+      graft.streaming.TwsOps.trainPositionsTws(src)
+        .writeStream.format("noop").outputMode(OutputMode.Update())
+        .option("checkpointLocation", s"$root/chk3").start()
+    }
+
     spark.stop()
   }
 }
