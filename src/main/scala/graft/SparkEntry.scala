@@ -88,6 +88,8 @@ object SparkEntry {
     "q_histogram" -> ((s, d) => Relational.priceHistogram(Tables.orders(s, d))),
     "q_quartiles" -> ((s, d) => Relational.priceQuartiles(Tables.orders(s, d))),
     "q_hash_sample" -> ((s, d) => Relational.hashStratifiedSample(Tables.documents(s, d))),
+    "q_token_count" -> ((s, d) => TextAnalysis.tokenCounts(Tables.documents(s, d))),
+    "q_bigram_pmi" -> ((s, d) => TextAnalysis.bigramPmi(Tables.documents(s, d))),
     "q_doc_stats" -> ((s, d) => TextAnalysis.docStats(Tables.documents(s, d))),
     "q_lang_id" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
     "q_quality_score" -> ((s, d) => TextAnalysis.qualityScore(Tables.documents(s, d))),
@@ -470,6 +472,27 @@ object SparkEntry {
         |  FROM documents)
         |WHERE bucket < CASE WHEN lang = 'en' THEN 50 ELSE 20 END
         |ORDER BY doc_id""".stripMargin,
+    "q_token_count" ->
+      """SELECT doc_id,
+        |  len(string_split(text,' ')) AS ws_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS bpe_tokens,
+        |  length(text) AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_bigram_pmi" ->
+      """WITH t AS (SELECT string_split(text,' ') AS t FROM documents),
+        |ucnt AS (SELECT w, COUNT(*) AS n FROM (SELECT unnest(t) AS w FROM t) GROUP BY w),
+        |ball AS (SELECT a, b, COUNT(*) AS nab FROM (
+        |    SELECT unnest(t[1:len(t)-1]) AS a, unnest(t[2:len(t)]) AS b FROM t)
+        |  GROUP BY a, b),
+        |tu AS (SELECT CAST(SUM(n) AS DOUBLE) AS tot FROM ucnt),
+        |tb AS (SELECT CAST(SUM(nab) AS DOUBLE) AS tot FROM ball)
+        |SELECT a, b, nab,
+        |  round(ln((CAST(nab AS DOUBLE) / tb.tot) /
+        |    ((CAST(na AS DOUBLE) / tu.tot) * (CAST(nb AS DOUBLE) / tu.tot))), 6) AS pmi
+        |FROM (SELECT ball.a, ball.b, ball.nab, ua.n AS na, ub.n AS nb
+        |      FROM ball JOIN ucnt ua ON ball.a = ua.w JOIN ucnt ub ON ball.b = ub.w
+        |      WHERE ball.nab >= 5), tu, tb
+        |ORDER BY pmi DESC, a, b LIMIT 30""".stripMargin,
     "q_doc_stats" ->
       s"""SELECT doc_id,
          |  len(string_split(text,' ')) AS token_count,

@@ -117,6 +117,55 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("rank"))
   }
 
+  /** Token counting under two tokenizers — whitespace vs a BPE-ish regex
+    * (letter runs / digit runs / single punctuation, the shape of a
+    * byte-pair pre-tokenizer). Both are narrow codegen'd projections; the
+    * regex uses only portable character classes so any engine tokenizes
+    * identically.
+    */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    Par.spread(docs).select(
+      col("doc_id"),
+      size(tokens(col("text"))).as("ws_tokens"),
+      size(regexp_extract_all(col("text"),
+        lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0))).as("bpe_tokens"),
+      length(col("text")).as("n_chars"))
+      .orderBy(col("doc_id"))
+
+  /** Bigram collocations by pointwise mutual information:
+    * PMI(a,b) = ln( p(a,b) / (p(a)·p(b)) ) over adjacent token pairs, kept
+    * for bigrams seen >= `minCount` times, top `k` by (rounded PMI desc,
+    * bigram asc). Two aggregations (unigram and bigram grain) + one
+    * broadcast-joined probability lookup — the corpus-statistics shape that
+    * at 100 TB runs as two map-side-combined shuffles on hash-uniform keys.
+    */
+  def bigramPmi(docs: DataFrame, minCount: Long = 5, k: Int = 30): DataFrame = {
+    val spread = Par.spread(docs)
+    val toks = spread.select(col("doc_id"), tokens(col("text")).as("t"))
+    val unigrams = toks.select(explode(col("t")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+    val bigramsAll = toks.select(explode(
+      zip_with(col("t"), slice(col("t"), lit(2), size(col("t"))),
+        (a, b) => struct(a.as("a"), b.as("b")))).as("bg"))
+      .filter(col("bg.b").isNotNull)
+      .select(col("bg.a").as("a"), col("bg.b").as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("nab"))
+    val totalUni = unigrams.agg(sum(col("n"))).first().getLong(0)
+    // probabilities over ALL bigrams; the min-count filter only gates output
+    val totalBi = bigramsAll.agg(sum(col("nab"))).first().getLong(0)
+    val bigrams = bigramsAll.filter(col("nab") >= minCount)
+    bigrams
+      .join(broadcast(unigrams.select(col("w").as("a"), col("n").as("na"))), "a")
+      .join(broadcast(unigrams.select(col("w").as("b"), col("n").as("nb"))), "b")
+      .withColumn("pmi", round(log(
+        (col("nab").cast("double") / lit(totalBi.toDouble)) /
+          ((col("na").cast("double") / lit(totalUni.toDouble)) *
+            (col("nb").cast("double") / lit(totalUni.toDouble)))), 6))
+      .select(col("a"), col("b"), col("nab"), col("pmi"))
+      .orderBy(col("pmi").desc, col("a"), col("b"))
+      .limit(k)
+  }
+
   /** Document fingerprints: order-sensitive rolling hash + content md5. */
   def fingerprints(docs: DataFrame): DataFrame =
     Par.spread(docs).select(
