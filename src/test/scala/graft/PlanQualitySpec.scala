@@ -41,6 +41,30 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("tfidf: per-term df table joins broadcast, no fact-side sort-merge") {
+    val p = plan("q_tfidf")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("sessionize: both windows and the rollup share one user_id exchange") {
+    val p = plan("q_sessionize")
+    // exchanges: Par.spread round-robin + hashpartitioning(user_id) + the
+    // tiny final-agg exchange; the two Window ops and the session rollup
+    // must NOT add extra user_id shuffles
+    val hashExchanges = p.linesIterator
+      .filter(l => l.contains("Exchange hashpartitioning(user_id"))
+      .size
+    assert(hashExchanges == 1, s"expected one user_id exchange, plan:\n$p")
+  }
+
+  test("hash-stratified sample is a pure narrow projection (no shuffle, no join)") {
+    val p = plan("q_hash_sample")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p)
+    // one exchange for the final orderBy + the spread; nothing key-based
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
   test("grouped count: map-side partial agg over a vectorized 1-column scan") {
     // (AQE prints the pre-execution plan without WholeStageCodegen wrappers;
     // the codegen-ability is implied by Batched vectorized scan + HashAggregate)
