@@ -88,6 +88,7 @@ object SparkEntry {
     "q_histogram" -> ((s, d) => Relational.priceHistogram(Tables.orders(s, d))),
     "q_quartiles" -> ((s, d) => Relational.priceQuartiles(Tables.orders(s, d))),
     "q_hash_sample" -> ((s, d) => Relational.hashStratifiedSample(Tables.documents(s, d))),
+    "q_user_journeys" -> ((s, d) => Relational.userJourneys(Tables.events(s, d))),
     "q_token_count" -> ((s, d) => TextAnalysis.tokenCounts(Tables.documents(s, d))),
     "q_bigram_pmi" -> ((s, d) => TextAnalysis.bigramPmi(Tables.documents(s, d))),
     "q_doc_stats" -> ((s, d) => TextAnalysis.docStats(Tables.documents(s, d))),
@@ -472,6 +473,10 @@ object SparkEntry {
         |  FROM documents)
         |WHERE bucket < CASE WHEN lang = 'en' THEN 50 ELSE 20 END
         |ORDER BY doc_id""".stripMargin,
+    "q_user_journeys" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+        |  array_to_string(list(CAST(event_id AS VARCHAR) ORDER BY ts, event_id), ',') AS path
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_token_count" ->
       """SELECT doc_id,
         |  len(string_split(text,' ')) AS ws_tokens,

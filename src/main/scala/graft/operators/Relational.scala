@@ -530,6 +530,25 @@ object Relational {
       .select(col("doc_id"), col("lang"), col("bucket"))
       .orderBy(col("doc_id"))
 
+  /** Per-user event journey — the ordered collect_list shape (session-path
+    * mining / sequence-model training rows). The in-group order is pinned by
+    * sorting on (ts, event_id) structs, and the array is serialized to a
+    * string so sinks and cross-engine compares stay scalar. One shuffle on
+    * the key; per-group state is the user's own event list (bound it with a
+    * window/limit upstream when key cardinality is adversarial).
+    */
+  def userJourneys(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("ts"), col("event_id")))),
+            e => e.getField("event_id").cast("string")),
+          ",").as("path"))
+      .orderBy(col("user_id"))
+
   /** Exact distinct count per group (A1 family; approx_count_distinct is the
     * scale path but has no cross-engine oracle — see Bench).
     */
