@@ -65,6 +65,36 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("Exchange hashpartitioning"), p)
   }
 
+  test("runtime bloom filter prunes the fact scan when the dim can't broadcast") {
+    // The 100 TB shape: dims too big to broadcast -> shuffle join; Spark then
+    // converts a selective dim predicate into a bloom runtime filter applied
+    // at the fact scan, cutting shuffle volume before the join. Local sizes
+    // are far below the production thresholds, so lower them to observe the
+    // same rewrite the big cluster would get.
+    import org.apache.spark.sql.functions._
+    val keep = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> spark.conf.getOption(k))
+    spark.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1KB")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // raw loaders: the injection pattern requires a plain
+      // scan/filter/project application side (no Repartition in between),
+      // which is also what a realistically-split 100 TB input looks like
+      val j = Tables.load(spark, sf, "lineitem")
+        .join(Tables.load(spark, sf, "orders")
+            .filter(col("o_orderpriority") === "1-URGENT"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority")).agg(sum(col("l_quantity")))
+      val p = j.queryExecution.optimizedPlan.toString
+      assert(p.contains("bloom"), s"expected runtime bloom filter, got:\n$p")
+    } finally keep.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("grouped count: map-side partial agg over a vectorized 1-column scan") {
     // (AQE prints the pre-execution plan without WholeStageCodegen wrappers;
     // the codegen-ability is implied by Batched vectorized scan + HashAggregate)
