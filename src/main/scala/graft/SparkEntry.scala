@@ -1,8 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
-import graft.operators.{Dedup, Relational, SimilaritySearch, TextAnalysis}
+import org.apache.spark.sql.functions.{col, count, lit, sum}
+import graft.operators.{Dedup, Relational, SimilaritySearch, Skew, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -85,10 +85,26 @@ object SparkEntry {
     "q_tfidf" -> ((s, d) => TextAnalysis.tfidfTopTerms(Tables.documents(s, d))),
     "q_sessionize" -> ((s, d) => Relational.sessionize(Tables.events(s, d))),
     "q_topk_per_group" -> ((s, d) => Relational.topOrdersPerSegment(Tables.orders(s, d), Tables.customer(s, d))),
+    "q_topk_per_group_agg" -> ((s, d) => operators.TopK.topOrdersPerSegmentAgg(Tables.orders(s, d), Tables.customer(s, d))),
     "q_histogram" -> ((s, d) => Relational.priceHistogram(Tables.orders(s, d))),
     "q_quartiles" -> ((s, d) => Relational.priceQuartiles(Tables.orders(s, d))),
     "q_hash_sample" -> ((s, d) => Relational.hashStratifiedSample(Tables.documents(s, d))),
     "q_user_journeys" -> ((s, d) => Relational.userJourneys(Tables.events(s, d))),
+    // skew mitigation — result-identical to the plain join/agg, so the
+    // salted plans take the same oracle as their unsalted twins
+    "q_skew_join" -> ((s, d) =>
+      Skew.saltedEquiJoin(Tables.orders(s, d), Tables.customer(s, d),
+          "o_custkey", "c_custkey")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(20,4)")).cast("double").as("total"))
+        .orderBy(col("c_mktsegment"))),
+    "q_skew_agg" -> ((s, d) =>
+      Skew.saltedSumCount(Tables.events(s, d), "user_id",
+          col("value").cast("decimal(20,4)"))
+        .select(col("user_id"),
+          col("sum_value").cast("double").as("sum_value"), col("n"))
+        .orderBy(col("user_id"))),
     "q_token_count" -> ((s, d) => TextAnalysis.tokenCounts(Tables.documents(s, d))),
     "q_bigram_pmi" -> ((s, d) => TextAnalysis.bigramPmi(Tables.documents(s, d))),
     "q_doc_stats" -> ((s, d) => TextAnalysis.docStats(Tables.documents(s, d))),
@@ -455,6 +471,13 @@ object SparkEntry {
         |      ORDER BY o_totalprice DESC, o_orderkey) AS rank
         |  FROM orders JOIN customer ON o_custkey = c_custkey)
         |WHERE rank <= 3 ORDER BY c_mktsegment, rank""".stripMargin,
+    "q_topk_per_group_agg" ->
+      """SELECT c_mktsegment, rank, o_orderkey, o_totalprice FROM (
+        |  SELECT c_mktsegment, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rank
+        |  FROM orders JOIN customer ON o_custkey = c_custkey)
+        |WHERE rank <= 3 ORDER BY c_mktsegment, rank""".stripMargin,
     "q_histogram" ->
       """SELECT CAST(LEAST(FLOOR(o_totalprice / 25000.0), 20) AS BIGINT) AS bin,
         |  COUNT(*) AS n,
@@ -473,6 +496,16 @@ object SparkEntry {
         |  FROM documents)
         |WHERE bucket < CASE WHEN lang = 'en' THEN 50 ELSE 20 END
         |ORDER BY doc_id""".stripMargin,
+    "q_skew_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_skew_agg" ->
+      """SELECT user_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS sum_value,
+        |  COUNT(*) AS n
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_user_journeys" ->
       """SELECT user_id, COUNT(*) AS n_events,
         |  array_to_string(list(CAST(event_id AS VARCHAR) ORDER BY ts, event_id), ',') AS path
