@@ -90,6 +90,8 @@ object SparkEntry {
     "q_quartiles" -> ((s, d) => Relational.priceQuartiles(Tables.orders(s, d))),
     "q_hash_sample" -> ((s, d) => Relational.hashStratifiedSample(Tables.documents(s, d))),
     "q_user_journeys" -> ((s, d) => Relational.userJourneys(Tables.events(s, d))),
+    "q_moving_window" -> ((s, d) => Relational.trailingWindowStats(Tables.events(s, d))),
+    "q_rank_family" -> ((s, d) => Relational.priceRanks(Tables.orders(s, d))),
     // skew mitigation — result-identical to the plain join/agg, so the
     // salted plans take the same oracle as their unsalted twins
     "q_skew_join" -> ((s, d) =>
@@ -496,6 +498,24 @@ object SparkEntry {
         |  FROM documents)
         |WHERE bucket < CASE WHEN lang = 'en' THEN 50 ELSE 20 END
         |ORDER BY doc_id""".stripMargin,
+    "q_moving_window" ->
+      """SELECT user_id, event_id,
+        |  COUNT(*) OVER w AS n_trailing,
+        |  CAST(SUM(CAST(value AS DECIMAL(20,4))) OVER w AS DOUBLE) AS sum_trailing
+        |FROM (SELECT user_id, event_id, value,
+        |        CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY sec
+        |  RANGE BETWEEN 300 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
+    "q_rank_family" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  RANK() OVER w AS rnk,
+        |  DENSE_RANK() OVER w AS drnk,
+        |  round(PERCENT_RANK() OVER w, 6) AS prnk,
+        |  round(CUME_DIST() OVER w, 6) AS cdist
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice)
+        |ORDER BY o_orderkey""".stripMargin,
     "q_skew_join" ->
       """SELECT c_mktsegment, COUNT(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) AS total

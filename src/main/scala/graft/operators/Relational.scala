@@ -530,6 +530,40 @@ object Relational {
       .select(col("doc_id"), col("lang"), col("bucket"))
       .orderBy(col("doc_id"))
 
+  /** Time-range window aggregate — per user, the event count and value sum
+    * over the trailing `windowSec` seconds (RANGE frame on epoch seconds,
+    * not ROWS: all ties at one timestamp enter the frame together, so the
+    * result is partitioning- and tie-order-independent). The rolling-metric
+    * shape of every ops dashboard; one shuffle on the key.
+    */
+  def trailingWindowStats(events: DataFrame, windowSec: Long = 300): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("sec"))
+      .rangeBetween(-windowSec, 0)
+    events
+      .withColumn("sec", col("ts").cast("long"))
+      .select(
+        col("user_id"), col("event_id"),
+        count(lit(1)).over(w).as("n_trailing"),
+        sum(col("value").cast(dec)).over(w).cast("double").as("sum_trailing"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** The rank-function family over one ordering — rank, dense_rank,
+    * percent_rank, cume_dist side by side (identical definitions in every
+    * SQL engine, so one oracle covers all four).
+    */
+  def priceRanks(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("o_totalprice"))
+    orders
+      .select(
+        col("o_orderkey"), col("o_orderpriority"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        round(percent_rank().over(w), 6).as("prnk"),
+        round(cume_dist().over(w), 6).as("cdist"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** Per-user event journey — the ordered collect_list shape (session-path
     * mining / sequence-model training rows). The in-group order is pinned by
     * sorting on (ts, event_id) structs, and the array is serialized to a
