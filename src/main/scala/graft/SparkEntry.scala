@@ -55,6 +55,9 @@ object SparkEntry {
     "q_median" -> ((s, d) => Relational.quantityMedian(Tables.lineitem(s, d))),
     "q_pivot" -> ((s, d) => Relational.eventCountsPivot(
       Tables.events(s, d), Seq("click", "error", "purchase", "signup", "view"))),
+    // multimodal decode pipeline over documents-as-binary; rows-only check
+    // (the stub decoder's float features are engine-specific)
+    "q_media_features" -> ((s, d) => operators.Multimodal.documentMediaFeatures(Tables.documents(s, d))),
     // sketches: no oracle (engine-specific internals) → rows-only check
     "q_approx_distinct" -> ((s, d) => Relational.approxDistinctUsersPerType(Tables.events(s, d))),
     "q_approx_quantiles" -> ((s, d) => Relational.approxPriceQuantiles(Tables.lineitem(s, d))),

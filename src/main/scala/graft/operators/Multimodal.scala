@@ -62,6 +62,30 @@ object Multimodal {
     media.mapPartitions(decoder.decode _)
   }
 
+  /** Treat the documents corpus as opaque media payloads — the binary-column
+    * ingestion shape (content = raw bytes, metadata typed) — and run the full
+    * decode pipeline over it. Exercises every seam of the multimodal path
+    * (schema, mapPartitions batch decode, feature flattening to a scalar
+    * schema) on real data; the driver records the rows-only check since the
+    * stub decoder's float features are engine-specific.
+    */
+  def documentMediaFeatures(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val media = Par.spread(docs)
+      .select(col("doc_id"), col("text"), col("n_chars"))
+      .as[(Long, String, Long)]
+      .map { case (id, text, nChars) =>
+        MediaRecord(id, "image", "application/octet-stream",
+          nChars.toInt, 1, 0L, text.getBytes("UTF-8"))
+      }
+    val cols = Seq(col("media_id"), col("decoder")) ++
+      (0 until 8).map(i => col("feature").getItem(i).as(s"f$i"))
+    extractFeatures(media)
+      .select(cols: _*)
+      .orderBy(col("media_id"))
+  }
+
   /** Resize planning — pure metadata projection (narrow, codegen'd): target
     * box fit preserving aspect ratio; the byte-level resample happens in the
     * decoder seam.
