@@ -45,6 +45,7 @@ object SparkEntry {
     "q_running_total" -> ((s, d) => Relational.runningTotalPerUser(Tables.events(s, d))),
     "q_distinct_count" -> ((s, d) => Relational.distinctUsersPerType(Tables.events(s, d))),
     "q_asof_join" -> ((s, d) => Relational.asOfJoinLatestError(Tables.events(s, d))),
+    "q_asof_join_sorted" -> ((s, d) => Relational.asOfJoinLatestErrorSorted(Tables.events(s, d))),
     "q_range_join" -> ((s, d) => Relational.eventPairsWithinWindow(Tables.events(s, d))),
     "q_cube" -> ((s, d) => Relational.orderCube(Tables.orders(s, d))),
     "q_string_fns" -> ((s, d) => Relational.partNameFormats(Tables.part(s, d))),
@@ -255,6 +256,15 @@ object SparkEntry {
       """SELECT event_type, COUNT(DISTINCT user_id) AS distinct_users, COUNT(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_asof_join" ->
+      """SELECT event_id, user_id, error_event_id, error_value FROM (
+        |  SELECT e.event_id, e.user_id, r.event_id AS error_event_id, r.value AS error_value,
+        |    ROW_NUMBER() OVER (PARTITION BY e.event_id
+        |      ORDER BY r.ts DESC, r.event_id DESC) AS rn
+        |  FROM events e LEFT OUTER JOIN (
+        |    SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'error') r
+        |  ON e.user_id = r.user_id AND r.ts <= e.ts AND r.event_id != e.event_id)
+        |WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    "q_asof_join_sorted" ->
       """SELECT event_id, user_id, error_event_id, error_value FROM (
         |  SELECT e.event_id, e.user_id, r.event_id AS error_event_id, r.value AS error_value,
         |    ROW_NUMBER() OVER (PARTITION BY e.event_id

@@ -277,6 +277,62 @@ object Relational {
       .orderBy(col("event_id"))
   }
 
+  /** [[asOfJoinLatestError]]'s sort-based twin — the no-fan-out formulation
+    * a 100 TB point-in-time join needs. The join version materializes
+    * events × errors-per-user rows before pruning to one; this version makes
+    * ONE pass in (ts, kind, id) order per user carrying the latest error as
+    * window state:
+    *
+    *  - error candidates sort before probes at equal ts (kind 0 < 1), so a
+    *    probe sees same-timestamp errors, matching `r.ts <= e.ts`;
+    *  - the carried payload is the max (ts, id) error so far — exactly the
+    *    join's ORDER BY r.ts DESC, r.event_id DESC pick;
+    *  - self-exclusion (an error probing for the latest error other than
+    *    itself): each candidate also carries its predecessor error id, so
+    *    when the carried winner IS the probe, the answer falls back to that
+    *    predecessor without a second pass.
+    *
+    * Cost: one shuffle+sort on user_id plus a final id-equi-join to fetch
+    * the error value. Output identical to the join form (same oracle).
+    */
+  def asOfJoinLatestErrorSorted(events: DataFrame): DataFrame = {
+    // microsecond epoch, NOT seconds: `r.ts <= e.ts` must compare at full
+    // timestamp precision or two same-second events order wrongly
+    val errs = events.filter(col("event_type") === "error")
+      .select(col("user_id"), unix_micros(col("ts")).as("sec"),
+        col("event_id"), col("value"))
+    val wErr = Window.partitionBy(col("user_id"))
+      .orderBy(col("sec"), col("event_id"))
+    val cand = errs
+      .withColumn("prev_err_id", lag(col("event_id"), 1).over(wErr))
+      .select(col("user_id"), col("sec"), lit(0).as("kind"),
+        col("event_id").as("oid"),
+        struct(col("sec").as("esec"), col("event_id").as("eid"),
+          col("prev_err_id")).as("payload"))
+    val payloadType = "struct<esec:bigint,eid:bigint,prev_err_id:bigint>"
+    val probes = events.select(
+      col("user_id"), unix_micros(col("ts")).as("sec"), lit(1).as("kind"),
+      col("event_id").as("oid"), lit(null).cast(payloadType).as("payload"))
+    val wAll = Window.partitionBy(col("user_id"))
+      .orderBy(col("sec"), col("kind"), col("oid"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val resolved = cand.union(probes)
+      .withColumn("winner", last(col("payload"), ignoreNulls = true).over(wAll))
+      .filter(col("kind") === 1)
+      .withColumn("error_event_id",
+        when(col("winner").isNull, lit(null))
+          .when(col("winner.eid") === col("oid"), col("winner.prev_err_id"))
+          .otherwise(col("winner.eid")))
+      .select(col("oid").as("event_id"), col("user_id"), col("error_event_id"))
+    resolved
+      .join(errs.select(col("event_id").as("error_event_id"),
+          col("value").as("error_value")),
+        Seq("error_event_id"), "left_outer")
+      .select(col("event_id"), col("user_id"),
+        col("error_event_id"), col("error_value"))
+      .orderBy(col("event_id"))
+  }
+
   /** Range (interval) join: per user, pairs of events within `windowSec` of
     * each other. The time-band predicate bounds the fan-out; at scale the
     * band becomes the join's bucketing key.
