@@ -95,6 +95,7 @@ object SparkEntry {
     "q_hash_sample" -> ((s, d) => Relational.hashStratifiedSample(Tables.documents(s, d))),
     "q_user_journeys" -> ((s, d) => Relational.userJourneys(Tables.events(s, d))),
     "q_moving_window" -> ((s, d) => Relational.trailingWindowStats(Tables.events(s, d))),
+    "q_profile" -> ((s, d) => Relational.profileLineitem(Tables.lineitem(s, d))),
     "q_rank_family" -> ((s, d) => Relational.priceRanks(Tables.orders(s, d))),
     // skew mitigation — result-identical to the plain join/agg, so the
     // salted plans take the same oracle as their unsalted twins
@@ -511,6 +512,28 @@ object SparkEntry {
         |  FROM documents)
         |WHERE bucket < CASE WHEN lang = 'en' THEN 50 ELSE 20 END
         |ORDER BY doc_id""".stripMargin,
+    "q_profile" ->
+      """SELECT 'l_orderkey' AS col_name, COUNT(l_orderkey) AS n,
+        |  COUNT(*) - COUNT(l_orderkey) AS n_null, COUNT(DISTINCT l_orderkey) AS n_distinct,
+        |  CAST(MIN(l_orderkey) AS VARCHAR) AS min_val, CAST(MAX(l_orderkey) AS VARCHAR) AS max_val
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_quantity', COUNT(l_quantity), COUNT(*) - COUNT(l_quantity),
+        |  COUNT(DISTINCT l_quantity),
+        |  CAST(CAST(MIN(l_quantity) AS BIGINT) AS VARCHAR),
+        |  CAST(CAST(MAX(l_quantity) AS BIGINT) AS VARCHAR)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_returnflag', COUNT(l_returnflag), COUNT(*) - COUNT(l_returnflag),
+        |  COUNT(DISTINCT l_returnflag), MIN(l_returnflag), MAX(l_returnflag)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_shipdate', COUNT(l_shipdate), COUNT(*) - COUNT(l_shipdate),
+        |  COUNT(DISTINCT l_shipdate),
+        |  CAST(CAST(MIN(l_shipdate) AS DATE) AS VARCHAR),
+        |  CAST(CAST(MAX(l_shipdate) AS DATE) AS VARCHAR)
+        |FROM lineitem
+        |ORDER BY col_name""".stripMargin,
     "q_moving_window" ->
       """SELECT user_id, event_id,
         |  COUNT(*) OVER w AS n_trailing,

@@ -639,6 +639,42 @@ object Relational {
           ",").as("path"))
       .orderBy(col("user_id"))
 
+  /** One-pass column profiling (the ANALYZE TABLE shape): per column, row
+    * count, null count, exact distinct count, min and max — computed as ONE
+    * wide aggregation over the scan, then unpivoted to a row per column with
+    * `stack`. At 100 TB this is the single-scan profile every ingestion job
+    * runs; swap countDistinct for approx_count_distinct when exactness isn't
+    * required and the distinct-state per column is large.
+    */
+  def profileLineitem(lineitem: DataFrame): DataFrame = {
+    val wide = lineitem.agg(
+      count(lit(1)).as("n_rows"),
+      count(col("l_orderkey")).as("ok_n"),
+      countDistinct(col("l_orderkey")).as("ok_nd"),
+      min(col("l_orderkey")).cast("string").as("ok_min"),
+      max(col("l_orderkey")).cast("string").as("ok_max"),
+      count(col("l_quantity")).as("q_n"),
+      countDistinct(col("l_quantity")).as("q_nd"),
+      min(col("l_quantity")).cast("long").cast("string").as("q_min"),
+      max(col("l_quantity")).cast("long").cast("string").as("q_max"),
+      count(col("l_returnflag")).as("rf_n"),
+      countDistinct(col("l_returnflag")).as("rf_nd"),
+      min(col("l_returnflag")).as("rf_min"),
+      max(col("l_returnflag")).as("rf_max"),
+      count(col("l_shipdate")).as("sd_n"),
+      countDistinct(col("l_shipdate")).as("sd_nd"),
+      min(col("l_shipdate")).cast("date").cast("string").as("sd_min"),
+      max(col("l_shipdate")).cast("date").cast("string").as("sd_max"))
+    wide.selectExpr(
+      """stack(4,
+        |  'l_orderkey',  ok_n, n_rows - ok_n, ok_nd, ok_min, ok_max,
+        |  'l_quantity',  q_n,  n_rows - q_n,  q_nd,  q_min,  q_max,
+        |  'l_returnflag', rf_n, n_rows - rf_n, rf_nd, rf_min, rf_max,
+        |  'l_shipdate',  sd_n, n_rows - sd_n, sd_nd, sd_min, sd_max)
+        |AS (col_name, n, n_null, n_distinct, min_val, max_val)""".stripMargin)
+      .orderBy(col("col_name"))
+  }
+
   /** Exact distinct count per group (A1 family; approx_count_distinct is the
     * scale path but has no cross-engine oracle — see Bench).
     */
