@@ -96,6 +96,9 @@ object SparkEntry {
     "q_user_journeys" -> ((s, d) => Relational.userJourneys(Tables.events(s, d))),
     "q_moving_window" -> ((s, d) => Relational.trailingWindowStats(Tables.events(s, d))),
     "q_profile" -> ((s, d) => Relational.profileLineitem(Tables.lineitem(s, d))),
+    "q_above_avg" -> ((s, d) => Relational.aboveAvgOrders(Tables.orders(s, d))),
+    "q_json_fns" -> ((s, d) => Relational.jsonRoundTrip(Tables.orders(s, d))),
+    "q_array_fns" -> ((s, d) => TextAnalysis.tokenArrayStats(Tables.documents(s, d))),
     "q_rank_family" -> ((s, d) => Relational.priceRanks(Tables.orders(s, d))),
     // skew mitigation — result-identical to the plain join/agg, so the
     // salted plans take the same oracle as their unsalted twins
@@ -512,6 +515,32 @@ object SparkEntry {
         |  FROM documents)
         |WHERE bucket < CASE WHEN lang = 'en' THEN 50 ELSE 20 END
         |ORDER BY doc_id""".stripMargin,
+    "q_above_avg" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_above,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) AS above_total
+        |FROM orders o JOIN (
+        |  SELECT o_orderpriority AS p,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) AS total,
+        |    COUNT(*) AS n
+        |  FROM orders GROUP BY 1) s ON o.o_orderpriority = s.p
+        |WHERE o.o_totalprice * s.n > s.total
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_json_fns" ->
+      """SELECT o_orderkey, payload,
+        |  json_extract_string(payload, '$.o_orderstatus') AS status_rt,
+        |  CAST(json_extract_string(payload, '$.o_orderkey') AS BIGINT) AS key_rt
+        |FROM (SELECT o_orderkey,
+        |  to_json(struct_pack(o_orderkey := o_orderkey,
+        |                      o_orderstatus := o_orderstatus))::VARCHAR AS payload
+        |  FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_array_fns" ->
+      """SELECT doc_id,
+        |  len(list_filter(string_split(text,' '), t -> length(t) >= 8)) AS n_long_tokens,
+        |  CAST(list_count(list_filter(string_split(text,' '), t -> t = 'the')) > 0 AS INT) AS has_the,
+        |  CAST(list_sum(list_transform(string_split(text,' '), t -> CAST(length(t) AS BIGINT))) AS BIGINT) AS total_chars,
+        |  list_max(list_transform(string_split(text,' '), t -> length(t))) AS max_token_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_profile" ->
       """SELECT 'l_orderkey' AS col_name, COUNT(l_orderkey) AS n,
         |  COUNT(*) - COUNT(l_orderkey) AS n_null, COUNT(DISTINCT l_orderkey) AS n_distinct,

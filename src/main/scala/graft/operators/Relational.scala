@@ -639,6 +639,39 @@ object Relational {
           ",").as("path"))
       .orderBy(col("user_id"))
 
+  /** JSON encode/decode round trip (SURVEY F11 — the Kafka-payload serde,
+    * batch-shaped): serialize a struct per row, then extract fields back out
+    * of the JSON string. Long/string fields only — double JSON rendering is
+    * engine-specific. Narrow, codegen'd projection.
+    */
+  def jsonRoundTrip(orders: DataFrame): DataFrame =
+    orders
+      .withColumn("payload",
+        to_json(struct(col("o_orderkey"), col("o_orderstatus"))))
+      .select(
+        col("o_orderkey"), col("payload"),
+        get_json_object(col("payload"), "$.o_orderstatus").as("status_rt"),
+        get_json_object(col("payload"), "$.o_orderkey").cast("long").as("key_rt"))
+      .orderBy(col("o_orderkey"))
+
+  /** Group-relative filtering — orders above their priority's average
+    * (the correlated-subquery shape, decorrelated into a groupwise-stats
+    * join). The comparison is `price * n > total` in exact arithmetic
+    * instead of `price > avg` so no engine-specific division rounding can
+    * flip a boundary row.
+    */
+  def aboveAvgOrders(orders: DataFrame): DataFrame = {
+    val stats = orders.groupBy(col("o_orderpriority").as("p"))
+      .agg(dsum(col("o_totalprice")).as("total"), count(lit(1)).as("n"))
+    orders
+      .join(broadcast(stats), col("o_orderpriority") === col("p"))
+      .filter(col("o_totalprice") * col("n") > col("total"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_above"),
+        dsum(col("o_totalprice")).as("above_total"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** One-pass column profiling (the ANALYZE TABLE shape): per column, row
     * count, null count, exact distinct count, min and max — computed as ONE
     * wide aggregation over the scan, then unpivoted to a row per column with

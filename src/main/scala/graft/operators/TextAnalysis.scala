@@ -117,6 +117,23 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("rank"))
   }
 
+  /** Array higher-order-function battery over the token array — transform /
+    * filter / exists / aggregate in one narrow projection (Spark HOFs ==
+    * DuckDB list_* lambdas). These evaluate interpreted in Catalyst (see
+    * BENCH notes) — fine for a profile pass, kernel-ize for hot paths.
+    */
+  def tokenArrayStats(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    Par.spread(docs).select(
+      col("doc_id"),
+      size(filter(toks, t => length(t) >= 8)).as("n_long_tokens"),
+      exists(toks, t => t === "the").cast("int").as("has_the"),
+      aggregate(transform(toks, t => length(t).cast("long")), lit(0L), _ + _)
+        .as("total_chars"),
+      array_max(transform(toks, t => length(t))).as("max_token_len"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Token counting under two tokenizers — whitespace vs a BPE-ish regex
     * (letter runs / digit runs / single punctuation, the shape of a
     * byte-pair pre-tokenizer). Both are narrow codegen'd projections; the
@@ -142,14 +159,18 @@ object TextAnalysis {
   def bigramPmi(docs: DataFrame, minCount: Long = 5, k: Int = 30): DataFrame = {
     val spread = Par.spread(docs)
     val toks = spread.select(col("doc_id"), tokens(col("text")).as("t"))
+    // both count frames feed two consumers (their grand total + the score
+    // join) — persist so the explode+agg pipelines run once
     val unigrams = toks.select(explode(col("t")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .persist()
     val bigramsAll = toks.select(explode(
       zip_with(col("t"), slice(col("t"), lit(2), size(col("t"))),
         (a, b) => struct(a.as("a"), b.as("b")))).as("bg"))
       .filter(col("bg.b").isNotNull)
       .select(col("bg.a").as("a"), col("bg.b").as("b"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("nab"))
+      .persist()
     val totalUni = unigrams.agg(sum(col("n"))).first().getLong(0)
     // probabilities over ALL bigrams; the min-count filter only gates output
     val totalBi = bigramsAll.agg(sum(col("nab"))).first().getLong(0)
