@@ -54,6 +54,7 @@ object SparkEntry {
     "q_conditional_agg" -> ((s, d) => Relational.conditionalAggs(Tables.orders(s, d))),
     "q_null_fns" -> ((s, d) => Relational.nullHandling(Tables.orders(s, d))),
     "q_median" -> ((s, d) => Relational.quantityMedian(Tables.lineitem(s, d))),
+    "q_quantiles_exact" -> ((s, d) => Relational.exactPriceQuantiles(Tables.lineitem(s, d))),
     "q_pivot" -> ((s, d) => Relational.eventCountsPivot(
       Tables.events(s, d), Seq("click", "error", "purchase", "signup", "view"))),
     // multimodal decode pipeline over documents-as-binary; rows-only check
@@ -327,6 +328,12 @@ object SparkEntry {
         |  quantile_cont(l_quantity, 0.5) AS median_qty,
         |  MIN(l_quantity) AS min_qty,
         |  MAX(l_quantity) AS max_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_quantiles_exact" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+        |  round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.75), 6) AS p75
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_pivot" ->
       """SELECT user_id,

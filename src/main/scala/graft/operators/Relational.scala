@@ -464,6 +464,25 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy(col("event_type"))
 
+  /** Exact multi-quantile per group (p25/p50/p75, linear interpolation) —
+    * the exact twin of [[approxPriceQuantiles]]: per-group state is linear
+    * in rows where the sketch twin is constant, which is the trade the
+    * 100 TB path flips. Quantile probes flatten to scalar columns; results
+    * round to 6 decimals so interpolation arithmetic compares cleanly
+    * across engines.
+    */
+  def exactPriceQuantiles(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(percentile(col("l_extendedprice"),
+        array(lit(0.25), lit(0.5), lit(0.75))).as("q"))
+      .select(
+        col("l_returnflag"),
+        round(col("q").getItem(0), 6).as("p25"),
+        round(col("q").getItem(1), 6).as("p50"),
+        round(col("q").getItem(2), 6).as("p75"))
+      .orderBy(col("l_returnflag"))
+
   def approxPriceQuantiles(lineitem: DataFrame): DataFrame =
     lineitem
       .groupBy(col("l_returnflag"))
