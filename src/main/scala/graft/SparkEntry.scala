@@ -55,6 +55,7 @@ object SparkEntry {
     "q_null_fns" -> ((s, d) => Relational.nullHandling(Tables.orders(s, d))),
     "q_median" -> ((s, d) => Relational.quantityMedian(Tables.lineitem(s, d))),
     "q_quantiles_exact" -> ((s, d) => Relational.exactPriceQuantiles(Tables.lineitem(s, d))),
+    "q_stats_moments" -> ((s, d) => Relational.quantityMoments(Tables.lineitem(s, d))),
     "q_pivot" -> ((s, d) => Relational.eventCountsPivot(
       Tables.events(s, d), Seq("click", "error", "purchase", "signup", "view"))),
     // multimodal decode pipeline over documents-as-binary; rows-only check
@@ -328,6 +329,13 @@ object SparkEntry {
         |  quantile_cont(l_quantity, 0.5) AS median_qty,
         |  MIN(l_quantity) AS min_qty,
         |  MAX(l_quantity) AS max_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_stats_moments" ->
+      """SELECT l_returnflag,
+        |  round(stddev_samp(l_quantity), 4) AS sd_qty,
+        |  round(var_samp(l_quantity), 4) AS var_qty,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+        |  round(covar_samp(l_quantity, l_discount), 4) AS cov_qty_disc
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_quantiles_exact" ->
       """SELECT l_returnflag,

@@ -464,6 +464,22 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy(col("event_type"))
 
+  /** Second-moment statistics per group — stddev/variance (sample) and the
+    * quantity↔price correlation/covariance. Both engines maintain these with
+    * online update formulas whose summation order differs, so results round
+    * (4 decimals absolute for the unbounded moments, 6 for the normalized
+    * correlation) before comparison.
+    */
+  def quantityMoments(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+        round(var_samp(col("l_quantity")), 4).as("var_qty"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+        round(covar_samp(col("l_quantity"), col("l_discount")), 4).as("cov_qty_disc"))
+      .orderBy(col("l_returnflag"))
+
   /** Exact multi-quantile per group (p25/p50/p75, linear interpolation) —
     * the exact twin of [[approxPriceQuantiles]]: per-group state is linear
     * in rows where the sketch twin is constant, which is the trade the
