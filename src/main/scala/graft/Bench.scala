@@ -21,20 +21,23 @@ object Bench {
       val df = if (n == "events") Tables.events(spark, sfDir) else Tables.load(spark, sfDir, n)
       df.write.format("noop").mode("overwrite").save()
     }
+    // dev aid: SPARK_GRAFT_ONLY=q_a,q_b restricts the run (warmup included,
+    // so the tight dev loop doesn't pay for 70 unrelated warmup queries)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory)
-      SparkEntry.queries.foreach { case (name, fn) =>
-        try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] warmup $name failed: ${e.getMessage}")
+      SparkEntry.queries
+        .filter { case (n, _) => only.forall(_.contains(n)) }
+        .foreach { case (name, fn) =>
+          try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] warmup $name failed: ${e.getMessage}")
+          }
         }
-      }
     // drain warmup debt (broadcast cleanup, accumulated garbage) before the
     // first timed query instead of inside it
     System.gc()
     Thread.sleep(2000)
-    // dev aid: SPARK_GRAFT_ONLY=q_a,q_b restricts the run
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>

@@ -145,6 +145,30 @@ object SparkEntry {
     s"len(list_filter(string_split(text,' '), t -> list_contains($list, t)))"
   private val enStopList = "['the','a','of','and','to','in','is','it']"
 
+  // Physical-strategy twins MUST stay result-identical — bind each pair to
+  // ONE oracle string so an edit can never drift the copies apart.
+  private val latestPerKeyOracle =
+    """SELECT user_id, event_id, event_type, value FROM (
+      |  SELECT *, ROW_NUMBER() OVER (
+      |    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin
+  private val asofOracle =
+    """SELECT event_id, user_id, error_event_id, error_value FROM (
+      |  SELECT e.event_id, e.user_id, r.event_id AS error_event_id, r.value AS error_value,
+      |    ROW_NUMBER() OVER (PARTITION BY e.event_id
+      |      ORDER BY r.ts DESC, r.event_id DESC) AS rn
+      |  FROM events e LEFT OUTER JOIN (
+      |    SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'error') r
+      |  ON e.user_id = r.user_id AND r.ts <= e.ts AND r.event_id != e.event_id)
+      |WHERE rn = 1 ORDER BY event_id""".stripMargin
+  private val topkPerGroupOracle =
+    """SELECT c_mktsegment, rank, o_orderkey, o_totalprice FROM (
+      |  SELECT c_mktsegment, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+      |      ORDER BY o_totalprice DESC, o_orderkey) AS rank
+      |  FROM orders JOIN customer ON o_custkey = c_custkey)
+      |WHERE rank <= 3 ORDER BY c_mktsegment, rank""".stripMargin
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
@@ -212,16 +236,8 @@ object SparkEntry {
         |       WHEN o_totalprice > 50000 THEN 'medium'
         |       ELSE 'small' END AS size_class
         |FROM orders ORDER BY o_orderkey""".stripMargin,
-    "q_latest_per_key" ->
-      """SELECT user_id, event_id, event_type, value FROM (
-        |  SELECT *, ROW_NUMBER() OVER (
-        |    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
-        |  FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin,
-    "q_latest_per_key_agg" ->
-      """SELECT user_id, event_id, event_type, value FROM (
-        |  SELECT *, ROW_NUMBER() OVER (
-        |    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
-        |  FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "q_latest_per_key" -> latestPerKeyOracle,
+    "q_latest_per_key_agg" -> latestPerKeyOracle,
     "q_latest_per_key2" ->
       """SELECT user_id, event_type, event_id, value FROM (
         |  SELECT *, ROW_NUMBER() OVER (
@@ -261,24 +277,8 @@ object SparkEntry {
     "q_distinct_count" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS distinct_users, COUNT(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
-    "q_asof_join" ->
-      """SELECT event_id, user_id, error_event_id, error_value FROM (
-        |  SELECT e.event_id, e.user_id, r.event_id AS error_event_id, r.value AS error_value,
-        |    ROW_NUMBER() OVER (PARTITION BY e.event_id
-        |      ORDER BY r.ts DESC, r.event_id DESC) AS rn
-        |  FROM events e LEFT OUTER JOIN (
-        |    SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'error') r
-        |  ON e.user_id = r.user_id AND r.ts <= e.ts AND r.event_id != e.event_id)
-        |WHERE rn = 1 ORDER BY event_id""".stripMargin,
-    "q_asof_join_sorted" ->
-      """SELECT event_id, user_id, error_event_id, error_value FROM (
-        |  SELECT e.event_id, e.user_id, r.event_id AS error_event_id, r.value AS error_value,
-        |    ROW_NUMBER() OVER (PARTITION BY e.event_id
-        |      ORDER BY r.ts DESC, r.event_id DESC) AS rn
-        |  FROM events e LEFT OUTER JOIN (
-        |    SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'error') r
-        |  ON e.user_id = r.user_id AND r.ts <= e.ts AND r.event_id != e.event_id)
-        |WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    "q_asof_join" -> asofOracle,
+    "q_asof_join_sorted" -> asofOracle,
     "q_range_join" ->
       """SELECT a.user_id, COUNT(*) AS close_pairs
         |FROM events a JOIN events b
@@ -498,20 +498,8 @@ object SparkEntry {
         |  MAX(CAST(floor(epoch(ts)) AS BIGINT)) - MIN(CAST(floor(epoch(ts)) AS BIGINT)) AS dur_sec,
         |  CAST(SUM(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS session_value
         |FROM z GROUP BY user_id, session_idx ORDER BY user_id, session_idx""".stripMargin,
-    "q_topk_per_group" ->
-      """SELECT c_mktsegment, rank, o_orderkey, o_totalprice FROM (
-        |  SELECT c_mktsegment, o_orderkey, o_totalprice,
-        |    ROW_NUMBER() OVER (PARTITION BY c_mktsegment
-        |      ORDER BY o_totalprice DESC, o_orderkey) AS rank
-        |  FROM orders JOIN customer ON o_custkey = c_custkey)
-        |WHERE rank <= 3 ORDER BY c_mktsegment, rank""".stripMargin,
-    "q_topk_per_group_agg" ->
-      """SELECT c_mktsegment, rank, o_orderkey, o_totalprice FROM (
-        |  SELECT c_mktsegment, o_orderkey, o_totalprice,
-        |    ROW_NUMBER() OVER (PARTITION BY c_mktsegment
-        |      ORDER BY o_totalprice DESC, o_orderkey) AS rank
-        |  FROM orders JOIN customer ON o_custkey = c_custkey)
-        |WHERE rank <= 3 ORDER BY c_mktsegment, rank""".stripMargin,
+    "q_topk_per_group" -> topkPerGroupOracle,
+    "q_topk_per_group_agg" -> topkPerGroupOracle,
     "q_histogram" ->
       """SELECT CAST(LEAST(FLOOR(o_totalprice / 25000.0), 20) AS BIGINT) AS bin,
         |  COUNT(*) AS n,

@@ -333,12 +333,21 @@ object Dedup {
             .as("cluster_id"),
           labels("cluster_id").as("prev"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      done = next.filter(col("cluster_id") =!= col("prev")).isEmpty
+      // count(), not isEmpty: isEmpty is a limit-1 job that materializes only
+      // the first changed partition, so unpersisting the previous round would
+      // force an O(rounds²) recompute cascade; count scans (and caches) all
+      // of `next` in the same single action as the convergence check
+      done = next.filter(col("cluster_id") =!= col("prev")).count() == 0
       persisted.unpersist()
       persisted = next
       labels = next.select(col("doc_id"), col("cluster_id"))
       iter += 1
     }
+    // min-label propagation converges in <= diameter rounds; hitting the cap
+    // means the result is NOT the fixpoint the oracle computes — fail loudly
+    // rather than return silently-wrong clusters
+    require(done, s"nearDupClusters did not converge within $maxIter rounds " +
+      "(component diameter exceeds maxIter); raise maxIter")
     pairs.unpersist()
     docs.select(col("doc_id"))
       .join(labels.select(col("doc_id"), col("cluster_id").as("comp")),

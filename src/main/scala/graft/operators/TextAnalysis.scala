@@ -95,7 +95,10 @@ object TextAnalysis {
     */
   def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
     val spread = Par.spread(docs)
-    val n = docs.count()
+    // corpus size as a broadcast 1-row frame, not an eager count(): keeps
+    // DataFrame construction lazy (no job fires until the caller acts) and
+    // mirrors the oracle's CROSS JOIN n
+    val n = docs.agg(count(lit(1)).cast("double").as("n_docs"))
     val docTerms = spread
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
       .groupBy(col("doc_id"), col("token"))
@@ -108,9 +111,10 @@ object TextAnalysis {
       .orderBy(col("tfidf").desc, col("token"))
     docTerms
       .join(broadcast(df), "token")
+      .crossJoin(broadcast(n))
       .withColumn("tfidf", round(
         col("tf").cast("double") *
-          log(lit(n.toDouble) / col("df").cast("double")), 6))
+          log(col("n_docs") / col("df").cast("double")), 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("doc_id"), col("rank"), col("token"), col("tfidf"))
@@ -159,29 +163,29 @@ object TextAnalysis {
   def bigramPmi(docs: DataFrame, minCount: Long = 5, k: Int = 30): DataFrame = {
     val spread = Par.spread(docs)
     val toks = spread.select(col("doc_id"), tokens(col("text")).as("t"))
-    // both count frames feed two consumers (their grand total + the score
-    // join) — persist so the explode+agg pipelines run once
     val unigrams = toks.select(explode(col("t")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("n"))
-      .persist()
     val bigramsAll = toks.select(explode(
       zip_with(col("t"), slice(col("t"), lit(2), size(col("t"))),
         (a, b) => struct(a.as("a"), b.as("b")))).as("bg"))
       .filter(col("bg.b").isNotNull)
       .select(col("bg.a").as("a"), col("bg.b").as("b"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("nab"))
-      .persist()
-    val totalUni = unigrams.agg(sum(col("n"))).first().getLong(0)
-    // probabilities over ALL bigrams; the min-count filter only gates output
-    val totalBi = bigramsAll.agg(sum(col("nab"))).first().getLong(0)
-    val bigrams = bigramsAll.filter(col("nab") >= minCount)
-    bigrams
+    // grand totals as broadcast 1-row frames (sums are < 2^53 so the double
+    // cast is exact): the whole computation stays ONE lazy plan — no eager
+    // collect jobs, no persisted frames leaking into the session cache.
+    // Probabilities are over ALL bigrams; the min-count filter gates output.
+    val tu = unigrams.agg(sum(col("n")).cast("double").as("tu"))
+    val tb = bigramsAll.agg(sum(col("nab")).cast("double").as("tb"))
+    bigramsAll.filter(col("nab") >= minCount)
       .join(broadcast(unigrams.select(col("w").as("a"), col("n").as("na"))), "a")
       .join(broadcast(unigrams.select(col("w").as("b"), col("n").as("nb"))), "b")
+      .crossJoin(broadcast(tu))
+      .crossJoin(broadcast(tb))
       .withColumn("pmi", round(log(
-        (col("nab").cast("double") / lit(totalBi.toDouble)) /
-          ((col("na").cast("double") / lit(totalUni.toDouble)) *
-            (col("nb").cast("double") / lit(totalUni.toDouble)))), 6))
+        (col("nab").cast("double") / col("tb")) /
+          ((col("na").cast("double") / col("tu")) *
+            (col("nb").cast("double") / col("tu")))), 6))
       .select(col("a"), col("b"), col("nab"), col("pmi"))
       .orderBy(col("pmi").desc, col("a"), col("b"))
       .limit(k)
