@@ -101,6 +101,7 @@ object SparkEntry {
     "q_above_avg" -> ((s, d) => Relational.aboveAvgOrders(Tables.orders(s, d))),
     "q_json_fns" -> ((s, d) => Relational.jsonRoundTrip(Tables.orders(s, d))),
     "q_array_fns" -> ((s, d) => TextAnalysis.tokenArrayStats(Tables.documents(s, d))),
+    "q_pii_scrub" -> ((s, d) => TextAnalysis.redactPii(Tables.documents(s, d))),
     "q_rank_family" -> ((s, d) => Relational.priceRanks(Tables.orders(s, d))),
     // skew mitigation — result-identical to the plain join/agg, so the
     // salted plans take the same oracle as their unsalted twins
@@ -537,6 +538,14 @@ object SparkEntry {
         |                      o_orderstatus := o_orderstatus))::VARCHAR AS payload
         |  FROM orders)
         |ORDER BY o_orderkey""".stripMargin,
+    "q_pii_scrub" ->
+      """SELECT doc_id,
+        |  regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9]{3,}', '<NUM>', 'g') AS redacted,
+        |  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |    + len(regexp_extract_all(text, '[0-9]{3,}')) AS n_masked
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_array_fns" ->
       """SELECT doc_id,
         |  len(list_filter(string_split(text,' '), t -> length(t) >= 8)) AS n_long_tokens,

@@ -191,6 +191,26 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** PII redaction — mask email-shaped tokens and long digit runs before a
+    * corpus ships to training. Pure narrow regexp projection (portable RE2 /
+    * java.util.regex character classes only); emits the redacted text plus
+    * a per-doc count of masked spans so a pipeline can quarantine
+    * high-PII-density documents.
+    */
+  def redactPii(docs: DataFrame): DataFrame = {
+    val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val numPat = "[0-9]{3,}"
+    val masked = regexp_replace(
+      regexp_replace(col("text"), emailPat, "<EMAIL>"), numPat, "<NUM>")
+    Par.spread(docs).select(
+      col("doc_id"),
+      masked.as("redacted"),
+      (size(regexp_extract_all(col("text"), lit(emailPat), lit(0))) +
+        size(regexp_extract_all(col("text"), lit(numPat), lit(0))))
+        .as("n_masked"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Document fingerprints: order-sensitive rolling hash + content md5. */
   def fingerprints(docs: DataFrame): DataFrame =
     Par.spread(docs).select(
