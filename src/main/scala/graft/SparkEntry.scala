@@ -56,6 +56,7 @@ object SparkEntry {
     "q_median" -> ((s, d) => Relational.quantityMedian(Tables.lineitem(s, d))),
     "q_quantiles_exact" -> ((s, d) => Relational.exactPriceQuantiles(Tables.lineitem(s, d))),
     "q_stats_moments" -> ((s, d) => Relational.quantityMoments(Tables.lineitem(s, d))),
+    "q_listagg" -> ((s, d) => Relational.statusListAgg(Tables.orders(s, d))),
     "q_pivot" -> ((s, d) => Relational.eventCountsPivot(
       Tables.events(s, d), Seq("click", "error", "purchase", "signup", "view"))),
     // multimodal decode pipeline over documents-as-binary; rows-only check
@@ -331,6 +332,11 @@ object SparkEntry {
         |  MIN(l_quantity) AS min_qty,
         |  MAX(l_quantity) AS max_qty
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_listagg" ->
+      """SELECT o_orderpriority,
+        |  string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_stats_moments" ->
       """SELECT l_returnflag,
         |  round(stddev_samp(l_quantity), 4) AS sd_qty,

@@ -464,6 +464,20 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy(col("event_type"))
 
+  /** Ordered string aggregation — listagg (Spark 4) with an explicit WITHIN
+    * GROUP ordering so the concatenation is deterministic under any
+    * partitioning; DISTINCT keeps per-group state bounded by domain
+    * cardinality, not row count.
+    */
+  def statusListAgg(orders: DataFrame): DataFrame =
+    orders
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        expr("listagg(DISTINCT o_orderstatus, ',') WITHIN GROUP (ORDER BY o_orderstatus)")
+          .as("statuses"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority"))
+
   /** Second-moment statistics per group — stddev/variance (sample) and the
     * quantity↔price correlation/covariance. Both engines maintain these with
     * online update formulas whose summation order differs, so results round
