@@ -90,6 +90,17 @@ class DedupSpec extends SparkSpec {
     assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L))
   }
 
+  test("nearDupClusters fails loudly instead of returning an unconverged fixpoint") {
+    val base = (0 until 40).map(i => s"w$i").mkString(" ")
+    val step1 = (0 until 40).map(i => if (i == 5) "X" else s"w$i").mkString(" ")
+    val d = docs((1L, base, "en"), (2L, step1, "en"))
+    // propagation needs 1 change round + 1 confirm round; maxIter = 1 must
+    // throw rather than emit labels the recursive-CTE oracle would reject
+    assertThrows[IllegalArgumentException] {
+      Dedup.nearDupClusters(d, maxIter = 1)
+    }
+  }
+
   test("LSH plan: no shuffle before the band join; candidate join is on band keys") {
     val plan = Dedup.minhashLshPairs(Tables.documents(spark, sf))
       .queryExecution.executedPlan.toString
