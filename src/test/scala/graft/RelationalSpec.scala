@@ -119,6 +119,22 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("observe() exposes pipeline metrics from the same pass as the query") {
+    // the production-monitoring hook: row/value counters ride the existing
+    // job instead of a second scan — at 100 TB a separate count() doubles I/O
+    import org.apache.spark.sql.Observation
+    import org.apache.spark.sql.functions._
+    val obs = Observation("ingest-gate")
+    val kept = Tables.lineitem(spark, sf)
+      .observe(obs, count(lit(1)).as("rows_seen"),
+        count(when(col("l_quantity") > 40, 1)).as("rows_heavy"))
+      .filter(col("l_quantity") > 40)
+      .count()
+    val m = obs.get
+    assert(m("rows_heavy").asInstanceOf[Long] == kept)
+    assert(m("rows_seen").asInstanceOf[Long] >= kept)
+  }
+
   test("filterProject pushes filters into the parquet scan") {
     val plan = Relational.filterProject(Tables.lineitem(spark, sf))
       .queryExecution.executedPlan.toString
