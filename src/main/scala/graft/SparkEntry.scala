@@ -57,6 +57,7 @@ object SparkEntry {
     "q_quantiles_exact" -> ((s, d) => Relational.exactPriceQuantiles(Tables.lineitem(s, d))),
     "q_stats_moments" -> ((s, d) => Relational.quantityMoments(Tables.lineitem(s, d))),
     "q_listagg" -> ((s, d) => Relational.statusListAgg(Tables.orders(s, d))),
+    "q_mode_per_group" -> ((s, d) => Relational.modalUserPerType(Tables.events(s, d))),
     "q_pivot" -> ((s, d) => Relational.eventCountsPivot(
       Tables.events(s, d), Seq("click", "error", "purchase", "signup", "view"))),
     // multimodal decode pipeline over documents-as-binary; rows-only check
@@ -332,6 +333,13 @@ object SparkEntry {
         |  MIN(l_quantity) AS min_qty,
         |  MAX(l_quantity) AS max_qty
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_mode_per_group" ->
+      """SELECT event_type, user_id AS modal_user, n AS n_max FROM (
+        |  SELECT event_type, user_id, n, ROW_NUMBER() OVER (
+        |    PARTITION BY event_type ORDER BY n DESC, user_id) AS rn
+        |  FROM (SELECT event_type, user_id, COUNT(*) AS n
+        |        FROM events GROUP BY event_type, user_id))
+        |WHERE rn = 1 ORDER BY event_type""".stripMargin,
     "q_listagg" ->
       """SELECT o_orderpriority,
         |  string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,

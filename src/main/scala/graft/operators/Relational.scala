@@ -464,6 +464,23 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy(col("event_type"))
 
+  /** Deterministic grouped mode — the most frequent user per event type,
+    * ties broken toward the lowest user id (built-in `mode()` picks an
+    * arbitrary tie winner, which no replayable pipeline should emit).
+    * Two hash aggregations: value counts, then max_by over (count, -id) —
+    * no window sort, constant state per group.
+    */
+  def modalUserPerType(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("event_type"))
+      .agg(
+        max_by(col("user_id"), struct(col("n"), (-col("user_id")).as("neg")))
+          .as("modal_user"),
+        max(col("n")).as("n_max"))
+      .orderBy(col("event_type"))
+
   /** Ordered string aggregation — listagg (Spark 4) with an explicit WITHIN
     * GROUP ordering so the concatenation is deterministic under any
     * partitioning; DISTINCT keeps per-group state bounded by domain
