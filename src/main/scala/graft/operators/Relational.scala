@@ -619,20 +619,59 @@ object Relational {
         dsum(col("o_totalprice")).as("bin_total"))
       .orderBy(col("bin"))
 
-  /** Quantile binning via ntile — equal-population quartiles over a unique
-    * total ordering (price, orderkey), rolled up to one row per quartile.
-    * The window's global sort is the honest cost of exact quantile binning;
-    * the approximate twin is approxPriceQuantiles.
+  /** Equal-population quartiles (count/lo/hi per bucket), NTILE(4)-exact,
+    * with no global window. Key fact: the grouped rollup of
+    * `NTILE(4) OVER (ORDER BY price, orderkey)` depends only on the price
+    * MULTISET — the orderkey tiebreak shuffles equal prices between adjacent
+    * buckets but bucket sizes are fixed by n alone (base n/4 + 1 extra for
+    * the first n%4 buckets) and equal values are interchangeable, so each
+    * bucket's min/max is an order statistic of price. Plan: one hash agg
+    * builds the (price, count) histogram (partial-agg'd, shuffled on price),
+    * a second agg packs the sorted histogram into one row (state =
+    * O(distinct prices) — the same envelope as Spark's exact `percentile`,
+    * which also merges a value→count map), and a single-row UDF walks it to
+    * emit the 4 bucket stats. No interpolation (exact data values out), no
+    * tie hazard, no single-partition WindowExec funneling the fact table
+    * through one task. Approximate twin for unbounded-distinct columns:
+    * [[approxPriceQuantiles]].
     */
-  def priceQuartiles(orders: DataFrame): DataFrame = {
-    val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
-    orders
-      .withColumn("quartile", ntile(4).over(w))
-      .groupBy(col("quartile"))
-      .agg(
-        count(lit(1)).as("n"),
-        min(col("o_totalprice")).as("lo"),
-        max(col("o_totalprice")).as("hi"))
+  def priceQuartiles(orders: DataFrame, buckets: Int = 4): DataFrame = {
+    val hist = orders
+      .groupBy(col("o_totalprice").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val packed = hist.agg(
+      sort_array(collect_list(struct(col("v"), col("c")))).as("h"))
+    val binStats = udf { (h: Seq[org.apache.spark.sql.Row]) =>
+      val n = h.iterator.map(_.getLong(1)).sum
+      val base = n / buckets
+      val rem = (n % buckets).toInt
+      // target ranks: each bucket's first and last 1-based rank
+      var out = List.empty[(Int, Long, Double, Double)]
+      var start = 1L
+      var hi = 0 // histogram cursor: index of run containing `covered+1`
+      var covered = 0L // ranks strictly before h(hi)
+      def valueAt(rank: Long): Double = {
+        while (covered + h(hi).getLong(1) < rank) { covered += h(hi).getLong(1); hi += 1 }
+        h(hi).getDouble(0)
+      }
+      for (b <- 1 to buckets) {
+        val size = base + (if (b <= rem) 1L else 0L)
+        if (size > 0) {
+          val lo = valueAt(start)
+          val hiV = valueAt(start + size - 1)
+          out = (b, size, lo, hiV) :: out
+          start += size
+        }
+      }
+      out.reverse
+    }
+    packed
+      .select(explode(binStats(col("h"))).as("q"))
+      .select(
+        col("q._1").as("quartile"),
+        col("q._2").as("n"),
+        col("q._3").as("lo"),
+        col("q._4").as("hi"))
       .orderBy(col("quartile"))
   }
 

@@ -95,6 +95,48 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("no shipped query plans a partition-less window (single-task funnel)") {
+    // A Window with an empty partitionSpec sorts the ENTIRE input through one
+    // task — correct on 60k rows, dead at 100 TB. Sweep every shipped query's
+    // optimized plan so the next one can't land unnoticed (round-2 verdict:
+    // q_quartiles did exactly this).
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow, WindowGroupLimit}
+    val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
+      val plan = fn(spark, sf).queryExecution.optimizedPlan
+      val globalWindows = plan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w.nodeName
+        case w: WindowGroupLimit if w.partitionSpec.isEmpty => w.nodeName
+      }
+      globalWindows.map(n => s"$name: $n")
+    }
+    assert(offenders.isEmpty,
+      s"partition-less Window operators found:\n${offenders.mkString("\n")}")
+  }
+
+  test("quartile binning matches NTILE(4) exactly, including boundary ties") {
+    // planted ties straddling every bucket boundary: 12 rows, 3 distinct
+    // prices x 4 — each boundary cuts through a tie run
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import graft.operators.Relational
+    val rows = (1L to 12L).map(k => (k, Seq(10.0, 20.0, 30.0)((k % 3).toInt)))
+    val orders = rows.toDF("o_orderkey", "o_totalprice")
+    val got = Relational.priceQuartiles(orders).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+    val want = orders.withColumn("q", ntile(4).over(w))
+      .groupBy(col("q")).agg(count(lit(1)).as("n"),
+        min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi"))
+      .orderBy(col("q")).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.toSeq == want.toSeq)
+    // and an n % 4 != 0 case: 10 rows -> buckets 3,3,2,2
+    val odd = (1L to 10L).map(k => (k, (k / 2).toDouble)).toDF("o_orderkey", "o_totalprice")
+    val gotOdd = Relational.priceQuartiles(odd).collect().map(_.getLong(1)).toSeq
+    assert(gotOdd == Seq(3L, 3L, 2L, 2L))
+  }
+
   test("grouped count: map-side partial agg over a vectorized 1-column scan") {
     // (AQE prints the pre-execution plan without WholeStageCodegen wrappers;
     // the codegen-ability is implied by Batched vectorized scan + HashAggregate)
