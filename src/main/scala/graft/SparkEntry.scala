@@ -74,6 +74,7 @@ object SparkEntry {
     "q_simhash" -> ((s, d) => Dedup.simhashFingerprints(Tables.documents(s, d))),
     "q_simhash_pairs" -> ((s, d) => Dedup.simhashNearDupPairs(Tables.documents(s, d))),
     "q_embedding_neardup" -> ((s, d) => Dedup.embeddingNearDupPairs(Tables.embeddings(s, d))),
+    "q_embedding_neardup_lsh" -> ((s, d) => Dedup.embeddingNearDupLsh(Tables.embeddings(s, d))),
     // LLM-pipeline: similarity search
     "q_ann_bruteforce" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
@@ -427,6 +428,26 @@ object SparkEntry {
          |    ${duckCos("a.emb", "b.emb")} AS cos
          |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
          |SELECT i, j, cos FROM scored WHERE cos >= 0.45 ORDER BY i, j""".stripMargin,
+    "q_embedding_neardup_lsh" -> {
+      // 16 bands x 4 sign bits; global plane index p in [0,64), same
+      // md5-derived +-1 hyperplanes as q_ann_lsh. Deterministic candidates
+      // => the oracle reproduces the LSH output, false negatives included.
+      val bandBucket =
+        """array_to_string(list_transform(range(b*4, b*4+4),
+          |    p -> CASE WHEN list_sum(list_transform(range(1, 65),
+          |      i -> emb[i] * (CASE WHEN ('0x' || substr(md5(p || ':' || i), 1, 15))::BIGINT % 2 = 1
+          |                     THEN 1.0 ELSE -1.0 END))) > 0
+          |    THEN '1' ELSE '0' END), '')""".stripMargin
+      s"""WITH e AS ($duckEmb),
+         |bk AS (SELECT vec_id, emb, b, $bandBucket AS bucket
+         |  FROM e CROSS JOIN (SELECT unnest(range(0, 16)) AS b)),
+         |cand AS (SELECT DISTINCT x.vec_id AS i, y.vec_id AS j
+         |  FROM bk x JOIN bk y
+         |  ON x.b = y.b AND x.bucket = y.bucket AND x.vec_id < y.vec_id),
+         |scored AS (SELECT i, j, ${duckCos("ea.emb", "eb.emb")} AS cos
+         |  FROM cand JOIN e ea ON ea.vec_id = i JOIN e eb ON eb.vec_id = j)
+         |SELECT i, j, cos FROM scored WHERE cos >= 0.45 ORDER BY i, j""".stripMargin
+    },
     "q_ann_bruteforce" ->
       s"""WITH e AS ($duckEmb),
          |q AS (SELECT vec_id AS query_id, emb AS q_emb FROM e WHERE vec_id < 5),
@@ -457,7 +478,8 @@ object SparkEntry {
     },
     "q_ann_ivf" ->
       s"""WITH e AS ($duckEmb),
-         |c AS (SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id % 37 = 0),
+         |c AS (SELECT vec_id AS cid, emb AS cemb FROM e
+         |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
          |asg AS (SELECT vec_id, cid FROM (
          |  SELECT e.vec_id, c.cid, ROW_NUMBER() OVER (
          |      PARTITION BY e.vec_id ORDER BY ${duckCos("e.emb", "c.cemb")} DESC, c.cid) AS rn

@@ -357,9 +357,57 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
-  /** Embedding-cosine near-dup pairs (brute force; the ANN path for scale is
-    * SimilaritySearch.lshTopK). Cosine is computed in double, sequentially,
-    * index-ascending — bit-identical to the oracle's list_sum.
+  /** Embedding-cosine near-dup pairs via banded sign-LSH — the DEFAULT scale
+    * path (no driver collect, no O(corpus) broadcast): every stage is a
+    * narrow projection or a hash equi-join, so the plan survives a corpus
+    * that does not fit one executor.
+    *
+    * Shape: each vector gets `bands` bucket ids (bandBits sign bits per
+    * band, deterministic md5-derived hyperplanes shared with
+    * [[SimilaritySearch.lshBucket]]), posexplode → self-join on
+    * (band, bucket) with i<j → dropDuplicates(i,j) → exact codegen'd cosine
+    * verify. Candidates are hash-uniform (sign bits of random projections),
+    * so the join has no planted skew key.
+    *
+    * Recall contract: a pair at cosine c collides per band with
+    * p = (1 - acos(c)/pi)^bandBits and overall with 1-(1-p^1)^bands; the
+    * candidate set is DETERMINISTIC, so the oracle reproduces the exact
+    * output false negatives included, and SimilaritySpec measures recall
+    * against [[embeddingNearDupPairs]]. Defaults (16 bands x 4 bits) fit
+    * this corpus's 0.45 threshold; a production near-dup threshold (>=0.9)
+    * takes wider bands (selective buckets) at the same plan shape.
+    */
+  def embeddingNearDupLsh(
+      embeddings: DataFrame, threshold: Double = 0.45,
+      bands: Int = 16, bandBits: Int = 4, dim: Int = 64): DataFrame = {
+    graft.plans.GraftFunctions.register(embeddings.sparkSession)
+    val planes = SimilaritySearch.planeSigns(bands * bandBits, dim)
+    val bucketCols = (0 until bands).map { b =>
+      SimilaritySearch.lshBucket(
+        col("embedding"), planes.slice(b * bandBits, (b + 1) * bandBits))
+    }
+    val bucketed = embeddings
+      .select(col("vec_id"), col("embedding"), posexplode(array(bucketCols: _*)))
+      .toDF("vec_id", "embedding", "band", "bucket")
+    val left = bucketed.toDF("i", "emb_i", "band", "bucket")
+    val right = bucketed.toDF("j", "emb_j", "band", "bucket")
+    left.join(right, Seq("band", "bucket"))
+      .filter(col("i") < col("j"))
+      // emb_i/emb_j are functionally determined by (i,j): any surviving row
+      // carries the same vectors, so subset-dropDuplicates is sound
+      .dropDuplicates("i", "j")
+      .withColumn("cos", round(
+        call_function("cosine_similarity", col("emb_i"), col("emb_j")), 6))
+      .filter(col("cos") >= threshold)
+      .select(col("i"), col("j"), col("cos"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  /** Embedding-cosine near-dup pairs, brute force — the EXACTNESS BASELINE
+    * and recall-measurement twin of [[embeddingNearDupLsh]] (which is the
+    * path that scales; this one broadcasts the full corpus as a primitive
+    * matrix and must fit an executor). Cosine is computed in double,
+    * sequentially, index-ascending — bit-identical to the oracle's list_sum.
     */
   def embeddingNearDupPairs(
       embeddings: DataFrame, threshold: Double = 0.45, dim: Int = 64): DataFrame = {

@@ -97,25 +97,41 @@ object SimilaritySearch {
 
   /** IVF (inverted-file) approximate top-k — the learned-quantizer scale
     * path: corpus vectors are assigned to the nearest of a small centroid
-    * set, queries probe only their own cell. Centroids here are a
-    * deterministic corpus sample (vec_id % modulus == 0) standing in for
-    * k-means means — same plan shape, reproducible in the oracle; a trained
-    * quantizer drops in by replacing the centroid frame. Assignment is a
-    * broadcast-matrix kernel (argmax over centroids, ties to the lowest
-    * centroid id on the rounded cosine); the probe is a hash equi-join on
-    * cell id.
+    * set, queries probe only their own cell. Centroids are a FIXED-k
+    * deterministic corpus sample — the `nCentroids` vectors with the
+    * smallest md5(vec_id) (a replayable uniform draw, reproducible in the
+    * oracle) — standing in for k-means means; a trained quantizer drops in
+    * by replacing the centroid frame. Selection compiles to
+    * TakeOrderedAndProject (per-partition top-k, O(k) rows to the driver),
+    * so the broadcast is O(k) NO MATTER the corpus size — unlike a
+    * `vec_id % m` sample, whose centroid count (and broadcast) grows
+    * linearly with the corpus. Assignment is a broadcast-matrix kernel
+    * (argmax over centroids, ties to the lowest centroid id on the rounded
+    * cosine); the probe is a hash equi-join on cell id.
     */
+  /** The coarse quantizer's centroid set: the nCentroids corpus vectors with
+    * the smallest md5(vec_id) — a replayable uniform draw. orderBy+limit
+    * compiles to TakeOrderedAndProject, so only O(k) rows ever reach the
+    * driver regardless of corpus size (asserted by SimilaritySpec).
+    */
+  def ivfCentroids(corpus: DataFrame, nCentroids: Int): Array[(Long, Array[Double], Double)] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    corpus
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(nCentroids)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .collect().sortBy(_._1)
+      .map { case (id, f) => val d = f.map(_.toDouble); (id, d, l2NormKernel(d)) }
+  }
+
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame,
-      k: Int = 5, modulus: Int = 37): DataFrame = {
+      k: Int = 5, nCentroids: Int = 16): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     graft.plans.GraftFunctions.register(spark)
-    val centroids = spark.sparkContext.broadcast(
-      corpus.filter(col("vec_id") % modulus === 0)
-        .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
-        .collect().sortBy(_._1)
-        .map { case (id, f) => val d = f.map(_.toDouble); (id, d, l2NormKernel(d)) })
+    val centroids = spark.sparkContext.broadcast(ivfCentroids(corpus, nCentroids))
 
     def assigned(df: DataFrame): DataFrame =
       Par.spread(df.select(col("vec_id"), col("embedding"))).as[(Long, Array[Float])]

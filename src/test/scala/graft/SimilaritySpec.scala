@@ -61,6 +61,42 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.1) // 4 planes = 16 buckets; bucket-restricted recall is partial by design
   }
 
+  test("embeddingNearDupLsh: recall vs brute force, no false positives, no collect") {
+    import graft.operators.Dedup
+    val emb = Tables.embeddings(spark, sf)
+    val lsh = Dedup.embeddingNearDupLsh(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val brute = Dedup.embeddingNearDupPairs(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // every LSH pair is a true pair with the identical verified cosine
+    assert(lsh.toSet.subsetOf(brute.toSet), "LSH emitted a non-pair or wrong cosine")
+    val recall = if (brute.isEmpty) 1.0 else lsh.length.toDouble / brute.length
+    info(f"near-dup LSH recall vs brute force: $recall%.2f (${lsh.length}/${brute.length} pairs)")
+    assert(recall >= 0.8, f"16x4-band recall degraded: $recall%.2f")
+    // scale contract: the plan is join-shaped — no driver-side matrix
+    val plan = Dedup.embeddingNearDupLsh(emb).queryExecution.executedPlan.toString
+    assert(plan.contains("Join"), plan)
+  }
+
+  test("ivfTopK centroid set is O(k): fixed size on a doubled corpus, TakeOrdered plan") {
+    val emb = Tables.embeddings(spark, sf)
+    val doubled = emb.union(emb.withColumn("vec_id", col("vec_id") + 100000))
+    val c1 = SimilaritySearch.ivfCentroids(emb, 8)
+    val c2 = SimilaritySearch.ivfCentroids(doubled, 8)
+    assert(c1.length == 8 && c2.length == 8,
+      "centroid count must not grow with the corpus")
+    // deterministic: same call, same centroids
+    assert(SimilaritySearch.ivfCentroids(emb, 8).map(_._1).toSeq == c1.map(_._1).toSeq)
+    // selection plan is per-partition top-k, not a global sort
+    val selPlan = emb
+      .orderBy(org.apache.spark.sql.functions.md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(8).queryExecution.executedPlan.toString
+    assert(selPlan.contains("TakeOrderedAndProject"), selPlan)
+    val out = SimilaritySearch.ivfTopK(doubled, emb.filter(col("vec_id") < 5),
+      k = 5, nCentroids = 8).collect()
+    assert(out.nonEmpty)
+  }
+
   test("ivfTopK probes only the query's cell and returns ordered neighbors") {
     val emb = Tables.embeddings(spark, sf)
     val out = SimilaritySearch.ivfTopK(emb, emb.filter(col("vec_id") < 5), k = 5)
