@@ -141,17 +141,29 @@ object Dedup {
       .orderBy(col("i"), col("j"))
   }
 
-  /** Exact n-gram Jaccard near-dup pairs, blocked by `lang` — the
-    * exact-recall baseline the LSH variant trades against.
+  /** N-gram Jaccard near-dup pairs, blocked by `lang` — the exact-recall
+    * baseline the LSH variant trades against.
     *
     * Inverted-index formulation: explode to (shingle, doc) postings and join
     * postings on (shingle, lang) to count |A∩B| per pair — only pairs
     * sharing ≥1 shingle materialize (a pair with jaccard ≥ t > 0 always
-    * does, so output equals the naive n² loop's). Cost is Σ_s df(s)² instead
-    * of n²·|sh| — at scale, cap df(s) (drop boilerplate shingles) to bound
-    * the skew; exact here since the corpus has no ultra-frequent shingles.
+    * does). Cost is Σ_s df(s)² instead of n²·|sh|.
+    *
+    * Skew bound: a posting group is pair-generated only when its document
+    * frequency is ≤ `dfCap` — one viral boilerplate shingle ("click here to
+    * subscribe…") would otherwise create a df² quadratic group at 100 TB.
+    * The group is short-circuited BEFORE materializing (take(dfCap+1)), so
+    * the bound holds on memory as well as output. Recall contract: dropping
+    * a shingle with df > dfCap removes it from every pair's intersection
+    * count — a pair whose shared shingles are ALL viral is missed entirely,
+    * and a pair sharing some viral shingles has its jaccard underestimated
+    * (denominator keeps all shingles), which can only push it BELOW the
+    * threshold, never create a false positive. On this corpus max df ≈ 14 ≪
+    * 128, so the default output is exact and the uncapped DuckDB oracle
+    * stays green; DfCapSpec plants a viral shingle to prove the bound.
     */
-  def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.6): DataFrame = {
+  def ngramJaccardPairs(
+      docs: DataFrame, threshold: Double = 0.6, dfCap: Int = 128): DataFrame = {
     // shingling as a kernel: the declarative form re-evaluates split(text)
     // inside the transform lambda for every shingle (CollapseProject inlines
     // the alias), turning an O(tokens) job into O(tokens·shingles)
@@ -179,12 +191,18 @@ object Dedup {
     postings
       .groupByKey { case (_, lang, _, s) => (lang, s) }
       .flatMapGroups { (_, rows) =>
-        val ds = rows.map { case (id, _, sz, _) => (id, sz) }.toArray
-        java.util.Arrays.sort(ds, Ordering.by((t: (Long, Int)) => t._1))
-        for {
-          i <- ds.indices.iterator
-          j <- (i + 1 until ds.length).iterator
-        } yield (ds(i)._1, ds(j)._1, ds(i)._2, ds(j)._2)
+        // bounded materialization: a viral group is detected at dfCap+1 and
+        // dropped without buffering (or pairing) the rest of its postings
+        val ds = rows.map { case (id, _, sz, _) => (id, sz) }
+          .take(dfCap + 1).toArray
+        if (ds.length > dfCap) Iterator.empty
+        else {
+          java.util.Arrays.sort(ds, Ordering.by((t: (Long, Int)) => t._1))
+          for {
+            i <- ds.indices.iterator
+            j <- (i + 1 until ds.length).iterator
+          } yield (ds(i)._1, ds(j)._1, ds(i)._2, ds(j)._2)
+        }
       }
       .toDF("i", "j", "sz_i", "sz_j")
       .groupBy(col("i"), col("j"), col("sz_i"), col("sz_j"))
@@ -282,73 +300,96 @@ object Dedup {
       .orderBy(col("i"), col("j"))
   }
 
-  /** Near-duplicate CLUSTERS — connected components over the exact-Jaccard
-    * pair graph, as iterative min-label propagation: every doc starts
-    * labeled with its own id, then repeatedly takes the min label over
-    * itself and its neighbors until a fixpoint. The fixpoint label is the
-    * min doc_id reachable in the component — a canonical, deterministic
-    * cluster id (the survivor a dedup pass would keep).
+  /** Connected components over an undirected pair list `(i, j)` by
+    * alternating large-star / small-star edge rewrites (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14).
     *
-    * Scale notes: each iteration is one join edges⋈labels + one min-agg +
-    * one left join — all hash-partitioned on doc id, no driver-side graph.
-    * Iteration count is bounded by component diameter (near-dup components
-    * are quasi-cliques, so 2-3 rounds in practice); for adversarial
-    * chain-shaped graphs the large-star/small-star variant (Kiveris et al.,
-    * "Connected Components in MapReduce") halves diameter per round — same
-    * join shapes, different edge rewriting. Labels are persisted per round
-    * and the previous round unpersisted, so lineage stays O(1) deep.
+    * Each round: LARGE-STAR groups the mirrored edge list by every endpoint
+    * u and re-points u's strictly-larger neighbors at m(u) = min(N(u) ∪
+    * {u}); SMALL-STAR groups by the larger endpoint and re-points its
+    * smaller neighbors (and itself) at the group minimum. Component height
+    * roughly halves per round, so a diameter-d chain converges in O(log d)
+    * rounds — vs the O(d) of plain min-label propagation: on a 100 TB pair
+    * graph with one chain-shaped component that is ~10 shuffles instead of
+    * ~10,000. Terminal state is a star per component, rooted at the
+    * component-minimum id (the same canonical labels the min-label fixpoint
+    * and the recursive-CTE oracle produce).
+    *
+    * Every stage is a hash groupBy/join on node ids — no driver-side graph.
+    * Each round's edge set is `localCheckpoint`ed: unlike persist(), that
+    * TRUNCATES the logical plan to a LogicalRDD, keeping plan size O(1) per
+    * round — the round-over-round plan otherwise grows ~5× per iteration
+    * (union+join+union) and OOMs the driver just RENDERING the explain
+    * string by round 7. On a real cluster with executor loss, swap for
+    * reliable `checkpoint` to an HDFS dir — same lineage-truncation
+    * semantics, fault-tolerant storage. Fails loudly (require) if `maxIter`
+    * rounds do not reach the fixpoint, rather than returning wrong labels.
+    *
+    * Returns (labels for nodes with degree >= 1 as (doc_id, cluster_id),
+    * rounds used) — DedupSpec asserts the O(log d) round count on a planted
+    * 100-node chain.
+    */
+  def connectedComponentsStars(
+      pairs: DataFrame, maxIter: Int = 30): (DataFrame, Int) = {
+    var edges = pairs
+      .select(least(col("i"), col("j")).as("i"), greatest(col("i"), col("j")).as("j"))
+      .filter(col("i") =!= col("j"))
+      .distinct()
+      .localCheckpoint()
+    var nEdges = edges.count()
+    var iter = 0
+    var done = nEdges == 0
+    while (!done && iter < maxIter) {
+      // large-star: mirrored neighbor list, m(u) = min(N(u) ∪ {u}); every
+      // larger neighbor j of u is re-pointed at m(u). m ≤ u < j keeps the
+      // (i < j) canonical form with no self loops.
+      val nbrs = edges.union(edges.select(col("j").as("i"), col("i").as("j")))
+      val minsL = nbrs.groupBy(col("i")).agg(min(col("j")).as("mn"))
+        .select(col("i").as("u"), least(col("i"), col("mn")).as("m"))
+      val large = nbrs
+        .filter(col("j") > col("i"))
+        .join(minsL, col("i") === col("u"))
+        .select(col("m").as("i"), col("j"))
+        .distinct()
+      // small-star: group by the larger endpoint j, m = min of its smaller
+      // neighbors; re-point each smaller neighbor and j itself at m
+      val minsS = large.groupBy(col("j")).agg(min(col("i")).as("m"))
+      val small = large.join(minsS, Seq("j"))
+        .select(col("m").as("i"), col("i").as("j"))
+        .union(minsS.select(col("m").as("i"), col("j")))
+        .filter(col("i") =!= col("j"))
+        .distinct()
+        .localCheckpoint()
+      val nNext = small.count()
+      // fixpoint iff the canonical edge set is unchanged (both sides are
+      // distinct, so one-sided except + count equality decides set equality)
+      done = nNext == nEdges && small.except(edges).count() == 0
+      edges = small
+      nEdges = nNext
+      iter += 1
+    }
+    require(done, s"connectedComponentsStars did not converge within $maxIter " +
+      "rounds; raise maxIter")
+    // terminal star: every leaf j has exactly one edge to its component root
+    val labels = edges.select(col("j").as("doc_id"), col("i").as("cluster_id"))
+      .union(edges.select(col("i")).distinct()
+        .select(col("i").as("doc_id"), col("i").as("cluster_id")))
+    (labels, iter)
+  }
+
+  /** Near-duplicate CLUSTERS — connected components over the exact-Jaccard
+    * pair graph via [[connectedComponentsStars]]. The component label is
+    * the min doc_id reachable in the component — a canonical, deterministic
+    * cluster id (the survivor a dedup pass would keep). Only vertices with
+    * degree ≥ 1 enter the iteration; singletons join back at the end
+    * labeled by their own id.
     */
   def nearDupClusters(
       docs: DataFrame, threshold: Double = 0.6, maxIter: Int = 20): DataFrame = {
-    import org.apache.spark.storage.StorageLevel
-    // materialize the pair graph ONCE before mirroring it — a union of two
-    // branches of the same uncached plan would run the whole shingle +
-    // posting pipeline twice
+    // the entry localCheckpoint inside connectedComponentsStars materializes
+    // the shingle + posting pipeline exactly once; no extra persist needed
     val pairs = ngramJaccardPairs(docs, threshold).select(col("i"), col("j"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    pairs.count()
-    val edges = pairs
-      .union(pairs.select(col("j").as("i"), col("i").as("j")))
-    // only vertices with degree >= 1 can ever change label — iterate over
-    // that (much smaller) set; singletons join back at the end labeled by
-    // their own id
-    var persisted = edges.select(col("i").as("doc_id")).distinct()
-      .withColumn("cluster_id", col("doc_id"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = persisted
-    labels.count()
-    var iter = 0
-    var done = false
-    while (!done && iter < maxIter) {
-      val nmin = edges
-        .join(labels.select(col("doc_id").as("jid"), col("cluster_id")),
-          col("j") === col("jid"))
-        .groupBy(col("i")).agg(min(col("cluster_id")).as("nmin"))
-      // carry the previous label so materialization and the convergence
-      // check are ONE action per round, not two
-      val next = labels
-        .join(nmin, labels("doc_id") === nmin("i"), "left_outer")
-        .select(labels("doc_id"),
-          least(labels("cluster_id"), coalesce(col("nmin"), labels("cluster_id")))
-            .as("cluster_id"),
-          labels("cluster_id").as("prev"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      // count(), not isEmpty: isEmpty is a limit-1 job that materializes only
-      // the first changed partition, so unpersisting the previous round would
-      // force an O(rounds²) recompute cascade; count scans (and caches) all
-      // of `next` in the same single action as the convergence check
-      done = next.filter(col("cluster_id") =!= col("prev")).count() == 0
-      persisted.unpersist()
-      persisted = next
-      labels = next.select(col("doc_id"), col("cluster_id"))
-      iter += 1
-    }
-    // min-label propagation converges in <= diameter rounds; hitting the cap
-    // means the result is NOT the fixpoint the oracle computes — fail loudly
-    // rather than return silently-wrong clusters
-    require(done, s"nearDupClusters did not converge within $maxIter rounds " +
-      "(component diameter exceeds maxIter); raise maxIter")
-    pairs.unpersist()
+    val (labels, _) = connectedComponentsStars(pairs, maxIter)
     docs.select(col("doc_id"))
       .join(labels.select(col("doc_id"), col("cluster_id").as("comp")),
         Seq("doc_id"), "left_outer")

@@ -76,6 +76,30 @@ class DedupSpec extends SparkSpec {
     assert(pairs(0).getAs[Long]("i") == 1L && pairs(0).getAs[Long]("j") == 2L)
   }
 
+  test("ngramJaccardPairs dfCap drops viral posting groups, keeps non-viral pairs") {
+    // 100 docs whose ONLY pairwise-shared shingle is viral (identical 3-token
+    // text, df = 100), plus one true near-dup pair built from unique shingles
+    val viral = (1L to 100L).map(i => (i, "spam spam spam", "en"))
+    val truePair = Seq(
+      (200L, "alpha beta gamma delta epsilon", "en"),
+      (201L, "alpha beta gamma delta zeta", "en"))
+    val d = docs(viral ++ truePair: _*)
+    val capped = Dedup.ngramJaccardPairs(d, threshold = 0.5, dfCap = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // the df=100 group is short-circuited: none of its 4950 pairs appear
+    assert(capped.toSeq == Seq((200L, 201L)),
+      s"expected only the non-viral pair, got ${capped.length} pairs")
+    // uncapped twin proves the viral pairs exist without the cap
+    val uncapped = Dedup.ngramJaccardPairs(d, threshold = 0.5, dfCap = 1000)
+      .count()
+    assert(uncapped == 4950 + 1)
+    // default cap is far above this corpus' max df: real output is exact
+    val corpus = Tables.documents(spark, sf)
+    val defaultOut = Dedup.ngramJaccardPairs(corpus).collect().toSet
+    val exactOut = Dedup.ngramJaccardPairs(corpus, dfCap = Int.MaxValue - 1).collect().toSet
+    assert(defaultOut == exactOut)
+  }
+
   test("near-dup clusters: transitive chains collapse to the min reachable id") {
     // 1~2 and 2~3 are near-dups (one token changed each step); 4 is unrelated.
     // Even if 1~3 falls below threshold, transitivity must put all three in
@@ -91,14 +115,26 @@ class DedupSpec extends SparkSpec {
   }
 
   test("nearDupClusters fails loudly instead of returning an unconverged fixpoint") {
-    val base = (0 until 40).map(i => s"w$i").mkString(" ")
-    val step1 = (0 until 40).map(i => if (i == 5) "X" else s"w$i").mkString(" ")
-    val d = docs((1L, base, "en"), (2L, step1, "en"))
-    // propagation needs 1 change round + 1 confirm round; maxIter = 1 must
-    // throw rather than emit labels the recursive-CTE oracle would reject
+    // a 3-node path needs 2 star rounds (round 1 re-points 3 at 1, round 2
+    // confirms the star); maxIter = 1 must throw rather than emit labels the
+    // recursive-CTE oracle would reject
     assertThrows[IllegalArgumentException] {
-      Dedup.nearDupClusters(d, maxIter = 1)
+      val pairs = Seq((1L, 2L), (2L, 3L)).toDF("i", "j")
+      Dedup.connectedComponentsStars(pairs, maxIter = 1)
     }
+  }
+
+  test("star CC: planted 100-node chain converges in O(log d) rounds, not O(d)") {
+    // worst case for min-label propagation: a path graph of diameter 99
+    // would need ~99 rounds there; large-star/small-star halves component
+    // height per round, so it must land well under log-scale + slack
+    val pairs = (1L until 100L).map(i => (i, i + 1)).toDF("i", "j")
+    val (labels, rounds) = Dedup.connectedComponentsStars(pairs)
+    val lbl = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lbl.keySet == (1L to 100L).toSet)
+    assert((1L to 100L).forall(n => lbl(n) == 1L),
+      s"all chain nodes must label to the component min; got ${lbl.filter(_._2 != 1L)}")
+    assert(rounds <= 12, s"expected O(log 99) ~ 7 rounds (+slack), got $rounds")
   }
 
   test("LSH plan: no shuffle before the band join; candidate join is on band keys") {
