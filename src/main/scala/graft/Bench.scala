@@ -7,6 +7,11 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // AQE coalescing stays at its parallelism-first default: the measured
+      // A/B (BENCH.md) shows size-based coalescing (parallelismFirst=false)
+      // costs 10 s across the suite — intermediate shuffles collapse to few
+      // partitions and serialize the heavy downstream stages (quantiles,
+      // dedup clusters, profile) for only noise-level wins on tiny outputs
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -54,21 +59,23 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); None
         }
       }
-      (once(), once()) match {
-        case (Some(a), Some(b)) => (name, math.min(a, b), true)
-        case (Some(a), None) => (name, a, true)
-        case (None, Some(b)) => (name, b, true)
-        case _ => (name, -1.0, false)
-      }
+      val samples = Seq(once(), once())
+      val ok = samples.flatten
+      (name, if (ok.nonEmpty) ok.min else -1.0, ok.nonEmpty, samples)
     }
     // failed queries report sentinel -1 and are excluded from the total, so a
     // crash can never masquerade as a fast success in the JSON
-    val qs = results.map { case (k, v, ok) => s"\"" + k + "\":" + (if (ok) v else -1) }
+    val qs = results.map { case (k, v, ok, _) => s"\"" + k + "\":" + (if (ok) v else -1) }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, false) => s"\"" + k + "\"" }
+    // raw per-query sample pairs (failed sample = -1) so variance between the
+    // two runs is auditable instead of hidden behind the reported min
+    val samp = results.map { case (k, _, _, ss) =>
+      s"\"" + k + "\":" + ss.map(_.getOrElse(-1.0)).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, false, _) => s"\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val total = results.collect { case (_, v, true, _) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$samp,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
