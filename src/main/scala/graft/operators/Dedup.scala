@@ -421,22 +421,49 @@ object Dedup {
   def embeddingNearDupLsh(
       embeddings: DataFrame, threshold: Double = 0.45,
       bands: Int = 16, bandBits: Int = 4, dim: Int = 64): DataFrame = {
-    graft.plans.GraftFunctions.register(embeddings.sparkSession)
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    graft.plans.GraftFunctions.register(spark)
+    // all bands*bandBits sign bits in ONE kernel pass: the declarative
+    // lshBucket twin evaluates 64 interpreted HOF plane-dots per row (the
+    // measured 5-10x trap, BENCH.md) — the kernel keeps the identical
+    // index-ascending double arithmetic (x.toDouble * ±1.0, acc +) so the
+    // bucket ids, and therefore the oracle's candidate set, are unchanged
     val planes = SimilaritySearch.planeSigns(bands * bandBits, dim)
-    val bucketCols = (0 until bands).map { b =>
-      SimilaritySearch.lshBucket(
-        col("embedding"), planes.slice(b * bandBits, (b + 1) * bandBits))
-    }
-    val bucketed = embeddings
-      .select(col("vec_id"), col("embedding"), posexplode(array(bucketCols: _*)))
-      .toDF("vec_id", "embedding", "band", "bucket")
-    val left = bucketed.toDF("i", "emb_i", "band", "bucket")
-    val right = bucketed.toDF("j", "emb_j", "band", "bucket")
-    left.join(right, Seq("band", "bucket"))
+      .map(_.map(_.toDouble).toArray).toArray
+    val bucketed = Par.spread(embeddings.select(col("vec_id"), col("embedding")))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, f) =>
+          val e = f.map(_.toDouble)
+          (0 until bands).iterator.map { b =>
+            val sb = new java.lang.StringBuilder(bandBits)
+            var bit = 0
+            while (bit < bandBits) {
+              val plane = planes(b * bandBits + bit)
+              var s = 0.0; var i = 0
+              while (i < plane.length) { s += e(i) * plane(i); i += 1 }
+              sb.append(if (s > 0) '1' else '0')
+              bit += 1
+            }
+            (id, b, sb.toString)
+          }
+        }
+      }.toDF("vec_id", "band", "bucket")
+    // the band self-join carries ONLY ids — at scale, shuffling 16 copies of
+    // every vector through the join dominates; candidates are a small
+    // fraction of the corpus, so re-attaching vectors to the deduped pair
+    // list with two narrow hash joins is the cheaper (and broadcast-free)
+    // shape
+    val cand = bucketed.toDF("i", "band", "bucket")
+      .join(bucketed.toDF("j", "band", "bucket"), Seq("band", "bucket"))
       .filter(col("i") < col("j"))
-      // emb_i/emb_j are functionally determined by (i,j): any surviving row
-      // carries the same vectors, so subset-dropDuplicates is sound
       .dropDuplicates("i", "j")
+      .select(col("i"), col("j"))
+    val emb = embeddings.select(col("vec_id"), col("embedding"))
+    cand
+      .join(emb.select(col("vec_id").as("i"), col("embedding").as("emb_i")), Seq("i"))
+      .join(emb.select(col("vec_id").as("j"), col("embedding").as("emb_j")), Seq("j"))
       .withColumn("cos", round(
         call_function("cosine_similarity", col("emb_i"), col("emb_j")), 6))
       .filter(col("cos") >= threshold)
