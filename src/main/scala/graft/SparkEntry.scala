@@ -128,6 +128,10 @@ object SparkEntry {
     "q_quality_score" -> ((s, d) => TextAnalysis.qualityScore(Tables.documents(s, d))),
     "q_token_freq" -> ((s, d) => TextAnalysis.tokenFrequencies(Tables.documents(s, d))),
     "q_fingerprint" -> ((s, d) => TextAnalysis.fingerprints(Tables.documents(s, d))),
+    "q_dedup_keepbest" -> ((s, d) => Dedup.dedupKeepBest(Tables.documents(s, d))),
+    "q_decontaminate" -> ((s, d) => TextAnalysis.contaminationReport(Tables.documents(s, d))),
+    "q_repetition" -> ((s, d) => TextAnalysis.repetitionScores(Tables.documents(s, d))),
+    "q_domain_mix" -> ((s, d) => TextAnalysis.domainMixture(Tables.documents(s, d))),
   )
 
   // DuckDB-side shared fragments for the LLM-pipeline oracles
@@ -712,5 +716,57 @@ object SparkEntry {
          |    (acc, h) -> (acc*31 + h) % 2147483647) AS rolling_fp,
          |  md5(text) AS md5_fp
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_dedup_keepbest" ->
+      """WITH ranked AS (SELECT doc_id, source,
+        |  row_number() OVER (PARTITION BY md5(text) ORDER BY source, doc_id) AS rk,
+        |  count(*) OVER (PARTITION BY md5(text)) AS n_dups FROM documents)
+        |SELECT doc_id, source, n_dups FROM ranked WHERE rk = 1 ORDER BY doc_id""".stripMargin,
+    "q_decontaminate" ->
+      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        |posts AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(t)-2, 1)), i -> array_to_string(t[i:i+3], ' ')))) AS s
+        |  FROM toks),
+        |bench AS (SELECT DISTINCT s FROM posts WHERE doc_id % 97 = 0)
+        |SELECT p.doc_id, count(*) AS n_shingles, count(b.s) AS n_shared,
+        |  round(CAST(count(b.s) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS contamination
+        |FROM posts p LEFT JOIN bench b ON p.s = b.s
+        |WHERE p.doc_id % 97 != 0
+        |GROUP BY p.doc_id HAVING count(b.s) >= 1 ORDER BY doc_id""".stripMargin,
+    "q_repetition" ->
+      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        |bg AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(t), 1)),
+        |    i -> array_to_string(t[i:i+1], ' '))) AS g FROM toks),
+        |bgc AS (SELECT doc_id, g, count(*) AS n FROM bg GROUP BY doc_id, g),
+        |bga AS (SELECT doc_id, sum(n) AS tot, count(*) AS dst, max(n) AS mx
+        |  FROM bgc GROUP BY doc_id),
+        |tg AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(t)-1, 1)),
+        |    i -> array_to_string(t[i:i+2], ' '))) AS g FROM toks),
+        |tgc AS (SELECT doc_id, g, count(*) AS n FROM tg GROUP BY doc_id, g),
+        |tga AS (SELECT doc_id, sum(n) AS tot, count(*) AS dst, max(n) AS mx
+        |  FROM tgc GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(round(CAST(b.tot - b.dst AS DOUBLE)/CAST(b.tot AS DOUBLE), 6), 0.0)
+        |    AS dup_bigram_frac,
+        |  coalesce(round(CAST(b.mx AS DOUBLE)/CAST(b.tot AS DOUBLE), 6), 0.0)
+        |    AS top_bigram_frac,
+        |  coalesce(round(CAST(t.tot - t.dst AS DOUBLE)/CAST(t.tot AS DOUBLE), 6), 0.0)
+        |    AS dup_trigram_frac,
+        |  CASE WHEN coalesce(round(CAST(t.tot - t.dst AS DOUBLE)/CAST(t.tot AS DOUBLE), 6), 0.0) > 0.15
+        |         OR coalesce(round(CAST(b.mx AS DOUBLE)/CAST(b.tot AS DOUBLE), 6), 0.0) > 0.20
+        |       THEN 'drop' ELSE 'keep' END AS verdict
+        |FROM documents d
+        |LEFT JOIN bga b ON d.doc_id = b.doc_id
+        |LEFT JOIN tga t ON d.doc_id = t.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    "q_domain_mix" ->
+      """WITH per AS (SELECT source, count(*) AS n_docs,
+        |    CAST(sum(len(string_split(text,' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot,
+        |    CAST(count(*) AS DOUBLE) AS n_sources FROM per)
+        |SELECT source, n_docs, n_tokens,
+        |  round(CAST(n_tokens AS DOUBLE)/CAST(tot AS DOUBLE), 6) AS token_share,
+        |  round((1.0/n_sources)/(CAST(n_tokens AS DOUBLE)/CAST(tot AS DOUBLE)), 6) AS weight
+        |FROM per CROSS JOIN tot ORDER BY source""".stripMargin,
   )
 }

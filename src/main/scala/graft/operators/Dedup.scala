@@ -34,6 +34,25 @@ object Dedup {
       .select(col("doc_id"))
       .orderBy(col("doc_id"))
 
+  /** Source-priority canonical selection: among exact-duplicate texts, keep
+    * the doc from the lexicographically-smallest `source` (tie → min
+    * doc_id) — the "prefer the curated mirror over the crawl" survivor
+    * policy real corpus merges use, vs [[dedupKeepFirst]]'s min-id rule.
+    * One shuffle on the text digest; both window functions share the
+    * partition key, so they plan into a single sort.
+    */
+  def dedupKeepBest(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val part = Window.partitionBy(md5(col("text")))
+    val w = part.orderBy(col("source"), col("doc_id"))
+    docs
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n_dups", count(lit(1)).over(part))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("source"), col("n_dups"))
+      .orderBy(col("doc_id"))
+  }
+
   /** MinHash + LSH near-dup pairs, verified with exact Jaccard.
     *
     * shingle(3-gram) → k-component MinHash → `bands` band hashes →

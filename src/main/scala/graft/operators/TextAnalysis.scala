@@ -218,4 +218,92 @@ object TextAnalysis {
       rollingFingerprint(transform(tokens(col("text")), tokenHash _)).as("rolling_fp"),
       md5(col("text")).as("md5_fp"))
       .orderBy(col("doc_id"))
+
+  /** Train/benchmark decontamination: per training doc, how many of its
+    * distinct `n`-gram shingles also appear in the held-out benchmark set
+    * (here the deterministic slice doc_id % 97 == 0; in production, the eval
+    * suites). Docs with any overlap are reported with their contamination
+    * ratio so a pipeline can drop or quarantine them before training.
+    *
+    * Scale shape: explode to distinct (doc, shingle) postings — one narrow
+    * generator — then a BROADCAST join against the benchmark shingle
+    * vocabulary (eval suites are tiny relative to a 100 TB corpus) and one
+    * hash aggregation per doc. No corpus self-join anywhere.
+    */
+  def contaminationReport(docs: DataFrame, n: Int = 4, minShared: Long = 1): DataFrame = {
+    val posts = Par.spread(docs).select(col("doc_id"),
+      explode(array_distinct(shingles(tokens(col("text")), n))).as("s"))
+    val bench = posts.filter(col("doc_id") % 97 === 0)
+      .select(col("s")).distinct().withColumn("hit", lit(1L))
+    posts.filter(col("doc_id") % 97 =!= 0)
+      .join(broadcast(bench), Seq("s"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .select(col("doc_id"), col("n_shingles"), col("n_shared"),
+        round(col("n_shared").cast("double") / col("n_shingles").cast("double"), 6)
+          .as("contamination"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-n-gram repetition stats for one gram size: duplicate fraction
+    * (1 - distinct/total) and top-gram fraction (max count / total). One
+    * explode + two hash aggregations — the same scalable shape as tf-idf's
+    * doc-term grain.
+    */
+  private def gramStats(docs: DataFrame, n: Int, prefix: String): DataFrame =
+    Par.spread(docs)
+      .select(col("doc_id"), explode(shingles(tokens(col("text")), n)).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("tot"), count(lit(1)).as("dst"), max(col("n")).as("mx"))
+      .select(col("doc_id"),
+        round((col("tot") - col("dst")).cast("double") / col("tot").cast("double"), 6)
+          .as(s"dup_${prefix}_frac"),
+        round(col("mx").cast("double") / col("tot").cast("double"), 6)
+          .as(s"top_${prefix}_frac"))
+
+  /** Gopher-style repetition filter signals: fraction of duplicate bigrams/
+    * trigrams and the most-frequent-bigram share, with a keep/drop verdict
+    * at the classic thresholds (top-bigram > 0.20 or dup-trigram > 0.15 →
+    * drop). Catches the boilerplate/listicle/keyword-stuffing documents
+    * that length and stopword heuristics miss.
+    */
+  def repetitionScores(docs: DataFrame): DataFrame = {
+    val bg = gramStats(docs, 2, "bigram")
+    val tg = gramStats(docs, 3, "trigram").select(col("doc_id"), col("dup_trigram_frac"))
+    // docs shorter than n tokens have no grams at all — they re-enter here
+    // with zeroed fractions rather than dropping out of the report
+    docs.select(col("doc_id"))
+      .join(bg, Seq("doc_id"), "left_outer")
+      .join(tg, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("dup_bigram_frac"), lit(0.0)).as("dup_bigram_frac"),
+        coalesce(col("top_bigram_frac"), lit(0.0)).as("top_bigram_frac"),
+        coalesce(col("dup_trigram_frac"), lit(0.0)).as("dup_trigram_frac"),
+        when(coalesce(col("dup_trigram_frac"), lit(0.0)) > 0.15 ||
+          coalesce(col("top_bigram_frac"), lit(0.0)) > 0.20, "drop")
+          .otherwise("keep").as("verdict"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Training-mixture composition by `source` domain: doc/token counts,
+    * token share, and the uniform-target rebalance weight
+    * (target_share / actual_share) a sampler would apply per domain. Two
+    * hash aggregations + a broadcast of the one-row totals frame.
+    */
+  def domainMixture(docs: DataFrame): DataFrame = {
+    val per = Par.spread(docs).groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(tokens(col("text"))).cast("long")).as("n_tokens"))
+    val tot = per.agg(sum(col("n_tokens")).as("tot"),
+      count(lit(1)).cast("double").as("n_sources"))
+    val share = col("n_tokens").cast("double") / col("tot").cast("double")
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(share, 6).as("token_share"),
+        round((lit(1.0) / col("n_sources")) / share, 6).as("weight"))
+      .orderBy(col("source"))
+  }
 }

@@ -19,6 +19,18 @@ class DedupSpec extends SparkSpec {
     assert(survivors == Set(1L, 3L))
   }
 
+  test("dedupKeepBest keeps the preferred source among exact duplicates") {
+    val d = Seq(
+      (1L, "same text body", "src9"),
+      (2L, "same text body", "src1"),   // wins: lexicographically-least source
+      (3L, "same text body", "src5"),
+      (4L, "unique text", "src9"))
+      .toDF("doc_id", "text", "source")
+    val rows = Dedup.dedupKeepBest(d).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows.toSeq == Seq((2L, "src1", 3L), (4L, "src9", 1L)))
+  }
+
   test("tokenHash matches the cross-engine pinned value") {
     // '0x'||substr(md5('tok'),1,15) in DuckDB — pins the md5/conv parity
     val v = Seq("tok").toDF("t")

@@ -45,4 +45,56 @@ class TextAnalysisSpec extends SparkSpec {
       assert(ranks.length <= 3 && ranks.sameElements(1 to ranks.length))
     }
   }
+
+  test("contamination report flags docs sharing 4-grams with the benchmark slice") {
+    // doc 0 (0 % 97 == 0) is the held-out benchmark; doc 1 contains one of
+    // its 4-grams verbatim, doc 2 shares nothing
+    val d = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"),
+      (1L, "noise alpha beta gamma delta other words here"),
+      (2L, "completely different content with no overlap at all"))
+      .toDF("doc_id", "text")
+    val rows = TextAnalysis.contaminationReport(d).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L))
+    val r = rows.head
+    // doc 1 (8 tokens) has 5 distinct 4-grams, of which exactly one —
+    // "alpha beta gamma delta" — also occurs in the benchmark doc
+    assert(r.getAs[Long]("n_shingles") == 5L)
+    assert(r.getAs[Long]("n_shared") == 1L)
+    assert(r.getAs[Double]("contamination") == 0.2)
+  }
+
+  test("repetition scores: stuffed doc drops, varied doc keeps") {
+    val d = Seq(
+      (1L, "buy now buy now buy now buy now buy now"),
+      (2L, "a quiet morning walk through the old town square"))
+      .toDF("doc_id", "text")
+    val m = TextAnalysis.repetitionScores(d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(m(1L).getAs[String]("verdict") == "drop")
+    assert(m(1L).getAs[Double]("dup_trigram_frac") > 0.5)
+    assert(m(2L).getAs[String]("verdict") == "keep")
+    assert(m(2L).getAs[Double]("dup_bigram_frac") == 0.0)
+    // degenerate short doc still appears, zero-filled
+    val tiny = TextAnalysis.repetitionScores(Seq((9L, "one")).toDF("doc_id", "text"))
+      .collect().head
+    assert(tiny.getAs[Double]("dup_bigram_frac") == 0.0 &&
+      tiny.getAs[String]("verdict") == "keep")
+  }
+
+  test("domain mixture weights rebalance toward uniform token share") {
+    val d = Seq(
+      (1L, "one two three four five six seven eight", "big"),   // 8 tokens
+      (2L, "one two three four five six seven eight", "big"),   // 8 tokens
+      (3L, "one two three four", "small"))                      // 4 tokens
+      .toDF("doc_id", "text", "source")
+    val m = TextAnalysis.domainMixture(d).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    assert(m("big").getAs[Long]("n_docs") == 2L)
+    assert(m("big").getAs[Long]("n_tokens") == 16L)
+    assert(m("big").getAs[Double]("token_share") == 0.8)
+    // weight = (1/2) / 0.8 = 0.625 ; small: (1/2) / 0.2 = 2.5
+    assert(m("big").getAs[Double]("weight") == 0.625)
+    assert(m("small").getAs[Double]("weight") == 2.5)
+  }
 }
