@@ -1,0 +1,48 @@
+package graft
+
+/** Results must not depend on HOW the data is partitioned — the property
+  * that lets the same code run on local[4] and a 1000-executor cluster.
+  *
+  * Each query runs twice: once at the suite's defaults, once with a prime
+  * shuffle-partition count and pathologically small scan splits. That
+  * changes the group→reducer mapping, the intra-partition arrival order,
+  * and the physical plan AQE settles on; any operator leaning on iterator
+  * order, float summation order, or partition-local tie-breaking diverges.
+  * The suite targets the queries most at risk: sampling (hash-bucketed),
+  * top-k/latest-per-key (tie-breaking), ordered collect_list, iterative
+  * clustering, and the decimal-accumulated aggregates.
+  */
+class PartitionInvarianceSpec extends SparkSpec {
+
+  private val targets = Seq(
+    "q_hash_sample", "q_topk_per_group", "q_latest_per_key",
+    "q_quartiles", "q_quantiles_exact", "q_sessionize", "q_user_journeys",
+    "q_dedup_minhash_lsh", "q_simhash_pairs", "q_dedup_clusters",
+    "q_decontaminate", "q_repetition", "q_domain_mix", "q_tfidf")
+
+  test("query results are invariant to shuffle-partition count and scan splits") {
+    val missing = targets.filterNot(SparkEntry.queries.contains)
+    assert(missing.isEmpty, s"unknown queries in invariance sweep: $missing")
+    val conf = spark.conf
+    val defaults = Map(
+      "spark.sql.shuffle.partitions" -> conf.get("spark.sql.shuffle.partitions"),
+      "spark.sql.files.maxPartitionBytes" -> conf.get("spark.sql.files.maxPartitionBytes"))
+    def run(name: String): Seq[String] =
+      SparkEntry.queries(name)(spark, sf).collect().map(_.toString).toSeq
+    try {
+      for (name <- targets) {
+        conf.set("spark.sql.shuffle.partitions", defaults("spark.sql.shuffle.partitions"))
+        conf.set("spark.sql.files.maxPartitionBytes",
+          defaults("spark.sql.files.maxPartitionBytes"))
+        val base = run(name)
+        assert(base.nonEmpty, s"$name returned no rows at sf0.001")
+        conf.set("spark.sql.shuffle.partitions", "17")
+        conf.set("spark.sql.files.maxPartitionBytes", (64 * 1024).toString)
+        val reshuffled = run(name)
+        assert(base == reshuffled,
+          s"$name is partitioning-dependent: ${base.diff(reshuffled).take(3)} vs " +
+            s"${reshuffled.diff(base).take(3)}")
+      }
+    } finally defaults.foreach { case (k, v) => conf.set(k, v) }
+  }
+}
