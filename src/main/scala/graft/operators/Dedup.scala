@@ -43,11 +43,15 @@ object Dedup {
     */
   def dedupKeepBest(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val part = Window.partitionBy(md5(col("text")))
+    // materialize the digest as ONE column: partitioning two windows by
+    // separate md5(text) expressions plans two Exchanges (each window gets
+    // its own internal _w key); sharing the column collapses them to one
+    val part = Window.partitionBy(col("text_hash"))
     val w = part.orderBy(col("source"), col("doc_id"))
     docs
-      .withColumn("rk", row_number().over(w))
+      .withColumn("text_hash", md5(col("text")))
       .withColumn("n_dups", count(lit(1)).over(part))
+      .withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)
       .select(col("doc_id"), col("source"), col("n_dups"))
       .orderBy(col("doc_id"))
