@@ -20,6 +20,11 @@ import org.apache.spark.sql.DataFrame
 private[graft] object Par {
   def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+    // toRdd (InternalRow) reads the partition count off the planned scan
+    // without building the public .rdd's deserializer chain + extra
+    // mapPartitions layer; no job runs either way, but this keeps the
+    // inspection to one physical-planning pass of the bare input
+    if (df.queryExecution.toRdd.getNumPartitions >= target) df
+    else df.repartition(target)
   }
 }
