@@ -1,0 +1,72 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+/** Streaming admission gate for a training-data lake: the front door that
+  * scores every incoming document BEFORE it lands in the corpus, composing
+  * the batch text-pipeline semantics (TextAnalysis/Dedup) into shapes legal
+  * under streaming's incremental planner.
+  *
+  * Everything is row-local or stream-static:
+  *  - length + repetition checks are per-row array math (no streaming agg,
+  *    so no output-mode constraint; in batch the same stats use the
+  *    explode+agg form — per-row HOFs are right here because each doc is
+  *    scored alone and tight bounds beat throughput on the ingest edge);
+  *  - decontamination is a stream-static broadcast of the benchmark shingle
+  *    vocabulary (eval suites are small; `arrays_overlap` against the
+  *    broadcast set is one codegen'd check per row);
+  *  - cross-batch exact dedup uses dropDuplicatesWithinWatermark on the
+  *    text digest, so dedup state is BOUNDED by the watermark horizon — the
+  *    unbounded dropDuplicates state would be the 100 TB failure mode.
+  *
+  * Expected input columns: doc_id, text, source, timestamp (epoch millis).
+  */
+object IngestGate {
+
+  /** Per-document verdict stream (append-safe, one row per input doc):
+    * `reason` ∈ ok | too_short | repetitive | contaminated, first failing
+    * gate wins in that order.
+    */
+  def audit(
+      docs: DataFrame, benchShingles: DataFrame, n: Int = 4,
+      minTokens: Int = 5, maxDupTrigramFrac: Double = 0.15): DataFrame = {
+    val toks = tokens(col("text"))
+    val tri = shingles(toks, 3)
+    val dupTri = when(size(tri) > lit(0),
+      lit(1.0) - size(array_distinct(tri)).cast("double") / size(tri).cast("double"))
+      .otherwise(lit(0.0))
+    // one-row static frame carrying the whole benchmark vocabulary; the
+    // stream side sees it as a broadcast nested-loop of exactly one row
+    val vocab = benchShingles.agg(collect_set(col("s")).as("bench_vocab"))
+    docs
+      .withColumn("n_tokens", size(toks))
+      .withColumn("dup_trigram_frac", round(dupTri, 6))
+      .crossJoin(broadcast(vocab))
+      .withColumn("reason",
+        when(col("n_tokens") < minTokens, "too_short")
+          .when(col("dup_trigram_frac") > maxDupTrigramFrac, "repetitive")
+          .when(arrays_overlap(
+            array_distinct(shingles(toks, n)), col("bench_vocab")), "contaminated")
+          .otherwise("ok"))
+      .drop("bench_vocab")
+  }
+
+  /** Admitted-document stream: audit-passing docs, exact-deduped across
+    * micro-batches with watermark-bounded state. A duplicate arriving after
+    * the watermark horizon is re-admitted — the documented trade that keeps
+    * dedup state finite; the batch compaction pass (Dedup.dedupKeepBest)
+    * remains the lake's end-of-day ground truth.
+    */
+  def admit(
+      docs: DataFrame, benchShingles: DataFrame,
+      watermark: String = "10 minutes"): DataFrame =
+    audit(docs, benchShingles)
+      .filter(col("reason") === "ok")
+      .withColumn("event_time", timestamp_millis(col("timestamp")))
+      .withColumn("text_hash", md5(col("text")))
+      .withWatermark("event_time", watermark)
+      .dropDuplicatesWithinWatermark("text_hash")
+      .select(col("doc_id"), col("text"), col("source"), col("event_time"))
+}
