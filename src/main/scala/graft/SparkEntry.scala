@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, count, lit, sum}
+import org.apache.spark.sql.functions.{array_distinct, col, count, explode, lit, sum}
 import graft.operators.{Dedup, Relational, SimilaritySearch, Skew, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -132,6 +132,20 @@ object SparkEntry {
     "q_decontaminate" -> ((s, d) => TextAnalysis.contaminationReport(Tables.documents(s, d))),
     "q_repetition" -> ((s, d) => TextAnalysis.repetitionScores(Tables.documents(s, d))),
     "q_domain_mix" -> ((s, d) => TextAnalysis.domainMixture(Tables.documents(s, d))),
+    // the streaming ingest gate's audit is a plain DataFrame op — run it in
+    // batch over documents (benchmark vocab = the %97 held-out slice) so the
+    // gate's verdict semantics are oracle-checked, not just spec-checked
+    "q_ingest_audit" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val bench = docs.filter(col("doc_id") % 97 === 0)
+        .select(explode(array_distinct(
+          graft.functions.TextFunctions.shingles(
+            graft.functions.TextFunctions.tokens(col("text")), 4))).as("s"))
+        .distinct()
+      graft.streaming.IngestGate.audit(docs, bench)
+        .select(col("doc_id"), col("n_tokens"), col("dup_trigram_frac"), col("reason"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   // DuckDB-side shared fragments for the LLM-pipeline oracles
@@ -758,6 +772,27 @@ object SparkEntry {
         |LEFT JOIN bga b ON d.doc_id = b.doc_id
         |LEFT JOIN tga t ON d.doc_id = t.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    "q_ingest_audit" ->
+      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        |scored AS (SELECT doc_id, len(t) AS n_tokens,
+        |  list_transform(range(1, greatest(len(t)-1, 1)),
+        |    i -> array_to_string(t[i:i+2], ' ')) AS tri,
+        |  list_distinct(list_transform(range(1, greatest(len(t)-2, 1)),
+        |    i -> array_to_string(t[i:i+3], ' '))) AS s4 FROM toks),
+        |vocab AS (SELECT list(DISTINCT s) AS v FROM (
+        |  SELECT unnest(s4) AS s FROM scored WHERE doc_id % 97 = 0)),
+        |verdicts AS (SELECT doc_id, n_tokens,
+        |  CASE WHEN len(tri) > 0
+        |       THEN round(1.0 - CAST(len(list_distinct(tri)) AS DOUBLE)
+        |                        / CAST(len(tri) AS DOUBLE), 6)
+        |       ELSE 0.0 END AS dup_trigram_frac,
+        |  s4 FROM scored)
+        |SELECT doc_id, n_tokens, dup_trigram_frac,
+        |  CASE WHEN n_tokens < 5 THEN 'too_short'
+        |       WHEN dup_trigram_frac > 0.15 THEN 'repetitive'
+        |       WHEN list_has_any(s4, v) THEN 'contaminated'
+        |       ELSE 'ok' END AS reason
+        |FROM verdicts CROSS JOIN vocab ORDER BY doc_id""".stripMargin,
     "q_domain_mix" ->
       """WITH per AS (SELECT source, count(*) AS n_docs,
         |    CAST(sum(len(string_split(text,' '))) AS BIGINT) AS n_tokens
