@@ -41,6 +41,7 @@ object SparkEntry {
     "q_events_by_hour" -> ((s, d) => Relational.eventsByHour(Tables.events(s, d))),
     "q_entries_model" -> ((s, d) => Relational.entriesModel(Tables.events(s, d))),
     "q_set_ops" -> ((s, d) => Relational.keySetOps(Tables.orders(s, d), Tables.lineitem(s, d))),
+    "q_set_ops_join" -> ((s, d) => Relational.keySetOpsJoin(Tables.orders(s, d), Tables.lineitem(s, d))),
     "q_rollup" -> ((s, d) => Relational.orderRollup(Tables.orders(s, d))),
     "q_running_total" -> ((s, d) => Relational.runningTotalPerUser(Tables.events(s, d))),
     "q_distinct_count" -> ((s, d) => Relational.distinctUsersPerType(Tables.events(s, d))),
@@ -169,6 +170,17 @@ object SparkEntry {
 
   // Physical-strategy twins MUST stay result-identical — bind each pair to
   // ONE oracle string so an edit can never drift the copies apart.
+  private val setOpsOracle =
+    """SELECT tag, COUNT(*) AS n FROM (
+      |  SELECT key, 'both' AS tag FROM (
+      |    SELECT o_orderkey AS key FROM orders
+      |    INTERSECT SELECT l_orderkey FROM lineitem)
+      |  UNION ALL
+      |  SELECT key, 'orders_only' AS tag FROM (
+      |    SELECT o_orderkey AS key FROM orders
+      |    EXCEPT SELECT l_orderkey FROM lineitem))
+      |GROUP BY tag ORDER BY tag""".stripMargin
+
   private val latestPerKeyOracle =
     """SELECT user_id, event_id, event_type, value FROM (
       |  SELECT *, ROW_NUMBER() OVER (
@@ -274,16 +286,9 @@ object SparkEntry {
         |  GREATEST(0, CAST(FLOOR(value * 0.125 / 3) AS BIGINT)) AS entries,
         |  LEAST(100.0, value) AS clamped
         |FROM events ORDER BY event_id""".stripMargin,
-    "q_set_ops" ->
-      """SELECT tag, COUNT(*) AS n FROM (
-        |  SELECT key, 'both' AS tag FROM (
-        |    SELECT o_orderkey AS key FROM orders
-        |    INTERSECT SELECT l_orderkey FROM lineitem)
-        |  UNION ALL
-        |  SELECT key, 'orders_only' AS tag FROM (
-        |    SELECT o_orderkey AS key FROM orders
-        |    EXCEPT SELECT l_orderkey FROM lineitem))
-        |GROUP BY tag ORDER BY tag""".stripMargin,
+    "q_set_ops" -> setOpsOracle,
+    // physical-strategy twin (single co-partitioned join) — same result set
+    "q_set_ops_join" -> setOpsOracle,
     "q_rollup" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) AS total

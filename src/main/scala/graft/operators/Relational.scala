@@ -243,6 +243,25 @@ object Relational {
       .orderBy(col("tag"))
   }
 
+  /** Single-pass twin of [[keySetOps]] under the same oracle: INTERSECT and
+    * EXCEPT of the same two inputs share all their work, so instead of two
+    * independent branches (4 shuffles, 2 joins — each set op re-shuffles
+    * both sides) this distincts each side once and takes ONE co-partitioned
+    * left join; the tag projection replays both set ops from the join's
+    * null pattern. Set semantics are preserved exactly (INTERSECT/EXCEPT
+    * are distinct-set operators). At 100 TB this halves the shuffled bytes
+    * of the dominant stage.
+    */
+  def keySetOpsJoin(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val a = orders.select(col("o_orderkey").as("key")).distinct()
+    val b = lineitem.select(col("l_orderkey").as("key")).distinct()
+    a.join(b.withColumn("in_b", lit(1)), Seq("key"), "left_outer")
+      .select(when(col("in_b").isNotNull, "both")
+        .otherwise("orders_only").as("tag"))
+      .groupBy(col("tag")).agg(count(lit(1)).as("n"))
+      .orderBy(col("tag"))
+  }
+
   /** Grouping sets — rollup over (status, priority) (SURVEY §2.4: Catalyst
     * supplies cube/rollup for the generalized surface).
     */
