@@ -103,9 +103,12 @@ object TextAnalysis {
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
+    // docTerms is keyed by (doc_id, token) — one row per pair — so plain
+    // count IS the document frequency; countDistinct would add a second
+    // distinct-aggregate layer for nothing
     val df = docTerms
       .groupBy(col("token"))
-      .agg(countDistinct(col("doc_id")).as("df"))
+      .agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id"))
       .orderBy(col("tfidf").desc, col("token"))
