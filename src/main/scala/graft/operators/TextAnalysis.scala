@@ -250,37 +250,45 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
-  /** Per-n-gram repetition stats for one gram size: duplicate fraction
-    * (1 - distinct/total) and top-gram fraction (max count / total). One
-    * explode + two hash aggregations — the same scalable shape as tf-idf's
-    * doc-term grain.
-    */
-  private def gramStats(docs: DataFrame, n: Int, prefix: String): DataFrame =
-    Par.spread(docs)
-      .select(col("doc_id"), explode(shingles(tokens(col("text")), n)).as("g"))
-      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("n"))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("n")).as("tot"), count(lit(1)).as("dst"), max(col("n")).as("mx"))
-      .select(col("doc_id"),
-        round((col("tot") - col("dst")).cast("double") / col("tot").cast("double"), 6)
-          .as(s"dup_${prefix}_frac"),
-        round(col("mx").cast("double") / col("tot").cast("double"), 6)
-          .as(s"top_${prefix}_frac"))
-
   /** Gopher-style repetition filter signals: fraction of duplicate bigrams/
     * trigrams and the most-frequent-bigram share, with a keep/drop verdict
     * at the classic thresholds (top-bigram > 0.20 or dup-trigram > 0.15 →
     * drop). Catches the boilerplate/listicle/keyword-stuffing documents
     * that length and stopword heuristics miss.
+    *
+    * Both gram sizes ride ONE explode (grams tagged with their size) and
+    * fold back at the doc grain with conditional aggregates — one scan and
+    * two shuffles total, vs two independent per-size pipelines (two scans,
+    * four shuffles). The (doc, size, gram) key keeps the count grain of the
+    * per-size form, so the fractions are bit-identical.
     */
   def repetitionScores(docs: DataFrame): DataFrame = {
-    val bg = gramStats(docs, 2, "bigram")
-    val tg = gramStats(docs, 3, "trigram").select(col("doc_id"), col("dup_trigram_frac"))
+    val toks = tokens(col("text"))
+    val tagged = concat(
+      transform(shingles(toks, 2), g => struct(lit(2).as("gn"), g.as("g"))),
+      transform(shingles(toks, 3), g => struct(lit(3).as("gn"), g.as("g"))))
+    val stats = Par.spread(docs)
+      .select(col("doc_id"), explode(tagged).as("t"))
+      .groupBy(col("doc_id"), col("t.gn").as("gn"), col("t.g").as("g"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(when(col("gn") === 2, col("n"))).as("tot2"),
+        count(when(col("gn") === 2, lit(1))).as("dst2"),
+        max(when(col("gn") === 2, col("n"))).as("mx2"),
+        sum(when(col("gn") === 3, col("n"))).as("tot3"),
+        count(when(col("gn") === 3, lit(1))).as("dst3"))
+      .select(col("doc_id"),
+        round((col("tot2") - col("dst2")).cast("double") / col("tot2").cast("double"), 6)
+          .as("dup_bigram_frac"),
+        round(col("mx2").cast("double") / col("tot2").cast("double"), 6)
+          .as("top_bigram_frac"),
+        round((col("tot3") - col("dst3")).cast("double") / col("tot3").cast("double"), 6)
+          .as("dup_trigram_frac"))
     // docs shorter than n tokens have no grams at all — they re-enter here
     // with zeroed fractions rather than dropping out of the report
     docs.select(col("doc_id"))
-      .join(bg, Seq("doc_id"), "left_outer")
-      .join(tg, Seq("doc_id"), "left_outer")
+      .join(stats, Seq("doc_id"), "left_outer")
       .select(col("doc_id"),
         coalesce(col("dup_bigram_frac"), lit(0.0)).as("dup_bigram_frac"),
         coalesce(col("top_bigram_frac"), lit(0.0)).as("top_bigram_frac"),
