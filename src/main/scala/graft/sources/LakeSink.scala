@@ -29,4 +29,37 @@ object LakeSink {
       .bucketBy(buckets, bucketCol)
     sortCol.fold(w)(c => w.sortBy(c)).format("parquet").saveAsTable(table)
   }
+
+  /** Small-file compaction — the lake-maintenance pass that keeps scan
+    * parallelism healthy: a streaming sink (or a 10k-task job) leaves
+    * thousands of KB-sized files whose per-file open/footer cost dominates
+    * reads. Target file count comes from the RELATION's own size statistic
+    * (no extra job, no file listing beyond what the scan already did);
+    * round-robin repartition spreads rows evenly regardless of input skew.
+    * Returns the file count written.
+    */
+  def compact(
+      spark: org.apache.spark.sql.SparkSession, inPath: String, outPath: String,
+      targetBytes: Long = 128L << 20): Int = {
+    val df = spark.read.parquet(inPath)
+    val totalBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val nFiles = (((totalBytes + targetBytes - 1) / targetBytes) max BigInt(1)).toInt
+    df.repartition(nFiles).write.mode(SaveMode.Overwrite).parquet(outPath)
+    nFiles
+  }
+
+  /** Range-sorted layout for zone-map file skipping: repartitionByRange
+    * gives each output file a DISJOINT span of the sort key and the
+    * in-partition sort makes parquet row-group min/max stats tight, so a
+    * point or range predicate on the key prunes to the few files whose span
+    * intersects — the poor engine's z-order, exact for one-dimensional
+    * access patterns (time, id).
+    */
+  def writeRangeSorted(
+      df: DataFrame, path: String, sortCols: Seq[String], nFiles: Int): Unit = {
+    import org.apache.spark.sql.functions.col
+    df.repartitionByRange(nFiles, sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
 }

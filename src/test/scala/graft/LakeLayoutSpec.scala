@@ -51,6 +51,43 @@ class LakeLayoutSpec extends SparkSpec {
       .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey")).count())
   }
 
+  test("compact collapses a many-small-files table to the size-derived count") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    val fragmented = s"$tmp/fragmented"
+    val compacted = s"$tmp/compacted"
+    val ev = Tables.events(spark, sf).select(col("event_id"), col("user_id"), col("value"))
+    ev.repartition(64).write.mode("overwrite").parquet(fragmented)
+    def parquetFiles(dir: String) =
+      new java.io.File(dir).listFiles.count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(fragmented) == 64)
+    val n = graft.sources.LakeSink.compact(spark, fragmented, compacted,
+      targetBytes = 512L << 20)
+    assert(n == 1 && parquetFiles(compacted) == 1,
+      "a sub-target-size table must compact to a single file")
+    // content preserved exactly
+    val a = spark.read.parquet(fragmented)
+    val b = spark.read.parquet(compacted)
+    assert(a.count() == b.count() && a.except(b).isEmpty && b.except(a).isEmpty)
+  }
+
+  test("range-sorted layout gives files disjoint sort-key spans") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    val ev = Tables.events(spark, sf).select(col("event_id"), col("ts"))
+    graft.sources.LakeSink.writeRangeSorted(ev, s"$tmp/sorted", Seq("ts"), nFiles = 4)
+    val files = new java.io.File(s"$tmp/sorted").listFiles
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath).sorted
+    assert(files.length == 4)
+    val spans = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min(col("ts")).as("lo"), max(col("ts")).as("hi")).head()
+      (r.getTimestamp(0).getTime, r.getTimestamp(1).getTime)
+    }.sortBy(_._1)
+    spans.sliding(2).foreach { case Array((_, hi), (lo, _)) =>
+      assert(hi <= lo, s"file spans overlap: $spans — zone-map skipping broken")
+    }
+    assert(spark.read.parquet(s"$tmp/sorted").count() == ev.count())
+  }
+
   test("salted join equals the plain join") {
     val orders = Tables.orders(spark, sf)
     val customer = Tables.customer(spark, sf)
