@@ -50,6 +50,39 @@ class KernelParitySpec extends SparkSpec {
     assert(kernelPairs == declPairs)
   }
 
+  test("LSH band-bucket kernel == declarative lshBucket HOF per band") {
+    val bands = 16; val bandBits = 4; val dim = 64
+    val planes = SimilaritySearch.planeSigns(bands * bandBits, dim)
+    val emb = Tables.embeddings(spark, sf).limit(20)
+    // declarative: per-band bucket strings from the interpreted HOF twin
+    val bucketCols = (0 until bands).map { b =>
+      SimilaritySearch.lshBucket(
+        col("embedding"), planes.slice(b * bandBits, (b + 1) * bandBits)).as(s"b$b")
+    }
+    val declarative = emb.select(col("vec_id") +: bucketCols: _*)
+      .collect().map(r => r.getLong(0) -> (0 until bands).map(b => r.getString(b + 1))).toMap
+    // kernel: the (vec_id, band, bucket) rows embeddingNearDupLsh shuffles
+    val planesArr = planes.map(_.map(_.toDouble).toArray).toArray
+    val kernel = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+      .map { case (id, f) =>
+        val e = f.map(_.toDouble)
+        id -> (0 until bands).map { b =>
+          val sb = new StringBuilder
+          var bit = 0
+          while (bit < bandBits) {
+            val plane = planesArr(b * bandBits + bit)
+            var s = 0.0; var i = 0
+            while (i < plane.length) { s += e(i) * plane(i); i += 1 }
+            sb.append(if (s > 0) '1' else '0')
+            bit += 1
+          }
+          sb.toString
+        }
+      }.toMap
+    assert(kernel == declarative)
+  }
+
   test("cosine kernel == declarative cosine column") {
     val emb = Tables.embeddings(spark, sf).limit(20)
       .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])].collect()
