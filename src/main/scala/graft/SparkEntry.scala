@@ -130,7 +130,14 @@ object SparkEntry {
     "q_token_freq" -> ((s, d) => TextAnalysis.tokenFrequencies(Tables.documents(s, d))),
     "q_fingerprint" -> ((s, d) => TextAnalysis.fingerprints(Tables.documents(s, d))),
     "q_dedup_keepbest" -> ((s, d) => Dedup.dedupKeepBest(Tables.documents(s, d))),
-    "q_decontaminate" -> ((s, d) => TextAnalysis.contaminationReport(Tables.documents(s, d))),
+    // the %97 held-out split is THIS harness's benchmark policy (mirrored in
+    // the oracle SQL); the operator itself takes any benchmark frame
+    "q_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextAnalysis.contaminationReport(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0))
+    }),
     "q_repetition" -> ((s, d) => TextAnalysis.repetitionScores(Tables.documents(s, d))),
     "q_domain_mix" -> ((s, d) => TextAnalysis.domainMixture(Tables.documents(s, d))),
     // the streaming ingest gate's audit is a plain DataFrame op — run it in
@@ -138,11 +145,7 @@ object SparkEntry {
     // gate's verdict semantics are oracle-checked, not just spec-checked
     "q_ingest_audit" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val bench = docs.filter(col("doc_id") % 97 === 0)
-        .select(explode(array_distinct(
-          graft.functions.TextFunctions.shingles(
-            graft.functions.TextFunctions.tokens(col("text")), 4))).as("s"))
-        .distinct()
+      val bench = TextAnalysis.benchmarkShingles(docs.filter(col("doc_id") % 97 === 0))
       graft.streaming.IngestGate.audit(docs, bench)
         .select(col("doc_id"), col("n_tokens"), col("dup_trigram_frac"), col("reason"))
         .orderBy(col("doc_id"))

@@ -215,9 +215,12 @@ object Dedup {
       .groupByKey { case (_, lang, _, s) => (lang, s) }
       .flatMapGroups { (_, rows) =>
         // bounded materialization: a viral group is detected at dfCap+1 and
-        // dropped without buffering (or pairing) the rest of its postings
+        // dropped without buffering (or pairing) the rest of its postings;
+        // saturate the +1 so dfCap = Int.MaxValue means "uncapped" instead
+        // of overflowing take() to a negative (empty) limit
+        val lim = if (dfCap == Int.MaxValue) Int.MaxValue else dfCap + 1
         val ds = rows.map { case (id, _, sz, _) => (id, sz) }
-          .take(dfCap + 1).toArray
+          .take(lim).toArray
         if (ds.length > dfCap) Iterator.empty
         else {
           java.util.Arrays.sort(ds, Ordering.by((t: (Long, Int)) => t._1))
@@ -339,14 +342,17 @@ object Dedup {
     * and the recursive-CTE oracle produce).
     *
     * Every stage is a hash groupBy/join on node ids — no driver-side graph.
-    * Each round's edge set is `localCheckpoint`ed: unlike persist(), that
-    * TRUNCATES the logical plan to a LogicalRDD, keeping plan size O(1) per
-    * round — the round-over-round plan otherwise grows ~5× per iteration
-    * (union+join+union) and OOMs the driver just RENDERING the explain
-    * string by round 7. On a real cluster with executor loss, swap for
-    * reliable `checkpoint` to an HDFS dir — same lineage-truncation
-    * semantics, fault-tolerant storage. Fails loudly (require) if `maxIter`
-    * rounds do not reach the fixpoint, rather than returning wrong labels.
+    * Each round's edge set is `localCheckpoint`ed, which TRUNCATES the
+    * logical plan to a LogicalRDD — the round-over-round plan otherwise
+    * grows ~5× per iteration (union+join+union) and OOMs the driver just
+    * RENDERING the explain string by round 7 — and the PREVIOUS round's
+    * checkpoint blocks are unpersisted explicitly each iteration, so at
+    * most two edge-set copies are ever held (the ContextCleaner alone
+    * would let ~10 rounds pile up ~10 copies). On a real cluster with
+    * executor loss, swap for reliable `checkpoint` to a checkpoint dir —
+    * same truncation, fault-tolerant storage. Fails loudly (require) if
+    * `maxIter` rounds do not reach the fixpoint, rather than returning
+    * wrong labels.
     *
     * Returns (labels for nodes with degree >= 1 as (doc_id, cluster_id),
     * rounds used) — DedupSpec asserts the O(log d) round count on a planted
@@ -354,11 +360,22 @@ object Dedup {
     */
   def connectedComponentsStars(
       pairs: DataFrame, maxIter: Int = 30): (DataFrame, Int) = {
+    // localCheckpoint truncates the logical plan WITHOUT a Row ser/de round
+    // trip (a createDataFrame(df.rdd, schema) wrap costs ~30% of the whole
+    // clustering query, measured); its one flaw — blocks freed only when
+    // the ContextCleaner notices the RDD is unreachable — is closed by
+    // unpersisting each round's checkpointed RDD (via its LogicalRDD plan
+    // node) as soon as the next round is materialized
+    def ckptRdd(df: DataFrame): org.apache.spark.rdd.RDD[_] =
+      df.queryExecution.analyzed
+        .collectFirst { case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd }
+        .getOrElse(sys.error("checkpointed frame must plan as LogicalRDD"))
     var edges = pairs
       .select(least(col("i"), col("j")).as("i"), greatest(col("i"), col("j")).as("j"))
       .filter(col("i") =!= col("j"))
       .distinct()
       .localCheckpoint()
+    var edgesRdd = ckptRdd(edges)
     var nEdges = edges.count()
     var iter = 0
     var done = nEdges == 0
@@ -369,8 +386,10 @@ object Dedup {
       val nbrs = edges.union(edges.select(col("j").as("i"), col("i").as("j")))
       val minsL = nbrs.groupBy(col("i")).agg(min(col("j")).as("mn"))
         .select(col("i").as("u"), least(col("i"), col("mn")).as("m"))
-      val large = nbrs
-        .filter(col("j") > col("i"))
+      // the canonical (i < j) edge list already IS the set of
+      // (node, strictly-larger-neighbor) pairs — no need to mirror and
+      // re-filter; each j re-points at m(i)
+      val large = edges
         .join(minsL, col("i") === col("u"))
         .select(col("m").as("i"), col("j"))
         .distinct()
@@ -382,17 +401,25 @@ object Dedup {
         .union(minsS.select(col("m").as("i"), col("j")))
         .filter(col("i") =!= col("j"))
         .distinct()
-        .localCheckpoint()
-      val nNext = small.count()
+      val next = small.localCheckpoint()
+      val nNext = next.count()
       // fixpoint iff the canonical edge set is unchanged (both sides are
       // distinct, so one-sided except + count equality decides set equality)
-      done = nNext == nEdges && small.except(edges).count() == 0
-      edges = small
+      done = nNext == nEdges && next.except(edges).count() == 0
+      // the previous round's blocks are dead once `next` is materialized;
+      // free them NOW instead of waiting on the ContextCleaner
+      edgesRdd.unpersist(blocking = false)
+      edgesRdd = ckptRdd(next)
+      edges = next
       nEdges = nNext
       iter += 1
     }
     require(done, s"connectedComponentsStars did not converge within $maxIter " +
       "rounds; raise maxIter")
+    // the FINAL round stays persisted: the returned labels read it lazily,
+    // and unpersisting here would cascade a full recompute (every ancestor
+    // round was just freed). One edge-set copy, released by the cleaner
+    // when the caller drops the result.
     // terminal star: every leaf j has exactly one edge to its component root
     val labels = edges.select(col("j").as("doc_id"), col("i").as("cluster_id"))
       .union(edges.select(col("i")).distinct()

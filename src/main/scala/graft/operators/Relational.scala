@@ -254,8 +254,14 @@ object Relational {
     */
   def keySetOpsJoin(orders: DataFrame, lineitem: DataFrame): DataFrame = {
     val a = orders.select(col("o_orderkey").as("key")).distinct()
-    val b = lineitem.select(col("l_orderkey").as("key")).distinct()
-    a.join(b.withColumn("in_b", lit(1)), Seq("key"), "left_outer")
+    val b = lineitem.select(col("l_orderkey").as("key_b")).distinct()
+      .withColumn("in_b", lit(1))
+    // null-SAFE equality: SQL set operators treat NULL = NULL as a match
+    // (a NULL key present on both sides is 'both'); a plain equi-join would
+    // silently tag it 'orders_only' and drift this twin from the shared
+    // oracle on any corpus with nullable keys. The in_b marker (never null
+    // on the build side) is what distinguishes matched-NULL from no-match.
+    a.join(b, col("key") <=> col("key_b"), "left_outer")
       .select(when(col("in_b").isNotNull, "both")
         .otherwise("orders_only").as("tag"))
       .groupBy(col("tag")).agg(count(lit(1)).as("n"))

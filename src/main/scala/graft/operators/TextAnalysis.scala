@@ -222,23 +222,34 @@ object TextAnalysis {
       md5(col("text")).as("md5_fp"))
       .orderBy(col("doc_id"))
 
+  /** The distinct `n`-gram shingle vocabulary of a benchmark corpus — the
+    * build side of every decontamination check (contaminationReport here,
+    * IngestGate.audit on the streaming edge).
+    */
+  def benchmarkShingles(benchDocs: DataFrame, n: Int = 4): DataFrame =
+    benchDocs
+      .select(explode(array_distinct(shingles(tokens(col("text")), n))).as("s"))
+      .distinct()
+
   /** Train/benchmark decontamination: per training doc, how many of its
-    * distinct `n`-gram shingles also appear in the held-out benchmark set
-    * (here the deterministic slice doc_id % 97 == 0; in production, the eval
-    * suites). Docs with any overlap are reported with their contamination
-    * ratio so a pipeline can drop or quarantine them before training.
+    * distinct `n`-gram shingles also appear in the held-out benchmark
+    * corpus (`benchDocs` — the eval suites in production; callers choose
+    * the split, the operator embeds NO selection policy). Docs with any
+    * overlap are reported with their contamination ratio so a pipeline can
+    * drop or quarantine them before training.
     *
     * Scale shape: explode to distinct (doc, shingle) postings — one narrow
     * generator — then a BROADCAST join against the benchmark shingle
     * vocabulary (eval suites are tiny relative to a 100 TB corpus) and one
     * hash aggregation per doc. No corpus self-join anywhere.
     */
-  def contaminationReport(docs: DataFrame, n: Int = 4, minShared: Long = 1): DataFrame = {
-    val posts = Par.spread(docs).select(col("doc_id"),
+  def contaminationReport(
+      trainDocs: DataFrame, benchDocs: DataFrame,
+      n: Int = 4, minShared: Long = 1): DataFrame = {
+    val posts = Par.spread(trainDocs).select(col("doc_id"),
       explode(array_distinct(shingles(tokens(col("text")), n))).as("s"))
-    val bench = posts.filter(col("doc_id") % 97 === 0)
-      .select(col("s")).distinct().withColumn("hit", lit(1L))
-    posts.filter(col("doc_id") % 97 =!= 0)
+    val bench = benchmarkShingles(benchDocs, n).withColumn("hit", lit(1L))
+    posts
       .join(broadcast(bench), Seq("s"), "left_outer")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shingles"),

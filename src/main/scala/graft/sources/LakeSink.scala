@@ -43,7 +43,14 @@ object LakeSink {
       targetBytes: Long = 128L << 20): Int = {
     val df = spark.read.parquet(inPath)
     val totalBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    val nFiles = (((totalBytes + targetBytes - 1) / targetBytes) max BigInt(1)).toInt
+    val nFilesBig = ((totalBytes + targetBytes - 1) / targetBytes) max BigInt(1)
+    // stats can degrade to defaultSizeInBytes (Long.MaxValue) when unknown;
+    // BigInt.toInt would silently WRAP that to a garbage (even negative)
+    // partition count — fail loudly instead of compacting wrong
+    require(nFilesBig.isValidInt,
+      s"compact: implausible target file count $nFilesBig from size estimate " +
+        s"$totalBytes — relation statistics unavailable?")
+    val nFiles = nFilesBig.toInt
     df.repartition(nFiles).write.mode(SaveMode.Overwrite).parquet(outPath)
     nFiles
   }

@@ -105,11 +105,13 @@ class DedupSpec extends SparkSpec {
     val uncapped = Dedup.ngramJaccardPairs(d, threshold = 0.5, dfCap = 1000)
       .count()
     assert(uncapped == 4950 + 1)
-    // default cap is far above this corpus' max df: real output is exact
+    // default cap is far above this corpus' max df: real output is exact.
+    // Int.MaxValue means "uncapped" (the +1 saturates instead of wrapping
+    // take() to a negative limit that would silently return zero pairs)
     val corpus = Tables.documents(spark, sf)
     val defaultOut = Dedup.ngramJaccardPairs(corpus).collect().toSet
-    val exactOut = Dedup.ngramJaccardPairs(corpus, dfCap = Int.MaxValue - 1).collect().toSet
-    assert(defaultOut == exactOut)
+    val exactOut = Dedup.ngramJaccardPairs(corpus, dfCap = Int.MaxValue).collect().toSet
+    assert(defaultOut == exactOut && defaultOut.nonEmpty)
   }
 
   test("near-dup clusters: transitive chains collapse to the min reachable id") {

@@ -46,15 +46,15 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
-  test("contamination report flags docs sharing 4-grams with the benchmark slice") {
-    // doc 0 (0 % 97 == 0) is the held-out benchmark; doc 1 contains one of
-    // its 4-grams verbatim, doc 2 shares nothing
-    val d = Seq(
-      (0L, "alpha beta gamma delta epsilon zeta"),
+  test("contamination report flags docs sharing 4-grams with the benchmark corpus") {
+    // doc 0 is the held-out benchmark; doc 1 contains one of its 4-grams
+    // verbatim, doc 2 shares nothing
+    val bench = Seq((0L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val train = Seq(
       (1L, "noise alpha beta gamma delta other words here"),
       (2L, "completely different content with no overlap at all"))
       .toDF("doc_id", "text")
-    val rows = TextAnalysis.contaminationReport(d).collect()
+    val rows = TextAnalysis.contaminationReport(train, bench).collect()
     assert(rows.map(_.getLong(0)).toSeq == Seq(1L))
     val r = rows.head
     // doc 1 (8 tokens) has 5 distinct 4-grams, of which exactly one —
