@@ -42,6 +42,7 @@ object SparkEntry {
     "q_entries_model" -> ((s, d) => Relational.entriesModel(Tables.events(s, d))),
     "q_set_ops" -> ((s, d) => Relational.keySetOps(Tables.orders(s, d), Tables.lineitem(s, d))),
     "q_set_ops_join" -> ((s, d) => Relational.keySetOpsJoin(Tables.orders(s, d), Tables.lineitem(s, d))),
+    "q_variant_fns" -> ((s, d) => Relational.variantExtract(Tables.orders(s, d))),
     "q_rollup" -> ((s, d) => Relational.orderRollup(Tables.orders(s, d))),
     "q_running_total" -> ((s, d) => Relational.runningTotalPerUser(Tables.events(s, d))),
     "q_distinct_count" -> ((s, d) => Relational.distinctUsersPerType(Tables.events(s, d))),
@@ -292,6 +293,16 @@ object SparkEntry {
     "q_set_ops" -> setOpsOracle,
     // physical-strategy twin (single co-partitioned join) — same result set
     "q_set_ops_join" -> setOpsOracle,
+    "q_variant_fns" ->
+      """SELECT o_orderkey,
+        |  json_extract_string(payload, '$.meta.status') AS status_v,
+        |  CAST(json_extract(payload, '$.meta.total') AS DOUBLE) AS total_v,
+        |  CAST(json_extract(payload, '$.o_orderkey') AS BIGINT) AS key_v
+        |FROM (SELECT o_orderkey, to_json(struct_pack(
+        |    o_orderkey := o_orderkey,
+        |    meta := struct_pack(status := o_orderstatus, total := o_totalprice)))
+        |  AS payload FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
     "q_rollup" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) AS total

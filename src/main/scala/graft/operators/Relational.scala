@@ -784,6 +784,28 @@ object Relational {
         get_json_object(col("payload"), "$.o_orderkey").cast("long").as("key_rt"))
       .orderBy(col("o_orderkey"))
 
+  /** VARIANT ingestion (Spark 4 semi-structured type): the nested payload
+    * is parsed ONCE into variant's binary-searchable encoding and then
+    * probed by typed path — repeated `get_json_object` calls re-parse the
+    * JSON string per extraction, which at a JSON-heavy event lake's scale
+    * multiplies the scan CPU by the number of probed fields. The oracle
+    * compares only the extracted values (shortest-repr double round-trip is
+    * exact), not the engines' JSON renderings.
+    */
+  def variantExtract(orders: DataFrame): DataFrame =
+    orders
+      .withColumn("payload", to_json(struct(
+        col("o_orderkey"),
+        struct(col("o_orderstatus").as("status"),
+          col("o_totalprice").as("total")).as("meta"))))
+      .withColumn("v", parse_json(col("payload")))
+      .select(
+        col("o_orderkey"),
+        expr("variant_get(v, '$.meta.status', 'string')").as("status_v"),
+        expr("variant_get(v, '$.meta.total', 'double')").as("total_v"),
+        expr("variant_get(v, '$.o_orderkey', 'long')").as("key_v"))
+      .orderBy(col("o_orderkey"))
+
   /** Group-relative filtering — orders above their priority's average
     * (the correlated-subquery shape, decorrelated into a groupwise-stats
     * join). The comparison is `price * n > total` in exact arithmetic

@@ -141,4 +141,19 @@ class RelationalSpec extends SparkSpec {
     assert(plan.contains("PushedFilters: [IsNotNull(l_returnflag), IsNotNull(l_quantity)")
       || plan.contains("EqualTo(l_returnflag,R)"))
   }
+
+  test("variant extraction round-trips typed fields through parse_json") {
+    val rows = Relational.variantExtract(Tables.orders(spark, sf)).limit(20).collect()
+    assert(rows.nonEmpty)
+    val src = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    rows.foreach { r =>
+      val k = r.getAs[Long]("o_orderkey")
+      assert(r.getAs[Long]("key_v") == k)
+      assert(r.getAs[String]("status_v") == src(k)._1)
+      assert(r.getAs[Double]("total_v") == src(k)._2,
+        "shortest-repr JSON round-trip of a double must be exact")
+    }
+  }
 }
