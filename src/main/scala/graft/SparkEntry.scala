@@ -43,6 +43,8 @@ object SparkEntry {
     "q_set_ops" -> ((s, d) => Relational.keySetOps(Tables.orders(s, d), Tables.lineitem(s, d))),
     "q_set_ops_join" -> ((s, d) => Relational.keySetOpsJoin(Tables.orders(s, d), Tables.lineitem(s, d))),
     "q_variant_fns" -> ((s, d) => Relational.variantExtract(Tables.orders(s, d))),
+    "q_stratified_n" -> ((s, d) => Relational.stratifiedFixedN(Tables.documents(s, d))),
+    "q_dedup_clusters_emb" -> ((s, d) => Dedup.embeddingNearDupClusters(Tables.embeddings(s, d))),
     "q_rollup" -> ((s, d) => Relational.orderRollup(Tables.orders(s, d))),
     "q_running_total" -> ((s, d) => Relational.runningTotalPerUser(Tables.events(s, d))),
     "q_distinct_count" -> ((s, d) => Relational.distinctUsersPerType(Tables.events(s, d))),
@@ -170,6 +172,14 @@ object SparkEntry {
     s"round(${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)})), 6)"
   private def duckStopHits(list: String): String =
     s"len(list_filter(string_split(text,' '), t -> list_contains($list, t)))"
+  // per-band sign-bit bucket over the md5-derived hyperplanes; `b` and `emb`
+  // bound by the enclosing query (shared by the LSH pair + cluster oracles)
+  private val duckBandBucket =
+    """array_to_string(list_transform(range(b*4, b*4+4),
+      |    p -> CASE WHEN list_sum(list_transform(range(1, 65),
+      |      i -> emb[i] * (CASE WHEN ('0x' || substr(md5(p || ':' || i), 1, 15))::BIGINT % 2 = 1
+      |                     THEN 1.0 ELSE -1.0 END))) > 0
+      |    THEN '1' ELSE '0' END), '')""".stripMargin
   private val enStopList = "['the','a','of','and','to','in','is','it']"
 
   // Physical-strategy twins MUST stay result-identical — bind each pair to
@@ -465,26 +475,45 @@ object SparkEntry {
          |    ${duckCos("a.emb", "b.emb")} AS cos
          |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
          |SELECT i, j, cos FROM scored WHERE cos >= 0.45 ORDER BY i, j""".stripMargin,
-    "q_embedding_neardup_lsh" -> {
-      // 16 bands x 4 sign bits; global plane index p in [0,64), same
-      // md5-derived +-1 hyperplanes as q_ann_lsh. Deterministic candidates
-      // => the oracle reproduces the LSH output, false negatives included.
-      val bandBucket =
-        """array_to_string(list_transform(range(b*4, b*4+4),
-          |    p -> CASE WHEN list_sum(list_transform(range(1, 65),
-          |      i -> emb[i] * (CASE WHEN ('0x' || substr(md5(p || ':' || i), 1, 15))::BIGINT % 2 = 1
-          |                     THEN 1.0 ELSE -1.0 END))) > 0
-          |    THEN '1' ELSE '0' END), '')""".stripMargin
+    // 16 bands x 4 sign bits; global plane index p in [0,64), same
+    // md5-derived +-1 hyperplanes as q_ann_lsh. Deterministic candidates
+    // => the oracle reproduces the LSH output, false negatives included.
+    "q_embedding_neardup_lsh" ->
       s"""WITH e AS ($duckEmb),
-         |bk AS (SELECT vec_id, emb, b, $bandBucket AS bucket
+         |bk AS (SELECT vec_id, emb, b, $duckBandBucket AS bucket
          |  FROM e CROSS JOIN (SELECT unnest(range(0, 16)) AS b)),
          |cand AS (SELECT DISTINCT x.vec_id AS i, y.vec_id AS j
          |  FROM bk x JOIN bk y
          |  ON x.b = y.b AND x.bucket = y.bucket AND x.vec_id < y.vec_id),
          |scored AS (SELECT i, j, ${duckCos("ea.emb", "eb.emb")} AS cos
          |  FROM cand JOIN e ea ON ea.vec_id = i JOIN e eb ON eb.vec_id = j)
-         |SELECT i, j, cos FROM scored WHERE cos >= 0.45 ORDER BY i, j""".stripMargin
-    },
+         |SELECT i, j, cos FROM scored WHERE cos >= 0.45 ORDER BY i, j""".stripMargin,
+    // the same LSH pair graph closed into components by the recursive walk
+    // (the embedding-side twin of q_dedup_clusters' oracle)
+    "q_dedup_clusters_emb" ->
+      s"""WITH RECURSIVE e AS ($duckEmb),
+         |bk AS (SELECT vec_id, emb, b, $duckBandBucket AS bucket
+         |  FROM e CROSS JOIN (SELECT unnest(range(0, 16)) AS b)),
+         |cand AS (SELECT DISTINCT x.vec_id AS i, y.vec_id AS j
+         |  FROM bk x JOIN bk y
+         |  ON x.b = y.b AND x.bucket = y.bucket AND x.vec_id < y.vec_id),
+         |scored AS (SELECT i, j, ${duckCos("ea.emb", "eb.emb")} AS cos
+         |  FROM cand JOIN e ea ON ea.vec_id = i JOIN e eb ON eb.vec_id = j),
+         |edges AS (SELECT i, j FROM scored WHERE cos >= 0.45
+         |  UNION ALL SELECT j AS i, i AS j FROM scored WHERE cos >= 0.45),
+         |walk(id, lbl) AS (
+         |  SELECT vec_id, vec_id FROM embeddings
+         |  UNION
+         |  SELECT g.i, w.lbl FROM edges g JOIN walk w ON w.id = g.j)
+         |SELECT id AS vec_id, MIN(lbl) AS cluster_id
+         |FROM walk GROUP BY id ORDER BY vec_id""".stripMargin,
+    "q_stratified_n" ->
+      """WITH ranked AS (SELECT source, doc_id,
+        |  row_number() OVER (PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents)
+        |SELECT source, rk, doc_id FROM ranked WHERE rk <= 20
+        |ORDER BY source, rk""".stripMargin,
     "q_ann_bruteforce" ->
       s"""WITH e AS ($duckEmb),
          |q AS (SELECT vec_id AS query_id, emb AS q_emb FROM e WHERE vec_id < 5),

@@ -448,6 +448,23 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Near-dup CLUSTERS in embedding space: connected components over the
+    * banded sign-LSH pair graph — the vector-side analog of
+    * [[nearDupClusters]], sharing the same star-CC engine and the same
+    * recursive-CTE oracle form. Collapses paraphrase/translation chains
+    * that pairwise cosine alone leaves as fragments.
+    */
+  def embeddingNearDupClusters(
+      embeddings: DataFrame, threshold: Double = 0.45, maxIter: Int = 20): DataFrame = {
+    val pairs = embeddingNearDupLsh(embeddings, threshold).select(col("i"), col("j"))
+    val (labels, _) = connectedComponentsStars(pairs, maxIter)
+    embeddings.select(col("vec_id"))
+      .join(labels.select(col("doc_id").as("vec_id"), col("cluster_id").as("comp")),
+        Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), coalesce(col("comp"), col("vec_id")).as("cluster_id"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Embedding-cosine near-dup pairs via banded sign-LSH — the DEFAULT scale
     * path (no driver collect, no O(corpus) broadcast): every stage is a
     * narrow projection or a hash equi-join, so the plan survives a corpus

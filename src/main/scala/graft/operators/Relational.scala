@@ -806,6 +806,21 @@ object Relational {
         expr("variant_get(v, '$.o_orderkey', 'long')").as("key_v"))
       .orderBy(col("o_orderkey"))
 
+  /** Fixed-size per-stratum sample: exactly `n` docs per source by md5-rank
+    * — the "1000 docs per domain for eval" draw. One shuffle on the stratum
+    * key; deterministic, replayable, partitioning-independent (same family
+    * as hashStratifiedSample, which draws by RATE instead of count).
+    */
+  def stratifiedFixedN(docs: DataFrame, n: Int = 20): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    docs
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= n)
+      .select(col("source"), col("rk"), col("doc_id"))
+      .orderBy(col("source"), col("rk"))
+  }
+
   /** Group-relative filtering — orders above their priority's average
     * (the correlated-subquery shape, decorrelated into a groupwise-stats
     * join). The comparison is `price * n > total` in exact arithmetic

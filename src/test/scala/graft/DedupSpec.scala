@@ -114,6 +114,22 @@ class DedupSpec extends SparkSpec {
     assert(defaultOut == exactOut && defaultOut.nonEmpty)
   }
 
+  test("embedding near-dup clusters collapse transitive vector chains") {
+    // a~b and b~c are near-dups, a vs c drifts further; the unrelated vector
+    // must stay a singleton. Transitivity puts a,b,c in one cluster.
+    val a = (0 until 64).map(_.toFloat / 64).toArray
+    def drift(v: Array[Float], k: Int) = {
+      val w = v.clone(); (0 until k).foreach(i => w(i) += 0.05f); w
+    }
+    val unrelated = (0 until 64).map(i => if (i % 2 == 0) 1f else -1f).toArray
+    val emb = Seq((1L, a), (2L, drift(a, 4)), (3L, drift(a, 8)), (9L, unrelated))
+      .toDF("vec_id", "embedding")
+    val clusters = Dedup.embeddingNearDupClusters(emb, threshold = 0.995).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters(1L) == 1L && clusters(2L) == 1L && clusters(3L) == 1L)
+    assert(clusters(9L) == 9L)
+  }
+
   test("near-dup clusters: transitive chains collapse to the min reachable id") {
     // 1~2 and 2~3 are near-dups (one token changed each step); 4 is unrelated.
     // Even if 1~3 falls below threshold, transitivity must put all three in

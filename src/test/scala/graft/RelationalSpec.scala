@@ -142,6 +142,23 @@ class RelationalSpec extends SparkSpec {
       || plan.contains("EqualTo(l_returnflag,R)"))
   }
 
+  test("stratifiedFixedN draws exactly n per stratum, deterministically") {
+    val docs = Tables.documents(spark, sf)
+    val n = 5
+    val rows = Relational.stratifiedFixedN(docs, n).collect()
+    val bySource = rows.groupBy(_.getString(0))
+    val counts = docs.groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    bySource.foreach { case (src, rs) =>
+      assert(rs.length == math.min(n.toLong, counts(src)),
+        s"$src drew ${rs.length} of ${counts(src)}")
+      assert(rs.map(_.getInt(1)).sorted.sameElements(1 to rs.length))
+    }
+    // replayable: a second run draws the identical sample
+    val again = Relational.stratifiedFixedN(docs, n).collect()
+    assert(rows.map(_.toString).sameElements(again.map(_.toString)))
+  }
+
   test("variant extraction round-trips typed fields through parse_json") {
     val rows = Relational.variantExtract(Tables.orders(spark, sf)).limit(20).collect()
     assert(rows.nonEmpty)
