@@ -38,8 +38,11 @@ object IngestGate {
       lit(1.0) - size(array_distinct(tri)).cast("double") / size(tri).cast("double"))
       .otherwise(lit(0.0))
     // one-row static frame carrying the whole benchmark vocabulary; the
-    // stream side sees it as a broadcast nested-loop of exactly one row
-    val vocab = benchShingles.agg(collect_set(col("s")).as("bench_vocab"))
+    // stream side sees it as a broadcast nested-loop of exactly one row.
+    // cache(): the STATIC side of a stream-static join is re-executed every
+    // micro-batch — without this, each batch re-aggregates the benchmark
+    // corpus; with it, batches re-broadcast one cached row
+    val vocab = benchShingles.agg(collect_set(col("s")).as("bench_vocab")).cache()
     docs
       .withColumn("n_tokens", size(toks))
       .withColumn("dup_trigram_frac", round(dupTri, 6))
