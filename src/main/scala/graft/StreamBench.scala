@@ -79,6 +79,33 @@ object StreamBench {
         .option("checkpointLocation", s"$root/chk2").start()
     }
 
+    // --- timed: ingest gate (quality + decontamination + bounded dedup) ---
+    // synthetic docs: ~1/8 exact dups, small vocab so some trigram repetition
+    val f = org.apache.spark.sql.functions
+    val nDocs = math.max(nTurnstile / 10, 10000)
+    val docs = spark.range(nDocs).select(
+      f.col("id").as("doc_id"),
+      f.concat_ws(" ",
+        (0 until 12).map(i => f.concat(f.lit(s"w"),
+          (f.col("id") * (i + 7) % 211))): _*).as("text"),
+      f.concat(f.lit("src"), f.col("id") % 5).as("source"),
+      (f.col("id") * 911L % 86400000L).as("timestamp"))
+    docs.repartition(8).write.parquet(s"$root/docs")
+    val benchVocab = spark.read.parquet(s"$root/docs")
+      .filter(f.col("doc_id") % 97 === 0)
+      .select(f.explode(graft.functions.TextFunctions.shingles(
+        graft.functions.TextFunctions.tokens(f.col("text")), 4)).as("s"))
+      .distinct()
+    timeQuery("ingest gate (audit+dedup admit)", nDocs.toLong) {
+      val src = spark.readStream
+        .schema(docs.schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(s"$root/docs")
+      graft.streaming.IngestGate.admit(src, benchVocab, watermark = "24 hours")
+        .writeStream.format("noop").outputMode(OutputMode.Append())
+        .option("checkpointLocation", s"$root/chk4").start()
+    }
+
     // v2 stateful API on the RocksDB store (the provider it requires)
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
