@@ -45,6 +45,7 @@ object SparkEntry {
     "q_variant_fns" -> ((s, d) => Relational.variantExtract(Tables.orders(s, d))),
     "q_stratified_n" -> ((s, d) => Relational.stratifiedFixedN(Tables.documents(s, d))),
     "q_dedup_clusters_emb" -> ((s, d) => Dedup.embeddingNearDupClusters(Tables.embeddings(s, d))),
+    "q_dedup_editdist" -> ((s, d) => Dedup.editDistancePairs(Tables.documents(s, d))),
     "q_rollup" -> ((s, d) => Relational.orderRollup(Tables.orders(s, d))),
     "q_running_total" -> ((s, d) => Relational.runningTotalPerUser(Tables.events(s, d))),
     "q_distinct_count" -> ((s, d) => Relational.distinctUsersPerType(Tables.events(s, d))),
@@ -507,6 +508,20 @@ object SparkEntry {
          |  SELECT g.i, w.lbl FROM edges g JOIN walk w ON w.id = g.j)
          |SELECT id AS vec_id, MIN(lbl) AS cluster_id
          |FROM walk GROUP BY id ORDER BY vec_id""".stripMargin,
+    "q_dedup_editdist" ->
+      """WITH base AS (SELECT doc_id, text, lang,
+        |    string_split(text, ' ')[1] AS tok0,
+        |    CAST(floor(length(text) / 32) AS BIGINT) AS b
+        |  FROM documents),
+        |ex AS (SELECT doc_id, lang, tok0, unnest([b, b + 1]) AS blk FROM base),
+        |cand AS (SELECT DISTINCT x.doc_id AS i, y.doc_id AS j
+        |  FROM ex x JOIN ex y
+        |  ON x.lang = y.lang AND x.tok0 = y.tok0 AND x.blk = y.blk
+        |     AND x.doc_id < y.doc_id),
+        |scored AS (SELECT i, j, levenshtein(a.text, b2.text) AS dist
+        |  FROM cand JOIN documents a ON a.doc_id = i
+        |  JOIN documents b2 ON b2.doc_id = j)
+        |SELECT i, j, dist FROM scored WHERE dist <= 12 ORDER BY i, j""".stripMargin,
     "q_stratified_n" ->
       """WITH ranked AS (SELECT source, doc_id,
         |  row_number() OVER (PARTITION BY source

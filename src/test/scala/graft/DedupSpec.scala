@@ -114,6 +114,22 @@ class DedupSpec extends SparkSpec {
     assert(defaultOut == exactOut && defaultOut.nonEmpty)
   }
 
+  test("edit-distance pairs: typo dups found, boundary-straddling lengths collide") {
+    // doc 2 = doc 1 with 3 single-char typos (shingle Jaccard would crater,
+    // edit distance = 3); doc 3 shares the first token but is unrelated.
+    // docs 4/5 are a dup pair whose lengths straddle a 32-char bucket
+    // boundary (len 31 vs 33) — the {b, b+1} explode must still pair them.
+    val d = docs(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta", "en"),
+      (2L, "alpha bXta gamma dXlta epsilon zXta eta theta", "en"),
+      (3L, "alpha completely different text goes here now okay", "en"),
+      (4L, "prefix aaaaaaaaaaaaaaaaaaaaaaaa", "en"),   // 31 chars, b=0
+      (5L, "prefix aaaaaaaaaaaaaaaaaaaaaaaaaa", "en")) // 33 chars, b=1
+    val pairs = Dedup.editDistancePairs(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs == Set((1L, 2L, 3), (4L, 5L, 2)), s"got $pairs")
+  }
+
   test("embedding near-dup clusters collapse transitive vector chains") {
     // a~b and b~c are near-dups, a vs c drifts further; the unrelated vector
     // must stay a singleton. Transitivity puts a,b,c in one cluster.
