@@ -18,7 +18,9 @@ class PartitionInvarianceSpec extends SparkSpec {
     "q_hash_sample", "q_topk_per_group", "q_latest_per_key",
     "q_quartiles", "q_quantiles_exact", "q_sessionize", "q_user_journeys",
     "q_dedup_minhash_lsh", "q_simhash_pairs", "q_dedup_clusters",
-    "q_decontaminate", "q_repetition", "q_domain_mix", "q_tfidf")
+    "q_decontaminate", "q_repetition", "q_domain_mix", "q_tfidf",
+    "q_stratified_n", "q_dedup_editdist", "q_dedup_keepbest",
+    "q_dedup_clusters_emb", "q_set_ops_join")
 
   test("query results are invariant to shuffle-partition count and scan splits") {
     val missing = targets.filterNot(SparkEntry.queries.contains)
