@@ -39,6 +39,7 @@ object SparkEntry {
     "q_latest_per_key2" -> ((s, d) => Relational.latestEventPerUserType(Tables.events(s, d))),
     "q_latest_per_key_agg" -> ((s, d) => Relational.latestEventPerUserAgg(Tables.events(s, d))),
     "q_events_by_hour" -> ((s, d) => Relational.eventsByHour(Tables.events(s, d))),
+    "q_tumbling" -> ((s, d) => Relational.tumblingEventCounts(Tables.events(s, d))),
     "q_entries_model" -> ((s, d) => Relational.entriesModel(Tables.events(s, d))),
     "q_set_ops" -> ((s, d) => Relational.keySetOps(Tables.orders(s, d), Tables.lineitem(s, d))),
     "q_set_ops_join" -> ((s, d) => Relational.keySetOpsJoin(Tables.orders(s, d), Tables.lineitem(s, d))),
@@ -296,6 +297,11 @@ object SparkEntry {
       """SELECT EXTRACT(hour FROM ts) AS hour_of_day, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_tumbling" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS w_start, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_entries_model" ->
       """SELECT event_id,
         |  GREATEST(0, CAST(FLOOR(value * 0.125 / 3) AS BIGINT)) AS entries,

@@ -217,6 +217,19 @@ object Relational {
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
       .orderBy(col("hour_of_day"))
 
+  /** Batch twin of the streaming tumbling-window aggregation
+    * (Windows.tumblingCounts): epoch-aligned event-time buckets, grouped
+    * count + decimal sum. Oracle = DuckDB time_bucket — pinning the window
+    * boundary arithmetic the streaming side relies on.
+    */
+  def tumblingEventCounts(events: DataFrame, width: String = "1 hour"): DataFrame =
+    events
+      .groupBy(window(col("ts"), width), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n"), col("sum_value"))
+      .orderBy(col("w_start"), col("event_type"))
+
   /** A4/F7 analog — arithmetic entry model: floor(value*ratio/steps) clamped
     * at 0 (ref: producers/models/turnstile_hardware.py:46-66, noise term
     * omitted: rand() has no cross-engine oracle).
