@@ -80,14 +80,22 @@ object StreamBench {
     }
 
     // --- timed: ingest gate (quality + decontamination + bounded dedup) ---
-    // synthetic docs: ~1/8 exact dups, small vocab so some trigram repetition
+    // synthetic docs: ids sharing a seed (id and id-1 when id % 8 == 0) get
+    // IDENTICAL text → exactly ~1/8 exact dups for the dedup state to drop;
+    // the token space (prime 100003 ≫ nDocs) keeps all other texts and
+    // their 4-grams distinct, so most docs pass the gate and the
+    // dropDuplicatesWithinWatermark stage is genuinely exercised — a doc
+    // contaminates only when its dup partner landed in the %97 benchmark
+    // slice, a realistic smattering
     val f = org.apache.spark.sql.functions
     val nDocs = math.max(nTurnstile / 10, 10000)
+    val seed = f.when(f.col("id") % 8 === 0 && f.col("id") > 0, f.col("id") - 1)
+      .otherwise(f.col("id"))
     val docs = spark.range(nDocs).select(
       f.col("id").as("doc_id"),
       f.concat_ws(" ",
         (0 until 12).map(i => f.concat(f.lit(s"w"),
-          (f.col("id") * (i + 7) % 211))): _*).as("text"),
+          (seed * (i + 7) % 100003L))): _*).as("text"),
       f.concat(f.lit("src"), f.col("id") % 5).as("source"),
       (f.col("id") * 911L % 86400000L).as("timestamp"))
     docs.repartition(8).write.parquet(s"$root/docs")

@@ -434,18 +434,25 @@ object Dedup {
     * degree ≥ 1 enter the iteration; singletons join back at the end
     * labeled by their own id.
     */
+  /** Shared labeling tail of every clustering entry point: attach component
+    * labels to the full entity set, defaulting degree-0 singletons to their
+    * own id (the survivor rule), ordered by id.
+    */
+  private def attachClusterLabels(
+      entities: DataFrame, idCol: String, labels: DataFrame): DataFrame =
+    entities.select(col(idCol))
+      .join(labels.select(col("doc_id").as(idCol), col("cluster_id").as("comp")),
+        Seq(idCol), "left_outer")
+      .select(col(idCol), coalesce(col("comp"), col(idCol)).as("cluster_id"))
+      .orderBy(col(idCol))
+
   def nearDupClusters(
       docs: DataFrame, threshold: Double = 0.6, maxIter: Int = 20): DataFrame = {
     // the entry localCheckpoint inside connectedComponentsStars materializes
     // the shingle + posting pipeline exactly once; no extra persist needed
     val pairs = ngramJaccardPairs(docs, threshold).select(col("i"), col("j"))
     val (labels, _) = connectedComponentsStars(pairs, maxIter)
-    docs.select(col("doc_id"))
-      .join(labels.select(col("doc_id"), col("cluster_id").as("comp")),
-        Seq("doc_id"), "left_outer")
-      .select(col("doc_id"),
-        coalesce(col("comp"), col("doc_id")).as("cluster_id"))
-      .orderBy(col("doc_id"))
+    attachClusterLabels(docs, "doc_id", labels)
   }
 
   /** Character-level near-dup pairs by bounded edit distance — the dedup
@@ -504,11 +511,7 @@ object Dedup {
       embeddings: DataFrame, threshold: Double = 0.45, maxIter: Int = 20): DataFrame = {
     val pairs = embeddingNearDupLsh(embeddings, threshold).select(col("i"), col("j"))
     val (labels, _) = connectedComponentsStars(pairs, maxIter)
-    embeddings.select(col("vec_id"))
-      .join(labels.select(col("doc_id").as("vec_id"), col("cluster_id").as("comp")),
-        Seq("vec_id"), "left_outer")
-      .select(col("vec_id"), coalesce(col("comp"), col("vec_id")).as("cluster_id"))
-      .orderBy(col("vec_id"))
+    attachClusterLabels(embeddings, "vec_id", labels)
   }
 
   /** Embedding-cosine near-dup pairs via banded sign-LSH — the DEFAULT scale

@@ -31,7 +31,8 @@ object IngestGate {
     */
   def audit(
       docs: DataFrame, benchShingles: DataFrame, n: Int = 4,
-      minTokens: Int = 5, maxDupTrigramFrac: Double = 0.15): DataFrame = {
+      minTokens: Int = 5, maxDupTrigramFrac: Double = 0.15,
+      cacheVocab: Boolean = false): DataFrame = {
     val toks = tokens(col("text"))
     val tri = shingles(toks, 3)
     val dupTri = when(size(tri) > lit(0),
@@ -39,10 +40,13 @@ object IngestGate {
       .otherwise(lit(0.0))
     // one-row static frame carrying the whole benchmark vocabulary; the
     // stream side sees it as a broadcast nested-loop of exactly one row.
-    // cache(): the STATIC side of a stream-static join is re-executed every
-    // micro-batch — without this, each batch re-aggregates the benchmark
-    // corpus; with it, batches re-broadcast one cached row
-    val vocab = benchShingles.agg(collect_set(col("s")).as("bench_vocab")).cache()
+    // cacheVocab (set by admit): the STATIC side of a stream-static join is
+    // re-executed every micro-batch — cached, batches re-broadcast one row.
+    // The cache entry lives as long as the streaming query needs it; batch
+    // callers leave it off (one-shot execution, nothing to amortize, and a
+    // CacheManager entry per caller plan would outlive the job)
+    val vocabAgg = benchShingles.agg(collect_set(col("s")).as("bench_vocab"))
+    val vocab = if (cacheVocab) vocabAgg.cache() else vocabAgg
     docs
       .withColumn("n_tokens", size(toks))
       .withColumn("dup_trigram_frac", round(dupTri, 6))
@@ -65,7 +69,7 @@ object IngestGate {
   def admit(
       docs: DataFrame, benchShingles: DataFrame,
       watermark: String = "10 minutes"): DataFrame =
-    audit(docs, benchShingles)
+    audit(docs, benchShingles, cacheVocab = true)
       .filter(col("reason") === "ok")
       .withColumn("event_time", timestamp_millis(col("timestamp")))
       .withColumn("text_hash", md5(col("text")))
