@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The end-product query of a corpus-curation pipeline: every upstream
+  * signal — heuristic quality, Gopher-style repetition, benchmark
+  * decontamination, exact-Jaccard near-dup clustering — joined into ONE
+  * per-document decision: what actually ships into the training set, and
+  * why each rejected doc fell out.
+  *
+  * Decision precedence (first match wins, mirrored exactly in the oracle):
+  * holdout (benchmark slice) > drop_contaminated > drop_repetitive >
+  * drop_quality > drop_duplicate (non-canonical cluster member — the min-id
+  * representative survives; a production policy might instead pick the
+  * highest-quality member, which is a one-line change to the canonical
+  * rule) > keep.
+  *
+  * Plan shape: four per-doc signal frames, each one-to-one with doc_id,
+  * hash-joined on doc_id — at scale every join co-partitions on the same
+  * key, so the composition adds exactly one shuffle per signal beyond the
+  * signals' own cost.
+  */
+object Curation {
+
+  def curationSnapshot(docs: DataFrame): DataFrame = {
+    val bench = docs.filter(col("doc_id") % 97 === 0)
+    val train = docs.filter(col("doc_id") % 97 =!= 0)
+    val q = TextAnalysis.qualityScore(docs)
+      .select(col("doc_id"), col("verdict").as("q_verdict"))
+    val r = TextAnalysis.repetitionScores(docs)
+      .select(col("doc_id"), col("verdict").as("r_verdict"))
+    val clusters = Dedup.nearDupClusters(docs)
+    val contam = TextAnalysis.contaminationReport(train, bench)
+      .select(col("doc_id"), lit(1).as("contaminated"))
+    docs.select(col("doc_id"), col("source"))
+      .join(q, Seq("doc_id"))
+      .join(r, Seq("doc_id"))
+      .join(clusters, Seq("doc_id"))
+      .join(contam, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("source"), col("cluster_id"),
+        when(col("doc_id") % 97 === 0, "holdout")
+          .when(col("contaminated").isNotNull, "drop_contaminated")
+          .when(col("r_verdict") === "drop", "drop_repetitive")
+          .when(col("q_verdict") === "drop", "drop_quality")
+          .when(col("cluster_id") =!= col("doc_id"), "drop_duplicate")
+          .otherwise("keep").as("decision"))
+      .orderBy(col("doc_id"))
+  }
+}
