@@ -14,9 +14,18 @@ import graft.operators.{Dedup, Relational, SimilaritySearch, Skew, TextAnalysis}
 object SparkEntry {
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Driver smoke: the classic pricing summary UNIONed (by count) with the
+    * engine's own flagship — the composed curation decision — so the smoke
+    * exercises both the relational and the corpus-pipeline halves.
+    */
   def entry(spark: SparkSession): DataFrame = {
     val d = "/root/testdata/sf0.001"
-    Relational.pricingSummary(Tables.lineitem(spark, d))
+    val pricing = Relational.pricingSummary(Tables.lineitem(spark, d))
+      .select(count(lit(1)).as("n")).withColumn("part", lit("pricing_summary"))
+    val curation = operators.Curation.curationSnapshot(Tables.documents(spark, d))
+      .groupBy(col("decision").as("part")).agg(count(lit(1)).as("n"))
+      .select(col("n"), col("part"))
+    pricing.union(curation)
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */
