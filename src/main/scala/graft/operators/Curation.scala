@@ -23,9 +23,15 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
-  def curationSnapshot(docs: DataFrame): DataFrame = {
-    val bench = docs.filter(col("doc_id") % 97 === 0)
-    val train = docs.filter(col("doc_id") % 97 =!= 0)
+  /** `isHoldout` picks the benchmark slice — a policy the CALLER owns (the
+    * harness uses the deterministic doc_id % 97 split; production passes
+    * membership in its eval suites). The operator embeds no selection rule.
+    */
+  def curationSnapshot(
+      docs: DataFrame,
+      isHoldout: org.apache.spark.sql.Column = col("doc_id") % 97 === 0): DataFrame = {
+    val bench = docs.filter(isHoldout)
+    val train = docs.filter(!isHoldout)
     val q = TextAnalysis.qualityScore(docs)
       .select(col("doc_id"), col("verdict").as("q_verdict"))
     val r = TextAnalysis.repetitionScores(docs)
@@ -39,7 +45,7 @@ object Curation {
       .join(clusters, Seq("doc_id"))
       .join(contam, Seq("doc_id"), "left_outer")
       .select(col("doc_id"), col("source"), col("cluster_id"),
-        when(col("doc_id") % 97 === 0, "holdout")
+        when(isHoldout, "holdout")
           .when(col("contaminated").isNotNull, "drop_contaminated")
           .when(col("r_verdict") === "drop", "drop_repetitive")
           .when(col("q_verdict") === "drop", "drop_quality")
