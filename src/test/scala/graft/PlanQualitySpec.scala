@@ -147,4 +147,29 @@ class PlanQualitySpec extends SparkSpec {
     assert(!readSchema.contains("props") && !readSchema.contains("event_type"),
       s"column pruning failed: $readSchema")
   }
+
+  test("decontamination: benchmark vocabulary joins broadcast; %97 filters push below the explodes") {
+    val p = plan("q_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // both branches filter doc_id BEFORE generating shingles — the bench
+    // branch must not shingle the whole corpus
+    assert("% 97".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("edit-distance dedup: the band self-join carries ids only, never text") {
+    val joins = Dedup // touch object for classloading clarity
+    val df = graft.operators.Dedup.editDistancePairs(Tables.documents(spark, sf))
+    val p = df.queryExecution.executedPlan.toString
+    // the candidate join's output columns are the block keys + ids; text
+    // re-attaches only after dedup — no `text` column may appear in any
+    // join ON the (lang, tok0, blk) band keys
+    val bandJoinLines = p.linesIterator.filter(l =>
+      l.contains("Join") && l.contains("blk")).toSeq
+    assert(bandJoinLines.nonEmpty, p)
+    assert(!bandJoinLines.exists(_.contains("text#")),
+      s"band join must not shuffle document text: $bandJoinLines")
+  }
+
+  private val Dedup = graft.operators.Dedup
 }
