@@ -154,6 +154,8 @@ object SparkEntry {
         docs.filter(col("doc_id") % 97 === 0))
     }),
     "q_repetition" -> ((s, d) => TextAnalysis.repetitionScores(Tables.documents(s, d))),
+    "q_tfidf_pairs" -> ((s, d) => TextAnalysis.tfidfCosinePairs(Tables.documents(s, d))),
+    "q_lm_score" -> ((s, d) => TextAnalysis.lmPerplexityScore(Tables.documents(s, d))),
     "q_domain_mix" -> ((s, d) => TextAnalysis.domainMixture(Tables.documents(s, d))),
     // the streaming ingest gate's audit is a plain DataFrame op — run it in
     // batch over documents (benchmark vocab = the %97 held-out slice) so the
@@ -825,6 +827,38 @@ object SparkEntry {
         |      FROM ball JOIN ucnt ua ON ball.a = ua.w JOIN ucnt ub ON ball.b = ub.w
         |      WHERE ball.nab >= 5), tu, tb
         |ORDER BY pmi DESC, a, b LIMIT 30""".stripMargin,
+    "q_tfidf_pairs" ->
+      """WITH dt AS (SELECT doc_id, unnest(string_split(text,' ')) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM dt GROUP BY doc_id, token),
+        |df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+        |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+        |w AS (SELECT doc_id, tf.token,
+        |    CAST(round(CAST(tf AS DOUBLE) * ln(n.n / CAST(df.df AS DOUBLE)), 6)
+        |      AS DECIMAL(18,6)) AS w
+        |  FROM tf JOIN df USING (token) CROSS JOIN n WHERE df.df <= 128),
+        |nrm AS (SELECT doc_id, sqrt(CAST(SUM(w*w) AS DOUBLE)) AS nrm FROM w GROUP BY doc_id),
+        |dot AS (SELECT a.doc_id AS i, b.doc_id AS j, CAST(SUM(a.w*b.w) AS DOUBLE) AS dot
+        |  FROM w a JOIN w b ON a.token = b.token AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT i, j, round(dot / (ni.nrm * nj.nrm), 6) AS cos
+        |FROM dot JOIN nrm ni ON dot.i = ni.doc_id JOIN nrm nj ON dot.j = nj.doc_id
+        |WHERE round(dot / (ni.nrm * nj.nrm), 6) >= 0.5
+        |ORDER BY i, j""".stripMargin,
+    "q_lm_score" ->
+      """WITH dt AS (SELECT doc_id, unnest(string_split(text,' ')) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM dt GROUP BY doc_id, token),
+        |vocab AS (SELECT token, SUM(tf) AS n_t FROM tf GROUP BY token),
+        |tot AS (SELECT CAST(SUM(n_t) AS DOUBLE) AS t_tokens,
+        |    CAST(COUNT(*) AS DOUBLE) AS v_size FROM vocab),
+        |logp AS (SELECT token,
+        |    CAST(round(ln((CAST(n_t AS DOUBLE) + 1.0) / (tot.t_tokens + tot.v_size)), 6)
+        |      AS DECIMAL(18,6)) AS logp
+        |  FROM vocab CROSS JOIN tot),
+        |agg AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+        |    -CAST(SUM(CAST(tf AS DECIMAL(18,0)) * logp) AS DOUBLE) AS nll
+        |  FROM tf JOIN logp USING (token) GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, round(nll / CAST(n_tokens AS DOUBLE), 6) AS avg_nll,
+        |  CASE WHEN nll / CAST(n_tokens AS DOUBLE) > 10.0 THEN 'drop' ELSE 'keep' END AS verdict
+        |FROM agg ORDER BY doc_id""".stripMargin,
     "q_doc_stats" ->
       s"""SELECT doc_id,
          |  len(string_split(text,' ')) AS token_count,

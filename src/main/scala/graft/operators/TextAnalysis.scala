@@ -310,6 +310,105 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Pairwise document similarity by sparse TF-IDF cosine — the inverted-
+    * index similarity self-join, the sparse-vector complement of the dense
+    * embedding ANN family (SimilaritySearch): no embeddings needed, the
+    * corpus itself defines the vector space.
+    *
+    * Weights w(d,t) = tf · ln(N/df), restricted to tokens with df ≤ `dfCap`
+    * (vocabulary pruning — the standard stopword-class cut that both sharpens
+    * the signal and bounds the join). Pairs materialize ONLY through shared
+    * postings: Σ_t df(t)² candidate products with df ≤ dfCap, never the n²
+    * doc-pair space. Candidate density is the dfCap lever at 100 TB — prefix
+    * filtering (ppjoin) was measured and rejected for the Jaccard twin
+    * (BENCH.md): the verify join it needs costs more than in-aggregate
+    * verification on bounded-df postings.
+    *
+    * Cross-engine determinism: weights are rounded to 6 dp and cast to
+    * DECIMAL(18,6) BEFORE any sum, so dot products and norms accumulate
+    * exactly (order-independent) in both Spark and DuckDB; only the final
+    * cosine division happens in binary floating point, on bit-identical
+    * inputs. The two legs of the posting self-join are identical subplans,
+    * so ReuseExchange ships one shuffle, not two.
+    */
+  def tfidfCosinePairs(
+      docs: DataFrame, threshold: Double = 0.5, dfCap: Int = 128): DataFrame = {
+    val spread = Par.spread(docs)
+    val n = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    val docTerms = spread
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    // (doc_id, token) grain ⇒ plain count is document frequency
+    val dfF = docTerms.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val w = docTerms
+      .join(broadcast(dfF.filter(col("df") <= dfCap)), "token")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("token"),
+        round(col("tf").cast("double") *
+          log(col("n_docs") / col("df").cast("double")), 6)
+          .cast("decimal(18,6)").as("w"))
+    val norms = w.groupBy(col("doc_id"))
+      .agg(sqrt(sum(col("w") * col("w")).cast("double")).as("nrm"))
+    val pairs = w.as("a")
+      .join(w.as("b"),
+        col("a.token") === col("b.token") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .agg(sum(col("a.w") * col("b.w")).cast("double").as("dot"))
+    pairs
+      .join(norms.select(col("doc_id").as("i"), col("nrm").as("nrm_i")), "i")
+      .join(norms.select(col("doc_id").as("j"), col("nrm").as("nrm_j")), "j")
+      .withColumn("cos", round(col("dot") / (col("nrm_i") * col("nrm_j")), 6))
+      .filter(col("cos") >= threshold)
+      .select(col("i"), col("j"), col("cos"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  /** Unigram-LM perplexity scoring — the CCNet-style quality filter: score
+    * each document by its cross-entropy under a unigram language model fit
+    * on the corpus itself (add-one smoothing), flagging the outlier docs a
+    * length/stopword heuristic misses. In production the LM would be fit on
+    * a trusted reference corpus; the operator takes the model frame as an
+    * argument, so callers choose.
+    *
+    * avg_nll(d) = −Σ_t tf(d,t)·ln p(t) / |d|, p(t) = (n_t+1)/(T+V).
+    *
+    * Scale shape: one explode + doc-term aggregation, a broadcast join
+    * against the vocabulary (vocab grows ~O(corpus^0.5) by Heap's law —
+    * co-partition instead if it outgrows broadcast), one per-doc sum. The
+    * per-token log-probs are rounded to 6 dp into DECIMAL(18,6) before the
+    * per-doc sum, making the accumulation order-independent and
+    * engine-exact (same policy as tfidfCosinePairs).
+    */
+  def lmPerplexityScore(docs: DataFrame, dropAbove: Double = 10.0): DataFrame = {
+    val spread = Par.spread(docs)
+    val docTerms = spread
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val vocab = docTerms.groupBy(col("token")).agg(sum(col("tf")).as("n_t"))
+    val tot = vocab.agg(
+      sum(col("n_t")).cast("double").as("t_tokens"),
+      count(lit(1)).cast("double").as("v_size"))
+    val logp = vocab.crossJoin(broadcast(tot))
+      .select(col("token"),
+        round(log((col("n_t").cast("double") + 1.0) /
+          (col("t_tokens") + col("v_size"))), 6)
+          .cast("decimal(18,6)").as("logp"))
+    docTerms
+      .join(broadcast(logp), "token")
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("tf")).as("n_tokens"),
+        (-sum(col("tf").cast("decimal(18,0)") * col("logp")).cast("double"))
+          .as("nll"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("nll") / col("n_tokens").cast("double"), 6).as("avg_nll"),
+        when(col("nll") / col("n_tokens").cast("double") > dropAbove, "drop")
+          .otherwise("keep").as("verdict"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Training-mixture composition by `source` domain: doc/token counts,
     * token share, and the uniform-target rebalance weight
     * (target_share / actual_share) a sampler would apply per domain. Two

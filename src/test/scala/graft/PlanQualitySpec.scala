@@ -171,5 +171,16 @@ class PlanQualitySpec extends SparkSpec {
       s"band join must not shuffle document text: $bandJoinLines")
   }
 
+  test("tfidf cosine pairs: df/N broadcast; the posting self-join ships ONE exchange") {
+    val df = SparkEntry.queries("q_tfidf_pairs")(spark, sf)
+    df.collect() // finalize the AQE plan so exchange reuse is visible
+    val p = df.queryExecution.executedPlan.toString
+    assert("BroadcastExchange".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+    // both legs of the w-frame self-join are the same subplan: the doc-term
+    // aggregate's shuffle must be planned once and reused, not shipped twice
+    assert(p.contains("ReusedExchange"), s"posting exchange not reused:\n$p")
+  }
+
   private val Dedup = graft.operators.Dedup
 }

@@ -97,4 +97,41 @@ class TextAnalysisSpec extends SparkSpec {
     assert(m("big").getAs[Double]("weight") == 0.625)
     assert(m("small").getAs[Double]("weight") == 2.5)
   }
+
+  test("tfidf cosine pairs surface docs sharing rare terms, not disjoint ones") {
+    val d = Seq(
+      (1L, "quantum flux capacitor resonance"),
+      (2L, "quantum flux capacitor overload"),
+      (3L, "banana smoothie recipe blender"))
+      .toDF("doc_id", "text")
+    val rows = TextAnalysis.tfidfCosinePairs(d, threshold = 0.2).collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+    val cos = rows.head.getAs[Double]("cos")
+    // shared terms have df=2 (idf=ln 1.5), unique terms df=1 (idf=ln 3):
+    // dot = 3·ln(1.5)², norms equal -> cos = dot/norm² ≈ 0.29
+    assert(cos > 0.25 && cos < 0.35, s"got $cos")
+  }
+
+  test("tfidf cosine pairs: dfCap prunes viral tokens from the vector space") {
+    val d = Seq(
+      (1L, "shared boilerplate footer alpha"),
+      (2L, "shared boilerplate footer beta"),
+      (3L, "shared boilerplate footer gamma"))
+      .toDF("doc_id", "text")
+    // every shared token has df=3 > 2 -> no candidate pairs survive pruning
+    assert(TextAnalysis.tfidfCosinePairs(d, threshold = 0.0, dfCap = 2).isEmpty)
+  }
+
+  test("LM perplexity score: rare-token docs carry higher avg NLL") {
+    val common = (1L to 8L).map(i => (i, "the weather is fine today"))
+    val rare = Seq((9L, "zxqvk jwpfh qmzot"))
+    val d = (common ++ rare).toDF("doc_id", "text")
+    val byId = TextAnalysis.lmPerplexityScore(d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(byId(9L).getAs[Double]("avg_nll") > byId(1L).getAs[Double]("avg_nll"))
+    assert(byId(9L).getAs[Long]("n_tokens") == 3L)
+    // all 8 common docs score identically (same text, same model)
+    assert((2L to 8L).forall(i =>
+      byId(i).getAs[Double]("avg_nll") == byId(1L).getAs[Double]("avg_nll")))
+  }
 }
