@@ -57,6 +57,8 @@ object SparkEntry {
     "q_dedup_clusters_emb" -> ((s, d) => Dedup.embeddingNearDupClusters(Tables.embeddings(s, d))),
     "q_dedup_editdist" -> ((s, d) => Dedup.editDistancePairs(Tables.documents(s, d))),
     "q_curation" -> ((s, d) => operators.Curation.curationSnapshot(Tables.documents(s, d))),
+    "q_dedup_substring" -> ((s, d) => Dedup.substringDupPairs(Tables.documents(s, d))),
+    "q_pack_sequences" -> ((s, d) => operators.Curation.packSequences(Tables.documents(s, d))),
     "q_rollup" -> ((s, d) => Relational.orderRollup(Tables.orders(s, d))),
     "q_running_total" -> ((s, d) => Relational.runningTotalPerUser(Tables.events(s, d))),
     "q_distinct_count" -> ((s, d) => Relational.distinctUsersPerType(Tables.events(s, d))),
@@ -604,6 +606,25 @@ object SparkEntry {
         |  FROM cand JOIN documents a ON a.doc_id = i
         |  JOIN documents b2 ON b2.doc_id = j)
         |SELECT i, j, dist FROM scored WHERE dist <= 12 ORDER BY i, j""".stripMargin,
+    "q_dedup_substring" ->
+      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        |wins AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(t) - 18, 1)),
+        |    i -> md5(array_to_string(t[i:i+19], ' '))))) AS h
+        |  FROM toks)
+        |SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS n_shared_windows
+        |FROM wins a JOIN wins b ON a.h = b.h AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 ORDER BY i, j""".stripMargin,
+    "q_pack_sequences" ->
+      """WITH t AS (SELECT source, doc_id,
+        |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens FROM documents),
+        |c AS (SELECT *, CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+        |  FROM t)
+        |SELECT source, doc_id, n_tokens, cum_tokens,
+        |  (cum_tokens - n_tokens) // 2048 AS seq_id,
+        |  (cum_tokens - n_tokens) % 2048 AS seq_offset
+        |FROM c ORDER BY source, doc_id""".stripMargin,
     "q_stratified_n" ->
       """WITH ranked AS (SELECT source, doc_id,
         |  row_number() OVER (PARTITION BY source

@@ -53,4 +53,34 @@ object Curation {
           .otherwise("keep").as("decision"))
       .orderBy(col("doc_id"))
   }
+
+  /** Sequence packing: assign documents to fixed token-budget training
+    * sequences — the batch-assembly step between a curated corpus and a
+    * pretraining dataloader. Contiguous greedy packing in deterministic
+    * (source, doc_id) order: each document starts at the cumulative token
+    * offset of its predecessors within its source shard, and its sequence
+    * id is that offset DIV `budget` (a doc straddling a boundary belongs
+    * to the sequence where it starts).
+    *
+    * Integer arithmetic end to end — no float summation-order sensitivity —
+    * and ONE window sum partitioned by `source`, so packing shuffles once
+    * and parallelizes across shards. A single global packing would be a
+    * partition-less window (the one-task funnel PlanQualitySpec bans);
+    * sharding by source is what a 100 TB dataloader does anyway.
+    */
+  def packSequences(docs: DataFrame, budget: Long = 2048): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.TextFunctions.tokens
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Par.spread(docs)
+      .select(col("source"), col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("start", col("cum_tokens") - col("n_tokens"))
+      .select(col("source"), col("doc_id"), col("n_tokens"), col("cum_tokens"),
+        expr(s"start DIV ${budget}L").as("seq_id"),
+        (col("start") % budget).as("seq_offset"))
+      .orderBy(col("source"), col("doc_id"))
+  }
 }

@@ -240,6 +240,77 @@ object Dedup {
       .orderBy(col("i"), col("j"))
   }
 
+  /** Exact-substring duplicate pairs at token-window granularity — the
+    * discretized form of the exact-substring criterion of Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better" (2021):
+    * two documents pair iff they share ANY verbatim run of `window`
+    * consecutive tokens. Complements the similarity family: MinHash /
+    * SimHash / Jaccard measure GLOBAL overlap, so a verbatim 20-token
+    * quote inside two otherwise-unrelated documents is invisible to them —
+    * yet it is exactly what memorization audits hunt.
+    *
+    * Postings carry the md5 digest of each window, never the window text
+    * (32 bytes shuffled per posting regardless of window length), distinct
+    * per doc. Pairs generate in-group under the same dfCap short-circuit as
+    * [[ngramJaccardPairs]]: a boilerplate window shared by thousands of
+    * docs buffers dfCap+1 postings and emits zero pairs. Output counts the
+    * shared windows per pair (a proxy for run length: a shared run of L ≥
+    * window tokens contributes L − window + 1 hits).
+    */
+  def substringDupPairs(
+      docs: DataFrame, window: Int = 20, dfCap: Int = 128): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val posts = Par.spread(docs.select(col("doc_id"), col("text")))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hexChars = "0123456789abcdef".toCharArray
+        def hex(bytes: Array[Byte]): String = {
+          val out = new Array[Char](bytes.length * 2)
+          var i = 0
+          while (i < bytes.length) {
+            val b = bytes(i) & 0xff
+            out(i * 2) = hexChars(b >>> 4); out(i * 2 + 1) = hexChars(b & 0xf)
+            i += 1
+          }
+          new String(out)
+        }
+        it.flatMap { case (id, text) =>
+          val toks = text.split(" ", -1)
+          if (toks.length < window) Iterator.empty
+          else {
+            val seen = new java.util.HashSet[String]()
+            (0 to toks.length - window).iterator.flatMap { i =>
+              val sb = new StringBuilder(toks(i))
+              var j = i + 1
+              while (j < i + window) { sb.append(' ').append(toks(j)); j += 1 }
+              val h = hex(md.digest(sb.toString.getBytes("UTF-8")))
+              if (seen.add(h)) Iterator.single((id, h)) else Iterator.empty
+            }
+          }
+        }
+      }
+    posts
+      .groupByKey(_._2)
+      .flatMapGroups { (_, rows) =>
+        val lim = if (dfCap == Int.MaxValue) Int.MaxValue else dfCap + 1
+        val ds = rows.map(_._1).take(lim).toArray
+        if (ds.length > dfCap) Iterator.empty
+        else {
+          java.util.Arrays.sort(ds)
+          for {
+            i <- ds.indices.iterator
+            j <- (i + 1 until ds.length).iterator
+          } yield (ds(i), ds(j))
+        }
+      }
+      .toDF("i", "j")
+      .groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("n_shared_windows"))
+      .orderBy(col("i"), col("j"))
+  }
+
   /** SimHash fingerprints (60-bit, as a bit string): Hamming-near rows are
     * near-dups. Pair extraction at scale: band the bit string into 4 chunks
     * and join on chunk equality (Hamming ≤ 3 ⇒ ≥1 identical chunk).

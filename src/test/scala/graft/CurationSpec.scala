@@ -28,4 +28,21 @@ class CurationSpec extends SparkSpec {
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
     assert(clusters(4L) == 4L && clusters(5L) == 4L)
   }
+
+  test("sequence packing: contiguous per-source bins at the token budget") {
+    import spark.implicits._
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val d = Seq(
+      (1L, words(6), "a"), (2L, words(6), "a"), (3L, words(6), "a"),
+      (10L, words(4), "b"), (11L, words(9), "b"))
+      .toDF("doc_id", "text", "source")
+    val rows = Curation.packSequences(d, budget = 10).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("seq_id"), r.getAs[Long]("seq_offset"))).toMap
+    // source a: starts 0,6,12 -> seqs 0,0,1 (doc 2 straddles, owned by its start)
+    assert(rows(1L) == (0L, 0L) && rows(2L) == (0L, 6L) && rows(3L) == (1L, 2L),
+      s"got $rows")
+    // source b packs independently from offset 0
+    assert(rows(10L) == (0L, 0L) && rows(11L) == (0L, 4L))
+  }
 }

@@ -183,6 +183,39 @@ class DedupSpec extends SparkSpec {
     assert(rounds <= 12, s"expected O(log 99) ~ 7 rounds (+slack), got $rounds")
   }
 
+  test("substring dup pairs: verbatim 20-token run pairs docs; shorter runs don't") {
+    import spark.implicits._
+    val run = (1 to 20).map(i => s"tok$i").mkString(" ")     // exactly 20 tokens
+    val short = (1 to 19).map(i => s"shr$i").mkString(" ")   // 19-token run
+    val d = Seq(
+      (1L, s"alpha beta $run gamma delta"),
+      (2L, s"completely different prefix $run and a different suffix too"),
+      (3L, s"one two $short three four"),
+      (4L, s"five six $short seven eight"),
+      (5L, "no overlap with anything else at all here"))
+      .toDF("doc_id", "text")
+    val rows = Dedup.substringDupPairs(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // docs 1,2 share exactly the one 20-token window; the 19-token run in
+    // 3,4 never forms a full window
+    assert(rows.toSeq == Seq((1L, 2L, 1L)), s"got ${rows.toSeq}")
+    // a 21-token shared run yields 2 shared windows (L - window + 1)
+    val run21 = (1 to 21).map(i => s"r$i").mkString(" ")
+    val d2 = Seq((1L, s"x $run21 y"), (2L, s"p q $run21 z")).toDF("doc_id", "text")
+    assert(Dedup.substringDupPairs(d2).collect().head.getLong(2) == 2L)
+  }
+
+  test("substring dup pairs: dfCap drops viral boilerplate windows") {
+    import spark.implicits._
+    val boiler = (1 to 20).map(i => s"b$i").mkString(" ")
+    val d = (1L to 4L).map(id => (id, s"doc$id unique preamble $boiler"))
+      .toDF("doc_id", "text")
+    // the window is shared by 4 docs > dfCap=3 -> short-circuited, no pairs
+    assert(Dedup.substringDupPairs(d, dfCap = 3).isEmpty)
+    // at dfCap=6 all C(4,2)=6 pairs emerge
+    assert(Dedup.substringDupPairs(d, dfCap = 6).count() == 6L)
+  }
+
   test("LSH plan: no shuffle before the band join; candidate join is on band keys") {
     val plan = Dedup.minhashLshPairs(Tables.documents(spark, sf))
       .queryExecution.executedPlan.toString
