@@ -169,6 +169,17 @@ object SparkEntry {
         .select(col("doc_id"), col("n_tokens"), col("dup_trigram_frac"), col("reason"))
         .orderBy(col("doc_id"))
     }),
+    // the gate with the LM quality check on: model fit in batch on the %7
+    // "trusted reference" slice (harness policy — callers own the split),
+    // served row-locally through the broadcast one-row map
+    "q_ingest_audit_lm" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val bench = TextAnalysis.benchmarkShingles(docs.filter(col("doc_id") % 97 === 0))
+      val lm = TextAnalysis.lmModel(docs.filter(col("doc_id") % 7 === 0))
+      graft.streaming.IngestGate.audit(docs, bench, lmModel = Some(lm), maxAvgNll = 3.5)
+        .select(col("doc_id"), col("n_tokens"), col("avg_nll"), col("reason"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   // DuckDB-side shared fragments for the LLM-pipeline oracles
@@ -991,6 +1002,41 @@ object SparkEntry {
         |       WHEN list_has_any(s4, v) THEN 'contaminated'
         |       ELSE 'ok' END AS reason
         |FROM verdicts CROSS JOIN vocab ORDER BY doc_id""".stripMargin,
+    "q_ingest_audit_lm" ->
+      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        |ref AS (SELECT unnest(t) AS token FROM toks WHERE doc_id % 7 = 0),
+        |vocab AS (SELECT token, CAST(count(*) AS DOUBLE) AS n_t FROM ref GROUP BY token),
+        |tot AS (SELECT SUM(n_t) AS t, CAST(count(*) AS DOUBLE) AS v FROM vocab),
+        |logp AS (SELECT token, round(ln((n_t + 1.0) / (tot.t + tot.v)), 6) AS lp
+        |  FROM vocab, tot),
+        |m AS (SELECT MAP(list(token), list(lp)) AS mm,
+        |  (SELECT round(ln(1.0 / (t + v)), 6) FROM tot) AS oov FROM logp),
+        |scored AS (SELECT doc_id, len(t) AS n_tokens,
+        |  list_transform(range(1, greatest(len(t)-1, 1)),
+        |    i -> array_to_string(t[i:i+2], ' ')) AS tri,
+        |  list_distinct(list_transform(range(1, greatest(len(t)-2, 1)),
+        |    i -> array_to_string(t[i:i+3], ' '))) AS s4,
+        |  CASE WHEN len(t) > 0 THEN round(
+        |    -list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |        list_transform(t, tok -> coalesce(mm[tok][1], oov))),
+        |      (acc, x) -> acc + x) / CAST(len(t) AS DOUBLE), 6)
+        |  ELSE 0.0 END AS avg_nll
+        |  FROM toks, m),
+        |bvocab AS (SELECT list(DISTINCT s) AS v FROM (
+        |  SELECT unnest(s4) AS s FROM scored WHERE doc_id % 97 = 0)),
+        |verdicts AS (SELECT doc_id, n_tokens, avg_nll,
+        |  CASE WHEN len(tri) > 0
+        |       THEN round(1.0 - CAST(len(list_distinct(tri)) AS DOUBLE)
+        |                        / CAST(len(tri) AS DOUBLE), 6)
+        |       ELSE 0.0 END AS dup_trigram_frac,
+        |  s4 FROM scored)
+        |SELECT doc_id, n_tokens, avg_nll,
+        |  CASE WHEN n_tokens < 5 THEN 'too_short'
+        |       WHEN dup_trigram_frac > 0.15 THEN 'repetitive'
+        |       WHEN list_has_any(s4, bvocab.v) THEN 'contaminated'
+        |       WHEN avg_nll > 3.5 THEN 'low_quality'
+        |       ELSE 'ok' END AS reason
+        |FROM verdicts CROSS JOIN bvocab ORDER BY doc_id""".stripMargin,
     "q_domain_mix" ->
       """WITH per AS (SELECT source, count(*) AS n_docs,
         |    CAST(sum(len(string_split(text,' '))) AS BIGINT) AS n_tokens

@@ -409,6 +409,34 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** The unigram LM of [[lmPerplexityScore]] packaged for row-local serving:
+    * ONE row carrying the whole token→logp map plus the unseen-token
+    * (add-one) log-prob. Built in batch on a trusted reference corpus,
+    * broadcast into a stream-static join so the streaming edge scores each
+    * arriving document without any streaming aggregation
+    * ([[graft.streaming.IngestGate.audit]]) — the fit-in-batch /
+    * score-on-the-stream split every production quality filter uses.
+    * Log-probs are rounded to 6 dp, pinning batch and stream scorers to
+    * identical per-token values.
+    */
+  def lmModel(refDocs: DataFrame): DataFrame = {
+    val counts = Par.spread(refDocs)
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n_t"))
+    val tot = counts.agg(sum(col("n_t")).cast("double").as("t"),
+      count(lit(1)).cast("double").as("v"))
+    counts.crossJoin(broadcast(tot))
+      .select(
+        col("token"),
+        round(log((col("n_t").cast("double") + 1.0) / (col("t") + col("v"))), 6)
+          .as("logp"),
+        round(log(lit(1.0) / (col("t") + col("v"))), 6).as("oov"))
+      .agg(
+        map_from_entries(collect_list(struct(col("token"), col("logp"))))
+          .as("lm_map"),
+        first(col("oov")).as("oov_logp"))
+  }
+
   /** Training-mixture composition by `source` domain: doc/token counts,
     * token share, and the uniform-target rebalance weight
     * (target_share / actual_share) a sampler would apply per domain. Two

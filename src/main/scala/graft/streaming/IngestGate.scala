@@ -26,13 +26,22 @@ import graft.functions.TextFunctions._
 object IngestGate {
 
   /** Per-document verdict stream (append-safe, one row per input doc):
-    * `reason` ∈ ok | too_short | repetitive | contaminated, first failing
-    * gate wins in that order.
+    * `reason` ∈ ok | too_short | repetitive | contaminated | low_quality,
+    * first failing gate wins in that order.
+    *
+    * `lmModel` (optional): the one-row token→logp frame from
+    * [[graft.operators.TextAnalysis.lmModel]], fit in batch on a trusted
+    * reference corpus. When present, each doc is scored row-locally —
+    * avg NLL via a left fold over its token array against the broadcast
+    * map — and docs above `maxAvgNll` fail as `low_quality`. No streaming
+    * aggregation, so the gate stays append-safe; the fold order is the
+    * token order, which DuckDB's list_reduce reproduces exactly.
     */
   def audit(
       docs: DataFrame, benchShingles: DataFrame, n: Int = 4,
       minTokens: Int = 5, maxDupTrigramFrac: Double = 0.15,
-      cacheVocab: Boolean = false): DataFrame = {
+      cacheVocab: Boolean = false,
+      lmModel: Option[DataFrame] = None, maxAvgNll: Double = 10.0): DataFrame = {
     val toks = tokens(col("text"))
     val tri = shingles(toks, 3)
     val dupTri = when(size(tri) > lit(0),
@@ -47,15 +56,29 @@ object IngestGate {
     // CacheManager entry per caller plan would outlive the job)
     val vocabAgg = benchShingles.agg(collect_set(col("s")).as("bench_vocab"))
     val vocab = if (cacheVocab) vocabAgg.cache() else vocabAgg
-    docs
+    val base = docs
       .withColumn("n_tokens", size(toks))
       .withColumn("dup_trigram_frac", round(dupTri, 6))
       .crossJoin(broadcast(vocab))
+    val withLm = lmModel.fold(base.withColumn("avg_nll", lit(null).cast("double"))) { m =>
+      val mdl = if (cacheVocab) m.cache() else m
+      base
+        .crossJoin(broadcast(mdl))
+        .withColumn("avg_nll",
+          when(col("n_tokens") > 0, round(
+            -aggregate(toks, lit(0.0), (acc, t) =>
+              acc + coalesce(element_at(col("lm_map"), t), col("oov_logp")))
+              / col("n_tokens").cast("double"), 6))
+            .otherwise(lit(0.0)))
+        .drop("lm_map", "oov_logp")
+    }
+    withLm
       .withColumn("reason",
         when(col("n_tokens") < minTokens, "too_short")
           .when(col("dup_trigram_frac") > maxDupTrigramFrac, "repetitive")
           .when(arrays_overlap(
             array_distinct(shingles(toks, n)), col("bench_vocab")), "contaminated")
+          .when(col("avg_nll") > maxAvgNll, "low_quality")
           .otherwise("ok"))
       .drop("bench_vocab")
   }

@@ -27,6 +27,50 @@ class IngestGateSpec extends SparkSpec {
       4L -> "contaminated"))
   }
 
+  test("audit with LM model: OOV-gibberish docs fail low_quality; precedence holds") {
+    val ref = Seq[Doc](
+      (100L, "the quick brown fox jumps over the lazy dog", "ref", T0),
+      (101L, "the quick dog naps under the warm brown sun", "ref", T0))
+      .toDF("doc_id", "text", "source", "timestamp")
+    val lm = graft.operators.TextAnalysis.lmModel(ref)
+    val docs = Seq[Doc](
+      (1L, "the quick brown dog jumps over the lazy fox", "web", T0),   // in-vocab
+      (2L, "zxqvk jwpfh qmzot blarg wibble snork fizzle quux", "web", T0), // all OOV
+      (3L, "buy now buy now buy now buy now buy now buy now", "spam", T0)) // repetitive AND high-nll
+      .toDF("doc_id", "text", "source", "timestamp")
+    val m = IngestGate.audit(docs, benchVocab, lmModel = Some(lm), maxAvgNll = 3.3)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("reason"),
+        r.getAs[Double]("avg_nll"))).sortBy(_._1)
+    // ref corpus: 18 tokens, 13 types -> in-vocab logp ≈ ln(2/31)..ln(3/31)
+    // (avg_nll ≈ 2.6); all-OOV doc scores ln(1/31) ≈ 3.43 per token
+    assert(m.map(x => x._1 -> x._2).toMap ==
+      Map(1L -> "ok", 2L -> "low_quality", 3L -> "repetitive"), s"got ${m.toSeq}")
+    assert(m(1)._3 > m(0)._3, "OOV doc must carry higher avg NLL than in-vocab doc")
+  }
+
+  test("audit stream with LM model: row-local scoring stays append-safe") {
+    implicit val sqlCtx = spark.sqlContext
+    val lm = graft.operators.TextAnalysis.lmModel(
+      Seq((100L, "the quick brown fox jumps over the lazy dog"))
+        .toDF("doc_id", "text"))
+    val input = MemoryStream[Doc]
+    val q = IngestGate.audit(
+        input.toDF().toDF("doc_id", "text", "source", "timestamp"),
+        benchVocab, cacheVocab = true, lmModel = Some(lm), maxAvgNll = 2.5)
+      .writeStream.format("memory").queryName("audited_lm")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        (1L, "the quick brown fox jumps over the lazy dog", "web", T0),
+        (2L, "zxqvk jwpfh qmzot blarg wibble snork fizzle quux", "web", T0))
+      q.processAllAvailable()
+      val rows = spark.table("audited_lm").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("reason")).toMap
+      assert(rows == Map(1L -> "ok", 2L -> "low_quality"), s"got $rows")
+    } finally q.stop()
+  }
+
   test("admit stream: gates apply per-row and duplicates drop across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Doc]
