@@ -65,8 +65,12 @@ object Curation {
     * Integer arithmetic end to end — no float summation-order sensitivity —
     * and ONE window sum partitioned by `source`, so packing shuffles once
     * and parallelizes across shards. A single global packing would be a
-    * partition-less window (the one-task funnel PlanQualitySpec bans);
-    * sharding by source is what a 100 TB dataloader does anyway.
+    * partition-less window (the one-task funnel PlanQualitySpec bans).
+    * Parallelism equals the shard count: at 100 TB a caller pre-splits any
+    * giant source into bounded sub-shards (e.g. the range-sorted file
+    * groups LakeSink emits) and passes the sub-shard id as `source` —
+    * sequences then never straddle sub-shards, which is exactly how
+    * distributed dataloaders consume them.
     */
   def packSequences(docs: DataFrame, budget: Long = 2048): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -418,14 +418,25 @@ object TextAnalysis {
     * score-on-the-stream split every production quality filter uses.
     * Log-probs are rounded to 6 dp, pinning batch and stream scorers to
     * identical per-token values.
+    *
+    * `maxVocab` bounds the served map: only the top-`maxVocab` tokens by
+    * reference count (ties by token) ride the broadcast; everything else
+    * scores as OOV. At 100 TB the full vocabulary is gigabytes — a
+    * perplexity gate only needs the frequent head (a capped-out rare
+    * token's true add-one log-prob ≈ the OOV log-prob it degrades to).
+    * Probabilities stay normalized over the FULL reference (T and V are
+    * uncapped); the top-k cut compiles to TakeOrdered, no global sort.
     */
-  def lmModel(refDocs: DataFrame): DataFrame = {
+  def lmModel(refDocs: DataFrame, maxVocab: Int = Int.MaxValue): DataFrame = {
     val counts = Par.spread(refDocs)
       .select(explode(tokens(col("text"))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("n_t"))
     val tot = counts.agg(sum(col("n_t")).cast("double").as("t"),
       count(lit(1)).cast("double").as("v"))
-    counts.crossJoin(broadcast(tot))
+    val kept =
+      if (maxVocab == Int.MaxValue) counts
+      else counts.orderBy(col("n_t").desc, col("token")).limit(maxVocab)
+    kept.crossJoin(broadcast(tot))
       .select(
         col("token"),
         round(log((col("n_t").cast("double") + 1.0) / (col("t") + col("v"))), 6)

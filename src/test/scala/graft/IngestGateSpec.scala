@@ -49,6 +49,19 @@ class IngestGateSpec extends SparkSpec {
     assert(m(1)._3 > m(0)._3, "OOV doc must carry higher avg NLL than in-vocab doc")
   }
 
+  test("lmModel maxVocab caps the served map; capped-out tokens score as OOV") {
+    // "the" dominates; with maxVocab=1 only it survives in the map
+    val ref = Seq((100L, "the the the fox dog")).toDF("doc_id", "text")
+    val full = graft.operators.TextAnalysis.lmModel(ref).collect().head
+    val capped = graft.operators.TextAnalysis.lmModel(ref, maxVocab = 1).collect().head
+    assert(full.getAs[Map[String, Double]]("lm_map").keySet == Set("the", "fox", "dog"))
+    assert(capped.getAs[Map[String, Double]]("lm_map").keySet == Set("the"))
+    // normalization unchanged by the cap: same logp for the kept token, same OOV
+    assert(capped.getAs[Map[String, Double]]("lm_map")("the") ==
+      full.getAs[Map[String, Double]]("lm_map")("the"))
+    assert(capped.getAs[Double]("oov_logp") == full.getAs[Double]("oov_logp"))
+  }
+
   test("audit stream with LM model: row-local scoring stays append-safe") {
     implicit val sqlCtx = spark.sqlContext
     val lm = graft.operators.TextAnalysis.lmModel(
