@@ -59,6 +59,7 @@ object SparkEntry {
     "q_curation" -> ((s, d) => operators.Curation.curationSnapshot(Tables.documents(s, d))),
     "q_dedup_substring" -> ((s, d) => Dedup.substringDupPairs(Tables.documents(s, d))),
     "q_pack_sequences" -> ((s, d) => operators.Curation.packSequences(Tables.documents(s, d))),
+    "q_domain_resample" -> ((s, d) => operators.Curation.rebalanceSample(Tables.documents(s, d))),
     "q_rollup" -> ((s, d) => Relational.orderRollup(Tables.orders(s, d))),
     "q_running_total" -> ((s, d) => Relational.runningTotalPerUser(Tables.events(s, d))),
     "q_distinct_count" -> ((s, d) => Relational.distinctUsersPerType(Tables.events(s, d))),
@@ -1047,5 +1048,22 @@ object SparkEntry {
         |  round(CAST(n_tokens AS DOUBLE)/CAST(tot AS DOUBLE), 6) AS token_share,
         |  round((1.0/n_sources)/(CAST(n_tokens AS DOUBLE)/CAST(tot AS DOUBLE)), 6) AS weight
         |FROM per CROSS JOIN tot ORDER BY source""".stripMargin,
+    "q_domain_resample" ->
+      """WITH per AS (SELECT source,
+        |    CAST(sum(len(string_split(text,' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot,
+        |    CAST(count(*) AS DOUBLE) AS n_sources FROM per),
+        |wts AS (SELECT source,
+        |    round((1.0/n_sources)/(CAST(n_tokens AS DOUBLE)/CAST(tot AS DOUBLE)), 6)
+        |      AS weight
+        |  FROM per CROSS JOIN tot),
+        |s AS (SELECT d.doc_id, d.source, least(1.0, 0.5*weight) AS rate,
+        |    ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000
+        |      AS bucket
+        |  FROM documents d JOIN wts USING (source))
+        |SELECT source, doc_id, round(rate, 6) AS rate FROM s
+        |WHERE CAST(bucket AS DOUBLE) < rate * 10000.0
+        |ORDER BY source, doc_id""".stripMargin,
   )
 }

@@ -54,6 +54,34 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** Domain rebalance sampling — APPLY the mixture weights
+    * [[TextAnalysis.domainMixture]] reports: sample each domain at
+    * rate = min(1, baseRate · weight), so over-represented domains thin
+    * toward the uniform token target and under-represented ones keep
+    * everything (rate caps at 1). The step between "the mixture is skewed"
+    * and the training set that fixes it.
+    *
+    * Sampling is the replayable md5-bucket draw of `hashStratifiedSample`
+    * (bucket = md5(doc_id) mod 10⁴, keep while bucket < rate·10⁴) — no RNG
+    * state, partitioning-independent, and reproducible by any engine. The
+    * per-domain rates derive from the ROUNDED (6 dp) weights, pinning the
+    * keep/drop boundary cross-engine. Plan: one broadcast of the tiny
+    * per-domain weight table onto a narrow scan — no extra shuffle beyond
+    * the mixture aggregation itself.
+    */
+  def rebalanceSample(docs: DataFrame, baseRate: Double = 0.5): DataFrame = {
+    val mix = TextAnalysis.domainMixture(docs).select(col("source"), col("weight"))
+    val rate = least(lit(1.0), lit(baseRate) * col("weight"))
+    Par.spread(docs).select(col("doc_id"), col("source"))
+      .join(broadcast(mix), Seq("source"))
+      .withColumn("bucket",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+          .cast("long") % 10000)
+      .filter(col("bucket").cast("double") < rate * 10000.0)
+      .select(col("source"), col("doc_id"), round(rate, 6).as("rate"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
   /** Sequence packing: assign documents to fixed token-budget training
     * sequences — the batch-assembly step between a curated corpus and a
     * pretraining dataloader. Contiguous greedy packing in deterministic

@@ -29,6 +29,27 @@ class CurationSpec extends SparkSpec {
     assert(clusters(4L) == 4L && clusters(5L) == 4L)
   }
 
+  test("rebalance sample: over-represented domain thins, rare domain keeps all") {
+    import spark.implicits._
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    // big: 4 docs x 20 tokens = 80; small: 2 docs x 10 = 20 -> shares 0.8/0.2
+    // weights 0.625 / 2.5 -> rates 0.3125 / 1.0 at baseRate 0.5
+    val d = ((1L to 4L).map(i => (i, words(20), "big")) ++
+      Seq((10L, words(10), "small"), (11L, words(10), "small")))
+      .toDF("doc_id", "text", "source")
+    val rows = Curation.rebalanceSample(d).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"),
+        r.getAs[Double]("rate")))
+    val small = rows.filter(_._1 == "small")
+    assert(small.map(_._2).sorted.toSeq == Seq(10L, 11L),
+      "rate caps at 1.0 — the rare domain keeps every doc")
+    assert(small.forall(_._3 == 1.0))
+    assert(rows.filter(_._1 == "big").forall(_._3 == 0.3125))
+    // the draw is replayable: same input -> identical sample
+    assert(Curation.rebalanceSample(d).collect().toSeq ==
+      Curation.rebalanceSample(d).collect().toSeq)
+  }
+
   test("sequence packing: contiguous per-source bins at the token budget") {
     import spark.implicits._
     def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")

@@ -21,7 +21,8 @@ class PartitionInvarianceSpec extends SparkSpec {
     "q_decontaminate", "q_repetition", "q_domain_mix", "q_tfidf",
     "q_stratified_n", "q_dedup_editdist", "q_dedup_keepbest",
     "q_dedup_clusters_emb", "q_set_ops_join", "q_tfidf_pairs", "q_lm_score",
-    "q_dedup_substring", "q_pack_sequences", "q_ingest_audit_lm")
+    "q_dedup_substring", "q_pack_sequences", "q_ingest_audit_lm",
+    "q_domain_resample")
 
   test("query results are invariant to shuffle-partition count and scan splits") {
     val missing = targets.filterNot(SparkEntry.queries.contains)
