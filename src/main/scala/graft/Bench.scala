@@ -76,6 +76,11 @@ object Bench {
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true, _) => v }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$samp,"errors":$errs,"sf":"$sfDir"}""")
+    // tail-window-safe summary: harvesters that keep only the last N chars of
+    // stdout truncate the HEAD of the full line above (its "metric":"total"
+    // field sits at the start) — re-emit the headline numbers as a short
+    // final line that fits any tail window
+    println(s"""{"total_s":${math.round(total * 1000) / 1000.0},"n":${results.count(_._3)},"errors":$errs}""")
     spark.stop()
   }
 }

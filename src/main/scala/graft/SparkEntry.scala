@@ -248,6 +248,17 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
+    // the stub decoder's fake feature is byte_i(md5(text))/256 − 1/2 — every
+    // value dyadic, so DuckDB's double arithmetic reproduces the float32
+    // kernel bit-for-bit (see Multimodal.DeterministicFakeDecoder)
+    "q_media_features" -> {
+      val fs = (0 until 8).map(i =>
+        s"('0x' || substr(md5(text), ${2 * i + 1}, 2))::BIGINT / 256.0 - 0.5 AS f$i")
+        .mkString(",\n        |  ")
+      s"""SELECT doc_id AS media_id, 'fake-md5' AS decoder,
+        |  $fs
+        |FROM documents ORDER BY media_id""".stripMargin
+    },
     "q_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sum_qty,

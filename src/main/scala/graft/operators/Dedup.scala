@@ -441,15 +441,33 @@ object Dedup {
       df.queryExecution.analyzed
         .collectFirst { case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd }
         .getOrElse(sys.error("checkpointed frame must plan as LogicalRDD"))
+    // set-equality detection in ONE job: both rounds' edge sets are
+    // distinct, so equality is decided by (count, Σhash, XORhash) over a
+    // 64-bit per-edge hash — a collision needs two DIFFERENT edge sets
+    // agreeing on all three simultaneously (≈2⁻¹²⁸ per round, vs the
+    // previous per-round `except().count()` which re-shuffled the full
+    // edge set a second time: 3 jobs/round → 1)
+    def fingerprint(df: DataFrame): (Long, BigDecimal, Long) = {
+      // the Σhash leg accumulates in DECIMAL(38,0): a plain long sum of
+      // 64-bit hashes overflows (ANSI mode throws), while 10⁹ edges × 2⁶³
+      // ≈ 10²⁸ stays far inside 38 digits
+      val r = df.agg(
+        count(lit(1)),
+        sum(xxhash64(col("i"), col("j")).cast("decimal(38,0)")),
+        expr("bit_xor(xxhash64(i, j))")).head()
+      (r.getLong(0),
+        if (r.isNullAt(1)) BigDecimal(0) else BigDecimal(r.getDecimal(1)),
+        if (r.isNullAt(2)) 0L else r.getLong(2))
+    }
     var edges = pairs
       .select(least(col("i"), col("j")).as("i"), greatest(col("i"), col("j")).as("j"))
       .filter(col("i") =!= col("j"))
       .distinct()
       .localCheckpoint()
     var edgesRdd = ckptRdd(edges)
-    var nEdges = edges.count()
+    var fp = fingerprint(edges)
     var iter = 0
-    var done = nEdges == 0
+    var done = fp._1 == 0
     while (!done && iter < maxIter) {
       // large-star: mirrored neighbor list, m(u) = min(N(u) ∪ {u}); every
       // larger neighbor j of u is re-pointed at m(u). m ≤ u < j keeps the
@@ -473,16 +491,16 @@ object Dedup {
         .filter(col("i") =!= col("j"))
         .distinct()
       val next = small.localCheckpoint()
-      val nNext = next.count()
-      // fixpoint iff the canonical edge set is unchanged (both sides are
-      // distinct, so one-sided except + count equality decides set equality)
-      done = nNext == nEdges && next.except(edges).count() == 0
+      // fixpoint iff the canonical edge set is unchanged: one agg over the
+      // just-checkpointed blocks (reads cache, shuffles nothing)
+      val nextFp = fingerprint(next)
+      done = nextFp == fp
       // the previous round's blocks are dead once `next` is materialized;
       // free them NOW instead of waiting on the ContextCleaner
       edgesRdd.unpersist(blocking = false)
       edgesRdd = ckptRdd(next)
       edges = next
-      nEdges = nNext
+      fp = nextFp
       iter += 1
     }
     require(done, s"connectedComponentsStars did not converge within $maxIter " +
@@ -538,24 +556,54 @@ object Dedup {
     * most `maxDist` characters of length, so `bucket` > maxDist makes the
     * blocking LOSSLESS for same-first-token pairs; the first-token key is
     * the recall trade (documented, like LSH's) that keeps groups tiny at
-    * corpus scale. The band join carries only ids; texts re-attach to the
-    * deduped candidate list, then the codegen'd `levenshtein` verifies
-    * exactly.
+    * corpus scale.
+    *
+    * Skew bound: candidate pairs generate IN-GROUP under the same
+    * take(cap+1) short-circuit as [[ngramJaccardPairs]] — a corpus where
+    * thousands of docs share a first token ("the …") and a length bucket
+    * would otherwise create a df² quadratic group. A block larger than
+    * `blockCap` buffers blockCap+1 ids and emits ZERO pairs, bounding both
+    * memory and output. Recall contract: pairs inside a viral block are
+    * missed entirely (never mis-scored — every emitted pair is still
+    * verified by exact levenshtein); on this corpus the largest block is
+    * ≪ 256, so the default output is exact and the uncapped DuckDB oracle
+    * stays green. DedupSpec plants a 500-doc viral block to prove the
+    * bound. Texts re-attach to the deduped candidate list, then the
+    * codegen'd `levenshtein` verifies exactly.
     */
   def editDistancePairs(
-      docs: DataFrame, maxDist: Int = 12, bucket: Int = 32): DataFrame = {
+      docs: DataFrame, maxDist: Int = 12, bucket: Int = 32,
+      blockCap: Int = 256): DataFrame = {
     require(bucket > maxDist, "bucket width must exceed maxDist or boundary pairs are lost")
+    val spark = docs.sparkSession
+    import spark.implicits._
     val keyed = Par.spread(docs).select(
       col("doc_id"), col("lang"),
       element_at(split(col("text"), " "), 1).as("tok0"),
       floor(length(col("text")) / bucket).as("b"))
     val exploded = keyed.select(col("doc_id"), col("lang"), col("tok0"),
       explode(array(col("b"), col("b") + 1)).as("blk"))
-    val cand = exploded.toDF("i", "lang", "tok0", "blk")
-      .join(exploded.toDF("j", "lang", "tok0", "blk"), Seq("lang", "tok0", "blk"))
-      .filter(col("i") < col("j"))
+      .as[(Long, String, String, Long)]
+    // one shuffle on the block key, pairs generated in-group (the previous
+    // self-join shuffled the keyed frame twice and had no group-size bound)
+    val cand = exploded
+      .groupByKey { case (_, lang, tok0, blk) => (lang, tok0, blk) }
+      .flatMapGroups { (_, rows) =>
+        val lim = if (blockCap == Int.MaxValue) Int.MaxValue else blockCap + 1
+        val ds = rows.map(_._1).take(lim).toArray
+        if (ds.length > blockCap) Iterator.empty
+        else {
+          java.util.Arrays.sort(ds)
+          for {
+            i <- ds.indices.iterator
+            j <- (i + 1 until ds.length).iterator
+          } yield (ds(i), ds(j))
+        }
+      }
+      .toDF("i", "j")
+      // a true pair straddling no boundary collides in BOTH its b and b+1
+      // blocks — dedup before attaching texts
       .dropDuplicates("i", "j")
-      .select(col("i"), col("j"))
     val texts = docs.select(col("doc_id"), col("text"))
     cand
       .join(texts.select(col("doc_id").as("i"), col("text").as("t_i")), Seq("i"))

@@ -39,6 +39,12 @@ object Multimodal {
     * deterministic 8-dim feature from the md5 of the payload so downstream
     * plumbing (schema, joins, ANN) is exercised with stable values. A real
     * implementation decodes pixels/samples here.
+    *
+    * The fake feature is byte/256 − 1/2: every value is DYADIC (a multiple
+    * of 2⁻⁸), so it is exactly representable in float32 and float64 alike —
+    * any engine that can take md5 and slice hex bytes (DuckDB included)
+    * reproduces the features bit-for-bit, which is what lets q_media_features
+    * carry a full hash-matching oracle instead of a rows-only check.
     */
   object DeterministicFakeDecoder extends Decoder {
     val name = "fake-md5"
@@ -48,7 +54,7 @@ object Multimodal {
       val md = java.security.MessageDigest.getInstance("MD5")
       records.map { r =>
         val d = md.digest(r.content)
-        val feats = Array.tabulate(8)(i => ((d(i) & 0xff) / 255.0f) - 0.5f)
+        val feats = Array.tabulate(8)(i => ((d(i) & 0xff) / 256.0f) - 0.5f)
         MediaFeatures(r.media_id, feats, name)
       }
     }
@@ -66,8 +72,9 @@ object Multimodal {
     * ingestion shape (content = raw bytes, metadata typed) — and run the full
     * decode pipeline over it. Exercises every seam of the multimodal path
     * (schema, mapPartitions batch decode, feature flattening to a scalar
-    * schema) on real data; the driver records the rows-only check since the
-    * stub decoder's float features are engine-specific.
+    * schema) on real data. Features surface as DOUBLE: the stub's dyadic
+    * values make the float→double widening exact, so the DuckDB oracle
+    * (md5 hex-pair slicing, double arithmetic) hash-matches bit-for-bit.
     */
   def documentMediaFeatures(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
@@ -80,7 +87,7 @@ object Multimodal {
           nChars.toInt, 1, 0L, text.getBytes("UTF-8"))
       }
     val cols = Seq(col("media_id"), col("decoder")) ++
-      (0 until 8).map(i => col("feature").getItem(i).as(s"f$i"))
+      (0 until 8).map(i => col("feature").getItem(i).cast("double").as(s"f$i"))
     extractFeatures(media)
       .select(cols: _*)
       .orderBy(col("media_id"))

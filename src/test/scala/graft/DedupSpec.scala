@@ -130,6 +130,26 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L, 3), (4L, 5L, 2)), s"got $pairs")
   }
 
+  test("edit-distance pairs: blockCap short-circuits a viral (lang,tok0,bucket) block") {
+    // 300 docs share first token + length bucket (think "the …" boilerplate):
+    // an uncapped blocker generates 300·299/2 candidate pairs from that ONE
+    // block; the take(cap+1) short-circuit must emit zero of them while the
+    // small true-dup block (different first token) still pairs
+    val viral = (1L to 300L).map(i => (i, "the quick brown fox jumps", "en"))
+    val truePair = Seq(
+      (900L, "alpha beta gamma delta epsilon", "en"),
+      (901L, "alpha bXta gamma delta epsilon", "en"))
+    val d = docs(viral ++ truePair: _*)
+    val capped = Dedup.editDistancePairs(d, blockCap = 256).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((900L, 901L)),
+      s"viral block must emit no pairs; got ${capped.size} pairs")
+    // uncapped twin proves the viral pairs exist without the cap, and that
+    // Int.MaxValue saturates (+1 must not wrap take() to a negative limit)
+    val uncapped = Dedup.editDistancePairs(d, blockCap = Int.MaxValue).count()
+    assert(uncapped == 300L * 299L / 2 + 1)
+  }
+
   test("embedding near-dup clusters collapse transitive vector chains") {
     // a~b and b~c are near-dups, a vs c drifts further; the unrelated vector
     // must stay a singleton. Transitivity puts a,b,c in one cluster.

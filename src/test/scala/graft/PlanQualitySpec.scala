@@ -157,18 +157,19 @@ class PlanQualitySpec extends SparkSpec {
     assert("% 97".r.findAllIn(p).size >= 2, p)
   }
 
-  test("edit-distance dedup: the band self-join carries ids only, never text") {
-    val joins = Dedup // touch object for classloading clarity
+  test("edit-distance dedup: candidate blocks shuffle ids+keys only, never text") {
     val df = graft.operators.Dedup.editDistancePairs(Tables.documents(spark, sf))
     val p = df.queryExecution.executedPlan.toString
-    // the candidate join's output columns are the block keys + ids; text
-    // re-attaches only after dedup — no `text` column may appear in any
-    // join ON the (lang, tok0, blk) band keys
-    val bandJoinLines = p.linesIterator.filter(l =>
-      l.contains("Join") && l.contains("blk")).toSeq
-    assert(bandJoinLines.nonEmpty, p)
-    assert(!bandJoinLines.exists(_.contains("text#")),
-      s"band join must not shuffle document text: $bandJoinLines")
+    // pairs generate in-group under the blockCap short-circuit: the block-key
+    // shuffle feeds MapGroups with (doc_id, lang, tok0, blk) only — text
+    // re-attaches through the post-dedup broadcast joins on i/j
+    val groupLines = p.linesIterator.filter(_.contains("MapGroups")).toSeq
+    assert(groupLines.nonEmpty, p)
+    assert(!groupLines.exists(_.contains("text#")),
+      s"block grouping must not carry document text: $groupLines")
+    assert(!p.linesIterator.exists(l =>
+      l.contains("hashpartitioning") && l.contains("text#")),
+      "no shuffle may carry document text")
   }
 
   test("tfidf cosine pairs: df/N broadcast; the posting self-join ships ONE exchange") {
