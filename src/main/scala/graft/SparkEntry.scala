@@ -953,7 +953,7 @@ object SparkEntry {
          |FROM documents ORDER BY doc_id""".stripMargin,
     "q_dedup_keepbest" ->
       """WITH ranked AS (SELECT doc_id, source,
-        |  row_number() OVER (PARTITION BY md5(text) ORDER BY source, doc_id) AS rk,
+        |  row_number() OVER (PARTITION BY md5(text) ORDER BY source NULLS FIRST, doc_id) AS rk,
         |  count(*) OVER (PARTITION BY md5(text)) AS n_dups FROM documents)
         |SELECT doc_id, source, n_dups FROM ranked WHERE rk = 1 ORDER BY doc_id""".stripMargin,
     "q_decontaminate" ->

@@ -30,8 +30,13 @@ object Curation {
   def curationSnapshot(
       docs: DataFrame,
       isHoldout: org.apache.spark.sql.Column = col("doc_id") % 97 === 0): DataFrame = {
-    val bench = docs.filter(isHoldout)
-    val train = docs.filter(!isHoldout)
+    // the caller's predicate is evaluated ONCE, against the full input row —
+    // re-evaluating it in the final decision projection (where only
+    // doc_id/source survive the joins) would fail analysis for any holdout
+    // marker over text, a perfectly realistic policy
+    val flagged = docs.withColumn("is_holdout", isHoldout)
+    val bench = flagged.filter(col("is_holdout")).drop("is_holdout")
+    val train = flagged.filter(!col("is_holdout")).drop("is_holdout")
     val q = TextAnalysis.qualityScore(docs)
       .select(col("doc_id"), col("verdict").as("q_verdict"))
     val r = TextAnalysis.repetitionScores(docs)
@@ -39,13 +44,13 @@ object Curation {
     val clusters = Dedup.nearDupClusters(docs)
     val contam = TextAnalysis.contaminationReport(train, bench)
       .select(col("doc_id"), lit(1).as("contaminated"))
-    docs.select(col("doc_id"), col("source"))
+    flagged.select(col("doc_id"), col("source"), col("is_holdout"))
       .join(q, Seq("doc_id"))
       .join(r, Seq("doc_id"))
       .join(clusters, Seq("doc_id"))
       .join(contam, Seq("doc_id"), "left_outer")
       .select(col("doc_id"), col("source"), col("cluster_id"),
-        when(isHoldout, "holdout")
+        when(col("is_holdout"), "holdout")
           .when(col("contaminated").isNotNull, "drop_contaminated")
           .when(col("r_verdict") === "drop", "drop_repetitive")
           .when(col("q_verdict") === "drop", "drop_quality")

@@ -47,7 +47,11 @@ object Dedup {
     // separate md5(text) expressions plans two Exchanges (each window gets
     // its own internal _w key); sharing the column collapses them to one
     val part = Window.partitionBy(col("text_hash"))
-    val w = part.orderBy(col("source"), col("doc_id"))
+    // null ordering pinned EXPLICITLY: Spark's bare asc is NULLS FIRST but
+    // SQL engines (the DuckDB oracle included) default NULLS LAST — an
+    // implicit ordering would silently pick a different survivor per engine
+    // on a nullable source column
+    val w = part.orderBy(asc_nulls_first("source"), col("doc_id"))
     docs
       .withColumn("text_hash", md5(col("text")))
       .withColumn("n_dups", count(lit(1)).over(part))

@@ -330,9 +330,18 @@ object TextAnalysis {
     * cosine division happens in binary floating point, on bit-identical
     * inputs. The two legs of the posting self-join are identical subplans,
     * so ReuseExchange ships one shuffle, not two.
+    *
+    * `broadcastVocab`: the df≤dfCap vocabulary is MOST of the vocabulary
+    * (rare tokens dominate any corpus), so the default broadcast is O(vocab)
+    * — fine up to a few hundred MB of distinct tokens, wrong past it. Pass
+    * false when the vocabulary outgrows executor memory: the df frame then
+    * joins by shuffle, co-partitioned on `token` with the posting exchange
+    * the self-join already pays (same escape hatch [[lmPerplexityScore]]
+    * documents for its model map).
     */
   def tfidfCosinePairs(
-      docs: DataFrame, threshold: Double = 0.5, dfCap: Int = 128): DataFrame = {
+      docs: DataFrame, threshold: Double = 0.5, dfCap: Int = 128,
+      broadcastVocab: Boolean = true): DataFrame = {
     val spread = Par.spread(docs)
     val n = docs.agg(count(lit(1)).cast("double").as("n_docs"))
     val docTerms = spread
@@ -341,8 +350,9 @@ object TextAnalysis {
       .agg(count(lit(1)).as("tf"))
     // (doc_id, token) grain ⇒ plain count is document frequency
     val dfF = docTerms.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val dfPruned = dfF.filter(col("df") <= dfCap)
     val w = docTerms
-      .join(broadcast(dfF.filter(col("df") <= dfCap)), "token")
+      .join(if (broadcastVocab) broadcast(dfPruned) else dfPruned, "token")
       .crossJoin(broadcast(n))
       .select(col("doc_id"), col("token"),
         round(col("tf").cast("double") *
@@ -425,9 +435,18 @@ object TextAnalysis {
     * perplexity gate only needs the frequent head (a capped-out rare
     * token's true add-one log-prob ≈ the OOV log-prob it degrades to).
     * Probabilities stay normalized over the FULL reference (T and V are
-    * uncapped); the top-k cut compiles to TakeOrdered, no global sort.
+    * uncapped). The top-k cut compiles to TakeOrdered below
+    * spark.sql.execution.topKSortFallbackThreshold and to sort+limit above
+    * it — either way it feeds the single-row map aggregation that IS this
+    * operator's documented envelope (the served map must fit one row).
+    *
+    * The DEFAULT is the bounded head (4M tokens ≈ tens of MB of map): the
+    * production entry points (IngestGate, q_ingest_audit_lm) inherit it, so
+    * the 100 TB behavior — one aggregation row and one broadcast of bounded
+    * size — is chosen by default, not discovered. Pass `Int.MaxValue`
+    * explicitly to serve an uncapped vocabulary.
     */
-  def lmModel(refDocs: DataFrame, maxVocab: Int = Int.MaxValue): DataFrame = {
+  def lmModel(refDocs: DataFrame, maxVocab: Int = 4000000): DataFrame = {
     val counts = Par.spread(refDocs)
       .select(explode(tokens(col("text"))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("n_t"))

@@ -29,6 +29,23 @@ class CurationSpec extends SparkSpec {
     assert(clusters(4L) == 4L && clusters(5L) == 4L)
   }
 
+  test("curation snapshot accepts a holdout predicate over text") {
+    // a content-keyed holdout marker is a realistic policy; the predicate is
+    // computed once against the full input row, BEFORE the joins strip the
+    // text column — referencing it in the final projection used to fail
+    // analysis
+    import org.apache.spark.sql.functions.col
+    val benchWords = (0 until 59).map(i => s"bench$i").mkString(" ")
+    val trainWords = (0 until 59).map(i => s"word$i").mkString(" ")
+    val d = Seq(
+      (1L, "BENCHMARK " + benchWords, "s0", "en"),
+      (2L, "the " + trainWords, "s1", "en"))
+      .toDF("doc_id", "text", "source", "lang")
+    val m = Curation.curationSnapshot(d, isHoldout = col("text").startsWith("BENCHMARK"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("decision")).toMap
+    assert(m(1L) == "holdout" && m(2L) == "keep", s"got $m")
+  }
+
   test("rebalance sample: over-represented domain thins, rare domain keeps all") {
     import spark.implicits._
     def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")

@@ -112,6 +112,16 @@ class TextAnalysisSpec extends SparkSpec {
     assert(cos > 0.25 && cos < 0.35, s"got $cos")
   }
 
+  test("tfidf cosine pairs: shuffle-join vocab path (broadcastVocab=false) is bit-identical") {
+    // the escape hatch for a vocabulary too large to broadcast must change
+    // the plan, never the result: decimal-weight sums are order-free, so the
+    // two join strategies agree exactly
+    val corpus = Tables.documents(spark, sf)
+    val bcast = TextAnalysis.tfidfCosinePairs(corpus).collect().toSet
+    val shuffled = TextAnalysis.tfidfCosinePairs(corpus, broadcastVocab = false).collect().toSet
+    assert(bcast == shuffled && bcast.nonEmpty)
+  }
+
   test("tfidf cosine pairs: dfCap prunes viral tokens from the vector space") {
     val d = Seq(
       (1L, "shared boilerplate footer alpha"),
