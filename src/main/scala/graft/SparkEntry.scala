@@ -57,6 +57,7 @@ object SparkEntry {
     "q_dedup_clusters_emb" -> ((s, d) => Dedup.embeddingNearDupClusters(Tables.embeddings(s, d))),
     "q_dedup_editdist" -> ((s, d) => Dedup.editDistancePairs(Tables.documents(s, d))),
     "q_curation" -> ((s, d) => operators.Curation.curationSnapshot(Tables.documents(s, d))),
+    "q_corpus_build" -> ((s, d) => operators.Curation.corpusBuild(Tables.documents(s, d))),
     "q_dedup_substring" -> ((s, d) => Dedup.substringDupPairs(Tables.documents(s, d))),
     "q_pack_sequences" -> ((s, d) => operators.Curation.packSequences(Tables.documents(s, d))),
     "q_domain_resample" -> ((s, d) => operators.Curation.rebalanceSample(Tables.documents(s, d))),
@@ -556,65 +557,53 @@ object SparkEntry {
     // the composition's CASE precedence is the only new logic under test
     "q_curation" ->
       s"""WITH RECURSIVE
-         |qs AS (SELECT doc_id,
-         |  CAST(len(string_split(text,' ')) AS DOUBLE) AS tc,
-         |  CAST(${duckStopHits(enStopList)} AS DOUBLE) AS sw,
-         |  CAST(list_sum(list_transform(string_split(text,' '), t -> CAST(length(t) AS BIGINT))) AS DOUBLE) AS totlen
-         |FROM documents),
-         |qv AS (SELECT doc_id,
-         |  CASE WHEN least(1.0, tc/100.0)*0.5 +
-         |    (CASE WHEN sw/tc BETWEEN 0.01 AND 0.5 THEN 0.3 ELSE 0.0 END) +
-         |    (CASE WHEN totlen/tc BETWEEN 3.0 AND 8.0 THEN 0.2 ELSE 0.0 END) >= 0.5
-         |    THEN 'keep' ELSE 'drop' END AS q_verdict FROM qs),
-         |toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
-         |bg AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(t), 1)),
-         |    i -> array_to_string(t[i:i+1], ' '))) AS g FROM toks),
-         |bgc AS (SELECT doc_id, g, count(*) AS n FROM bg GROUP BY doc_id, g),
-         |bga AS (SELECT doc_id, sum(n) AS tot, count(*) AS dst, max(n) AS mx
-         |  FROM bgc GROUP BY doc_id),
-         |tg AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(t)-1, 1)),
-         |    i -> array_to_string(t[i:i+2], ' '))) AS g FROM toks),
-         |tgc AS (SELECT doc_id, g, count(*) AS n FROM tg GROUP BY doc_id, g),
-         |tga AS (SELECT doc_id, sum(n) AS tot, count(*) AS dst, max(n) AS mx
-         |  FROM tgc GROUP BY doc_id),
-         |rv AS (SELECT d.doc_id,
-         |  CASE WHEN coalesce(round(CAST(t.tot - t.dst AS DOUBLE)/CAST(t.tot AS DOUBLE), 6), 0.0) > 0.15
-         |         OR coalesce(round(CAST(b.mx AS DOUBLE)/CAST(b.tot AS DOUBLE), 6), 0.0) > 0.20
-         |       THEN 'drop' ELSE 'keep' END AS r_verdict
-         |  FROM documents d
-         |  LEFT JOIN bga b ON d.doc_id = b.doc_id
-         |  LEFT JOIN tga t ON d.doc_id = t.doc_id),
-         |posts AS (SELECT doc_id, unnest(list_distinct(list_transform(
-         |    range(1, greatest(len(t)-2, 1)), i -> array_to_string(t[i:i+3], ' ')))) AS s4
-         |  FROM toks),
-         |benchv AS (SELECT DISTINCT s4 FROM posts WHERE doc_id % 97 = 0),
-         |contam AS (SELECT p.doc_id, 1 AS contaminated FROM posts p
-         |  JOIN benchv b ON p.s4 = b.s4 WHERE p.doc_id % 97 != 0 GROUP BY p.doc_id),
-         |shs AS ($duckShingles),
-         |scored AS (SELECT a.doc_id AS i, b.doc_id AS j,
-         |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-         |        CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE), 6) AS jac
-         |  FROM shs a JOIN shs b ON a.lang = b.lang AND a.doc_id < b.doc_id),
-         |edges AS (SELECT i, j FROM scored WHERE jac >= 0.6
-         |  UNION ALL SELECT j AS i, i AS j FROM scored WHERE jac >= 0.6),
-         |walk(id, lbl) AS (
-         |  SELECT doc_id, doc_id FROM documents
-         |  UNION
-         |  SELECT e.i, w.lbl FROM edges e JOIN walk w ON w.id = e.j),
-         |cl AS (SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM walk GROUP BY id)
+         |$duckCurationCtes
          |SELECT d.doc_id, d.source, cl.cluster_id,
-         |  CASE WHEN d.doc_id % 97 = 0 THEN 'holdout'
-         |       WHEN contam.contaminated IS NOT NULL THEN 'drop_contaminated'
-         |       WHEN rv.r_verdict = 'drop' THEN 'drop_repetitive'
-         |       WHEN qv.q_verdict = 'drop' THEN 'drop_quality'
-         |       WHEN cl.cluster_id != d.doc_id THEN 'drop_duplicate'
-         |       ELSE 'keep' END AS decision
+         |  $duckCurationDecision AS decision
          |FROM documents d
          |JOIN qv ON qv.doc_id = d.doc_id
          |JOIN rv ON rv.doc_id = d.doc_id
          |JOIN cl ON cl.doc_id = d.doc_id
          |LEFT JOIN contam ON contam.doc_id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+    // the composed corpus build: the SAME curation CTEs pick the keep set,
+    // the resample weights re-derive over the KEPT corpus, and the pack
+    // window runs over the sampled survivors — each stage the standalone
+    // oracle, chained
+    "q_corpus_build" ->
+      s"""WITH RECURSIVE
+         |$duckCurationCtes,
+         |decisions AS (SELECT d.doc_id, d.source, d.text,
+         |  $duckCurationDecision AS decision
+         |  FROM documents d
+         |  JOIN qv ON qv.doc_id = d.doc_id
+         |  JOIN rv ON rv.doc_id = d.doc_id
+         |  JOIN cl ON cl.doc_id = d.doc_id
+         |  LEFT JOIN contam ON contam.doc_id = d.doc_id),
+         |keepdocs AS (SELECT doc_id, source, text FROM decisions
+         |  WHERE decision = 'keep'),
+         |per AS (SELECT source,
+         |    CAST(sum(len(string_split(text,' '))) AS BIGINT) AS n_tokens
+         |  FROM keepdocs GROUP BY source),
+         |tot2 AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot,
+         |    CAST(count(*) AS DOUBLE) AS n_sources FROM per),
+         |wts AS (SELECT source,
+         |    round((1.0/n_sources)/(CAST(n_tokens AS DOUBLE)/CAST(tot AS DOUBLE)), 6)
+         |      AS weight
+         |  FROM per CROSS JOIN tot2),
+         |sampled AS (SELECT d.doc_id, d.source, d.text
+         |  FROM keepdocs d JOIN wts USING (source)
+         |  WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+         |    % 10000 AS DOUBLE) < least(1.0, 0.5*weight) * 10000.0),
+         |pt AS (SELECT source, doc_id,
+         |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens FROM sampled),
+         |pc AS (SELECT *, CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+         |  FROM pt)
+         |SELECT source, doc_id, n_tokens, cum_tokens,
+         |  (cum_tokens - n_tokens) // 2048 AS seq_id,
+         |  (cum_tokens - n_tokens) % 2048 AS seq_offset
+         |FROM pc ORDER BY source, doc_id""".stripMargin,
     "q_dedup_editdist" ->
       """WITH base AS (SELECT doc_id, text, lang,
         |    string_split(text, ' ')[1] AS tok0,

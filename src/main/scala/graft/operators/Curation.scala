@@ -105,6 +105,30 @@ object Curation {
     * sequences then never straddle sub-shards, which is exactly how
     * distributed dataloaders consume them.
     */
+  /** The full corpus-build a training-data user actually runs, as ONE
+    * composed query: [[curationSnapshot]] picks the keep set →
+    * [[rebalanceSample]] thins over-represented domains over the KEPT
+    * corpus (weights re-derived post-curation, where they belong — a
+    * mixture computed on the raw corpus would re-inflate domains whose
+    * docs were mostly dropped) → [[packSequences]] assigns the survivors
+    * to fixed-budget training sequences.
+    *
+    * Plan shape: both narrowing steps are doc_id equi-joins onto the
+    * documents frame, so every stage co-partitions on the key the signals
+    * already shuffled by; the stages' internal orderBys are eliminated
+    * under the joins (EliminateSorts), leaving the final pack ordering as
+    * the only range exchange — PlanQualitySpec asserts exactly one.
+    */
+  def corpusBuild(
+      docs: DataFrame, baseRate: Double = 0.5, budget: Long = 2048): DataFrame = {
+    val keepIds = curationSnapshot(docs)
+      .filter(col("decision") === "keep")
+      .select(col("doc_id"))
+    val kept = docs.join(keepIds, Seq("doc_id"))
+    val sampledIds = rebalanceSample(kept, baseRate).select(col("doc_id"))
+    packSequences(kept.join(sampledIds, Seq("doc_id")), budget)
+  }
+
   def packSequences(docs: DataFrame, budget: Long = 2048): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import graft.functions.TextFunctions.tokens
