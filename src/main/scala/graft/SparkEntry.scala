@@ -211,6 +211,69 @@ object SparkEntry {
       |    THEN '1' ELSE '0' END), '')""".stripMargin
   private val enStopList = "['the','a','of','and','to','in','is','it']"
 
+  // The curation CTE chain (quality + repetition + contamination + cluster
+  // walk), shared verbatim between q_curation and q_corpus_build so the two
+  // oracles can never drift apart. Callers open with `WITH RECURSIVE` and
+  // close with their own SELECT over documents d JOIN qv/rv/cl LEFT JOIN contam.
+  private lazy val duckCurationCtes =
+    s"""qs AS (SELECT doc_id,
+       |  CAST(len(string_split(text,' ')) AS DOUBLE) AS tc,
+       |  CAST(${duckStopHits(enStopList)} AS DOUBLE) AS sw,
+       |  CAST(list_sum(list_transform(string_split(text,' '), t -> CAST(length(t) AS BIGINT))) AS DOUBLE) AS totlen
+       |FROM documents),
+       |qv AS (SELECT doc_id,
+       |  CASE WHEN least(1.0, tc/100.0)*0.5 +
+       |    (CASE WHEN sw/tc BETWEEN 0.01 AND 0.5 THEN 0.3 ELSE 0.0 END) +
+       |    (CASE WHEN totlen/tc BETWEEN 3.0 AND 8.0 THEN 0.2 ELSE 0.0 END) >= 0.5
+       |    THEN 'keep' ELSE 'drop' END AS q_verdict FROM qs),
+       |toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+       |bg AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(t), 1)),
+       |    i -> array_to_string(t[i:i+1], ' '))) AS g FROM toks),
+       |bgc AS (SELECT doc_id, g, count(*) AS n FROM bg GROUP BY doc_id, g),
+       |bga AS (SELECT doc_id, sum(n) AS tot, count(*) AS dst, max(n) AS mx
+       |  FROM bgc GROUP BY doc_id),
+       |tg AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(t)-1, 1)),
+       |    i -> array_to_string(t[i:i+2], ' '))) AS g FROM toks),
+       |tgc AS (SELECT doc_id, g, count(*) AS n FROM tg GROUP BY doc_id, g),
+       |tga AS (SELECT doc_id, sum(n) AS tot, count(*) AS dst, max(n) AS mx
+       |  FROM tgc GROUP BY doc_id),
+       |rv AS (SELECT d.doc_id,
+       |  CASE WHEN coalesce(round(CAST(t.tot - t.dst AS DOUBLE)/CAST(t.tot AS DOUBLE), 6), 0.0) > 0.15
+       |         OR coalesce(round(CAST(b.mx AS DOUBLE)/CAST(b.tot AS DOUBLE), 6), 0.0) > 0.20
+       |       THEN 'drop' ELSE 'keep' END AS r_verdict
+       |  FROM documents d
+       |  LEFT JOIN bga b ON d.doc_id = b.doc_id
+       |  LEFT JOIN tga t ON d.doc_id = t.doc_id),
+       |posts AS (SELECT doc_id, unnest(list_distinct(list_transform(
+       |    range(1, greatest(len(t)-2, 1)), i -> array_to_string(t[i:i+3], ' ')))) AS s4
+       |  FROM toks),
+       |benchv AS (SELECT DISTINCT s4 FROM posts WHERE doc_id % 97 = 0),
+       |contam AS (SELECT p.doc_id, 1 AS contaminated FROM posts p
+       |  JOIN benchv b ON p.s4 = b.s4 WHERE p.doc_id % 97 != 0 GROUP BY p.doc_id),
+       |shs AS ($duckShingles),
+       |scored_sh AS (SELECT a.doc_id AS i, b.doc_id AS j,
+       |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+       |        CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE), 6) AS jac
+       |  FROM shs a JOIN shs b ON a.lang = b.lang AND a.doc_id < b.doc_id),
+       |edges AS (SELECT i, j FROM scored_sh WHERE jac >= 0.6
+       |  UNION ALL SELECT j AS i, i AS j FROM scored_sh WHERE jac >= 0.6),
+       |walk(id, lbl) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.i, w.lbl FROM edges e JOIN walk w ON w.id = e.j),
+       |cl AS (SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM walk GROUP BY id)""".stripMargin
+
+  // The curation decision CASE, precedence holdout > contaminated >
+  // repetitive > quality > duplicate > keep; binds d/qv/rv/cl/contam from
+  // the CTE chain above.
+  private val duckCurationDecision =
+    """CASE WHEN d.doc_id % 97 = 0 THEN 'holdout'
+      |       WHEN contam.contaminated IS NOT NULL THEN 'drop_contaminated'
+      |       WHEN rv.r_verdict = 'drop' THEN 'drop_repetitive'
+      |       WHEN qv.q_verdict = 'drop' THEN 'drop_quality'
+      |       WHEN cl.cluster_id != d.doc_id THEN 'drop_duplicate'
+      |       ELSE 'keep' END""".stripMargin
+
   // Physical-strategy twins MUST stay result-identical — bind each pair to
   // ONE oracle string so an edit can never drift the copies apart.
   private val setOpsOracle =
