@@ -117,7 +117,8 @@ object Curation {
     * documents frame, so every stage co-partitions on the key the signals
     * already shuffled by; the stages' internal orderBys are eliminated
     * under the joins (EliminateSorts), leaving the final pack ordering as
-    * the only range exchange — PlanQualitySpec asserts exactly one.
+    * the only range exchange — CurationSpec asserts exactly one, and pins
+    * the composition itself against the hand-chained three stages.
     */
   def corpusBuild(
       docs: DataFrame, baseRate: Double = 0.5, budget: Long = 2048): DataFrame = {

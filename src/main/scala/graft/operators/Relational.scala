@@ -28,6 +28,31 @@ object Relational {
   // parquet/oracle value representations are bit-identical
   private def dsum(c: Column): Column = sum(c.cast(dec)).cast("double")
 
+  /** Fail-loud cardinality guard for the exact-quantile family, whose
+    * aggregation state is O(distinct values) — per group for the built-in
+    * `percentile` (it merges a value→count map), one packed row for
+    * [[priceQuartiles]]. Fine on bounded domains (prices, quantities,
+    * enum-ish measures); a silent OOM on a continuous 100 TB column. The
+    * guard is ONE extra constant-memory pass (HLL++, 5% rsd, map-side
+    * partial) that throws with a pointer to the sketch twin BEFORE the
+    * linear-state aggregation is attempted — discovery at plan-build time,
+    * not as an executor OOM three hours in. The 5% sketch error is noise
+    * against the order-of-magnitude headroom in the default bound
+    * (2^20 distinct ≈ 16 MB of packed state vs multi-GB failures).
+    * `maxDistinct = Int.MaxValue` skips the pass for known-bounded domains.
+    */
+  private[operators] def requireBoundedDistinct(
+      df: DataFrame, valueCol: Column, maxDistinct: Int, op: String): Unit =
+    if (maxDistinct != Int.MaxValue) {
+      val approx = df.agg(
+        approx_count_distinct(valueCol, rsd = 0.05).as("n")).head().getLong(0)
+      require(approx <= maxDistinct.toLong,
+        s"$op: ~$approx distinct values exceed maxDistinct=$maxDistinct; " +
+          "exact quantile state is O(distinct) — use the sketch twin " +
+          "(approxPriceQuantiles / percentile_approx) for unbounded-domain " +
+          "columns, or raise maxDistinct if the domain is genuinely bounded")
+    }
+
   /** A1/Q2 analog — grouped running-count semantics in batch shape.
     * TPC-H Q1-style pricing summary (ref: consumers/ksql.py:24-40 for the
     * grouped-count pattern). Partial agg on 6000..600M rows, shuffle only the
@@ -460,9 +485,13 @@ object Relational {
       .orderBy(col("o_orderkey"))
 
   /** Exact interpolated median per group (both engines: linear interpolation
-    * between adjacent order statistics).
+    * between adjacent order statistics). Guarded by
+    * [[requireBoundedDistinct]]: `percentile`'s per-group state is a
+    * value→count map, linear in distinct quantities.
     */
-  def quantityMedian(lineitem: DataFrame): DataFrame =
+  def quantityMedian(
+      lineitem: DataFrame, maxDistinct: Int = 1 << 20): DataFrame = {
+    requireBoundedDistinct(lineitem, col("l_quantity"), maxDistinct, "quantityMedian")
     lineitem
       .groupBy(col("l_returnflag"))
       .agg(
@@ -470,6 +499,7 @@ object Relational {
         min(col("l_quantity")).as("min_qty"),
         max(col("l_quantity")).as("max_qty"))
       .orderBy(col("l_returnflag"))
+  }
 
   /** Windowed analytics — running total per user ordered by time (engine
     * surface; batch twin of a streaming cumulative agg). One shuffle on
@@ -554,9 +584,13 @@ object Relational {
     * in rows where the sketch twin is constant, which is the trade the
     * 100 TB path flips. Quantile probes flatten to scalar columns; results
     * round to 6 decimals so interpolation arithmetic compares cleanly
-    * across engines.
+    * across engines. Guarded by [[requireBoundedDistinct]] (same
+    * O(distinct)-per-group envelope as [[quantityMedian]]).
     */
-  def exactPriceQuantiles(lineitem: DataFrame): DataFrame =
+  def exactPriceQuantiles(
+      lineitem: DataFrame, maxDistinct: Int = 1 << 20): DataFrame = {
+    requireBoundedDistinct(
+      lineitem, col("l_extendedprice"), maxDistinct, "exactPriceQuantiles")
     lineitem
       .groupBy(col("l_returnflag"))
       .agg(percentile(col("l_extendedprice"),
@@ -567,6 +601,7 @@ object Relational {
         round(col("q").getItem(1), 6).as("p50"),
         round(col("q").getItem(2), 6).as("p75"))
       .orderBy(col("l_returnflag"))
+  }
 
   def approxPriceQuantiles(lineitem: DataFrame): DataFrame =
     lineitem
@@ -671,9 +706,12 @@ object Relational {
     * emit the 4 bucket stats. No interpolation (exact data values out), no
     * tie hazard, no single-partition WindowExec funneling the fact table
     * through one task. Approximate twin for unbounded-distinct columns:
-    * [[approxPriceQuantiles]].
+    * [[approxPriceQuantiles]]. Guarded by [[requireBoundedDistinct]]: the
+    * packed histogram row is O(distinct prices).
     */
-  def priceQuartiles(orders: DataFrame, buckets: Int = 4): DataFrame = {
+  def priceQuartiles(
+      orders: DataFrame, buckets: Int = 4, maxDistinct: Int = 1 << 20): DataFrame = {
+    requireBoundedDistinct(orders, col("o_totalprice"), maxDistinct, "priceQuartiles")
     val hist = orders
       .groupBy(col("o_totalprice").as("v"))
       .agg(count(lit(1)).as("c"))

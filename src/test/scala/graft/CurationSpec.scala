@@ -67,6 +67,45 @@ class CurationSpec extends SparkSpec {
       Curation.rebalanceSample(d).collect().toSeq)
   }
 
+  // enough keepers across two sources that curation, rebalance, and packing
+  // all have real work: ids chosen so several md5 buckets fall under the
+  // ~0.5 sample rate (the draw is deterministic, so the survivor set is too)
+  private def corpusFixture = {
+    def keeper(seed: Int) =
+      "the " + (0 until 59).map(i => s"w$seed-$i").mkString(" ")
+    val junk = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta", "s1", "en"), // holdout (0 % 97)
+      (2L, "buy now buy now buy now buy now buy now buy now", "s1", "en")) // repetitive
+    val keepers = (1 to 8).map(i => (100L + i, keeper(i), "s1", "en")) ++
+      (1 to 8).map(i => (200L + i, keeper(100 + i), "s2", "en"))
+    (junk ++ keepers).toDF("doc_id", "text", "source", "lang")
+  }
+
+  test("corpus build == the hand-chained curate -> rebalance -> pack stages") {
+    import org.apache.spark.sql.functions.col
+    val d = corpusFixture
+    val got = Curation.corpusBuild(d, budget = 100)
+    // the three public stages chained by hand, same defaults — pins the
+    // composition so a refactor can never silently reorder or drop a stage
+    val keepIds = Curation.curationSnapshot(d)
+      .filter(col("decision") === "keep").select("doc_id")
+    val kept = d.join(keepIds, Seq("doc_id"))
+    val sampledIds = Curation.rebalanceSample(kept).select("doc_id")
+    val expected = Curation.packSequences(kept.join(sampledIds, Seq("doc_id")), budget = 100)
+    val gotRows = got.collect().toSeq
+    assert(gotRows == expected.collect().toSeq)
+    assert(gotRows.nonEmpty, "fixture must survive curation + sampling")
+    assert(gotRows.map(_.getAs[String]("source")).distinct.size == 2,
+      "both sources must pack")
+  }
+
+  test("corpus build: the final pack ordering is the plan's only range exchange") {
+    val p = Curation.corpusBuild(corpusFixture, budget = 100)
+      .queryExecution.executedPlan.toString
+    val n = "rangepartitioning".r.findAllIn(p).size
+    assert(n == 1, s"expected exactly one range exchange, got $n in:\n$p")
+  }
+
   test("sequence packing: contiguous per-source bins at the token budget") {
     import spark.implicits._
     def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")

@@ -107,6 +107,29 @@ class RelationalSpec extends SparkSpec {
     assert(hist.map(_.getAs[Long]("n")).sum == total)
   }
 
+  test("exact-quantile family fails loud past the distinct-cardinality bound") {
+    val orders = Tables.orders(spark, sf)
+    // o_totalprice is effectively all-distinct: a tiny bound must trip every
+    // exact operator BEFORE its linear-state aggregation runs...
+    for ((name, run) <- Seq[(String, () => Unit)](
+      ("priceQuartiles", () => Relational.priceQuartiles(orders, maxDistinct = 64)),
+      ("exactPriceQuantiles",
+        () => Relational.exactPriceQuantiles(Tables.lineitem(spark, sf), maxDistinct = 64)),
+      ("quantityMedian",
+        () => Relational.quantityMedian(Tables.lineitem(spark, sf), maxDistinct = 3)))) {
+      val e = intercept[IllegalArgumentException](run())
+      assert(e.getMessage.contains(name) && e.getMessage.contains("sketch twin"),
+        s"$name guard message: ${e.getMessage}")
+    }
+    // ...while bounded domains pass untouched (l_quantity: 50 distinct ints)
+    assert(Relational.quantityMedian(Tables.lineitem(spark, sf), maxDistinct = 64)
+      .collect().nonEmpty)
+    // and Int.MaxValue skips the guard pass entirely (opt-out for domains
+    // the caller knows are bounded)
+    assert(Relational.priceQuartiles(orders, maxDistinct = Int.MaxValue)
+      .collect().length == 4)
+  }
+
   test("hash-stratified sample is deterministic and respects stratum rates") {
     val docs = Tables.documents(spark, sf)
     val s1 = Relational.hashStratifiedSample(docs).collect().map(_.getLong(0)).toSeq
