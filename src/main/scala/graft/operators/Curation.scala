@@ -76,15 +76,25 @@ object Curation {
     */
   def rebalanceSample(docs: DataFrame, baseRate: Double = 0.5): DataFrame = {
     val mix = TextAnalysis.domainMixture(docs).select(col("source"), col("weight"))
+    rebalanceDraw(Par.spread(docs), mix, baseRate)
+      .orderBy(col("source"), col("doc_id"))
+  }
+
+  /** The draw itself, against a caller-supplied (source, weight) mixture
+    * frame — shared verbatim with the streaming twin
+    * [[graft.streaming.StreamCuration.rebalanceSample]], so the batch and
+    * stream arms can never disagree on a keep/drop boundary.
+    */
+  private[graft] def rebalanceDraw(
+      docs: DataFrame, mix: DataFrame, baseRate: Double): DataFrame = {
     val rate = least(lit(1.0), lit(baseRate) * col("weight"))
-    Par.spread(docs).select(col("doc_id"), col("source"))
+    docs.select(col("doc_id"), col("source"))
       .join(broadcast(mix), Seq("source"))
       .withColumn("bucket",
         conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
           .cast("long") % 10000)
       .filter(col("bucket").cast("double") < rate * 10000.0)
       .select(col("source"), col("doc_id"), round(rate, 6).as("rate"))
-      .orderBy(col("source"), col("doc_id"))
   }
 
   /** Sequence packing: assign documents to fixed token-budget training

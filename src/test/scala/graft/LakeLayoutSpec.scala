@@ -88,6 +88,48 @@ class LakeLayoutSpec extends SparkSpec {
     assert(spark.read.parquet(s"$tmp/sorted").count() == ev.count())
   }
 
+  test("corpus build lands through compact + range-sort: curate -> pack -> lay out") {
+    // the composed training-corpus query feeding the lake-maintenance path
+    // end to end: a many-task writer fragments the packed output, compact
+    // collapses it to the size-derived count, and the range-sorted layout
+    // gives the dataloader disjoint (source, seq_id) file spans to read
+    // sequences from without shuffling
+    val tmp = Files.createTempDirectory("graft-corpus-lake").toString
+    val packed = graft.operators.Curation.corpusBuild(
+      Tables.documents(spark, sf), budget = 512)
+    packed.repartition(16).write.mode("overwrite").parquet(s"$tmp/raw")
+    val n = LakeSink.compact(spark, s"$tmp/raw", s"$tmp/compact",
+      targetBytes = 512L << 20)
+    assert(n == 1, "a sub-target-size corpus must compact to one file")
+    LakeSink.writeRangeSorted(spark.read.parquet(s"$tmp/compact"),
+      s"$tmp/sorted", Seq("source", "seq_id"), nFiles = 4)
+    // content survives the whole chain exactly
+    val laid = spark.read.parquet(s"$tmp/sorted")
+    assert(laid.count() == packed.count() && packed.count() > 0)
+    assert(laid.except(packed).isEmpty && packed.except(laid).isEmpty)
+    // file-group bounds: every file owns a disjoint (source, seq_id) span
+    val files = new java.io.File(s"$tmp/sorted").listFiles
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath)
+    val spans = files.flatMap { f =>
+      val df = spark.read.parquet(f)
+      if (df.isEmpty) None
+      else {
+        val r = df.agg(
+          min(struct(col("source"), col("seq_id"))).as("lo"),
+          max(struct(col("source"), col("seq_id"))).as("hi")).head()
+        def t(i: Int) = (r.getStruct(i).getString(0), r.getStruct(i).getLong(1))
+        Some((t(0), t(1)))
+      }
+    }.sortBy(_._1)
+    assert(spans.length >= 2, "fixture must spread over multiple files")
+    def leq(a: (String, Long), b: (String, Long)) =
+      a._1 < b._1 || (a._1 == b._1 && a._2 <= b._2)
+    spans.sliding(2).foreach { case Array((_, hi), (lo, _)) =>
+      assert(leq(hi, lo),
+        s"file spans overlap: ${spans.toSeq} — dataloader file skipping broken")
+    }
+  }
+
   test("salted join equals the plain join") {
     val orders = Tables.orders(spark, sf)
     val customer = Tables.customer(spark, sf)

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.operators.{Curation, TextAnalysis}
+import graft.streaming.StreamCuration
+
+// top-level so Spark can construct instances without an outer-scope pointer
+// (groupByKey's deserializer rejects spec-inner case classes)
+case class CorpusDoc(doc_id: Long, source: String, text: String)
+
+/** Batch/stream equivalence for the corpus resample and packing stages:
+  * replay the same fixture through the streaming twins across multiple
+  * micro-batches and assert the output equals the batch operators'.
+  */
+class StreamCurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private type Doc = CorpusDoc
+  private val Doc = CorpusDoc
+
+  private def words(seed: Int, n: Int) = (1 to n).map(i => s"w$seed-$i").mkString(" ")
+
+  // skewed mixture: `big` thins under the uniform target, `small` keeps all
+  private val fixture: Seq[Doc] =
+    (1 to 12).map(i => Doc(i.toLong, "big", words(i, 20))) ++
+      (1 to 3).map(i => Doc(100L + i, "small", words(1000 + i, 10)))
+
+  test("streaming rebalance draw replays the batch sample exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    val batchDf = fixture.toDF()
+    val expected = Curation.rebalanceSample(batchDf).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"),
+        r.getAs[Double]("rate"))).sorted.toSeq
+    assert(expected.nonEmpty && expected.size < fixture.size,
+      "fixture must make the draw non-trivial (some kept, some dropped)")
+    // the batch job owns the mixture; the stream consumes it as a static side
+    val mixture = TextAnalysis.domainMixture(batchDf)
+    val input = MemoryStream[Doc]
+    val q = StreamCuration.rebalanceSample(input.toDF(), mixture)
+      .writeStream.format("memory").queryName("sresample")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val (b1, b2) = fixture.partition(_.doc_id % 2 == 0)
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+      val got = spark.table("sresample").collect()
+        .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"),
+          r.getAs[Double]("rate"))).sorted.toSeq
+      assert(got == expected, s"stream draw diverged from batch:\n$got\n$expected")
+    } finally q.stop()
+  }
+
+  test("stateful packing across micro-batches equals batch packSequences") {
+    implicit val sqlCtx = spark.sqlContext
+    val batchDf = fixture.toDF()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[String]("source"), r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("cum_tokens"), r.getAs[Long]("seq_id"), r.getAs[Long]("seq_offset"))
+    val expected = Curation.packSequences(batchDf, budget = 50).collect()
+      .map(key).sorted.toSeq
+    val input = MemoryStream[Doc]
+    val q = StreamCuration.packSequences(input.toDF(), budget = 50)
+      .writeStream.format("memory").queryName("spack")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // per-source append order across batches (the documented contract):
+      // each source's later batch carries only larger doc_ids
+      val b1 = fixture.filter(d => d.doc_id <= 6 || d.doc_id == 101L)
+      val b2 = fixture.filterNot(b1.contains(_))
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+      val got = spark.table("spack").collect().map(key).sorted.toSeq
+      assert(got == expected, s"stream packing diverged from batch:\n$got\n$expected")
+      // the budget actually bins: the big source spans multiple sequences
+      assert(got.filter(_._1 == "big").map(_._5).distinct.size > 1)
+    } finally q.stop()
+  }
+}
