@@ -29,6 +29,16 @@ object Curation {
     */
   def curationSnapshot(
       docs: DataFrame,
+      isHoldout: org.apache.spark.sql.Column = col("doc_id") % 97 === 0): DataFrame =
+    curationDecisions(docs, isHoldout).orderBy(col("doc_id"))
+
+  /** [[curationSnapshot]] without the presentation sort — the form internal
+    * consumers compose on (a sort feeding a filter/join is dead weight, and
+    * keeping it out of the plan matters once the keep set is checkpointed,
+    * where EliminateSorts can no longer remove it).
+    */
+  private def curationDecisions(
+      docs: DataFrame,
       isHoldout: org.apache.spark.sql.Column = col("doc_id") % 97 === 0): DataFrame = {
     // the caller's predicate is evaluated ONCE, against the full input row —
     // re-evaluating it in the final decision projection (where only
@@ -56,7 +66,6 @@ object Curation {
           .when(col("q_verdict") === "drop", "drop_quality")
           .when(col("cluster_id") =!= col("doc_id"), "drop_duplicate")
           .otherwise("keep").as("decision"))
-      .orderBy(col("doc_id"))
   }
 
   /** Domain rebalance sampling — APPLY the mixture weights
@@ -132,9 +141,19 @@ object Curation {
     */
   def corpusBuild(
       docs: DataFrame, baseRate: Double = 0.5, budget: Long = 2048): DataFrame = {
-    val keepIds = curationSnapshot(docs)
+    // `kept` has three consumers (the mixture aggregation, the draw join,
+    // the pack join), and without a materialization barrier each one
+    // re-executes the whole four-signal curation DAG — measured ~2.5× the
+    // standalone snapshot's cost at bench scale. Checkpointing the ids-only
+    // keep set (8 bytes/row; executor-local storage, the same trade the CC
+    // fixpoint already makes) caps curation at ONE evaluation; re-deriving
+    // `kept` from it is a docs scan + one co-partitioned join. At 100 TB
+    // a pipeline would instead land `kept` in the lake between stages —
+    // this barrier is that stage boundary, without the external write.
+    val keepIds = curationDecisions(docs)
       .filter(col("decision") === "keep")
       .select(col("doc_id"))
+      .localCheckpoint()
     val kept = docs.join(keepIds, Seq("doc_id"))
     val sampledIds = rebalanceSample(kept, baseRate).select(col("doc_id"))
     packSequences(kept.join(sampledIds, Seq("doc_id")), budget)
