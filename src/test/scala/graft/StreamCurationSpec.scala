@@ -80,4 +80,53 @@ class StreamCurationSpec extends SparkSpec {
       assert(got.filter(_._1 == "big").map(_._5).distinct.size > 1)
     } finally q.stop()
   }
+
+  test("the whole streaming front door chains: admit -> pack in ONE query") {
+    // dropDuplicatesWithinWatermark (bounded dedup state) -> row-local gate
+    // scoring -> flatMapGroupsWithState packing, all in a single continuous
+    // query — Spark's multi-stateful-operator support carries the full
+    // ingest-to-training-sequence path without an intermediate sink. Output
+    // must equal the batch pack over exactly the admitted set.
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.IngestGate
+    import org.apache.spark.sql.functions.col
+    val T0 = 1704067200000L
+    val benchVocab = Seq("alpha beta gamma delta").toDF("s")
+    val goodA = "the first clean document of the morning run"
+    val goodB = "a second clean document arrives right behind it"
+    val goodC = "a third clean document closes out the stream"
+    val b1 = Seq(
+      (1L, goodA, "web", T0),
+      (2L, "buy now buy now buy now buy now buy now buy now", "spam", T0 + 1000),
+      (3L, "prefix alpha beta gamma delta suffix words here", "web", T0 + 2000))
+    val b2 = Seq(
+      (4L, goodA, "mirror", T0 + 60000), // exact dup of doc 1 -> dropped
+      (5L, goodB, "web", T0 + 61000),
+      (6L, goodC, "wiki", T0 + 62000))
+    val input = MemoryStream[(Long, String, String, Long)]
+    val chained = StreamCuration.packSequences(
+      IngestGate.admit(
+        input.toDF().toDF("doc_id", "text", "source", "timestamp"), benchVocab),
+      budget = 6)
+    val q = chained.writeStream.format("memory").queryName("frontdoor")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getAs[String]("source"), r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("cum_tokens"), r.getAs[Long]("seq_id"), r.getAs[Long]("seq_offset"))
+      val got = spark.table("frontdoor").collect().map(key).sorted.toSeq
+      // ground truth: batch pack over exactly the docs the gate admits
+      val admitted = Seq((1L, goodA, "web"), (5L, goodB, "web"), (6L, goodC, "wiki"))
+        .toDF("doc_id", "text", "source")
+      val expected = Curation.packSequences(admitted, budget = 6)
+        .collect().map(key).sorted.toSeq
+      assert(got == expected, s"chained stream diverged:\n$got\n$expected")
+      assert(got.map(_._2).sorted == Seq(1L, 5L, 6L),
+        "gates + dedup must admit exactly docs 1, 5, 6")
+    } finally q.stop()
+  }
 }
