@@ -114,6 +114,24 @@ object StreamBench {
         .option("checkpointLocation", s"$root/chk4").start()
     }
 
+    // --- timed: the CHAINED front door (admit -> pack, ONE continuous query) ---
+    // dropDuplicatesWithinWatermark -> gate scoring -> flatMapGroupsWithState
+    // packing with no intermediate sink (multi-stateful-operator support;
+    // StreamCurationSpec pins output == batch pack over the admitted set).
+    // The fixture's doc_ids are not per-source monotonic across micro-batches,
+    // so packed offsets here are throughput-only; the ordering contract is
+    // StreamCuration.packSequences's scaladoc.
+    timeQuery("front door chained (admit+pack, one query)", nDocs.toLong) {
+      val src = spark.readStream
+        .schema(docs.schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(s"$root/docs")
+      graft.streaming.StreamCuration.packSequences(
+        graft.streaming.IngestGate.admit(src, benchVocab, watermark = "24 hours"))
+        .writeStream.format("noop").outputMode(OutputMode.Append())
+        .option("checkpointLocation", s"$root/chk5").start()
+    }
+
     // v2 stateful API on the RocksDB store (the provider it requires)
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
