@@ -90,6 +90,16 @@ object SparkEntry {
     "q_dedup_exact" -> ((s, d) => Dedup.exactDuplicateGroups(Tables.documents(s, d))),
     "q_dedup_keepfirst" -> ((s, d) => Dedup.dedupKeepFirst(Tables.documents(s, d))),
     "q_dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(Tables.documents(s, d))),
+    "q_dedup_incr_exact" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.incrementalExactDedup(
+        docs.filter(col("doc_id") % 3 =!= 0), docs.filter(col("doc_id") % 3 === 0))
+    }),
+    "q_dedup_incr_minhash" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.incrementalMinhashDedup(
+        docs.filter(col("doc_id") % 3 =!= 0), docs.filter(col("doc_id") % 3 === 0))
+    }),
     "q_dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d))),
     "q_simhash" -> ((s, d) => Dedup.simhashFingerprints(Tables.documents(s, d))),
     "q_simhash_pairs" -> ((s, d) => Dedup.simhashNearDupPairs(Tables.documents(s, d))),
@@ -190,6 +200,14 @@ object SparkEntry {
       |    range(1, greatest(len(string_split(text,' '))-1, 1)),
       |    i -> array_to_string(string_split(text,' ')[i:i+2], ' '))) AS sh
       |  FROM documents""".stripMargin
+  // k=12 MinHash signature entries + 4×3 band hashes, shared by the
+  // self-join LSH oracle and the incremental (batch-vs-corpus) variant
+  private val duckSigEntries = (0 until 12)
+    .map(s => s"list_min(list_transform(sh, x -> md5('$s:' || x)))")
+    .mkString(",\n      ")
+  private val duckBandEntries = (0 until 4)
+    .map(b => s"md5(array_to_string(sig[${b * 3 + 1}:${b * 3 + 3}], '|'))")
+    .mkString(",\n      ")
   private val duckTokenHashes =
     """list_transform(string_split(text,' '),
       |    t -> ('0x' || substr(md5(t),1,15))::BIGINT)""".stripMargin
@@ -528,17 +546,11 @@ object SparkEntry {
     "q_dedup_keepfirst" ->
       "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY doc_id",
     "q_dedup_minhash_lsh" -> {
-      val sigEntries = (0 until 12)
-        .map(s => s"list_min(list_transform(sh, x -> md5('$s:' || x)))")
-        .mkString(",\n      ")
-      val bandEntries = (0 until 4)
-        .map(b => s"md5(array_to_string(sig[${b * 3 + 1}:${b * 3 + 3}], '|'))")
-        .mkString(",\n      ")
       s"""WITH shs AS ($duckShingles),
          |sigs AS (SELECT doc_id, sh, [
-         |      $sigEntries] AS sig FROM shs),
+         |      $duckSigEntries] AS sig FROM shs),
          |banded AS (SELECT doc_id, unnest(range(0, 4)) AS band, unnest([
-         |      $bandEntries]) AS bh FROM sigs),
+         |      $duckBandEntries]) AS bh FROM sigs),
          |cand AS (SELECT DISTINCT x.doc_id AS i, y.doc_id AS j
          |  FROM banded x JOIN banded y
          |  ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
@@ -548,6 +560,30 @@ object SparkEntry {
          |  FROM cand JOIN sigs a ON cand.i = a.doc_id JOIN sigs b ON cand.j = b.doc_id)
          |SELECT i, j, jac FROM scored WHERE jac >= 0.6 ORDER BY i, j""".stripMargin
     },
+    // incremental (new batch vs existing corpus) twins: batch = doc_id%3=0,
+    // corpus = the rest; admitted batch survivors come back
+    "q_dedup_incr_exact" ->
+      """WITH surv AS (SELECT md5(text) AS h, MIN(doc_id) AS doc_id
+        |    FROM documents WHERE doc_id % 3 = 0 GROUP BY md5(text))
+        |SELECT doc_id FROM surv
+        |WHERE h NOT IN (SELECT md5(text) FROM documents WHERE doc_id % 3 <> 0)
+        |ORDER BY doc_id""".stripMargin,
+    "q_dedup_incr_minhash" ->
+      s"""WITH shs AS ($duckShingles),
+         |sigs AS (SELECT doc_id, sh, [
+         |      $duckSigEntries] AS sig FROM shs),
+         |banded AS (SELECT doc_id, unnest(range(0, 4)) AS band, unnest([
+         |      $duckBandEntries]) AS bh FROM sigs),
+         |cand AS (SELECT DISTINCT x.doc_id AS i, y.doc_id AS j
+         |  FROM banded x JOIN banded y ON x.band = y.band AND x.bh = y.bh
+         |  WHERE x.doc_id % 3 = 0 AND y.doc_id % 3 <> 0),
+         |hits AS (SELECT DISTINCT i FROM cand
+         |  JOIN sigs a ON cand.i = a.doc_id JOIN sigs b ON cand.j = b.doc_id
+         |  WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |        CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE), 6) >= 0.6)
+         |SELECT doc_id FROM documents
+         |WHERE doc_id % 3 = 0 AND doc_id NOT IN (SELECT i FROM hits)
+         |ORDER BY doc_id""".stripMargin,
     "q_dedup_ngram_jaccard" ->
       s"""WITH shs AS ($duckShingles),
          |scored AS (SELECT a.doc_id AS i, b.doc_id AS j,

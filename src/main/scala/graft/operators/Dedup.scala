@@ -61,6 +61,64 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Incremental EXACT dedup — the shape a continuously-grown corpus
+    * actually runs: admit only the docs of a NEW batch whose text digest is
+    * absent from the existing corpus, keeping the min-id survivor per batch
+    * text (intra-batch dups collapse in the same shuffle).
+    *
+    * Scale design: the corpus side reduces to ONE 128-bit digest column —
+    * at 100 TB that index is stored once (a narrow parquet of digests) and
+    * re-read per batch, never the corpus texts. Both sides shuffle once on
+    * the hash-uniform digest; the left-anti join is the membership probe
+    * and is batch-sized on the probe side.
+    */
+  def incrementalExactDedup(corpus: DataFrame, batch: DataFrame): DataFrame =
+    batch
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .join(corpus.select(md5(col("text")).as("text_hash")).distinct(),
+        Seq("text_hash"), "left_anti")
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+
+  /** Incremental MinHash+LSH novelty filter — admit the docs of a NEW batch
+    * that near-duplicate NOTHING in the existing corpus: both sides band as
+    * in [[minhashLshPairs]]; a batch doc is dropped iff it collides with a
+    * corpus doc in ≥1 band AND verifies at exact Jaccard ≥ threshold.
+    *
+    * Scale design: the corpus side is a PRECOMPUTED index — (band,
+    * band_hash, doc_id) postings plus shingle sets, computed once when each
+    * doc was admitted and reused by every later batch — so the candidate
+    * join is a batch-sized index lookup, not a corpus self-join, and the
+    * verify join re-attaches shingles only for candidates. Intra-batch
+    * near-dups are [[minhashLshPairs]]'s job; this operator answers novelty
+    * against what is already kept. Same recall contract as the self-join
+    * LSH: the candidate set is deterministic, so the oracle reproduces the
+    * output false negatives included.
+    */
+  def incrementalMinhashDedup(
+      corpus: DataFrame, batch: DataFrame, k: Int = 12, bands: Int = 4,
+      rows: Int = 3, threshold: Double = 0.6): DataFrame = {
+    require(bands * rows == k, "bands*rows must equal signature length")
+    val corpusSig = shingleSignatures(corpus, k)
+    val batchSig = shingleSignatures(batch, k)
+    def banded(sig: DataFrame, idAs: String): DataFrame = sig.select(
+      col("doc_id"), posexplode(bandHashes(col("sig"), bands, rows)))
+      .toDF(idAs, "band", "bh")
+    val cand = banded(batchSig, "i")
+      .join(banded(corpusSig, "j"), Seq("band", "bh"))
+      .select(col("i"), col("j")).distinct()
+    val contaminated = cand
+      .join(batchSig.select(col("doc_id").as("i"), col("sh").as("sh_i")), Seq("i"))
+      .join(corpusSig.select(col("doc_id").as("j"), col("sh").as("sh_j")), Seq("j"))
+      .withColumn("jac", round(jaccard(col("sh_i"), col("sh_j")), 6))
+      .filter(col("jac") >= threshold)
+      .select(col("i")).distinct()
+    batch.select(col("doc_id"))
+      .join(contaminated.withColumnRenamed("i", "doc_id"), Seq("doc_id"), "left_anti")
+      .orderBy(col("doc_id"))
+  }
+
   /** MinHash + LSH near-dup pairs, verified with exact Jaccard.
     *
     * shingle(3-gram) → k-component MinHash → `bands` band hashes →

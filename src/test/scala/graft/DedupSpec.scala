@@ -49,6 +49,36 @@ class DedupSpec extends SparkSpec {
     assert(pairs(0).getAs[Double]("jac") > 0.8)
   }
 
+  test("incremental exact dedup admits only batch texts novel vs the corpus") {
+    val corpus = Seq(
+      (1L, "already in the corpus", "web"),
+      (2L, "another kept document", "web")).toDF("doc_id", "text", "source")
+    val batch = Seq(
+      (10L, "already in the corpus", "crawl"), // exact dup of corpus doc 1
+      (11L, "a brand new document", "crawl"),
+      (12L, "a brand new document", "crawl"),  // intra-batch dup -> min id
+      (13L, "another fresh arrival", "crawl")).toDF("doc_id", "text", "source")
+    val admitted = Dedup.incrementalExactDedup(corpus, batch)
+      .as[Long].collect().toSeq
+    assert(admitted == Seq(11L, 13L))
+  }
+
+  test("incremental minhash filter drops batch docs near-duplicating the corpus") {
+    val base = (0 until 40).map(i => s"w$i").mkString(" ")
+    val nearDup = (0 until 40).map(i => if (i == 7) "CHANGED" else s"w$i").mkString(" ")
+    val novel = (100 until 140).map(i => s"v$i").mkString(" ")
+    val corpus = docs((1L, base, "en"))
+    val batch = docs((10L, nearDup, "en"), (11L, novel, "en"))
+    val admitted = Dedup.incrementalMinhashDedup(corpus, batch)
+      .as[Long].collect().toSeq
+    assert(admitted == Seq(11L))
+    // intra-batch near-dups are out of scope by contract: both copies of a
+    // novel text are admitted (minhashLshPairs owns that grain)
+    val batch2 = docs((10L, novel, "en"), (11L, novel, "en"))
+    assert(Dedup.incrementalMinhashDedup(corpus, batch2)
+      .as[Long].collect().toSeq == Seq(10L, 11L))
+  }
+
   test("minhash LSH recall on the corpus' planted dups matches brute force at high jaccard") {
     val d = Tables.documents(spark, sf)
     val lsh = Dedup.minhashLshPairs(d, threshold = 0.8).collect()
