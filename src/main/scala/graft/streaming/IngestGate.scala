@@ -116,12 +116,37 @@ object IngestGate {
   def admit(
       docs: DataFrame, benchShingles: DataFrame,
       watermark: String = "10 minutes"): DataFrame =
+    admitImpl(docs, benchShingles, watermark, identity)
+
+  /** [[admit]] that is also NOVEL against the existing corpus — the
+    * streaming twin of [[graft.operators.Dedup.incrementalExactDedup]]:
+    * a stream-static LEFT ANTI join on the text digest against the lake's
+    * stored digest index (`text_hash` column, one md5 per kept doc).
+    *
+    * Stateless (the anti-join holds no streaming state; only the watermark
+    * dedup does), so the probe runs before scoring: a doc already in the
+    * corpus is never tokenized. The static side is re-planned each
+    * micro-batch — at lake scale keep the index as a compact
+    * digest-sorted/bucketed parquet (or cache it and refresh on compaction);
+    * Spark broadcasts it while it fits and sort-merge-joins past that, both
+    * legal for stream-static anti.
+    */
+  def admitNovel(
+      docs: DataFrame, benchShingles: DataFrame, corpusDigests: DataFrame,
+      watermark: String = "10 minutes"): DataFrame =
+    admitImpl(docs, benchShingles, watermark,
+      _.join(corpusDigests.select(col("text_hash")), Seq("text_hash"), "left_anti"))
+
+  private def admitImpl(
+      docs: DataFrame, benchShingles: DataFrame, watermark: String,
+      noveltyProbe: DataFrame => DataFrame): DataFrame =
     audit(
-      docs
-        .withColumn("event_time", timestamp_millis(col("timestamp")))
-        .withColumn("text_hash", md5(col("text")))
-        .withWatermark("event_time", watermark)
-        .dropDuplicatesWithinWatermark("text_hash"),
+      noveltyProbe(
+        docs
+          .withColumn("event_time", timestamp_millis(col("timestamp")))
+          .withColumn("text_hash", md5(col("text")))
+          .withWatermark("event_time", watermark)
+          .dropDuplicatesWithinWatermark("text_hash")),
       benchShingles, cacheVocab = true)
       .filter(col("reason") === "ok")
       .select(col("doc_id"), col("text"), col("source"), col("event_time"))

@@ -112,4 +112,34 @@ class IngestGateSpec extends SparkSpec {
         s"expected gates + cross-batch dedup to admit 1,5,7; got $admitted")
     } finally q.stop()
   }
+
+  test("admitNovel: docs already in the corpus digest index never enter") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, md5}
+    val inCorpus = "a document the lake already keeps"
+    val corpusDigests = Seq(inCorpus, "some other stored text").toDF("text")
+      .select(md5(col("text")).as("text_hash"))
+    val input = MemoryStream[Doc]
+    val q = IngestGate.admitNovel(
+        input.toDF().toDF("doc_id", "text", "source", "timestamp"),
+        benchVocab, corpusDigests)
+      .writeStream.format("memory").queryName("novel")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        (1L, inCorpus, "crawl", T0), // clean text, but the corpus has it
+        (2L, "a genuinely new document shows up here", "crawl", T0 + 1000),
+        (3L, "buy now buy now buy now buy now buy now buy now", "spam", T0 + 2000))
+      q.processAllAvailable()
+      input.addData(
+        (4L, inCorpus, "mirror", T0 + 60000), // corpus dup in a later batch
+        (5L, "a genuinely new document shows up here", "m", T0 + 61000), // stream dup
+        (6L, "and one more novel arrival to close", "web", T0 + 62000))
+      q.processAllAvailable()
+      val admitted = spark.table("novel").collect()
+        .map(_.getAs[Long]("doc_id")).sorted.toSeq
+      assert(admitted == Seq(2L, 6L),
+        s"expected corpus anti-join + gates + stream dedup to admit 2,6; got $admitted")
+    } finally q.stop()
+  }
 }
