@@ -60,6 +60,7 @@ object SparkEntry {
     "q_corpus_build" -> ((s, d) => operators.Curation.corpusBuild(Tables.documents(s, d))),
     "q_dedup_substring" -> ((s, d) => Dedup.substringDupPairs(Tables.documents(s, d))),
     "q_pack_sequences" -> ((s, d) => operators.Curation.packSequences(Tables.documents(s, d))),
+    "q_chunk_docs" -> ((s, d) => operators.Curation.chunkDocuments(Tables.documents(s, d))),
     "q_domain_resample" -> ((s, d) => operators.Curation.rebalanceSample(Tables.documents(s, d))),
     "q_rollup" -> ((s, d) => Relational.orderRollup(Tables.orders(s, d))),
     "q_running_total" -> ((s, d) => Relational.runningTotalPerUser(Tables.events(s, d))),
@@ -726,6 +727,18 @@ object SparkEntry {
         |SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS n_shared_windows
         |FROM wins a JOIN wins b ON a.h = b.h AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 ORDER BY i, j""".stripMargin,
+    // 64-token chunks, 16-token overlap (stride 48); chunk count and
+    // boundaries are exact integer math mirrored from chunkDocuments
+    "q_chunk_docs" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks,
+        |    CAST(len(string_split(text,' ')) AS BIGINT) AS n FROM documents),
+        |c AS (SELECT doc_id, toks, n, unnest(range(0,
+        |    CASE WHEN n <= 64 THEN 1 ELSE 1 + (n - 64 + 47) // 48 END)) AS chunk_idx
+        |  FROM t)
+        |SELECT doc_id, chunk_idx,
+        |  array_to_string(toks[chunk_idx*48+1 : chunk_idx*48+64], ' ') AS chunk_text,
+        |  least(64, n - chunk_idx*48) AS n_chunk_tokens
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
     "q_pack_sequences" ->
       """WITH t AS (SELECT source, doc_id,
         |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens FROM documents),

@@ -159,6 +159,43 @@ object Curation {
     packSequences(kept.join(sampledIds, Seq("doc_id")), budget)
   }
 
+  /** Document chunking — the complement of [[packSequences]]: SPLIT each
+    * document into fixed-size token chunks with `overlap` tokens of context
+    * carried across boundaries (stride = maxTokens − overlap), the way a
+    * pretraining/embedding pipeline windows long documents. Chunk starts
+    * are 0, stride, 2·stride, …; the last chunk is the first one whose
+    * window reaches the end (docs at or under `maxTokens` yield exactly one
+    * chunk). All integer arithmetic, so the DuckDB oracle reproduces chunk
+    * boundaries exactly.
+    *
+    * Plan: narrow per-row explode — no shuffle at any size; output rows ≈
+    * input tokens ÷ stride, and the explode is lazy per-row (no doc's full
+    * chunk set is ever held beyond its own row).
+    */
+  def chunkDocuments(
+      docs: DataFrame, maxTokens: Int = 64, overlap: Int = 16): DataFrame = {
+    require(overlap >= 0 && overlap < maxTokens, "need 0 <= overlap < maxTokens")
+    import graft.functions.TextFunctions.tokens
+    val stride = maxTokens - overlap
+    Par.spread(docs)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("n_tokens", size(col("toks")))
+      // chunks = 1 + ceil((n - maxTokens) / stride) when n > maxTokens;
+      // DIV keeps it in exact integer math on both engines
+      .withColumn("n_chunks",
+        when(col("n_tokens") <= maxTokens, lit(1L))
+          .otherwise(expr(
+            s"1L + (n_tokens - $maxTokens + ${stride - 1}) DIV $stride")))
+      .withColumn("chunk_idx", explode(sequence(lit(0L), col("n_chunks") - 1)))
+      .select(col("doc_id"), col("chunk_idx"),
+        array_join(
+          slice(col("toks"), (col("chunk_idx") * stride + 1).cast("int"),
+            lit(maxTokens)), " ").as("chunk_text"),
+        least(lit(maxTokens).cast("long"),
+          col("n_tokens") - col("chunk_idx") * stride).as("n_chunk_tokens"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
   def packSequences(docs: DataFrame, budget: Long = 2048): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import graft.functions.TextFunctions.tokens

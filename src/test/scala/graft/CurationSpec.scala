@@ -122,4 +122,28 @@ class CurationSpec extends SparkSpec {
     // source b packs independently from offset 0
     assert(rows(10L) == (0L, 0L) && rows(11L) == (0L, 4L))
   }
+
+  test("chunking: stride windows with overlap; short docs yield one chunk") {
+    import spark.implicits._
+    def words(a: Int, b: Int) = (a to b).map(i => s"w$i").mkString(" ")
+    val d = Seq(
+      (1L, words(1, 10), "a"), // 10 tokens > 4 -> starts 0,3,6 (window 6+4 reaches the end)
+      (2L, words(1, 11), "a"), // 11 tokens -> starts 0,3,6,9 (last chunk is the 2-token tail)
+      (3L, words(1, 4), "a"),  // exactly maxTokens -> one chunk
+      (4L, words(1, 2), "a"))  // short -> one chunk
+      .toDF("doc_id", "text", "source")
+    val rows = Curation.chunkDocuments(d, maxTokens = 4, overlap = 1).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_idx")) ->
+        (r.getAs[String]("chunk_text"), r.getAs[Long]("n_chunk_tokens"))).toMap
+    assert(rows.keySet == Set(
+      (1L, 0L), (1L, 1L), (1L, 2L),
+      (2L, 0L), (2L, 1L), (2L, 2L), (2L, 3L),
+      (3L, 0L), (4L, 0L)), s"got ${rows.keySet}")
+    assert(rows((1L, 0L)) == ("w1 w2 w3 w4", 4L))
+    assert(rows((1L, 1L)) == ("w4 w5 w6 w7", 4L)) // overlap=1 carries w4
+    assert(rows((1L, 2L)) == ("w7 w8 w9 w10", 4L))
+    assert(rows((2L, 3L)) == ("w10 w11", 2L)) // tail shorter than maxTokens
+    assert(rows((3L, 0L)) == ("w1 w2 w3 w4", 4L))
+    assert(rows((4L, 0L)) == ("w1 w2", 2L))
+  }
 }
