@@ -114,6 +114,26 @@ object StreamBench {
         .option("checkpointLocation", s"$root/chk4").start()
     }
 
+    // --- timed: novelty gate (admit + anti-join vs the corpus digest index) ---
+    // the index holds every 10th stream text (so ~10% of the stream is
+    // "already in the lake" and drops at the probe) plus enough synthetic
+    // digests to make the static side index-sized rather than toy-sized
+    val corpusDigests = spark.read.parquet(s"$root/docs")
+      .filter(f.col("doc_id") % 10 === 3)
+      .select(f.md5(f.col("text")).as("text_hash"))
+      .union(spark.range(4 * nDocs).select(
+        f.md5(f.concat(f.lit("corpus-"), f.col("id"))).as("text_hash")))
+    timeQuery("novelty gate (admit + corpus-index anti-join)", nDocs.toLong) {
+      val src = spark.readStream
+        .schema(docs.schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(s"$root/docs")
+      graft.streaming.IngestGate.admitNovel(
+        src, benchVocab, corpusDigests, watermark = "24 hours")
+        .writeStream.format("noop").outputMode(OutputMode.Append())
+        .option("checkpointLocation", s"$root/chk6").start()
+    }
+
     // --- timed: the CHAINED front door (admit -> pack, ONE continuous query) ---
     // dropDuplicatesWithinWatermark -> gate scoring -> flatMapGroupsWithState
     // packing with no intermediate sink (multi-stateful-operator support;

@@ -177,7 +177,7 @@ object Curation {
     require(overlap >= 0 && overlap < maxTokens, "need 0 <= overlap < maxTokens")
     import graft.functions.TextFunctions.tokens
     val stride = maxTokens - overlap
-    Par.spread(docs)
+    val chunks = Par.spread(docs)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .withColumn("n_tokens", size(col("toks")))
       // chunks = 1 + ceil((n - maxTokens) / stride) when n > maxTokens;
@@ -193,7 +193,9 @@ object Curation {
             lit(maxTokens)), " ").as("chunk_text"),
         least(lit(maxTokens).cast("long"),
           col("n_tokens") - col("chunk_idx") * stride).as("n_chunk_tokens"))
-      .orderBy(col("doc_id"), col("chunk_idx"))
+    // stateless per-row math, so the operator is stream-legal as-is — minus
+    // the presentation sort, which only a bounded input can have
+    if (docs.isStreaming) chunks else chunks.orderBy(col("doc_id"), col("chunk_idx"))
   }
 
   def packSequences(docs: DataFrame, budget: Long = 2048): DataFrame = {

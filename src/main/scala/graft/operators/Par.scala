@@ -19,6 +19,11 @@ import org.apache.spark.sql.DataFrame
   */
 private[graft] object Par {
   def spread(df: DataFrame): DataFrame = {
+    // streaming frames can't be partition-inspected (toRdd is batch-only),
+    // and their parallelism is the source's + the query's own shuffles —
+    // adding a per-micro-batch repartition is a cost the streaming caller
+    // must choose deliberately (as IngestGate's dedup-first ordering does)
+    if (df.isStreaming) return df
     val target = df.sparkSession.sparkContext.defaultParallelism
     // toRdd (InternalRow) reads the partition count off the planned scan
     // without building the public .rdd's deserializer chain + extra

@@ -81,6 +81,31 @@ class StreamCurationSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("chunkDocuments is stream-legal as-is: stateless windows, batch parity") {
+    // chunking is a per-row projection + explode — no state, no output-mode
+    // constraint — so the BATCH operator runs unchanged on a stream; assert
+    // the replay matches the batch output exactly
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Doc]
+    val q = Curation.chunkDocuments(input.toDF(), maxTokens = 8, overlap = 2)
+      .writeStream.format("memory").queryName("chunks")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val (b1, b2) = fixture.splitAt(7)
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_idx"),
+          r.getAs[String]("chunk_text"), r.getAs[Long]("n_chunk_tokens"))
+      val got = spark.table("chunks").collect().map(key).sorted.toSeq
+      val expected = Curation.chunkDocuments(fixture.toDF(), maxTokens = 8, overlap = 2)
+        .collect().map(key).sorted.toSeq
+      assert(got == expected && got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("the whole streaming front door chains: admit -> pack in ONE query") {
     // dropDuplicatesWithinWatermark (bounded dedup state) -> row-local gate
     // scoring -> flatMapGroupsWithState packing, all in a single continuous
