@@ -61,6 +61,18 @@ object SparkEntry {
     "q_dedup_substring" -> ((s, d) => Dedup.substringDupPairs(Tables.documents(s, d))),
     "q_pack_sequences" -> ((s, d) => operators.Curation.packSequences(Tables.documents(s, d))),
     "q_chunk_docs" -> ((s, d) => operators.Curation.chunkDocuments(Tables.documents(s, d))),
+    // C4-style cross-doc boilerplate removal; the token-stream corpus uses
+    // fixed 8-token window segmentation (caller policy) with a " " joiner
+    "q_boilerplate" -> ((s, d) => operators.Curation.removeBoilerplate(
+      Tables.documents(s, d), minDf = 2,
+      segments = operators.Curation.tokenWindowSegments(8), joiner = " ")),
+    // model-based quality filtering: NB log-odds weights fit on a labeled
+    // seed (harness label: lang == 'en'), linear scoring corpus-wide
+    "q_classifier" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextAnalysis.classifierScore(
+        docs, TextAnalysis.nbClassifierWeights(docs, col("lang") === "en"))
+    }),
     "q_domain_resample" -> ((s, d) => operators.Curation.rebalanceSample(Tables.documents(s, d))),
     "q_rollup" -> ((s, d) => Relational.orderRollup(Tables.orders(s, d))),
     "q_running_total" -> ((s, d) => Relational.runningTotalPerUser(Tables.events(s, d))),
@@ -739,6 +751,52 @@ object SparkEntry {
         |  array_to_string(toks[chunk_idx*48+1 : chunk_idx*48+64], ' ') AS chunk_text,
         |  least(64, n - chunk_idx*48) AS n_chunk_tokens
         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    // same 8-token non-overlapping windows as tokenWindowSegments(8); a
+    // segment is boilerplate when it occurs in >= 2 distinct docs
+    "q_boilerplate" ->
+      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        |seg AS (SELECT doc_id, pos,
+        |    array_to_string(t[pos*8+1 : pos*8+8], ' ') AS seg
+        |  FROM (SELECT doc_id, t, unnest(range(0, (len(t)+7)//8)) AS pos FROM toks)),
+        |bp AS (SELECT md5(seg) AS h FROM seg
+        |  GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2),
+        |j AS (SELECT s.doc_id, s.pos, s.seg, bp.h IS NOT NULL AS is_bp
+        |  FROM seg s LEFT JOIN bp ON md5(s.seg) = bp.h)
+        |SELECT doc_id,
+        |  COALESCE(string_agg(CASE WHEN NOT is_bp THEN seg END, ' ' ORDER BY pos), '')
+        |    AS clean_text,
+        |  CAST(SUM(CASE WHEN is_bp THEN 0 ELSE 1 END) AS BIGINT) AS kept_segments,
+        |  CAST(SUM(CASE WHEN is_bp THEN 1 ELSE 0 END) AS BIGINT) AS removed_segments
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // NB log-odds fit on the lang=='en' seed; scoring accumulates
+    // DECIMAL(18,6) weights so the logit is engine-exact (q_lm_score policy)
+    "q_classifier" ->
+      """WITH dt AS (SELECT doc_id, lang = 'en' AS pos,
+        |    unnest(string_split(text,' ')) AS token FROM documents),
+        |cnt AS (SELECT token,
+        |    CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |    CAST(SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS n_neg
+        |  FROM dt GROUP BY token),
+        |tot AS (SELECT CAST(SUM(n_pos) AS DOUBLE) AS t_pos,
+        |    CAST(SUM(n_neg) AS DOUBLE) AS t_neg,
+        |    CAST(COUNT(*) AS DOUBLE) AS v FROM cnt),
+        |wt AS (SELECT token,
+        |    CAST(round(ln((CAST(n_pos AS DOUBLE) + 1.0) / (tot.t_pos + tot.v))
+        |             - ln((CAST(n_neg AS DOUBLE) + 1.0) / (tot.t_neg + tot.v)), 6)
+        |      AS DECIMAL(18,6)) AS weight
+        |  FROM cnt CROSS JOIN tot),
+        |b AS (SELECT CAST(round(ln((t_pos + 1.0) / (t_neg + 1.0)), 6)
+        |    AS DECIMAL(18,6)) AS bias FROM tot),
+        |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM dt GROUP BY doc_id, token),
+        |agg AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+        |    SUM(CAST(tf AS DECIMAL(18,0)) *
+        |        COALESCE(weight, CAST(0 AS DECIMAL(18,6)))) AS token_score
+        |  FROM tf LEFT JOIN wt USING (token) GROUP BY doc_id)
+        |SELECT doc_id, n_tokens,
+        |  CAST(token_score + b.bias AS DOUBLE) AS logit,
+        |  CASE WHEN CAST(token_score + b.bias AS DOUBLE) > 0.0
+        |    THEN 'keep' ELSE 'drop' END AS verdict
+        |FROM agg CROSS JOIN b ORDER BY doc_id""".stripMargin,
     "q_pack_sequences" ->
       """WITH t AS (SELECT source, doc_id,
         |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens FROM documents),

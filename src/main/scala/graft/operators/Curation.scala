@@ -198,6 +198,75 @@ object Curation {
     if (docs.isStreaming) chunks else chunks.orderBy(col("doc_id"), col("chunk_idx"))
   }
 
+  /** Cross-document boilerplate removal (the C4/RefinedWeb line-dedup rule):
+    * segment every document, count in how many DISTINCT documents each
+    * segment occurs, strip segments whose document frequency reaches
+    * `minDf`, and reassemble each document from its surviving segments in
+    * original order. Headers, footers, cookie banners and license blurbs —
+    * anything repeated verbatim across documents — vanish corpus-wide in one
+    * pass, the sub-document complement of exact dedup.
+    *
+    * Segmentation is caller policy, like curationSnapshot's holdout rule:
+    * the default splits on newline (the classic line rule); token-stream
+    * corpora without line structure pass fixed token windows (see
+    * [[tokenWindowSegments]]) and a `" "` joiner so an untouched document
+    * round-trips to its exact original text.
+    *
+    * Plan shape: posexplode → one hash aggregation on the 128-bit segment
+    * digest (hash-uniform, skew-free — the md5 of a viral segment is still
+    * ONE group whose state is a count) → a left join of the exploded
+    * segments against ONLY the boilerplate digests (df ≥ minDf — the small
+    * minority side, broadcastable under AQE when it fits, co-partitioned
+    * shuffle join when a 100 TB crawl's boilerplate set outgrows that) →
+    * one per-document regroup whose state is bounded by that document's own
+    * segment count (the userJourneys contract). Nothing is ever globally
+    * collected or broadcast unconditionally.
+    */
+  def removeBoilerplate(
+      docs: DataFrame,
+      minDf: Int = 2,
+      segments: org.apache.spark.sql.Column = split(col("text"), "\n"),
+      joiner: String = "\n"): DataFrame = {
+    require(minDf >= 2, "minDf < 2 would strip every segment")
+    val seg = Par.spread(docs)
+      .select(col("doc_id"), posexplode(segments).as(Seq("pos", "seg")))
+      .withColumn("h", md5(col("seg")))
+    val boilerplate = seg.groupBy(col("h"))
+      .agg(count_distinct(col("doc_id")).as("df"))
+      .filter(col("df") >= minDf)
+      .select(col("h"), lit(true).as("bp"))
+    seg.join(boilerplate, Seq("h"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(
+          transform(
+            filter(
+              array_sort(collect_list(struct(col("pos"), col("seg"),
+                coalesce(col("bp"), lit(false)).as("bp")))),
+              s => !s("bp")),
+            s => s("seg")),
+          joiner).as("clean_text"),
+        sum(when(col("bp").isNull, 1L).otherwise(0L)).as("kept_segments"),
+        sum(when(col("bp").isNotNull, 1L).otherwise(0L)).as("removed_segments"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Fixed non-overlapping token windows as a [[removeBoilerplate]]
+    * segmentation policy — `w`-token slices at 0, w, 2w, … with the
+    * remainder kept as a final short segment, so the segments joined by
+    * `" "` reproduce the original token stream exactly.
+    */
+  def tokenWindowSegments(w: Int): org.apache.spark.sql.Column = {
+    import graft.functions.TextFunctions.tokens
+    val toks = tokens(col("text"))
+    // last window index = floor((n-1)/w); the doubles are exact for any
+    // realistic token count, so the floor is the integer quotient
+    val lastIdx = floor((size(toks) - 1).cast("double") / w).cast("int")
+    transform(
+      sequence(lit(0), lastIdx),
+      i => array_join(slice(toks, i * w + 1, lit(w)), " "))
+  }
+
   def packSequences(docs: DataFrame, budget: Long = 2048): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import graft.functions.TextFunctions.tokens

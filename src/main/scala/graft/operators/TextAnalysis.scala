@@ -467,6 +467,86 @@ object TextAnalysis {
         first(col("oov")).as("oov_logp"))
   }
 
+  /** Fit a linear bag-of-tokens classifier from a labeled seed — the
+    * fit half of model-based quality filtering (the FineWeb-Edu / DCLM
+    * pattern: label a small trusted slice, train a cheap linear model, score
+    * the whole corpus). Multinomial naive Bayes in log space IS such a
+    * model: weight(token) = ln p(token|pos) − ln p(token|neg) with add-one
+    * smoothing, plus a class-prior bias row — so "training" is one
+    * conditional-count aggregation, no gradient loop, and the weights are
+    * exactly reproducible by any engine. `isPositive` is caller policy
+    * (production: curated-reference membership; the harness demo labels by
+    * `lang`, which makes the fit a fastText-style language classifier).
+    *
+    * Weights are rounded to 6 dp into DECIMAL(18,6) (the lmPerplexityScore
+    * policy), making downstream score accumulation order-independent.
+    * Plan: one token aggregation with conditional partial sums (map-side
+    * combined), one broadcast of the one-row totals — the lmModel shape.
+    */
+  def nbClassifierWeights(
+      seed: DataFrame,
+      isPositive: org.apache.spark.sql.Column): DataFrame = {
+    val counts = Par.spread(seed)
+      .select(isPositive.as("pos"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(!col("pos"), 1L).otherwise(0L)).as("n_neg"))
+    val tot = counts.agg(
+      sum(col("n_pos")).cast("double").as("t_pos"),
+      sum(col("n_neg")).cast("double").as("t_neg"),
+      count(lit(1)).cast("double").as("v"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("token"),
+        round(
+          log((col("n_pos").cast("double") + 1.0) / (col("t_pos") + col("v"))) -
+            log((col("n_neg").cast("double") + 1.0) / (col("t_neg") + col("v"))),
+          6).cast("decimal(18,6)").as("weight"),
+        round(log((col("t_pos") + 1.0) / (col("t_neg") + 1.0)), 6)
+          .cast("decimal(18,6)").as("bias"))
+  }
+
+  /** Score every document under a linear bag-of-tokens model — the apply
+    * half of model-based quality filtering. logit(d) = bias +
+    * Σ_t tf(d,t)·weight(t); keep when the logit clears `keepAbove` (logit
+    * space is sigmoid-monotone, so thresholding here equals thresholding
+    * the probability without evaluating exp() in the compared output — the
+    * logit is an exact DECIMAL, engine-identical by construction).
+    * Unseen tokens score 0, the NB-correct neutral under shared smoothing.
+    *
+    * Scale shape: lmPerplexityScore's exactly — explode → doc-term
+    * aggregation, broadcast join against the weight table (co-partition
+    * instead if a 100 TB vocabulary outgrows broadcast), one per-doc
+    * decimal sum. The model frame is one weight row per token plus a
+    * constant bias column, i.e. what a fastText/logistic fit exports.
+    */
+  def classifierScore(
+      docs: DataFrame,
+      weights: DataFrame,
+      keepAbove: Double = 0.0): DataFrame = {
+    val docTerms = Par.spread(docs)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val bias = weights.agg(first(col("bias")).as("bias"))
+    docTerms
+      .join(broadcast(weights.select(col("token"), col("weight"))), Seq("token"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("tf")).as("n_tokens"),
+        sum(col("tf").cast("decimal(18,0)") *
+          coalesce(col("weight"), lit(BigDecimal(0)).cast("decimal(18,6)")))
+          .as("token_score"))
+      .crossJoin(broadcast(bias))
+      // the logit is exact in DECIMAL; the cast to double at the output
+      // boundary is IEEE correctly-rounded in both engines, so the compared
+      // value stays engine-identical (and avoids decimal-rendering drift)
+      .select(col("doc_id"), col("n_tokens"),
+        (col("token_score") + col("bias")).cast("double").as("logit"),
+        when((col("token_score") + col("bias")).cast("double") > keepAbove, "keep")
+          .otherwise("drop").as("verdict"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Training-mixture composition by `source` domain: doc/token counts,
     * token share, and the uniform-target rebalance weight
     * (target_share / actual_share) a sampler would apply per domain. Two

@@ -106,6 +106,50 @@ class CurationSpec extends SparkSpec {
     assert(n == 1, s"expected exactly one range exchange, got $n in:\n$p")
   }
 
+  test("boilerplate removal: cross-doc repeated lines vanish, order survives") {
+    import spark.implicits._
+    val footer = "copyright 2026 example corp all rights reserved"
+    val cookie = "we use cookies to improve your experience"
+    val d = Seq(
+      (1L, s"unique alpha content\n$footer\nmore body text", "s1"),
+      (2L, s"$cookie\ndifferent beta content\n$footer", "s1"),
+      (3L, s"$cookie\nthird gamma content", "s2"),
+      (4L, "entirely original document", "s2"),
+      // a line repeated WITHIN one doc only is not boilerplate (df counts
+      // distinct documents, not occurrences)
+      (5L, "self repeated line\nself repeated line\nown body", "s3"))
+      .toDF("doc_id", "text", "source")
+    val rows = Curation.removeBoilerplate(d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("clean_text"), r.getAs[Long]("kept_segments"),
+          r.getAs[Long]("removed_segments"))).toMap
+    assert(rows(1L) == (("unique alpha content\nmore body text", 2L, 1L)), s"got ${rows(1L)}")
+    assert(rows(2L) == (("different beta content", 1L, 2L)))
+    assert(rows(3L) == (("third gamma content", 1L, 1L)))
+    assert(rows(4L) == (("entirely original document", 1L, 0L)))
+    assert(rows(5L) == (("self repeated line\nself repeated line\nown body", 3L, 0L)))
+  }
+
+  test("boilerplate removal: token-window segmentation round-trips clean docs") {
+    import spark.implicits._
+    // two docs share an 8-token aligned window; a third is untouched and
+    // must round-trip byte-identically through segment + rejoin
+    val shared = (1 to 8).map(i => s"bp$i").mkString(" ")
+    val d = Seq(
+      (1L, shared + " " + (1 to 5).map(i => s"a$i").mkString(" "), "s1"),
+      (2L, shared + " " + (1 to 7).map(i => s"b$i").mkString(" "), "s1"),
+      (3L, (1 to 19).map(i => s"c$i").mkString(" "), "s2"))
+      .toDF("doc_id", "text", "source")
+    val rows = Curation.removeBoilerplate(
+      d, segments = Curation.tokenWindowSegments(8), joiner = " ").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("clean_text"), r.getAs[Long]("removed_segments"))).toMap
+    assert(rows(1L) == (((1 to 5).map(i => s"a$i").mkString(" "), 1L)), s"got ${rows(1L)}")
+    assert(rows(2L) == (((1 to 7).map(i => s"b$i").mkString(" "), 1L)))
+    assert(rows(3L) == (((1 to 19).map(i => s"c$i").mkString(" "), 0L)),
+      "untouched doc must reassemble to its exact original text")
+  }
+
   test("sequence packing: contiguous per-source bins at the token budget") {
     import spark.implicits._
     def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")

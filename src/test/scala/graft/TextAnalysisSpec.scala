@@ -132,6 +132,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(TextAnalysis.tfidfCosinePairs(d, threshold = 0.0, dfCap = 2).isEmpty)
   }
 
+  test("NB classifier: seed-class vocabulary separates, unseen tokens are neutral") {
+    import org.apache.spark.sql.functions.col
+    // seed: positives talk about weather, negatives about spam; one token
+    // ("today") is shared so its log-odds sit near zero
+    val seed = Seq(
+      (1L, "sunny weather forecast today", "good"),
+      (2L, "mild weather outlook today", "good"),
+      (3L, "buy cheap pills today", "bad"),
+      (4L, "cheap spam offer today", "bad"))
+      .toDF("doc_id", "text", "label")
+    val w = TextAnalysis.nbClassifierWeights(seed, col("label") === "good")
+    val wm = w.collect().map(r => r.getAs[String]("token") ->
+      r.getAs[java.math.BigDecimal]("weight").doubleValue()).toMap
+    assert(wm("weather") > 0 && wm("cheap") < 0, s"got $wm")
+    assert(math.abs(wm("today")) < 0.1, "shared token must be near-neutral")
+    val scored = TextAnalysis.classifierScore(
+      Seq((10L, "sunny weather today"), (11L, "cheap pills offer"),
+        (12L, "zxqvk unseen tokens")).toDF("doc_id", "text"), w)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("logit"), r.getAs[String]("verdict"))).toMap
+    assert(scored(10L)._2 == "keep" && scored(10L)._1 > 0, s"got $scored")
+    assert(scored(11L)._2 == "drop" && scored(11L)._1 < 0)
+    // all-unseen doc scores exactly the class-prior bias (balanced seed -> 0)
+    assert(scored(12L)._1 == 0.0 && scored(12L)._2 == "drop")
+  }
+
   test("LM perplexity score: rare-token docs carry higher avg NLL") {
     val common = (1L to 8L).map(i => (i, "the weather is fine today"))
     val rare = Seq((9L, "zxqvk jwpfh qmzot"))
