@@ -118,6 +118,10 @@ object SparkEntry {
     "q_simhash_pairs" -> ((s, d) => Dedup.simhashNearDupPairs(Tables.documents(s, d))),
     "q_embedding_neardup" -> ((s, d) => Dedup.embeddingNearDupPairs(Tables.embeddings(s, d))),
     "q_embedding_neardup_lsh" -> ((s, d) => Dedup.embeddingNearDupLsh(Tables.embeddings(s, d))),
+    // Lloyd-refined k-means over the embedding column (deterministic init,
+    // quantized-mean updates) and the SemDeDup-style within-cluster dedup
+    "q_kmeans" -> ((s, d) => operators.Embeddings.kmeansAssign(Tables.embeddings(s, d))),
+    "q_semantic_dedup" -> ((s, d) => Dedup.semanticDedup(Tables.embeddings(s, d))),
     // LLM-pipeline: similarity search
     "q_ann_bruteforce" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
@@ -241,6 +245,43 @@ object SparkEntry {
       |                     THEN 1.0 ELSE -1.0 END))) > 0
       |    THEN '1' ELSE '0' END), '')""".stripMargin
   private val enStopList = "['the','a','of','and','to','in','is','it']"
+
+  // Lloyd-iteration CTE chain for the k-means / semantic-dedup oracles:
+  // c0 = the k smallest-md5(vec_id) vectors, cluster ordinal ci by ascending
+  // vec_id; each round is an assignment (argmax ROUNDED cosine, ties to the
+  // lowest ci) and a quantized-mean centroid update (components rounded to
+  // 6 dp, summed as exact integers — the arithmetic of Embeddings.quant6,
+  // order-independent in any engine); `af` is the assignment under the
+  // final centroids. Empty clusters drop out naturally (no u-row).
+  private def duckKmeansCtes(k: Int, iters: Int): String = {
+    def assign(cs: String, out: String) =
+      s"""sc_$out AS (SELECT v.vec_id, c.ci,
+         |    round(${duckDot("v.emb", "c.emb")}
+         |      / (sqrt(${duckDot("v.emb", "v.emb")}) * c.nrm), 6) AS cos
+         |  FROM e v CROSS JOIN $cs c),
+         |$out AS (SELECT vec_id, ci, cos FROM (SELECT vec_id, ci, cos,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, ci) AS rk
+         |  FROM sc_$out) WHERE rk = 1)""".stripMargin
+    def norm(src: String, out: String) =
+      s"$out AS (SELECT ci, emb, sqrt(${duckDot("emb", "emb")}) AS nrm FROM $src)"
+    val init =
+      s"""c0 AS (SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS ci, emb
+         |  FROM (SELECT vec_id, emb FROM e
+         |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $k)),
+         |${norm("c0", "k0")}""".stripMargin
+    val rounds = (1 to iters).map { t =>
+      s"""${assign(s"k${t - 1}", s"a$t")},
+         |u$t AS (SELECT a.ci, ix.i,
+         |    (CAST(SUM(CAST(round(v.emb[ix.i], 6) * 1000000.0 AS BIGINT)) AS DOUBLE)
+         |      / CAST(COUNT(*) AS DOUBLE)) / 1000000.0 AS comp
+         |  FROM a$t a JOIN e v USING (vec_id)
+         |  CROSS JOIN (SELECT unnest(range(1, 65)) AS i) ix
+         |  GROUP BY a.ci, ix.i),
+         |c$t AS (SELECT ci, list(comp ORDER BY i) AS emb FROM u$t GROUP BY ci),
+         |${norm(s"c$t", s"k$t")}""".stripMargin
+    }
+    (Seq(init) ++ rounds :+ assign(s"k$iters", "af")).mkString(",\n")
+  }
 
   // The curation CTE chain (quality + repetition + contamination + cluster
   // walk), shared verbatim between q_curation and q_corpus_build so the two
@@ -645,6 +686,24 @@ object SparkEntry {
          |scored AS (SELECT i, j, ${duckCos("ea.emb", "eb.emb")} AS cos
          |  FROM cand JOIN e ea ON ea.vec_id = i JOIN e eb ON eb.vec_id = j)
          |SELECT i, j, cos FROM scored WHERE cos >= 0.45 ORDER BY i, j""".stripMargin,
+    "q_kmeans" ->
+      s"""WITH e AS ($duckEmb),
+         |${duckKmeansCtes(8, 2)}
+         |SELECT vec_id, ci AS cluster, cos FROM af ORDER BY vec_id""".stripMargin,
+    // within-cluster pairs under the final assignment; a vector drops when
+    // a lower-id clustermate sits at rounded cosine >= threshold
+    "q_semantic_dedup" ->
+      s"""WITH e AS ($duckEmb),
+         |${duckKmeansCtes(8, 2)},
+         |pr AS (SELECT x.vec_id AS i, y.vec_id AS j FROM af x JOIN af y
+         |  ON x.ci = y.ci AND x.vec_id < y.vec_id),
+         |dup AS (SELECT DISTINCT pr.j FROM pr
+         |  JOIN e a ON a.vec_id = pr.i JOIN e b ON b.vec_id = pr.j
+         |  WHERE ${duckCos("a.emb", "b.emb")} >= 0.45)
+         |SELECT af.vec_id, af.ci AS cluster,
+         |  CASE WHEN dup.j IS NOT NULL THEN 'drop' ELSE 'keep' END AS action
+         |FROM af LEFT JOIN dup ON dup.j = af.vec_id
+         |ORDER BY af.vec_id""".stripMargin,
     // the same LSH pair graph closed into components by the recursive walk
     // (the embedding-side twin of q_dedup_clusters' oracle)
     "q_dedup_clusters_emb" ->

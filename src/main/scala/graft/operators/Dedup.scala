@@ -816,4 +816,67 @@ object Dedup {
       }
     }.toDF("i", "j", "cos").orderBy(col("i"), col("j"))
   }
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * k-means-cluster the embedding space ([[Embeddings.kmeansAssign]]),
+    * then hunt near-duplicates only WITHIN each cluster — the cluster
+    * granularity, not the corpus size, bounds the quadratic work, which is
+    * how the paper scales pairwise semantic comparison to web corpora
+    * (`k` grows with the corpus so mean cluster size stays constant).
+    * Catches paraphrases and re-encodings whose token-level signatures
+    * (MinHash, SimHash, shingles) share nothing.
+    *
+    * Decision rule: a vector DROPS when some lower-id clustermate sits at
+    * rounded cosine ≥ `threshold` — deterministic, and every epsilon-group
+    * keeps exactly its lowest id (the paper keeps one representative per
+    * group; lowest-id is the replayable choice, same as the CC canonical).
+    *
+    * Plan shape: cluster ids come from the k-means jobs (no shuffle);
+    * candidate pairs generate IN-GROUP under the same take(cap+1)
+    * short-circuit as [[editDistancePairs]] — one shuffle on cluster id,
+    * a block larger than `clusterCap` emits zero pairs instead of a
+    * quadratic group (recall contract documented there; size clusters via
+    * `k` so the cap never binds). Vectors re-attach to the deduped id-only
+    * pair list by two narrow hash joins (the [[embeddingNearDupLsh]]
+    * shape), then the codegen'd cosine verifies exactly.
+    */
+  def semanticDedup(
+      embeddings: DataFrame, k: Int = 8, iters: Int = 2,
+      threshold: Double = 0.45, clusterCap: Int = 65536): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    graft.plans.GraftFunctions.register(spark)
+    val assigned = Embeddings.assignments(embeddings, k, iters)
+      .select(col("vec_id"), col("cluster"))
+    val cand = assigned.as[(Long, Int)]
+      .groupByKey(_._2)
+      .flatMapGroups { (_, rows) =>
+        val lim = if (clusterCap == Int.MaxValue) Int.MaxValue else clusterCap + 1
+        val ds = rows.map(_._1).take(lim).toArray
+        if (ds.length > clusterCap) Iterator.empty
+        else {
+          java.util.Arrays.sort(ds)
+          for {
+            i <- ds.indices.iterator
+            j <- (i + 1 until ds.length).iterator
+          } yield (ds(i), ds(j))
+        }
+      }
+      .toDF("i", "j")
+    val emb = embeddings.select(col("vec_id"), col("embedding"))
+    val dropped = cand
+      .join(emb.select(col("vec_id").as("i"), col("embedding").as("emb_i")), Seq("i"))
+      .join(emb.select(col("vec_id").as("j"), col("embedding").as("emb_j")), Seq("j"))
+      .withColumn("cos", round(
+        call_function("cosine_similarity", col("emb_i"), col("emb_j")), 6))
+      .filter(col("cos") >= threshold)
+      .select(col("j").as("vec_id"))
+      .distinct()
+      .withColumn("is_dup", lit(true))
+    assigned
+      .join(dropped, Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("cluster"),
+        when(col("is_dup"), "drop").otherwise("keep").as("action"))
+      .orderBy(col("vec_id"))
+  }
 }

@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import SimilaritySearch.{dotKernel, l2NormKernel, round6}
+
+/** Embedding-space corpus structure: Lloyd-refined k-means clustering and
+  * the SemDeDup-style semantic dedup built on it (Abbas et al. 2023:
+  * cluster the corpus, then search for near-duplicates only WITHIN each
+  * cluster — the cluster granularity, not the corpus size, bounds the
+  * quadratic work).
+  *
+  * Everything is deterministic and engine-reproducible, the property the
+  * DuckDB oracle gate exercises:
+  *  - init centroids are the `k` corpus vectors with the smallest
+  *    md5(vec_id) — the same replayable draw as the IVF coarse quantizer
+  *    ([[SimilaritySearch.ivfCentroids]]);
+  *  - assignment is argmax ROUNDED (6 dp) cosine, ties to the lowest
+  *    cluster ordinal — partitioning-independent;
+  *  - the centroid update quantizes each component to 6 dp and sums exact
+  *    integers, so the mean is order-independent (float summation order
+  *    never leaks into the result);
+  *  - a cluster that loses every member simply drops out (no reseeding
+  *    rule to replicate).
+  */
+object Embeddings {
+
+  /** Component quantized to 6 dp as an exact integer (×10⁶): HALF_UP
+    * rounding first (Spark/DuckDB `round(x, 6)`), then the scale-up is
+    * within 1e-4 of an integer so the final rounding is unambiguous.
+    */
+  private def quant6(x: Double): Long = Math.round(round6(x) * 1e6)
+
+  /** Lloyd-refined k-means over the embedding column: `iters` rounds of
+    * (assign to nearest centroid by cosine, recompute centroids as member
+    * means), then a final assignment under the refined centroids —
+    * (vec_id, cluster, cos).
+    *
+    * Scale shape: the narrow (vec_id, embedding) projection is
+    * localCheckpoint'ed once (the CC-fixpoint trade; on a cluster swap for
+    * a reliable checkpoint or a lake landing) and re-scanned `iters`+1
+    * times. Each round is ONE job: a mapPartitions pass that assigns every
+    * vector against the broadcast O(k·dim) centroid table and pre-reduces
+    * per-partition (cluster → count + exact component sums), collecting
+    * only partitions×k tiny rows to the driver — no shuffle at any scale,
+    * the classic distributed-k-means layout. The final assignment is a
+    * plain narrow projection.
+    */
+  def kmeansAssign(corpus: DataFrame, k: Int = 8, iters: Int = 2): DataFrame =
+    assignments(corpus, k, iters).orderBy(col("vec_id"))
+
+  /** [[kmeansAssign]] without the presentation sort — what internal
+    * consumers ([[Dedup.semanticDedup]]) compose on (the Curation pattern:
+    * a sort feeding an aggregation is dead weight).
+    */
+  private[operators] def assignments(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
+    require(k >= 1 && iters >= 0, "need k >= 1, iters >= 0")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val vecs = Par.spread(corpus.select(col("vec_id"), col("embedding")))
+      .as[(Long, Array[Float])]
+      .map { case (id, f) => (id, f.map(_.toDouble)) }
+      .localCheckpoint()
+
+    // cluster ordinal 0..k-1 by ascending vec_id over the smallest-md5 draw
+    var centroids: Array[(Int, Array[Double], Double)] =
+      SimilaritySearch.ivfCentroids(corpus, k).zipWithIndex
+        .map { case ((_, e, n), ci) => (ci, e, n) }
+
+    def nearest(
+        e: Array[Double], ne: Double,
+        cs: Array[(Int, Array[Double], Double)]): (Int, Double) = {
+      var bestC = -1; var best = Double.NegativeInfinity
+      cs.foreach { case (ci, cv, cn) =>
+        val cos = round6(dotKernel(e, cv) / (ne * cn))
+        if (cos > best) { best = cos; bestC = ci } // ascending ci: first wins ties
+      }
+      (bestC, best)
+    }
+
+    for (_ <- 1 to iters) {
+      val bc = spark.sparkContext.broadcast(centroids)
+      // assign + pre-reduce in one pass: per-partition (cluster, count,
+      // quantized component sums) — exact integers, so partial order is free
+      val partials = vecs.mapPartitions { it =>
+        val cs = bc.value
+        val acc = scala.collection.mutable.HashMap.empty[Int, (Long, Array[Long])]
+        it.foreach { case (_, e) =>
+          val (ci, _) = nearest(e, l2NormKernel(e), cs)
+          val (n, sums) = acc.getOrElseUpdate(ci, (0L, new Array[Long](e.length)))
+          var i = 0
+          while (i < e.length) { sums(i) += quant6(e(i)); i += 1 }
+          acc(ci) = (n + 1, sums)
+        }
+        acc.iterator.map { case (ci, (n, sums)) => (ci, n, sums) }
+      }.collect()
+      centroids = partials.groupBy(_._1).toArray.sortBy(_._1).map { case (ci, parts) =>
+        val n = parts.map(_._2).sum
+        val dim = parts.head._3.length
+        val mean = Array.tabulate(dim) { i =>
+          parts.map(_._3(i)).sum.toDouble / n.toDouble / 1e6
+        }
+        (ci, mean, l2NormKernel(mean))
+      }
+      bc.unpersist()
+    }
+
+    val fin = spark.sparkContext.broadcast(centroids)
+    vecs.mapPartitions { it =>
+      val cs = fin.value
+      it.map { case (id, e) =>
+        val (ci, cos) = nearest(e, l2NormKernel(e), cs)
+        (id, ci, cos)
+      }
+    }.toDF("vec_id", "cluster", "cos")
+  }
+}
