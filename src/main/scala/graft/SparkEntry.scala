@@ -209,6 +209,17 @@ object SparkEntry {
         .select(col("doc_id"), col("n_tokens"), col("avg_nll"), col("reason"))
         .orderBy(col("doc_id"))
     }),
+    // the gate with model-based quality filtering on: NB classifier fit in
+    // batch (seed label: lang == 'en'), served through the one-row broadcast
+    // map, scored by a row-local fold — no streaming aggregation
+    "q_ingest_audit_clf" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val bench = TextAnalysis.benchmarkShingles(docs.filter(col("doc_id") % 97 === 0))
+      val clf = TextAnalysis.classifierModel(docs, col("lang") === "en")
+      graft.streaming.IngestGate.audit(docs, bench, classifier = Some(clf))
+        .select(col("doc_id"), col("n_tokens"), col("logit"), col("reason"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   // DuckDB-side shared fragments for the LLM-pipeline oracles
@@ -1265,6 +1276,50 @@ object SparkEntry {
         |       WHEN dup_trigram_frac > 0.15 THEN 'repetitive'
         |       WHEN list_has_any(s4, bvocab.v) THEN 'contaminated'
         |       WHEN avg_nll > 3.5 THEN 'low_quality'
+        |       ELSE 'ok' END AS reason
+        |FROM verdicts CROSS JOIN bvocab ORDER BY doc_id""".stripMargin,
+    // gate + served NB classifier: weights as 6-dp DOUBLEs in a MAP, logit
+    // folded in token order (list_reduce == the gate's aggregate()), bias
+    // added before the final rounding — mirrors IngestGate.audit exactly
+    "q_ingest_audit_clf" ->
+      """WITH toks AS (SELECT doc_id, lang, string_split(text,' ') AS t FROM documents),
+        |dt AS (SELECT lang = 'en' AS pos, unnest(t) AS token FROM toks),
+        |cnt AS (SELECT token,
+        |    CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |    CAST(SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS n_neg
+        |  FROM dt GROUP BY token),
+        |tot AS (SELECT CAST(SUM(n_pos) AS DOUBLE) AS t_pos,
+        |    CAST(SUM(n_neg) AS DOUBLE) AS t_neg,
+        |    CAST(COUNT(*) AS DOUBLE) AS v FROM cnt),
+        |wt AS (SELECT token,
+        |    round(ln((CAST(n_pos AS DOUBLE) + 1.0) / (tot.t_pos + tot.v))
+        |        - ln((CAST(n_neg AS DOUBLE) + 1.0) / (tot.t_neg + tot.v)), 6) AS w
+        |  FROM cnt CROSS JOIN tot),
+        |m AS (SELECT MAP(list(token), list(w)) AS wm,
+        |  (SELECT round(ln((t_pos + 1.0) / (t_neg + 1.0)), 6) FROM tot) AS bias
+        |  FROM wt),
+        |scored AS (SELECT doc_id, len(t) AS n_tokens,
+        |  list_transform(range(1, greatest(len(t)-1, 1)),
+        |    i -> array_to_string(t[i:i+2], ' ')) AS tri,
+        |  list_distinct(list_transform(range(1, greatest(len(t)-2, 1)),
+        |    i -> array_to_string(t[i:i+3], ' '))) AS s4,
+        |  round(m.bias + list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(t, tok -> coalesce(wm[tok][1], 0.0))),
+        |    (acc, x) -> acc + x), 6) AS logit
+        |  FROM toks, m),
+        |bvocab AS (SELECT list(DISTINCT s) AS v FROM (
+        |  SELECT unnest(s4) AS s FROM scored WHERE doc_id % 97 = 0)),
+        |verdicts AS (SELECT doc_id, n_tokens, logit,
+        |  CASE WHEN len(tri) > 0
+        |       THEN round(1.0 - CAST(len(list_distinct(tri)) AS DOUBLE)
+        |                        / CAST(len(tri) AS DOUBLE), 6)
+        |       ELSE 0.0 END AS dup_trigram_frac,
+        |  s4 FROM scored)
+        |SELECT doc_id, n_tokens, logit,
+        |  CASE WHEN n_tokens < 5 THEN 'too_short'
+        |       WHEN dup_trigram_frac > 0.15 THEN 'repetitive'
+        |       WHEN list_has_any(s4, bvocab.v) THEN 'contaminated'
+        |       WHEN logit < 0.0 THEN 'classifier_reject'
         |       ELSE 'ok' END AS reason
         |FROM verdicts CROSS JOIN bvocab ORDER BY doc_id""".stripMargin,
     "q_domain_mix" ->

@@ -227,13 +227,10 @@ object Curation {
       minDf: Int = 2,
       segments: org.apache.spark.sql.Column = split(col("text"), "\n"),
       joiner: String = "\n"): DataFrame = {
-    require(minDf >= 2, "minDf < 2 would strip every segment")
     val seg = Par.spread(docs)
       .select(col("doc_id"), posexplode(segments).as(Seq("pos", "seg")))
       .withColumn("h", md5(col("seg")))
-    val boilerplate = seg.groupBy(col("h"))
-      .agg(count_distinct(col("doc_id")).as("df"))
-      .filter(col("df") >= minDf)
+    val boilerplate = boilerplateIndex(docs, minDf, segments)
       .select(col("h"), lit(true).as("bp"))
     seg.join(boilerplate, Seq("h"), "left_outer")
       .groupBy(col("doc_id"))
@@ -249,6 +246,54 @@ object Curation {
         sum(when(col("bp").isNull, 1L).otherwise(0L)).as("kept_segments"),
         sum(when(col("bp").isNotNull, 1L).otherwise(0L)).as("removed_segments"))
       .orderBy(col("doc_id"))
+  }
+
+  /** The corpus's boilerplate-segment index: (h = md5(segment), df) for
+    * every segment reaching `minDf` distinct documents — the df aggregation
+    * inside [[removeBoilerplate]], exposed so a lake can persist it and the
+    * streaming edge ([[stripBoilerplate]]) can probe it without re-scanning
+    * the corpus (the [[graft.streaming.IngestGate.admitNovel]] index
+    * pattern, one level below whole-document granularity).
+    */
+  def boilerplateIndex(
+      docs: DataFrame,
+      minDf: Int = 2,
+      segments: org.apache.spark.sql.Column = split(col("text"), "\n")): DataFrame = {
+    require(minDf >= 2, "minDf < 2 would strip every segment")
+    Par.spread(docs)
+      .select(col("doc_id"), explode(segments).as("seg"))
+      .select(col("doc_id"), md5(col("seg")).as("h"))
+      .groupBy(col("h"))
+      .agg(count_distinct(col("doc_id")).as("df"))
+      .filter(col("df") >= minDf)
+  }
+
+  /** Strip known-boilerplate segments from documents ROW-LOCALLY against a
+    * stored index — the streaming arm of [[removeBoilerplate]] (whose df
+    * aggregation needs the whole corpus): the index digests ride a one-row
+    * broadcast (the IngestGate vocabulary pattern) and each document is
+    * cleaned by a per-row array filter, so the operator is stateless,
+    * append-safe, and batch/stream agnostic. StreamCurationSpec pins the
+    * stream output to [[removeBoilerplate]]'s clean_text over the same
+    * corpus+index. The broadcast bounds the served index to the frequent
+    * head — at lake scale feed it `boilerplateIndex(...).filter/limit`
+    * (rare boilerplate costs little; the head is what pollutes training).
+    */
+  def stripBoilerplate(
+      docs: DataFrame,
+      bpIndex: DataFrame,
+      segments: org.apache.spark.sql.Column = split(col("text"), "\n"),
+      joiner: String = "\n"): DataFrame = {
+    val idx = bpIndex.agg(collect_set(col("h")).as("bp_set"))
+    docs
+      .withColumn("segs", segments)
+      .crossJoin(broadcast(idx))
+      .withColumn("kept", filter(col("segs"),
+        s => !array_contains(col("bp_set"), md5(s))))
+      .select(col("doc_id"),
+        array_join(col("kept"), joiner).as("clean_text"),
+        size(col("kept")).cast("long").as("kept_segments"),
+        (size(col("segs")) - size(col("kept"))).cast("long").as("removed_segments"))
   }
 
   /** Fixed non-overlapping token windows as a [[removeBoilerplate]]

@@ -547,6 +547,32 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** [[nbClassifierWeights]] packaged for row-local serving — the
+    * [[lmModel]] pattern: ONE row carrying the token→weight map plus the
+    * bias, broadcast stream-static so [[graft.streaming.IngestGate.audit]]
+    * scores each arriving document with a per-row fold, no streaming
+    * aggregation. Weights ride as 6-dp-rounded DOUBLEs (the fold is double
+    * arithmetic in token order); unseen tokens score 0, so no OOV entry is
+    * needed. `maxVocab` bounds the served map to the most DISCRIMINATIVE
+    * head — largest |weight| first, ties by token — because a near-zero
+    * weight degrades to exactly its own OOV treatment.
+    */
+  def classifierModel(
+      seed: DataFrame,
+      isPositive: org.apache.spark.sql.Column,
+      maxVocab: Int = 4000000): DataFrame = {
+    val w = nbClassifierWeights(seed, isPositive)
+      .select(col("token"), col("weight").cast("double").as("w"),
+        col("bias").cast("double").as("b"))
+    val kept =
+      if (maxVocab == Int.MaxValue) w
+      else w.orderBy(abs(col("w")).desc, col("token")).limit(maxVocab)
+    kept.agg(
+      map_from_entries(collect_list(struct(col("token"), col("w"))))
+        .as("clf_map"),
+      first(col("b")).as("clf_bias"))
+  }
+
   /** Training-mixture composition by `source` domain: doc/token counts,
     * token share, and the uniform-target rebalance weight
     * (target_share / actual_share) a sampler would apply per domain. Two

@@ -37,11 +37,19 @@ object IngestGate {
     * aggregation, so the gate stays append-safe; the fold order is the
     * token order, which DuckDB's list_reduce reproduces exactly.
     */
+  /** `classifier` (optional): the one-row (clf_map, clf_bias) frame from
+    * [[graft.operators.TextAnalysis.classifierModel]], fit in batch on a
+    * labeled seed — model-based quality filtering served on the stream.
+    * Each doc's logit is a row-local double fold over its token array
+    * (unseen tokens add 0) plus the bias, rounded to 6 dp; docs whose logit
+    * falls below `minLogit` fail as `classifier_reject`.
+    */
   def audit(
       docs: DataFrame, benchShingles: DataFrame, n: Int = 4,
       minTokens: Int = 5, maxDupTrigramFrac: Double = 0.15,
       cacheVocab: Boolean = false,
-      lmModel: Option[DataFrame] = None, maxAvgNll: Double = 10.0): DataFrame = {
+      lmModel: Option[DataFrame] = None, maxAvgNll: Double = 10.0,
+      classifier: Option[DataFrame] = None, minLogit: Double = 0.0): DataFrame = {
     // the token array and trigram list are staged as REAL columns, not
     // shared Column expressions: an expression reused across projections is
     // re-inlined by CollapseProject into every consumer, so the previous
@@ -83,13 +91,23 @@ object IngestGate {
             .otherwise(lit(0.0)))
         .drop("lm_map", "oov_logp")
     }
-    withLm
+    val withClf = classifier.fold(withLm.withColumn("logit", lit(null).cast("double"))) { m =>
+      val mdl = if (cacheVocab) m.cache() else m
+      withLm
+        .crossJoin(broadcast(mdl))
+        .withColumn("logit", round(
+          col("clf_bias") + aggregate(col("toks"), lit(0.0), (acc, t) =>
+            acc + coalesce(element_at(col("clf_map"), t), lit(0.0))), 6))
+        .drop("clf_map", "clf_bias")
+    }
+    withClf
       .withColumn("reason",
         when(col("n_tokens") < minTokens, "too_short")
           .when(col("dup_trigram_frac") > maxDupTrigramFrac, "repetitive")
           .when(arrays_overlap(
             array_distinct(shingles(col("toks"), n)), col("bench_vocab")), "contaminated")
           .when(col("avg_nll") > maxAvgNll, "low_quality")
+          .when(col("logit") < minLogit, "classifier_reject")
           .otherwise("ok"))
       .drop("bench_vocab", "toks", "tri")
   }

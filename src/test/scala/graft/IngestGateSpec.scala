@@ -62,6 +62,74 @@ class IngestGateSpec extends SparkSpec {
     assert(capped.getAs[Double]("oov_logp") == full.getAs[Double]("oov_logp"))
   }
 
+  test("audit with classifier: off-seed docs fail classifier_reject; precedence holds") {
+    import org.apache.spark.sql.functions.col
+    val seed = Seq(
+      (100L, "sunny weather forecast report today", "good"),
+      (101L, "mild weather outlook report today", "good"),
+      (102L, "buy cheap pills online today", "bad"),
+      (103L, "cheap spam offer online today", "bad"))
+      .toDF("doc_id", "text", "label")
+    val clf = graft.operators.TextAnalysis.classifierModel(seed, col("label") === "good")
+    val docs = Seq[Doc](
+      (1L, "sunny weather report expected fine today outlook", "web", T0),
+      (2L, "cheap pills online offer spam deal available now", "web", T0),
+      (3L, "buy now buy now buy now buy now buy now buy now", "spam", T0)) // repetitive first
+      .toDF("doc_id", "text", "source", "timestamp")
+    val m = IngestGate.audit(docs, benchVocab, classifier = Some(clf)).collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        (r.getAs[String]("reason"), r.getAs[Double]("logit")))).toMap
+    assert(m(1L)._1 == "ok" && m(1L)._2 > 0, s"got $m")
+    assert(m(2L)._1 == "classifier_reject" && m(2L)._2 < 0)
+    assert(m(3L)._1 == "repetitive", "repetition precedes the classifier check")
+  }
+
+  test("classifierModel maxVocab keeps the most discriminative head") {
+    import org.apache.spark.sql.functions.col
+    // "weather" (2 pos / 0 neg) and "cheap" (0/2) outweigh the shared
+    // near-neutral "today" — with maxVocab=2 only they survive
+    val seed = Seq(
+      (100L, "weather nice today", "good"), (101L, "weather calm today", "good"),
+      (102L, "cheap pills today", "bad"), (103L, "cheap spam today", "bad"))
+      .toDF("doc_id", "text", "label")
+    val capped = graft.operators.TextAnalysis
+      .classifierModel(seed, col("label") === "good", maxVocab = 2).collect().head
+    assert(capped.getAs[Map[String, Double]]("clf_map").keySet == Set("weather", "cheap"))
+  }
+
+  test("audit stream with classifier: served map scores append-safe per row") {
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val seed = Seq(
+      (100L, "sunny weather forecast report today", "good"),
+      (101L, "cheap spam offer online today", "bad"))
+      .toDF("doc_id", "text", "label")
+    val clf = graft.operators.TextAnalysis.classifierModel(seed, col("label") === "good")
+    val input = MemoryStream[Doc]
+    val q = IngestGate.audit(
+        input.toDF().toDF("doc_id", "text", "source", "timestamp"),
+        benchVocab, cacheVocab = true, classifier = Some(clf))
+      .writeStream.format("memory").queryName("audited_clf")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        (1L, "sunny weather report arrives with the forecast", "web", T0),
+        (2L, "cheap spam offer lands online again here now", "web", T0))
+      q.processAllAvailable()
+      val rows = spark.table("audited_clf").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("reason")).toMap
+      assert(rows == Map(1L -> "ok", 2L -> "classifier_reject"), s"got $rows")
+      // stream and batch scorers share the model row — identical logits
+      val batch = IngestGate.audit(
+        Seq[Doc]((1L, "sunny weather report arrives with the forecast", "web", T0))
+          .toDF("doc_id", "text", "source", "timestamp"),
+        benchVocab, classifier = Some(clf)).collect().head.getAs[Double]("logit")
+      val streamed = spark.table("audited_clf").collect()
+        .find(_.getAs[Long]("doc_id") == 1L).get.getAs[Double]("logit")
+      assert(batch == streamed)
+    } finally q.stop()
+  }
+
   test("audit stream with LM model: row-local scoring stays append-safe") {
     implicit val sqlCtx = spark.sqlContext
     val lm = graft.operators.TextAnalysis.lmModel(

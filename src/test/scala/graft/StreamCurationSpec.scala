@@ -106,6 +106,39 @@ class StreamCurationSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stripBoilerplate on the stream equals removeBoilerplate in batch") {
+    // the batch job owns the df aggregation (the boilerplate index); the
+    // stream consumes it row-locally through the one-row broadcast — the
+    // rebalance-draw split applied one level below document granularity
+    implicit val sqlCtx = spark.sqlContext
+    val footer = "shared footer line repeated across documents"
+    val corpus = Seq(
+      Doc(1L, "a", s"unique alpha body\n$footer"),
+      Doc(2L, "a", s"$footer\nunique beta body"),
+      Doc(3L, "b", s"unique gamma body\nunique gamma tail"),
+      Doc(4L, "b", "entirely original document"))
+    val batchDf = corpus.toDF()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("doc_id"), r.getAs[String]("clean_text"),
+        r.getAs[Long]("kept_segments"), r.getAs[Long]("removed_segments"))
+    val expected = Curation.removeBoilerplate(batchDf).collect().map(key).sorted.toSeq
+    assert(expected.exists(_._4 > 0), "fixture must contain cross-doc boilerplate")
+    val index = Curation.boilerplateIndex(batchDf)
+    val input = MemoryStream[Doc]
+    val q = Curation.stripBoilerplate(input.toDF(), index)
+      .writeStream.format("memory").queryName("sclean")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val (b1, b2) = corpus.splitAt(2)
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+      val got = spark.table("sclean").collect().map(key).sorted.toSeq
+      assert(got == expected, s"stream strip diverged from batch:\n$got\n$expected")
+    } finally q.stop()
+  }
+
   test("the whole streaming front door chains: admit -> pack in ONE query") {
     // dropDuplicatesWithinWatermark (bounded dedup state) -> row-local gate
     // scoring -> flatMapGroupsWithState packing, all in a single continuous
