@@ -135,6 +135,11 @@ object SparkEntry {
       val emb = Tables.embeddings(s, d)
       SimilaritySearch.ivfTopK(emb, emb.filter(col("vec_id") < 5))
     }),
+    // IVF with the TRAINED quantizer: cells = Lloyd-refined k-means centroids
+    "q_ann_ivf_kmeans" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      SimilaritySearch.ivfTopKKmeans(emb, emb.filter(col("vec_id") < 5))
+    }),
     // LLM-pipeline: text analysis
     "q_dedup_clusters" -> ((s, d) => Dedup.nearDupClusters(Tables.documents(s, d))),
     // corpus curation / analytics extensions
@@ -701,6 +706,23 @@ object SparkEntry {
       s"""WITH e AS ($duckEmb),
          |${duckKmeansCtes(8, 2)}
          |SELECT vec_id, ci AS cluster, cos FROM af ORDER BY vec_id""".stripMargin,
+    // af doubles as the corpus cell assignment; queries are the same
+    // vectors, so their cells come from the same CTE
+    "q_ann_ivf_kmeans" ->
+      s"""WITH e AS ($duckEmb),
+         |${duckKmeansCtes(16, 2)},
+         |q AS (SELECT vec_id AS query_id, ci FROM af WHERE vec_id < 5),
+         |cand AS (SELECT q.query_id, c.vec_id AS neighbor_id
+         |  FROM af c JOIN q ON c.ci = q.ci AND c.vec_id <> q.query_id),
+         |scored AS (SELECT query_id, neighbor_id,
+         |    ${duckCos("a.emb", "b.emb")} AS cos
+         |  FROM cand JOIN e a ON a.vec_id = cand.query_id
+         |  JOIN e b ON b.vec_id = cand.neighbor_id),
+         |ranked AS (SELECT query_id, neighbor_id, cos, row_number() OVER
+         |    (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, rank, cos FROM ranked
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     // within-cluster pairs under the final assignment; a vector drops when
     // a lower-id clustermate sits at rounded cosine >= threshold
     "q_semantic_dedup" ->

@@ -47,13 +47,59 @@ object Embeddings {
     * plain narrow projection.
     */
   def kmeansAssign(corpus: DataFrame, k: Int = 8, iters: Int = 2): DataFrame =
-    assignments(corpus, k, iters).orderBy(col("vec_id"))
+    assignments(corpus, k, iters).select(col("vec_id"), col("cluster"), col("cos"))
+      .orderBy(col("vec_id"))
 
-  /** [[kmeansAssign]] without the presentation sort — what internal
-    * consumers ([[Dedup.semanticDedup]]) compose on (the Curation pattern:
-    * a sort feeding an aggregation is dead weight).
+  /** [[kmeansAssign]] without the presentation sort and with the embedding
+    * column carried through — what internal consumers
+    * ([[Dedup.semanticDedup]], [[SimilaritySearch.ivfTopKKmeans]]) compose
+    * on (the Curation pattern: a sort feeding an aggregation is dead
+    * weight).
     */
-  private[operators] def assignments(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
+  private[operators] def assignments(corpus: DataFrame, k: Int, iters: Int): DataFrame =
+    assignTo(corpus, fitCentroids(corpus, k, iters))
+
+  /** Assign every vector of `df` to its nearest centroid (argmax rounded
+    * cosine, ties to the lowest ordinal) — (vec_id, embedding, cluster,
+    * cos). A narrow kernel pass against the broadcast centroid table; used
+    * to place QUERY vectors into the cells of a corpus-fit quantizer.
+    */
+  private[operators] def assignTo(
+      df: DataFrame,
+      centroids: Array[(Int, Array[Double], Double)]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(centroids)
+    Par.spread(df.select(col("vec_id"), col("embedding")))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.map { case (id, f) =>
+          val e = f.map(_.toDouble)
+          val (ci, cos) = nearest(e, l2NormKernel(e), cs)
+          (id, f, ci, cos)
+        }
+      }.toDF("vec_id", "embedding", "cluster", "cos")
+  }
+
+  private def nearest(
+      e: Array[Double], ne: Double,
+      cs: Array[(Int, Array[Double], Double)]): (Int, Double) = {
+    var bestC = -1; var best = Double.NegativeInfinity
+    cs.foreach { case (ci, cv, cn) =>
+      val cos = round6(dotKernel(e, cv) / (ne * cn))
+      if (cos > best) { best = cos; bestC = ci } // ascending ci: first wins ties
+    }
+    (bestC, best)
+  }
+
+  /** The Lloyd loop itself: `iters` rounds of assign + quantized-mean
+    * update, returning the refined (ordinal, components, norm) table —
+    * the trained coarse quantizer [[SimilaritySearch.ivfTopKKmeans]]
+    * plugs in.
+    */
+  private[operators] def fitCentroids(
+      corpus: DataFrame, k: Int, iters: Int): Array[(Int, Array[Double], Double)] = {
     require(k >= 1 && iters >= 0, "need k >= 1, iters >= 0")
     val spark = corpus.sparkSession
     import spark.implicits._
@@ -66,17 +112,6 @@ object Embeddings {
     var centroids: Array[(Int, Array[Double], Double)] =
       SimilaritySearch.ivfCentroids(corpus, k).zipWithIndex
         .map { case ((_, e, n), ci) => (ci, e, n) }
-
-    def nearest(
-        e: Array[Double], ne: Double,
-        cs: Array[(Int, Array[Double], Double)]): (Int, Double) = {
-      var bestC = -1; var best = Double.NegativeInfinity
-      cs.foreach { case (ci, cv, cn) =>
-        val cos = round6(dotKernel(e, cv) / (ne * cn))
-        if (cos > best) { best = cos; bestC = ci } // ascending ci: first wins ties
-      }
-      (bestC, best)
-    }
 
     for (_ <- 1 to iters) {
       val bc = spark.sparkContext.broadcast(centroids)
@@ -104,14 +139,7 @@ object Embeddings {
       }
       bc.unpersist()
     }
-
-    val fin = spark.sparkContext.broadcast(centroids)
-    vecs.mapPartitions { it =>
-      val cs = fin.value
-      it.map { case (id, e) =>
-        val (ci, cos) = nearest(e, l2NormKernel(e), cs)
-        (id, ci, cos)
-      }
-    }.toDF("vec_id", "cluster", "cos")
+    vecs.unpersist()
+    centroids
   }
 }

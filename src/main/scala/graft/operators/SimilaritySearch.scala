@@ -168,6 +168,40 @@ object SimilaritySearch {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** [[ivfTopK]] with a TRAINED coarse quantizer — the documented drop-in:
+    * cells are the Lloyd-refined k-means centroids
+    * ([[Embeddings.fitCentroids]]) instead of the raw smallest-md5 corpus
+    * draw, so cell populations track the embedding distribution's density
+    * (balanced probe costs) rather than sampling luck. Same plan shape:
+    * O(k·dim) centroid broadcast, one narrow assignment kernel per side,
+    * a hash equi-join on cell id, per-query top-k. The k-means fit adds
+    * `iters` driver-coordinated passes over the corpus — the one-time
+    * index-build cost every IVF system pays.
+    */
+  def ivfTopKKmeans(
+      corpus: DataFrame, queries: DataFrame,
+      k: Int = 5, nCentroids: Int = 16, iters: Int = 2): DataFrame = {
+    graft.plans.GraftFunctions.register(corpus.sparkSession)
+    val centroids = Embeddings.fitCentroids(corpus, nCentroids, iters)
+    val corpusCells = Embeddings.assignTo(corpus, centroids)
+      .select(col("vec_id"), col("embedding"), col("cluster").as("cell"))
+    val queryCells = Embeddings.assignTo(queries, centroids)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("cluster").as("cell"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    corpusCells
+      .join(broadcast(queryCells), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("q_emb"), col("embedding"))
+      .withColumn("cos", round(
+        call_function("cosine_similarity", col("q_emb"), col("embedding")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Bucket id = bit string of hyperplane-side signs (dot(v, plane) > 0). */
   def lshBucket(emb: Column, planes: Seq[Seq[Int]]): Column =
     concat(planes.map { plane =>

@@ -109,6 +109,23 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivfTopKKmeans: trained cells return ordered neighbors; recall measurable") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 10)
+    val ivf = SimilaritySearch.ivfTopKKmeans(emb, queries, k = 5).collect()
+    assert(ivf.nonEmpty)
+    ivf.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rows) =>
+      assert(rows.forall(_.getAs[Long]("neighbor_id") != q))
+      val sims = rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cos"))
+      assert(sims.sameElements(sims.sorted.reverse))
+    }
+    val brute = SimilaritySearch.bruteForceTopK(emb, queries, k = 5).collect()
+    val ivfPairs = ivf.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brutePairs = brute.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = ivfPairs.intersect(brutePairs).size.toDouble / brutePairs.size
+    info(f"IVF-kmeans recall@5 vs brute force: $recall%.2f (1/16 of corpus per probe)")
+  }
+
   test("entry() flagship query returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
