@@ -193,6 +193,8 @@ object SparkEntry {
     "q_tfidf_pairs" -> ((s, d) => TextAnalysis.tfidfCosinePairs(Tables.documents(s, d))),
     "q_lm_score" -> ((s, d) => TextAnalysis.lmPerplexityScore(Tables.documents(s, d))),
     "q_domain_mix" -> ((s, d) => TextAnalysis.domainMixture(Tables.documents(s, d))),
+    // temperature-scaled mixture (share^alpha, XLM-R/mT5 sampling rule)
+    "q_domain_mix_temp" -> ((s, d) => TextAnalysis.domainMixtureTemp(Tables.documents(s, d))),
     // the streaming ingest gate's audit is a plain DataFrame op — run it in
     // batch over documents (benchmark vocab = the %97 held-out slice) so the
     // gate's verdict semantics are oracle-checked, not just spec-checked
@@ -1354,6 +1356,23 @@ object SparkEntry {
         |  round(CAST(n_tokens AS DOUBLE)/CAST(tot AS DOUBLE), 6) AS token_share,
         |  round((1.0/n_sources)/(CAST(n_tokens AS DOUBLE)/CAST(tot AS DOUBLE)), 6) AS weight
         |FROM per CROSS JOIN tot ORDER BY source""".stripMargin,
+    // share^0.5 rounded to 6 dp DECIMAL before the normalizing sum, so the
+    // one cross-row accumulation is order-independent (matches the Spark op)
+    "q_domain_mix_temp" ->
+      """WITH per AS (SELECT source, count(*) AS n_docs,
+        |    CAST(sum(len(string_split(text,' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot FROM per),
+        |powed AS (SELECT source, n_docs, n_tokens,
+        |    CAST(n_tokens AS DOUBLE) / CAST(tot AS DOUBLE) AS share,
+        |    CAST(round(pow(CAST(n_tokens AS DOUBLE) / CAST(tot AS DOUBLE), 0.5), 6)
+        |      AS DECIMAL(18,6)) AS share_a
+        |  FROM per CROSS JOIN tot),
+        |norm AS (SELECT SUM(share_a) AS z FROM powed)
+        |SELECT source, n_docs, n_tokens,
+        |  round(share, 6) AS token_share,
+        |  round((CAST(share_a AS DOUBLE) / CAST(z AS DOUBLE)) / share, 6) AS weight
+        |FROM powed CROSS JOIN norm ORDER BY source""".stripMargin,
     "q_domain_resample" ->
       """WITH per AS (SELECT source,
         |    CAST(sum(len(string_split(text,' '))) AS BIGINT) AS n_tokens

@@ -591,4 +591,36 @@ object TextAnalysis {
         round((lit(1.0) / col("n_sources")) / share, 6).as("weight"))
       .orderBy(col("source"))
   }
+
+  /** Temperature-scaled mixture weights — the `share^α` sampling rule
+    * multilingual pretraining uses (XLM-R / mT5 style): target share of
+    * domain i is share_i^α / Σ_j share_j^α, so α = 1 keeps the natural
+    * mixture, α = 0 is [[domainMixture]]'s uniform target, and 0 < α < 1
+    * interpolates — up-sampling tails without flattening heads entirely.
+    * `weight = target / share` is the rate multiplier a sampler
+    * ([[Curation.rebalanceSample]]'s draw) applies per domain.
+    *
+    * The α-powered shares are rounded to 6 dp into DECIMAL before the
+    * normalizing sum, so the denominator — the one cross-row float
+    * accumulation in the formula — is order-independent and engine-exact
+    * (the lmPerplexityScore policy). Plan: [[domainMixture]]'s two hash
+    * aggregations plus one more one-row broadcast for the normalizer.
+    */
+  def domainMixtureTemp(docs: DataFrame, alpha: Double = 0.5): DataFrame = {
+    val per = Par.spread(docs).groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(tokens(col("text"))).cast("long")).as("n_tokens"))
+    val tot = per.agg(sum(col("n_tokens")).as("tot"))
+    val share = col("n_tokens").cast("double") / col("tot").cast("double")
+    val powed = per.crossJoin(broadcast(tot))
+      .withColumn("share_a",
+        round(pow(share, lit(alpha)), 6).cast("decimal(18,6)"))
+    val norm = powed.agg(sum(col("share_a")).as("z"))
+    powed.crossJoin(broadcast(norm))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(share, 6).as("token_share"),
+        round((col("share_a").cast("double") / col("z").cast("double")) / share, 6)
+          .as("weight"))
+      .orderBy(col("source"))
+  }
 }

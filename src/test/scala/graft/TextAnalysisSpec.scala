@@ -98,6 +98,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(m("small").getAs[Double]("weight") == 2.5)
   }
 
+  test("temperature mixture: alpha=1 keeps natural shares, alpha=0.5 interpolates") {
+    val d = Seq(
+      (1L, "one two three four five six seven eight", "big"),   // 8 tokens
+      (2L, "one two three four five six seven eight", "big"),   // 8 tokens
+      (3L, "one two three four", "small"))                      // 4 tokens
+      .toDF("doc_id", "text", "source")
+    def weights(alpha: Double) =
+      TextAnalysis.domainMixtureTemp(d, alpha).collect()
+        .map(r => r.getAs[String]("source") -> r.getAs[Double]("weight")).toMap
+    val natural = weights(1.0)
+    assert(math.abs(natural("big") - 1.0) < 1e-5 &&
+      math.abs(natural("small") - 1.0) < 1e-5,
+      s"alpha=1 must keep the natural mixture, got $natural")
+    val mid = weights(0.5)
+    // sqrt targets: .8 -> ~0.667, .2 -> ~0.333 => weights ~0.833 / ~1.667 —
+    // strictly between natural (1, 1) and uniform (0.625, 2.5)
+    assert(mid("big") < 1.0 && mid("big") > 0.625, s"got $mid")
+    assert(mid("small") > 1.0 && mid("small") < 2.5)
+    val uniform = weights(0.0)
+    val m0 = TextAnalysis.domainMixture(d).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Double]("weight")).toMap
+    assert(math.abs(uniform("big") - m0("big")) < 1e-5 &&
+      math.abs(uniform("small") - m0("small")) < 1e-5,
+      "alpha=0 must reproduce the uniform-target weights")
+  }
+
   test("tfidf cosine pairs surface docs sharing rare terms, not disjoint ones") {
     val d = Seq(
       (1L, "quantum flux capacitor resonance"),
