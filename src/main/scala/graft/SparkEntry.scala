@@ -73,6 +73,17 @@ object SparkEntry {
       TextAnalysis.classifierScore(
         docs, TextAnalysis.nbClassifierWeights(docs, col("lang") === "en"))
     }),
+    // incremental boilerplate index: fold the %3==0 batch into the index of
+    // the rest; merge(index(old), batch) == index(old U batch) exactly
+    "q_boilerplate_incr" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val seg = operators.Curation.tokenWindowSegments(8)
+      operators.Curation.mergeSegmentDf(
+        operators.Curation.segmentDfIndex(docs.filter(col("doc_id") % 3 =!= 0), seg),
+        docs.filter(col("doc_id") % 3 === 0), seg)
+        .filter(col("df") >= 2)
+        .orderBy(col("h"))
+    }),
     "q_domain_resample" -> ((s, d) => operators.Curation.rebalanceSample(Tables.documents(s, d))),
     "q_rollup" -> ((s, d) => Relational.orderRollup(Tables.orders(s, d))),
     "q_running_total" -> ((s, d) => Relational.runningTotalPerUser(Tables.events(s, d))),
@@ -862,6 +873,16 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN is_bp THEN 0 ELSE 1 END) AS BIGINT) AS kept_segments,
         |  CAST(SUM(CASE WHEN is_bp THEN 1 ELSE 0 END) AS BIGINT) AS removed_segments
         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // the merged incremental index must equal the full-corpus df index —
+    // disjoint doc sets make distinct-doc counts additive — so the oracle
+    // simply recomputes the union side
+    "q_boilerplate_incr" ->
+      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        |seg AS (SELECT doc_id, array_to_string(t[pos*8+1 : pos*8+8], ' ') AS seg
+        |  FROM (SELECT doc_id, t, unnest(range(0, (len(t)+7)//8)) AS pos FROM toks))
+        |SELECT md5(seg) AS h, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        |FROM seg GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2
+        |ORDER BY h""".stripMargin,
     // NB log-odds fit on the lang=='en' seed; scoring accumulates
     // DECIMAL(18,6) weights so the logit is engine-exact (q_lm_score policy)
     "q_classifier" ->

@@ -134,6 +134,24 @@ object StreamBench {
         .option("checkpointLocation", s"$root/chk6").start()
     }
 
+    // --- timed: classifier-gated admit (fit-in-batch, score-on-the-stream) ---
+    // NB weights fit on the stored corpus (label: even-numbered sources as
+    // the 'reference' class) — the served map carries the full ~1.2M-token
+    // hash vocabulary head, so the per-row fold probes a realistic model
+    val clf = graft.operators.TextAnalysis.classifierModel(
+      spark.read.parquet(s"$root/docs"),
+      f.col("source").isin("src0", "src2", "src4"))
+    timeQuery("classifier gate (admit + served NB logit)", nDocs.toLong) {
+      val src = spark.readStream
+        .schema(docs.schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(s"$root/docs")
+      graft.streaming.IngestGate.admit(
+        src, benchVocab, watermark = "24 hours", classifier = Some(clf))
+        .writeStream.format("noop").outputMode(OutputMode.Append())
+        .option("checkpointLocation", s"$root/chk7").start()
+    }
+
     // --- timed: the CHAINED front door (admit -> pack, ONE continuous query) ---
     // dropDuplicatesWithinWatermark -> gate scoring -> flatMapGroupsWithState
     // packing with no intermediate sink (multi-stateful-operator support;

@@ -260,13 +260,41 @@ object Curation {
       minDf: Int = 2,
       segments: org.apache.spark.sql.Column = split(col("text"), "\n")): DataFrame = {
     require(minDf >= 2, "minDf < 2 would strip every segment")
+    segmentDfIndex(docs, segments).filter(col("df") >= minDf)
+  }
+
+  /** The UNFILTERED segment-df aggregation — what a lake actually persists
+    * (filtering to df ≥ minDf happens at serve time, so raising the
+    * threshold later needs no corpus re-scan): (h = md5(segment),
+    * df = distinct-document count).
+    */
+  def segmentDfIndex(
+      docs: DataFrame,
+      segments: org.apache.spark.sql.Column = split(col("text"), "\n")): DataFrame =
     Par.spread(docs)
       .select(col("doc_id"), explode(segments).as("seg"))
       .select(col("doc_id"), md5(col("seg")).as("h"))
       .groupBy(col("h"))
       .agg(count_distinct(col("doc_id")).as("df"))
-      .filter(col("df") >= minDf)
-  }
+
+  /** Fold a NEW batch into a stored segment-df index without re-scanning
+    * the corpus — the incremental-dedup cost model one level below document
+    * granularity: per-batch work scales with the BATCH, the corpus
+    * contributes only index I/O. Requires batch doc_ids disjoint from the
+    * indexed corpus (the [[graft.operators.Dedup.incrementalExactDedup]]
+    * contract), under which distinct-doc counts ADD and the invariant
+    * `merge(index(old), batch) == index(old ∪ batch)` holds exactly
+    * (CurationSpec pins it; the q_boilerplate_incr oracle recomputes the
+    * union side in SQL). One shuffle on the hash-uniform digest.
+    */
+  def mergeSegmentDf(
+      index: DataFrame,
+      batchDocs: DataFrame,
+      segments: org.apache.spark.sql.Column = split(col("text"), "\n")): DataFrame =
+    index.select(col("h"), col("df"))
+      .union(segmentDfIndex(batchDocs, segments))
+      .groupBy(col("h"))
+      .agg(sum(col("df")).as("df"))
 
   /** Strip known-boilerplate segments from documents ROW-LOCALLY against a
     * stored index — the streaming arm of [[removeBoilerplate]] (whose df

@@ -446,7 +446,9 @@ object TextAnalysis {
     * size — is chosen by default, not discovered. Pass `Int.MaxValue`
     * explicitly to serve an uncapped vocabulary.
     */
-  def lmModel(refDocs: DataFrame, maxVocab: Int = 4000000): DataFrame = {
+  def lmModel(refDocs: DataFrame, maxVocab: Int = 4000000,
+      buckets: Int = 4096): DataFrame = {
+    require(buckets >= 1, "need at least one bucket")
     val counts = Par.spread(refDocs)
       .select(explode(tokens(col("text"))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("n_t"))
@@ -455,16 +457,31 @@ object TextAnalysis {
     val kept =
       if (maxVocab == Int.MaxValue) counts
       else counts.orderBy(col("n_t").desc, col("token")).limit(maxVocab)
+    // bucket-array layout, same reason as classifierModel: a flat MapType
+    // probe is a linear key scan, so a 4M-token head would cost O(4M) per
+    // token; the array-of-small-maps serve shape caps it at O(vocab/buckets)
+    // with identical values (the oracle's flat-map probe still matches)
     kept.crossJoin(broadcast(tot))
       .select(
         col("token"),
         round(log((col("n_t").cast("double") + 1.0) / (col("t") + col("v"))), 6)
           .as("logp"),
         round(log(lit(1.0) / (col("t") + col("v"))), 6).as("oov"))
+      .groupBy(pmod(hash(col("token")), lit(buckets)).as("bkt"))
       .agg(
         map_from_entries(collect_list(struct(col("token"), col("logp"))))
-          .as("lm_map"),
+          .as("bkt_map"),
+        first(col("oov")).as("oov"))
+      .agg(
+        map_from_entries(collect_list(struct(col("bkt"), col("bkt_map"))))
+          .as("by_bkt"),
         first(col("oov")).as("oov_logp"))
+      .select(
+        transform(sequence(lit(0), lit(buckets - 1)),
+          b => coalesce(element_at(col("by_bkt"), b),
+            map_from_arrays(array(), array()).cast("map<string,double>")))
+          .as("lm_buckets"),
+        col("oov_logp"))
   }
 
   /** Fit a linear bag-of-tokens classifier from a labeled seed — the
@@ -557,20 +574,48 @@ object TextAnalysis {
     * head — largest |weight| first, ties by token — because a near-zero
     * weight degrades to exactly its own OOV treatment.
     */
+  /** The served layout is a BUCKET ARRAY of small maps, not one flat map:
+    * Catalyst's `element_at` on a MapType value is a LINEAR key scan (no
+    * hash index on ArrayBasedMapData), so one flat million-token map costs
+    * O(vocab) per probe — measured as a ~40× throughput collapse of the
+    * streaming gate vs the plain admit. `element_at` on an ARRAY is O(1),
+    * so hashing the token into one of `buckets` sub-maps caps each probe
+    * at O(vocab/buckets) while staying fully declarative (stream-legal, no
+    * kernel). The bucket hash is Spark-internal layout — the weights, and
+    * therefore every score, are unchanged, which is why the DuckDB oracle
+    * (a flat map probe) still matches bit-for-bit.
+    */
   def classifierModel(
       seed: DataFrame,
       isPositive: org.apache.spark.sql.Column,
-      maxVocab: Int = 4000000): DataFrame = {
+      maxVocab: Int = 4000000,
+      buckets: Int = 4096): DataFrame = {
+    require(buckets >= 1, "need at least one bucket")
     val w = nbClassifierWeights(seed, isPositive)
       .select(col("token"), col("weight").cast("double").as("w"),
         col("bias").cast("double").as("b"))
     val kept =
       if (maxVocab == Int.MaxValue) w
       else w.orderBy(abs(col("w")).desc, col("token")).limit(maxVocab)
-    kept.agg(
-      map_from_entries(collect_list(struct(col("token"), col("w"))))
-        .as("clf_map"),
-      first(col("b")).as("clf_bias"))
+    kept
+      .groupBy(pmod(hash(col("token")), lit(buckets)).as("bkt"))
+      .agg(
+        map_from_entries(collect_list(struct(col("token"), col("w"))))
+          .as("bkt_map"),
+        first(col("b")).as("b"))
+      .agg(
+        map_from_entries(collect_list(struct(col("bkt"), col("bkt_map"))))
+          .as("by_bkt"),
+        first(col("b")).as("clf_bias"))
+      // materialize the dense array ONCE at model build (empty map for
+      // unused slots) so serve-time bucket addressing is element_at on an
+      // array — O(1) — never a map scan
+      .select(
+        transform(sequence(lit(0), lit(buckets - 1)),
+          b => coalesce(element_at(col("by_bkt"), b),
+            map_from_arrays(array(), array()).cast("map<string,double>")))
+          .as("clf_buckets"),
+        col("clf_bias"))
   }
 
   /** Training-mixture composition by `source` domain: doc/token counts,

@@ -37,7 +37,7 @@ object IngestGate {
     * aggregation, so the gate stays append-safe; the fold order is the
     * token order, which DuckDB's list_reduce reproduces exactly.
     */
-  /** `classifier` (optional): the one-row (clf_map, clf_bias) frame from
+  /** `classifier` (optional): the one-row (clf_buckets, clf_bias) frame from
     * [[graft.operators.TextAnalysis.classifierModel]], fit in batch on a
     * labeled seed — model-based quality filtering served on the stream.
     * Each doc's logit is a row-local double fold over its token array
@@ -81,24 +81,38 @@ object IngestGate {
       .crossJoin(broadcast(vocab))
     val withLm = lmModel.fold(base.withColumn("avg_nll", lit(null).cast("double"))) { m =>
       val mdl = if (cacheVocab) m.cache() else m
+      // bucket-array probe (see lmModel's layout note): O(1) array slot,
+      // O(vocab/buckets) residual map scan per token
       base
         .crossJoin(broadcast(mdl))
         .withColumn("avg_nll",
           when(col("n_tokens") > 0, round(
             -aggregate(col("toks"), lit(0.0), (acc, t) =>
-              acc + coalesce(element_at(col("lm_map"), t), col("oov_logp")))
+              acc + coalesce(
+                element_at(
+                  element_at(col("lm_buckets"),
+                    (pmod(hash(t), size(col("lm_buckets"))) + 1).cast("int")),
+                  t),
+                col("oov_logp")))
               / col("n_tokens").cast("double"), 6))
             .otherwise(lit(0.0)))
-        .drop("lm_map", "oov_logp")
+        .drop("lm_buckets", "oov_logp")
     }
     val withClf = classifier.fold(withLm.withColumn("logit", lit(null).cast("double"))) { m =>
       val mdl = if (cacheVocab) m.cache() else m
+      // bucket-array probe: element_at on the ARRAY is O(1), the residual
+      // map scan is O(vocab/buckets) — see classifierModel's layout note
       withLm
         .crossJoin(broadcast(mdl))
         .withColumn("logit", round(
           col("clf_bias") + aggregate(col("toks"), lit(0.0), (acc, t) =>
-            acc + coalesce(element_at(col("clf_map"), t), lit(0.0))), 6))
-        .drop("clf_map", "clf_bias")
+            acc + coalesce(
+              element_at(
+                element_at(col("clf_buckets"),
+                  (pmod(hash(t), size(col("clf_buckets"))) + 1).cast("int")),
+                t),
+              lit(0.0))), 6))
+        .drop("clf_buckets", "clf_bias")
     }
     withClf
       .withColumn("reason",
@@ -133,8 +147,9 @@ object IngestGate {
     */
   def admit(
       docs: DataFrame, benchShingles: DataFrame,
-      watermark: String = "10 minutes"): DataFrame =
-    admitImpl(docs, benchShingles, watermark, identity)
+      watermark: String = "10 minutes",
+      classifier: Option[DataFrame] = None, minLogit: Double = 0.0): DataFrame =
+    admitImpl(docs, benchShingles, watermark, identity, classifier, minLogit)
 
   /** [[admit]] that is also NOVEL against the existing corpus — the
     * streaming twin of [[graft.operators.Dedup.incrementalExactDedup]]:
@@ -151,13 +166,16 @@ object IngestGate {
     */
   def admitNovel(
       docs: DataFrame, benchShingles: DataFrame, corpusDigests: DataFrame,
-      watermark: String = "10 minutes"): DataFrame =
+      watermark: String = "10 minutes",
+      classifier: Option[DataFrame] = None, minLogit: Double = 0.0): DataFrame =
     admitImpl(docs, benchShingles, watermark,
-      _.join(corpusDigests.select(col("text_hash")), Seq("text_hash"), "left_anti"))
+      _.join(corpusDigests.select(col("text_hash")), Seq("text_hash"), "left_anti"),
+      classifier, minLogit)
 
   private def admitImpl(
       docs: DataFrame, benchShingles: DataFrame, watermark: String,
-      noveltyProbe: DataFrame => DataFrame): DataFrame =
+      noveltyProbe: DataFrame => DataFrame,
+      classifier: Option[DataFrame] = None, minLogit: Double = 0.0): DataFrame =
     audit(
       noveltyProbe(
         docs
@@ -165,7 +183,7 @@ object IngestGate {
           .withColumn("text_hash", md5(col("text")))
           .withWatermark("event_time", watermark)
           .dropDuplicatesWithinWatermark("text_hash")),
-      benchShingles, cacheVocab = true)
+      benchShingles, cacheVocab = true, classifier = classifier, minLogit = minLogit)
       .filter(col("reason") === "ok")
       .select(col("doc_id"), col("text"), col("source"), col("event_time"))
 }

@@ -150,6 +150,31 @@ class CurationSpec extends SparkSpec {
       "untouched doc must reassemble to its exact original text")
   }
 
+  test("incremental segment-df merge equals the full-corpus index") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val footer = "shared footer line"
+    // the footer's df spans the old/batch split (1 old + 1 new); one line
+    // repeats only inside old, one only inside batch
+    val old_ = Seq(
+      (1L, s"alpha body\n$footer\nold only line", "a"),
+      (2L, "old only line\nbeta body", "a"))
+      .toDF("doc_id", "text", "source")
+    val batch = Seq(
+      (10L, s"$footer\ngamma body\nnew only line", "b"),
+      (11L, "new only line\ndelta body", "b"))
+      .toDF("doc_id", "text", "source")
+    def norm(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[String]("h") -> r.getAs[Long]("df")).sortBy(_._1).toSeq
+    val merged = norm(Curation.mergeSegmentDf(Curation.segmentDfIndex(old_), batch))
+    val full = norm(Curation.segmentDfIndex(old_.union(batch)))
+    assert(merged == full, s"merge diverged:\n$merged\n$full")
+    // and the footer really crossed the split: df == 2 with one doc per side
+    val byText = Curation.segmentDfIndex(old_.union(batch))
+      .filter(col("df") >= 2).count()
+    assert(byText == 3, "footer + both single-side repeats must reach df 2")
+  }
+
   test("sequence packing: contiguous per-source bins at the token budget") {
     import spark.implicits._
     def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")

@@ -52,14 +52,19 @@ class IngestGateSpec extends SparkSpec {
   test("lmModel maxVocab caps the served map; capped-out tokens score as OOV") {
     // "the" dominates; with maxVocab=1 only it survives in the map
     val ref = Seq((100L, "the the the fox dog")).toDF("doc_id", "text")
-    val full = graft.operators.TextAnalysis.lmModel(ref).collect().head
-    val capped = graft.operators.TextAnalysis.lmModel(ref, maxVocab = 1).collect().head
-    assert(full.getAs[Map[String, Double]]("lm_map").keySet == Set("the", "fox", "dog"))
-    assert(capped.getAs[Map[String, Double]]("lm_map").keySet == Set("the"))
+    def served(maxVocab: Int): (Map[String, Double], Double) = {
+      val row = graft.operators.TextAnalysis.lmModel(ref, maxVocab).collect().head
+      (row.getAs[scala.collection.Seq[Map[String, Double]]]("lm_buckets")
+        .iterator.flatten.toMap,
+        row.getAs[Double]("oov_logp"))
+    }
+    val (full, fullOov) = served(Int.MaxValue)
+    val (capped, cappedOov) = served(1)
+    assert(full.keySet == Set("the", "fox", "dog"))
+    assert(capped.keySet == Set("the"))
     // normalization unchanged by the cap: same logp for the kept token, same OOV
-    assert(capped.getAs[Map[String, Double]]("lm_map")("the") ==
-      full.getAs[Map[String, Double]]("lm_map")("the"))
-    assert(capped.getAs[Double]("oov_logp") == full.getAs[Double]("oov_logp"))
+    assert(capped("the") == full("the"))
+    assert(cappedOov == fullOov)
   }
 
   test("audit with classifier: off-seed docs fail classifier_reject; precedence holds") {
@@ -94,7 +99,10 @@ class IngestGateSpec extends SparkSpec {
       .toDF("doc_id", "text", "label")
     val capped = graft.operators.TextAnalysis
       .classifierModel(seed, col("label") === "good", maxVocab = 2).collect().head
-    assert(capped.getAs[Map[String, Double]]("clf_map").keySet == Set("weather", "cheap"))
+    val slots = capped.getAs[scala.collection.Seq[Map[String, Double]]]("clf_buckets")
+    assert(slots.flatMap(_.keySet).toSet == Set("weather", "cheap"))
+    // the bucket array is dense: every slot materialized, most empty
+    assert(slots.size == 4096)
   }
 
   test("audit stream with classifier: served map scores append-safe per row") {
