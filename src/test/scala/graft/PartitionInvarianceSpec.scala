@@ -22,7 +22,11 @@ class PartitionInvarianceSpec extends SparkSpec {
     "q_stratified_n", "q_dedup_editdist", "q_dedup_keepbest",
     "q_dedup_clusters_emb", "q_set_ops_join", "q_tfidf_pairs", "q_lm_score",
     "q_dedup_substring", "q_pack_sequences", "q_ingest_audit_lm",
-    "q_domain_resample")
+    "q_domain_resample",
+    // round-5 wave: quantized-mean clustering, within-cluster dedup,
+    // df-threshold reassembly, decimal-logit scoring, temperature mixture
+    "q_kmeans", "q_semantic_dedup", "q_boilerplate", "q_boilerplate_incr",
+    "q_classifier", "q_ingest_audit_clf", "q_domain_mix_temp")
 
   test("query results are invariant to shuffle-partition count and scan splits") {
     val missing = targets.filterNot(SparkEntry.queries.contains)
