@@ -203,6 +203,8 @@ object SparkEntry {
     "q_repetition" -> ((s, d) => TextAnalysis.repetitionScores(Tables.documents(s, d))),
     "q_tfidf_pairs" -> ((s, d) => TextAnalysis.tfidfCosinePairs(Tables.documents(s, d))),
     "q_lm_score" -> ((s, d) => TextAnalysis.lmPerplexityScore(Tables.documents(s, d))),
+    // CCNet head/middle/tail terciles of the LM-score distribution
+    "q_ccnet_buckets" -> ((s, d) => TextAnalysis.perplexityBuckets(Tables.documents(s, d))),
     "q_domain_mix" -> ((s, d) => TextAnalysis.domainMixture(Tables.documents(s, d))),
     // temperature-scaled mixture (share^alpha, XLM-R/mT5 sampling rule)
     "q_domain_mix_temp" -> ((s, d) => TextAnalysis.domainMixtureTemp(Tables.documents(s, d))),
@@ -1177,6 +1179,29 @@ object SparkEntry {
         |SELECT doc_id, n_tokens, round(nll / CAST(n_tokens AS DOUBLE), 6) AS avg_nll,
         |  CASE WHEN nll / CAST(n_tokens AS DOUBLE) > 10.0 THEN 'drop' ELSE 'keep' END AS verdict
         |FROM agg ORDER BY doc_id""".stripMargin,
+    // the q_lm_score pipeline + exact tercile cuts (quantile_cont parity)
+    "q_ccnet_buckets" ->
+      """WITH dt AS (SELECT doc_id, unnest(string_split(text,' ')) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM dt GROUP BY doc_id, token),
+        |vocab AS (SELECT token, SUM(tf) AS n_t FROM tf GROUP BY token),
+        |tot AS (SELECT CAST(SUM(n_t) AS DOUBLE) AS t_tokens,
+        |    CAST(COUNT(*) AS DOUBLE) AS v_size FROM vocab),
+        |logp AS (SELECT token,
+        |    CAST(round(ln((CAST(n_t AS DOUBLE) + 1.0) / (tot.t_tokens + tot.v_size)), 6)
+        |      AS DECIMAL(18,6)) AS logp
+        |  FROM vocab CROSS JOIN tot),
+        |agg AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+        |    -CAST(SUM(CAST(tf AS DECIMAL(18,0)) * logp) AS DOUBLE) AS nll
+        |  FROM tf JOIN logp USING (token) GROUP BY doc_id),
+        |scored AS (SELECT doc_id,
+        |    round(nll / CAST(n_tokens AS DOUBLE), 6) AS avg_nll FROM agg),
+        |cuts AS (SELECT round(quantile_cont(avg_nll, 1.0/3), 6) AS c1,
+        |    round(quantile_cont(avg_nll, 2.0/3), 6) AS c2 FROM scored)
+        |SELECT doc_id, avg_nll,
+        |  CASE WHEN avg_nll <= c1 THEN 'head'
+        |       WHEN avg_nll <= c2 THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM scored CROSS JOIN cuts ORDER BY doc_id""".stripMargin,
     "q_doc_stats" ->
       s"""SELECT doc_id,
          |  len(string_split(text,' ')) AS token_count,

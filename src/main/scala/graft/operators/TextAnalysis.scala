@@ -564,6 +564,41 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** CCNet-style perplexity bucketing: split the corpus into head / middle
+    * / tail thirds of the LM-score distribution (Wenzek et al. 2020 — the
+    * head trains as-is, the middle gets sampled, the tail gets dropped or
+    * audited). Cut points are EXACT tercile boundaries of the 6-dp avg_nll
+    * (Spark `percentile` ≡ DuckDB `quantile_cont`, the q_quantiles_exact
+    * parity), broadcast as one row; bucketing is then a per-row CASE.
+    *
+    * The exact percentile carries the same O(distinct) aggregation state as
+    * the quantile family, so it sits behind the same documented
+    * `requireBoundedDistinct` guard — avg_nll is rounded to 6 dp, so its
+    * distinct count is bounded by min(corpus, 10⁷·range) and the HLL
+    * pre-pass fails loud rather than OOMing an executor at 100 TB. The
+    * scored frame is checkpointed once (ids + one double per doc) because
+    * the guard, the cut aggregation, and the final projection would each
+    * re-run the whole LM pipeline otherwise — the corpusBuild stage-
+    * boundary trade.
+    */
+  def perplexityBuckets(docs: DataFrame, maxDistinct: Int = 1 << 20): DataFrame = {
+    val scored = lmPerplexityScore(docs)
+      .select(col("doc_id"), col("avg_nll"))
+      .localCheckpoint()
+    Relational.requireBoundedDistinct(
+      scored, col("avg_nll"), maxDistinct, "perplexityBuckets")
+    val cuts = scored.agg(
+      percentile(col("avg_nll"), array(lit(1 / 3.0), lit(2 / 3.0))).as("c"))
+      .select(round(col("c").getItem(0), 6).as("c1"),
+        round(col("c").getItem(1), 6).as("c2"))
+    scored.crossJoin(broadcast(cuts))
+      .select(col("doc_id"), col("avg_nll"),
+        when(col("avg_nll") <= col("c1"), "head")
+          .when(col("avg_nll") <= col("c2"), "middle")
+          .otherwise("tail").as("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
   /** [[nbClassifierWeights]] packaged for row-local serving — the
     * [[lmModel]] pattern: ONE row carrying the token→weight map plus the
     * bias, broadcast stream-static so [[graft.streaming.IngestGate.audit]]

@@ -184,6 +184,17 @@ class TextAnalysisSpec extends SparkSpec {
     assert(scored(12L)._1 == 0.0 && scored(12L)._2 == "drop")
   }
 
+  test("perplexity buckets: fluent docs land in head, gibberish in tail") {
+    val common = (1L to 8L).map(i => (i, "the weather is fine today"))
+    val rare = Seq((9L, "zxqvk jwpfh qmzot"))
+    val d = (common ++ rare).toDF("doc_id", "text")
+    val m = TextAnalysis.perplexityBuckets(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("bucket")).toMap
+    assert((1L to 8L).forall(m(_) == "head"),
+      s"identical low-NLL docs tie at the first cut -> head; got $m")
+    assert(m(9L) == "tail")
+  }
+
   test("LM perplexity score: rare-token docs carry higher avg NLL") {
     val common = (1L to 8L).map(i => (i, "the weather is fine today"))
     val rare = Seq((9L, "zxqvk jwpfh qmzot"))
