@@ -60,6 +60,8 @@ object SparkEntry {
     "q_corpus_build" -> ((s, d) => operators.Curation.corpusBuild(Tables.documents(s, d))),
     "q_dedup_substring" -> ((s, d) => Dedup.substringDupPairs(Tables.documents(s, d))),
     "q_pack_sequences" -> ((s, d) => operators.Curation.packSequences(Tables.documents(s, d))),
+    // the packed assignments materialized into dataloader-ready sequences
+    "q_materialize_seqs" -> ((s, d) => operators.Curation.materializeSequences(Tables.documents(s, d))),
     "q_chunk_docs" -> ((s, d) => operators.Curation.chunkDocuments(Tables.documents(s, d))),
     // C4-style cross-doc boilerplate removal; the token-stream corpus uses
     // fixed 8-token window segmentation (caller policy) with a " " joiner
@@ -924,6 +926,18 @@ object SparkEntry {
         |  (cum_tokens - n_tokens) // 2048 AS seq_id,
         |  (cum_tokens - n_tokens) % 2048 AS seq_offset
         |FROM c ORDER BY source, doc_id""".stripMargin,
+    "q_materialize_seqs" ->
+      """WITH t AS (SELECT source, doc_id, text,
+        |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens FROM documents),
+        |c AS (SELECT *, CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM t),
+        |p AS (SELECT source, doc_id, text, n_tokens,
+        |    (cum - n_tokens) // 2048 AS seq_id FROM c)
+        |SELECT source, seq_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens,
+        |  string_agg(text, '<|endoftext|>' ORDER BY doc_id) AS seq_text
+        |FROM p GROUP BY source, seq_id ORDER BY source, seq_id""".stripMargin,
     "q_stratified_n" ->
       """WITH ranked AS (SELECT source, doc_id,
         |  row_number() OVER (PARTITION BY source

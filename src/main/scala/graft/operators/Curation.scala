@@ -340,6 +340,34 @@ object Curation {
       i => array_join(slice(toks, i * w + 1, lit(w)), " "))
   }
 
+  /** Materialize [[packSequences]]' assignments into the actual training
+    * sequences a dataloader reads: per (source, seq_id), the member
+    * documents concatenated in doc_id order with an EOS separator, plus
+    * doc/token counts — the last step between a curated corpus and
+    * tokenizer input. One groupBy on (source, seq_id) whose state is
+    * bounded by the token budget itself (a sequence holds at most
+    * `budget`-ish tokens by construction), so per-group memory is capped
+    * no matter the corpus size.
+    */
+  def materializeSequences(
+      docs: DataFrame, budget: Long = 2048,
+      sep: String = "<|endoftext|>"): DataFrame = {
+    val packed = packSequences(docs, budget)
+      .select(col("doc_id"), col("seq_id"), col("n_tokens"))
+    docs.select(col("doc_id"), col("source"), col("text"))
+      .join(packed, Seq("doc_id"))
+      .groupBy(col("source"), col("seq_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("seq_tokens"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("doc_id"), col("text")))),
+            s => s("text")),
+          sep).as("seq_text"))
+      .orderBy(col("source"), col("seq_id"))
+  }
+
   def packSequences(docs: DataFrame, budget: Long = 2048): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import graft.functions.TextFunctions.tokens

@@ -192,6 +192,23 @@ class CurationSpec extends SparkSpec {
     assert(rows(10L) == (0L, 0L) && rows(11L) == (0L, 4L))
   }
 
+  test("materialized sequences concatenate members in doc order with the separator") {
+    import spark.implicits._
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val d = Seq(
+      (1L, words(6), "a"), (2L, words(6), "a"), (3L, words(6), "a"),
+      (10L, words(4), "b"))
+      .toDF("doc_id", "text", "source")
+    val rows = Curation.materializeSequences(d, budget = 10, sep = "|").collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("seq_id")) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("seq_tokens"),
+          r.getAs[String]("seq_text"))).toMap
+    // source a: docs 1,2 start inside seq 0 (offsets 0,6), doc 3 in seq 1
+    assert(rows(("a", 0L)) == ((2L, 12L, s"${words(6)}|${words(6)}")), s"got $rows")
+    assert(rows(("a", 1L)) == ((1L, 6L, words(6))))
+    assert(rows(("b", 0L)) == ((1L, 4L, words(4))))
+  }
+
   test("chunking: stride windows with overlap; short docs yield one chunk") {
     import spark.implicits._
     def words(a: Int, b: Int) = (a to b).map(i => s"w$i").mkString(" ")
