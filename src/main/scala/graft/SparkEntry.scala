@@ -207,6 +207,8 @@ object SparkEntry {
     "q_lm_score" -> ((s, d) => TextAnalysis.lmPerplexityScore(Tables.documents(s, d))),
     // CCNet head/middle/tail terciles of the LM-score distribution
     "q_ccnet_buckets" -> ((s, d) => TextAnalysis.perplexityBuckets(Tables.documents(s, d))),
+    // bigram LM with add-one smoothing — the n-gram step that scores word order
+    "q_lm_bigram" -> ((s, d) => TextAnalysis.lmBigramScore(Tables.documents(s, d))),
     "q_domain_mix" -> ((s, d) => TextAnalysis.domainMixture(Tables.documents(s, d))),
     // temperature-scaled mixture (share^alpha, XLM-R/mT5 sampling rule)
     "q_domain_mix_temp" -> ((s, d) => TextAnalysis.domainMixtureTemp(Tables.documents(s, d))),
@@ -1193,6 +1195,32 @@ object SparkEntry {
         |SELECT doc_id, n_tokens, round(nll / CAST(n_tokens AS DOUBLE), 6) AS avg_nll,
         |  CASE WHEN nll / CAST(n_tokens AS DOUBLE) > 10.0 THEN 'drop' ELSE 'keep' END AS verdict
         |FROM agg ORDER BY doc_id""".stripMargin,
+    // bigram counts via 2-token windows; context = bigram-start sums;
+    // V = unigram vocabulary; 6-dp DECIMAL log-probs (the unigram policy)
+    "q_lm_bigram" ->
+      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+        |dbg AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(t), 1)),
+        |    i -> array_to_string(t[i:i+1], ' '))) AS bg FROM toks),
+        |tf AS (SELECT doc_id, bg, COUNT(*) AS tf FROM dbg GROUP BY doc_id, bg),
+        |big AS (SELECT bg, SUM(tf) AS n_bg, string_split(bg, ' ')[1] AS w1
+        |  FROM tf GROUP BY bg),
+        |ctx AS (SELECT w1, SUM(n_bg) AS n_ctx FROM big GROUP BY w1),
+        |v AS (SELECT CAST(COUNT(DISTINCT tok) AS DOUBLE) AS v
+        |  FROM (SELECT unnest(t) AS tok FROM toks)),
+        |logp AS (SELECT bg,
+        |    CAST(round(ln((CAST(n_bg AS DOUBLE) + 1.0)
+        |      / (CAST(n_ctx AS DOUBLE) + v.v)), 6) AS DECIMAL(18,6)) AS logp
+        |  FROM big JOIN ctx USING (w1) CROSS JOIN v),
+        |agg AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+        |    -CAST(SUM(CAST(tf AS DECIMAL(18,0)) * logp) AS DOUBLE) AS nll
+        |  FROM tf JOIN logp USING (bg) GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  COALESCE(n_bigrams, 0) AS n_bigrams,
+        |  COALESCE(round(nll / CAST(n_bigrams AS DOUBLE), 6), 0.0) AS avg_nll,
+        |  CASE WHEN nll / CAST(n_bigrams AS DOUBLE) > 10.0 THEN 'drop'
+        |       ELSE 'keep' END AS verdict
+        |FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN agg USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     // the q_lm_score pipeline + exact tercile cuts (quantile_cont parity)
     "q_ccnet_buckets" ->
       """WITH dt AS (SELECT doc_id, unnest(string_split(text,' ')) AS token FROM documents),

@@ -564,6 +564,56 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Bigram-LM perplexity — the n-gram step past [[lmPerplexityScore]]'s
+    * unigram model (CCNet's own filter is an n-gram KenLM; a bigram with
+    * add-one smoothing is the smallest model that scores word ORDER, so
+    * shuffled-token word salad that fools the unigram scores badly here).
+    * p(w₂|w₁) = (c(w₁w₂)+1) / (c(w₁·)+V), where c(w₁·) is the bigram-start
+    * count and V the unigram vocabulary size; avg_nll averages over the
+    * doc's bigrams. Docs under 2 tokens have no bigrams and score 0 (keep).
+    *
+    * Same engine-exactness policy as the unigram: per-bigram log-probs are
+    * rounded to 6 dp DECIMAL before the per-doc sum. Scale shape: one
+    * explode to the doc-bigram grain, corpus and context counts as hash
+    * aggregations, one broadcast of the (Heap's-law-sublinear) bigram
+    * log-prob table — co-partition instead if it outgrows broadcast.
+    */
+  def lmBigramScore(docs: DataFrame, dropAbove: Double = 10.0): DataFrame = {
+    val spread = Par.spread(docs)
+    val docBi = spread
+      .select(col("doc_id"), explode(shingles(tokens(col("text")), 2)).as("bg"))
+      .groupBy(col("doc_id"), col("bg"))
+      .agg(count(lit(1)).as("tf"))
+    val big = docBi.groupBy(col("bg")).agg(sum(col("tf")).as("n_bg"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+    val ctx = big.groupBy(col("w1")).agg(sum(col("n_bg")).as("n_ctx"))
+    val vsize = spread
+      .select(explode(tokens(col("text"))).as("t"))
+      .agg(count_distinct(col("t")).cast("double").as("v"))
+    val logp = big.join(ctx, Seq("w1"))
+      .crossJoin(broadcast(vsize))
+      .select(col("bg"),
+        round(log((col("n_bg").cast("double") + 1.0) /
+          (col("n_ctx").cast("double") + col("v"))), 6)
+          .cast("decimal(18,6)").as("logp"))
+    val scored = docBi
+      .join(broadcast(logp), "bg")
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("tf")).as("n_bigrams"),
+        (-sum(col("tf").cast("decimal(18,0)") * col("logp")).cast("double"))
+          .as("nll"))
+    spread.select(col("doc_id")).distinct()
+      .join(scored, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(round(col("nll") / col("n_bigrams").cast("double"), 6), lit(0.0))
+          .as("avg_nll"),
+        when(col("nll") / col("n_bigrams").cast("double") > dropAbove, "drop")
+          .otherwise("keep").as("verdict"))
+      .orderBy(col("doc_id"))
+  }
+
   /** CCNet-style perplexity bucketing: split the corpus into head / middle
     * / tail thirds of the LM-score distribution (Wenzek et al. 2020 — the
     * head trains as-is, the middle gets sampled, the tail gets dropped or

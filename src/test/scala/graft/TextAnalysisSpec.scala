@@ -184,6 +184,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(scored(12L)._1 == 0.0 && scored(12L)._2 == "drop")
   }
 
+  test("bigram LM scores word order that the unigram cannot see") {
+    val inOrder = (1L to 8L).map(i => (i, "the quick brown fox jumps high"))
+    val reversed = Seq((9L, "high jumps fox brown quick the"))
+    val d = (inOrder ++ reversed).toDF("doc_id", "text")
+    // identical token multiset -> the unigram model scores them EQUAL
+    val uni = TextAnalysis.lmPerplexityScore(d).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("avg_nll")).toMap
+    assert(uni(9L) == uni(1L), s"unigram must be order-blind, got $uni")
+    // the reversed doc's bigrams are novel -> the bigram model separates
+    val bi = TextAnalysis.lmBigramScore(d).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("avg_nll")).toMap
+    assert(bi(9L) > bi(1L), s"bigram must score word order, got $bi")
+  }
+
   test("perplexity buckets: fluent docs land in head, gibberish in tail") {
     val common = (1L to 8L).map(i => (i, "the weather is fine today"))
     val rare = Seq((9L, "zxqvk jwpfh qmzot"))
