@@ -59,6 +59,19 @@ object Embeddings {
   private[operators] def assignments(corpus: DataFrame, k: Int, iters: Int): DataFrame =
     assignTo(corpus, fitCentroids(corpus, k, iters))
 
+  /** Assign a stream of vectors to the cells of a BATCH-fit quantizer —
+    * the fit-in-batch / assign-on-the-stream split (the IngestGate model
+    * pattern applied to embedding space): [[fitCentroids]] runs on the
+    * stored corpus, the centroid table broadcasts into [[assignTo]]'s
+    * stateless kernel pass, and each arriving vector is routed to its
+    * cluster append-safely. StreamCurationSpec pins the stream assignment
+    * to [[kmeansAssign]]'s batch output over the same corpus.
+    */
+  def assignStream(stream: DataFrame, corpus: DataFrame,
+      k: Int = 8, iters: Int = 2): DataFrame =
+    assignTo(stream, fitCentroids(corpus, k, iters))
+      .select(col("vec_id"), col("cluster"), col("cos"))
+
   /** Assign every vector of `df` to its nearest centroid (argmax rounded
     * cosine, ties to the lowest ordinal) — (vec_id, embedding, cluster,
     * cos). A narrow kernel pass against the broadcast centroid table; used

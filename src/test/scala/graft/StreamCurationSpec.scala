@@ -9,6 +9,8 @@ import graft.streaming.StreamCuration
 // (groupByKey's deserializer rejects spec-inner case classes)
 case class CorpusDoc(doc_id: Long, source: String, text: String)
 
+case class EmbRow(vec_id: Long, embedding: Array[Float])
+
 /** Batch/stream equivalence for the corpus resample and packing stages:
   * replay the same fixture through the streaming twins across multiple
   * micro-batches and assert the output equals the batch operators'.
@@ -136,6 +138,35 @@ class StreamCurationSpec extends SparkSpec {
       q.processAllAvailable()
       val got = spark.table("sclean").collect().map(key).sorted.toSeq
       assert(got == expected, s"stream strip diverged from batch:\n$got\n$expected")
+    } finally q.stop()
+  }
+
+  test("streaming kmeans assignment equals the batch assignment (fit-in-batch)") {
+    implicit val sqlCtx = spark.sqlContext
+    // deterministic 12-vector corpus: two dominant directions + unique jitter
+    val corpus = (1L to 12L).map { id =>
+      val v = new Array[Float](8)
+      v((id % 2).toInt) = 10f
+      v(2 + (id % 6).toInt) = 1f + 0.1f * id
+      EmbRow(id, v)
+    }
+    val corpusDf = corpus.toDF()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("vec_id"), r.getAs[Int]("cluster"), r.getAs[Double]("cos"))
+    val expected = graft.operators.Embeddings.kmeansAssign(corpusDf, k = 2, iters = 2)
+      .collect().map(key).sorted.toSeq
+    val input = MemoryStream[EmbRow]
+    val q = graft.operators.Embeddings.assignStream(input.toDF(), corpusDf, k = 2, iters = 2)
+      .writeStream.format("memory").queryName("sassign")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val (b1, b2) = corpus.splitAt(5)
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+      val got = spark.table("sassign").collect().map(key).sorted.toSeq
+      assert(got == expected, s"stream assignment diverged:\n$got\n$expected")
     } finally q.stop()
   }
 
