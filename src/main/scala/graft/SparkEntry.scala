@@ -202,6 +202,17 @@ object SparkEntry {
         docs.filter(col("doc_id") % 97 =!= 0),
         docs.filter(col("doc_id") % 97 === 0))
     }),
+    // near-dup contamination: train docs at shingle-Jaccard >= 0.6 vs the
+    // benchmark slice, reported with their best-matching bench doc. The
+    // fuzzy harness policy holds out %10 (the %97 slice used by exact
+    // decontamination contains none of this corpus's planted near-dups, so
+    // it would gate a vacuously-empty result; callers own the split)
+    "q_fuzzy_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.fuzzyDecontamination(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0))
+    }),
     "q_repetition" -> ((s, d) => TextAnalysis.repetitionScores(Tables.documents(s, d))),
     "q_tfidf_pairs" -> ((s, d) => TextAnalysis.tfidfCosinePairs(Tables.documents(s, d))),
     "q_lm_score" -> ((s, d) => TextAnalysis.lmPerplexityScore(Tables.documents(s, d))),
@@ -657,6 +668,26 @@ object SparkEntry {
         |SELECT doc_id FROM surv
         |WHERE h NOT IN (SELECT md5(text) FROM documents WHERE doc_id % 3 <> 0)
         |ORDER BY doc_id""".stripMargin,
+    // the incr-minhash probe with roles recast (train probes the benchmark
+    // index) and the argmax bench match reported instead of the anti-join
+    "q_fuzzy_decontaminate" ->
+      s"""WITH shs AS ($duckShingles),
+         |sigs AS (SELECT doc_id, sh, [
+         |      $duckSigEntries] AS sig FROM shs),
+         |banded AS (SELECT doc_id, unnest(range(0, 4)) AS band, unnest([
+         |      $duckBandEntries]) AS bh FROM sigs),
+         |cand AS (SELECT DISTINCT x.doc_id AS i, y.doc_id AS j
+         |  FROM banded x JOIN banded y ON x.band = y.band AND x.bh = y.bh
+         |  WHERE x.doc_id % 10 <> 0 AND y.doc_id % 10 = 0),
+         |scored AS (SELECT i, j,
+         |    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |      CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE), 6) AS jac
+         |  FROM cand JOIN sigs a ON cand.i = a.doc_id JOIN sigs b ON cand.j = b.doc_id),
+         |fl AS (SELECT i, j, jac,
+         |    row_number() OVER (PARTITION BY i ORDER BY jac DESC, j) AS rk
+         |  FROM scored WHERE jac >= 0.6)
+         |SELECT i AS doc_id, j AS bench_id, jac AS jaccard
+         |FROM fl WHERE rk = 1 ORDER BY doc_id""".stripMargin,
     "q_dedup_incr_minhash" ->
       s"""WITH shs AS ($duckShingles),
          |sigs AS (SELECT doc_id, sh, [

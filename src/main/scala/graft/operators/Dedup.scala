@@ -119,6 +119,47 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** FUZZY decontamination: training docs whose shingle set sits at
+    * Jaccard ≥ `threshold` against ANY benchmark document — the near-dup
+    * complement of [[TextAnalysis.contaminationReport]]'s exact-n-gram
+    * overlap (a lightly paraphrased eval answer shares most shingles but
+    * not necessarily a verbatim 4-gram). Same probe machinery as
+    * [[incrementalMinhashDedup]] with the roles recast — the benchmark is
+    * the "corpus index", the training set the probing batch — but instead
+    * of the anti-join it REPORTS each flagged doc with its best-matching
+    * benchmark doc (highest exact Jaccard, ties to the lowest bench id):
+    * the evidence a curation audit needs, not just the verdict.
+    *
+    * Scale: the banded probe never self-joins the training set; candidates
+    * are train×bench band collisions only, and eval suites are tiny next
+    * to the corpus, so the per-batch cost model of the incremental dedup
+    * carries over unchanged.
+    */
+  def fuzzyDecontamination(
+      train: DataFrame, bench: DataFrame, k: Int = 12, bands: Int = 4,
+      rows: Int = 3, threshold: Double = 0.6): DataFrame = {
+    require(bands * rows == k, "bands*rows must equal signature length")
+    import org.apache.spark.sql.expressions.Window
+    val trainSig = shingleSignatures(train, k)
+    val benchSig = shingleSignatures(bench, k)
+    def banded(sig: DataFrame, idAs: String): DataFrame = sig.select(
+      col("doc_id"), posexplode(bandHashes(col("sig"), bands, rows)))
+      .toDF(idAs, "band", "bh")
+    val cand = banded(trainSig, "i")
+      .join(banded(benchSig, "j"), Seq("band", "bh"))
+      .select(col("i"), col("j")).distinct()
+    val w = Window.partitionBy(col("i")).orderBy(col("jac").desc, col("j"))
+    cand
+      .join(trainSig.select(col("doc_id").as("i"), col("sh").as("sh_i")), Seq("i"))
+      .join(benchSig.select(col("doc_id").as("j"), col("sh").as("sh_j")), Seq("j"))
+      .withColumn("jac", round(jaccard(col("sh_i"), col("sh_j")), 6))
+      .filter(col("jac") >= threshold)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("i").as("doc_id"), col("j").as("bench_id"), col("jac").as("jaccard"))
+      .orderBy(col("doc_id"))
+  }
+
   /** MinHash + LSH near-dup pairs, verified with exact Jaccard.
     *
     * shingle(3-gram) → k-component MinHash → `bands` band hashes →

@@ -79,6 +79,21 @@ class DedupSpec extends SparkSpec {
       .as[Long].collect().toSeq == Seq(10L, 11L))
   }
 
+  test("fuzzy decontamination flags the paraphrased bench doc with its match") {
+    val benchText = (0 until 40).map(i => s"w$i").mkString(" ")
+    val paraphrase = (0 until 40).map(i => if (i == 7) "CHANGED" else s"w$i").mkString(" ")
+    val novel = (100 until 140).map(i => s"v$i").mkString(" ")
+    val bench = docs((900L, benchText, "en"), (901L, novel.toUpperCase, "en"))
+    val train = docs((1L, paraphrase, "en"), (2L, novel, "en"))
+    val flagged = Dedup.fuzzyDecontamination(train, bench).collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("bench_id"), r.getAs[Double]("jaccard")))
+    assert(flagged.map(_._1).toSeq == Seq(1L),
+      s"only the paraphrase is contaminated; got ${flagged.toSeq}")
+    assert(flagged.head._2 == 900L, "must report the matching bench doc")
+    assert(flagged.head._3 >= 0.6 && flagged.head._3 < 1.0)
+  }
+
   test("minhash LSH recall on the corpus' planted dups matches brute force at high jaccard") {
     val d = Tables.documents(spark, sf)
     val lsh = Dedup.minhashLshPairs(d, threshold = 0.8).collect()
