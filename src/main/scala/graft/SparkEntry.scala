@@ -62,6 +62,9 @@ object SparkEntry {
     "q_pack_sequences" -> ((s, d) => operators.Curation.packSequences(Tables.documents(s, d))),
     // the packed assignments materialized into dataloader-ready sequences
     "q_materialize_seqs" -> ((s, d) => operators.Curation.materializeSequences(Tables.documents(s, d))),
+    // dataloader assignment: deterministic shuffle/shard + length buckets
+    "q_shuffle_shards" -> ((s, d) => operators.Curation.shuffleShards(Tables.documents(s, d))),
+    "q_length_buckets" -> ((s, d) => operators.Curation.lengthBuckets(Tables.documents(s, d))),
     "q_chunk_docs" -> ((s, d) => operators.Curation.chunkDocuments(Tables.documents(s, d))),
     // C4-style cross-doc boilerplate removal; the token-stream corpus uses
     // fixed 8-token window segmentation (caller policy) with a " " joiner
@@ -971,6 +974,23 @@ object SparkEntry {
         |  CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens,
         |  string_agg(text, '<|endoftext|>' ORDER BY doc_id) AS seq_text
         |FROM p GROUP BY source, seq_id ORDER BY source, seq_id""".stripMargin,
+    "q_shuffle_shards" ->
+      """WITH t AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+        |s AS (SELECT doc_id, h,
+        |    ('0x' || substr(h, 1, 15))::BIGINT % 64 AS shard FROM t)
+        |SELECT doc_id, shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS BIGINT)
+        |    AS shard_pos
+        |FROM s ORDER BY shard, shard_pos""".stripMargin,
+    "q_length_buckets" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens FROM documents)
+        |SELECT doc_id, n_tokens,
+        |  CASE WHEN n_tokens <= 16 THEN 16 WHEN n_tokens <= 32 THEN 32
+        |       WHEN n_tokens <= 64 THEN 64 WHEN n_tokens <= 128 THEN 128
+        |       WHEN n_tokens <= 256 THEN 256 WHEN n_tokens <= 512 THEN 512
+        |       WHEN n_tokens <= 1024 THEN 1024 ELSE 2048 END AS bucket
+        |FROM t ORDER BY doc_id""".stripMargin,
     "q_stratified_n" ->
       """WITH ranked AS (SELECT source, doc_id,
         |  row_number() OVER (PARTITION BY source

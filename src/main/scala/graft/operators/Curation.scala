@@ -198,6 +198,55 @@ object Curation {
     if (docs.isStreaming) chunks else chunks.orderBy(col("doc_id"), col("chunk_idx"))
   }
 
+  /** Deterministic corpus shuffle + shard assignment — the training-order
+    * step between a curated corpus and a distributed dataloader: every doc
+    * gets a shard (md5-uniform over `nShards`) and a position within its
+    * shard (ascending md5, ties by doc_id), so the global read order is a
+    * reproducible pseudo-random permutation with NO RNG state — any engine
+    * (and any retry) derives the identical order, the same replayability
+    * contract as the md5-bucket samplers. One shuffle: the per-shard
+    * position window partitions on the shard key, so parallelism equals
+    * the shard count and no partition-less window exists.
+    */
+  def shuffleShards(docs: DataFrame, nShards: Int = 64): DataFrame = {
+    require(nShards >= 1, "need at least one shard")
+    import org.apache.spark.sql.expressions.Window
+    val h = md5(col("doc_id").cast("string"))
+    val shard = conv(substring(h, 1, 15), 16, 10).cast("long") % nShards
+    val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+    Par.spread(docs)
+      .select(col("doc_id"), h.as("h"), shard.as("shard"))
+      .withColumn("shard_pos", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("shard"), col("shard_pos"))
+      .orderBy(col("shard"), col("shard_pos"))
+  }
+
+  /** Length-bucketed batching: group docs into power-of-two token-length
+    * buckets so fixed-shape batches pad minimally (the SFT/eval-batching
+    * complement of [[packSequences]]' concat-packing — packing destroys
+    * document boundaries, bucketing preserves them). Bucket = 2^⌈log₂ n⌉
+    * clamped to [minBucket, maxBucket]; integer-exact in both engines via
+    * doubling comparisons rather than float log₂.
+    */
+  def lengthBuckets(
+      docs: DataFrame, minBucket: Int = 16, maxBucket: Int = 2048): DataFrame = {
+    require(minBucket >= 1 && Integer.bitCount(minBucket) == 1 &&
+      Integer.bitCount(maxBucket) == 1 && maxBucket >= minBucket,
+      "buckets must be powers of two")
+    import graft.functions.TextFunctions.tokens
+    val n = size(tokens(col("text"))).cast("long")
+    val steps = Iterator.iterate(minBucket)(_ * 2)
+      .takeWhile(_ <= maxBucket).toSeq
+    // first power-of-two step >= n, else the max bucket (oversize docs are
+    // the chunkDocuments caller's problem, flagged here as bucket=maxBucket)
+    val bucket = steps.reverse.foldLeft(lit(maxBucket.toLong)) {
+      (acc, b) => when(n <= b, lit(b.toLong)).otherwise(acc)
+    }
+    Par.spread(docs)
+      .select(col("doc_id"), n.as("n_tokens"), bucket.as("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Cross-document boilerplate removal (the C4/RefinedWeb line-dedup rule):
     * segment every document, count in how many DISTINCT documents each
     * segment occurs, strip segments whose document frequency reaches

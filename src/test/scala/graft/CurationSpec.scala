@@ -150,6 +150,33 @@ class CurationSpec extends SparkSpec {
       "untouched doc must reassemble to its exact original text")
   }
 
+  test("shuffle shards: replayable permutation, contiguous per-shard positions") {
+    import spark.implicits._
+    val d = (1L to 200L).map(i => (i, s"text $i", "s")).toDF("doc_id", "text", "source")
+    val a = Curation.shuffleShards(d, nShards = 8).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("shard"), r.getAs[Long]("shard_pos")))
+    assert(a.map(_._1).sorted.toSeq == (1L to 200L), "a permutation covers every doc once")
+    assert(a.forall(x => x._2 >= 0 && x._2 < 8))
+    a.groupBy(_._2).foreach { case (s, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq,
+        s"shard $s positions must be contiguous from 1")
+    }
+    // replayable: no RNG state, identical on re-evaluation
+    val b = Curation.shuffleShards(d, nShards = 8).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("shard"), r.getAs[Long]("shard_pos")))
+    assert(b.toSeq == a.toSeq)
+  }
+
+  test("length buckets: smallest power-of-two step >= n, clamped at the max") {
+    import spark.implicits._
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val d = Seq((1L, words(10), "s"), (2L, words(16), "s"), (3L, words(17), "s"),
+      (4L, words(100), "s")).toDF("doc_id", "text", "source")
+    val m = Curation.lengthBuckets(d, minBucket = 16, maxBucket = 64).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("bucket")).toMap
+    assert(m == Map(1L -> 16L, 2L -> 16L, 3L -> 32L, 4L -> 64L), s"got $m")
+  }
+
   test("incremental segment-df merge equals the full-corpus index") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
