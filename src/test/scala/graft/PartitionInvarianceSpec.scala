@@ -26,7 +26,9 @@ class PartitionInvarianceSpec extends SparkSpec {
     // round-5 wave: quantized-mean clustering, within-cluster dedup,
     // df-threshold reassembly, decimal-logit scoring, temperature mixture
     "q_kmeans", "q_semantic_dedup", "q_boilerplate", "q_boilerplate_incr",
-    "q_classifier", "q_ingest_audit_clf", "q_domain_mix_temp")
+    "q_classifier", "q_ingest_audit_clf", "q_domain_mix_temp",
+    "q_lm_bigram", "q_ccnet_buckets", "q_materialize_seqs",
+    "q_fuzzy_decontaminate", "q_shuffle_shards", "q_length_buckets")
 
   test("query results are invariant to shuffle-partition count and scan splits") {
     val missing = targets.filterNot(SparkEntry.queries.contains)
