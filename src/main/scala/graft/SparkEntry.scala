@@ -1482,7 +1482,7 @@ object SparkEntry {
         |  CASE WHEN n_tokens < 5 THEN 'too_short'
         |       WHEN dup_trigram_frac > 0.15 THEN 'repetitive'
         |       WHEN list_has_any(s4, bvocab.v) THEN 'contaminated'
-        |       WHEN logit < 0.0 THEN 'classifier_reject'
+        |       WHEN logit <= 0.0 THEN 'classifier_reject'
         |       ELSE 'ok' END AS reason
         |FROM verdicts CROSS JOIN bvocab ORDER BY doc_id""".stripMargin,
     "q_domain_mix" ->

@@ -850,8 +850,8 @@ object Dedup {
         Iterator.range(lowerBound(id), all.length)
           .map { x =>
             val (jd, v, nv) = all(x)
-            (id, jd, SimilaritySearch.round6(
-              SimilaritySearch.dotKernel(e, v) / (ne * nv)))
+            (id, jd, SimilaritySearch.safeCos(
+              SimilaritySearch.dotKernel(e, v), ne, nv))
           }
           .filter(_._3 >= threshold)
       }

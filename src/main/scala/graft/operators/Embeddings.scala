@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import SimilaritySearch.{dotKernel, l2NormKernel, round6}
+import SimilaritySearch.{dotKernel, l2NormKernel, round6, safeCos}
 
 /** Embedding-space corpus structure: Lloyd-refined k-means clustering and
   * the SemDeDup-style semantic dedup built on it (Abbas et al. 2023:
@@ -100,7 +100,9 @@ object Embeddings {
       cs: Array[(Int, Array[Double], Double)]): (Int, Double) = {
     var bestC = -1; var best = Double.NegativeInfinity
     cs.foreach { case (ci, cv, cn) =>
-      val cos = round6(dotKernel(e, cv) / (ne * cn))
+      // zero-norm vectors (or degenerate centroids) score -1.0 instead of
+      // NaN — see SimilaritySearch.safeCos; the first centroid then wins
+      val cos = safeCos(dotKernel(e, cv), ne, cn)
       if (cos > best) { best = cos; bestC = ci } // ascending ci: first wins ties
     }
     (bestC, best)

@@ -40,12 +40,32 @@ object Relational {
     * against the order-of-magnitude headroom in the default bound
     * (2^20 distinct ≈ 16 MB of packed state vs multi-GB failures).
     * `maxDistinct = Int.MaxValue` skips the pass for known-bounded domains.
+    *
+    * The sketch COUNT (not the verdict) is memoized per canonicalized
+    * `df.select(valueCol)` plan, so repeated quantile calls over the same
+    * (input, column) pay the extra scan once per session — the cardinality
+    * of a fixed input frame cannot change between calls, and parquet
+    * inputs are immutable for a session's planning purposes. Every call
+    * still evaluates `require` against ITS OWN `maxDistinct`, so a cached
+    * count never weakens the check. The cache is cleared wholesale past
+    * 256 entries (each key holds an analyzed sub-plan; derived frames such
+    * as a localCheckpoint'ed score table plan as distinct LogicalRDDs and
+    * simply miss — correct, never stale).
     */
+  private val guardCache = new java.util.concurrent.ConcurrentHashMap[
+    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, java.lang.Long]()
+
   private[operators] def requireBoundedDistinct(
       df: DataFrame, valueCol: Column, maxDistinct: Int, op: String): Unit =
     if (maxDistinct != Int.MaxValue) {
-      val approx = df.agg(
-        approx_count_distinct(valueCol, rsd = 0.05).as("n")).head().getLong(0)
+      val key = df.select(valueCol).queryExecution.analyzed.canonicalized
+      var approx = guardCache.get(key)
+      if (approx == null) {
+        approx = df.agg(
+          approx_count_distinct(valueCol, rsd = 0.05).as("n")).head().getLong(0)
+        if (guardCache.size() >= 256) guardCache.clear()
+        guardCache.put(key, approx)
+      }
       require(approx <= maxDistinct.toLong,
         s"$op: ~$approx distinct values exceed maxDistinct=$maxDistinct; " +
           "exact quantile state is O(distinct) — use the sketch twin " +

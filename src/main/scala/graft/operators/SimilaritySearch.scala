@@ -44,6 +44,19 @@ object SimilaritySearch {
   def round6(x: Double): Double =
     new java.math.BigDecimal(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
 
+  /** Rounded cosine from a precomputed dot and the two norms, zero-norm
+    * safe: a zero vector has no direction, so its similarity to anything is
+    * pinned to −1.0 (maximally distant — it can never win an argmax or pass
+    * a ≥ τ gate) instead of the 0/0 NaN that would throw from [[round6]]'s
+    * BigDecimal constructor mid-job. All JVM cosine kernels route through
+    * this; the Column/codegen paths propagate NaN harmlessly and filter it
+    * out at their `>= τ` / rank predicates.
+    */
+  def safeCos(dot: Double, na: Double, nb: Double): Double = {
+    val denom = na * nb
+    if (denom == 0.0) -1.0 else round6(dot / denom)
+  }
+
   /** Brute-force cosine top-k: for each query vector (from `queries`), the k
     * nearest corpus vectors. Ranking uses the ROUNDED similarity (ties broken
     * by neighbor id) so ordering is reproducible across engines.
@@ -68,7 +81,7 @@ object SimilaritySearch {
           val e = f.map(_.toDouble)
           val ne = l2NormKernel(e)
           qs.iterator.filter(_._1 != nid).map { case (qid, qv, qn) =>
-            (qid, nid, round6(dotKernel(qv, e) / (qn * ne)))
+            (qid, nid, safeCos(dotKernel(qv, e), qn, ne))
           }
         }
       }.toDF("query_id", "neighbor_id", "cos")
@@ -142,7 +155,7 @@ object SimilaritySearch {
             val ne = l2NormKernel(e)
             var bestId = -1L; var best = Double.NegativeInfinity
             cs.foreach { case (cid, cv, cn) =>
-              val cos = round6(dotKernel(e, cv) / (ne * cn))
+              val cos = safeCos(dotKernel(e, cv), ne, cn)
               if (cos > best) { best = cos; bestId = cid } // ascending ids: first wins ties
             }
             (id, f, bestId)

@@ -42,7 +42,10 @@ object IngestGate {
     * labeled seed — model-based quality filtering served on the stream.
     * Each doc's logit is a row-local double fold over its token array
     * (unseen tokens add 0) plus the bias, rounded to 6 dp; docs whose logit
-    * falls below `minLogit` fail as `classifier_reject`.
+    * is at or below `minLogit` fail as `classifier_reject` — the SAME
+    * open/closed boundary as [[graft.operators.TextAnalysis.classifierScore]]
+    * (keep ⇔ logit STRICTLY above the threshold), so the gate admits exactly
+    * the set the batch scorer would keep.
     */
   def audit(
       docs: DataFrame, benchShingles: DataFrame, n: Int = 4,
@@ -121,7 +124,7 @@ object IngestGate {
           .when(arrays_overlap(
             array_distinct(shingles(col("toks"), n)), col("bench_vocab")), "contaminated")
           .when(col("avg_nll") > maxAvgNll, "low_quality")
-          .when(col("logit") < minLogit, "classifier_reject")
+          .when(col("logit") <= minLogit, "classifier_reject")
           .otherwise("ok"))
       .drop("bench_vocab", "toks", "tri")
   }
