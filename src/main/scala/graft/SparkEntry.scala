@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{array_distinct, col, count, explode, lit, sum}
+import org.apache.spark.sql.functions.{array_distinct, col, concat, count, explode, expr, length, lit, sum, when}
 import graft.operators.{Dedup, Relational, SimilaritySearch, Skew, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -112,6 +112,27 @@ object SparkEntry {
     // multimodal decode pipeline over documents-as-binary; rows-only check
     // (the stub decoder's float features are engine-specific)
     "q_media_features" -> ((s, d) => operators.Multimodal.documentMediaFeatures(Tables.documents(s, d))),
+    // perceptual (dHash) near-dup pairs over documents-as-media: banded
+    // Hamming blocking + codegen'd verify — the image-pillar dedup operator.
+    // Harness re-ingestion policy (the corpus has no byte-identical payloads
+    // at sf0.01, which would gate a vacuous empty result): %5 docs re-arrive
+    // byte-identical under a new media id (+10000) and %7 docs re-arrive
+    // "re-encoded" with a one-character change (+20000) — the two arrival
+    // shapes perceptual dedup exists to catch (Hamming 0 and small-Hamming;
+    // a 1-char edit perturbs one grid row, so some re-encodes land ≤ 3 and
+    // pair while others exceed the threshold and are correctly excluded)
+    "q_media_phash_neardup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val reId = docs.filter(col("doc_id") % 5 === 0)
+        .withColumn("doc_id", col("doc_id") + 10000)
+      val reEnc = docs.filter(col("doc_id") % 7 === 0)
+        .withColumn("doc_id", col("doc_id") + 20000)
+        .withColumn("text", when(length(col("text")) > 0,
+          concat(lit("Z"), expr("substr(text, 2, length(text))")))
+          .otherwise(col("text")))
+      operators.Multimodal.mediaPhashNearDupPairs(
+        docs.unionByName(reId).unionByName(reEnc))
+    }),
     // sketches: no oracle (engine-specific internals) → rows-only check
     "q_approx_distinct" -> ((s, d) => Relational.approxDistinctUsersPerType(Tables.events(s, d))),
     "q_approx_quantiles" -> ((s, d) => Relational.approxPriceQuantiles(Tables.lineitem(s, d))),
@@ -443,6 +464,44 @@ object SparkEntry {
       s"""SELECT doc_id AS media_id, 'fake-md5' AS decoder,
         |  $fs
         |FROM documents ORDER BY media_id""".stripMargin
+    },
+    // dHash oracle: the stub pixel grid is md5-hex bytes of 8 contiguous
+    // character slices; bit(r,c) = px(r,c) < px(r,c+1) row-major; pairs via
+    // the same 4×16-bit pigeonhole blocking the Spark plan uses, Hamming
+    // verified positionally — all integer/string math, engine-identical
+    "q_media_phash_neardup" -> {
+      val hs = (0 until 8).map(r =>
+        s"md5(substring(text, CAST(floor(n*$r/8.0) AS INT)+1, " +
+          s"CAST(floor(n*${r + 1}/8.0) AS INT)-CAST(floor(n*$r/8.0) AS INT))) AS h$r")
+        .mkString(",\n        |  ")
+      val bits = (for { r <- 0 until 8; c <- 0 until 8 } yield
+        s"CASE WHEN ('0x'||substr(h$r,${2 * c + 1},2))::BIGINT < " +
+          s"('0x'||substr(h$r,${2 * c + 3},2))::BIGINT THEN '1' ELSE '0' END")
+        .mkString(" ||\n        |    ")
+      s"""WITH g0 AS (SELECT doc_id, text FROM documents),
+        |ing AS (
+        |  SELECT doc_id, text FROM g0
+        |  UNION ALL SELECT doc_id + 10000, text FROM g0 WHERE doc_id % 5 = 0
+        |  UNION ALL SELECT doc_id + 20000,
+        |    CASE WHEN length(text) > 0 THEN 'Z' || substr(text, 2, length(text))
+        |         ELSE text END
+        |  FROM g0 WHERE doc_id % 7 = 0),
+        |g AS (SELECT doc_id, text, length(text) AS n FROM ing),
+        |hx AS (SELECT doc_id,
+        |  $hs
+        |FROM g),
+        |ph AS (SELECT doc_id,
+        |    $bits AS fp
+        |  FROM hx),
+        |cand AS (SELECT a.doc_id AS i, b.doc_id AS j, a.fp AS fa, b.fp AS fb
+        |  FROM ph a JOIN ph b ON a.doc_id < b.doc_id AND (
+        |    substr(a.fp,1,16) = substr(b.fp,1,16) OR
+        |    substr(a.fp,17,16) = substr(b.fp,17,16) OR
+        |    substr(a.fp,33,16) = substr(b.fp,33,16) OR
+        |    substr(a.fp,49,16) = substr(b.fp,49,16))),
+        |hd AS (SELECT i, j, len(list_filter(range(1,65),
+        |    x -> substr(fa,x,1) != substr(fb,x,1))) AS hamming FROM cand)
+        |SELECT i, j, hamming FROM hd WHERE hamming <= 3 ORDER BY i, j""".stripMargin
     },
     "q_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,

@@ -462,39 +462,67 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Banded-Hamming candidate pairs over an arbitrary bit-string
+    * fingerprint column — the shared blocking kernel of
+    * [[simhashNearDupPairs]] (60-bit text SimHash) and
+    * [[graft.operators.Multimodal.mediaPhashNearDupPairs]] (64-bit
+    * perceptual dHash). The fingerprint is banded into `chunks` slices of
+    * `chunkLen` bits; by pigeonhole, Hamming ≤ chunks−1 ⇒ at least one
+    * identical chunk, so the chunk-equality blocking is EXACT at that
+    * threshold. One shuffle on the (chunk_idx, chunk) key with in-group
+    * pair generation — a chunk-equality self-join would shuffle (and
+    * recompute the fingerprint for) both sides. `blockCap` bounds a
+    * degenerate block (e.g. a fingerprint value repeated 10⁵× at corpus
+    * scale): a block past the cap buffers cap+1 rows and emits ZERO pairs
+    * — the same short-circuit contract as [[editDistancePairs]]' dfCap;
+    * exact-duplicate floods should be removed by [[dedupKeepFirst]]
+    * upstream, which is the documented pipeline order.
+    *
+    * Input: (doc_id: Long, fp: String). Output: distinct candidate pairs
+    * (i, j, fp_i, fp_j), i < j.
+    */
+  private[operators] def bandedHammingCandidates(
+      fp: DataFrame, chunks: Int, chunkLen: Int,
+      blockCap: Int = 65536): DataFrame = {
+    val spark = fp.sparkSession
+    import spark.implicits._
+    val chunked = fp.select(
+      col("doc_id"), col("fp"),
+      posexplode(array((0 until chunks).map(c =>
+        substring(col("fp"), c * chunkLen + 1, chunkLen)): _*)))
+      .toDF("doc_id", "fp", "chunk_idx", "chunk")
+      .as[(Long, String, Int, String)]
+    chunked
+      .groupByKey { case (_, _, ci, c) => (ci, c) }
+      .flatMapGroups { (_, rows) =>
+        val lim = if (blockCap == Int.MaxValue) Int.MaxValue else blockCap + 1
+        val ds = rows.map { case (id, s, _, _) => (id, s) }.take(lim).toArray
+        if (ds.length > blockCap) Iterator.empty
+        else {
+          java.util.Arrays.sort(ds, Ordering.by((t: (Long, String)) => t._1))
+          for {
+            i <- ds.indices.iterator
+            j <- (i + 1 until ds.length).iterator
+          } yield (ds(i)._1, ds(j)._1, ds(i)._2, ds(j)._2)
+        }
+      }
+      .toDF("i", "j", "fp_i", "fp_j")
+      .distinct() // a pair may collide in several chunks
+  }
+
   /** SimHash near-dup pairs: 60-bit fingerprints banded into 4 15-bit
     * chunks; by pigeonhole, Hamming ≤ 3 ⇒ at least one identical chunk, so
     * the chunk-equality self-join is an EXACT blocking (no recall loss at
-    * the ≤3 threshold). Verification uses the native
-    * [[graft.plans.HammingDistance]] codegen expression.
+    * the ≤3 threshold). Blocking via [[bandedHammingCandidates]];
+    * verification uses the native [[graft.plans.HammingDistance]] codegen
+    * expression.
     */
   def simhashNearDupPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val spark = docs.sparkSession
-    import spark.implicits._
     graft.plans.GraftFunctions.register(spark)
-    val fp = simhashFingerprints(docs)
-    // one shuffle on the chunk key with in-group pair generation — a
-    // chunk-equality self-join would run the fingerprint kernel once per side
-    val chunked = fp.select(
-      col("doc_id"), col("simhash"),
-      posexplode(array((0 until 4).map(c =>
-        substring(col("simhash"), c * 15 + 1, 15)): _*)))
-      .toDF("doc_id", "simhash", "chunk_idx", "chunk")
-      .as[(Long, String, Int, String)]
-    val cand = chunked
-      .groupByKey { case (_, _, ci, c) => (ci, c) }
-      .flatMapGroups { (_, rows) =>
-        val ds = rows.map { case (id, sh, _, _) => (id, sh) }.toArray
-        java.util.Arrays.sort(ds, Ordering.by((t: (Long, String)) => t._1))
-        for {
-          i <- ds.indices.iterator
-          j <- (i + 1 until ds.length).iterator
-        } yield (ds(i)._1, ds(j)._1, ds(i)._2, ds(j)._2)
-      }
-      .toDF("i", "j", "sh_i", "sh_j")
-      .distinct() // a pair may collide in several chunks
-    cand
-      .withColumn("hamming", call_function("hamming_distance", col("sh_i"), col("sh_j")))
+    val fp = simhashFingerprints(docs).toDF("doc_id", "fp")
+    bandedHammingCandidates(fp, chunks = 4, chunkLen = 15)
+      .withColumn("hamming", call_function("hamming_distance", col("fp_i"), col("fp_j")))
       .filter(col("hamming") <= maxHamming)
       .select(col("i"), col("j"), col("hamming"))
       .orderBy(col("i"), col("j"))

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column operators: image/audio/video as opaque `binary` columns
@@ -91,6 +91,67 @@ object Multimodal {
     extractFeatures(media)
       .select(cols: _*)
       .orderBy(col("media_id"))
+  }
+
+  /** dHash perceptual fingerprints over the stub decoder's pixel grid —
+    * the image near-dup operator (every other LLM-pipeline pillar has one;
+    * this is the multimodal column's).
+    *
+    * Real pipeline: decode → grayscale-resize to a (rows+0)×(cols) grid →
+    * dHash bit(r,c) = px(r,c) < px(r,c+1) — robust to re-encode / resize /
+    * small edits because neighboring-pixel ORDER survives them. Here the
+    * decode is the deterministic stub ([[DeterministicFakeDecoder]]'s
+    * md5-derived pixels, generalized to a grid): pixel row `r` is the first
+    * `cols` bytes of md5 of the r-th of `rows` contiguous character slices
+    * of the payload, so identical payloads collide at Hamming 0 and a
+    * payload edit perturbs only the grid rows whose slices changed — the
+    * locality a real dHash gets from downsampling. Every step is engine-
+    * reproducible (md5 + hex slicing + integer compare), which is what lets
+    * the DuckDB oracle reproduce the 64-bit fingerprint bit-for-bit (the
+    * q_media_features precedent). Swapping in a real decoder replaces only
+    * the pixel-grid derivation; banding, verification, and the pair plan
+    * are unchanged.
+    *
+    * Pure column math (md5/substr/conv are all codegen'd) — narrow, no
+    * shuffle, no UDF. The 8 slice-hash columns are staged as real columns
+    * so each md5 evaluates once per row (multi-referenced non-cheap aliases
+    * survive CollapseProject — the IngestGate staging pattern).
+    */
+  def documentPerceptualHashes(docs: DataFrame): DataFrame = {
+    val gridRows = 8
+    val gridCols = 9
+    val n = length(col("text"))
+    // fake pixel row r: md5 of the r-th contiguous character slice; slice
+    // boundaries floor(n*r/rows) are exact in doubles for any real text
+    def sliceHash(r: Int): Column = {
+      val lo = floor(n.cast("double") * r / gridRows).cast("int")
+      val hi = floor(n.cast("double") * (r + 1) / gridRows).cast("int")
+      md5(col("text").substr(lo + lit(1), hi - lo))
+    }
+    val staged = Par.spread(docs).select(
+      col("doc_id") +: (0 until gridRows).map(r => sliceHash(r).as(s"h$r")): _*)
+    def px(r: Int, c: Int): Column =
+      conv(substring(col(s"h$r"), c * 2 + 1, 2), 16, 10).cast("int")
+    val bits = for { r <- 0 until gridRows; c <- 0 until gridCols - 1 }
+      yield when(px(r, c) < px(r, c + 1), "1").otherwise("0")
+    staged.select(col("doc_id"), concat(bits: _*).as("phash"))
+  }
+
+  /** Perceptual near-dup pairs over the media column: 64-bit dHash banded
+    * into 4 16-bit chunks ([[graft.operators.Dedup.bandedHammingCandidates]]
+    * — pigeonhole-exact at Hamming ≤ 3), verified with the codegen'd
+    * [[graft.plans.HammingDistance]]. Same scale shape as the text SimHash
+    * pairs: one shuffle on the chunk key, capped in-group generation,
+    * O(pairs-sharing-a-chunk) work — never all-pairs.
+    */
+  def mediaPhashNearDupPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    graft.plans.GraftFunctions.register(docs.sparkSession)
+    val fp = documentPerceptualHashes(docs).toDF("doc_id", "fp")
+    Dedup.bandedHammingCandidates(fp, chunks = 4, chunkLen = 16)
+      .withColumn("hamming", call_function("hamming_distance", col("fp_i"), col("fp_j")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("i"), col("j"), col("hamming"))
+      .orderBy(col("i"), col("j"))
   }
 
   /** Resize planning — pure metadata projection (narrow, codegen'd): target

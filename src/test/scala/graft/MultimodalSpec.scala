@@ -67,4 +67,44 @@ class MultimodalSpec extends SparkSpec {
       .map(r => (r.getAs[Int]("frame_idx"), r.getAs[Long]("frame_ts_ms"))).sorted
     assert(frames.toSeq == Seq((0, 0L), (1, 1000L), (2, 2000L), (3, 3000L)))
   }
+
+  test("documentPerceptualHashes: 64-bit strings, deterministic, content-addressed") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "a b c d e f g h i j"),
+      (3L, "totally different text with other words"),
+      (4L, "")).toDF("doc_id", "text")
+    val fp = Multimodal.documentPerceptualHashes(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fp.size == 4)
+    assert(fp.values.forall(s => s.length == 64 && s.forall(c => c == '0' || c == '1')))
+    assert(fp(1L) == fp(2L)) // identical payload → identical fingerprint
+    assert(fp(1L) != fp(3L))
+    // empty payload: all 8 slice hashes equal md5("") = d41d8cd98f00b204...
+    // → every grid row carries the same neighbor-compare bits (d4<1d? no,
+    // 1d<8c? yes, ...) = "01100101", repeated — deterministic, no crash
+    assert(fp(4L) == "01100101" * 8)
+  }
+
+  test("mediaPhashNearDupPairs == brute-force Hamming<=3 over the same fingerprints") {
+    val texts = (0 until 40).map { i =>
+      val body =
+        if (i % 4 == 0) "duplicate payload body shared across several docs"
+        else s"unique body $i with words ${i * 7} and tail ${i * 13}"
+      (i.toLong, body)
+    }
+    val docs = texts.toDF("doc_id", "text")
+    val fps = Multimodal.documentPerceptualHashes(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val brute = for {
+      a <- fps.toSeq; b <- fps.toSeq if a._1 < b._1
+      h = a._2.zip(b._2).count { case (x, y) => x != y } if h <= 3
+    } yield (a._1, b._1, h)
+    val got = Multimodal.mediaPhashNearDupPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    // banded blocking is pigeonhole-EXACT at Hamming <= 3: no recall loss
+    assert(got == brute.sortBy(p => (p._1, p._2)))
+    // the planted exact duplicates pair at Hamming 0
+    assert(got.count(_._3 == 0) >= (10 * 9) / 2)
+  }
 }
