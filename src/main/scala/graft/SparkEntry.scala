@@ -279,6 +279,15 @@ object SparkEntry {
         .select(col("doc_id"), col("n_tokens"), col("logit"), col("reason"))
         .orderBy(col("doc_id"))
     }),
+    // the SEMANTIC novelty gate's batch twin: a new batch (%3 == 0, the
+    // incremental-dedup harness split) probes the existing corpus's IVF
+    // novelty index in embedding space — admitted only when no corpus
+    // vector sits at cosine >= 0.45 in the probed cell
+    "q_ingest_audit_sem" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Dedup.incrementalSemanticDedup(
+        emb.filter(col("vec_id") % 3 =!= 0), emb.filter(col("vec_id") % 3 === 0))
+    }),
   )
 
   // DuckDB-side shared fragments for the LLM-pipeline oracles
@@ -849,6 +858,36 @@ object SparkEntry {
          |  CASE WHEN dup.j IS NOT NULL THEN 'drop' ELSE 'keep' END AS action
          |FROM af LEFT JOIN dup ON dup.j = af.vec_id
          |ORDER BY af.vec_id""".stripMargin,
+    // semantic novelty gate batch twin: k-means CTEs fit on the CORPUS
+    // slice only (e binds corpus), af = corpus cell assignment (the
+    // index), sc_b/ab = batch assignment under the same final centroids,
+    // best = per-batch-vector max rounded cosine within its cell (ties to
+    // the lowest corpus id) — mirrors Dedup.semanticNoveltyProbe exactly
+    "q_ingest_audit_sem" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+         |  FROM embeddings WHERE vec_id % 3 <> 0),
+         |bq AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+         |  FROM embeddings WHERE vec_id % 3 = 0),
+         |${duckKmeansCtes(8, 2)},
+         |sc_b AS (SELECT v.vec_id, c.ci,
+         |    round(${duckDot("v.emb", "c.emb")}
+         |      / (sqrt(${duckDot("v.emb", "v.emb")}) * c.nrm), 6) AS cos
+         |  FROM bq v CROSS JOIN k2 c),
+         |ab AS (SELECT vec_id, ci FROM (SELECT vec_id, ci,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, ci) AS rk
+         |  FROM sc_b) WHERE rk = 1),
+         |cand AS (SELECT b.vec_id, c.vec_id AS cid,
+         |    ${duckCos("bv.emb", "ce.emb")} AS cos
+         |  FROM ab b JOIN bq bv ON bv.vec_id = b.vec_id
+         |  JOIN af c ON c.ci = b.ci
+         |  JOIN e ce ON ce.vec_id = c.vec_id),
+         |best AS (SELECT vec_id, cid, cos FROM (SELECT vec_id, cid, cos,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rk
+         |  FROM cand) WHERE rk = 1)
+         |SELECT b.vec_id, b.ci AS cell, best.cos AS max_cos, best.cid AS best_match,
+         |  CASE WHEN best.cos >= 0.45 THEN 'duplicate_semantic' ELSE 'ok' END AS reason
+         |FROM ab b LEFT JOIN best ON best.vec_id = b.vec_id
+         |ORDER BY b.vec_id""".stripMargin,
     // the same LSH pair graph closed into components by the recursive walk
     // (the embedding-side twin of q_dedup_clusters' oracle)
     "q_dedup_clusters_emb" ->

@@ -355,6 +355,11 @@ object Curation {
     * corpus+index. The broadcast bounds the served index to the frequent
     * head — at lake scale feed it `boilerplateIndex(...).filter/limit`
     * (rare boilerplate costs little; the head is what pollutes training).
+    *
+    * Passes every input column except `text` through (plus clean_text and
+    * the kept/removed counts), so it composes in front of the ingest gate:
+    * strip → rename clean_text→text → `IngestGate.admit` is one continuous
+    * append-safe query (the fully-loaded front door StreamBench measures).
     */
   def stripBoilerplate(
       docs: DataFrame,
@@ -367,10 +372,11 @@ object Curation {
       .crossJoin(broadcast(idx))
       .withColumn("kept", filter(col("segs"),
         s => !array_contains(col("bp_set"), md5(s))))
-      .select(col("doc_id"),
-        array_join(col("kept"), joiner).as("clean_text"),
-        size(col("kept")).cast("long").as("kept_segments"),
-        (size(col("segs")) - size(col("kept"))).cast("long").as("removed_segments"))
+      .withColumn("clean_text", array_join(col("kept"), joiner))
+      .withColumn("kept_segments", size(col("kept")).cast("long"))
+      .withColumn("removed_segments",
+        (size(col("segs")) - size(col("kept"))).cast("long"))
+      .drop("segs", "bp_set", "kept", "text")
   }
 
   /** Fixed non-overlapping token windows as a [[removeBoilerplate]]

@@ -948,4 +948,93 @@ object Dedup {
         when(col("is_dup"), "drop").otherwise("keep").as("action"))
       .orderBy(col("vec_id"))
   }
+
+  /** A corpus's embedding-space novelty index: the trained coarse quantizer
+    * (Lloyd-refined centroids, [[Embeddings.fitCentroids]]) plus the corpus
+    * vectors PACKED one-row-per-cell — (cell, members: array<struct<id,
+    * emb>>), members sorted by id. The packed layout is what makes the
+    * probe APPEND-SAFE on a stream: the stream-static join on cell yields
+    * exactly one row per probed vector (no streaming aggregation, no
+    * output-mode constraint), and the per-cell max-cosine is a row-local
+    * higher-order fold — the bucket-array serving pattern of
+    * `classifierModel`, applied to vectors.
+    *
+    * Scale: the index is O(corpus) overall but probed O(cell) per arrival;
+    * size `k` so cells stay broadcastable (corpus/k vectors × dim floats),
+    * and shard the static side past that (Spark plans a sort-merge
+    * stream-static join; still append-safe). `cellCap` bounds a degenerate
+    * cell: past the cap only the `cellCap` members NEAREST the centroid
+    * (rounded cos desc, id asc — deterministic) are indexed, a documented
+    * recall trade that keeps one packed row bounded — the clusterCap
+    * precedent. Refresh contract: the quantizer is batch-fit and FROZEN
+    * between refits (SCALE.md "centroid staleness").
+    */
+  case class SemanticIndex(
+      centroids: Array[(Int, Array[Double], Double)], cells: DataFrame)
+
+  def buildSemanticIndex(
+      corpus: DataFrame, k: Int = 8, iters: Int = 2,
+      cellCap: Int = 4096): SemanticIndex = {
+    val centroids = Embeddings.fitCentroids(corpus, k, iters)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster")).orderBy(col("cos").desc, col("vec_id"))
+    // the window's cluster shuffle is reused by the groupBy (same key) —
+    // one exchange builds the whole index
+    val cells = Embeddings.assignTo(corpus, centroids)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= cellCap)
+      .groupBy(col("cluster").as("cell"))
+      .agg(sort_array(collect_list(struct(
+        col("vec_id").as("id"), col("embedding").as("emb")))).as("members"))
+    SemanticIndex(centroids, cells)
+  }
+
+  /** Probe a [[SemanticIndex]] with a batch OR STREAM of vectors: each
+    * probe vector is routed to its nearest centroid (stateless kernel
+    * pass, [[Embeddings.assignTo]]) and scored against the packed members
+    * of that one cell — `duplicate_semantic` when the best rounded cosine
+    * reaches `threshold`, else `ok`, with the best-matching corpus id as
+    * evidence (ties to the LOWEST id via the negated-id struct max; a
+    * vector landing in an unindexed cell has no candidates and is `ok`).
+    * Every step is narrow or stream-static — no state, no watermark
+    * needed; this is the embedding-space twin of `IngestGate.admitNovel`'s
+    * digest anti-join, and the dedup a real pipeline runs at the gate
+    * rather than after it.
+    */
+  def semanticNoveltyProbe(
+      vecs: DataFrame, index: SemanticIndex,
+      threshold: Double = 0.45): DataFrame = {
+    graft.plans.GraftFunctions.register(vecs.sparkSession)
+    val best = array_max(transform(col("members"), m =>
+      struct(
+        // zero-norm guard mirrors SimilaritySearch.safeCos: NaN would sort
+        // ABOVE every real cosine under Spark's NaN-greatest ordering and
+        // win the max — pin it to -1.0 instead
+        nanvl(round(call_function("cosine_similarity",
+          m.getField("emb"), col("embedding")), 6), lit(-1.0)).as("cos"),
+        (-m.getField("id")).as("nid"))))
+    Embeddings.assignTo(vecs, index.centroids)
+      .select(col("vec_id"), col("embedding"), col("cluster").as("cell"))
+      .join(broadcast(index.cells), Seq("cell"), "left_outer")
+      .withColumn("best", best)
+      .select(
+        col("vec_id"), col("cell"),
+        col("best").getField("cos").as("max_cos"),
+        (-col("best").getField("nid")).as("best_match"),
+        when(col("best").getField("cos") >= threshold, "duplicate_semantic")
+          .otherwise("ok").as("reason"))
+  }
+
+  /** Incremental SemDeDup — admit a NEW batch against the EXISTING corpus
+    * in embedding space: build the corpus novelty index once, probe each
+    * batch vector's cell (the admit-a-batch cost model of
+    * [[incrementalExactDedup]]/[[incrementalMinhashDedup]], applied to
+    * semantic near-dups — the batch is never self-joined and the corpus is
+    * never rescanned per pair). Output one verdict row per batch vector.
+    */
+  def incrementalSemanticDedup(
+      corpus: DataFrame, batch: DataFrame, threshold: Double = 0.45,
+      k: Int = 8, iters: Int = 2, cellCap: Int = 4096): DataFrame =
+    semanticNoveltyProbe(batch, buildSemanticIndex(corpus, k, iters, cellCap), threshold)
+      .orderBy(col("vec_id"))
 }

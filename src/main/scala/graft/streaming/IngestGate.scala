@@ -151,8 +151,10 @@ object IngestGate {
   def admit(
       docs: DataFrame, benchShingles: DataFrame,
       watermark: String = "10 minutes",
-      classifier: Option[DataFrame] = None, minLogit: Double = 0.0): DataFrame =
-    admitImpl(docs, benchShingles, watermark, identity, classifier, minLogit)
+      classifier: Option[DataFrame] = None, minLogit: Double = 0.0,
+      lmModel: Option[DataFrame] = None, maxAvgNll: Double = 10.0): DataFrame =
+    admitImpl(docs, benchShingles, watermark, identity,
+      classifier, minLogit, lmModel, maxAvgNll)
 
   /** [[admit]] that is also NOVEL against the existing corpus — the
     * streaming twin of [[graft.operators.Dedup.incrementalExactDedup]]:
@@ -170,15 +172,17 @@ object IngestGate {
   def admitNovel(
       docs: DataFrame, benchShingles: DataFrame, corpusDigests: DataFrame,
       watermark: String = "10 minutes",
-      classifier: Option[DataFrame] = None, minLogit: Double = 0.0): DataFrame =
+      classifier: Option[DataFrame] = None, minLogit: Double = 0.0,
+      lmModel: Option[DataFrame] = None, maxAvgNll: Double = 10.0): DataFrame =
     admitImpl(docs, benchShingles, watermark,
       _.join(corpusDigests.select(col("text_hash")), Seq("text_hash"), "left_anti"),
-      classifier, minLogit)
+      classifier, minLogit, lmModel, maxAvgNll)
 
   private def admitImpl(
       docs: DataFrame, benchShingles: DataFrame, watermark: String,
       noveltyProbe: DataFrame => DataFrame,
-      classifier: Option[DataFrame] = None, minLogit: Double = 0.0): DataFrame =
+      classifier: Option[DataFrame] = None, minLogit: Double = 0.0,
+      lmModel: Option[DataFrame] = None, maxAvgNll: Double = 10.0): DataFrame =
     audit(
       noveltyProbe(
         docs
@@ -186,7 +190,9 @@ object IngestGate {
           .withColumn("text_hash", md5(col("text")))
           .withWatermark("event_time", watermark)
           .dropDuplicatesWithinWatermark("text_hash")),
-      benchShingles, cacheVocab = true, classifier = classifier, minLogit = minLogit)
+      benchShingles, cacheVocab = true,
+      lmModel = lmModel, maxAvgNll = maxAvgNll,
+      classifier = classifier, minLogit = minLogit)
       .filter(col("reason") === "ok")
       .select(col("doc_id"), col("text"), col("source"), col("event_time"))
 }

@@ -30,4 +30,39 @@ object StreamDedup {
       .withColumn("event_time", timestamp_millis(col("timestamp")))
       .withWatermark("event_time", horizon)
       .dropDuplicatesWithinWatermark("text_hash")
+
+  /** Semantic novelty gate on an embedding stream — the embedding-space
+    * twin of `IngestGate.admitNovel`: the corpus IVF novelty index is fit
+    * and packed in BATCH ([[graft.operators.Dedup.buildSemanticIndex]] —
+    * the fit-in-batch/probe-on-stream split of `Embeddings.assignStream`),
+    * then every arriving vector probes its own cell row-locally and is
+    * admitted only when NO corpus vector sits at rounded cosine ≥
+    * `threshold` there. Stateless end to end (kernel assign → stream-static
+    * broadcast join → row-local fold), so the gate is append-safe and holds
+    * no streaming state at any corpus size.
+    *
+    * The packed cells are cached: the static side of a stream-static join
+    * re-executes every micro-batch, and the index build (k-means fit +
+    * window + pack) is exactly the work the cache amortizes. At lake scale
+    * the cached frame is the served index artifact — refresh it on corpus
+    * compaction (SCALE.md "centroid staleness" contract).
+    */
+  def admitNovelSemantic(
+      stream: DataFrame, corpus: DataFrame, threshold: Double = 0.45,
+      k: Int = 8, iters: Int = 2, cellCap: Int = 4096): DataFrame = {
+    val idx = graft.operators.Dedup.buildSemanticIndex(corpus, k, iters, cellCap)
+    admitNovelSemantic(stream, idx.copy(cells = idx.cells.cache()), threshold)
+  }
+
+  /** [[admitNovelSemantic]] against a PRE-BUILT (and typically pre-cached)
+    * index — the production shape: the index artifact is refreshed on
+    * corpus compaction by a batch job; the always-on gate query only
+    * probes it.
+    */
+  def admitNovelSemantic(
+      stream: DataFrame, index: graft.operators.Dedup.SemanticIndex,
+      threshold: Double): DataFrame =
+    graft.operators.Dedup.semanticNoveltyProbe(stream, index, threshold)
+      .filter(col("reason") === "ok")
+      .select(col("vec_id"), col("cell"), col("max_cos"))
 }

@@ -170,6 +170,50 @@ class StreamCurationSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming semantic novelty gate admits exactly the batch probe's ok set") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val corpus = (1L to 12L).map { id =>
+      val v = new Array[Float](8)
+      v((id % 2).toInt) = 10f
+      v(2 + (id % 6).toInt) = 1f + 0.1f * id
+      EmbRow(id, v)
+    }
+    val corpusDf = corpus.toDF()
+    // probes: 101/103 are near-clones of corpus vectors (tiny jitter →
+    // cosine ≈ 1 ≥ 0.45, rejected); 102 sits on an axis the corpus barely
+    // uses (cosine ≪ 0.45 everywhere, admitted)
+    val nearClone1 = corpus(0).embedding.clone(); nearClone1(7) += 0.05f
+    val nearClone2 = corpus(5).embedding.clone(); nearClone2(6) += 0.05f
+    val novel = new Array[Float](8); novel(7) = 5f
+    val probes = Seq(
+      EmbRow(101L, nearClone1), EmbRow(102L, novel), EmbRow(103L, nearClone2))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("vec_id"), r.getAs[Int]("cell"), r.getAs[Double]("max_cos"))
+    val batch = graft.operators.Dedup.incrementalSemanticDedup(
+      corpusDf, probes.toDF(), k = 2, iters = 2)
+    val expected = batch.filter(col("reason") === "ok")
+      .select(col("vec_id"), col("cell"), col("max_cos"))
+      .collect().map(key).sorted.toSeq
+    // fixture sanity: the gate must both reject and admit something
+    assert(expected.map(_._1) == Seq(102L))
+    assert(batch.filter(col("reason") === "duplicate_semantic").count() == 2)
+    val input = MemoryStream[EmbRow]
+    val q = graft.streaming.StreamDedup.admitNovelSemantic(
+      input.toDF(), corpusDf, k = 2, iters = 2)
+      .writeStream.format("memory").queryName("snovel")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val (b1, b2) = probes.splitAt(1)
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+      val got = spark.table("snovel").collect().map(key).sorted.toSeq
+      assert(got == expected, s"stream novelty gate diverged:\n$got\n$expected")
+    } finally q.stop()
+  }
+
   test("the whole streaming front door chains: admit -> pack in ONE query") {
     // dropDuplicatesWithinWatermark (bounded dedup state) -> row-local gate
     // scoring -> flatMapGroupsWithState packing, all in a single continuous
