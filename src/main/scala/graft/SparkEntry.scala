@@ -216,6 +216,11 @@ object SparkEntry {
     "q_lang_id" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
     "q_quality_score" -> ((s, d) => TextAnalysis.qualityScore(Tables.documents(s, d))),
     "q_token_freq" -> ((s, d) => TextAnalysis.tokenFrequencies(Tables.documents(s, d))),
+    // Misra-Gries frequent-items sketch: constant-state twin of the exact
+    // count (estimates are arrival-order dependent within the MG bound →
+    // rows-only check; the tolerance spec vs the exact twin lives in
+    // TextAnalysisSpec, the q_approx_quantiles pattern)
+    "q_token_freq_sketch" -> ((s, d) => TextAnalysis.tokenFrequenciesSketch(Tables.documents(s, d))),
     "q_fingerprint" -> ((s, d) => TextAnalysis.fingerprints(Tables.documents(s, d))),
     "q_dedup_keepbest" -> ((s, d) => Dedup.dedupKeepBest(Tables.documents(s, d))),
     // the %97 held-out split is THIS harness's benchmark policy (mirrored in

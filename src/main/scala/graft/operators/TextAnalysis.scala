@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Encoder}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
 
@@ -75,6 +75,11 @@ object TextAnalysis {
 
   /** Corpus token frequencies (top `k` by count desc, token asc) — the
     * explode/generator operator (Spark explode == DuckDB unnest).
+    *
+    * Aggregation state is O(vocab) (Heap's-law sublinear, but unbounded on
+    * adversarial/garbage input — the same risk class the exact-quantile
+    * guard closes). The constant-state twin for unbounded-vocabulary
+    * columns is [[tokenFrequenciesSketch]].
     */
   def tokenFrequencies(docs: DataFrame, k: Int = 50): DataFrame =
     Par.spread(docs).select(explode(tokens(col("text"))).as("token"))
@@ -82,6 +87,74 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("token"))
       .limit(k)
+
+  /** Misra-Gries frequent-items sketch over the corpus token stream — the
+    * CONSTANT-state twin of [[tokenFrequencies]] for columns whose
+    * vocabulary can't be assumed bounded (the 100 TB path: at most
+    * `capacity` counters per partial, ever, vs the exact twin's O(vocab)
+    * hash-aggregation state).
+    *
+    * Classic MG update per token (Misra & Gries 1982): increment a held
+    * counter, else claim a free slot, else decrement ALL counters and drop
+    * zeros. Partials merge by pointwise sum, then shrink back to
+    * `capacity` by subtracting the (capacity+1)-th largest count from all
+    * (the mergeable-summaries rule of Agarwal et al., PODS'12) — both
+    * directions of the guarantee survive the merge: est ≤ true, and
+    * true − est ≤ n/(capacity+1) over n total tokens, so every token with
+    * true count > n/(capacity+1) is present. Estimates (not the bounds)
+    * depend on arrival order, hence rows-only correctness + the tolerance
+    * spec against the exact twin (TextAnalysisSpec); with capacity ≥
+    * vocabulary the sketch is exact regardless of order.
+    *
+    * Implemented as a typed `Aggregator`: map-side partials do all the MG
+    * work, ONE `capacity`-entry map per partition crosses the wire, and a
+    * single merge chain on the driver side of the final exchange — the
+    * same partial/merge shape as any built-in sketch agg.
+    */
+  def tokenFrequenciesSketch(
+      docs: DataFrame, capacity: Int = 256, k: Int = 30): DataFrame = {
+    require(capacity >= 1 && k >= 1, "need capacity >= 1 and k >= 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val mg = new org.apache.spark.sql.expressions.Aggregator[
+      String, Map[String, Long], Seq[(String, Long)]] {
+      def zero: Map[String, Long] = Map.empty
+      def reduce(b: Map[String, Long], t: String): Map[String, Long] =
+        b.get(t) match {
+          case Some(c) => b.updated(t, c + 1L)
+          case None if b.size < capacity => b.updated(t, 1L)
+          case None =>
+            // decrement-all: the unseen token and one unit of every held
+            // counter annihilate (the MG charging argument)
+            b.iterator.collect { case (w, c) if c > 1L => (w, c - 1L) }.toMap
+        }
+      def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
+        val sum = b.foldLeft(a) { case (m, (w, c)) =>
+          m.updated(w, m.getOrElse(w, 0L) + c)
+        }
+        if (sum.size <= capacity) sum
+        else {
+          // subtract the (capacity+1)-th largest count; only counts
+          // strictly above it survive (≤ capacity of them, no tie hazard)
+          val cut = sum.valuesIterator.toArray.sortBy(-_).apply(capacity)
+          sum.iterator.collect { case (w, c) if c > cut => (w, c - cut) }.toMap
+        }
+      }
+      def finish(b: Map[String, Long]): Seq[(String, Long)] =
+        b.toSeq.sortBy { case (w, c) => (-c, w) }.take(k)
+      def bufferEncoder = implicitly[Encoder[Map[String, Long]]]
+      def outputEncoder = implicitly[Encoder[Seq[(String, Long)]]]
+    }
+    Par.spread(docs).select(explode(tokens(col("text"))).as("token"))
+      .as[String]
+      .select(mg.toColumn) // typed select: Dataset[Seq[(token, est)]]
+      .toDF("top")
+      .select(posexplode(col("top")))
+      .select(
+        (col("pos") + 1).as("rank"),
+        col("col._1").as("token"),
+        col("col._2").as("est_count"))
+  }
 
   /** TF-IDF top terms per document — the classic corpus-weighting operator.
     *

@@ -221,4 +221,41 @@ class TextAnalysisSpec extends SparkSpec {
     assert((2L to 8L).forall(i =>
       byId(i).getAs[Double]("avg_nll") == byId(1L).getAs[Double]("avg_nll")))
   }
+
+  test("Misra-Gries sketch: exact when capacity >= vocab, MG bounds when under") {
+    // skewed corpus: 'hot' dominates, a band of warm tokens, a long tail
+    val docs = (1L to 60L).map { i =>
+      val words =
+        Seq.fill(6)("hot") ++
+          Seq.fill(3)(s"warm${i % 5}") ++
+          Seq(s"tail${i}a", s"tail${i}b")
+      (i, words.mkString(" "))
+    }.toDF("doc_id", "text")
+    val exact = TextAnalysis.tokenFrequencies(docs, k = 1000).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum // total token count
+
+    // capacity >= vocabulary: MG holds every counter, never decrements —
+    // estimates are EXACT regardless of arrival order or partitioning
+    val full = TextAnalysis.tokenFrequenciesSketch(docs.repartition(7), 2048, k = 10)
+      .collect().map(r => (r.getString(1), r.getLong(2)))
+    assert(full.nonEmpty && full.forall { case (t, c) => exact(t) == c })
+    assert(full.head._1 == "hot" && full.head._2 == exact("hot"))
+
+    // capacity << vocabulary (126 tail tokens vs 16 counters): both sides
+    // of the MG guarantee — est <= true and true - est <= n/(capacity+1)
+    val cap = 16
+    val sk = TextAnalysis.tokenFrequenciesSketch(docs.repartition(7), cap, k = cap)
+      .collect().map(r => (r.getString(1), r.getLong(2)))
+    val err = n.toDouble / (cap + 1)
+    sk.foreach { case (t, est) =>
+      val truth = exact(t)
+      assert(est <= truth, s"$t overestimated: $est > $truth")
+      assert(truth - est <= err, s"$t undershoots the MG bound: $truth - $est > $err")
+    }
+    // every heavy hitter (true count > n/(capacity+1)) must be present
+    val present = sk.map(_._1).toSet
+    exact.collect { case (t, c) if c > err => t }
+      .foreach(t => assert(present.contains(t), s"heavy hitter $t missing"))
+  }
 }
