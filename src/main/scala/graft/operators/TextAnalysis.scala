@@ -116,35 +116,7 @@ object TextAnalysis {
     require(capacity >= 1 && k >= 1, "need capacity >= 1 and k >= 1")
     val spark = docs.sparkSession
     import spark.implicits._
-    val mg = new org.apache.spark.sql.expressions.Aggregator[
-      String, Map[String, Long], Seq[(String, Long)]] {
-      def zero: Map[String, Long] = Map.empty
-      def reduce(b: Map[String, Long], t: String): Map[String, Long] =
-        b.get(t) match {
-          case Some(c) => b.updated(t, c + 1L)
-          case None if b.size < capacity => b.updated(t, 1L)
-          case None =>
-            // decrement-all: the unseen token and one unit of every held
-            // counter annihilate (the MG charging argument)
-            b.iterator.collect { case (w, c) if c > 1L => (w, c - 1L) }.toMap
-        }
-      def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
-        val sum = b.foldLeft(a) { case (m, (w, c)) =>
-          m.updated(w, m.getOrElse(w, 0L) + c)
-        }
-        if (sum.size <= capacity) sum
-        else {
-          // subtract the (capacity+1)-th largest count; only counts
-          // strictly above it survive (≤ capacity of them, no tie hazard)
-          val cut = sum.valuesIterator.toArray.sortBy(-_).apply(capacity)
-          sum.iterator.collect { case (w, c) if c > cut => (w, c - cut) }.toMap
-        }
-      }
-      def finish(b: Map[String, Long]): Seq[(String, Long)] =
-        b.toSeq.sortBy { case (w, c) => (-c, w) }.take(k)
-      def bufferEncoder = implicitly[Encoder[Map[String, Long]]]
-      def outputEncoder = implicitly[Encoder[Seq[(String, Long)]]]
-    }
+    val mg = new MisraGriesAgg(capacity, k)
     Par.spread(docs).select(explode(tokens(col("text"))).as("token"))
       .as[String]
       .select(mg.toColumn) // typed select: Dataset[Seq[(token, est)]]
@@ -826,4 +798,44 @@ object TextAnalysis {
           .as("weight"))
       .orderBy(col("source"))
   }
+}
+
+/** The Misra-Gries aggregator behind
+  * [[TextAnalysis.tokenFrequenciesSketch]] — a TOP-LEVEL class so the
+  * serialized aggregate expression carries only (capacity, k): an anonymous
+  * subclass resolving its encoders from `spark.implicits` captures the
+  * (non-serializable) SparkSession in its closure and dies at task
+  * serialization; the TypeTag-derived `ExpressionEncoder`s here reference
+  * nothing but the types.
+  */
+private[operators] class MisraGriesAgg(capacity: Int, k: Int)
+    extends org.apache.spark.sql.expressions.Aggregator[
+      String, Map[String, Long], Seq[(String, Long)]] {
+  import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+  def zero: Map[String, Long] = Map.empty
+  def reduce(b: Map[String, Long], t: String): Map[String, Long] =
+    b.get(t) match {
+      case Some(c) => b.updated(t, c + 1L)
+      case None if b.size < capacity => b.updated(t, 1L)
+      case None =>
+        // decrement-all: the unseen token and one unit of every held
+        // counter annihilate (the MG charging argument)
+        b.iterator.collect { case (w, c) if c > 1L => (w, c - 1L) }.toMap
+    }
+  def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
+    val sum = b.foldLeft(a) { case (m, (w, c)) =>
+      m.updated(w, m.getOrElse(w, 0L) + c)
+    }
+    if (sum.size <= capacity) sum
+    else {
+      // subtract the (capacity+1)-th largest count; only counts strictly
+      // above it survive (≤ capacity of them, no tie hazard)
+      val cut = sum.valuesIterator.toArray.sortBy(-_).apply(capacity)
+      sum.iterator.collect { case (w, c) if c > cut => (w, c - cut) }.toMap
+    }
+  }
+  def finish(b: Map[String, Long]): Seq[(String, Long)] =
+    b.toSeq.sortBy { case (w, c) => (-c, w) }.take(k)
+  def bufferEncoder: Encoder[Map[String, Long]] = ExpressionEncoder()
+  def outputEncoder: Encoder[Seq[(String, Long)]] = ExpressionEncoder()
 }
