@@ -95,8 +95,12 @@ object Bench {
       .filter(n => only.forall(_.contains(n)))
     val haveControl = qmap.contains(Control)
 
-    // control floor: min of 3 quiet(ish) samples taken before the suite
-    val controlRef =
+    // control floor: starts at the min of 3 pre-suite samples and keeps
+    // RATCHETING DOWN as in-suite control reads come in — the pre-suite
+    // reads run right after warmup (broadcast cleanup, JIT tail) and sit
+    // ~2× above steady state, which would halve the burst detector's
+    // sensitivity if frozen as the floor
+    var controlFloor =
       if (haveControl) Seq.fill(3)(sample(Control)).flatten.minOption.getOrElse(-1.0)
       else -1.0
     val controlSamples = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
@@ -105,10 +109,11 @@ object Bench {
     var windowLoaded = false
 
     val results = names.zipWithIndex.map { case (name, idx) =>
-      if (haveControl && controlRef > 0 && idx % 10 == 0) {
+      if (haveControl && controlFloor > 0 && idx % 10 == 0) {
         val c = sample(Control).getOrElse(-1.0)
         controlSamples += ((idx, c))
-        windowLoaded = c > 2.0 * controlRef
+        windowLoaded = c > 2.0 * controlFloor
+        if (c > 0 && c < controlFloor) controlFloor = c
       }
       val samples = Seq(sample(name), sample(name), sample(name))
       val ok = samples.flatten
@@ -137,7 +142,7 @@ object Bench {
     }.mkString("{", ",", "}")
     val errs = results.collect { case (k, _, false, _) => s"\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val ctl = s"""{"ref":$controlRef,"samples":${
+    val ctl = s"""{"ref":$controlFloor,"samples":${
       controlSamples.map { case (i, c) => s"[$i,$c]" }.mkString("[", ",", "]")}}"""
     val sus = suspect.map("\"" + _ + "\"").mkString("[", ",", "]")
     val ret = retimed.map { case (k, v, r) => s"\"$k\":[$v,$r]" }.mkString("{", ",", "}")
