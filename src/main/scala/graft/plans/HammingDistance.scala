@@ -84,7 +84,8 @@ object GraftFunctions {
     (new FunctionIdentifier("hamming_distance"),
       new ExpressionInfo(classOf[HammingDistance].getName, "hamming_distance"),
       (children: Seq[Expression]) => HammingDistance(children(0), children(1))),
-    CosineSimilarity.registration)
+    CosineSimilarity.registration,
+    CellMaxCosine.registration)
 
   /** Programmatic registration (tests, notebooks). */
   def register(spark: SparkSession): Unit =
