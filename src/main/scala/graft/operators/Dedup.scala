@@ -968,14 +968,26 @@ object Dedup {
     * recall trade that keeps one packed row bounded — the clusterCap
     * precedent. Refresh contract: the quantizer is batch-fit and FROZEN
     * between refits (SCALE.md "centroid staleness").
+    *
+    * `sizeHintBytes` is the builder's estimate of the packed side
+    * (Catalyst stats of the corpus' id+embedding projection — an
+    * overestimate once `cellCap` binds, which errs toward the safe
+    * fallback); -1 = unknown. The probe uses it to decide whether the
+    * index may be broadcast — see [[semanticNoveltyProbe]].
     */
   case class SemanticIndex(
-      centroids: Array[(Int, Array[Double], Double)], cells: DataFrame)
+      centroids: Array[(Int, Array[Double], Double)], cells: DataFrame,
+      sizeHintBytes: Long = -1L)
 
   def buildSemanticIndex(
       corpus: DataFrame, k: Int = 8, iters: Int = 2,
       cellCap: Int = 4096): SemanticIndex = {
     val centroids = Embeddings.fitCentroids(corpus, k, iters)
+    // plan-stats estimate of what the packed cells weigh (vec_id +
+    // embedding survive into `members`); no job is run for this
+    val sizeHint = corpus.select(col("vec_id"), col("embedding"))
+      .queryExecution.optimizedPlan.stats.sizeInBytes
+      .min(BigInt(Long.MaxValue)).toLong
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("cluster")).orderBy(col("cos").desc, col("vec_id"))
     // the window's cluster shuffle is reused by the groupBy (same key) —
@@ -986,7 +998,7 @@ object Dedup {
       .groupBy(col("cluster").as("cell"))
       .agg(sort_array(collect_list(struct(
         col("vec_id").as("id"), col("embedding").as("emb")))).as("members"))
-    SemanticIndex(centroids, cells)
+    SemanticIndex(centroids, cells, sizeHint)
   }
 
   /** Probe a [[SemanticIndex]] with a batch OR STREAM of vectors: each
@@ -1000,11 +1012,30 @@ object Dedup {
     * needed; this is the embedding-space twin of `IngestGate.admitNovel`'s
     * digest anti-join, and the dedup a real pipeline runs at the gate
     * rather than after it.
+    *
+    * Broadcast is SIZE-AWARE, not forced: the hint is applied only when
+    * the builder's `sizeHintBytes` fits the session's
+    * `autoBroadcastJoinThreshold`. An oversized (or unknown-size) index
+    * gets no hint, so Spark degrades to a sort-merge stream-static join —
+    * still append-safe — instead of OOMing the driver on a 100×-corpus
+    * index (the scaladoc contract above; fallback pinned by
+    * PlanQualitySpec).
     */
   def semanticNoveltyProbe(
       vecs: DataFrame, index: SemanticIndex,
       threshold: Double = 0.45): DataFrame = {
-    graft.plans.GraftFunctions.register(vecs.sparkSession)
+    val spark = vecs.sparkSession
+    graft.plans.GraftFunctions.register(spark)
+    val bcastLimit = {
+      val raw = spark.conf
+        .get("spark.sql.autoBroadcastJoinThreshold", "10MB").trim
+      if (raw.startsWith("-")) -1L
+      else org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw)
+    }
+    val cellsSide =
+      if (bcastLimit > 0 && index.sizeHintBytes >= 0 &&
+          index.sizeHintBytes <= bcastLimit) broadcast(index.cells)
+      else index.cells
     // one fused codegen'd loop over the packed cell per probe row — the
     // declarative twin (array_max ∘ transform ∘ cosine_similarity, with a
     // nanvl zero-norm guard) evaluates its lambda interpreted per member:
@@ -1015,7 +1046,7 @@ object Dedup {
     val best = call_function("cell_max_cosine", col("members"), col("embedding"))
     Embeddings.assignTo(vecs, index.centroids)
       .select(col("vec_id"), col("embedding"), col("cluster").as("cell"))
-      .join(broadcast(index.cells), Seq("cell"), "left_outer")
+      .join(cellsSide, Seq("cell"), "left_outer")
       .withColumn("best", best)
       .select(
         col("vec_id"), col("cell"),

@@ -157,6 +157,32 @@ class PlanQualitySpec extends SparkSpec {
     assert("% 97".r.findAllIn(p).size >= 2, p)
   }
 
+  test("semantic index serve is size-aware: small index broadcasts, oversized degrades to sort-merge") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val idx = graft.operators.Dedup.buildSemanticIndex(emb, k = 4, iters = 1)
+    assert(idx.sizeHintBytes > 0, "builder must record a size hint")
+    // under the default 10MB threshold the sf0.001 index fits -> hinted
+    // broadcast (the fast path q_ingest_audit_sem measures)
+    val pSmall = graft.operators.Dedup.semanticNoveltyProbe(emb.limit(20), idx)
+      .queryExecution.executedPlan.toString
+    assert(pSmall.contains("BroadcastHashJoin"), pSmall)
+    // shrink the session threshold below the recorded hint: the probe must
+    // NOT force the broadcast — Spark degrades the (stream-)static join to
+    // sort-merge instead of OOMing the driver on an oversized index
+    val keep = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1KB")
+    try {
+      assert(idx.sizeHintBytes > 1024, s"hint ${idx.sizeHintBytes} not above 1KB")
+      val pBig = graft.operators.Dedup.semanticNoveltyProbe(emb.limit(20), idx)
+        .queryExecution.executedPlan.toString
+      assert(pBig.contains("SortMergeJoin"), pBig)
+      assert(!pBig.contains("BroadcastHashJoin"), pBig)
+    } finally keep match {
+      case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+      case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("edit-distance dedup: candidate blocks shuffle ids+keys only, never text") {
     val df = graft.operators.Dedup.editDistancePairs(Tables.documents(spark, sf))
     val p = df.queryExecution.executedPlan.toString
