@@ -287,11 +287,16 @@ object SparkEntry {
     // the SEMANTIC novelty gate's batch twin: a new batch (%3 == 0, the
     // incremental-dedup harness split) probes the existing corpus's IVF
     // novelty index in embedding space — admitted only when no corpus
-    // vector sits at cosine >= 0.45 in the probed cell
+    // vector sits at cosine >= 0.45 in the probed cell. cellCap is
+    // UNCAPPED here because the DuckDB oracle packs ALL cell members: a
+    // cell past a finite cap would let the Spark side miss the oracle's
+    // best match (the production default stays 4096 — the recall trade is
+    // the operator's, the harness query's contract is exactness)
     "q_ingest_audit_sem" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Dedup.incrementalSemanticDedup(
-        emb.filter(col("vec_id") % 3 =!= 0), emb.filter(col("vec_id") % 3 === 0))
+        emb.filter(col("vec_id") % 3 =!= 0), emb.filter(col("vec_id") % 3 === 0),
+        cellCap = Int.MaxValue)
     }),
   )
 

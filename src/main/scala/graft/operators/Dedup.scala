@@ -478,14 +478,43 @@ object Dedup {
     * exact-duplicate floods should be removed by [[dedupKeepFirst]]
     * upstream, which is the documented pipeline order.
     *
+    * A dropped block is NOT silent: the `graft.bandedHamming.droppedBlocks`
+    * accumulator counts them (visible in the Spark UI / status API), and
+    * each drop logs one executor-side warning — so recall loss at scale has
+    * a runtime signal instead of vanishing into an empty result. The DuckDB
+    * oracles for the simhash/phash pair queries have NO cap, so the
+    * correctness contract is that verification-scale data stays under it —
+    * asserted by DedupSpec ("banded-Hamming blocks stay under blockCap at
+    * test scale"); at production scale the accumulator is the contract.
+    *
     * Input: (doc_id: Long, fp: String). Output: distinct candidate pairs
     * (i, j, fp_i, fp_j), i < j.
     */
-  private[operators] def bandedHammingCandidates(
+  /** The kernel's recall-loss telemetry: ONE named accumulator per
+    * SparkContext (re-created on context restart), shared by every
+    * banded-Hamming call so operators and monitors read a single counter.
+    */
+  private[graft] object BandedHammingMetrics {
+    @transient private var cached:
+      Option[(org.apache.spark.SparkContext,
+        org.apache.spark.util.LongAccumulator)] = None
+    def droppedBlocks(sc: org.apache.spark.SparkContext)
+        : org.apache.spark.util.LongAccumulator = synchronized {
+      cached match {
+        case Some((c, a)) if (c eq sc) && !c.isStopped => a
+        case _ =>
+          val a = sc.longAccumulator("graft.bandedHamming.droppedBlocks")
+          cached = Some((sc, a)); a
+      }
+    }
+  }
+
+  private[graft] def bandedHammingCandidates(
       fp: DataFrame, chunks: Int, chunkLen: Int,
       blockCap: Int = 65536): DataFrame = {
     val spark = fp.sparkSession
     import spark.implicits._
+    val droppedBlocks = BandedHammingMetrics.droppedBlocks(spark.sparkContext)
     val chunked = fp.select(
       col("doc_id"), col("fp"),
       posexplode(array((0 until chunks).map(c =>
@@ -494,10 +523,16 @@ object Dedup {
       .as[(Long, String, Int, String)]
     chunked
       .groupByKey { case (_, _, ci, c) => (ci, c) }
-      .flatMapGroups { (_, rows) =>
+      .flatMapGroups { (key, rows) =>
         val lim = if (blockCap == Int.MaxValue) Int.MaxValue else blockCap + 1
         val ds = rows.map { case (id, s, _, _) => (id, s) }.take(lim).toArray
-        if (ds.length > blockCap) Iterator.empty
+        if (ds.length > blockCap) {
+          droppedBlocks.add(1L)
+          System.err.println(
+            s"[graft] bandedHammingCandidates: block $key exceeds " +
+              s"blockCap=$blockCap — emitting zero pairs (recall loss)")
+          Iterator.empty
+        }
         else {
           java.util.Arrays.sort(ds, Ordering.by((t: (Long, String)) => t._1))
           for {

@@ -47,26 +47,53 @@ object Relational {
     * of a fixed input frame cannot change between calls, and parquet
     * inputs are immutable for a session's planning purposes. Every call
     * still evaluates `require` against ITS OWN `maxDistinct`, so a cached
-    * count never weakens the check. The cache is cleared wholesale past
-    * 256 entries (each key holds an analyzed sub-plan; derived frames such
-    * as a localCheckpoint'ed score table plan as distinct LogicalRDDs and
-    * simply miss — correct, never stale).
+    * count never weakens the check. The memo is SCOPED PER SparkSession
+    * (weak-keyed, so a discarded session's plan trees — which pin
+    * session-bound relations — become collectable with it) and bounded by
+    * a true access-order LRU of 256 entries per session (eldest evicted
+    * under the put lock; the bound can never be transiently exceeded).
+    * Two threads racing the same cold key may both run the sketch scan —
+    * benign: same input, same count, last write wins; the Spark job is
+    * deliberately NOT run under the lock. Derived frames such as a
+    * localCheckpoint'ed score table plan as distinct LogicalRDDs and
+    * simply miss — correct, never stale.
     */
-  private val guardCache = new java.util.concurrent.ConcurrentHashMap[
-    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, java.lang.Long]()
+  private val guardCaches = new java.util.WeakHashMap[
+    org.apache.spark.sql.SparkSession,
+    java.util.LinkedHashMap[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, java.lang.Long]]()
+
+  private def guardCache(spark: org.apache.spark.sql.SparkSession) =
+    guardCaches.synchronized {
+      var m = guardCaches.get(spark)
+      if (m == null) {
+        m = new java.util.LinkedHashMap[
+          org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+          java.lang.Long](64, 0.75f, true) {
+          override def removeEldestEntry(e: java.util.Map.Entry[
+            org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+            java.lang.Long]): Boolean = size() > 256
+        }
+        guardCaches.put(spark, m)
+      }
+      m
+    }
 
   private[operators] def requireBoundedDistinct(
       df: DataFrame, valueCol: Column, maxDistinct: Int, op: String): Unit =
     if (maxDistinct != Int.MaxValue) {
+      val cache = guardCache(df.sparkSession)
       val key = df.select(valueCol).queryExecution.analyzed.canonicalized
-      var approx = guardCache.get(key)
-      if (approx == null) {
-        approx = df.agg(
-          approx_count_distinct(valueCol, rsd = 0.05).as("n")).head().getLong(0)
-        if (guardCache.size() >= 256) guardCache.clear()
-        guardCache.put(key, approx)
-      }
-      require(approx <= maxDistinct.toLong,
+      val hit = cache.synchronized(cache.get(key))
+      val approx: Long =
+        if (hit != null) hit.longValue()
+        else {
+          val n = df.agg(
+            approx_count_distinct(valueCol, rsd = 0.05).as("n")).head().getLong(0)
+          cache.synchronized(cache.put(key, n))
+          n
+        }
+      require(approx <= maxDistinct,
         s"$op: ~$approx distinct values exceed maxDistinct=$maxDistinct; " +
           "exact quantile state is O(distinct) — use the sketch twin " +
           "(approxPriceQuantiles / percentile_approx) for unbounded-domain " +

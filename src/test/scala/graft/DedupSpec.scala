@@ -123,6 +123,36 @@ class DedupSpec extends SparkSpec {
     assert(hamming(fp(1L), fp(3L)) >= 15)
   }
 
+  test("banded-Hamming blocks stay under blockCap at test scale; a dropped block is counted") {
+    // oracle contract: the DuckDB twins of q_simhash_pairs /
+    // q_media_phash_neardup generate pairs UNCAPPED, so verification-scale
+    // data must keep every (chunk_idx, chunk) block far below the 65536
+    // default — assert the actual max block size for both fingerprints
+    val corpus = Tables.documents(spark, sf)
+    def maxBlock(fp: org.apache.spark.sql.DataFrame, chunks: Int, chunkLen: Int): Long =
+      fp.select(posexplode(array((0 until chunks).map(c =>
+          substring(col("fp"), c * chunkLen + 1, chunkLen)): _*)))
+        .groupBy(col("pos"), col("col")).count()
+        .agg(max(col("count"))).head().getLong(0)
+    val simMax = maxBlock(
+      Dedup.simhashFingerprints(corpus).toDF("doc_id", "fp"), 4, 15)
+    val phashMax = maxBlock(
+      graft.operators.Multimodal.documentPerceptualHashes(corpus)
+        .toDF("doc_id", "fp"), 4, 16)
+    assert(simMax < 4096 && phashMax < 4096,
+      s"blocks approaching the 65536 cap: simhash=$simMax phash=$phashMax")
+    // and the cap is not silent: a flooded block bumps the shared
+    // droppedBlocks accumulator instead of just vanishing
+    import spark.implicits._
+    val acc = Dedup.BandedHammingMetrics.droppedBlocks(spark.sparkContext)
+    val before = acc.value
+    val flood = (1L to 50L).map(i => (i, "1" * 60)).toDF("doc_id", "fp")
+    val out = Dedup.bandedHammingCandidates(flood, chunks = 4, chunkLen = 15,
+      blockCap = 8).count()
+    assert(out == 0L)
+    assert(acc.value > before, "dropped block must increment the accumulator")
+  }
+
   test("embedding near-dup finds planted duplicate vectors") {
     val v = (0 until 16).map(_.toFloat / 16).toArray
     val vDup = v.clone(); vDup(3) += 0.001f
