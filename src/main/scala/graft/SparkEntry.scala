@@ -177,6 +177,12 @@ object SparkEntry {
       val emb = Tables.embeddings(s, d)
       SimilaritySearch.ivfTopKKmeans(emb, emb.filter(col("vec_id") < 5))
     }),
+    // index QA: recall@5 of each approximate index vs the brute twin —
+    // the number a pipeline recomputes at every index refresh
+    "q_ann_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      SimilaritySearch.annRecallAudit(emb, emb.filter(col("vec_id") < 5))
+    }),
     // LLM-pipeline: text analysis
     "q_dedup_clusters" -> ((s, d) => Dedup.nearDupClusters(Tables.documents(s, d))),
     // corpus curation / analytics extensions
@@ -325,6 +331,14 @@ object SparkEntry {
     s"round(${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)})), 6)"
   private def duckStopHits(list: String): String =
     s"len(list_filter(string_split(text,' '), t -> list_contains($list, t)))"
+  // full 4-plane LSH bucket over the md5-derived hyperplanes; `emb` bound
+  // by the enclosing query (shared by the q_ann_lsh and q_ann_recall oracles)
+  private val duckLshBucket =
+    """array_to_string(list_transform(range(0, 4),
+      |    p -> CASE WHEN list_sum(list_transform(range(1, 65),
+      |      i -> emb[i] * (CASE WHEN ('0x' || substr(md5(p || ':' || i), 1, 15))::BIGINT % 2 = 1
+      |                     THEN 1.0 ELSE -1.0 END))) > 0
+      |    THEN '1' ELSE '0' END), '')""".stripMargin
   // per-band sign-bit bucket over the md5-derived hyperplanes; `b` and `emb`
   // bound by the enclosing query (shared by the LSH pair + cluster oracles)
   private val duckBandBucket =
@@ -1117,14 +1131,8 @@ object SparkEntry {
          |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
          |  FROM scored) WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "q_ann_lsh" -> {
-      val bucketExpr =
-        """array_to_string(list_transform(range(0, 4),
-          |    p -> CASE WHEN list_sum(list_transform(range(1, 65),
-          |      i -> emb[i] * (CASE WHEN ('0x' || substr(md5(p || ':' || i), 1, 15))::BIGINT % 2 = 1
-          |                     THEN 1.0 ELSE -1.0 END))) > 0
-          |    THEN '1' ELSE '0' END), '')""".stripMargin
       s"""WITH e AS ($duckEmb),
-         |b AS (SELECT vec_id, emb, $bucketExpr AS bucket FROM e),
+         |b AS (SELECT vec_id, emb, $duckLshBucket AS bucket FROM e),
          |q AS (SELECT vec_id AS query_id, emb AS q_emb, bucket AS q_bucket FROM b WHERE vec_id < 5),
          |scored AS (SELECT query_id, vec_id AS neighbor_id,
          |    ${duckCos("q_emb", "emb")} AS cos
@@ -1152,6 +1160,74 @@ object SparkEntry {
          |  SELECT *, ROW_NUMBER() OVER (
          |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
          |  FROM scored) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // recall@5 per approximate method: each method's top-5 CTE is the
+    // corresponding q_ann_* oracle verbatim (reduced to id pairs); truth is
+    // the brute top-5; hits counted by an id-pair left join
+    "q_ann_recall" ->
+      s"""WITH e AS ($duckEmb),
+         |q AS (SELECT vec_id AS query_id, emb AS q_emb FROM e WHERE vec_id < 5),
+         |bscored AS (SELECT query_id, vec_id AS neighbor_id,
+         |    ${duckCos("q_emb", "emb")} AS cos
+         |  FROM e CROSS JOIN q WHERE vec_id != query_id),
+         |truth AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT *, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM bscored) WHERE rank <= 5),
+         |lb AS (SELECT vec_id, emb, $duckLshBucket AS bucket FROM e),
+         |lq AS (SELECT vec_id AS query_id, emb AS q_emb, bucket AS q_bucket
+         |  FROM lb WHERE vec_id < 5),
+         |lscored AS (SELECT query_id, lb.vec_id AS neighbor_id,
+         |    ${duckCos("q_emb", "emb")} AS cos
+         |  FROM lb JOIN lq ON lb.bucket = lq.q_bucket AND lb.vec_id != lq.query_id),
+         |lsh AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT *, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM lscored) WHERE rank <= 5),
+         |ic AS (SELECT vec_id AS cid, emb AS cemb FROM e
+         |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+         |iasg AS (SELECT vec_id, cid FROM (
+         |  SELECT e.vec_id, ic.cid, ROW_NUMBER() OVER (
+         |      PARTITION BY e.vec_id ORDER BY ${duckCos("e.emb", "ic.cemb")} DESC, ic.cid) AS rn
+         |  FROM e CROSS JOIN ic) WHERE rn = 1),
+         |iq AS (SELECT e.vec_id AS query_id, e.emb AS q_emb, iasg.cid AS cell
+         |  FROM e JOIN iasg ON e.vec_id = iasg.vec_id WHERE e.vec_id < 5),
+         |iscored AS (SELECT iq.query_id, e.vec_id AS neighbor_id,
+         |    ${duckCos("iq.q_emb", "e.emb")} AS cos
+         |  FROM e JOIN iasg ON e.vec_id = iasg.vec_id
+         |  JOIN iq ON iasg.cid = iq.cell AND e.vec_id != iq.query_id),
+         |ivf AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT *, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM iscored) WHERE rank <= 5),
+         |${duckKmeansCtes(16, 2)},
+         |kq AS (SELECT vec_id AS query_id, ci FROM af WHERE vec_id < 5),
+         |kcand AS (SELECT kq.query_id, kc.vec_id AS neighbor_id
+         |  FROM af kc JOIN kq ON kc.ci = kq.ci AND kc.vec_id <> kq.query_id),
+         |kscored AS (SELECT query_id, neighbor_id,
+         |    ${duckCos("a.emb", "b.emb")} AS cos
+         |  FROM kcand JOIN e a ON a.vec_id = kcand.query_id
+         |  JOIN e b ON b.vec_id = kcand.neighbor_id),
+         |kms AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id, cos, row_number() OVER
+         |      (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |    FROM kscored) WHERE rank <= 5),
+         |tagged AS (
+         |  SELECT 'ivf' AS method, query_id, neighbor_id FROM ivf
+         |  UNION ALL SELECT 'ivf_kmeans', query_id, neighbor_id FROM kms
+         |  UNION ALL SELECT 'lsh', query_id, neighbor_id FROM lsh),
+         |tn AS (SELECT CAST(COUNT(*) AS BIGINT) AS truth_n FROM truth),
+         |marked AS (SELECT t.method, t.query_id, t.neighbor_id,
+         |    CASE WHEN tr.query_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+         |  FROM tagged t LEFT JOIN truth tr
+         |  ON t.query_id = tr.query_id AND t.neighbor_id = tr.neighbor_id)
+         |SELECT method,
+         |  CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n_queries,
+         |  CAST(COUNT(*) AS BIGINT) AS returned,
+         |  CAST(SUM(hit) AS BIGINT) AS hits,
+         |  truth_n,
+         |  round(CAST(SUM(hit) AS DOUBLE) / truth_n, 6) AS recall
+         |FROM marked CROSS JOIN tn
+         |GROUP BY method, truth_n ORDER BY method""".stripMargin,
     "q_dedup_clusters" ->
       s"""WITH RECURSIVE shs AS ($duckShingles),
          |scored AS (SELECT a.doc_id AS i, b.doc_id AS j,

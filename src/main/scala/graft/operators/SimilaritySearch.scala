@@ -215,6 +215,51 @@ object SimilaritySearch {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Recall@k audit of every approximate index against the brute-force
+    * twin — the index-QA query a pipeline runs at each index refresh, and
+    * the quantitative teeth behind the centroid-staleness contract
+    * (SCALE.md): refit the quantizer, run the audit, and a recall drop IS
+    * the drift signal. One row per method: how many of the exact top-k
+    * neighbors (ties and rounding identical to [[bruteForceTopK]]) the
+    * approximate index reproduced, as an exact fraction over deterministic
+    * ids — fully oracle-replayable.
+    *
+    * Plan shape: the truth set is one brute scan (k·|queries| rows,
+    * broadcast to mark hits); each method contributes its own probe plan
+    * unchanged. The audit is O(sum of the probes it audits) — the cost of
+    * measuring an index is the cost of using it, paid per refresh, not per
+    * query. Aggregation is a tiny per-method groupBy; nothing leaves the
+    * executors except the k·|queries|-row frames already inherent to top-k.
+    */
+  def annRecallAudit(
+      corpus: DataFrame, queries: DataFrame, k: Int = 5,
+      nCentroids: Int = 16, numPlanes: Int = 4, dim: Int = 64): DataFrame = {
+    val truth = bruteForceTopK(corpus, queries, k, dim)
+      .select(col("query_id"), col("neighbor_id"))
+    val methods = Seq(
+      "ivf" -> ivfTopK(corpus, queries, k, nCentroids),
+      "ivf_kmeans" -> ivfTopKKmeans(corpus, queries, k, nCentroids),
+      "lsh" -> lshTopK(corpus, queries, numPlanes, dim, k))
+    val tagged = methods.map { case (m, df) =>
+      df.select(lit(m).as("method"), col("query_id"), col("neighbor_id"))
+    }.reduce(_.unionByName(_))
+    val truthN = truth.agg(count(lit(1)).as("truth_n"))
+    tagged
+      .join(broadcast(truth.withColumn("hit", lit(1L))),
+        Seq("query_id", "neighbor_id"), "left_outer")
+      .groupBy(col("method"))
+      .agg(
+        countDistinct(col("query_id")).as("n_queries"),
+        count(lit(1)).as("returned"),
+        sum(coalesce(col("hit"), lit(0L))).as("hits"))
+      .crossJoin(broadcast(truthN))
+      .withColumn("recall",
+        round(col("hits").cast("double") / col("truth_n"), 6))
+      .select(col("method"), col("n_queries"), col("returned"),
+        col("hits"), col("truth_n"), col("recall"))
+      .orderBy(col("method"))
+  }
+
   /** Bucket id = bit string of hyperplane-side signs (dot(v, plane) > 0). */
   def lshBucket(emb: Column, planes: Seq[Seq[Int]]): Column =
     concat(planes.map { plane =>

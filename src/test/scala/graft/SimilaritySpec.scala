@@ -126,6 +126,36 @@ class SimilaritySpec extends SparkSpec {
     info(f"IVF-kmeans recall@5 vs brute force: $recall%.2f (1/16 of corpus per probe)")
   }
 
+  test("annRecallAudit: per-method hits/recall equal a driver-side recomputation") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 5)
+    def ids(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select(col("query_id"), col("neighbor_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = ids(SimilaritySearch.bruteForceTopK(emb, queries, k = 5))
+    val expected = Map(
+      "ivf" -> ids(SimilaritySearch.ivfTopK(emb, queries)),
+      "ivf_kmeans" -> ids(SimilaritySearch.ivfTopKKmeans(emb, queries)),
+      "lsh" -> ids(SimilaritySearch.lshTopK(emb, queries)))
+    val audit = SimilaritySearch.annRecallAudit(emb, queries).collect()
+    assert(audit.map(_.getString(0)).toSeq == Seq("ivf", "ivf_kmeans", "lsh"))
+    audit.foreach { r =>
+      val m = r.getString(0)
+      val approx = expected(m)
+      assert(r.getAs[Long]("returned") == approx.size, m)
+      assert(r.getAs[Long]("hits") == approx.intersect(truth).size.toLong, m)
+      assert(r.getAs[Long]("truth_n") == truth.size.toLong, m)
+      val want = SimilaritySearch.round6(
+        approx.intersect(truth).size.toDouble / truth.size)
+      assert(r.getAs[Double]("recall") == want, m)
+      assert(r.getAs[Double]("recall") >= 0.0 && r.getAs[Double]("recall") <= 1.0)
+    }
+    // sanity: the indexes aren't degenerate — at least one method recovers
+    // at least one true neighbor even on the 50-vector sf0.001 fixture
+    // (absolute recall here reflects fixture size, not operator quality)
+    assert(audit.map(_.getAs[Double]("recall")).max > 0.0)
+  }
+
   test("entry() flagship query returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
