@@ -214,6 +214,64 @@ class StreamCurationSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("front door recovers dedup + packing state across a kill/restart") {
+    // the flagship continuous query's recovery contract: kill the chained
+    // admit -> pack query with data already landed but not yet committed,
+    // restart from the SAME checkpoint, and the final output must equal the
+    // uninterrupted run — i.e. (a) the watermark-dedup state survives (the
+    // post-restart duplicate of a pre-kill doc is still dropped), (b) the
+    // packing state survives (cum_tokens/seq_id continue, not reset), and
+    // (c) the exactly-once file sink never double-writes in-flight work
+    import graft.streaming.IngestGate
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("graft-frontdoor").toString
+    val inDir = s"$root/in"; val outDir = s"$root/out"; val chk = s"$root/chk"
+    val benchVocab = Seq("alpha beta gamma delta").toDF("s")
+    val T0 = 1704067200000L
+    val goodA = "the first clean document of the morning run"
+    val goodB = "a second clean document arrives right behind it"
+    val goodC = "a third clean document closes out the stream"
+    val b1 = Seq(
+      (1L, goodA, "web", T0),
+      (2L, "buy now buy now buy now buy now buy now buy now", "spam", T0 + 1000),
+      (3L, "prefix alpha beta gamma delta suffix words here", "web", T0 + 2000))
+    val b2 = Seq(
+      (4L, goodA, "mirror", T0 + 60000), // exact dup of doc 1, post-restart
+      (5L, goodB, "web", T0 + 61000),
+      (6L, goodC, "wiki", T0 + 62000))
+    def dump(rows: Seq[(Long, String, String, Long)]): Unit =
+      rows.toDF("doc_id", "text", "source", "timestamp")
+        .coalesce(1).write.mode("append").parquet(inDir)
+    def start() = {
+      val src = spark.readStream
+        .schema("doc_id LONG, text STRING, source STRING, timestamp LONG")
+        .parquet(inDir)
+      StreamCuration.packSequences(IngestGate.admit(src, benchVocab), budget = 6)
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", chk)
+        .outputMode(OutputMode.Append()).start()
+    }
+    dump(b1)
+    val q1 = start()
+    q1.processAllAvailable()
+    dump(b2) // lands while the query is live...
+    q1.stop() // ...and the query dies with it (possibly) in flight
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[String]("source"), r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("cum_tokens"), r.getAs[Long]("seq_id"), r.getAs[Long]("seq_offset"))
+    val got = spark.read.parquet(outDir).collect().map(key).sorted.toSeq
+    val admitted = Seq((1L, goodA, "web"), (5L, goodB, "web"), (6L, goodC, "wiki"))
+      .toDF("doc_id", "text", "source")
+    val expected = Curation.packSequences(admitted, budget = 6)
+      .collect().map(key).sorted.toSeq
+    assert(got == expected,
+      s"recovered run diverged from uninterrupted semantics:\n$got\n$expected")
+    assert(got.map(_._2).sorted == Seq(1L, 5L, 6L),
+      "dedup state must survive the restart: doc 4 (pre-kill text) stays dropped")
+  }
+
   test("the whole streaming front door chains: admit -> pack in ONE query") {
     // dropDuplicatesWithinWatermark (bounded dedup state) -> row-local gate
     // scoring -> flatMapGroupsWithState packing, all in a single continuous
