@@ -93,49 +93,65 @@ object Multimodal {
       .orderBy(col("media_id"))
   }
 
-  /** dHash perceptual fingerprints over the stub decoder's pixel grid —
+  /** dHash perceptual fingerprints over the RAW BINARY payload column —
     * the image near-dup operator (every other LLM-pipeline pillar has one;
-    * this is the multimodal column's).
+    * this is the multimodal column's), operating on `content` bytes
+    * directly: any payload a [[MediaRecord]] carries (a JPEG, a WAV, a
+    * UTF-8 transcript) fingerprints the same way.
     *
-    * Real pipeline: decode → grayscale-resize to a (rows+0)×(cols) grid →
+    * Real pipeline: decode → grayscale-resize to a (rows)×(cols) grid →
     * dHash bit(r,c) = px(r,c) < px(r,c+1) — robust to re-encode / resize /
     * small edits because neighboring-pixel ORDER survives them. Here the
     * decode is the deterministic stub ([[DeterministicFakeDecoder]]'s
     * md5-derived pixels, generalized to a grid): pixel row `r` is the first
-    * `cols` bytes of md5 of the r-th of `rows` contiguous character slices
-    * of the payload, so identical payloads collide at Hamming 0 and a
-    * payload edit perturbs only the grid rows whose slices changed — the
-    * locality a real dHash gets from downsampling. Every step is engine-
-    * reproducible (md5 + hex slicing + integer compare), which is what lets
-    * the DuckDB oracle reproduce the 64-bit fingerprint bit-for-bit (the
-    * q_media_features precedent). Swapping in a real decoder replaces only
-    * the pixel-grid derivation; banding, verification, and the pair plan
-    * are unchanged.
+    * `cols` bytes of md5 of the r-th of `rows` contiguous BYTE slices of
+    * the payload (Spark's substring/md5/length all operate natively on
+    * BinaryType), so identical payloads collide at Hamming 0 and a payload
+    * edit perturbs only the grid rows whose slices changed — the locality
+    * a real dHash gets from downsampling. Swapping in a real decoder
+    * replaces only the pixel-grid derivation; banding, verification, and
+    * the pair plan are unchanged.
     *
     * Pure column math (md5/substr/conv are all codegen'd) — narrow, no
     * shuffle, no UDF. The 8 slice-hash columns are staged as real columns
     * so each md5 evaluates once per row (multi-referenced non-cheap aliases
     * survive CollapseProject — the IngestGate staging pattern).
     */
-  def documentPerceptualHashes(docs: DataFrame): DataFrame = {
+  def perceptualHashes(media: DataFrame, idCol: String = "media_id",
+      contentCol: String = "content"): DataFrame = {
     val gridRows = 8
     val gridCols = 9
-    val n = length(col("text"))
-    // fake pixel row r: md5 of the r-th contiguous character slice; slice
-    // boundaries floor(n*r/rows) are exact in doubles for any real text
+    val n = length(col(contentCol)) // BYTE length on a binary column
+    // fake pixel row r: md5 of the r-th contiguous byte slice; slice
+    // boundaries floor(n*r/rows) are exact in doubles for any real payload
     def sliceHash(r: Int): Column = {
       val lo = floor(n.cast("double") * r / gridRows).cast("int")
       val hi = floor(n.cast("double") * (r + 1) / gridRows).cast("int")
-      md5(col("text").substr(lo + lit(1), hi - lo))
+      md5(col(contentCol).substr(lo + lit(1), hi - lo))
     }
-    val staged = Par.spread(docs).select(
-      col("doc_id") +: (0 until gridRows).map(r => sliceHash(r).as(s"h$r")): _*)
+    val staged = Par.spread(media).select(
+      col(idCol) +: (0 until gridRows).map(r => sliceHash(r).as(s"h$r")): _*)
     def px(r: Int, c: Int): Column =
       conv(substring(col(s"h$r"), c * 2 + 1, 2), 16, 10).cast("int")
     val bits = for { r <- 0 until gridRows; c <- 0 until gridCols - 1 }
       yield when(px(r, c) < px(r, c + 1), "1").otherwise("0")
-    staged.select(col("doc_id"), concat(bits: _*).as("phash"))
+    staged.select(col(idCol), concat(bits: _*).as("phash"))
   }
+
+  /** [[perceptualHashes]] over the documents corpus: text re-enters the
+    * media path as its UTF-8 payload bytes (the binary-column ingestion
+    * shape of [[documentMediaFeatures]]). The DuckDB oracle slices VARCHAR
+    * by characters while the engine slices the payload by bytes — identical
+    * exactly when the corpus is single-byte (ASCII), which MultimodalSpec
+    * pins for the harness corpus; a multi-byte corpus is still correct
+    * engine-side (bytes are the real contract), it just needs a byte-aware
+    * oracle.
+    */
+  def documentPerceptualHashes(docs: DataFrame): DataFrame =
+    perceptualHashes(docs.select(
+        col("doc_id").as("media_id"),
+        encode(col("text"), "UTF-8").as("content")))
+      .select(col("media_id").as("doc_id"), col("phash"))
 
   /** Perceptual near-dup pairs over the media column: 64-bit dHash banded
     * into 4 16-bit chunks ([[graft.operators.Dedup.bandedHammingCandidates]]
@@ -144,9 +160,18 @@ object Multimodal {
     * pairs: one shuffle on the chunk key, capped in-group generation,
     * O(pairs-sharing-a-chunk) work — never all-pairs.
     */
-  def mediaPhashNearDupPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    graft.plans.GraftFunctions.register(docs.sparkSession)
-    val fp = documentPerceptualHashes(docs).toDF("doc_id", "fp")
+  def mediaPhashNearDupPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame =
+    phashPairs(documentPerceptualHashes(docs), maxHamming)
+
+  /** The same near-dup pair plan over a RAW media frame (media_id,
+    * content: binary) — the entry point for actual binary payloads.
+    */
+  def phashNearDupPairs(media: DataFrame, maxHamming: Int = 3): DataFrame =
+    phashPairs(perceptualHashes(media), maxHamming)
+
+  private def phashPairs(fingerprints: DataFrame, maxHamming: Int): DataFrame = {
+    graft.plans.GraftFunctions.register(fingerprints.sparkSession)
+    val fp = fingerprints.toDF("doc_id", "fp")
     Dedup.bandedHammingCandidates(fp, chunks = 4, chunkLen = 16)
       .withColumn("hamming", call_function("hamming_distance", col("fp_i"), col("fp_j")))
       .filter(col("hamming") <= maxHamming)

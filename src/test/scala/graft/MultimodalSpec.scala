@@ -86,6 +86,41 @@ class MultimodalSpec extends SparkSpec {
     assert(fp(4L) == "01100101" * 8)
   }
 
+  test("perceptualHashes ingests the BINARY media column: byte-path parity + non-UTF8 payloads") {
+    import org.apache.spark.sql.functions.{col, encode, length, octet_length}
+    // (a) the oracle contract: q_media_phash_neardup's DuckDB twin slices
+    // VARCHAR by characters, the engine slices payload BYTES — identical
+    // exactly when the harness corpus is single-byte; pin that here
+    val corpus = Tables.documents(spark, sf)
+    assert(corpus.filter(
+      length(col("text")) =!= octet_length(encode(col("text"), "UTF-8"))).count() == 0,
+      "harness corpus must be ASCII for the char-sliced oracle to match byte slicing")
+    // (b) text entering as MediaRecord payload bytes fingerprints identically
+    // to the document wrapper — the binary column is the real input path
+    val asMedia = corpus.select(
+      col("doc_id").as("media_id"), encode(col("text"), "UTF-8").as("content"))
+    def fps(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val fromBytes = fps(Multimodal.perceptualHashes(asMedia))
+    val fromDocs = fps(Multimodal.documentPerceptualHashes(corpus))
+    assert(fromBytes == fromDocs)
+    // (c) a genuinely non-UTF8 payload (invalid sequences, NUL, high bytes)
+    // fingerprints fine: content-addressed at Hamming 0, and a one-byte flip
+    // perturbs only the grid row whose slice changed (<= 8 bits)
+    val blob = Array.tabulate(64)(i => ((i * 37 + 200) % 256).toByte)
+    val flipped = blob.clone(); flipped(32) = (flipped(32) ^ 0x5a).toByte
+    val bin = Seq((1L, blob), (2L, blob.clone()), (3L, flipped))
+      .toDF("media_id", "content")
+    val fp = fps(Multimodal.perceptualHashes(bin))
+    assert(fp(1L) == fp(2L), "identical binary payloads must collide at Hamming 0")
+    val hamming = fp(1L).zip(fp(3L)).count { case (x, y) => x != y }
+    assert(hamming <= 8, s"one-byte flip must stay within one grid row, got $hamming")
+    // and the binary pair entry point finds the planted byte-identical pair
+    val pairs = Multimodal.phashNearDupPairs(bin).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.contains((1L, 2L, 0)))
+  }
+
   test("mediaPhashNearDupPairs == brute-force Hamming<=3 over the same fingerprints") {
     val texts = (0 until 40).map { i =>
       val body =
