@@ -270,6 +270,20 @@ object StreamBench {
         .option("checkpointLocation", s"$root/chk3").start()
     }
 
+    // --- timed: vocab-drift monitor (MG sketch ON the stream) ---
+    // constant state (nShards x capacity counters, forever) over the same
+    // gate corpus — the 12-token docs make this a tokens-heavy stateful
+    // fold; throughput is reported in docs/s like the gate rows
+    timeQuery("vocab drift monitor (MG transformWithState)", nDocs.toLong) {
+      val src = spark.readStream
+        .schema(docs.schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(s"$root/docs")
+      graft.streaming.VocabDrift.monitor(src, nShards = 32, capacity = 256, k = 10)
+        .writeStream.format("noop").outputMode(OutputMode.Update())
+        .option("checkpointLocation", s"$root/chk10").start()
+    }
+
     spark.stop()
   }
 }

@@ -814,6 +814,22 @@ private[operators] class MisraGriesAgg(capacity: Int, k: Int)
   import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
   def zero: Map[String, Long] = Map.empty
   def reduce(b: Map[String, Long], t: String): Map[String, Long] =
+    MisraGries.reduce(b, t, capacity)
+  def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] =
+    MisraGries.merge(a, b, capacity)
+  def finish(b: Map[String, Long]): Seq[(String, Long)] =
+    MisraGries.top(b, k)
+  def bufferEncoder: Encoder[Map[String, Long]] = ExpressionEncoder()
+  def outputEncoder: Encoder[Seq[(String, Long)]] = ExpressionEncoder()
+}
+
+/** The Misra-Gries transition kernel itself, shared between the batch
+  * Aggregator above and the streaming vocab-drift monitor
+  * ([[graft.streaming.VocabDrift]]) — one implementation, so the two paths
+  * cannot drift apart (the `applyPlatformChanges` sharing pattern).
+  */
+private[graft] object MisraGries {
+  def reduce(b: Map[String, Long], t: String, capacity: Int): Map[String, Long] =
     b.get(t) match {
       case Some(c) => b.updated(t, c + 1L)
       case None if b.size < capacity => b.updated(t, 1L)
@@ -822,7 +838,7 @@ private[operators] class MisraGriesAgg(capacity: Int, k: Int)
         // counter annihilate (the MG charging argument)
         b.iterator.collect { case (w, c) if c > 1L => (w, c - 1L) }.toMap
     }
-  def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
+  def merge(a: Map[String, Long], b: Map[String, Long], capacity: Int): Map[String, Long] = {
     val sum = b.foldLeft(a) { case (m, (w, c)) =>
       m.updated(w, m.getOrElse(w, 0L) + c)
     }
@@ -834,8 +850,6 @@ private[operators] class MisraGriesAgg(capacity: Int, k: Int)
       sum.iterator.collect { case (w, c) if c > cut => (w, c - cut) }.toMap
     }
   }
-  def finish(b: Map[String, Long]): Seq[(String, Long)] =
+  def top(b: Map[String, Long], k: Int): Seq[(String, Long)] =
     b.toSeq.sortBy { case (w, c) => (-c, w) }.take(k)
-  def bufferEncoder: Encoder[Map[String, Long]] = ExpressionEncoder()
-  def outputEncoder: Encoder[Seq[(String, Long)]] = ExpressionEncoder()
 }
