@@ -65,6 +65,19 @@ object SparkEntry {
     // dataloader assignment: deterministic shuffle/shard + length buckets
     "q_shuffle_shards" -> ((s, d) => operators.Curation.shuffleShards(Tables.documents(s, d))),
     "q_length_buckets" -> ((s, d) => operators.Curation.lengthBuckets(Tables.documents(s, d))),
+    // LLM-pipeline: subword (BPE-style) tokenization — fit the merges table
+    // on the corpus, serve as a row-local fold (Subword scaladoc)
+    "q_bpe_merges" -> ((s, d) => operators.Subword.mergesFrame(Tables.documents(s, d))),
+    "q_bpe_tokens" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      operators.Subword.subwordCounts(docs, operators.Subword.fitMerges(docs))
+    }),
+    // the subword variant of q_length_buckets: the bucket a real dataloader
+    // (which budgets subwords, not whitespace tokens) would assign
+    "q_length_buckets_bpe" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      operators.Subword.lengthBuckets(docs, operators.Subword.fitMerges(docs))
+    }),
     "q_chunk_docs" -> ((s, d) => operators.Curation.chunkDocuments(Tables.documents(s, d))),
     // C4-style cross-doc boilerplate removal; the token-stream corpus uses
     // fixed 8-token window segmentation (caller policy) with a " " joiner
@@ -385,6 +398,72 @@ object SparkEntry {
     }
     (Seq(init) ++ rounds :+ assign(s"k$iters", "af")).mkString(",\n")
   }
+
+  // BPE merge application as a DuckDB lambda: merges travel as VARCHAR
+  // "a<chr1>b" pairs, the accumulator is the wrapped-symbol string, and
+  // replace() shares Spark's non-overlapping left-to-right scan — the
+  // Subword scaladoc's engine-portability contract
+  private val duckBpeApply =
+    """(acc, mm) -> replace(acc,
+      |      chr(2)||split_part(mm, chr(1), 1)||chr(3)||chr(2)||split_part(mm, chr(1), 2)||chr(3),
+      |      chr(2)||split_part(mm, chr(1), 1)||split_part(mm, chr(1), 2)||chr(3))""".stripMargin
+  private def duckBpeWrap(tok: String): String =
+    s"""array_to_string(list_transform(range(1, length($tok)+1),
+       |        j -> chr(2)||substr($tok, CAST(j AS INTEGER), 1)||chr(3)), '')""".stripMargin
+
+  /** The iterative BPE fit as chained CTE blocks (the duckKmeansCtes
+    * pattern): bwc/bv0 = capped word-freq vocab with wrapped-symbol init;
+    * each round r counts adjacent symbol pairs (bp), ranks the top `m`
+    * (bm), and folds them into the vocab symbolization (bv). `ball` is the
+    * rank-ordered full merges list ready for list_reduce application.
+    */
+  private def duckBpeCtes(rounds: Int, m: Int, maxVocab: Int): String = {
+    val init =
+      s"""bwc AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+         |  GROUP BY token),
+         |bv0 AS (SELECT token, cnt, ${duckBpeWrap("token")} AS seq
+         |  FROM (SELECT token, cnt FROM bwc ORDER BY cnt DESC, token LIMIT $maxVocab))""".stripMargin
+    val roundCtes = (1 to rounds).map { r =>
+      s"""bp$r AS (SELECT a, b, SUM(cnt) AS total FROM (
+         |    SELECT cnt, syms[CAST(i AS INTEGER)] AS a, syms[CAST(i AS INTEGER)+1] AS b FROM (
+         |      SELECT cnt, syms, unnest(range(1, len(syms))) AS i FROM (
+         |        SELECT cnt, list_transform(
+         |            list_filter(string_split(seq, chr(2)), s -> s <> ''),
+         |            s -> replace(s, chr(3), '')) AS syms
+         |        FROM bv${r - 1})))
+         |  GROUP BY a, b),
+         |bm$r AS (SELECT a, b, rk FROM (
+         |    SELECT a, b, row_number() OVER (ORDER BY total DESC, a, b) AS rk FROM bp$r)
+         |  WHERE rk <= $m),
+         |bml$r AS (SELECT coalesce(list(a || chr(1) || b ORDER BY rk),
+         |    CAST([] AS VARCHAR[])) AS ms FROM bm$r),
+         |bv$r AS (SELECT token, cnt,
+         |    list_reduce(list_prepend(seq, ms), $duckBpeApply) AS seq
+         |  FROM bv${r - 1} CROSS JOIN bml$r)""".stripMargin
+    }
+    val all =
+      s"""ball AS (SELECT coalesce(list(p ORDER BY grk), CAST([] AS VARCHAR[])) AS ms FROM (
+         |  ${(1 to rounds).map(r =>
+             s"SELECT a || chr(1) || b AS p, rk + ${(r - 1) * m} AS grk FROM bm$r")
+             .mkString("\n  UNION ALL ")}))""".stripMargin
+    (Seq(init) ++ roundCtes :+ all).mkString(",\n")
+  }
+
+  // per-doc folded subword strings under the full merges list — the shared
+  // inner query of the q_bpe_tokens / q_length_buckets_bpe oracles
+  private def duckBpeDocCounts(rounds: Int, m: Int, maxVocab: Int): String =
+    s"""WITH ${duckBpeCtes(rounds, m, maxVocab)},
+       |bd AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |bfold AS (SELECT doc_id, toks,
+       |    list_transform(toks, t -> list_reduce(list_prepend(
+       |      ${duckBpeWrap("t")}, ms), $duckBpeApply)) AS folded
+       |  FROM bd CROSS JOIN ball),
+       |bcnt AS (SELECT doc_id,
+       |    CAST(len(toks) AS BIGINT) AS n_tokens,
+       |    CAST(coalesce(list_sum(list_transform(folded,
+       |      f -> length(f) - length(replace(f, chr(2), '')))), 0) AS BIGINT) AS n_subwords
+       |  FROM bfold)""".stripMargin
 
   // The curation CTE chain (quality + repetition + contamination + cluster
   // walk), shared verbatim between q_curation and q_corpus_build so the two
@@ -1113,6 +1192,27 @@ object SparkEntry {
         |       WHEN n_tokens <= 256 THEN 256 WHEN n_tokens <= 512 THEN 512
         |       WHEN n_tokens <= 1024 THEN 1024 ELSE 2048 END AS bucket
         |FROM t ORDER BY doc_id""".stripMargin,
+    "q_bpe_merges" ->
+      s"""WITH ${duckBpeCtes(3, 20, 512)}
+         |SELECT CAST(grk AS BIGINT) AS rank, a, b FROM (
+         |  ${(1 to 3).map(r => s"SELECT a, b, rk + ${(r - 1) * 20} AS grk FROM bm$r")
+              .mkString("\n  UNION ALL ")})
+         |ORDER BY rank""".stripMargin,
+    "q_bpe_tokens" ->
+      s"""${duckBpeDocCounts(3, 20, 512)}
+         |SELECT doc_id, n_tokens, n_subwords,
+         |  CASE WHEN n_tokens > 0 THEN
+         |    round(CAST(n_subwords AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+         |  ELSE 0.0 END AS subword_ratio
+         |FROM bcnt ORDER BY doc_id""".stripMargin,
+    "q_length_buckets_bpe" ->
+      s"""${duckBpeDocCounts(3, 20, 512)}
+         |SELECT doc_id, n_subwords,
+         |  CASE WHEN n_subwords <= 16 THEN 16 WHEN n_subwords <= 32 THEN 32
+         |       WHEN n_subwords <= 64 THEN 64 WHEN n_subwords <= 128 THEN 128
+         |       WHEN n_subwords <= 256 THEN 256 WHEN n_subwords <= 512 THEN 512
+         |       WHEN n_subwords <= 1024 THEN 1024 ELSE 2048 END AS bucket
+         |FROM bcnt ORDER BY doc_id""".stripMargin,
     "q_stratified_n" ->
       """WITH ranked AS (SELECT source, doc_id,
         |  row_number() OVER (PARTITION BY source

@@ -1,0 +1,192 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Subword (BPE-style) tokenization — fit a merges table on the corpus,
+  * serve it as a row-local fold. Every token-budgeted operator
+  * (lengthBuckets, packSequences, materializeSequences) budgets whitespace
+  * tokens; a real dataloader budgets SUBWORD counts — this operator is the
+  * bridge.
+  *
+  * Fit ([[fitMerges]]): classic byte-pair-encoding structure, made
+  * engine-replayable. The word-frequency table (one explode+groupBy
+  * shuffle) is capped to the `maxVocab` most frequent words (orderBy+limit
+  * — TakeOrderedAndProject, O(maxVocab) to the driver like
+  * `ivfCentroids`); then `rounds` rounds each (1) aggregate adjacent
+  * symbol-pair frequencies weighted by word count, (2) take the top
+  * `mergesPerRound` pairs by (total desc, pair asc) — deterministic ties —
+  * and (3) apply them to the vocab symbolization in rank order. Batching
+  * M merges per round instead of re-counting after every single merge is
+  * the scale trade (R aggregation jobs instead of R·M); multi-character
+  * subwords still emerge because later rounds pair previously-merged
+  * symbols. The oracle replays the fit as R chained CTE blocks — the
+  * `duckKmeansCtes` iterative-fit pattern.
+  *
+  * Symbol encoding (the engine-portability trick): a token's symbol
+  * sequence is ONE string with every symbol wrapped as STX·sym·ETX (U+0002/U+0003).
+  * Applying merge (a,b) is then a plain non-overlapping left-to-right
+  * string `replace` of "(a)(b)" by "(ab)" — exactly the greedy BPE merge
+  * scan — and Spark's `replace` and DuckDB's `replace` share those
+  * semantics, so fit and serve replay bit-identically in the oracle. The
+  * wrappers make occurrences self-delimiting: "(a)(b)(a)(b)" rewrites to
+  * "(ab)(ab)" in one pass, "(a)(a)(a)" to "(aa)(a)" — no shared-boundary
+  * misses. Contract: corpus text must not contain U+0001..U+0003
+  * (SubwordSpec pins this for the harness corpus).
+  *
+  * Serve ([[subwordCounts]], [[lengthBuckets]]): the merges ship as a
+  * ONE-ROW broadcast frame holding the rank-ordered array (the `lmModel`
+  * serve pattern) and each token folds over it row-locally
+  * (`aggregate(merges, wrap(tok), replace)`) — no shuffle, no state, no
+  * UDF; refreshing the model swaps the static side without replanning.
+  * 100 TB shape: the fold is O(merges) codegen'd string ops per token;
+  * fit cost is bounded by `maxVocab`, not the corpus.
+  */
+object Subword {
+
+  private val Open = "\u0002"
+  private val Close = "\u0003"
+
+  /** One learned merge: `rank` is the global application order. */
+  case class Merge(rank: Int, a: String, b: String)
+
+  /** Wrapped-symbol initialization: each character of the token becomes a
+    * STX·c·ETX symbol. `split(tok, "")` keeps a trailing empty slot
+    * (Java split with limit -1), hence the filter.
+    */
+  private def wrap(tok: Column): Column =
+    array_join(transform(
+      filter(split(tok, ""), c => c =!= ""),
+      c => concat(lit(Open), c, lit(Close))), "")
+
+  /** Symbol list back out of a wrapped string. */
+  private def syms(seq: Column): Column =
+    transform(
+      filter(split(seq, Open), s => s =!= ""),
+      s => translate(s, Close, ""))
+
+  /** Apply literal merges in rank order (fit-side: the merges just
+    * collected for this round).
+    */
+  private def applyLiteral(seq: Column, ms: Seq[Merge]): Column =
+    ms.sortBy(_.rank).foldLeft(seq) { (acc, m) =>
+      call_function("replace", acc,
+        lit(Open + m.a + Close + Open + m.b + Close),
+        lit(Open + m.a + m.b + Close))
+    }
+
+  /** Fold a wrapped token over the broadcast merges array (serve-side). */
+  private def applyTable(tok: Column, merges: Column): Column =
+    aggregate(merges, wrap(tok), (acc, m) =>
+      call_function("replace", acc,
+        concat(lit(Open), m.getField("a"), lit(Close),
+          lit(Open), m.getField("b"), lit(Close)),
+        concat(lit(Open), m.getField("a"), m.getField("b"), lit(Close))))
+
+  /** Symbol count of a folded wrapped string = its STX count. */
+  private def symbolCount(folded: Column): Column =
+    (length(folded) - length(translate(folded, Open, ""))).cast("long")
+
+  def fitMerges(
+      docs: DataFrame, rounds: Int = 3, mergesPerRound: Int = 20,
+      maxVocab: Int = 512): Seq[Merge] = {
+    require(rounds >= 1 && mergesPerRound >= 1 && maxVocab >= 1)
+    val wc = Par.spread(docs)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    var vocab = wc
+      .orderBy(col("cnt").desc, col("token")).limit(maxVocab)
+      .select(col("token"), col("cnt"), wrap(col("token")).as("seq"))
+    val out = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    for (r <- 0 until rounds) {
+      val pairs = vocab
+        .select(col("cnt"), syms(col("seq")).as("syms"))
+        .filter(size(col("syms")) >= 2)
+        .select(col("cnt"), explode(transform(
+          sequence(lit(0), size(col("syms")) - 2),
+          i => struct(
+            element_at(col("syms"), i + 1).as("a"),
+            element_at(col("syms"), i + 2).as("b")))).as("p"))
+        .groupBy(col("p").getField("a").as("a"), col("p").getField("b").as("b"))
+        .agg(sum(col("cnt")).as("total"))
+        .orderBy(col("total").desc, col("a"), col("b"))
+        .limit(mergesPerRound)
+        .collect()
+      val ms = pairs.zipWithIndex.map { case (row, i) =>
+        Merge(r * mergesPerRound + i + 1, row.getString(0), row.getString(1))
+      }.toSeq
+      out ++= ms
+      vocab = vocab.withColumn("seq", applyLiteral(col("seq"), ms))
+    }
+    out.toSeq
+  }
+
+  /** The learned merges as the one-row broadcast serving frame:
+    * (merges: array<struct<a,b>>) in rank order.
+    */
+  def mergesTable(spark: SparkSession, merges: Seq[Merge]): DataFrame = {
+    import spark.implicits._
+    merges.toDF("rank", "a", "b")
+      .agg(sort_array(collect_list(
+        struct(col("rank"), col("a"), col("b")))).as("ms"))
+      .select(transform(col("ms"), m =>
+        struct(m.getField("a").as("a"), m.getField("b").as("b"))).as("merges"))
+  }
+
+  /** The merges themselves as a query result (rank, a, b) — the model
+    * artifact a pipeline persists and the direct correctness check on the
+    * fit.
+    */
+  def mergesFrame(docs: DataFrame, rounds: Int = 3, mergesPerRound: Int = 20,
+      maxVocab: Int = 512): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    fitMerges(docs, rounds, mergesPerRound, maxVocab)
+      .map(m => (m.rank.toLong, m.a, m.b)).toDF("rank", "a", "b")
+      .orderBy(col("rank"))
+  }
+
+  /** Per-document subword budget: whitespace token count vs BPE subword
+    * count under the merges table, plus their ratio — the correction
+    * factor between the whitespace budgets used elsewhere and a real
+    * dataloader's subword budgets.
+    */
+  def subwordCounts(docs: DataFrame, merges: Seq[Merge]): DataFrame = {
+    val mt = mergesTable(docs.sparkSession, merges)
+    Par.spread(docs)
+      .crossJoin(broadcast(mt))
+      .select(col("doc_id"), split(col("text"), " ").as("toks"), col("merges"))
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        aggregate(
+          transform(col("toks"), t => symbolCount(applyTable(t, col("merges")))),
+          lit(0L), (acc, v) => acc + v).as("n_subwords"))
+      .withColumn("subword_ratio",
+        when(col("n_tokens") > 0,
+          round(col("n_subwords").cast("double") / col("n_tokens").cast("double"), 6))
+          .otherwise(lit(0.0)))
+      .orderBy(col("doc_id"))
+  }
+
+  /** [[Curation.lengthBuckets]] on the SUBWORD count — the bucket a real
+    * dataloader would assign. Same power-of-two ladder.
+    */
+  def lengthBuckets(
+      docs: DataFrame, merges: Seq[Merge],
+      minBucket: Int = 16, maxBucket: Int = 2048): DataFrame = {
+    require(minBucket >= 1 && Integer.bitCount(minBucket) == 1 &&
+      Integer.bitCount(maxBucket) == 1 && maxBucket >= minBucket,
+      "buckets must be powers of two")
+    val steps = Iterator.iterate(minBucket)(_ * 2)
+      .takeWhile(_ <= maxBucket).toSeq
+    val counted = subwordCounts(docs, merges)
+    val n = col("n_subwords")
+    val bucket = steps.reverse.foldLeft(lit(maxBucket.toLong)) {
+      (acc, b) => when(n <= b, lit(b.toLong)).otherwise(acc)
+    }
+    counted
+      .select(col("doc_id"), n.as("n_subwords"), bucket.as("bucket"))
+      .orderBy(col("doc_id"))
+  }
+}
