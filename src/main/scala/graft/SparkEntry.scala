@@ -190,6 +190,13 @@ object SparkEntry {
       val emb = Tables.embeddings(s, d)
       SimilaritySearch.ivfTopKKmeans(emb, emb.filter(col("vec_id") < 5))
     }),
+    // product quantization: per-subspace Lloyd codebooks (the persistable
+    // model artifact) and ADC-scored approximate top-k over the m-byte codes
+    "q_pq_codebooks" -> ((s, d) => operators.Pq.codebooksFrame(Tables.embeddings(s, d))),
+    "q_ann_pq" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      operators.Pq.pqTopK(emb, emb.filter(col("vec_id") < 5))
+    }),
     // index QA: recall@5 of each approximate index vs the brute twin —
     // the number a pipeline recomputes at every index refresh
     "q_ann_recall" -> ((s, d) => {
@@ -398,6 +405,80 @@ object SparkEntry {
     }
     (Seq(init) ++ rounds :+ assign(s"k$iters", "af")).mkString(",\n")
   }
+
+  // Product-quantization CTE chain (the duckKmeansCtes pattern, fit once
+  // ACROSS all m subspaces by carrying `sub` in the group key): pv = the
+  // subvector explosion, pc0 = init codebooks from the smallest-md5 draw
+  // (code ordinal by ascending vec_id, each subspace taking the draw's own
+  // slice); each round is an argmin-ROUNDED-L2² assignment (ties to the
+  // lowest code) and a quantized-integer mean update (the Embeddings.quant6
+  // arithmetic); `penc` is the corpus encoded under the final codebooks.
+  // Emptied codes drop out naturally. Assumes `e` is bound.
+  private def duckPqCtes(m: Int, subLen: Int, nCodes: Int, iters: Int): String = {
+    def assign(cs: String, out: String) =
+      s"""$out AS (SELECT vec_id, sub, code FROM (
+         |  SELECT v.vec_id, v.sub, c.code, row_number() OVER (
+         |      PARTITION BY v.vec_id, v.sub
+         |      ORDER BY round(list_sum(list_transform(range(1, ${subLen + 1}),
+         |        i -> (v.sv[i] - c.cv[i]) * (v.sv[i] - c.cv[i]))), 6), c.code) AS rn
+         |  FROM pv v JOIN $cs c ON v.sub = c.sub) WHERE rn = 1)""".stripMargin
+    val init =
+      s"""psub AS (SELECT unnest(range(0, $m)) AS sub),
+         |pv AS (SELECT vec_id, sub,
+         |    list_slice(emb, sub * $subLen + 1, (sub + 1) * $subLen) AS sv
+         |  FROM e CROSS JOIN psub),
+         |pdraw AS (SELECT vec_id, emb FROM e
+         |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $nCodes),
+         |pc0 AS (SELECT sub,
+         |    (row_number() OVER (PARTITION BY sub ORDER BY vec_id)) - 1 AS code,
+         |    list_slice(emb, sub * $subLen + 1, (sub + 1) * $subLen) AS cv
+         |  FROM pdraw CROSS JOIN psub)""".stripMargin
+    val rounds = (1 to iters).map { t =>
+      s"""${assign(s"pc${t - 1}", s"pa$t")},
+         |pu$t AS (SELECT a.sub, a.code, ix.i,
+         |    CAST(SUM(CAST(round(v.sv[ix.i], 6) * 1000000.0 AS BIGINT)) AS BIGINT) AS csum,
+         |    CAST(COUNT(*) AS BIGINT) AS cnt,
+         |    (CAST(SUM(CAST(round(v.sv[ix.i], 6) * 1000000.0 AS BIGINT)) AS DOUBLE)
+         |      / CAST(COUNT(*) AS DOUBLE)) / 1000000.0 AS comp
+         |  FROM pa$t a JOIN pv v ON v.vec_id = a.vec_id AND v.sub = a.sub
+         |  CROSS JOIN (SELECT unnest(range(1, ${subLen + 1})) AS i) ix
+         |  GROUP BY a.sub, a.code, ix.i),
+         |pc$t AS (SELECT sub, code, list(comp ORDER BY i) AS cv
+         |  FROM pu$t GROUP BY sub, code)""".stripMargin
+    }
+    (Seq(init) ++ rounds :+ assign(s"pc$iters", "penc")).mkString(",\n")
+  }
+
+  // ADC scoring + top-k over the PQ chain: per-query LUT of 6-dp-rounded
+  // per-sub dots scaled to exact ×10⁶ BIGINTs (so the cross-subspace sum is
+  // exact integer arithmetic — the Pq scaladoc's associativity contract),
+  // cosine against the reconstruction norm (zero-norm pinned to -1.0, the
+  // safeCos rule), rank by (cos desc, neighbor_id) — `pqk` is the top-k
+  // frame. Assumes duckPqCtes is bound; queries are vec_id < 5.
+  private def duckPqTopKCtes(subLen: Int, iters: Int, k: Int): String =
+    s"""pqq AS (SELECT vec_id AS query_id, sub, sv FROM pv WHERE vec_id < 5),
+       |pqn AS (SELECT vec_id AS query_id, sqrt(${duckDot("emb", "emb")}) AS qn
+       |  FROM e WHERE vec_id < 5),
+       |plut AS (SELECT q.query_id, c.sub, c.code,
+       |    CAST(round(list_sum(list_transform(range(1, ${subLen + 1}),
+       |      i -> q.sv[i] * c.cv[i])), 6) * 1000000.0 AS BIGINT) AS dq,
+       |    CAST(round(list_sum(list_transform(range(1, ${subLen + 1}),
+       |      i -> c.cv[i] * c.cv[i])), 6) * 1000000.0 AS BIGINT) AS nq
+       |  FROM pqq q JOIN pc$iters c ON q.sub = c.sub),
+       |psc AS (SELECT l.query_id, v.vec_id AS neighbor_id,
+       |    SUM(l.dq) AS dsum, SUM(l.nq) AS nsum
+       |  FROM penc v JOIN plut l ON l.sub = v.sub AND l.code = v.code
+       |  WHERE v.vec_id != l.query_id
+       |  GROUP BY l.query_id, v.vec_id),
+       |pcos AS (SELECT query_id, neighbor_id,
+       |    CASE WHEN qn * sqrt(CAST(nsum AS DOUBLE) / 1000000.0) = 0 THEN -1.0
+       |         ELSE round((CAST(dsum AS DOUBLE) / 1000000.0)
+       |           / (qn * sqrt(CAST(nsum AS DOUBLE) / 1000000.0)), 6) END AS cos
+       |  FROM psc JOIN pqn USING (query_id)),
+       |pqk AS (SELECT query_id, neighbor_id, rank, cos FROM (
+       |  SELECT *, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM pcos) WHERE rank <= $k)""".stripMargin
 
   // BPE merge application as a DuckDB lambda: merges travel as VARCHAR
   // "a<chr1>b" pairs, the accumulator is the wrapped-symbol string, and
@@ -1260,6 +1341,21 @@ object SparkEntry {
          |  SELECT *, ROW_NUMBER() OVER (
          |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
          |  FROM scored) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // the fitted per-subspace codebooks in the exact-integer form
+    // (component micro-sum + member count — mean = csum/cnt/1e6); the
+    // rounded mean itself can land on a 6-dp half boundary where the two
+    // engines' rounding modes disagree, integers cannot
+    "q_pq_codebooks" ->
+      s"""WITH e AS ($duckEmb),
+         |${duckPqCtes(8, 8, 8, 2)}
+         |SELECT sub, code, i, csum, cnt FROM pu2
+         |ORDER BY sub, code, i""".stripMargin,
+    "q_ann_pq" ->
+      s"""WITH e AS ($duckEmb),
+         |${duckPqCtes(8, 8, 8, 2)},
+         |${duckPqTopKCtes(8, 2, 5)}
+         |SELECT query_id, neighbor_id, rank, cos FROM pqk
+         |ORDER BY query_id, rank""".stripMargin,
     // recall@5 per approximate method: each method's top-5 CTE is the
     // corresponding q_ann_* oracle verbatim (reduced to id pairs); truth is
     // the brute top-5; hits counted by an id-pair left join
@@ -1299,6 +1395,8 @@ object SparkEntry {
          |  SELECT *, ROW_NUMBER() OVER (
          |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
          |  FROM iscored) WHERE rank <= 5),
+         |${duckPqCtes(8, 8, 8, 2)},
+         |${duckPqTopKCtes(8, 2, 5)},
          |${duckKmeansCtes(16, 2)},
          |kq AS (SELECT vec_id AS query_id, ci FROM af WHERE vec_id < 5),
          |kcand AS (SELECT kq.query_id, kc.vec_id AS neighbor_id
@@ -1314,7 +1412,8 @@ object SparkEntry {
          |tagged AS (
          |  SELECT 'ivf' AS method, query_id, neighbor_id FROM ivf
          |  UNION ALL SELECT 'ivf_kmeans', query_id, neighbor_id FROM kms
-         |  UNION ALL SELECT 'lsh', query_id, neighbor_id FROM lsh),
+         |  UNION ALL SELECT 'lsh', query_id, neighbor_id FROM lsh
+         |  UNION ALL SELECT 'pq', query_id, neighbor_id FROM pqk),
          |tn AS (SELECT CAST(COUNT(*) AS BIGINT) AS truth_n FROM truth),
          |marked AS (SELECT t.method, t.query_id, t.neighbor_id,
          |    CASE WHEN tr.query_id IS NOT NULL THEN 1 ELSE 0 END AS hit

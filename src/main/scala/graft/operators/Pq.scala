@@ -1,0 +1,278 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import SimilaritySearch.{l2NormKernel, round6}
+
+/** Product-quantization (PQ) ANN — the memory-bound billion-scale index
+  * structure (Jégou, Douze, Schmid, "Product Quantization for Nearest
+  * Neighbor Search", TPAMI 2011): split the `dim`-dimensional embedding
+  * into `m` contiguous subspaces, fit an independent small codebook per
+  * subspace (Lloyd k-means on the subvectors), and store each corpus
+  * vector as its `m` nearest-code ordinals — `m` small ints instead of
+  * `dim` floats (64-dim float32 → 8 codes = 32× compression). Queries stay
+  * RAW and score against reconstructions (asymmetric distance computation,
+  * the accurate variant): per query, one tiny lookup table of per-subspace
+  * dot products against every code; a corpus row's approximate cosine then
+  * costs `m` table lookups + integer adds, not `dim` multiplies.
+  *
+  * Everything is deterministic and engine-replayable (the DuckDB oracle
+  * replays fit, encode, and scoring bit-for-bit):
+  *  - init: the `nCodes` corpus vectors with the smallest md5(vec_id) (the
+  *    [[SimilaritySearch.ivfCentroids]] draw); code ordinal = rank by
+  *    ascending vec_id; subspace `s` takes the draw's s-th subvector;
+  *  - assignment: argmin L2² over codes, ROUNDED to 6 dp, ties to the
+  *    lowest code ordinal — partitioning-independent;
+  *  - update: quantized-integer means (the [[Embeddings]] quant6
+  *    arithmetic) so summation order never leaks; emptied codes drop out;
+  *  - scoring: the per-sub LUT entries are 6-dp-rounded dots scaled to
+  *    exact ×10⁶ longs, so the cross-subspace ADC sum is exact integer
+  *    arithmetic — associativity-proof — and only the final cosine
+  *    (dot / (‖q‖·‖recon‖)) rounds, once, at 6 dp.
+  *
+  * Scale shape (100 TB): fit is `iters` driver-coordinated jobs, each ONE
+  * mapPartitions pass that pre-reduces per-partition (sub, code) → (count,
+  * quantized sums) — partitions×m×nCodes tiny rows to the driver, no
+  * shuffle; encode is a narrow kernel pass emitting the m-byte code
+  * column (the artifact a lake persists next to — or instead of — the raw
+  * vectors); scoring broadcasts an O(|queries|·m·nCodes) long table and
+  * scans CODES, not vectors: memory traffic per corpus row drops from
+  * dim·4 bytes to m bytes, which is the index's point — the scan is
+  * bandwidth-bound at this scale. The per-query top-k is the same
+  * row_number shape as [[SimilaritySearch.bruteForceTopK]]. For the
+  * compute-side pruning story PQ composes with IVF (probe a cell, then
+  * ADC-score its codes) — the cell routing of [[SimilaritySearch.ivfTopK]]
+  * slots in front unchanged.
+  */
+object Pq {
+
+  /** One subspace's codebook: surviving (code ordinal, subvector) entries,
+    * ascending ordinal.
+    */
+  type Codebook = Array[(Int, Array[Double])]
+
+  /** ×10⁶ exact-integer quantization of a 6-dp-rounded double — the
+    * [[Embeddings]] centroid arithmetic (`CAST(round(x,6)*1000000 AS
+    * BIGINT)` in the oracle).
+    */
+  private def quant6(x: Double): Long = Math.round(round6(x) * 1e6)
+
+  /** 6-dp-rounded squared L2 between `c` and the slice of `e` at `off` —
+    * fixed index-ascending summation, the oracle's
+    * `round(list_sum(list_transform(...)), 6)` arithmetic.
+    */
+  private def subL2sq(e: Array[Double], off: Int, c: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < c.length) { val d = e(off + i) - c(i); s += d * d; i += 1 }
+    round6(s)
+  }
+
+  /** Fixed-order dot of `c` against the slice of `e` at `off`. */
+  private def subDot(e: Array[Double], off: Int, c: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < c.length) { s += e(off + i) * c(i); i += 1 }
+    s
+  }
+
+  /** Index (position, not ordinal) of the nearest surviving code: argmin
+    * rounded L2², first (= lowest ordinal, books stay sorted) wins ties.
+    */
+  private def nearestCode(e: Array[Double], off: Int, book: Codebook): Int = {
+    var bestP = 0; var best = Double.PositiveInfinity
+    var p = 0
+    while (p < book.length) {
+      val d = subL2sq(e, off, book(p)._2)
+      if (d < best) { best = d; bestP = p }
+      p += 1
+    }
+    bestP
+  }
+
+  /** Lloyd-fit the `m` per-subspace codebooks. `iters` rounds of (assign
+    * every subvector to its nearest code, recompute codes as quantized
+    * member means); a code that loses every member drops out, exactly as
+    * [[Embeddings]] clusters do.
+    */
+  def fitCodebooks(
+      corpus: DataFrame, m: Int = 8, nCodes: Int = 8, iters: Int = 2): Array[Codebook] =
+    fitWithStats(corpus, m, nCodes, iters)._1
+
+  /** [[fitCodebooks]] plus the final round's exact-integer statistics —
+    * (sub, code, member count, component micro-sums), the form whose mean
+    * is csum / cnt / 10⁶. [[codebooksFrame]] emits the stats rather than
+    * the rounded mean because a quantized-integer sum over a small member
+    * count can land EXACTLY on a 6-dp half boundary, where Spark's
+    * BigDecimal HALF_UP and another engine's float round may disagree —
+    * integers hash identically everywhere.
+    */
+  private[operators] def fitWithStats(
+      corpus: DataFrame, m: Int, nCodes: Int, iters: Int)
+      : (Array[Codebook], Array[(Int, Int, Long, Array[Long])]) = {
+    require(m >= 1 && nCodes >= 1 && iters >= 0, "need m, nCodes >= 1 and iters >= 0")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val draw = SimilaritySearch.ivfCentroids(corpus, nCodes) // ascending vec_id
+    val dim = draw.head._2.length
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val subLen = dim / m
+
+    var books: Array[Codebook] = Array.tabulate(m) { s =>
+      draw.zipWithIndex.map { case ((_, e, _), ordinal) =>
+        (ordinal, java.util.Arrays.copyOfRange(e, s * subLen, (s + 1) * subLen))
+      }
+    }
+    var stats = Array.empty[(Int, Int, Long, Array[Long])]
+    if (iters == 0) return (books, stats)
+
+    val vecs = Par.spread(corpus.select(col("vec_id"), col("embedding")))
+      .as[(Long, Array[Float])]
+      .map { case (id, f) => (id, f.map(_.toDouble)) }
+      .localCheckpoint()
+
+    for (_ <- 1 to iters) {
+      val bc = spark.sparkContext.broadcast(books)
+      // one pass: assign each of the m subvectors + pre-reduce quantized
+      // sums per (sub, code ordinal) — partitions×m×nCodes rows collected
+      val partials = vecs.mapPartitions { it =>
+        val bk = bc.value
+        val sl = bk(0)(0)._2.length
+        val acc = scala.collection.mutable.HashMap.empty[(Int, Int), (Long, Array[Long])]
+        it.foreach { case (_, e) =>
+          var s = 0
+          while (s < bk.length) {
+            val pos = nearestCode(e, s * sl, bk(s))
+            val key = (s, bk(s)(pos)._1)
+            val (n, sums) = acc.getOrElseUpdate(key, (0L, new Array[Long](sl)))
+            var i = 0
+            while (i < sl) { sums(i) += quant6(e(s * sl + i)); i += 1 }
+            acc(key) = (n + 1, sums)
+            s += 1
+          }
+        }
+        acc.iterator.map { case ((s, c), (n, sums)) => (s, c, n, sums) }
+      }.collect()
+      stats = partials.groupBy(p => (p._1, p._2)).toArray
+        .sortBy { case ((s, c), _) => (s, c) }
+        .map { case ((s, c), parts) =>
+          val n = parts.map(_._3).sum
+          val sums = Array.tabulate(subLen)(i => parts.map(_._4(i)).sum)
+          (s, c, n, sums)
+        }
+      val bySub = stats.groupBy(_._1)
+      books = Array.tabulate(m) { s =>
+        bySub.getOrElse(s, Array.empty).sortBy(_._2).map { case (_, code, n, sums) =>
+          (code, sums.map(_.toDouble / n.toDouble / 1e6))
+        }
+      }
+      bc.unpersist()
+    }
+    vecs.unpersist()
+    (books, stats)
+  }
+
+  /** Encode every corpus vector as its `m` nearest-code ordinals —
+    * (vec_id, codes). The narrow kernel pass whose output is the
+    * compressed index a lake persists.
+    */
+  def encode(corpus: DataFrame, books: Array[Codebook]): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(books)
+    Par.spread(corpus.select(col("vec_id"), col("embedding")))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val bk = bc.value
+        val sl = bk(0)(0)._2.length
+        it.map { case (id, f) =>
+          val e = f.map(_.toDouble)
+          (id, Array.tabulate(bk.length)(s => bk(s)(nearestCode(e, s * sl, bk(s)))._1))
+        }
+      }.toDF("vec_id", "codes")
+  }
+
+  /** The fitted codebooks as a query result, in the exact-integer form
+    * (sub, code, component index, component micro-sum, member count) —
+    * the persistable model artifact and the direct correctness check on
+    * the fit (centroid component = csum / cnt / 10⁶; see [[fitWithStats]]
+    * for why the stats, not the rounded mean, are what hashes exactly).
+    */
+  def codebooksFrame(
+      corpus: DataFrame, m: Int = 8, nCodes: Int = 8, iters: Int = 2): DataFrame = {
+    require(iters >= 1, "stats need at least one Lloyd round")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    fitWithStats(corpus, m, nCodes, iters)._2.flatMap { case (s, code, n, sums) =>
+      sums.zipWithIndex.map { case (cs, i) =>
+        (s.toLong, code.toLong, (i + 1).toLong, cs, n)
+      }
+    }.toSeq.toDF("sub", "code", "i", "csum", "cnt")
+      .orderBy(col("sub"), col("code"), col("i"))
+  }
+
+  /** Approximate cosine top-k under the PQ index: fit on the corpus,
+    * encode the corpus, ADC-score raw queries against the code column.
+    * Output shape matches every other `q_ann_*`: (query_id, neighbor_id,
+    * rank, cos), rank by (cos desc, neighbor_id).
+    */
+  def pqTopK(
+      corpus: DataFrame, queries: DataFrame,
+      k: Int = 5, m: Int = 8, nCodes: Int = 8, iters: Int = 2): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val books = fitCodebooks(corpus, m, nCodes, iters)
+    val subLen = books(0)(0)._2.length
+    // per-(sub, position) quantized reconstruction norm² — shared by all queries
+    val normSq: Array[Array[Long]] =
+      books.map(_.map { case (_, cv) => quant6(round6(subDot(cv, 0, cv))) })
+    // per-query LUT: quantized per-sub dot against every code position
+    val qLut = queries.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .collect().sortBy(_._1)
+      .map { case (qid, f) =>
+        val q = f.map(_.toDouble)
+        val lut = Array.tabulate(m) { s =>
+          books(s).map { case (_, cv) => quant6(round6(subDot(q, s * subLen, cv))) }
+        }
+        (qid, l2NormKernel(q), lut)
+      }
+    val bcLut = spark.sparkContext.broadcast(qLut)
+    val bcBooks = spark.sparkContext.broadcast(books)
+    val bcNorm = spark.sparkContext.broadcast(normSq)
+
+    val scored = encode(corpus, books).as[(Long, Array[Int])]
+      .mapPartitions { it =>
+        val qs = bcLut.value
+        val bk = bcBooks.value
+        val ns = bcNorm.value
+        // ordinal → position per sub (ordinals may be sparse after drops)
+        val posOf = bk.map(_.iterator.map(_._1).zipWithIndex.toMap)
+        it.flatMap { case (nid, codes) =>
+          // exact-integer ADC: Σ_s lut[s][code_s] and Σ_s ‖recon_s‖² as longs
+          var nsum = 0L
+          var s = 0
+          val pos = new Array[Int](codes.length)
+          while (s < codes.length) {
+            pos(s) = posOf(s)(codes(s))
+            nsum += ns(s)(pos(s))
+            s += 1
+          }
+          val rNorm = math.sqrt(nsum.toDouble / 1e6)
+          qs.iterator.filter(_._1 != nid).map { case (qid, qn, lut) =>
+            var dsum = 0L
+            var t = 0
+            while (t < codes.length) { dsum += lut(t)(pos(t)); t += 1 }
+            val denom = qn * rNorm
+            val cos = if (denom == 0.0) -1.0 else round6((dsum.toDouble / 1e6) / denom)
+            (qid, nid, cos)
+          }
+        }
+      }.toDF("query_id", "neighbor_id", "cos")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+}

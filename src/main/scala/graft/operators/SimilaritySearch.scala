@@ -239,7 +239,8 @@ object SimilaritySearch {
     val methods = Seq(
       "ivf" -> ivfTopK(corpus, queries, k, nCentroids),
       "ivf_kmeans" -> ivfTopKKmeans(corpus, queries, k, nCentroids),
-      "lsh" -> lshTopK(corpus, queries, numPlanes, dim, k))
+      "lsh" -> lshTopK(corpus, queries, numPlanes, dim, k),
+      "pq" -> Pq.pqTopK(corpus, queries, k))
     val tagged = methods.map { case (m, df) =>
       df.select(lit(m).as("method"), col("query_id"), col("neighbor_id"))
     }.reduce(_.unionByName(_))

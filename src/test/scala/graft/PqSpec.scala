@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Pq, SimilaritySearch}
+
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = Tables.embeddings(spark, sf)
+
+  test("fitCodebooks is deterministic and covers every subspace") {
+    val a = Pq.fitCodebooks(corpus, m = 8, nCodes = 8, iters = 2)
+    val b = Pq.fitCodebooks(corpus, m = 8, nCodes = 8, iters = 2)
+    assert(a.length == 8 && b.length == 8)
+    (a zip b).foreach { case (ba, bb) =>
+      assert(ba.length == bb.length && ba.nonEmpty)
+      (ba zip bb).foreach { case ((ca, va), (cb, vb)) =>
+        assert(ca == cb && va.sameElements(vb))
+      }
+    }
+    // code ordinals ascend and stay within the init draw's range
+    a.foreach { book =>
+      assert(book.map(_._1).sameElements(book.map(_._1).sorted))
+      assert(book.forall { case (c, v) => c >= 0 && c < 8 && v.length == 8 })
+    }
+  }
+
+  test("encode emits one in-book ordinal per subspace; duplicates share codes") {
+    val books = Pq.fitCodebooks(corpus, m = 8, nCodes = 8, iters = 2)
+    val valid = books.map(_.map(_._1).toSet)
+    val enc = Pq.encode(corpus, books).as[(Long, Array[Int])].collect()
+    assert(enc.length == corpus.count())
+    enc.foreach { case (_, codes) =>
+      assert(codes.length == 8)
+      codes.zipWithIndex.foreach { case (c, s) => assert(valid(s)(c)) }
+    }
+    // a byte-identical vector pair must land on identical codes
+    val dup = corpus.limit(1)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+      .unionByName(corpus.limit(1).select(col("vec_id"), col("embedding")))
+    val dupCodes = Pq.encode(dup, books).as[(Long, Array[Int])].collect()
+    assert(dupCodes.length == 2)
+    assert(dupCodes(0)._2.sameElements(dupCodes(1)._2))
+  }
+
+  test("pqTopK: k ranked neighbors per query, self excluded, ADC matches reconstruction") {
+    val queries = corpus.filter(col("vec_id") < 5)
+    val out = Pq.pqTopK(corpus, queries, k = 5).collect()
+    assert(out.length == 25)
+    out.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rows) =>
+      assert(rows.forall(_.getAs[Long]("neighbor_id") != q))
+      val sims = rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cos"))
+      assert(sims.sameElements(sims.sorted.reverse), s"query $q not sorted")
+      assert(sims.forall(c => c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9))
+    }
+
+    // the quantized-LUT ADC cosine must agree with the explicit
+    // reconstruct-then-cosine arithmetic: each of the m per-sub LUT dots
+    // carries <= 0.5e-6 rounding, so the dot differs by <= m*0.5e-6 and
+    // the final cosine by a comparable hair
+    val books = Pq.fitCodebooks(corpus, m = 8, nCodes = 8, iters = 2)
+    val posOf = books.map(_.iterator.map(_._1).zipWithIndex.toMap)
+    val enc = Pq.encode(corpus, books).as[(Long, Array[Int])].collect().toMap
+    val qVecs = queries.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().toMap
+    out.foreach { r =>
+      val q = qVecs(r.getAs[Long]("query_id")).map(_.toDouble)
+      val recon = enc(r.getAs[Long]("neighbor_id")).zipWithIndex
+        .flatMap { case (c, s) => books(s)(posOf(s)(c))._2 }
+      val expect = SimilaritySearch.safeCos(
+        SimilaritySearch.dotKernel(q, recon),
+        SimilaritySearch.l2NormKernel(q), SimilaritySearch.l2NormKernel(recon))
+      assert(math.abs(r.getAs[Double]("cos") - expect) < 1e-4,
+        s"ADC ${r.getAs[Double]("cos")} vs recon $expect")
+    }
+  }
+
+  test("recall@5 vs the brute twin is measurable and codes compress 32x") {
+    val queries = corpus.filter(col("vec_id") < 5)
+    val pq = Pq.pqTopK(corpus, queries, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = SimilaritySearch.bruteForceTopK(corpus, queries, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = pq.intersect(brute).size.toDouble / brute.size
+    info(f"PQ recall@5 vs brute force: $recall%.2f (8 bytes/vector vs 256)")
+    assert(recall > 0.0, "PQ should recover at least some exact neighbors")
+  }
+
+  test("zero-norm query pins every cosine to -1 instead of NaN") {
+    val books = Pq.fitCodebooks(corpus, m = 8, nCodes = 8, iters = 1)
+    val zeroQ = Seq((999999L, Array.fill(64)(0f))).toDF("vec_id", "embedding")
+    val out = Pq.pqTopK(corpus, zeroQ, k = 3, iters = 1).collect()
+    assert(out.length == 3)
+    assert(out.forall(_.getAs[Double]("cos") == -1.0))
+    assert(books.forall(_.nonEmpty))
+  }
+}
