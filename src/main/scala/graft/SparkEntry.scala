@@ -78,6 +78,12 @@ object SparkEntry {
       val docs = Tables.documents(s, d)
       operators.Subword.lengthBuckets(docs, operators.Subword.fitMerges(docs))
     }),
+    // encode-to-ids: the materialized (doc_id, pos, sym, token_id) stream
+    // a dataloader reads — chars-then-merges id table, -1 = out-of-vocab
+    "q_bpe_encode" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      operators.Subword.encodeIds(docs, operators.Subword.fitMerges(docs))
+    }),
     "q_chunk_docs" -> ((s, d) => operators.Curation.chunkDocuments(Tables.documents(s, d))),
     // C4-style cross-doc boilerplate removal; the token-stream corpus uses
     // fixed 8-token window segmentation (caller policy) with a " " joiner
@@ -1294,6 +1300,30 @@ object SparkEntry {
          |       WHEN n_subwords <= 256 THEN 256 WHEN n_subwords <= 512 THEN 512
          |       WHEN n_subwords <= 1024 THEN 1024 ELSE 2048 END AS bucket
          |FROM bcnt ORDER BY doc_id""".stripMargin,
+    // encode-to-ids: id table = corpus chars by ascending char, then merge
+    // symbols by global rank (first creation wins); docs unfold to the
+    // 1-based (pos, sym, token_id) subword stream
+    "q_bpe_encode" ->
+      s"""${duckBpeDocCounts(3, 20, 512)},
+         |bch AS (SELECT DISTINCT substr(text, CAST(j AS INTEGER), 1) AS sym
+         |  FROM (SELECT text, unnest(range(1, length(text) + 1)) AS j FROM documents)),
+         |bbase AS (SELECT sym, (row_number() OVER (ORDER BY sym)) - 1 AS id FROM bch),
+         |bbn AS (SELECT CAST(COUNT(*) AS BIGINT) AS nb FROM bbase),
+         |bmsym AS (SELECT replace(ms[CAST(i AS INTEGER)], chr(1), '') AS sym, i AS grk
+         |  FROM (SELECT ms, unnest(range(1, len(ms) + 1)) AS i FROM ball)),
+         |bmu AS (SELECT sym, min(grk) AS grk FROM bmsym GROUP BY sym),
+         |bmid AS (SELECT sym, nb + (row_number() OVER (ORDER BY grk)) - 1 AS id
+         |  FROM bmu CROSS JOIN bbn),
+         |bvocab AS (SELECT sym, id FROM bbase UNION ALL SELECT sym, id FROM bmid),
+         |bsyms AS (SELECT doc_id, flatten(list_transform(folded,
+         |    f -> list_transform(list_filter(string_split(f, chr(2)), s -> s <> ''),
+         |         s -> replace(s, chr(3), '')))) AS syms
+         |  FROM bfold),
+         |bexp AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, syms[CAST(i AS INTEGER)] AS sym
+         |  FROM (SELECT doc_id, syms, unnest(range(1, len(syms) + 1)) AS i FROM bsyms))
+         |SELECT x.doc_id, x.pos, x.sym, coalesce(v.id, CAST(-1 AS BIGINT)) AS token_id
+         |FROM bexp x LEFT JOIN bvocab v ON x.sym = v.sym
+         |ORDER BY x.doc_id, x.pos""".stripMargin,
     "q_stratified_n" ->
       """WITH ranked AS (SELECT source, doc_id,
         |  row_number() OVER (PARTITION BY source

@@ -169,6 +169,54 @@ object Subword {
       .orderBy(col("doc_id"))
   }
 
+  /** The tokenizer's id table, GPT-2 style: base symbols = the corpus's
+    * distinct characters, ids 0.. by ascending character; then each merge
+    * in rank order appends its created symbol `a+b` (first creation wins
+    * when two merge paths build the same string). A symbol outside the
+    * table encodes as -1 — impossible for corpus text (every character is
+    * a base symbol, every merged symbol is in the table) but the
+    * deterministic convention for serving unseen streams.
+    */
+  def vocab(docs: DataFrame, merges: Seq[Merge]): Seq[(String, Long)] = {
+    val chars = docs
+      .select(explode(filter(split(col("text"), ""), c => c =!= "")).as("c"))
+      .distinct().orderBy(col("c"))
+      .collect().map(_.getString(0)).toSeq
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    chars.zipWithIndex.foreach { case (c, i) => out(c) = i.toLong }
+    merges.sortBy(_.rank).foreach { m =>
+      val sym = m.a + m.b
+      if (!out.contains(sym)) out(sym) = out.size.toLong
+    }
+    out.toSeq
+  }
+
+  /** Encode every document to its subword id sequence — (doc_id, pos, sym,
+    * token_id), 1-based position over the doc's full subword stream. The
+    * materialized form a dataloader reads; the whole pipeline is columnar:
+    * the merges fold per token (the [[subwordCounts]] serve path), one
+    * flatten+posexplode, and a broadcast equi-join against the id table.
+    * 100 TB shape: no shuffle except the broadcast probe — output stays
+    * partitioned by input split; the id table is O(vocab) and ships once.
+    */
+  def encodeIds(docs: DataFrame, merges: Seq[Merge]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val mt = mergesTable(spark, merges)
+    val vdf = broadcast(vocab(docs, merges).toDF("sym", "id"))
+    Par.spread(docs)
+      .crossJoin(broadcast(mt))
+      .select(col("doc_id"), split(col("text"), " ").as("toks"), col("merges"))
+      .select(col("doc_id"),
+        flatten(transform(col("toks"), t => syms(applyTable(t, col("merges"))))).as("syms"))
+      .select(col("doc_id"), posexplode(col("syms")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"), col("col").as("sym"))
+      .join(vdf, Seq("sym"), "left_outer")
+      .select(col("doc_id"), col("pos"), col("sym"),
+        coalesce(col("id"), lit(-1L)).as("token_id"))
+      .orderBy(col("doc_id"), col("pos"))
+  }
+
   /** [[Curation.lengthBuckets]] on the SUBWORD count — the bucket a real
     * dataloader would assign. Same power-of-two ladder.
     */

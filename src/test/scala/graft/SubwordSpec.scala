@@ -83,4 +83,42 @@ class SubwordSpec extends SparkSpec {
     val totalChars = byId.values.map(_.split(" ", -1).map(_.length).sum).sum
     assert(totalSw < totalChars)
   }
+
+  test("vocab: chars first ascending, merge symbols appended in rank order, no dup ids") {
+    val d = docs((1L, "ab ab ba"))
+    val ms = Seq(Merge(1, "a", "b"), Merge(2, "b", "a"))
+    val v = Subword.vocab(d, ms)
+    // base chars of the corpus text: ' ', 'a', 'b' — ascending
+    assert(v.take(3) == Seq(" " -> 0L, "a" -> 1L, "b" -> 2L))
+    assert(v.drop(3) == Seq("ab" -> 3L, "ba" -> 4L))
+    assert(v.map(_._2) == v.indices.map(_.toLong))
+    // first creation wins: a duplicate-producing later merge adds nothing
+    val v2 = Subword.vocab(d, ms :+ Merge(3, "ab", "a") :+ Merge(4, "a", "ba"))
+    assert(v2.count(_._1 == "aba") == 1)
+    assert(v2.collectFirst { case ("aba", id) => id }.contains(5L))
+  }
+
+  test("encodeIds: decodable stream, in-vocab ids, counts agree with subwordCounts") {
+    val corpus = Tables.documents(spark, sf)
+    val ms = Subword.fitMerges(corpus, rounds = 2, mergesPerRound = 10)
+    val enc = Subword.encodeIds(corpus, ms).collect()
+    val vmap = Subword.vocab(corpus, ms).toMap
+    // corpus text never encodes out-of-vocab, and every id matches its symbol
+    enc.foreach { r =>
+      assert(r.getLong(3) >= 0L, s"OOV at doc ${r.getLong(0)} pos ${r.getLong(1)}")
+      assert(vmap(r.getString(2)) == r.getLong(3))
+    }
+    // concatenating symbols in pos order reproduces the doc without spaces
+    val byId = corpus.select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val grouped = enc.groupBy(_.getLong(0))
+    grouped.foreach { case (id, rows) =>
+      val joined = rows.sortBy(_.getLong(1)).map(_.getString(2)).mkString
+      assert(joined == byId(id).replace(" ", ""), s"doc $id does not decode")
+    }
+    // per-doc subword counts equal the subwordCounts serve path
+    val counts = Subword.subwordCounts(corpus, ms).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    grouped.foreach { case (id, rows) => assert(rows.length.toLong == counts(id)) }
+  }
 }
