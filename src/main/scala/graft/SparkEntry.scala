@@ -203,6 +203,12 @@ object SparkEntry {
       val emb = Tables.embeddings(s, d)
       operators.Pq.pqTopK(emb, emb.filter(col("vec_id") < 5))
     }),
+    // IVF-PQ (IVFADC): coarse cells prune the scan, residual PQ codes
+    // compress what's scanned — the composed billion-scale serving shape
+    "q_ann_ivfpq" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      operators.Pq.ivfPqTopK(emb, emb.filter(col("vec_id") < 5))
+    }),
     // index QA: recall@5 of each approximate index vs the brute twin —
     // the number a pipeline recomputes at every index refresh
     "q_ann_recall" -> ((s, d) => {
@@ -418,41 +424,45 @@ object SparkEntry {
   // (code ordinal by ascending vec_id, each subspace taking the draw's own
   // slice); each round is an argmin-ROUNDED-L2² assignment (ties to the
   // lowest code) and a quantized-integer mean update (the Embeddings.quant6
-  // arithmetic); `penc` is the corpus encoded under the final codebooks.
-  // Emptied codes drop out naturally. Assumes `e` is bound.
-  private def duckPqCtes(m: Int, subLen: Int, nCodes: Int, iters: Int): String = {
+  // arithmetic); `penc` is the source encoded under the final codebooks.
+  // Emptied codes drop out naturally. `src` must be bound with (vec_id,
+  // emb) — the raw corpus (`e`) or the IVF residual frame (`rv`); `pfx`
+  // namespaces every CTE so two chains can coexist in one query.
+  private def duckPqCtes(
+      m: Int, subLen: Int, nCodes: Int, iters: Int,
+      src: String = "e", pfx: String = ""): String = {
     def assign(cs: String, out: String) =
       s"""$out AS (SELECT vec_id, sub, code FROM (
          |  SELECT v.vec_id, v.sub, c.code, row_number() OVER (
          |      PARTITION BY v.vec_id, v.sub
          |      ORDER BY round(list_sum(list_transform(range(1, ${subLen + 1}),
          |        i -> (v.sv[i] - c.cv[i]) * (v.sv[i] - c.cv[i]))), 6), c.code) AS rn
-         |  FROM pv v JOIN $cs c ON v.sub = c.sub) WHERE rn = 1)""".stripMargin
+         |  FROM ${pfx}pv v JOIN $cs c ON v.sub = c.sub) WHERE rn = 1)""".stripMargin
     val init =
-      s"""psub AS (SELECT unnest(range(0, $m)) AS sub),
-         |pv AS (SELECT vec_id, sub,
+      s"""${pfx}psub AS (SELECT unnest(range(0, $m)) AS sub),
+         |${pfx}pv AS (SELECT vec_id, sub,
          |    list_slice(emb, sub * $subLen + 1, (sub + 1) * $subLen) AS sv
-         |  FROM e CROSS JOIN psub),
-         |pdraw AS (SELECT vec_id, emb FROM e
+         |  FROM $src CROSS JOIN ${pfx}psub),
+         |${pfx}pdraw AS (SELECT vec_id, emb FROM $src
          |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT $nCodes),
-         |pc0 AS (SELECT sub,
+         |${pfx}pc0 AS (SELECT sub,
          |    (row_number() OVER (PARTITION BY sub ORDER BY vec_id)) - 1 AS code,
          |    list_slice(emb, sub * $subLen + 1, (sub + 1) * $subLen) AS cv
-         |  FROM pdraw CROSS JOIN psub)""".stripMargin
+         |  FROM ${pfx}pdraw CROSS JOIN ${pfx}psub)""".stripMargin
     val rounds = (1 to iters).map { t =>
-      s"""${assign(s"pc${t - 1}", s"pa$t")},
-         |pu$t AS (SELECT a.sub, a.code, ix.i,
+      s"""${assign(s"${pfx}pc${t - 1}", s"${pfx}pa$t")},
+         |${pfx}pu$t AS (SELECT a.sub, a.code, ix.i,
          |    CAST(SUM(CAST(round(v.sv[ix.i], 6) * 1000000.0 AS BIGINT)) AS BIGINT) AS csum,
          |    CAST(COUNT(*) AS BIGINT) AS cnt,
          |    (CAST(SUM(CAST(round(v.sv[ix.i], 6) * 1000000.0 AS BIGINT)) AS DOUBLE)
          |      / CAST(COUNT(*) AS DOUBLE)) / 1000000.0 AS comp
-         |  FROM pa$t a JOIN pv v ON v.vec_id = a.vec_id AND v.sub = a.sub
+         |  FROM ${pfx}pa$t a JOIN ${pfx}pv v ON v.vec_id = a.vec_id AND v.sub = a.sub
          |  CROSS JOIN (SELECT unnest(range(1, ${subLen + 1})) AS i) ix
          |  GROUP BY a.sub, a.code, ix.i),
-         |pc$t AS (SELECT sub, code, list(comp ORDER BY i) AS cv
-         |  FROM pu$t GROUP BY sub, code)""".stripMargin
+         |${pfx}pc$t AS (SELECT sub, code, list(comp ORDER BY i) AS cv
+         |  FROM ${pfx}pu$t GROUP BY sub, code)""".stripMargin
     }
-    (Seq(init) ++ rounds :+ assign(s"pc$iters", "penc")).mkString(",\n")
+    (Seq(init) ++ rounds :+ assign(s"${pfx}pc$iters", s"${pfx}penc")).mkString(",\n")
   }
 
   // ADC scoring + top-k over the PQ chain: per-query LUT of 6-dp-rounded
@@ -485,6 +495,75 @@ object SparkEntry {
        |  SELECT *, row_number() OVER (
        |      PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
        |  FROM pcos) WHERE rank <= $k)""".stripMargin
+
+  // IVF coarse-quantizer assignment (the q_ann_ivf shape, shared): ic =
+  // the 16 smallest-md5 corpus vectors as cells, iasg = every vector's
+  // argmax-rounded-cosine cell (ties to the lowest cell id)
+  private val duckIvfAssign =
+    s"""ic AS (SELECT vec_id AS cid, emb AS cemb FROM e
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+       |iasg AS (SELECT vec_id, cid FROM (
+       |  SELECT e.vec_id, ic.cid, ROW_NUMBER() OVER (
+       |      PARTITION BY e.vec_id ORDER BY ${duckCos("e.emb", "ic.cemb")} DESC, ic.cid) AS rn
+       |  FROM e CROSS JOIN ic) WHERE rn = 1)""".stripMargin
+
+  // IVF-PQ (IVFADC): residual frame rv = vector − own-cell centroid, a
+  // duckPqCtes chain over it (prefix `r`), then ADC scoring against the
+  // reconstruction x̂ = centroid + decoded residual: dot(q,x̂) = dot(q,c) +
+  // Σ_s lut, ‖x̂‖² = ‖c‖² + 2·Σ_s cross + Σ_s ‖code‖² — every per-term dot
+  // 6-dp-rounded and ×10⁶-quantized so both sums are exact BIGINT
+  // arithmetic (the Pq scaladoc contract); queries probe their own cell
+  // only. `xpqk` is the (query_id, neighbor_id, rank, cos) top-k frame.
+  // Assumes `e`, `ic`, `iasg` are bound; queries are vec_id < 5.
+  private def duckIvfPqCtes(subLen: Int, nCodes: Int, iters: Int, k: Int): String =
+    s"""rv AS (SELECT e.vec_id,
+       |    list_transform(range(1, 65), i -> e.emb[i] - c.cemb[i]) AS emb
+       |  FROM e JOIN iasg a ON e.vec_id = a.vec_id JOIN ic c ON a.cid = c.cid),
+       |${duckPqCtes(64 / subLen, subLen, nCodes, iters, src = "rv", pfx = "r")},
+       |xq AS (SELECT e.vec_id AS query_id, e.emb AS q_emb, a.cid AS cell
+       |  FROM e JOIN iasg a ON e.vec_id = a.vec_id WHERE e.vec_id < 5),
+       |xqn AS (SELECT query_id, sqrt(${duckDot("q_emb", "q_emb")}) AS qn FROM xq),
+       |xqs AS (SELECT q.query_id, s.sub,
+       |    list_slice(q.q_emb, s.sub * $subLen + 1, (s.sub + 1) * $subLen) AS sv
+       |  FROM xq q CROSS JOIN rpsub s),
+       |xdqc AS (SELECT q.query_id,
+       |    CAST(round(${duckDot("q.q_emb", "c.cemb")}, 6) * 1000000.0 AS BIGINT) AS dqc,
+       |    CAST(round(${duckDot("c.cemb", "c.cemb")}, 6) * 1000000.0 AS BIGINT) AS nc
+       |  FROM xq q JOIN ic c ON q.cell = c.cid),
+       |xlut AS (SELECT q.query_id, b.sub, b.code,
+       |    CAST(round(list_sum(list_transform(range(1, ${subLen + 1}),
+       |      i -> q.sv[i] * b.cv[i])), 6) * 1000000.0 AS BIGINT) AS dq
+       |  FROM xqs q JOIN rpc$iters b ON q.sub = b.sub),
+       |xnq AS (SELECT sub, code,
+       |    CAST(round(list_sum(list_transform(range(1, ${subLen + 1}),
+       |      i -> cv[i] * cv[i])), 6) * 1000000.0 AS BIGINT) AS nq
+       |  FROM rpc$iters),
+       |xcc AS (SELECT c.cid, b.sub, b.code,
+       |    CAST(round(list_sum(list_transform(range(1, ${subLen + 1}),
+       |      i -> c.cemb[b.sub * $subLen + i] * b.cv[i])), 6) * 1000000.0 AS BIGINT) AS cx
+       |  FROM ic c CROSS JOIN rpc$iters b),
+       |xsc AS (SELECT q.query_id, v.vec_id AS neighbor_id,
+       |    SUM(l.dq) AS dres, SUM(x.cx) AS cxs, SUM(n.nq) AS nqs
+       |  FROM rpenc v
+       |  JOIN iasg a ON a.vec_id = v.vec_id
+       |  JOIN xq q ON q.cell = a.cid AND v.vec_id != q.query_id
+       |  JOIN xlut l ON l.query_id = q.query_id AND l.sub = v.sub AND l.code = v.code
+       |  JOIN xnq n ON n.sub = v.sub AND n.code = v.code
+       |  JOIN xcc x ON x.cid = a.cid AND x.sub = v.sub AND x.code = v.code
+       |  GROUP BY q.query_id, v.vec_id),
+       |xcos AS (SELECT s.query_id, s.neighbor_id,
+       |    CASE WHEN (d.nc + 2 * s.cxs + s.nqs) <= 0 THEN -1.0
+       |         WHEN q.qn * sqrt(CAST(d.nc + 2 * s.cxs + s.nqs AS DOUBLE) / 1000000.0) = 0
+       |           THEN -1.0
+       |         ELSE round((CAST(d.dqc + s.dres AS DOUBLE) / 1000000.0)
+       |           / (q.qn * sqrt(CAST(d.nc + 2 * s.cxs + s.nqs AS DOUBLE) / 1000000.0)), 6)
+       |    END AS cos
+       |  FROM xsc s JOIN xdqc d ON d.query_id = s.query_id
+       |  JOIN xqn q ON q.query_id = s.query_id),
+       |xpqk AS (SELECT query_id, neighbor_id, rank, cos FROM (
+       |  SELECT *, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM xcos) WHERE rank <= $k)""".stripMargin
 
   // BPE merge application as a DuckDB lambda: merges travel as VARCHAR
   // "a<chr1>b" pairs, the accumulator is the wrapped-symbol string, and
@@ -1386,6 +1465,12 @@ object SparkEntry {
          |${duckPqTopKCtes(8, 2, 5)}
          |SELECT query_id, neighbor_id, rank, cos FROM pqk
          |ORDER BY query_id, rank""".stripMargin,
+    "q_ann_ivfpq" ->
+      s"""WITH e AS ($duckEmb),
+         |$duckIvfAssign,
+         |${duckIvfPqCtes(8, 8, 2, 5)}
+         |SELECT query_id, neighbor_id, rank, cos FROM xpqk
+         |ORDER BY query_id, rank""".stripMargin,
     // recall@5 per approximate method: each method's top-5 CTE is the
     // corresponding q_ann_* oracle verbatim (reduced to id pairs); truth is
     // the brute top-5; hits counted by an id-pair left join
@@ -1409,12 +1494,7 @@ object SparkEntry {
          |  SELECT *, ROW_NUMBER() OVER (
          |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
          |  FROM lscored) WHERE rank <= 5),
-         |ic AS (SELECT vec_id AS cid, emb AS cemb FROM e
-         |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
-         |iasg AS (SELECT vec_id, cid FROM (
-         |  SELECT e.vec_id, ic.cid, ROW_NUMBER() OVER (
-         |      PARTITION BY e.vec_id ORDER BY ${duckCos("e.emb", "ic.cemb")} DESC, ic.cid) AS rn
-         |  FROM e CROSS JOIN ic) WHERE rn = 1),
+         |$duckIvfAssign,
          |iq AS (SELECT e.vec_id AS query_id, e.emb AS q_emb, iasg.cid AS cell
          |  FROM e JOIN iasg ON e.vec_id = iasg.vec_id WHERE e.vec_id < 5),
          |iscored AS (SELECT iq.query_id, e.vec_id AS neighbor_id,
@@ -1427,6 +1507,7 @@ object SparkEntry {
          |  FROM iscored) WHERE rank <= 5),
          |${duckPqCtes(8, 8, 8, 2)},
          |${duckPqTopKCtes(8, 2, 5)},
+         |${duckIvfPqCtes(8, 8, 2, 5)},
          |${duckKmeansCtes(16, 2)},
          |kq AS (SELECT vec_id AS query_id, ci FROM af WHERE vec_id < 5),
          |kcand AS (SELECT kq.query_id, kc.vec_id AS neighbor_id
@@ -1443,7 +1524,8 @@ object SparkEntry {
          |  SELECT 'ivf' AS method, query_id, neighbor_id FROM ivf
          |  UNION ALL SELECT 'ivf_kmeans', query_id, neighbor_id FROM kms
          |  UNION ALL SELECT 'lsh', query_id, neighbor_id FROM lsh
-         |  UNION ALL SELECT 'pq', query_id, neighbor_id FROM pqk),
+         |  UNION ALL SELECT 'pq', query_id, neighbor_id FROM pqk
+         |  UNION ALL SELECT 'ivf_pq', query_id, neighbor_id FROM xpqk),
          |tn AS (SELECT CAST(COUNT(*) AS BIGINT) AS truth_n FROM truth),
          |marked AS (SELECT t.method, t.query_id, t.neighbor_id,
          |    CASE WHEN tr.query_id IS NOT NULL THEN 1 ELSE 0 END AS hit

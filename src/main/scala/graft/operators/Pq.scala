@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import SimilaritySearch.{l2NormKernel, round6}
+import SimilaritySearch.{dotKernel, l2NormKernel, round6, safeCos}
 
 /** Product-quantization (PQ) ANN — the memory-bound billion-scale index
   * structure (Jégou, Douze, Schmid, "Product Quantization for Nearest
@@ -98,6 +98,13 @@ object Pq {
       corpus: DataFrame, m: Int = 8, nCodes: Int = 8, iters: Int = 2): Array[Codebook] =
     fitWithStats(corpus, m, nCodes, iters)._1
 
+  /** The (vec_id, vec: array<double>) projection the fit/encode kernels
+    * consume — float→double element cast is exact widening, so the arithmetic
+    * matches the oracle's CAST(x AS DOUBLE) lists bit-for-bit.
+    */
+  private def toVecs(corpus: DataFrame): DataFrame =
+    corpus.select(col("vec_id"), col("embedding").cast("array<double>").as("vec"))
+
   /** [[fitCodebooks]] plus the final round's exact-integer statistics —
     * (sub, code, member count, component micro-sums), the form whose mean
     * is csum / cnt / 10⁶. [[codebooksFrame]] emits the stats rather than
@@ -108,26 +115,40 @@ object Pq {
     */
   private[operators] def fitWithStats(
       corpus: DataFrame, m: Int, nCodes: Int, iters: Int)
+      : (Array[Codebook], Array[(Int, Int, Long, Array[Long])]) =
+    fitWithStatsOn(toVecs(corpus), m, nCodes, iters)
+
+  /** The fit core, over a (vec_id, vec: array<double>) frame — the raw
+    * corpus and the IVF-residual frame ([[ivfPqTopK]]) both route here.
+    * The init draw is the same replayable smallest-md5(vec_id) order as
+    * [[SimilaritySearch.ivfCentroids]], evaluated against THIS frame's
+    * vectors (raw or residual).
+    */
+  private def fitWithStatsOn(
+      vecsDf: DataFrame, m: Int, nCodes: Int, iters: Int)
       : (Array[Codebook], Array[(Int, Int, Long, Array[Long])]) = {
     require(m >= 1 && nCodes >= 1 && iters >= 0, "need m, nCodes >= 1 and iters >= 0")
-    val spark = corpus.sparkSession
+    val spark = vecsDf.sparkSession
     import spark.implicits._
-    val draw = SimilaritySearch.ivfCentroids(corpus, nCodes) // ascending vec_id
+    val draw = vecsDf
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(nCodes)
+      .select(col("vec_id"), col("vec")).as[(Long, Array[Double])]
+      .collect().sortBy(_._1)
     val dim = draw.head._2.length
     require(dim % m == 0, s"dim $dim must divide into $m subspaces")
     val subLen = dim / m
 
     var books: Array[Codebook] = Array.tabulate(m) { s =>
-      draw.zipWithIndex.map { case ((_, e, _), ordinal) =>
+      draw.zipWithIndex.map { case ((_, e), ordinal) =>
         (ordinal, java.util.Arrays.copyOfRange(e, s * subLen, (s + 1) * subLen))
       }
     }
     var stats = Array.empty[(Int, Int, Long, Array[Long])]
     if (iters == 0) return (books, stats)
 
-    val vecs = Par.spread(corpus.select(col("vec_id"), col("embedding")))
-      .as[(Long, Array[Float])]
-      .map { case (id, f) => (id, f.map(_.toDouble)) }
+    val vecs = Par.spread(vecsDf.select(col("vec_id"), col("vec")))
+      .as[(Long, Array[Double])]
       .localCheckpoint()
 
     for (_ <- 1 to iters) {
@@ -175,17 +196,19 @@ object Pq {
     * (vec_id, codes). The narrow kernel pass whose output is the
     * compressed index a lake persists.
     */
-  def encode(corpus: DataFrame, books: Array[Codebook]): DataFrame = {
-    val spark = corpus.sparkSession
+  def encode(corpus: DataFrame, books: Array[Codebook]): DataFrame =
+    encodeOn(toVecs(corpus), books)
+
+  private def encodeOn(vecsDf: DataFrame, books: Array[Codebook]): DataFrame = {
+    val spark = vecsDf.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(books)
-    Par.spread(corpus.select(col("vec_id"), col("embedding")))
-      .as[(Long, Array[Float])]
+    Par.spread(vecsDf.select(col("vec_id"), col("vec")))
+      .as[(Long, Array[Double])]
       .mapPartitions { it =>
         val bk = bc.value
         val sl = bk(0)(0)._2.length
-        it.map { case (id, f) =>
-          val e = f.map(_.toDouble)
+        it.map { case (id, e) =>
           (id, Array.tabulate(bk.length)(s => bk(s)(nearestCode(e, s * sl, bk(s)))._1))
         }
       }.toDF("vec_id", "codes")
@@ -264,6 +287,141 @@ object Pq {
             val denom = qn * rNorm
             val cos = if (denom == 0.0) -1.0 else round6((dsum.toDouble / 1e6) / denom)
             (qid, nid, cos)
+          }
+        }
+      }.toDF("query_id", "neighbor_id", "cos")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** IVF-PQ — the composed billion-scale serving shape (Jégou et al. 2011
+    * §V, "IVFADC"): an IVF coarse quantizer routes every vector to a cell
+    * and PQ codebooks — fit on the RESIDUALS (vector − cell centroid), the
+    * part the coarse quantizer doesn't explain — compress what each cell
+    * stores. A query probes its own cell only and ADC-scores that cell's
+    * codes against the reconstruction x̂ = centroid + decoded residual:
+    *   dot(q, x̂)  = dot(q, c) + Σₛ lut_s[code_s]
+    *   ‖x̂‖²       = ‖c‖² + 2·Σₛ cross_s[code_s] + Σₛ ‖book_s[code_s]‖²
+    * with every per-term dot 6-dp-rounded and ×10⁶-quantized, so both sums
+    * are exact integer arithmetic (the [[pqTopK]] contract) and only the
+    * final cosine rounds. All three lookup tables are query- or
+    * index-constant: lut is O(m·nCodes) per query, cross is O(cells·m·
+    * nCodes) per index build, both broadcast.
+    *
+    * Scale shape (100 TB): the scan per query is ONE cell's codes — the
+    * corpus/nCentroids pruning of [[SimilaritySearch.ivfTopK]] times the
+    * 32× byte-compression of PQ; the index build is one assignment kernel
+    * + the residual fit's `iters` pre-reduced passes. Cell routing,
+    * encode, and scoring are all narrow kernel passes against broadcast
+    * tables; the only shuffle is the per-query top-k window.
+    */
+  def ivfPqTopK(
+      corpus: DataFrame, queries: DataFrame,
+      k: Int = 5, nCentroids: Int = 16, m: Int = 8, nCodes: Int = 8,
+      iters: Int = 2): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = SimilaritySearch.ivfCentroids(corpus, nCentroids)
+    val bcC = spark.sparkContext.broadcast(cents)
+
+    // (vec_id, cell, vec = residual): argmax rounded cosine, ties to the
+    // lowest cell id — the ivfTopK assignment — then subtract the centroid
+    val res = Par.spread(corpus.select(col("vec_id"), col("embedding")))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cs = bcC.value
+        it.map { case (id, f) =>
+          val e = f.map(_.toDouble)
+          val ne = l2NormKernel(e)
+          var bestId = -1L; var best = Double.NegativeInfinity
+          var bestVec: Array[Double] = null
+          cs.foreach { case (cid, cv, cn) =>
+            val cos = safeCos(dotKernel(e, cv), ne, cn)
+            if (cos > best) { best = cos; bestId = cid; bestVec = cv }
+          }
+          val r = new Array[Double](e.length)
+          var i = 0
+          while (i < e.length) { r(i) = e(i) - bestVec(i); i += 1 }
+          (id, bestId, r)
+        }
+      }.toDF("vec_id", "cell", "vec")
+      .localCheckpoint() // fit re-scans iters times; encode+score once more
+
+    val (books, _) = fitWithStatsOn(res.select(col("vec_id"), col("vec")), m, nCodes, iters)
+    val subLen = books(0)(0)._2.length
+
+    // index-constant tables: per-(sub, position) residual-code norm² and
+    // per-(cell, sub, position) centroid×code cross terms, all quantized
+    val nq: Array[Array[Long]] =
+      books.map(_.map { case (_, cv) => quant6(round6(subDot(cv, 0, cv))) })
+    val cross: Map[Long, Array[Array[Long]]] = cents.map { case (cid, cv, _) =>
+      cid -> Array.tabulate(m) { s =>
+        books(s).map { case (_, bv) => quant6(round6(subDot(cv, s * subLen, bv))) }
+      }
+    }.toMap
+    val ncSq: Map[Long, Long] =
+      cents.map { case (cid, cv, _) => cid -> quant6(round6(dotKernel(cv, cv))) }.toMap
+
+    // queries: own-cell assignment (same argmax) + per-sub LUT + dot(q, c)
+    val qArr = queries.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+      .map { case (qid, f) =>
+        val q = f.map(_.toDouble)
+        val qn = l2NormKernel(q)
+        var bestId = -1L; var best = Double.NegativeInfinity
+        var bestVec: Array[Double] = null
+        cents.foreach { case (cid, cv, cn) =>
+          val cos = safeCos(dotKernel(q, cv), qn, cn)
+          if (cos > best) { best = cos; bestId = cid; bestVec = cv }
+        }
+        val lut = Array.tabulate(m) { s =>
+          books(s).map { case (_, cv) => quant6(round6(subDot(q, s * subLen, cv))) }
+        }
+        (qid, bestId, qn, quant6(round6(dotKernel(q, bestVec))), lut)
+      }
+    val bcQ = spark.sparkContext.broadcast(qArr)
+    val bcBooks = spark.sparkContext.broadcast(books)
+    val bcNq = spark.sparkContext.broadcast(nq)
+    val bcCross = spark.sparkContext.broadcast(cross)
+    val bcNc = spark.sparkContext.broadcast(ncSq)
+
+    val scored = res.as[(Long, Long, Array[Double])]
+      .mapPartitions { it =>
+        val qs = bcQ.value
+        val bk = bcBooks.value
+        val ns = bcNq.value
+        val cx = bcCross.value
+        val nc = bcNc.value
+        val sl = bk(0)(0)._2.length
+        it.flatMap { case (nid, cell, r) =>
+          val cellQs = qs.filter(q => q._2 == cell && q._1 != nid)
+          if (cellQs.isEmpty) Iterator.empty
+          else {
+            // encode inline (one pass over the residual) and pre-sum the
+            // query-independent integer parts
+            val pos = Array.tabulate(bk.length)(s => nearestCode(r, s * sl, bk(s)))
+            var nqs = 0L; var cxs = 0L
+            var s = 0
+            while (s < pos.length) {
+              nqs += ns(s)(pos(s)); cxs += cx(cell)(s)(pos(s)); s += 1
+            }
+            val nsum = nc(cell) + 2L * cxs + nqs
+            val rNorm = if (nsum <= 0L) 0.0 else math.sqrt(nsum.toDouble / 1e6)
+            cellQs.iterator.map { case (qid, _, qn, dqc, lut) =>
+              var dres = 0L
+              var t = 0
+              while (t < pos.length) { dres += lut(t)(pos(t)); t += 1 }
+              val dn = qn * rNorm
+              val cos =
+                if (nsum <= 0L || dn == 0.0) -1.0
+                else round6(((dqc + dres).toDouble / 1e6) / dn)
+              (qid, nid, cos)
+            }
           }
         }
       }.toDF("query_id", "neighbor_id", "cos")

@@ -239,6 +239,7 @@ object SimilaritySearch {
     val methods = Seq(
       "ivf" -> ivfTopK(corpus, queries, k, nCentroids),
       "ivf_kmeans" -> ivfTopKKmeans(corpus, queries, k, nCentroids),
+      "ivf_pq" -> Pq.ivfPqTopK(corpus, queries, k, nCentroids),
       "lsh" -> lshTopK(corpus, queries, numPlanes, dim, k),
       "pq" -> Pq.pqTopK(corpus, queries, k))
     val tagged = methods.map { case (m, df) =>

@@ -136,10 +136,12 @@ class SimilaritySpec extends SparkSpec {
     val expected = Map(
       "ivf" -> ids(SimilaritySearch.ivfTopK(emb, queries)),
       "ivf_kmeans" -> ids(SimilaritySearch.ivfTopKKmeans(emb, queries)),
+      "ivf_pq" -> ids(graft.operators.Pq.ivfPqTopK(emb, queries)),
       "lsh" -> ids(SimilaritySearch.lshTopK(emb, queries)),
       "pq" -> ids(graft.operators.Pq.pqTopK(emb, queries)))
     val audit = SimilaritySearch.annRecallAudit(emb, queries).collect()
-    assert(audit.map(_.getString(0)).toSeq == Seq("ivf", "ivf_kmeans", "lsh", "pq"))
+    assert(audit.map(_.getString(0)).toSeq ==
+      Seq("ivf", "ivf_kmeans", "ivf_pq", "lsh", "pq"))
     audit.foreach { r =>
       val m = r.getString(0)
       val approx = expected(m)
