@@ -336,6 +336,15 @@ object SparkEntry {
         emb.filter(col("vec_id") % 3 =!= 0), emb.filter(col("vec_id") % 3 === 0),
         cellCap = Int.MaxValue)
     }),
+    // the semantic gate served from the PQ-COMPRESSED index: residual
+    // codes + precomputed recon norms instead of raw vectors (32x less
+    // broadcast), fused ADC loop instead of full cosines
+    "q_ingest_audit_sempq" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      operators.Pq.incrementalSemanticDedupPq(
+        emb.filter(col("vec_id") % 3 =!= 0), emb.filter(col("vec_id") % 3 === 0),
+        cellCap = Int.MaxValue)
+    }),
   )
 
   // DuckDB-side shared fragments for the LLM-pipeline oracles
@@ -1156,6 +1165,78 @@ object SparkEntry {
          |SELECT b.vec_id, b.ci AS cell, best.cos AS max_cos, best.cid AS best_match,
          |  CASE WHEN best.cos >= 0.45 THEN 'duplicate_semantic' ELSE 'ok' END AS reason
          |FROM ab b LEFT JOIN best ON best.vec_id = b.vec_id
+         |ORDER BY b.vec_id""".stripMargin,
+    // the PQ-served gate: the sem oracle's corpus/batch split + kmeans
+    // chain, then the residual PQ chain (prefix g) and the IVFADC scoring
+    // decomposition — member nsq = |c|^2 + 2*cross + |code|^2 and the
+    // batch-side LUT/dqc, every per-term dot rounded+quantized so the
+    // sums are exact BIGINTs (the Pq contract)
+    "q_ingest_audit_sempq" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+         |  FROM embeddings WHERE vec_id % 3 <> 0),
+         |bq AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+         |  FROM embeddings WHERE vec_id % 3 = 0),
+         |${duckKmeansCtes(8, 2)},
+         |rv AS (SELECT v.vec_id,
+         |    list_transform(range(1, 65), i -> v.emb[i] - c.emb[i]) AS emb
+         |  FROM e v JOIN af a ON v.vec_id = a.vec_id JOIN c2 c ON a.ci = c.ci),
+         |${duckPqCtes(8, 8, 8, 2, src = "rv", pfx = "g")},
+         |gnq AS (SELECT sub, code,
+         |    CAST(round(list_sum(list_transform(range(1, 9),
+         |      i -> cv[i] * cv[i])), 6) * 1000000.0 AS BIGINT) AS nq
+         |  FROM gpc2),
+         |gnc AS (SELECT ci,
+         |    CAST(round(${duckDot("emb", "emb")}, 6) * 1000000.0 AS BIGINT) AS nc
+         |  FROM c2),
+         |gcc AS (SELECT c.ci, b.sub, b.code,
+         |    CAST(round(list_sum(list_transform(range(1, 9),
+         |      i -> c.emb[b.sub * 8 + i] * b.cv[i])), 6) * 1000000.0 AS BIGINT) AS cx
+         |  FROM c2 c CROSS JOIN gpc2 b),
+         |gns AS (SELECT v.vec_id, a.ci, SUM(n.nq) AS nqs, SUM(x.cx) AS cxs
+         |  FROM gpenc v
+         |  JOIN af a ON a.vec_id = v.vec_id
+         |  JOIN gnq n ON n.sub = v.sub AND n.code = v.code
+         |  JOIN gcc x ON x.ci = a.ci AND x.sub = v.sub AND x.code = v.code
+         |  GROUP BY v.vec_id, a.ci),
+         |gmem AS (SELECT g.vec_id, g.ci, gnc.nc + 2 * g.cxs + g.nqs AS nsq
+         |  FROM gns g JOIN gnc ON gnc.ci = g.ci),
+         |sc_b AS (SELECT v.vec_id, c.ci,
+         |    round(${duckDot("v.emb", "c.emb")}
+         |      / (sqrt(${duckDot("v.emb", "v.emb")}) * c.nrm), 6) AS cos
+         |  FROM bq v CROSS JOIN k2 c),
+         |ab AS (SELECT vec_id, ci FROM (SELECT vec_id, ci,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, ci) AS rk
+         |  FROM sc_b) WHERE rk = 1),
+         |bqn AS (SELECT vec_id, sqrt(${duckDot("emb", "emb")}) AS qn FROM bq),
+         |bdqc AS (SELECT b.vec_id,
+         |    CAST(round(${duckDot("bv.emb", "c.emb")}, 6) * 1000000.0 AS BIGINT) AS dqc
+         |  FROM ab b JOIN bq bv ON bv.vec_id = b.vec_id JOIN c2 c ON b.ci = c.ci),
+         |blut AS (SELECT bv.vec_id, g.sub, g.code,
+         |    CAST(round(list_sum(list_transform(range(1, 9),
+         |      i -> bv.emb[g.sub * 8 + i] * g.cv[i])), 6) * 1000000.0 AS BIGINT) AS dq
+         |  FROM bq bv CROSS JOIN gpc2 g),
+         |gsc AS (SELECT b.vec_id, cv.vec_id AS cid, SUM(l.dq) AS dres
+         |  FROM ab b
+         |  JOIN af cv ON cv.ci = b.ci
+         |  JOIN gpenc p ON p.vec_id = cv.vec_id
+         |  JOIN blut l ON l.vec_id = b.vec_id AND l.sub = p.sub AND l.code = p.code
+         |  GROUP BY b.vec_id, cv.vec_id),
+         |gcos AS (SELECT s.vec_id, s.cid,
+         |    CASE WHEN m.nsq <= 0 THEN -1.0
+         |         WHEN q.qn * sqrt(CAST(m.nsq AS DOUBLE) / 1000000.0) = 0 THEN -1.0
+         |         ELSE round((CAST(d.dqc + s.dres AS DOUBLE) / 1000000.0)
+         |           / (q.qn * sqrt(CAST(m.nsq AS DOUBLE) / 1000000.0)), 6)
+         |    END AS cos
+         |  FROM gsc s
+         |  JOIN gmem m ON m.vec_id = s.cid
+         |  JOIN bdqc d ON d.vec_id = s.vec_id
+         |  JOIN bqn q ON q.vec_id = s.vec_id),
+         |gbest AS (SELECT vec_id, cid, cos FROM (SELECT vec_id, cid, cos,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rk
+         |  FROM gcos) WHERE rk = 1)
+         |SELECT b.vec_id, b.ci AS cell, gbest.cos AS max_cos, gbest.cid AS best_match,
+         |  CASE WHEN gbest.cos >= 0.45 THEN 'duplicate_semantic' ELSE 'ok' END AS reason
+         |FROM ab b LEFT JOIN gbest ON gbest.vec_id = b.vec_id
          |ORDER BY b.vec_id""".stripMargin,
     // the same LSH pair graph closed into components by the recursive walk
     // (the embedding-side twin of q_dedup_clusters' oracle)

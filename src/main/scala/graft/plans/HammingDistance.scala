@@ -85,7 +85,8 @@ object GraftFunctions {
       new ExpressionInfo(classOf[HammingDistance].getName, "hamming_distance"),
       (children: Seq[Expression]) => HammingDistance(children(0), children(1))),
     CosineSimilarity.registration,
-    CellMaxCosine.registration)
+    CellMaxCosine.registration,
+    CellMaxAdc.registration)
 
   /** Programmatic registration (tests, notebooks). */
   def register(spark: SparkSession): Unit =

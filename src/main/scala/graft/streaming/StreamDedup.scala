@@ -65,4 +65,30 @@ object StreamDedup {
     graft.operators.Dedup.semanticNoveltyProbe(stream, index, threshold)
       .filter(col("reason") === "ok")
       .select(col("vec_id"), col("cell"), col("max_cos"))
+
+  /** [[admitNovelSemantic]] served from the PQ-COMPRESSED index
+    * ([[graft.operators.Pq.buildPqSemanticIndex]]): same stateless
+    * append-safe shape — kernel assign + LUT build, stream-static join,
+    * fused `cell_max_adc` loop — with 32× less broadcast payload and
+    * m integer adds per member instead of a dim-float cosine. The gate's
+    * max-cos becomes the ADC approximation; the recall audit measures
+    * that gap at every index refresh (SCALE.md centroid-staleness
+    * contract).
+    */
+  def admitNovelSemanticPq(
+      stream: DataFrame, corpus: DataFrame, threshold: Double = 0.45,
+      k: Int = 8, iters: Int = 2, cellCap: Int = 4096): DataFrame = {
+    val idx = graft.operators.Pq.buildPqSemanticIndex(corpus, k, iters, cellCap)
+    admitNovelSemanticPq(stream, idx.copy(cells = idx.cells.cache()), threshold)
+  }
+
+  /** [[admitNovelSemanticPq]] against a pre-built (typically pre-cached)
+    * compressed index — the production refresh-on-compaction shape.
+    */
+  def admitNovelSemanticPq(
+      stream: DataFrame, index: graft.operators.Pq.PqSemanticIndex,
+      threshold: Double): DataFrame =
+    graft.operators.Pq.pqNoveltyProbe(stream, index, threshold)
+      .filter(col("reason") === "ok")
+      .select(col("vec_id"), col("cell"), col("max_cos"))
 }

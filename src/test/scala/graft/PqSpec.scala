@@ -136,6 +136,74 @@ class PqSpec extends SparkSpec {
     info(f"IVF-PQ recall@5 vs brute force: ${got.intersect(brute).size.toDouble / brute.size}%.2f")
   }
 
+  test("pqNoveltyProbe: fused cell_max_adc equals a driver recomputation; index shrinks") {
+    val corpusDf = corpus.filter(col("vec_id") % 3 =!= 0)
+    val batchDf = corpus.filter(col("vec_id") % 3 === 0)
+    val idx = Pq.buildPqSemanticIndex(corpusDf, cellCap = Int.MaxValue)
+    val out = Pq.pqNoveltyProbe(batchDf, idx).collect()
+    assert(out.nonEmpty)
+
+    // unpack the packed cells and recompute every verdict driver-side with
+    // independent loops over the SAME integer decomposition
+    val members: Map[Int, Array[(Long, Array[Int], Long)]] =
+      idx.cells.collect().map { r =>
+        r.getAs[Int]("cell") ->
+          r.getSeq[org.apache.spark.sql.Row](1).map { m =>
+            (m.getLong(0), m.getSeq[Int](1).toArray, m.getLong(2))
+          }.toArray
+      }.toMap
+    val m = idx.books.length
+    val subLen = idx.books(0)(0)._2.length
+    val stride = idx.nCodesInit
+    def quant(x: Double): Long =
+      Math.round(SimilaritySearch.round6(x) * 1e6)
+    val qVecs = batchDf.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().toMap
+    out.foreach { r =>
+      val qid = r.getAs[Long]("vec_id")
+      val q = qVecs(qid).map(_.toDouble)
+      val qn = SimilaritySearch.l2NormKernel(q)
+      var bestC = -1; var best = Double.NegativeInfinity
+      var bestVec: Array[Double] = null
+      idx.centroids.foreach { case (ci, cv, cn) =>
+        val cos = SimilaritySearch.safeCos(SimilaritySearch.dotKernel(q, cv), qn, cn)
+        if (cos > best) { best = cos; bestC = ci; bestVec = cv }
+      }
+      assert(r.getAs[Int]("cell") == bestC, s"probe $qid routed to the wrong cell")
+      val dqc = quant(SimilaritySearch.round6(SimilaritySearch.dotKernel(q, bestVec)))
+      val lut = Array.tabulate(m, stride)((_, _) => 0L)
+      for (s <- 0 until m; (ord, bv) <- idx.books(s)) {
+        var d = 0.0; var i = 0
+        while (i < subLen) { d += q(s * subLen + i) * bv(i); i += 1 }
+        lut(s)(ord) = quant(SimilaritySearch.round6(d))
+      }
+      members.get(bestC) match {
+        case None =>
+          assert(r.isNullAt(r.fieldIndex("max_cos")), s"probe $qid: empty cell must be null")
+          assert(r.getAs[String]("reason") == "ok")
+        case Some(ms) =>
+          val scored = ms.map { case (id, codes, nsq) =>
+            var dsum = dqc
+            codes.zipWithIndex.foreach { case (c, s) => dsum += lut(s)(c) }
+            val dn = qn * math.sqrt(nsq.toDouble / 1e6)
+            val cos = if (nsq <= 0L || dn == 0.0) -1.0
+              else SimilaritySearch.round6((dsum.toDouble / 1e6) / dn)
+            (cos, id)
+          }
+          val (wantCos, wantId) = scored.maxBy { case (c, id) => (c, -id) }
+          assert(r.getAs[Double]("max_cos") == wantCos, s"probe $qid cos")
+          assert(r.getAs[Long]("best_match") == wantId, s"probe $qid best id")
+      }
+    }
+
+    // the compression claim: the PQ hint is an order of magnitude under
+    // the raw index's own hint for the same corpus
+    val raw = graft.operators.Dedup.buildSemanticIndex(corpusDf, cellCap = Int.MaxValue)
+    assert(idx.sizeHintBytes > 0 && raw.sizeHintBytes > 0)
+    assert(idx.sizeHintBytes * 5 < raw.sizeHintBytes,
+      s"pq hint ${idx.sizeHintBytes} not small vs raw ${raw.sizeHintBytes}")
+  }
+
   test("zero-norm query pins every cosine to -1 instead of NaN") {
     val books = Pq.fitCodebooks(corpus, m = 8, nCodes = 8, iters = 1)
     val zeroQ = Seq((999999L, Array.fill(64)(0f))).toDF("vec_id", "embedding")

@@ -214,6 +214,50 @@ class StreamCurationSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming PQ-compressed semantic gate admits exactly the batch probe's ok set") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    // the admitNovelSemantic fixture, served from the compressed index:
+    // near-clones must still be rejected THROUGH the ADC approximation
+    // (reconstruction error stays far from the 0.45 boundary), the novel
+    // axis probe must still be admitted
+    val corpus = (1L to 12L).map { id =>
+      val v = new Array[Float](8)
+      v((id % 2).toInt) = 10f
+      v(2 + (id % 6).toInt) = 1f + 0.1f * id
+      EmbRow(id, v)
+    }
+    val corpusDf = corpus.toDF()
+    val nearClone1 = corpus(0).embedding.clone(); nearClone1(7) += 0.05f
+    val nearClone2 = corpus(5).embedding.clone(); nearClone2(6) += 0.05f
+    val novel = new Array[Float](8); novel(7) = 5f
+    val probes = Seq(
+      EmbRow(101L, nearClone1), EmbRow(102L, novel), EmbRow(103L, nearClone2))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("vec_id"), r.getAs[Int]("cell"), r.getAs[Double]("max_cos"))
+    val batch = graft.operators.Pq.incrementalSemanticDedupPq(
+      corpusDf, probes.toDF(), k = 2, iters = 2)
+    val expected = batch.filter(col("reason") === "ok")
+      .select(col("vec_id"), col("cell"), col("max_cos"))
+      .collect().map(key).sorted.toSeq
+    assert(expected.map(_._1) == Seq(102L))
+    assert(batch.filter(col("reason") === "duplicate_semantic").count() == 2)
+    val input = MemoryStream[EmbRow]
+    val q = graft.streaming.StreamDedup.admitNovelSemanticPq(
+      input.toDF(), corpusDf, k = 2, iters = 2)
+      .writeStream.format("memory").queryName("spqnovel")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val (b1, b2) = probes.splitAt(1)
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+      val got = spark.table("spqnovel").collect().map(key).sorted.toSeq
+      assert(got == expected, s"stream PQ novelty gate diverged:\n$got\n$expected")
+    } finally q.stop()
+  }
+
   test("front door recovers dedup + packing state across a kill/restart") {
     // the flagship continuous query's recovery contract: kill the chained
     // admit -> pack query with data already landed but not yet committed,
