@@ -39,16 +39,26 @@ object Tables {
   def part(spark: SparkSession, d: String): DataFrame      = load(spark, d, "part")
   def nation(spark: SparkSession, d: String): DataFrame    = load(spark, d, "nation")
   def region(spark: SparkSession, d: String): DataFrame    = load(spark, d, "region")
-  /** `events.ts` is TIMESTAMP(NANOS) in parquet, which Spark's vectorized
-    * reader rejects; read nanos as long (legacy conf) and truncate to
-    * microsecond TimestampType (`DIV 1000` in integer space — a double
-    * division would lose precision at 1.7e18 ns epochs).
+  /** `events.ts` has shipped in two physical schemas across corpus
+    * generations, so normalize by the type the scan actually produces:
+    *  - TIMESTAMP(NANOS): Spark's vectorized reader rejects it; read nanos as
+    *    long (legacy conf) and truncate to microsecond TimestampType
+    *    (`DIV 1000` in integer space — a double division would lose precision
+    *    at 1.7e18 ns epochs).
+    *  - timestamp[us] without UTC adjustment: lands as TIMESTAMP_NTZ; cast to
+    *    session-zone TimestampType (UTC everywhere here, so the micros value
+    *    is preserved bit-for-bit and matches DuckDB's naive TIMESTAMP read).
     */
   def events(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    loadFact(spark, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts DIV 1000")))
+    val raw = loadFact(spark, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => raw
+    }
   }
   def documents(spark: SparkSession, d: String): DataFrame = loadFact(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = loadFact(spark, d, "embeddings")
