@@ -209,6 +209,16 @@ object SparkEntry {
       val emb = Tables.embeddings(s, d)
       operators.Pq.ivfPqTopK(emb, emb.filter(col("vec_id") < 5))
     }),
+    // IVFADC+R: ADC shortlist from the compressed index, exact re-rank of
+    // just those candidates — final cos is the brute twin's arithmetic
+    "q_ann_pq_rerank" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      operators.Pq.pqTopKRerank(emb, emb.filter(col("vec_id") < 5))
+    }),
+    "q_ann_ivfpq_rerank" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      operators.Pq.ivfPqTopKRerank(emb, emb.filter(col("vec_id") < 5))
+    }),
     // index QA: recall@5 of each approximate index vs the brute twin —
     // the number a pipeline recomputes at every index refresh
     "q_ann_recall" -> ((s, d) => {
@@ -1551,6 +1561,35 @@ object SparkEntry {
          |$duckIvfAssign,
          |${duckIvfPqCtes(8, 8, 2, 5)}
          |SELECT query_id, neighbor_id, rank, cos FROM xpqk
+         |ORDER BY query_id, rank""".stripMargin,
+    // IVFADC+R replay: the q_ann_pq chain at shortlist depth (pqk, k=20),
+    // then the shortlist's candidates re-scored with the EXACT brute-twin
+    // cosine and re-ranked — the final rank/cos come from full vectors
+    "q_ann_pq_rerank" ->
+      s"""WITH e AS ($duckEmb),
+         |${duckPqCtes(8, 8, 8, 2)},
+         |${duckPqTopKCtes(8, 2, 20)},
+         |rr AS (SELECT p.query_id, p.neighbor_id,
+         |    ${duckCos("q.emb", "v.emb")} AS cos
+         |  FROM pqk p JOIN e q ON q.vec_id = p.query_id
+         |  JOIN e v ON v.vec_id = p.neighbor_id)
+         |SELECT query_id, neighbor_id, rank, cos FROM (
+         |  SELECT *, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM rr) WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+    "q_ann_ivfpq_rerank" ->
+      s"""WITH e AS ($duckEmb),
+         |$duckIvfAssign,
+         |${duckIvfPqCtes(8, 8, 2, 20)},
+         |rr AS (SELECT p.query_id, p.neighbor_id,
+         |    ${duckCos("q.emb", "v.emb")} AS cos
+         |  FROM xpqk p JOIN e q ON q.vec_id = p.query_id
+         |  JOIN e v ON v.vec_id = p.neighbor_id)
+         |SELECT query_id, neighbor_id, rank, cos FROM (
+         |  SELECT *, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM rr) WHERE rank <= 5
          |ORDER BY query_id, rank""".stripMargin,
     // recall@5 per approximate method: each method's top-5 CTE is the
     // corresponding q_ann_* oracle verbatim (reduced to id pairs); truth is

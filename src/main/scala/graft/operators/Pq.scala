@@ -240,7 +240,15 @@ object Pq {
     */
   def pqTopK(
       corpus: DataFrame, queries: DataFrame,
-      k: Int = 5, m: Int = 8, nCodes: Int = 8, iters: Int = 2): DataFrame = {
+      k: Int = 5, m: Int = 8, nCodes: Int = 8, iters: Int = 2): DataFrame =
+    rankTopK(pqAdcScores(corpus, queries, m, nCodes, iters), k)
+
+  /** The (query_id, neighbor_id, cos) ADC-scored frame behind [[pqTopK]] —
+    * exposed so [[pqTopKRerank]] can shortlist from it without re-fitting.
+    */
+  private[operators] def pqAdcScores(
+      corpus: DataFrame, queries: DataFrame,
+      m: Int, nCodes: Int, iters: Int): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val books = fitCodebooks(corpus, m, nCodes, iters)
@@ -290,13 +298,7 @@ object Pq {
           }
         }
       }.toDF("query_id", "neighbor_id", "cos")
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
     scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
-      .orderBy(col("query_id"), col("rank"))
   }
 
   /** A PQ-compressed embedding-space novelty index — the
@@ -507,7 +509,15 @@ object Pq {
   def ivfPqTopK(
       corpus: DataFrame, queries: DataFrame,
       k: Int = 5, nCentroids: Int = 16, m: Int = 8, nCodes: Int = 8,
-      iters: Int = 2): DataFrame = {
+      iters: Int = 2): DataFrame =
+    rankTopK(ivfPqAdcScores(corpus, queries, nCentroids, m, nCodes, iters), k)
+
+  /** The (query_id, neighbor_id, cos) ADC-scored frame behind [[ivfPqTopK]]
+    * — exposed so [[ivfPqTopKRerank]] can shortlist from it.
+    */
+  private[operators] def ivfPqAdcScores(
+      corpus: DataFrame, queries: DataFrame,
+      nCentroids: Int, m: Int, nCodes: Int, iters: Int): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val cents = SimilaritySearch.ivfCentroids(corpus, nCentroids)
@@ -609,6 +619,14 @@ object Pq {
           }
         }
       }.toDF("query_id", "neighbor_id", "cos")
+    scored
+  }
+
+  /** Rank an ADC- or exact-scored (query_id, neighbor_id, cos) frame to the
+    * per-query top-k: row_number by (cos desc, neighbor_id) — one shuffle
+    * on query_id, the [[SimilaritySearch.bruteForceTopK]] shape.
+    */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored
@@ -616,5 +634,72 @@ object Pq {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** ADC shortlist + exact re-rank ("IVFADC+R", Jégou et al. 2011 §VI.A):
+    * the compressed index proposes the `shortlist` best candidates per
+    * query by ADC cosine, then the FULL vectors of just those candidates
+    * are fetched and exactly re-scored ([[SimilaritySearch.safeCos]], the
+    * brute-twin arithmetic), and the final top-k ranks by the exact score.
+    * Recovers most of the recall PQ's quantization loses — the returned
+    * `cos` is exact, so downstream thresholds (dedup gates, recall audits)
+    * compare like-for-like with the brute twin — while the expensive exact
+    * kernel touches only |queries|·shortlist rows, not the corpus.
+    *
+    * Scale shape (100 TB): the shortlist frame is O(|queries|·shortlist)
+    * ids; the candidate fetch broadcasts it and hash-joins the corpus — a
+    * second corpus scan in this file-based harness, but the scan carries
+    * codes-to-ids pruning semantics: in a lake deployment the id set pushes
+    * into a point-lookup-keyed vector store (the re-rank store of a serving
+    * stack), and either way the exact kernel's compute and the result
+    * shuffle stay O(|queries|·shortlist), independent of corpus size.
+    */
+  def pqTopKRerank(
+      corpus: DataFrame, queries: DataFrame,
+      k: Int = 5, shortlist: Int = 20,
+      m: Int = 8, nCodes: Int = 8, iters: Int = 2): DataFrame =
+    rerankExact(pqAdcScores(corpus, queries, m, nCodes, iters),
+      corpus, queries, k, shortlist)
+
+  /** [[pqTopKRerank]] over the IVF-PQ index: cell-pruned ADC shortlist,
+    * exact re-rank — the full IVFADC+R serving composition.
+    */
+  def ivfPqTopKRerank(
+      corpus: DataFrame, queries: DataFrame,
+      k: Int = 5, shortlist: Int = 20, nCentroids: Int = 16,
+      m: Int = 8, nCodes: Int = 8, iters: Int = 2): DataFrame =
+    rerankExact(ivfPqAdcScores(corpus, queries, nCentroids, m, nCodes, iters),
+      corpus, queries, k, shortlist)
+
+  private def rerankExact(
+      adc: DataFrame, corpus: DataFrame, queries: DataFrame,
+      k: Int, shortlist: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    val short = adc
+      .withColumn("adc_rank", row_number().over(wAdc))
+      .filter(col("adc_rank") <= shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val qMat = spark.sparkContext.broadcast(
+      queries.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+        .collect()
+        .map { case (id, f) =>
+          val d = f.map(_.toDouble); id -> (d, l2NormKernel(d))
+        }.toMap)
+    val cand = corpus.select(col("vec_id"), col("embedding"))
+      .join(broadcast(short), col("vec_id") === col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("embedding"))
+    val exact = cand.as[(Long, Long, Array[Float])]
+      .mapPartitions { it =>
+        val qs = qMat.value
+        it.map { case (qid, nid, f) =>
+          val e = f.map(_.toDouble)
+          val (qv, qn) = qs(qid)
+          (qid, nid, safeCos(dotKernel(qv, e), qn, l2NormKernel(e)))
+        }
+      }.toDF("query_id", "neighbor_id", "cos")
+    rankTopK(exact, k)
   }
 }

@@ -86,6 +86,53 @@ class PqSpec extends SparkSpec {
     assert(recall > 0.0, "PQ should recover at least some exact neighbors")
   }
 
+  test("pqTopKRerank: exact scores, recall >= plain ADC; full shortlist == brute") {
+    val queries = corpus.filter(col("vec_id") < 5)
+    val brute = SimilaritySearch.bruteForceTopK(corpus, queries, k = 5).collect()
+    val bruteSet = brute.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bruteCos = brute.map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+
+    val rr = Pq.pqTopKRerank(corpus, queries, k = 5, shortlist = 20).collect()
+    assert(rr.length == 25)
+    // every re-ranked cos is the EXACT cosine: wherever a pair also appears
+    // in the brute top-5, the values must be identical (same arithmetic)
+    rr.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      bruteCos.get(key).foreach(b => assert(r.getDouble(3) == b,
+        s"rerank cos for $key diverged from the brute twin"))
+    }
+    val adcSet = Pq.pqTopK(corpus, queries, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rrSet = rr.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val adcRecall = adcSet.intersect(bruteSet).size.toDouble / bruteSet.size
+    val rrRecall = rrSet.intersect(bruteSet).size.toDouble / bruteSet.size
+    info(f"recall@5: ADC $adcRecall%.2f -> rerank(20) $rrRecall%.2f")
+    assert(rrRecall >= adcRecall,
+      "exact re-ranking must not lose recall vs raw ADC ranking")
+
+    // a shortlist covering the whole corpus makes rerank = the brute twin
+    val n = corpus.count().toInt
+    val full = Pq.pqTopKRerank(corpus, queries, k = 5, shortlist = n).collect()
+    assert(full.map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSeq ==
+      brute.map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSeq)
+  }
+
+  test("ivfPqTopKRerank: candidates stay in-cell, scores exact, shape ranked") {
+    val queries = corpus.filter(col("vec_id") < 5)
+    val rr = Pq.ivfPqTopKRerank(corpus, queries, k = 5, shortlist = 20).collect()
+    assert(rr.nonEmpty && rr.length <= 25)
+    rr.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rows) =>
+      assert(rows.forall(_.getAs[Long]("neighbor_id") != q))
+      val sims = rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cos"))
+      assert(sims.sameElements(sims.sorted.reverse), s"query $q not sorted")
+    }
+    // in-cell: every rerank candidate must come from the IVF-PQ shortlist's
+    // cell — i.e. appear in the ADC frame at some rank
+    val adcPairs = Pq.ivfPqTopK(corpus, queries, k = corpus.count().toInt).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    rr.foreach(r => assert(adcPairs((r.getLong(0), r.getLong(1)))))
+  }
+
   test("ivfPqTopK: candidates are exactly the query's cell, ranked and bounded") {
     val queries = corpus.filter(col("vec_id") < 5)
     val out = Pq.ivfPqTopK(corpus, queries, k = 5).collect()
