@@ -209,6 +209,14 @@ object SparkEntry {
       val emb = Tables.embeddings(s, d)
       operators.Pq.ivfPqTopK(emb, emb.filter(col("vec_id") < 5))
     }),
+    // SQ8 scalar quantization: the 4x-compression tier between raw floats
+    // and PQ — per-dim affine fit, byte codes, reconstruction-scored ANN
+    "q_sq8_stats" -> ((s, d) => operators.Sq.sq8Stats(Tables.embeddings(s, d))),
+    "q_sq8_codes" -> ((s, d) => operators.Sq.sq8Encode(Tables.embeddings(s, d))),
+    "q_ann_sq8" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      operators.Sq.sq8TopK(emb, emb.filter(col("vec_id") < 5))
+    }),
     // IVFADC+R: ADC shortlist from the compressed index, exact re-rank of
     // just those candidates — final cos is the brute twin's arithmetic
     "q_ann_pq_rerank" -> ((s, d) => {
@@ -1561,6 +1569,45 @@ object SparkEntry {
          |$duckIvfAssign,
          |${duckIvfPqCtes(8, 8, 2, 5)}
          |SELECT query_id, neighbor_id, rank, cos FROM xpqk
+         |ORDER BY query_id, rank""".stripMargin,
+    // SQ8 replay: per-dim min/max fit, affine byte codes (HALF_UP round on
+    // the non-negative scaled value — Math.round parity), reconstruction
+    // rebuilt per (dim) and scored with the exact brute-twin cosine
+    "q_sq8_stats" ->
+      s"""WITH e AS ($duckEmb),
+         |x AS (SELECT ix.i AS dim, emb[ix.i] AS v
+         |  FROM e CROSS JOIN (SELECT unnest(range(1, 65)) AS i) ix)
+         |SELECT dim, min(v) AS lo, max(v) AS hi FROM x GROUP BY dim
+         |ORDER BY dim""".stripMargin,
+    "q_sq8_codes" ->
+      s"""WITH e AS ($duckEmb),
+         |x AS (SELECT e.vec_id, ix.i AS dim, emb[ix.i] AS v
+         |  FROM e CROSS JOIN (SELECT unnest(range(1, 65)) AS i) ix),
+         |st AS (SELECT dim, min(v) AS lo, max(v) AS hi FROM x GROUP BY dim)
+         |SELECT vec_id, dim,
+         |  CASE WHEN hi = lo THEN 0
+         |       ELSE CAST(round((v - lo) * 255.0 / (hi - lo), 0) AS BIGINT)
+         |  END AS code
+         |FROM x JOIN st USING (dim) ORDER BY vec_id, dim""".stripMargin,
+    "q_ann_sq8" ->
+      s"""WITH e AS ($duckEmb),
+         |x AS (SELECT e.vec_id, ix.i AS dim, emb[ix.i] AS v
+         |  FROM e CROSS JOIN (SELECT unnest(range(1, 65)) AS i) ix),
+         |st AS (SELECT dim, min(v) AS lo, max(v) AS hi FROM x GROUP BY dim),
+         |rc AS (SELECT vec_id, dim,
+         |    CASE WHEN hi = lo THEN lo
+         |         ELSE lo + CAST(round((v - lo) * 255.0 / (hi - lo), 0) AS BIGINT)
+         |              * (hi - lo) / 255.0 END AS rv
+         |  FROM x JOIN st USING (dim)),
+         |r AS (SELECT vec_id, list(rv ORDER BY dim) AS remb FROM rc GROUP BY vec_id),
+         |q AS (SELECT vec_id AS query_id, emb AS q_emb FROM e WHERE vec_id < 5),
+         |sc AS (SELECT query_id, r.vec_id AS neighbor_id,
+         |    ${duckCos("q_emb", "remb")} AS cos
+         |  FROM r CROSS JOIN q WHERE r.vec_id != query_id)
+         |SELECT query_id, neighbor_id, rank, cos FROM (
+         |  SELECT *, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM sc) WHERE rank <= 5
          |ORDER BY query_id, rank""".stripMargin,
     // IVFADC+R replay: the q_ann_pq chain at shortlist depth (pqk, k=20),
     // then the shortlist's candidates re-scored with the EXACT brute-twin

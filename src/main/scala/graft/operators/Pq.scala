@@ -626,7 +626,7 @@ object Pq {
     * per-query top-k: row_number by (cos desc, neighbor_id) — one shuffle
     * on query_id, the [[SimilaritySearch.bruteForceTopK]] shape.
     */
-  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+  private[operators] def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored
