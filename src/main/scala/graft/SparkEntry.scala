@@ -303,6 +303,13 @@ object SparkEntry {
     "q_lm_score" -> ((s, d) => TextAnalysis.lmPerplexityScore(Tables.documents(s, d))),
     // CCNet head/middle/tail terciles of the LM-score distribution
     "q_ccnet_buckets" -> ((s, d) => TextAnalysis.perplexityBuckets(Tables.documents(s, d))),
+    // DSIR importance resampling (hashed-ngram likelihood ratios): the
+    // constant-size domain-selection model + per-raw-doc weights. The
+    // harness target domain is lang='en' (the classifier-demo convention)
+    "q_dsir_ratios" -> ((s, d) => operators.Dsir.dsirRatiosFrame(
+      Tables.documents(s, d), col("lang") === "en")),
+    "q_dsir_weights" -> ((s, d) => operators.Dsir.dsirWeights(
+      Tables.documents(s, d), col("lang") === "en")),
     // bigram LM with add-one smoothing — the n-gram step that scores word order
     "q_lm_bigram" -> ((s, d) => TextAnalysis.lmBigramScore(Tables.documents(s, d))),
     "q_domain_mix" -> ((s, d) => TextAnalysis.domainMixture(Tables.documents(s, d))),
@@ -407,6 +414,36 @@ object SparkEntry {
       |                     THEN 1.0 ELSE -1.0 END))) > 0
       |    THEN '1' ELSE '0' END), '')""".stripMargin
   private val enStopList = "['the','a','of','and','to','in','is','it']"
+
+  // DSIR feature/model CTEs (target = lang='en', 1024 md5 buckets): the
+  // unigram+bigram stream of q_lm_bigram's shape, bucketed by the md5-prefix
+  // hash, conditional class counts, add-one log-ratios as a DIFFERENCE of
+  // two 6-dp DECIMAL(18,6) terms (each term the q_lm_score policy) over ALL
+  // buckets including never-seen ones. Binds `fb` (doc_id, tgt, bkt) and
+  // `lr` (bkt, ct, cr, lrd).
+  private val duckDsirCtes =
+    """dsd AS (SELECT doc_id, lang = 'en' AS tgt, string_split(text,' ') AS t
+      |  FROM documents),
+      |dsu AS (SELECT doc_id, tgt, unnest(t) AS f FROM dsd),
+      |dsb AS (SELECT doc_id, tgt, unnest(list_transform(
+      |    range(1, greatest(len(t), 1)),
+      |    i -> array_to_string(t[i:i+1], ' '))) AS f FROM dsd),
+      |fb AS (SELECT doc_id, tgt,
+      |    ('0x' || substr(md5(f), 1, 15))::BIGINT % 1024 AS bkt
+      |  FROM (SELECT * FROM dsu UNION ALL SELECT * FROM dsb)),
+      |cls AS (SELECT bkt,
+      |    CAST(SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+      |    CAST(SUM(CASE WHEN tgt THEN 0 ELSE 1 END) AS BIGINT) AS cr
+      |  FROM fb GROUP BY bkt),
+      |dst AS (SELECT CAST(SUM(ct) AS DOUBLE) AS nt,
+      |    CAST(SUM(cr) AS DOUBLE) AS nr FROM cls),
+      |lr AS (SELECT ab.bkt, COALESCE(ct, 0) AS ct, COALESCE(cr, 0) AS cr,
+      |    CAST(round(ln((COALESCE(ct, 0) + 1.0) / (nt + 1024.0)), 6)
+      |        AS DECIMAL(18,6))
+      |      - CAST(round(ln((COALESCE(cr, 0) + 1.0) / (nr + 1024.0)), 6)
+      |        AS DECIMAL(18,6)) AS lrd
+      |  FROM (SELECT unnest(range(0, 1024)) AS bkt) ab
+      |  LEFT JOIN cls ON ab.bkt = cls.bkt CROSS JOIN dst)""".stripMargin
 
   // Lloyd-iteration CTE chain for the k-means / semantic-dedup oracles:
   // c0 = the k smallest-md5(vec_id) vectors, cluster ordinal ci by ascending
@@ -1957,6 +1994,23 @@ object SparkEntry {
         |       WHEN avg_nll <= c2 THEN 'middle'
         |       ELSE 'tail' END AS bucket
         |FROM scored CROSS JOIN cuts ORDER BY doc_id""".stripMargin,
+    // DSIR replay: md5-bucketed unigram+bigram feature stream, add-one
+    // bucket log-ratios as 6-dp DECIMAL term differences, DECIMAL-exact
+    // per-doc weight sums, threshold verdict at tau=0
+    "q_dsir_ratios" ->
+      s"""WITH $duckDsirCtes
+         |SELECT bkt, ct, cr, CAST(lrd AS DOUBLE) AS logratio
+         |FROM lr ORDER BY bkt""".stripMargin,
+    "q_dsir_weights" ->
+      s"""WITH $duckDsirCtes,
+         |rawb AS (SELECT doc_id, bkt, COUNT(*) AS n FROM fb
+         |  WHERE NOT tgt GROUP BY doc_id, bkt),
+         |agg AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_feats,
+         |    CAST(SUM(CAST(n AS DECIMAL(18,0)) * lrd) AS DOUBLE) AS logw
+         |  FROM rawb JOIN lr USING (bkt) GROUP BY doc_id)
+         |SELECT doc_id, n_feats, round(logw, 6) AS logw,
+         |  CASE WHEN logw >= 0.0 THEN 'keep' ELSE 'drop' END AS verdict
+         |FROM agg ORDER BY doc_id""".stripMargin,
     "q_doc_stats" ->
       s"""SELECT doc_id,
          |  len(string_split(text,' ')) AS token_count,
