@@ -347,6 +347,17 @@ object SparkEntry {
         .select(col("doc_id"), col("n_tokens"), col("logit"), col("reason"))
         .orderBy(col("doc_id"))
     }),
+    // the gate with DSIR importance-weight selection on: ratios fit in
+    // batch (target: lang == 'en'), served as the one-row dense array,
+    // scored by a row-local unigram+bigram fold — no streaming aggregation
+    "q_ingest_audit_dsir" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val bench = TextAnalysis.benchmarkShingles(docs.filter(col("doc_id") % 97 === 0))
+      val model = operators.Dsir.dsirServeModel(docs, col("lang") === "en")
+      graft.streaming.IngestGate.audit(docs, bench, dsir = Some(model), minLogw = 0.0)
+        .select(col("doc_id"), col("n_tokens"), col("dsir_logw"), col("reason"))
+        .orderBy(col("doc_id"))
+    }),
     // the SEMANTIC novelty gate's batch twin: a new batch (%3 == 0, the
     // incremental-dedup harness split) probes the existing corpus's IVF
     // novelty index in embedding space — admitted only when no corpus
@@ -2201,6 +2212,43 @@ object SparkEntry {
         |       WHEN logit <= 0.0 THEN 'classifier_reject'
         |       ELSE 'ok' END AS reason
         |FROM verdicts CROSS JOIN bvocab ORDER BY doc_id""".stripMargin,
+    // gate + served DSIR model: the dense bucket-ratio array probed by
+    // md5 slot, logw folded in FEATURE order (unigrams then bigrams, each
+    // in document order — list_reduce == the gate's aggregate()), the
+    // dsir_reject check at the gate's position in the verdict chain
+    "q_ingest_audit_dsir" ->
+      s"""WITH $duckDsirCtes,
+         |ra AS (SELECT list(CAST(lrd AS DOUBLE) ORDER BY bkt) AS r FROM lr),
+         |tk AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+         |ft AS (SELECT doc_id, t, list_concat(t, list_transform(
+         |    range(1, greatest(len(t), 1)),
+         |    i -> array_to_string(t[i:i+1], ' '))) AS fs FROM tk),
+         |scored AS (SELECT doc_id, len(t) AS n_tokens,
+         |  list_transform(range(1, greatest(len(t)-1, 1)),
+         |    i -> array_to_string(t[i:i+2], ' ')) AS tri,
+         |  list_distinct(list_transform(range(1, greatest(len(t)-2, 1)),
+         |    i -> array_to_string(t[i:i+3], ' '))) AS s4,
+         |  round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(fs, f -> r[CAST(
+         |        ('0x' || substr(md5(f), 1, 15))::BIGINT % 1024 + 1
+         |        AS INTEGER)])),
+         |    (acc, x) -> acc + x), 6) AS dsir_logw
+         |  FROM ft CROSS JOIN ra),
+         |bvocab AS (SELECT list(DISTINCT s) AS v FROM (
+         |  SELECT unnest(s4) AS s FROM scored WHERE doc_id % 97 = 0)),
+         |verdicts AS (SELECT doc_id, n_tokens, dsir_logw,
+         |  CASE WHEN len(tri) > 0
+         |       THEN round(1.0 - CAST(len(list_distinct(tri)) AS DOUBLE)
+         |                        / CAST(len(tri) AS DOUBLE), 6)
+         |       ELSE 0.0 END AS dup_trigram_frac,
+         |  s4 FROM scored)
+         |SELECT doc_id, n_tokens, dsir_logw,
+         |  CASE WHEN n_tokens < 5 THEN 'too_short'
+         |       WHEN dup_trigram_frac > 0.15 THEN 'repetitive'
+         |       WHEN list_has_any(s4, bvocab.v) THEN 'contaminated'
+         |       WHEN dsir_logw < 0.0 THEN 'dsir_reject'
+         |       ELSE 'ok' END AS reason
+         |FROM verdicts CROSS JOIN bvocab ORDER BY doc_id""".stripMargin,
     "q_domain_mix" ->
       """WITH per AS (SELECT source, count(*) AS n_docs,
         |    CAST(sum(len(string_split(text,' '))) AS BIGINT) AS n_tokens

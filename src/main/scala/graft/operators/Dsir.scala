@@ -94,6 +94,31 @@ object Dsir {
         col("lrd").cast("double").as("logratio"))
       .orderBy(col("bkt"))
 
+  /** [[dsirLogRatios]] packaged for row-local serving: ONE row carrying the
+    * bucket-ordered ratio array (as 6-dp doubles). Because the model is a
+    * DENSE fixed-size array — every bucket has a value, unseen ones carry
+    * the smoothing-only ratio — the serve probe is a plain `element_at` by
+    * bucket index: O(1) with no residual map scan, simpler than even the
+    * lmModel bucket layout. Broadcast into a stream-static join; the
+    * streaming edge scores each arriving doc with a row-local fold
+    * ([[graft.streaming.IngestGate.audit]]'s `dsir` gate) — fit in batch,
+    * serve on the stream, no streaming aggregation.
+    */
+  def dsirServeModel(
+      docs: DataFrame, isTarget: Column, buckets: Int = 1024): DataFrame =
+    dsirLogRatios(docs, isTarget, buckets)
+      .agg(map_from_entries(collect_list(
+        struct(col("bkt").cast("int"), col("lrd").cast("double")))).as("m"))
+      .select(transform(sequence(lit(0), lit(buckets - 1)),
+        b => element_at(col("m"), b)).as("dsir_ratios"))
+
+  /** The md5 feature bucket as a servable expression (1-based for
+    * `element_at` against the dense ratio array).
+    */
+  def featureSlot(feat: Column, buckets: Column): Column =
+    (conv(substring(md5(feat.cast("binary")), 1, 15), 16, 10)
+      .cast("long") % buckets.cast("long") + 1).cast("int")
+
   /** Importance weight + threshold verdict for every RAW (non-target)
     * document: logw = Σ_b n_b·ratio_b, keep iff logw ≥ τ.
     */

@@ -26,8 +26,8 @@ import graft.functions.TextFunctions._
 object IngestGate {
 
   /** Per-document verdict stream (append-safe, one row per input doc):
-    * `reason` ∈ ok | too_short | repetitive | contaminated | low_quality,
-    * first failing gate wins in that order.
+    * `reason` ∈ ok | too_short | repetitive | contaminated | low_quality |
+    * classifier_reject | dsir_reject, first failing gate wins in that order.
     *
     * `lmModel` (optional): the one-row token→logp frame from
     * [[graft.operators.TextAnalysis.lmModel]], fit in batch on a trusted
@@ -47,12 +47,23 @@ object IngestGate {
     * (keep ⇔ logit STRICTLY above the threshold), so the gate admits exactly
     * the set the batch scorer would keep.
     */
+  /** `dsir` (optional): the one-row dense ratio array from
+    * [[graft.operators.Dsir.dsirServeModel]], fit in batch against a target
+    * domain — importance-weight selection served on the stream. Each doc's
+    * logw is a row-local fold over its unigram+bigram features (O(1)
+    * element_at per feature — the array is dense, no OOV branch), rounded
+    * to 6 dp; docs strictly below `minLogw` fail as `dsir_reject` — the
+    * SAME open/closed boundary as [[graft.operators.Dsir.dsirWeights]]
+    * (keep ⇔ logw ≥ τ), so the gate admits exactly the set the batch
+    * selector keeps.
+    */
   def audit(
       docs: DataFrame, benchShingles: DataFrame, n: Int = 4,
       minTokens: Int = 5, maxDupTrigramFrac: Double = 0.15,
       cacheVocab: Boolean = false,
       lmModel: Option[DataFrame] = None, maxAvgNll: Double = 10.0,
-      classifier: Option[DataFrame] = None, minLogit: Double = 0.0): DataFrame = {
+      classifier: Option[DataFrame] = None, minLogit: Double = 0.0,
+      dsir: Option[DataFrame] = None, minLogw: Double = 0.0): DataFrame = {
     // the token array and trigram list are staged as REAL columns, not
     // shared Column expressions: an expression reused across projections is
     // re-inlined by CollapseProject into every consumer, so the previous
@@ -117,7 +128,21 @@ object IngestGate {
               lit(0.0))), 6))
         .drop("clf_buckets", "clf_bias")
     }
-    withClf
+    val withDsir = dsir.fold(withClf.withColumn("dsir_logw", lit(null).cast("double"))) { m =>
+      val mdl = if (cacheVocab) m.cache() else m
+      // dense-array probe: element_at by md5 bucket slot is O(1), no
+      // residual scan and no OOV branch (every bucket carries a ratio)
+      withClf
+        .crossJoin(broadcast(mdl))
+        .withColumn("dsir_logw", round(
+          aggregate(
+            concat(col("toks"), shingles(col("toks"), 2)),
+            lit(0.0),
+            (acc, f) => acc + element_at(col("dsir_ratios"),
+              graft.operators.Dsir.featureSlot(f, size(col("dsir_ratios"))))), 6))
+        .drop("dsir_ratios")
+    }
+    withDsir
       .withColumn("reason",
         when(col("n_tokens") < minTokens, "too_short")
           .when(col("dup_trigram_frac") > maxDupTrigramFrac, "repetitive")
@@ -125,6 +150,7 @@ object IngestGate {
             array_distinct(shingles(col("toks"), n)), col("bench_vocab")), "contaminated")
           .when(col("avg_nll") > maxAvgNll, "low_quality")
           .when(col("logit") <= minLogit, "classifier_reject")
+          .when(col("dsir_logw") < minLogw, "dsir_reject")
           .otherwise("ok"))
       .drop("bench_vocab", "toks", "tri")
   }
@@ -152,9 +178,10 @@ object IngestGate {
       docs: DataFrame, benchShingles: DataFrame,
       watermark: String = "10 minutes",
       classifier: Option[DataFrame] = None, minLogit: Double = 0.0,
-      lmModel: Option[DataFrame] = None, maxAvgNll: Double = 10.0): DataFrame =
+      lmModel: Option[DataFrame] = None, maxAvgNll: Double = 10.0,
+      dsir: Option[DataFrame] = None, minLogw: Double = 0.0): DataFrame =
     admitImpl(docs, benchShingles, watermark, identity,
-      classifier, minLogit, lmModel, maxAvgNll)
+      classifier, minLogit, lmModel, maxAvgNll, dsir, minLogw)
 
   /** [[admit]] that is also NOVEL against the existing corpus — the
     * streaming twin of [[graft.operators.Dedup.incrementalExactDedup]]:
@@ -173,16 +200,18 @@ object IngestGate {
       docs: DataFrame, benchShingles: DataFrame, corpusDigests: DataFrame,
       watermark: String = "10 minutes",
       classifier: Option[DataFrame] = None, minLogit: Double = 0.0,
-      lmModel: Option[DataFrame] = None, maxAvgNll: Double = 10.0): DataFrame =
+      lmModel: Option[DataFrame] = None, maxAvgNll: Double = 10.0,
+      dsir: Option[DataFrame] = None, minLogw: Double = 0.0): DataFrame =
     admitImpl(docs, benchShingles, watermark,
       _.join(corpusDigests.select(col("text_hash")), Seq("text_hash"), "left_anti"),
-      classifier, minLogit, lmModel, maxAvgNll)
+      classifier, minLogit, lmModel, maxAvgNll, dsir, minLogw)
 
   private def admitImpl(
       docs: DataFrame, benchShingles: DataFrame, watermark: String,
       noveltyProbe: DataFrame => DataFrame,
       classifier: Option[DataFrame] = None, minLogit: Double = 0.0,
-      lmModel: Option[DataFrame] = None, maxAvgNll: Double = 10.0): DataFrame =
+      lmModel: Option[DataFrame] = None, maxAvgNll: Double = 10.0,
+      dsir: Option[DataFrame] = None, minLogw: Double = 0.0): DataFrame =
     audit(
       noveltyProbe(
         docs
@@ -192,7 +221,8 @@ object IngestGate {
           .dropDuplicatesWithinWatermark("text_hash")),
       benchShingles, cacheVocab = true,
       lmModel = lmModel, maxAvgNll = maxAvgNll,
-      classifier = classifier, minLogit = minLogit)
+      classifier = classifier, minLogit = minLogit,
+      dsir = dsir, minLogw = minLogw)
       .filter(col("reason") === "ok")
       .select(col("doc_id"), col("text"), col("source"), col("event_time"))
 }

@@ -218,4 +218,63 @@ class IngestGateSpec extends SparkSpec {
         s"expected corpus anti-join + gates + stream dedup to admit 2,6; got $admitted")
     } finally q.stop()
   }
+
+  test("audit with DSIR: gate folds match the batch selector's weights and set") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf)
+    val isTarget = col("lang") === "en"
+    val model = graft.operators.Dsir.dsirServeModel(docs, isTarget)
+    val bench = graft.operators.TextAnalysis.benchmarkShingles(
+      docs.filter(col("doc_id") % 97 === 0))
+    val audited = IngestGate.audit(docs, bench, dsir = Some(model), minLogw = 0.0)
+      .select(col("doc_id"), col("dsir_logw"), col("reason")).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getString(2))).toMap
+    val batch = graft.operators.Dsir.dsirWeights(docs, isTarget).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(2), r.getString(3))).toMap
+    // the stream fold (feature order, doubles) and the batch sum (DECIMAL,
+    // bucket-grouped) must land on the same 6-dp weight for every raw doc
+    batch.foreach { case (id, (logw, verdict)) =>
+      assert(audited(id)._1 == logw, s"doc $id: fold ${audited(id)._1} != sum $logw")
+      // docs that reach the dsir gate mirror the batch keep/drop boundary
+      val reason = audited(id)._2
+      if (reason == "ok") assert(verdict == "keep", s"doc $id admitted but batch-dropped")
+      if (reason == "dsir_reject") assert(verdict == "drop", s"doc $id rejected but batch-kept")
+    }
+  }
+
+  test("audit stream with DSIR: dense-array fold scores append-safe per row") {
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    // target profile: weather-ish English; raw: everything else
+    val seed = Seq(
+      (100L, "sunny weather forecast report today", "en"),
+      (101L, "wolkig regen wetter bericht heute", "de"),
+      (102L, "cheap spam offer online now", "de"))
+      .toDF("doc_id", "text", "lang")
+    val model = graft.operators.Dsir.dsirServeModel(seed, col("lang") === "en")
+    val input = MemoryStream[Doc]
+    val q = IngestGate.audit(
+        input.toDF().toDF("doc_id", "text", "source", "timestamp"),
+        benchVocab, cacheVocab = true, dsir = Some(model))
+      .writeStream.format("memory").queryName("audited_dsir")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(
+        (1L, "sunny weather report arrives with the forecast today", "web", T0),
+        (2L, "cheap spam offer appears online again right now", "web", T0))
+      q.processAllAvailable()
+      val rows = spark.table("audited_dsir").collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[String]("reason"), r.getAs[Double]("dsir_logw"))).toMap
+      assert(rows(1L)._1 == "ok", s"got $rows")
+      assert(rows(2L)._1 == "dsir_reject", s"got $rows")
+      assert(rows(1L)._2 > rows(2L)._2)
+      // stream and batch share the model row — identical weights
+      val batch = IngestGate.audit(
+        Seq[Doc]((1L, "sunny weather report arrives with the forecast today", "web", T0))
+          .toDF("doc_id", "text", "source", "timestamp"),
+        benchVocab, dsir = Some(model)).collect().head.getAs[Double]("dsir_logw")
+      assert(batch == rows(1L)._2)
+    } finally q.stop()
+  }
 }
