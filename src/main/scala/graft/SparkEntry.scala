@@ -1735,11 +1735,54 @@ object SparkEntry {
          |  SELECT query_id, neighbor_id, cos, row_number() OVER
          |      (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
          |    FROM kscored) WHERE rank <= 5),
+         |zx AS (SELECT e.vec_id, ix.i AS dim, emb[ix.i] AS v
+         |  FROM e CROSS JOIN (SELECT unnest(range(1, 65)) AS i) ix),
+         |zst AS (SELECT dim, min(v) AS lo, max(v) AS hi FROM zx GROUP BY dim),
+         |zrc AS (SELECT vec_id, dim,
+         |    CASE WHEN hi = lo THEN lo
+         |         ELSE lo + CAST(round((v - lo) * 255.0 / (hi - lo), 0) AS BIGINT)
+         |              * (hi - lo) / 255.0 END AS rv
+         |  FROM zx JOIN zst USING (dim)),
+         |zr AS (SELECT vec_id, list(rv ORDER BY dim) AS remb FROM zrc GROUP BY vec_id),
+         |zsc AS (SELECT query_id, zr.vec_id AS neighbor_id,
+         |    ${duckCos("q_emb", "remb")} AS cos
+         |  FROM zr CROSS JOIN q WHERE zr.vec_id != query_id),
+         |sq8 AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT *, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM zsc) WHERE rank <= 5),
+         |prr20 AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT *, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+         |  FROM pcos) WHERE rk <= 20),
+         |prx AS (SELECT p.query_id, p.neighbor_id,
+         |    ${duckCos("eq.emb", "ev.emb")} AS cos
+         |  FROM prr20 p JOIN e eq ON eq.vec_id = p.query_id
+         |  JOIN e ev ON ev.vec_id = p.neighbor_id),
+         |prr AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT *, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+         |  FROM prx) WHERE rk <= 5),
+         |xrr20 AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT *, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+         |  FROM xcos) WHERE rk <= 20),
+         |xrx AS (SELECT p.query_id, p.neighbor_id,
+         |    ${duckCos("eq.emb", "ev.emb")} AS cos
+         |  FROM xrr20 p JOIN e eq ON eq.vec_id = p.query_id
+         |  JOIN e ev ON ev.vec_id = p.neighbor_id),
+         |xrr AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT *, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+         |  FROM xrx) WHERE rk <= 5),
          |tagged AS (
          |  SELECT 'ivf' AS method, query_id, neighbor_id FROM ivf
          |  UNION ALL SELECT 'ivf_kmeans', query_id, neighbor_id FROM kms
+         |  UNION ALL SELECT 'ivf_pq_rerank', query_id, neighbor_id FROM xrr
          |  UNION ALL SELECT 'lsh', query_id, neighbor_id FROM lsh
          |  UNION ALL SELECT 'pq', query_id, neighbor_id FROM pqk
+         |  UNION ALL SELECT 'pq_rerank', query_id, neighbor_id FROM prr
+         |  UNION ALL SELECT 'sq8', query_id, neighbor_id FROM sq8
          |  UNION ALL SELECT 'ivf_pq', query_id, neighbor_id FROM xpqk),
          |tn AS (SELECT CAST(COUNT(*) AS BIGINT) AS truth_n FROM truth),
          |marked AS (SELECT t.method, t.query_id, t.neighbor_id,

@@ -240,8 +240,11 @@ object SimilaritySearch {
       "ivf" -> ivfTopK(corpus, queries, k, nCentroids),
       "ivf_kmeans" -> ivfTopKKmeans(corpus, queries, k, nCentroids),
       "ivf_pq" -> Pq.ivfPqTopK(corpus, queries, k, nCentroids),
+      "ivf_pq_rerank" -> Pq.ivfPqTopKRerank(corpus, queries, k, 20, nCentroids),
       "lsh" -> lshTopK(corpus, queries, numPlanes, dim, k),
-      "pq" -> Pq.pqTopK(corpus, queries, k))
+      "pq" -> Pq.pqTopK(corpus, queries, k),
+      "pq_rerank" -> Pq.pqTopKRerank(corpus, queries, k, 20),
+      "sq8" -> Sq.sq8TopK(corpus, queries, k))
     val tagged = methods.map { case (m, df) =>
       df.select(lit(m).as("method"), col("query_id"), col("neighbor_id"))
     }.reduce(_.unionByName(_))
