@@ -85,6 +85,12 @@ object SparkEntry {
       operators.Subword.encodeIds(docs, operators.Subword.fitMerges(docs))
     }),
     "q_chunk_docs" -> ((s, d) => operators.Curation.chunkDocuments(Tables.documents(s, d))),
+    // Z-order (Morton) clustering key over two lake columns — the
+    // multi-dimensional zone-map layout; the key is a pure deterministic
+    // function of the row plus one broadcast (min,max) row per column
+    "q_zorder" -> ((s, d) => sources.LakeSink.zorderFrame(
+        Tables.orders(s, d), Seq("o_custkey", "o_totalprice"))
+      .select(col("o_orderkey"), col("zkey")).orderBy(col("o_orderkey"))),
     // C4-style cross-doc boilerplate removal; the token-stream corpus uses
     // fixed 8-token window segmentation (caller policy) with a " " joiner
     "q_boilerplate" -> ((s, d) => operators.Curation.removeBoilerplate(
@@ -425,6 +431,17 @@ object SparkEntry {
       |                     THEN 1.0 ELSE -1.0 END))) > 0
       |    THEN '1' ELSE '0' END), '')""".stripMargin
   private val enStopList = "['the','a','of','and','to','in','is','it']"
+
+  // bit-interleave expression over pre-scaled BIGINT columns: bit i of
+  // column j lands at position i*n + j — the LakeSink.zorderKey convention;
+  // disjoint powers of two, so + is bit-or in both engines
+  private def duckZorderExpr(cols: Seq[String], bits: Int): String = {
+    val n = cols.length
+    (for {
+      (c, j) <- cols.zipWithIndex
+      i <- 0 until bits
+    } yield s"((($c >> $i) & 1) << ${i * n + j})").mkString(" + ")
+  }
 
   // DSIR feature/model CTEs (target = lang='en', 1024 md5 buckets): the
   // unigram+bigram stream of q_lm_bigram's shape, bucketed by the md5-prefix
@@ -2048,6 +2065,24 @@ object SparkEntry {
         |       WHEN avg_nll <= c2 THEN 'middle'
         |       ELSE 'tail' END AS bucket
         |FROM scored CROSS JOIN cuts ORDER BY doc_id""".stripMargin,
+    // Z-order replay: per-column affine bin from the (min,max) row, then
+    // the same 16-bit interleave arithmetic (floor/least/shift parity)
+    "q_zorder" ->
+      s"""WITH st AS (SELECT
+         |    CAST(min(o_custkey) AS DOUBLE) AS lo1,
+         |    CAST(max(o_custkey) AS DOUBLE) AS hi1,
+         |    CAST(min(o_totalprice) AS DOUBLE) AS lo2,
+         |    CAST(max(o_totalprice) AS DOUBLE) AS hi2 FROM orders),
+         |sc AS (SELECT o_orderkey,
+         |    CASE WHEN hi1 = lo1 THEN 0
+         |         ELSE least(CAST(floor((CAST(o_custkey AS DOUBLE) - lo1)
+         |           * 65535.0 / (hi1 - lo1)) AS BIGINT), 65535) END AS a,
+         |    CASE WHEN hi2 = lo2 THEN 0
+         |         ELSE least(CAST(floor((CAST(o_totalprice AS DOUBLE) - lo2)
+         |           * 65535.0 / (hi2 - lo2)) AS BIGINT), 65535) END AS b
+         |  FROM orders CROSS JOIN st)
+         |SELECT o_orderkey, ${duckZorderExpr(Seq("a", "b"), 16)} AS zkey
+         |FROM sc ORDER BY o_orderkey""".stripMargin,
     // DSIR replay: md5-bucketed unigram+bigram feature stream, add-one
     // bucket log-ratios as 6-dp DECIMAL term differences, DECIMAL-exact
     // per-doc weight sums, threshold verdict at tau=0

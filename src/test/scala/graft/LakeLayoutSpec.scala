@@ -88,6 +88,48 @@ class LakeLayoutSpec extends SparkSpec {
     assert(spark.read.parquet(s"$tmp/sorted").count() == ev.count())
   }
 
+  test("z-order layout prunes on BOTH clustered columns; range-sort only its first") {
+    val tmp = Files.createTempDirectory("graft-zo").toString
+    val ord = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val nFiles = 8
+    LakeSink.writeZOrdered(ord, s"$tmp/zo", Seq("o_custkey", "o_totalprice"), nFiles)
+    LakeSink.writeRangeSorted(ord, s"$tmp/rs", Seq("o_custkey"), nFiles)
+
+    // zone-map simulation: a file is skippable for a predicate range iff its
+    // (min, max) span of that column misses the range — exactly what
+    // parquet row-group stats + file pruning do with real readers
+    def spans(dir: String, c: String): Array[(Double, Double)] =
+      new java.io.File(dir).listFiles
+        .filter(_.getName.endsWith(".parquet")).map { f =>
+          val r = spark.read.parquet(f.getPath)
+            .agg(min(col(c)).cast("double"), max(col(c)).cast("double")).head()
+          (r.getDouble(0), r.getDouble(1))
+        }
+    def skipped(spans: Array[(Double, Double)], lo: Double, hi: Double): Int =
+      spans.count { case (l, h) => h < lo || l > hi }
+
+    // probe: a narrow slice on the SECOND clustered column only
+    val stats = ord.agg(
+      min(col("o_totalprice")).cast("double"), max(col("o_totalprice")).cast("double")).head()
+    val (plo, phi) = (stats.getDouble(0), stats.getDouble(1))
+    val width = (phi - plo) / 16.0
+    val zoSkip = skipped(spans(s"$tmp/zo", "o_totalprice"), plo, plo + width)
+    val rsSkip = skipped(spans(s"$tmp/rs", "o_totalprice"), plo, plo + width)
+    info(s"files skipped for a totalprice slice: zorder $zoSkip/$nFiles, rangesort $rsSkip/$nFiles")
+    assert(zoSkip > rsSkip,
+      "z-order must prune the non-leading column better than a range sort on the leading one")
+    // and the first column still prunes usefully under z-order (top bits
+    // interleaved, so a half-range predicate must skip something)
+    val ck = ord.agg(min(col("o_custkey")).cast("double"),
+      max(col("o_custkey")).cast("double")).head()
+    val zoCk = skipped(spans(s"$tmp/zo", "o_custkey"),
+      ck.getDouble(0), ck.getDouble(0) + (ck.getDouble(1) - ck.getDouble(0)) / 16.0)
+    info(s"files skipped for a custkey slice under zorder: $zoCk/$nFiles")
+    assert(zoCk > 0, "z-order lost the leading column entirely")
+    assert(spark.read.parquet(s"$tmp/zo").count() == ord.count())
+  }
+
   test("corpus build lands through compact + range-sort: curate -> pack -> lay out") {
     // the composed training-corpus query feeding the lake-maintenance path
     // end to end: a many-task writer fragments the packed output, compact
