@@ -72,6 +72,28 @@ object Dedup {
     * the hash-uniform digest; the left-anti join is the membership probe
     * and is batch-sized on the probe side.
     */
+  /** The corpus digest index summarized as ONE bloom-sketch row
+    * (`corpus_bloom` BINARY) — the prefilter artifact for
+    * [[graft.streaming.IngestGate.admitNovel]]'s fast path. Built by
+    * Spark's own mergeable BloomFilterAggregate (surfaced via
+    * [[graft.plans.BloomFns]]): one map-side-combined aggregation over the
+    * digest column, O(numBits/8) bytes broadcast no matter the corpus row
+    * count. Size it from the lake's doc count: ~10 bits/item ≈ 1% false
+    * positives; false positives only cost a redundant exact probe, false
+    * negatives cannot happen — the contract every bloom-assisted path
+    * leans on. Rebuild beside the digest index at compaction (same
+    * artifact-swap mechanics as the semantic index).
+    */
+  def corpusDigestBloom(
+      corpusDigests: DataFrame, estItems: Long = 1L << 20,
+      numBits: Long = 1L << 23): DataFrame = {
+    graft.plans.GraftFunctions.register(corpusDigests.sparkSession)
+    corpusDigests.agg(
+      call_function("bloom_filter_build",
+        xxhash64(col("text_hash")), lit(estItems), lit(numBits))
+        .as("corpus_bloom"))
+  }
+
   def incrementalExactDedup(corpus: DataFrame, batch: DataFrame): DataFrame =
     batch
       .groupBy(md5(col("text")).as("text_hash"))

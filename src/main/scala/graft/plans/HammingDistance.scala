@@ -86,7 +86,7 @@ object GraftFunctions {
       (children: Seq[Expression]) => HammingDistance(children(0), children(1))),
     CosineSimilarity.registration,
     CellMaxCosine.registration,
-    CellMaxAdc.registration)
+    CellMaxAdc.registration) ++ BloomFns.registrations
 
   /** Programmatic registration (tests, notebooks). */
   def register(spark: SparkSession): Unit =

@@ -196,15 +196,53 @@ object IngestGate {
     * Spark broadcasts it while it fits and sort-merge-joins past that, both
     * legal for stream-static anti.
     */
+  /** `bloom` (optional): the one-row `corpus_bloom` sketch from
+    * [[graft.operators.Dedup.corpusDigestBloom]]. When present, each
+    * arriving digest probes the broadcast sketch FIRST: a miss proves the
+    * doc novel (blooms have no false negatives) and bypasses the
+    * digest-index anti-join entirely; only hits — true duplicates plus the
+    * sketch's ~1% false positives — pay the exact probe. At steady state
+    * most arrivals are novel, so the index join's input drops from the
+    * whole stream to roughly (duplicate share + fpp): the sketch is
+    * O(numBits/8) bytes vs the digest index's 16 bytes×corpus, and it is
+    * what keeps the front door cheap once the index outgrows broadcast
+    * and the anti-join turns sort-merge. The admitted SET is provably
+    * unchanged (spec-pinned) — the sketch only ever skips work the exact
+    * join would also have skipped.
+    */
   def admitNovel(
       docs: DataFrame, benchShingles: DataFrame, corpusDigests: DataFrame,
       watermark: String = "10 minutes",
       classifier: Option[DataFrame] = None, minLogit: Double = 0.0,
       lmModel: Option[DataFrame] = None, maxAvgNll: Double = 10.0,
-      dsir: Option[DataFrame] = None, minLogw: Double = 0.0): DataFrame =
-    admitImpl(docs, benchShingles, watermark,
-      _.join(corpusDigests.select(col("text_hash")), Seq("text_hash"), "left_anti"),
+      dsir: Option[DataFrame] = None, minLogw: Double = 0.0,
+      bloom: Option[DataFrame] = None): DataFrame = {
+    val exactProbe: DataFrame => DataFrame =
+      _.join(corpusDigests.select(col("text_hash")), Seq("text_hash"), "left_anti")
+    val probe: DataFrame => DataFrame = bloom match {
+      case None => exactProbe
+      case Some(bf) =>
+        graft.plans.GraftFunctions.register(docs.sparkSession)
+        // might_contain requires a CONSTANT sketch (the same constraint the
+        // runtime-filter rewrite satisfies with a scalar subquery), so the
+        // one-row artifact is collected once at gate construction and rides
+        // the plan as a binary literal — numBits/8 bytes, the same envelope
+        // as any served model row, shipped once per executor via the task
+        // broadcast. Rebuilding the sketch = restarting the gate, which is
+        // the semantic-index refresh contract already.
+        val sketch = lit(bf.collect().head.getAs[Array[Byte]]("corpus_bloom"))
+        stream => {
+          val tagged = stream.withColumn("_maybe",
+            call_function("bloom_might_contain",
+              sketch, xxhash64(col("text_hash"))))
+          val provenNovel = tagged.filter(!col("_maybe")).drop("_maybe")
+          val verified = exactProbe(tagged.filter(col("_maybe")).drop("_maybe"))
+          provenNovel.unionByName(verified)
+        }
+    }
+    admitImpl(docs, benchShingles, watermark, probe,
       classifier, minLogit, lmModel, maxAvgNll, dsir, minLogw)
+  }
 
   private def admitImpl(
       docs: DataFrame, benchShingles: DataFrame, watermark: String,

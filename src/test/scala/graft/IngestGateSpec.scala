@@ -219,6 +219,52 @@ class IngestGateSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("admitNovel with bloom prefilter: identical admitted set, no false negatives") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{call_function, col, md5, xxhash64}
+    val docs = Tables.documents(spark, sf)
+    val corpusDigests = docs.filter(col("doc_id") % 3 =!= 0)
+      .select(md5(col("text")).as("text_hash"))
+    val bloom = graft.operators.Dedup.corpusDigestBloom(corpusDigests)
+
+    // the load-bearing sketch contract, asserted directly: every digest the
+    // corpus actually holds MUST probe true (misses may only be novel docs)
+    graft.plans.GraftFunctions.register(spark)
+    val sketch = org.apache.spark.sql.functions.lit(
+      bloom.collect().head.getAs[Array[Byte]]("corpus_bloom"))
+    val falseNeg = corpusDigests
+      .filter(!call_function("bloom_might_contain",
+        sketch, xxhash64(col("text_hash"))))
+      .count()
+    assert(falseNeg == 0L, "bloom produced a false negative — contract broken")
+
+    // replay the SAME arrivals through the exact and bloom-assisted doors
+    val arrivals = docs.orderBy(col("doc_id")).limit(60)
+      .select(col("doc_id"), col("text"), col("source")).collect()
+      .zipWithIndex.map { case (r, i) =>
+        (r.getLong(0), r.getString(1), r.getString(2), T0 + i * 1000L)
+      }.toSeq
+    def admittedWith(bloomOpt: Option[org.apache.spark.sql.DataFrame],
+        name: String): Seq[Long] = {
+      val input = MemoryStream[Doc]
+      val q = IngestGate.admitNovel(
+          input.toDF().toDF("doc_id", "text", "source", "timestamp"),
+          benchVocab, corpusDigests, bloom = bloomOpt)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        input.addData(arrivals: _*)
+        q.processAllAvailable()
+        spark.table(name).collect().map(_.getAs[Long]("doc_id")).sorted.toSeq
+      } finally q.stop()
+    }
+    val exact = admittedWith(None, "novel_exact")
+    val fast = admittedWith(Some(bloom), "novel_bloom")
+    assert(exact == fast,
+      s"bloom prefilter changed the admitted set: exact=$exact bloom=$fast")
+    assert(fast.nonEmpty, "fixture should admit at least one novel doc")
+  }
+
   test("audit with DSIR: gate folds match the batch selector's weights and set") {
     import org.apache.spark.sql.functions.col
     val docs = Tables.documents(spark, sf)
