@@ -183,6 +183,9 @@ object SparkEntry {
     // Lloyd-refined k-means over the embedding column (deterministic init,
     // quantized-mean updates) and the SemDeDup-style within-cluster dedup
     "q_kmeans" -> ((s, d) => operators.Embeddings.kmeansAssign(Tables.embeddings(s, d))),
+    // quantizer QA: per-cluster population, exact-integer cohesion sum, and
+    // worst member - the k-sizing / re-fit signal for every cell-blocked op
+    "q_kmeans_quality" -> ((s, d) => operators.Embeddings.clusterQuality(Tables.embeddings(s, d))),
     "q_semantic_dedup" -> ((s, d) => Dedup.semanticDedup(Tables.embeddings(s, d))),
     // LLM-pipeline: similarity search
     "q_ann_bruteforce" -> ((s, d) => {
@@ -1188,6 +1191,14 @@ object SparkEntry {
       s"""WITH e AS ($duckEmb),
          |${duckKmeansCtes(8, 2)}
          |SELECT vec_id, ci AS cluster, cos FROM af ORDER BY vec_id""".stripMargin,
+    "q_kmeans_quality" ->
+      s"""WITH e AS ($duckEmb),
+         |${duckKmeansCtes(8, 2)}
+         |SELECT ci AS cluster, CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(CAST(round(cos * 1000000.0, 0) AS BIGINT)) AS BIGINT)
+         |    AS cos_sum_micro,
+         |  min(cos) AS min_cos
+         |FROM af GROUP BY ci ORDER BY cluster""".stripMargin,
     // af doubles as the corpus cell assignment; queries are the same
     // vectors, so their cells come from the same CTE
     "q_ann_ivf_kmeans" ->

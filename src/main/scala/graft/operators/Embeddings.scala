@@ -50,6 +50,27 @@ object Embeddings {
     assignments(corpus, k, iters).select(col("vec_id"), col("cluster"), col("cos"))
       .orderBy(col("vec_id"))
 
+  /** Per-cluster quality audit of the trained quantizer — the `k`-sizing
+    * signal behind every cell-blocked operator (SemDeDup's constant mean
+    * cell size, IVF's probe cost, the semantic gate's cellCap): cluster
+    * population `n`, cohesion as the exact ×10⁶ integer sum of the
+    * 6-dp-rounded member→centroid cosines (the [[quant6]] reporting trick —
+    * a rounded MEAN can land on a half boundary where engines disagree;
+    * integer sums cannot; mean = cos_sum_micro / n / 1e6), and the worst
+    * member (`min_cos` — a low outlier means the cell's radius outgrew the
+    * quantizer and it's time to re-fit or split). One narrow aggregation
+    * over the assignment pass; k rows out.
+    */
+  def clusterQuality(corpus: DataFrame, k: Int = 8, iters: Int = 2): DataFrame =
+    assignments(corpus, k, iters)
+      .select(col("cluster"), col("cos"))
+      .groupBy(col("cluster"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(round(col("cos") * 1e6, 0).cast("long")).as("cos_sum_micro"),
+        min(col("cos")).as("min_cos"))
+      .orderBy(col("cluster"))
+
   /** [[kmeansAssign]] without the presentation sort and with the embedding
     * column carried through — what internal consumers
     * ([[Dedup.semanticDedup]], [[SimilaritySearch.ivfTopKKmeans]]) compose

@@ -66,6 +66,29 @@ class EmbeddingsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("clusterQuality: populations conserve the corpus, cohesion bounds hold") {
+    val emb = Tables.embeddings(spark, sf)
+    val q = Embeddings.clusterQuality(emb).collect()
+    assert(q.nonEmpty && q.length <= 8)
+    assert(q.map(_.getLong(1)).sum == emb.count())
+    val assigned = Embeddings.kmeansAssign(emb).collect()
+      .groupBy(_.getInt(1))
+    q.foreach { r =>
+      val (ci, n, micro, minCos) =
+        (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      val mean = micro.toDouble / n / 1e6
+      assert(mean >= -1.0 - 1e-9 && mean <= 1.0 + 1e-9)
+      assert(minCos <= mean + 1e-9, s"cluster $ci: min > mean")
+      // the audit row must be a pure aggregate of the assignment frame
+      val members = assigned(ci)
+      assert(members.length.toLong == n)
+      val wantMicro = members.map(m =>
+        math.round(m.getDouble(2) * 1e6)).sum
+      assert(micro == wantMicro, s"cluster $ci cohesion sum diverged")
+      assert(minCos == members.map(_.getDouble(2)).min)
+    }
+  }
+
   test("semantic dedup drops the higher id of a planted near-identical pair") {
     val (rows, _, _) = plantedGroups
     // 13 duplicates 3's direction almost exactly; nothing else in the
