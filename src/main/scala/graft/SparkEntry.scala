@@ -242,8 +242,23 @@ object SparkEntry {
       val emb = Tables.embeddings(s, d)
       SimilaritySearch.annRecallAudit(emb, emb.filter(col("vec_id") < 5))
     }),
+    // cell-blocked kNN graph over the WHOLE corpus — the build artifact
+    // behind graph-ANN serving, graph-clustering dedup, label propagation
+    "q_knn_graph" -> ((s, d) => SimilaritySearch.knnGraph(Tables.embeddings(s, d))),
+    // graph-walk serve (NSW pattern): entry points -> expand graph
+    // neighbors -> beam prune, `hops` rounds; fully oracle-replayed
+    "q_graph_search" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      SimilaritySearch.graphSearchTopK(emb, emb.filter(col("vec_id") < 5))
+    }),
+    // row-level quantizer QA: members sitting far below their own
+    // cluster's mean cosine (exact integer compare — no division, no sqrt)
+    "q_emb_outliers" -> ((s, d) => operators.Embeddings.clusterOutliers(Tables.embeddings(s, d))),
     // LLM-pipeline: text analysis
     "q_dedup_clusters" -> ((s, d) => Dedup.nearDupClusters(Tables.documents(s, d))),
+    // duplication report card: per cluster-size class, clusters / docs /
+    // would-be-dropped — the corpus-health histogram of every release
+    "q_dedup_audit" -> ((s, d) => Dedup.dedupAudit(Tables.documents(s, d))),
     // corpus curation / analytics extensions
     "q_tfidf" -> ((s, d) => TextAnalysis.tfidfTopTerms(Tables.documents(s, d))),
     "q_sessionize" -> ((s, d) => Relational.sessionize(Tables.events(s, d))),
@@ -252,6 +267,18 @@ object SparkEntry {
     "q_histogram" -> ((s, d) => Relational.priceHistogram(Tables.orders(s, d))),
     "q_quartiles" -> ((s, d) => Relational.priceQuartiles(Tables.orders(s, d))),
     "q_hash_sample" -> ((s, d) => Relational.hashStratifiedSample(Tables.documents(s, d))),
+    // corpus governance: release-to-release diff (the changelog an
+    // incremental re-embed/index-retire consumer budgets against) and the
+    // versioned seeded split that pins eval membership across re-curations
+    "q_corpus_diff" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val oldSnap = docs.filter(col("doc_id") % 7 =!= 0)
+      val newSnap = docs.filter(col("doc_id") % 5 =!= 0)
+        .withColumn("text", when(col("doc_id") % 11 === 0,
+          concat(col("text"), lit(" [rev2]"))).otherwise(col("text")))
+      operators.Governance.snapshotDiff(oldSnap, newSnap)
+    }),
+    "q_train_split" -> ((s, d) => operators.Governance.trainValTestSplit(Tables.documents(s, d))),
     "q_user_journeys" -> ((s, d) => Relational.userJourneys(Tables.events(s, d))),
     "q_moving_window" -> ((s, d) => Relational.trailingWindowStats(Tables.events(s, d))),
     "q_profile" -> ((s, d) => Relational.profileLineitem(Tables.lineitem(s, d))),
@@ -1717,6 +1744,81 @@ object SparkEntry {
     // recall@5 per approximate method: each method's top-5 CTE is the
     // corresponding q_ann_* oracle verbatim (reduced to id pairs); truth is
     // the brute top-5; hits counted by an id-pair left join
+    "q_knn_graph" ->
+      s"""WITH e AS ($duckEmb),
+         |$duckIvfAssign,
+         |cand AS (SELECT a.vec_id, b.vec_id AS neighbor_id
+         |  FROM iasg a JOIN iasg b ON a.cid = b.cid AND a.vec_id <> b.vec_id),
+         |scored AS (SELECT cand.vec_id, cand.neighbor_id,
+         |    ${duckCos("x.emb", "y.emb")} AS cos
+         |  FROM cand JOIN e x ON x.vec_id = cand.vec_id
+         |  JOIN e y ON y.vec_id = cand.neighbor_id)
+         |SELECT vec_id, neighbor_id, rank, cos FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM scored) WHERE rank <= 5 ORDER BY vec_id, rank""".stripMargin,
+    "q_graph_search" ->
+      s"""WITH e AS ($duckEmb),
+         |$duckIvfAssign,
+         |gc AS (SELECT a.vec_id, b.vec_id AS neighbor_id
+         |  FROM iasg a JOIN iasg b ON a.cid = b.cid AND a.vec_id <> b.vec_id),
+         |gsc AS (SELECT gc.vec_id, gc.neighbor_id,
+         |    ${duckCos("x.emb", "y.emb")} AS cos
+         |  FROM gc JOIN e x ON x.vec_id = gc.vec_id
+         |  JOIN e y ON y.vec_id = gc.neighbor_id),
+         |g AS (SELECT vec_id, neighbor_id FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rk
+         |  FROM gsc) WHERE rk <= 5),
+         |q AS (SELECT vec_id AS query_id, emb AS q_emb FROM e WHERE vec_id < 5),
+         |s0 AS (SELECT c.query_id, c.node, ${duckCos("q.q_emb", "e0.emb")} AS cos
+         |  FROM (SELECT DISTINCT q.query_id, ic.cid AS node FROM q CROSS JOIN ic) c
+         |  JOIN q ON q.query_id = c.query_id JOIN e e0 ON e0.vec_id = c.node
+         |  WHERE c.node <> c.query_id),
+         |f0 AS (SELECT query_id, node, cos FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cos DESC, node) AS rk
+         |  FROM s0) WHERE rk <= 8),
+         |x1 AS (SELECT query_id, node FROM f0
+         |  UNION
+         |  SELECT f0.query_id, g.neighbor_id AS node
+         |  FROM f0 JOIN g ON g.vec_id = f0.node),
+         |s1 AS (SELECT x1.query_id, x1.node, ${duckCos("q.q_emb", "e1.emb")} AS cos
+         |  FROM x1 JOIN q ON q.query_id = x1.query_id
+         |  JOIN e e1 ON e1.vec_id = x1.node
+         |  WHERE x1.node <> x1.query_id),
+         |f1 AS (SELECT query_id, node, cos FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cos DESC, node) AS rk
+         |  FROM s1) WHERE rk <= 8),
+         |x2 AS (SELECT query_id, node FROM f1
+         |  UNION
+         |  SELECT f1.query_id, g.neighbor_id AS node
+         |  FROM f1 JOIN g ON g.vec_id = f1.node),
+         |s2 AS (SELECT x2.query_id, x2.node, ${duckCos("q.q_emb", "e2.emb")} AS cos
+         |  FROM x2 JOIN q ON q.query_id = x2.query_id
+         |  JOIN e e2 ON e2.vec_id = x2.node
+         |  WHERE x2.node <> x2.query_id),
+         |f2 AS (SELECT query_id, node, cos FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cos DESC, node) AS rk
+         |  FROM s2) WHERE rk <= 8)
+         |SELECT query_id, node AS neighbor_id, rank, cos FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cos DESC, node) AS rank
+         |  FROM f2) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q_emb_outliers" ->
+      s"""WITH e AS ($duckEmb),
+         |${duckKmeansCtes(8, 2)},
+         |m AS (SELECT vec_id, ci AS cluster, cos,
+         |  CAST(round(cos * 1000000.0, 0) AS BIGINT) AS cm FROM af),
+         |st AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(cm) AS BIGINT) AS sm FROM m GROUP BY cluster)
+         |SELECT m.vec_id, m.cluster, m.cos, st.n,
+         |  CAST(st.sm - st.n * m.cm AS BIGINT) AS gap_micro
+         |FROM m JOIN st ON m.cluster = st.cluster
+         |WHERE (st.sm - st.n * m.cm) > 150000 * st.n
+         |ORDER BY m.vec_id""".stripMargin,
     "q_ann_recall" ->
       s"""WITH e AS ($duckEmb),
          |q AS (SELECT vec_id AS query_id, emb AS q_emb FROM e WHERE vec_id < 5),
@@ -1839,6 +1941,26 @@ object SparkEntry {
          |  SELECT e.i, w.lbl FROM edges e JOIN walk w ON w.id = e.j)
          |SELECT id AS doc_id, MIN(lbl) AS cluster_id
          |FROM walk GROUP BY id ORDER BY doc_id""".stripMargin,
+    "q_dedup_audit" ->
+      s"""WITH RECURSIVE shs AS ($duckShingles),
+         |scored AS (SELECT a.doc_id AS i, b.doc_id AS j,
+         |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |        CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE), 6) AS jac
+         |  FROM shs a JOIN shs b ON a.lang = b.lang AND a.doc_id < b.doc_id),
+         |edges AS (SELECT i, j FROM scored WHERE jac >= 0.6
+         |  UNION ALL SELECT j AS i, i AS j FROM scored WHERE jac >= 0.6),
+         |walk(id, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.i, w.lbl FROM edges e JOIN walk w ON w.id = e.j),
+         |labels AS (SELECT id AS doc_id, MIN(lbl) AS cluster_id
+         |  FROM walk GROUP BY id),
+         |sizes AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+         |  FROM labels GROUP BY cluster_id)
+         |SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+         |  CAST(SUM(cluster_size) AS BIGINT) AS n_docs,
+         |  CAST(SUM(cluster_size - 1) AS BIGINT) AS n_dropped
+         |FROM sizes GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
     "q_tfidf" ->
       """WITH dt AS (SELECT doc_id, unnest(string_split(text,' ')) AS token FROM documents),
         |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM dt GROUP BY doc_id, token),
@@ -1885,6 +2007,30 @@ object SparkEntry {
         |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket
         |  FROM documents)
         |WHERE bucket < CASE WHEN lang = 'en' THEN 50 ELSE 20 END
+        |ORDER BY doc_id""".stripMargin,
+    "q_corpus_diff" ->
+      """WITH o AS (SELECT doc_id, md5(text) AS old_digest
+        |  FROM documents WHERE doc_id % 7 <> 0),
+        |n AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 11 = 0 THEN md5(text || ' [rev2]')
+        |         ELSE md5(text) END AS new_digest
+        |  FROM documents WHERE doc_id % 5 <> 0)
+        |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.old_digest IS NULL THEN 'added'
+        |       WHEN n.new_digest IS NULL THEN 'removed'
+        |       WHEN o.old_digest = n.new_digest THEN 'unchanged'
+        |       ELSE 'changed' END AS status,
+        |  o.old_digest, n.new_digest
+        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+        |ORDER BY doc_id""".stripMargin,
+    "q_train_split" ->
+      """SELECT doc_id, source, bucket,
+        |  CASE WHEN bucket < 80 THEN 'train'
+        |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+        |FROM (SELECT doc_id, source,
+        |    ('0x' || substr(md5('v1:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100
+        |      AS bucket
+        |  FROM documents)
         |ORDER BY doc_id""".stripMargin,
     "q_above_avg" ->
       """SELECT o_orderpriority, COUNT(*) AS n_above,

@@ -732,6 +732,33 @@ object Dedup {
     attachClusterLabels(docs, "doc_id", labels)
   }
 
+  /** Duplication report card over [[nearDupClusters]] — the corpus-health
+    * summary a curation run publishes with every release: for each
+    * duplicate-cluster SIZE class, how many clusters there are, how many
+    * documents they hold, and how many a keep-lowest-id dedup would drop
+    * (`(size−1)·n_clusters`). Size 1 = the unique tail; the tail of large
+    * sizes is the viral-content mass that dominates dedup savings, and a
+    * release-over-release shift in this histogram is the drift signal
+    * that triggers re-tuning the threshold or the blocking caps.
+    *
+    * Plan shape: the cluster labels (already one CC fixpoint over banded
+    * pairs), then TWO tiny aggregations — sizes per cluster, then the
+    * histogram over sizes (shuffle keys: cluster_id, then cluster_size —
+    * both shrink the data at each step). Output rows = distinct size
+    * classes, O(log corpus) in practice.
+    */
+  def dedupAudit(
+      docs: DataFrame, threshold: Double = 0.6, maxIter: Int = 20): DataFrame =
+    nearDupClusters(docs, threshold, maxIter)
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(
+        count(lit(1)).as("n_clusters"),
+        sum(col("cluster_size")).as("n_docs"),
+        sum(col("cluster_size") - lit(1L)).as("n_dropped"))
+      .orderBy(col("cluster_size"))
+
   /** Character-level near-dup pairs by bounded edit distance — the dedup
     * family that catches typo/OCR-noise duplicates token-level Jaccard
     * misses (a dozen single-character edits leave most shingles broken but

@@ -71,6 +71,44 @@ object Embeddings {
         min(col("cos")).as("min_cos"))
       .orderBy(col("cluster"))
 
+  /** Per-member outlier flags — the row-level drill-down of
+    * [[clusterQuality]]'s `min_cos`: every vector sitting more than
+    * `marginMicro`/1e6 cosine BELOW its own cluster's mean member→centroid
+    * similarity. These are the mislabeled / garbage / wrong-modality
+    * embeddings a curation pipeline quarantines before they poison
+    * near-dup verdicts and cell statistics.
+    *
+    * The comparison is EXACT integer arithmetic end to end — no division,
+    * no sqrt: member cos quantizes to ×10⁶ (`cos_micro`), the cluster mean
+    * stays as the pair (n, Σcos_micro), and "cos < mean − margin" is
+    * cross-multiplied to `n·cos_micro < Σcos_micro − n·margin` (Longs
+    * throughout: |cos_micro| ≤ 1e6, so n can reach 10¹² before the product
+    * nears overflow — cluster populations at 100 TB are fine). A divided
+    * mean could land on an engine-dependent rounding boundary; the integer
+    * form cannot. `gap_micro = Σcos_micro − n·cos_micro` (= n·(mean−cos)
+    * ×10⁶) reports HOW far out each flagged member sits, exactly.
+    *
+    * Plan shape: the assignment pass, one k-row aggregation, a broadcast
+    * join of those k rows back onto the members, a codegen'd integer
+    * filter. One shuffle (the agg); flagged rows out.
+    */
+  def clusterOutliers(
+      corpus: DataFrame, k: Int = 8, iters: Int = 2,
+      marginMicro: Long = 150000L): DataFrame = {
+    val members = assignments(corpus, k, iters)
+      .select(col("vec_id"), col("cluster"), col("cos"))
+      .withColumn("cos_micro", round(col("cos") * 1e6, 0).cast("long"))
+    val stats = members
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n"), sum(col("cos_micro")).as("sum_micro"))
+    members
+      .join(broadcast(stats), Seq("cluster"))
+      .withColumn("gap_micro", col("sum_micro") - col("n") * col("cos_micro"))
+      .filter(col("gap_micro") > lit(marginMicro) * col("n"))
+      .select(col("vec_id"), col("cluster"), col("cos"), col("n"), col("gap_micro"))
+      .orderBy(col("vec_id"))
+  }
+
   /** [[kmeansAssign]] without the presentation sort and with the embedding
     * column carried through — what internal consumers
     * ([[Dedup.semanticDedup]], [[SimilaritySearch.ivfTopKKmeans]]) compose

@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus governance: the bookkeeping operators a managed training-data
+  * lake runs between ingest and the dataloader — snapshot-to-snapshot
+  * diffs (what changed since the last corpus release) and versioned,
+  * deterministic train/val/test splits (the contract that keeps eval
+  * honest across re-curations).
+  *
+  * Reference scope: the transit pipeline re-publishes full station/arrival
+  * state on every poll (producers/connector.py:26-48 re-snapshots the
+  * stations table; consumers rebuild tables from the changelog) — diffing
+  * consecutive snapshots is the batch generalization of that changelog,
+  * and split assignment is the curation-side contract the reference's
+  * fixed station universe never needed but any ML corpus does.
+  */
+object Governance {
+
+  /** Snapshot diff — per doc_id, how the new corpus release differs from
+    * the old one: `added` (new id), `removed` (id gone), `changed` (same
+    * id, different content digest), `unchanged`. Content identity is
+    * md5(text) so the wide text column never crosses the shuffle — the
+    * same digest-not-payload trade every dedup path here makes.
+    *
+    * Plan shape: two narrow (doc_id, digest) projections, ONE full-outer
+    * hash join on doc_id, a codegen'd CASE. At 100 TB both snapshots
+    * shuffle once on doc_id — and when snapshots land bucketed by doc_id
+    * (the lake layout [[graft.sources.LakeSink]] writes), the exchange
+    * disappears entirely: a storage-partitioned join over co-bucketed
+    * releases. The diff row count is the changelog a downstream
+    * incremental consumer (re-embed only `added`+`changed`, retire
+    * `removed` from the index) budgets against.
+    */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame): DataFrame = {
+    val o = oldSnap.select(col("doc_id"), md5(col("text")).as("old_digest"))
+    val n = newSnap.select(col("doc_id"), md5(col("text")).as("new_digest"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("old_digest").isNull, lit("added"))
+          .when(col("new_digest").isNull, lit("removed"))
+          .when(col("old_digest") === col("new_digest"), lit("unchanged"))
+          .otherwise(lit("changed")))
+      .select(col("doc_id"), col("status"), col("old_digest"), col("new_digest"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Versioned deterministic train/val/test split: each document's bucket
+    * is md5(seed ":" doc_id) reduced mod 100 — the replayable uniform draw
+    * every sampler here uses ([[Relational.hashStratifiedSample]],
+    * [[Curation.rebalanceSample]]), SALTED with a split seed so a
+    * re-split is a new named version (change the seed, get an independent
+    * partition; keep it, and every re-curation of the corpus lands each
+    * surviving doc in the SAME split — the property that stops eval-set
+    * leakage across corpus releases, because membership depends only on
+    * (seed, doc_id), never on ordering, partitioning, or what else
+    * survived curation).
+    *
+    * Stratification comes free in expectation: the hash is uniform within
+    * every source/lang stratum, so each stratum splits ~trainPct/valPct/
+    * rest without a per-stratum pass (the exact-n variant is
+    * [[Relational.stratifiedFixedN]]'s job). Plan: one narrow codegen'd
+    * projection, no shuffle, no state — it composes in front of the gate
+    * or the dataloader at any scale.
+    */
+  def trainValTestSplit(
+      docs: DataFrame, seed: String = "v1",
+      trainPct: Int = 80, valPct: Int = 10): DataFrame =
+    docs
+      .withColumn("bucket",
+        conv(substring(md5(concat(lit(seed), lit(":"), col("doc_id").cast("string"))),
+          1, 15), 16, 10).cast("long") % 100)
+      .withColumn("split",
+        when(col("bucket") < trainPct, lit("train"))
+          .when(col("bucket") < trainPct + valPct, lit("val"))
+          .otherwise(lit("test")))
+      .select(col("doc_id"), col("source"), col("bucket"), col("split"))
+      .orderBy(col("doc_id"))
+}

@@ -306,4 +306,129 @@ object SimilaritySearch {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
       .orderBy(col("query_id"), col("rank"))
   }
+
+  /** Cell-blocked k-nearest-neighbor GRAPH over the whole corpus — every
+    * vector gets its k nearest neighbors, not just a small query set. The
+    * kNN graph is the build artifact behind graph-based ANN serving (NSW
+    * search walks it), graph-clustering dedup, and label-propagation — a
+    * per-refresh batch product, like the IVF index itself.
+    *
+    * An exact graph is an O(n²) all-pairs scan; the scalable form blocks
+    * by the same deterministic IVF coarse quantizer the probe path uses
+    * ([[ivfCentroids]]): neighbor candidates are the members of each
+    * vector's own cell, so total work is Σ|cell|² — the corpus size bounds
+    * nothing, the quantizer granularity does (SemDeDup's argument, applied
+    * to graph construction; [[Embeddings.clusterQuality]] is the k-sizing
+    * signal that keeps cells bounded). Recall loss vs the exact graph is
+    * measurable the same way [[annRecallAudit]] measures the probe tiers.
+    *
+    * Plan shape: ONE assignment pass (the narrow (vec_id, embedding, cell)
+    * frame is localCheckpoint'ed — the same materialize-once trade as the
+    * CC fixpoint; on a cluster this is the lake landing of the cell
+    * assignment), then a self-equi-join on cell id — both sides hash-
+    * partition on `cell`, no broadcast (both sides ARE the corpus), the
+    * verify kernel is the fused codegen'd cosine, and the per-vector top-k
+    * is one window over cell-local candidates. At 100 TB: one shuffle of
+    * the corpus by cell, quadratic work bounded per cell, k·n rows out.
+    */
+  def knnGraph(corpus: DataFrame, k: Int = 5, nCentroids: Int = 16): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    graft.plans.GraftFunctions.register(spark)
+    val centroids = spark.sparkContext.broadcast(ivfCentroids(corpus, nCentroids))
+    val cells =
+      Par.spread(corpus.select(col("vec_id"), col("embedding"))).as[(Long, Array[Float])]
+        .mapPartitions { it =>
+          val cs = centroids.value
+          it.map { case (id, f) =>
+            val e = f.map(_.toDouble)
+            val ne = l2NormKernel(e)
+            var bestId = -1L; var best = Double.NegativeInfinity
+            cs.foreach { case (cid, cv, cn) =>
+              val cos = safeCos(dotKernel(e, cv), ne, cn)
+              if (cos > best) { best = cos; bestId = cid } // ascending ids: first wins ties
+            }
+            (id, f, bestId)
+          }
+        }.toDF("vec_id", "embedding", "cell")
+        .localCheckpoint()
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    cells.as("a")
+      .join(cells.as("b"), col("a.cell") === col("b.cell")
+        && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("neighbor_id"),
+        col("a.embedding").as("v_emb"), col("b.embedding").as("n_emb"))
+      .withColumn("cos", round(
+        call_function("cosine_similarity", col("v_emb"), col("n_emb")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("vec_id"), col("neighbor_id"), col("rank"), col("cos"))
+      .orderBy(col("vec_id"), col("rank"))
+  }
+
+  /** Graph-walk ANN serving (the NSW search pattern) over the [[knnGraph]]
+    * build artifact: start every query at the coarse-quantizer entry
+    * points, then `hops` rounds of (expand each frontier node to its graph
+    * neighbors, score, keep the `beam` best) — the final frontier's top-k
+    * is the answer. Deterministic end to end (fixed entry set, fixed hop
+    * count, rounded-cos/node-id tie-breaks), so the whole walk — graph
+    * construction included — replays in the oracle.
+    *
+    * Scale shape: the graph is a PRE-BUILT per-refresh artifact (here
+    * rebuilt inline and localCheckpoint'ed; in production read from the
+    * lake — the build cost is [[knnGraph]]'s, paid once per refresh, not
+    * per query batch). The frontier is O(|queries|·beam) rows — tiny — so
+    * every hop broadcasts it: the graph-expansion join and the embedding
+    * fetch are both broadcast-hash probes INTO the big side (graph edges,
+    * corpus vectors) with no corpus shuffle anywhere; per-hop scored
+    * candidates are ≤ |queries|·beam·(graphK+1). Beam search trades hops ×
+    * beam for recall exactly the way nprobe trades cells — measured, like
+    * every tier here, against the brute twin (SimilaritySpec).
+    */
+  def graphSearchTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int = 5, beam: Int = 8,
+      hops: Int = 2, graphK: Int = 5, nCentroids: Int = 16): DataFrame = {
+    val spark = corpus.sparkSession
+    graft.plans.GraftFunctions.register(spark)
+    val graph = knnGraph(corpus, graphK, nCentroids)
+      .select(col("vec_id"), col("neighbor_id")).localCheckpoint()
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val vecs = corpus.select(col("vec_id").as("node"), col("embedding").as("n_emb"))
+
+    // score a small (query_id, node) candidate frame and keep the beam best
+    def prune(cands: DataFrame, width: Int): DataFrame = {
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("node"))
+      vecs
+        .join(broadcast(cands.filter(col("node") =!= col("query_id")).distinct()),
+          Seq("node"))
+        .join(broadcast(q), Seq("query_id"))
+        .withColumn("cos", round(
+          call_function("cosine_similarity", col("q_emb"), col("n_emb")), 6))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= width)
+        .select(col("query_id"), col("node"), col("cos"))
+    }
+
+    import spark.implicits._
+    val entryNodes = ivfCentroids(corpus, nCentroids).map(_._1).toSeq.toDF("node")
+    val entry = q.select(col("query_id")).crossJoin(broadcast(entryNodes))
+    var frontier = prune(entry, beam).localCheckpoint()
+    (1 to hops).foreach { _ =>
+      val expanded = frontier.select(col("query_id"), col("node"))
+        .union(graph
+          .join(broadcast(frontier.select(col("query_id"), col("node"))),
+            graph("vec_id") === col("node"))
+          .select(col("query_id"), col("neighbor_id").as("node")))
+      frontier = prune(expanded, beam).localCheckpoint()
+    }
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("node"))
+    frontier
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("node").as("neighbor_id"), col("rank"), col("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
 }

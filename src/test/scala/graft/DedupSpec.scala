@@ -255,6 +255,34 @@ class DedupSpec extends SparkSpec {
     assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L))
   }
 
+  test("dedupAudit histogram: conserves the corpus, drop math per size class") {
+    // planted: one 3-cluster, one singleton -> sizes {3: 1 cluster, 1: 1}
+    val base = (0 until 40).map(i => s"w$i").mkString(" ")
+    val step1 = (0 until 40).map(i => if (i == 5) "X" else s"w$i").mkString(" ")
+    val step2 = (0 until 40).map(i => if (i == 5) "X" else if (i == 30) "Y" else s"w$i").mkString(" ")
+    val other = (100 until 140).map(i => s"v$i").mkString(" ")
+    val d = docs((1L, base, "en"), (2L, step1, "en"), (3L, step2, "en"), (4L, other, "en"))
+    val audit = Dedup.dedupAudit(d).collect()
+      .map(r => r.getAs[Long]("cluster_size") ->
+        (r.getAs[Long]("n_clusters"), r.getAs[Long]("n_docs"), r.getAs[Long]("n_dropped")))
+      .toMap
+    assert(audit == Map(1L -> ((1L, 1L, 0L)), 3L -> ((1L, 3L, 2L))))
+    // corpus fixture: histogram must be a pure aggregate of the labels
+    val corpus = Tables.documents(spark, sf)
+    val labels = Dedup.nearDupClusters(corpus).collect().map(_.getAs[Long]("cluster_id"))
+    val want = labels.groupBy(identity).map(_._2.length.toLong)
+      .groupBy(identity).map { case (sz, cs) => sz -> cs.size.toLong }
+    val got = Dedup.dedupAudit(corpus).collect()
+      .map(r => r.getAs[Long]("cluster_size") -> r.getAs[Long]("n_clusters")).toMap
+    assert(got == want)
+    val full = Dedup.dedupAudit(corpus).collect()
+    assert(full.map(_.getAs[Long]("n_docs")).sum == corpus.count())
+    full.foreach { r =>
+      assert(r.getAs[Long]("n_dropped") ==
+        r.getAs[Long]("n_docs") - r.getAs[Long]("n_clusters"))
+    }
+  }
+
   test("nearDupClusters fails loudly instead of returning an unconverged fixpoint") {
     // a 3-node path needs 2 star rounds (round 1 re-points 3 at 1, round 2
     // confirms the star); maxIter = 1 must throw rather than emit labels the

@@ -89,6 +89,44 @@ class EmbeddingsSpec extends SparkSpec {
     }
   }
 
+  test("clusterOutliers agrees exactly with a driver-side recomputation") {
+    val emb = Tables.embeddings(spark, sf).limit(200)
+    val margin = 150000L
+    val assigned = Embeddings.kmeansAssign(emb, k = 4, iters = 2).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("cluster"), r.getAs[Double]("cos")))
+    val byCluster = assigned.groupBy(_._2)
+    val want = assigned.filter { case (_, c, cos) =>
+      val members = byCluster(c)
+      val n = members.length.toLong
+      val sm = members.map(m => math.round(m._3 * 1e6)).sum
+      sm - n * math.round(cos * 1e6) > margin * n
+    }.map(_._1).toSet
+    val got = Embeddings.clusterOutliers(emb, k = 4, iters = 2, marginMicro = margin)
+      .collect()
+    assert(got.map(_.getAs[Long]("vec_id")).toSet == want)
+    // and the reported gap is the exact integer the definition promises
+    got.foreach { r =>
+      val members = byCluster(r.getAs[Int]("cluster"))
+      val sm = members.map(m => math.round(m._3 * 1e6)).sum
+      val wantGap = sm - members.length * math.round(r.getAs[Double]("cos") * 1e6)
+      assert(r.getAs[Long]("gap_micro") == wantGap)
+      assert(r.getAs[Long]("n") == members.length.toLong)
+    }
+  }
+
+  test("clusterOutliers flags a planted stray and nothing else") {
+    val (rows, _, _) = plantedGroups
+    // 20 leans toward group 0 (axis 0) but mostly lives on its own axis:
+    // assigned to cluster 0 with a cosine far below the tight members'
+    val stray = new Array[Float](16)
+    stray(0) = 1f; stray(15) = 8f
+    val df = (rows.map { case (id, v, _) => (id, v) } :+ ((20L, stray)))
+      .toDF("vec_id", "embedding")
+    val flagged = Embeddings.clusterOutliers(df, k = 2, iters = 2, marginMicro = 300000L)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(flagged == Set(20L), s"got $flagged")
+  }
+
   test("semantic dedup drops the higher id of a planted near-identical pair") {
     val (rows, _, _) = plantedGroups
     // 13 duplicates 3's direction almost exactly; nothing else in the

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Governance
+
+class GovernanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("snapshotDiff classifies added/removed/changed/unchanged exactly") {
+    val oldSnap = Seq(
+      (1L, "alpha"), (2L, "beta"), (3L, "gamma"), (4L, "delta")
+    ).toDF("doc_id", "text")
+    val newSnap = Seq(
+      (2L, "beta"), (3L, "gamma EDITED"), (4L, "delta"), (5L, "epsilon")
+    ).toDF("doc_id", "text")
+    val got = Governance.snapshotDiff(oldSnap, newSnap).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("status")).toMap
+    assert(got == Map(
+      1L -> "removed", 2L -> "unchanged", 3L -> "changed",
+      4L -> "unchanged", 5L -> "added"))
+  }
+
+  test("snapshotDiff digests: null exactly on the missing side") {
+    val oldSnap = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    val newSnap = Seq((2L, "b2"), (3L, "c")).toDF("doc_id", "text")
+    val rows = Governance.snapshotDiff(oldSnap, newSnap).collect()
+    val byId = rows.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(byId(1L).getAs[String]("new_digest") == null)
+    assert(byId(3L).getAs[String]("old_digest") == null)
+    assert(byId(2L).getAs[String]("old_digest") != null
+      && byId(2L).getAs[String]("new_digest") != null
+      && byId(2L).getAs[String]("old_digest") != byId(2L).getAs[String]("new_digest"))
+  }
+
+  test("trainValTestSplit: boundaries, determinism, all splits populated") {
+    val docs = Tables.documents(spark, sf)
+    val rows = Governance.trainValTestSplit(docs).collect()
+    rows.foreach { r =>
+      val (b, s) = (r.getAs[Long]("bucket"), r.getAs[String]("split"))
+      val want = if (b < 80) "train" else if (b < 90) "val" else "test"
+      assert(s == want, s"bucket $b got split $s")
+    }
+    val bySplit = rows.groupBy(_.getAs[String]("split")).view.mapValues(_.length).toMap
+    assert(bySplit.keySet == Set("train", "val", "test"), s"got $bySplit")
+    // uniform hash: train ~80% with generous slack at sf0.001
+    val frac = bySplit("train").toDouble / rows.length
+    assert(frac > 0.7 && frac < 0.9, s"train fraction $frac")
+    val again = Governance.trainValTestSplit(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    assert(rows.map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap == again)
+  }
+
+  test("trainValTestSplit: membership survives re-curation (subset invariance)") {
+    // the anti-leakage contract: a doc's split depends only on (seed,
+    // doc_id) — re-curating the corpus (dropping rows) must not move any
+    // surviving doc across splits
+    val docs = Tables.documents(spark, sf)
+    val full = Governance.trainValTestSplit(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    val curated = Governance.trainValTestSplit(docs.filter(col("doc_id") % 3 =!= 0))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    curated.foreach { case (id, s) => assert(full(id) == s, s"doc $id moved to $s") }
+  }
+
+  test("trainValTestSplit: a new seed is an independent re-split") {
+    val docs = Tables.documents(spark, sf)
+    val v1 = Governance.trainValTestSplit(docs, seed = "v1").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("bucket")).toMap
+    val v2 = Governance.trainValTestSplit(docs, seed = "v2").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("bucket")).toMap
+    assert(v1 != v2, "different seeds must produce different bucketings")
+  }
+}

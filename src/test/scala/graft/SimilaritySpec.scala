@@ -126,6 +126,72 @@ class SimilaritySpec extends SparkSpec {
     info(f"IVF-kmeans recall@5 vs brute force: $recall%.2f (1/16 of corpus per probe)")
   }
 
+  test("knnGraph edges restricted to the probe queries equal ivfTopK") {
+    // same centroids, same cells, same candidates, same ranking — the graph
+    // rows for any vertex ARE that vertex's IVF probe result
+    val emb = Tables.embeddings(spark, sf)
+    val graph = SimilaritySearch.knnGraph(emb, k = 5).collect()
+      .filter(_.getAs[Long]("vec_id") < 5)
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Int]("rank"), r.getAs[Double]("cos"))).toSet
+    val probe = SimilaritySearch.ivfTopK(emb, emb.filter(col("vec_id") < 5), k = 5)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Int]("rank"), r.getAs[Double]("cos"))).toSet
+    assert(graph == probe)
+  }
+
+  test("knnGraph: every vertex gets <= k self-free, descending-cos edges") {
+    val emb = Tables.embeddings(spark, sf)
+    val out = SimilaritySearch.knnGraph(emb, k = 3).collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getAs[Long]("vec_id")).foreach { case (v, rows) =>
+      assert(rows.length <= 3)
+      assert(rows.forall(_.getAs[Long]("neighbor_id") != v))
+      val byRank = rows.sortBy(_.getAs[Int]("rank"))
+      assert(byRank.map(_.getAs[Int]("rank")).sameElements(1 to rows.length))
+      val sims = byRank.map(_.getAs[Double]("cos"))
+      assert(sims.sameElements(sims.sorted.reverse))
+    }
+  }
+
+  test("graphSearchTopK: ordered self-free results, deterministic, recall measurable") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 5)
+    val out = SimilaritySearch.graphSearchTopK(emb, queries, k = 5).collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rows) =>
+      assert(rows.length <= 5)
+      assert(rows.forall(_.getAs[Long]("neighbor_id") != q))
+      val byRank = rows.sortBy(_.getAs[Int]("rank"))
+      assert(byRank.map(_.getAs[Int]("rank")).sameElements(1 to rows.length))
+      val sims = byRank.map(_.getAs[Double]("cos"))
+      assert(sims.sameElements(sims.sorted.reverse))
+    }
+    val again = SimilaritySearch.graphSearchTopK(emb, queries, k = 5).collect()
+    assert(out.map(_.toSeq).toSet == again.map(_.toSeq).toSet)
+    val brute = SimilaritySearch.bruteForceTopK(emb, queries, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val walk = out.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = walk.intersect(brute).size.toDouble / brute.size
+    info(f"graph-walk recall@5 vs brute force (beam 8, 2 hops): $recall%.2f")
+  }
+
+  test("graphSearchTopK: a wider beam never loses recall on this corpus") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 5)
+    val brute = SimilaritySearch.bruteForceTopK(emb, queries, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallAt(beam: Int): Double = {
+      val got = SimilaritySearch.graphSearchTopK(emb, queries, k = 5, beam = beam)
+        .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+      got.intersect(brute).size.toDouble / brute.size
+    }
+    val (narrow, wide) = (recallAt(4), recallAt(16))
+    assert(wide >= narrow - 1e-9, s"beam 16 recall $wide < beam 4 recall $narrow")
+    info(f"recall@5: beam 4 = $narrow%.2f, beam 16 = $wide%.2f")
+  }
+
   test("annRecallAudit: per-method hits/recall equal a driver-side recomputation") {
     val emb = Tables.embeddings(spark, sf)
     val queries = emb.filter(col("vec_id") < 5)
