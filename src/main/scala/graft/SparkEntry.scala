@@ -245,6 +245,15 @@ object SparkEntry {
     // cell-blocked kNN graph over the WHOLE corpus — the build artifact
     // behind graph-ANN serving, graph-clustering dedup, label propagation
     "q_knn_graph" -> ((s, d) => SimilaritySearch.knnGraph(Tables.embeddings(s, d))),
+    // incremental graph maintenance: fold a batch into the stored graph
+    // under a FROZEN quantizer — merge==rebuild invariant, oracle = the
+    // full rebuild an independent engine computes from scratch
+    "q_knn_graph_incr" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val old = emb.filter(col("vec_id") % 5 =!= 0)
+      val batch = emb.filter(col("vec_id") % 5 === 0)
+      SimilaritySearch.knnGraphIncrement(SimilaritySearch.knnGraph(old), old, batch)
+    }),
     // graph-walk serve (NSW pattern): entry points -> expand graph
     // neighbors -> beam prune, `hops` rounds; fully oracle-replayed
     "q_graph_search" -> ((s, d) => {
@@ -279,6 +288,9 @@ object SparkEntry {
       operators.Governance.snapshotDiff(oldSnap, newSnap)
     }),
     "q_train_split" -> ((s, d) => operators.Governance.trainValTestSplit(Tables.documents(s, d))),
+    // per-source report card: volume, language spread, exact-dup mass —
+    // the per-release provenance summary
+    "q_source_report" -> ((s, d) => operators.Governance.sourceReportCard(Tables.documents(s, d))),
     "q_user_journeys" -> ((s, d) => Relational.userJourneys(Tables.events(s, d))),
     "q_moving_window" -> ((s, d) => Relational.trailingWindowStats(Tables.events(s, d))),
     "q_profile" -> ((s, d) => Relational.profileLineitem(Tables.lineitem(s, d))),
@@ -1757,6 +1769,25 @@ object SparkEntry {
          |  SELECT *, row_number() OVER (
          |    PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rank
          |  FROM scored) WHERE rank <= 5 ORDER BY vec_id, rank""".stripMargin,
+    "q_knn_graph_incr" ->
+      s"""WITH e AS ($duckEmb),
+         |eo AS (SELECT * FROM e WHERE vec_id % 5 <> 0),
+         |ic AS (SELECT vec_id AS cid, emb AS cemb FROM eo
+         |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+         |iasg AS (SELECT vec_id, cid FROM (
+         |  SELECT e.vec_id, ic.cid, ROW_NUMBER() OVER (
+         |      PARTITION BY e.vec_id ORDER BY ${duckCos("e.emb", "ic.cemb")} DESC, ic.cid) AS rn
+         |  FROM e CROSS JOIN ic) WHERE rn = 1),
+         |cand AS (SELECT a.vec_id, b.vec_id AS neighbor_id
+         |  FROM iasg a JOIN iasg b ON a.cid = b.cid AND a.vec_id <> b.vec_id),
+         |scored AS (SELECT cand.vec_id, cand.neighbor_id,
+         |    ${duckCos("x.emb", "y.emb")} AS cos
+         |  FROM cand JOIN e x ON x.vec_id = cand.vec_id
+         |  JOIN e y ON y.vec_id = cand.neighbor_id)
+         |SELECT vec_id, neighbor_id, rank, cos FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM scored) WHERE rank <= 5 ORDER BY vec_id, rank""".stripMargin,
     "q_graph_search" ->
       s"""WITH e AS ($duckEmb),
          |$duckIvfAssign,
@@ -2023,6 +2054,17 @@ object SparkEntry {
         |  o.old_digest, n.new_digest
         |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
         |ORDER BY doc_id""".stripMargin,
+    "q_source_report" ->
+      """WITH d AS (SELECT source, lang, n_chars,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    md5(text) AS digest FROM documents),
+        |c AS (SELECT *, COUNT(*) OVER (PARTITION BY digest) AS dn FROM d)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  CAST(SUM(CASE WHEN dn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_docs
+        |FROM c GROUP BY source ORDER BY source""".stripMargin,
     "q_train_split" ->
       """SELECT doc_id, source, bucket,
         |  CASE WHEN bucket < 80 THEN 'train'

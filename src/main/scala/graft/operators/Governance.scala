@@ -46,6 +46,36 @@ object Governance {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-source corpus report card — the one-page summary a curation run
+    * publishes per release, per provenance: volume (docs / tokens /
+    * chars), language spread, and the exact-duplicate mass (docs whose
+    * md5(text) digest appears more than once ANYWHERE in the corpus —
+    * cross-source copies count in every source holding one, which is what
+    * a provenance audit wants to see).
+    *
+    * Plan shape: one narrow projection (digest + integer stats), a window
+    * count over digest (the one exchange — digest groups mark their own
+    * members, no broadcast of an unbounded dup set), then the per-source
+    * aggregation whose key count is tiny. All-integer outputs, no
+    * means/ratios, so the row set is engine-exact at any scale.
+    */
+  def sourceReportCard(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("digest"))
+    docs
+      .select(col("source"), col("lang"), col("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        md5(col("text")).as("digest"))
+      .withColumn("dn", count(lit(1)).over(w))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(col("n_chars").cast("long")).as("total_chars"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(when(col("dn") > 1, 1L).otherwise(0L)).as("dup_docs"))
+      .orderBy(col("source"))
+  }
+
   /** Versioned deterministic train/val/test split: each document's bucket
     * is md5(seed ":" doc_id) reduced mod 100 — the replayable uniform draw
     * every sampler here uses ([[Relational.hashStratifiedSample]],

@@ -331,36 +331,94 @@ object SimilaritySearch {
     * is one window over cell-local candidates. At 100 TB: one shuffle of
     * the corpus by cell, quadratic work bounded per cell, k·n rows out.
     */
-  def knnGraph(corpus: DataFrame, k: Int = 5, nCentroids: Int = 16): DataFrame = {
+  def knnGraph(corpus: DataFrame, k: Int = 5, nCentroids: Int = 16,
+      quantizerSource: Option[DataFrame] = None): DataFrame = {
     val spark = corpus.sparkSession
-    import spark.implicits._
     graft.plans.GraftFunctions.register(spark)
-    val centroids = spark.sparkContext.broadcast(ivfCentroids(corpus, nCentroids))
-    val cells =
-      Par.spread(corpus.select(col("vec_id"), col("embedding"))).as[(Long, Array[Float])]
-        .mapPartitions { it =>
-          val cs = centroids.value
-          it.map { case (id, f) =>
-            val e = f.map(_.toDouble)
-            val ne = l2NormKernel(e)
-            var bestId = -1L; var best = Double.NegativeInfinity
-            cs.foreach { case (cid, cv, cn) =>
-              val cos = safeCos(dotKernel(e, cv), ne, cn)
-              if (cos > best) { best = cos; bestId = cid } // ascending ids: first wins ties
-            }
-            (id, f, bestId)
-          }
-        }.toDF("vec_id", "embedding", "cell")
-        .localCheckpoint()
+    val centroids = spark.sparkContext.broadcast(
+      ivfCentroids(quantizerSource.getOrElse(corpus), nCentroids))
+    val cells = cellAssign(corpus, centroids).localCheckpoint()
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
-    cells.as("a")
-      .join(cells.as("b"), col("a.cell") === col("b.cell")
+    cellEdges(cells, cells)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("vec_id"), col("neighbor_id"), col("rank"), col("cos"))
+      .orderBy(col("vec_id"), col("rank"))
+  }
+
+  /** Narrow kernel pass: route every vector to its nearest centroid —
+    * (vec_id, embedding, cell). Shared by the graph build and its
+    * incremental maintenance so both sides see bit-identical routing.
+    */
+  private def cellAssign(df: DataFrame,
+      centroids: org.apache.spark.broadcast.Broadcast[Array[(Long, Array[Double], Double)]])
+      : DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    Par.spread(df.select(col("vec_id"), col("embedding"))).as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cs = centroids.value
+        it.map { case (id, f) =>
+          val e = f.map(_.toDouble)
+          val ne = l2NormKernel(e)
+          var bestId = -1L; var best = Double.NegativeInfinity
+          cs.foreach { case (cid, cv, cn) =>
+            val cos = safeCos(dotKernel(e, cv), ne, cn)
+            if (cos > best) { best = cos; bestId = cid } // ascending ids: first wins ties
+          }
+          (id, f, bestId)
+        }
+      }.toDF("vec_id", "embedding", "cell")
+  }
+
+  /** Scored same-cell edges src→dst (self-free): the shared candidate
+    * generator of [[knnGraph]] and [[knnGraphIncrement]].
+    */
+  private def cellEdges(src: DataFrame, dst: DataFrame): DataFrame =
+    src.as("a")
+      .join(dst.as("b"), col("a.cell") === col("b.cell")
         && col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("neighbor_id"),
         col("a.embedding").as("v_emb"), col("b.embedding").as("n_emb"))
       .withColumn("cos", round(
         call_function("cosine_similarity", col("v_emb"), col("n_emb")), 6))
+      .select(col("vec_id"), col("neighbor_id"), col("cos"))
+
+  /** Incremental graph maintenance — fold a vector batch into an existing
+    * [[knnGraph]] WITHOUT rebuilding it: the quantizer stays FROZEN (the
+    * staleness contract's refresh boundary), arriving vectors route to
+    * their cells, and only the edges a batch can possibly change are
+    * generated — (anyone, batch-member) pairs in the direct role and
+    * (batch-member, old-member) in the reverse. Merging those with the old
+    * edge list and re-taking top-k per vertex is EXACT: an old cell-mate
+    * outside a vertex's old top-k can never enter the new top-k (scores
+    * are immutable; the batch only adds candidates), so
+    * `knnGraphIncrement(knnGraph(old), old, batch) ==
+    * knnGraph(old ∪ batch, quantizerSource = old)` — the merge==rebuild
+    * invariant, spec-pinned like the boilerplate index's.
+    *
+    * Cost model at 100 TB: per-batch work is |batch| × mean-cell-size
+    * scored pairs plus a re-rank over (old top-k ∪ fresh) — the corpus
+    * contributes its stored cell assignment (here recomputed; on a
+    * cluster the lake-landed routing the build already wrote) and its k·n
+    * edge list, both O(index), never an O(corpus²) rebuild. The batch
+    * side broadcasts into both candidate joins.
+    */
+  def knnGraphIncrement(
+      oldGraph: DataFrame, corpus: DataFrame, batch: DataFrame,
+      k: Int = 5, nCentroids: Int = 16): DataFrame = {
+    val spark = corpus.sparkSession
+    graft.plans.GraftFunctions.register(spark)
+    val centroids = spark.sparkContext.broadcast(ivfCentroids(corpus, nCentroids))
+    val oldCells = cellAssign(corpus, centroids).localCheckpoint()
+    val batchCells = cellAssign(batch, centroids).localCheckpoint()
+    val fresh = cellEdges(oldCells.union(batchCells), broadcast(batchCells))
+      .union(cellEdges(broadcast(batchCells), oldCells))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    oldGraph.select(col("vec_id"), col("neighbor_id"), col("cos"))
+      .union(fresh)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("vec_id"), col("neighbor_id"), col("rank"), col("cos"))

@@ -32,6 +32,24 @@ class GovernanceSpec extends SparkSpec {
       && byId(2L).getAs[String]("old_digest") != byId(2L).getAs[String]("new_digest"))
   }
 
+  test("sourceReportCard: exact per-source stats, cross-source dups count both sides") {
+    val docs = Seq(
+      (1L, "a b c", "en", "web", 5L),
+      (2L, "a b c", "en", "books", 5L),   // cross-source copy of 1
+      (3L, "d e", "fr", "web", 3L),
+      (4L, "f", "en", "web", 1L),
+      (5L, "f", "en", "web", 1L)          // in-source copy of 4
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = Governance.sourceReportCard(docs).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("total_tokens"),
+          r.getAs[Long]("total_chars"), r.getAs[Long]("n_langs"),
+          r.getAs[Long]("dup_docs"))).toMap
+    assert(got == Map(
+      "web" -> ((4L, 7L, 10L, 2L, 3L)),   // docs 1 (cross-source), 4, 5 are dup mass
+      "books" -> ((1L, 3L, 5L, 1L, 1L))))
+  }
+
   test("trainValTestSplit: boundaries, determinism, all splits populated") {
     val docs = Tables.documents(spark, sf)
     val rows = Governance.trainValTestSplit(docs).collect()

@@ -155,6 +155,20 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("knnGraphIncrement: merging a batch equals the frozen-quantizer rebuild") {
+    val emb = Tables.embeddings(spark, sf)
+    val old = emb.filter(col("vec_id") % 5 =!= 0)
+    val batch = emb.filter(col("vec_id") % 5 === 0)
+    val incremental = SimilaritySearch
+      .knnGraphIncrement(SimilaritySearch.knnGraph(old), old, batch)
+      .collect().map(_.toSeq).toSet
+    val rebuild = SimilaritySearch
+      .knnGraph(old.unionByName(batch), quantizerSource = Some(old))
+      .collect().map(_.toSeq).toSet
+    assert(incremental == rebuild)
+    assert(incremental.nonEmpty)
+  }
+
   test("graphSearchTopK: ordered self-free results, deterministic, recall measurable") {
     val emb = Tables.embeddings(spark, sf)
     val queries = emb.filter(col("vec_id") < 5)
