@@ -245,6 +245,14 @@ object SparkEntry {
     // cell-blocked kNN graph over the WHOLE corpus — the build artifact
     // behind graph-ANN serving, graph-clustering dedup, label propagation
     "q_knn_graph" -> ((s, d) => SimilaritySearch.knnGraph(Tables.embeddings(s, d))),
+    // label propagation over the graph: stretch a labeled seed set across
+    // the corpus by exact-integer cosine-weighted neighbor votes
+    "q_label_prop" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val seeds = emb.filter(col("vec_id") % 4 === 0)
+        .select(col("vec_id"), col("label"))
+      SimilaritySearch.labelPropagate(emb, seeds)
+    }),
     // incremental graph maintenance: fold a batch into the stored graph
     // under a FROZEN quantizer — merge==rebuild invariant, oracle = the
     // full rebuild an independent engine computes from scratch
@@ -1769,6 +1777,41 @@ object SparkEntry {
          |  SELECT *, row_number() OVER (
          |    PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rank
          |  FROM scored) WHERE rank <= 5 ORDER BY vec_id, rank""".stripMargin,
+    "q_label_prop" ->
+      s"""WITH e AS ($duckEmb),
+         |$duckIvfAssign,
+         |gc AS (SELECT a.vec_id, b.vec_id AS neighbor_id
+         |  FROM iasg a JOIN iasg b ON a.cid = b.cid AND a.vec_id <> b.vec_id),
+         |gsc AS (SELECT gc.vec_id, gc.neighbor_id,
+         |    ${duckCos("x.emb", "y.emb")} AS cos
+         |  FROM gc JOIN e x ON x.vec_id = gc.vec_id
+         |  JOIN e y ON y.vec_id = gc.neighbor_id),
+         |g AS (SELECT vec_id, neighbor_id,
+         |    CAST(round(cos * 1000000.0, 0) AS BIGINT) AS w FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rk
+         |  FROM gsc) WHERE rk <= 5),
+         |l0 AS (SELECT vec_id, CAST(label AS BIGINT) AS label, 0 AS round
+         |  FROM embeddings WHERE vec_id % 4 = 0),
+         |v1 AS (SELECT g.vec_id, l.label, CAST(SUM(g.w) AS BIGINT) AS votes
+         |  FROM g JOIN l0 l ON l.vec_id = g.neighbor_id
+         |  WHERE g.vec_id NOT IN (SELECT vec_id FROM l0)
+         |  GROUP BY g.vec_id, l.label),
+         |n1 AS (SELECT vec_id, label, 1 AS round FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY vec_id ORDER BY votes DESC, label) AS rk FROM v1)
+         |  WHERE rk = 1),
+         |l1 AS (SELECT * FROM l0 UNION ALL SELECT * FROM n1),
+         |v2 AS (SELECT g.vec_id, l.label, CAST(SUM(g.w) AS BIGINT) AS votes
+         |  FROM g JOIN l1 l ON l.vec_id = g.neighbor_id
+         |  WHERE g.vec_id NOT IN (SELECT vec_id FROM l1)
+         |  GROUP BY g.vec_id, l.label),
+         |n2 AS (SELECT vec_id, label, 2 AS round FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY vec_id ORDER BY votes DESC, label) AS rk FROM v2)
+         |  WHERE rk = 1),
+         |l2 AS (SELECT * FROM l1 UNION ALL SELECT * FROM n2)
+         |SELECT vec_id, label, round FROM l2 ORDER BY vec_id""".stripMargin,
     "q_knn_graph_incr" ->
       s"""WITH e AS ($duckEmb),
          |eo AS (SELECT * FROM e WHERE vec_id % 5 <> 0),

@@ -425,6 +425,51 @@ object SimilaritySearch {
       .orderBy(col("vec_id"), col("rank"))
   }
 
+  /** Label propagation over the [[knnGraph]] — the weak-supervision move a
+    * training-data pipeline uses to stretch a small labeled seed set
+    * (human-rated quality, domain tags, license classes) across the whole
+    * corpus: each round, every still-unlabeled vertex whose kNN list
+    * touches labeled vertices takes the label with the highest
+    * cosine-weighted vote (votes are the ×10⁶-integer edge weights, so
+    * sums are exact; ties go to the smallest label). Seeds and
+    * already-assigned labels are immutable, so the fixpoint is monotone
+    * and every row records the round it was assigned in — the confidence
+    * proxy (round 1 = a labeled direct neighbor; later = hearsay).
+    *
+    * Scale shape: per round, one join of the k·n edge list against the
+    * label table (hash on neighbor_id), an anti-join to restrict targets
+    * to unlabeled vertices, one (vertex, label) vote aggregation, one
+    * argmax window. Labels accumulate via localCheckpoint (the CC-fixpoint
+    * lineage trade). Work per round is O(edges touching labeled nodes) —
+    * never corpus²; `rounds` is a small constant (label radius), not a
+    * convergence loop.
+    */
+  def labelPropagate(
+      corpus: DataFrame, seeds: DataFrame, rounds: Int = 2,
+      k: Int = 5, nCentroids: Int = 16): DataFrame = {
+    val graph = knnGraph(corpus, k, nCentroids)
+      .withColumn("w", round(col("cos") * 1e6, 0).cast("long"))
+      .select(col("vec_id"), col("neighbor_id"), col("w")).localCheckpoint()
+    var labels = seeds
+      .select(col("vec_id"), col("label").cast("long").as("label"))
+      .withColumn("round", lit(0)).localCheckpoint()
+    (1 to rounds).foreach { r =>
+      val votes = graph
+        .join(labels.select(col("vec_id").as("neighbor_id"), col("label")),
+          Seq("neighbor_id"))
+        .join(labels.select(col("vec_id")), Seq("vec_id"), "left_anti")
+        .groupBy(col("vec_id"), col("label"))
+        .agg(sum(col("w")).as("votes"))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("votes").desc, col("label"))
+      val newly = votes
+        .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .select(col("vec_id"), col("label"), lit(r).as("round"))
+      labels = labels.unionByName(newly).localCheckpoint()
+    }
+    labels.orderBy(col("vec_id"))
+  }
+
   /** Graph-walk ANN serving (the NSW search pattern) over the [[knnGraph]]
     * build artifact: start every query at the coarse-quantizer entry
     * points, then `hops` rounds of (expand each frontier node to its graph

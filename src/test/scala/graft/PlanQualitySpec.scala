@@ -209,5 +209,41 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("ReusedExchange"), s"posting exchange not reused:\n$p")
   }
 
+  test("knn graph: top-k pushed below the exchange, no forced broadcast hint") {
+    val p = plan("q_knn_graph")
+    // Spark 4 WindowGroupLimit: per-partition top-k runs BEFORE the rank
+    // exchange, so k·P rows shuffle instead of every scored pair
+    assert(p.contains("WindowGroupLimit"), s"rank limit not pushed down:\n$p")
+    // the self-join must stay AQE's choice: at this SF it may broadcast,
+    // but the logical plan carries no hint — assert by building the graph
+    // over a frame with the hint-blocking threshold disabled
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val forced = SparkEntry.queries("q_knn_graph")(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!forced.contains("BroadcastHashJoin"),
+        s"broadcast forced by hint (survives threshold=-1):\n$forced")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("graph search: final plan is a top-k over the materialized frontier") {
+    // each hop materializes (localCheckpoint) before the next expands, so
+    // the served plan is just per-query top-k over the tiny frontier —
+    // the hop joins themselves ran as broadcast probes at build time
+    val p = plan("q_graph_search")
+    assert(p.contains("ExistingRDD"), s"frontier not materialized:\n$p")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("source report card: one digest exchange feeds the window, no dup-set broadcast join") {
+    val p = plan("q_source_report")
+    assert(p.contains("Window"), p)
+    // the dup marking must be the window count, not a join against a
+    // collected dup-digest set
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   private val Dedup = graft.operators.Dedup
 }

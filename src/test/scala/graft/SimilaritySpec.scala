@@ -169,6 +169,61 @@ class SimilaritySpec extends SparkSpec {
     assert(incremental.nonEmpty)
   }
 
+  test("labelPropagate: seeds immutable, monotone rounds, accuracy vs withheld truth") {
+    val emb = Tables.embeddings(spark, sf)
+    val seeds = emb.filter(col("vec_id") % 4 === 0).select(col("vec_id"), col("label"))
+    val out = SimilaritySearch.labelPropagate(emb, seeds).collect()
+    val byId = out.map(r => r.getAs[Long]("vec_id") ->
+      (r.getAs[Long]("label"), r.getAs[Int]("round"))).toMap
+    // every seed survives with round 0 and its own label
+    val seedRows = seeds.collect().map(r => r.getAs[Long]("vec_id") ->
+      r.getAs[Int]("label").toLong).toMap
+    seedRows.foreach { case (id, l) => assert(byId(id) == ((l, 0))) }
+    // non-seeds were assigned in a later round, at most one row per vertex
+    assert(out.map(_.getAs[Long]("vec_id")).distinct.length == out.length)
+    out.foreach { r =>
+      if (!seedRows.contains(r.getAs[Long]("vec_id")))
+        assert(r.getAs[Int]("round") >= 1)
+    }
+    // accuracy against the withheld ground truth the corpus carries
+    val truth = emb.select(col("vec_id"), col("label")).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("label").toLong).toMap
+    val scored = byId.filterNot { case (id, _) => seedRows.contains(id) }
+    val acc = scored.count { case (id, (l, _)) => truth(id) == l }.toDouble /
+      math.max(scored.size, 1)
+    info(f"propagated ${scored.size} labels from ${seedRows.size} seeds; " +
+      f"accuracy vs withheld truth: $acc%.2f")
+    assert(scored.nonEmpty)
+  }
+
+  test("labelPropagate recovers planted group labels from two seeds") {
+    // two orthogonal directions with per-row jitter axes; one seed per
+    // group must label every member of its own group and never cross
+    def vec(group: Int, row: Int): Array[Float] = {
+      val v = new Array[Float](16)
+      v(group) = 10f
+      v(4 + row) = 1f + 0.1f * row
+      v
+    }
+    val rows = (0 until 12).map(i => (i.toLong + 1, vec(i % 2, i)))
+    val emb = spark.createDataFrame(rows).toDF("vec_id", "embedding")
+    // seeds: 1 (group 0), 2 (group 1)
+    val seeds = spark.createDataFrame(Seq((1L, 100), (2L, 200)))
+      .toDF("vec_id", "label")
+    val out = SimilaritySearch
+      .labelPropagate(emb, seeds, rounds = 3, k = 4, nCentroids = 4)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("label")).toMap
+    out.foreach { case (id, l) =>
+      val want = if ((id - 1) % 2 == 0) 100L else 200L
+      assert(l == want, s"vec $id got label $l")
+    }
+    // labels never cross the planted groups; coverage is bounded by cell
+    // reachability (a vertex whose cell holds no path to a seed stays
+    // unlabeled — the cell-blocked graph's documented recall trade)
+    assert(out.size >= 10, s"expected near-full coverage, got ${out.keySet}")
+    assert(out.values.count(_ == 100L) >= 4 && out.values.count(_ == 200L) >= 4)
+  }
+
   test("graphSearchTopK: ordered self-free results, deterministic, recall measurable") {
     val emb = Tables.embeddings(spark, sf)
     val queries = emb.filter(col("vec_id") < 5)
