@@ -407,10 +407,15 @@ object SimilaritySearch {
     */
   def knnGraphIncrement(
       oldGraph: DataFrame, corpus: DataFrame, batch: DataFrame,
-      k: Int = 5, nCentroids: Int = 16): DataFrame = {
+      k: Int = 5, nCentroids: Int = 16,
+      quantizerSource: Option[DataFrame] = None): DataFrame = {
     val spark = corpus.sparkSession
     graft.plans.GraftFunctions.register(spark)
-    val centroids = spark.sparkContext.broadcast(ivfCentroids(corpus, nCentroids))
+    // chained folds must pin the quantizer to the REFRESH-TIME corpus —
+    // letting the draw drift with each accumulated batch would re-route
+    // old vertices and break the merge==rebuild argument mid-epoch
+    val centroids = spark.sparkContext.broadcast(
+      ivfCentroids(quantizerSource.getOrElse(corpus), nCentroids))
     val oldCells = cellAssign(corpus, centroids).localCheckpoint()
     val batchCells = cellAssign(batch, centroids).localCheckpoint()
     val fresh = cellEdges(oldCells.union(batchCells), broadcast(batchCells))
