@@ -87,6 +87,40 @@ object Subword {
   private def symbolCount(folded: Column): Column =
     (length(folded) - length(translate(folded, Open, ""))).cast("long")
 
+  /** JVM twin of the serve fold — Catalyst higher-order functions evaluate
+    * interpreted AND the HOF form rebuilds each merge's search pattern per
+    * token; the kernel precomputes the pattern table once per partition
+    * and runs the same literal left-to-right non-overlapping
+    * `String.replace` scan (identical semantics to SQL `replace`), with
+    * code-point iteration matching `split(tok, "")`. SubwordSpec pins
+    * kernel == HOF on the corpus; all string ops, so parity is exact
+    * equality, not epsilon.
+    */
+  private[operators] def patternTable(merges: Seq[Merge]): Array[(String, String)] =
+    merges.sortBy(_.rank).map(m =>
+      (Open + m.a + Close + Open + m.b + Close, Open + m.a + m.b + Close)).toArray
+
+  private[operators] def foldKernel(tok: String, pats: Array[(String, String)]): String = {
+    val sb = new java.lang.StringBuilder(tok.length * 3)
+    var i = 0
+    while (i < tok.length) {
+      val cp = tok.codePointAt(i)
+      sb.append(Open).appendCodePoint(cp).append(Close)
+      i += Character.charCount(cp)
+    }
+    var s = sb.toString
+    var j = 0
+    while (j < pats.length) { s = s.replace(pats(j)._1, pats(j)._2); j += 1 }
+    s
+  }
+
+  private def countOpen(folded: String): Long = {
+    val o = Open.charAt(0)
+    var c = 0L; var i = 0
+    while (i < folded.length) { if (folded.charAt(i) == o) c += 1; i += 1 }
+    c
+  }
+
   def fitMerges(
       docs: DataFrame, rounds: Int = 3, mergesPerRound: Int = 20,
       maxVocab: Int = 512): Seq[Merge] = {
@@ -152,6 +186,31 @@ object Subword {
     * dataloader's subword budgets.
     */
   def subwordCounts(docs: DataFrame, merges: Seq[Merge]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val pats = spark.sparkContext.broadcast(patternTable(merges))
+    Par.spread(docs.select(col("doc_id"), col("text"))).as[(Long, String)]
+      .mapPartitions { it =>
+        val ps = pats.value
+        it.map { case (id, text) =>
+          val toks = text.split(" ", -1) // limit -1 = Spark split semantics
+          var subs = 0L
+          var i = 0
+          while (i < toks.length) { subs += countOpen(foldKernel(toks(i), ps)); i += 1 }
+          (id, toks.length.toLong, subs)
+        }
+      }.toDF("doc_id", "n_tokens", "n_subwords")
+      .withColumn("subword_ratio",
+        when(col("n_tokens") > 0,
+          round(col("n_subwords").cast("double") / col("n_tokens").cast("double"), 6))
+          .otherwise(lit(0.0)))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The declarative twin of [[subwordCounts]] (the aggregate∘transform
+    * HOF fold) — kept as the parity baseline the kernel is pinned to.
+    */
+  private[graft] def subwordCountsHof(docs: DataFrame, merges: Seq[Merge]): DataFrame = {
     val mt = mergesTable(docs.sparkSession, merges)
     Par.spread(docs)
       .crossJoin(broadcast(mt))
@@ -202,13 +261,23 @@ object Subword {
   def encodeIds(docs: DataFrame, merges: Seq[Merge]): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val mt = mergesTable(spark, merges)
     val vdf = broadcast(vocab(docs, merges).toDF("sym", "id"))
-    Par.spread(docs)
-      .crossJoin(broadcast(mt))
-      .select(col("doc_id"), split(col("text"), " ").as("toks"), col("merges"))
-      .select(col("doc_id"),
-        flatten(transform(col("toks"), t => syms(applyTable(t, col("merges"))))).as("syms"))
+    val pats = spark.sparkContext.broadcast(patternTable(merges))
+    Par.spread(docs.select(col("doc_id"), col("text"))).as[(Long, String)]
+      .mapPartitions { it =>
+        val ps = pats.value
+        it.map { case (id, text) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          text.split(" ", -1).foreach { t =>
+            // same symbol extraction as syms(): split on STX, drop the
+            // leading empty, strip the trailing ETX of each symbol
+            foldKernel(t, ps).split(Open, -1).foreach { s =>
+              if (s.nonEmpty) out += s.replace(Close, "")
+            }
+          }
+          (id, out.toSeq)
+        }
+      }.toDF("doc_id", "syms")
       .select(col("doc_id"), posexplode(col("syms")))
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"), col("col").as("sym"))
       .join(vdf, Seq("sym"), "left_outer")

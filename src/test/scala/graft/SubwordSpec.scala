@@ -31,6 +31,16 @@ class SubwordSpec extends SparkSpec {
     assert(out == Map(1L -> 2L, 2L -> 2L, 3L -> 3L, 4L -> 1L))
   }
 
+  test("subwordCounts kernel matches the declarative HOF fold exactly") {
+    // string ops only, so parity is exact equality — the kernel must be a
+    // drop-in for the aggregate∘transform fold it replaced in the hot path
+    val docs = Tables.documents(spark, sf)
+    val merges = Subword.fitMerges(docs)
+    val a = Subword.subwordCounts(docs, merges).collect().map(_.toSeq).toSeq
+    val b = Subword.subwordCountsHof(docs, merges).collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+
   test("subwordCounts: learned merges compress the corpus it was fit on") {
     val d = docs(
       (1L, "aaab aaab ab"),
