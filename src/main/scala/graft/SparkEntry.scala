@@ -327,6 +327,9 @@ object SparkEntry {
     "q_doc_stats" -> ((s, d) => TextAnalysis.docStats(Tables.documents(s, d))),
     "q_lang_id" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
     "q_quality_score" -> ((s, d) => TextAnalysis.qualityScore(Tables.documents(s, d))),
+    // Gopher rule battery: per-rule verdicts via exact integer
+    // cross-multiplied compares — the canonical heuristic pre-filter
+    "q_gopher_rules" -> ((s, d) => TextAnalysis.gopherRules(Tables.documents(s, d))),
     "q_token_freq" -> ((s, d) => TextAnalysis.tokenFrequencies(Tables.documents(s, d))),
     // Misra-Gries frequent-items sketch: constant-state twin of the exact
     // count (estimates are arrival-order dependent within the MG bound →
@@ -2097,6 +2100,39 @@ object SparkEntry {
         |  o.old_digest, n.new_digest
         |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
         |ORDER BY doc_id""".stripMargin,
+    "q_gopher_rules" ->
+      s"""WITH d AS (SELECT doc_id, text,
+         |    string_split(text, ' ') AS ws,
+         |    string_split(text, chr(10)) AS ls FROM documents),
+         |c AS (SELECT doc_id,
+         |    CAST(len(ws) AS BIGINT) AS n_words,
+         |    CAST(list_sum(list_transform(ws, w -> length(w))) AS BIGINT) AS word_chars,
+         |    CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT)
+         |      AS alpha_words,
+         |    CAST(${duckStopHits(enStopList)} AS BIGINT) AS stop_hits,
+         |    CAST(len(ls) AS BIGINT) AS n_lines,
+         |    CAST(len(list_filter(ls, l -> l LIKE '-%' OR l LIKE '•%')) AS BIGINT)
+         |      AS bullet_lines,
+         |    CAST(len(list_filter(ls, l -> l LIKE '%...')) AS BIGINT) AS ellipsis_lines,
+         |    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS hash_count,
+         |    CAST(length(text) - length(replace(text, '...', '')) AS BIGINT) AS ellipsis3
+         |  FROM d)
+         |SELECT doc_id, n_words, word_chars,
+         |  (n_words BETWEEN 50 AND 100000) AS r_word_count,
+         |  (word_chars >= n_words * 3 AND word_chars <= n_words * 10) AS r_mean_word_len,
+         |  ((hash_count * 3 + ellipsis3) * 10 <= n_words * 3) AS r_symbol_ratio,
+         |  (alpha_words * 5 >= n_words * 4) AS r_alpha_words,
+         |  (stop_hits >= 2) AS r_stopwords,
+         |  (bullet_lines * 10 <= n_lines * 9) AS r_bullet_lines,
+         |  (ellipsis_lines * 10 <= n_lines * 3) AS r_ellipsis_lines,
+         |  ((n_words BETWEEN 50 AND 100000)
+         |    AND (word_chars >= n_words * 3 AND word_chars <= n_words * 10)
+         |    AND ((hash_count * 3 + ellipsis3) * 10 <= n_words * 3)
+         |    AND (alpha_words * 5 >= n_words * 4)
+         |    AND (stop_hits >= 2)
+         |    AND (bullet_lines * 10 <= n_lines * 9)
+         |    AND (ellipsis_lines * 10 <= n_lines * 3)) AS keep
+         |FROM c ORDER BY doc_id""".stripMargin,
     "q_source_report" ->
       """WITH d AS (SELECT source, lang, n_chars,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,

@@ -73,6 +73,57 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Gopher-style rule battery (Rae et al. 2021, Appendix A1.1.1 — the
+    * canonical pre-filter every large text corpus runs before model-based
+    * scoring): word-count bounds, mean-word-length band, symbol-to-word
+    * ratio (# and … noise), minimum alphabetic-word fraction, minimum
+    * stopword evidence, bullet- and ellipsis-line caps. One row per doc
+    * with each rule's verdict and the conjunction — per-rule flags (not
+    * just the AND) because the REASON mix is what a curation run tunes on.
+    *
+    * Every ratio rule is cross-multiplied into EXACT integer compares (no
+    * division anywhere — `mean word length ≥ 3` is `word_chars ≥
+    * 3·n_words`; the ellipsis count stays ×3 as a raw length delta), so
+    * verdicts are engine-reproducible bit-for-bit. Plan: one narrow
+    * codegen'd projection, no shuffle, no state — composes in front of
+    * the gate at any scale.
+    */
+  def gopherRules(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val lines = split(col("text"), "\n")
+    val nWords = size(toks).cast("long")
+    val wordChars =
+      aggregate(transform(toks, t => length(t).cast("long")), lit(0L), _ + _)
+    val alphaWords = size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("long")
+    val stopHits = stopwordHits(toks, EnStop).cast("long")
+    val nLines = size(lines).cast("long")
+    val bulletLines = size(filter(lines,
+      l => l.startsWith("-") || l.startsWith("•"))).cast("long")
+    val ellipsisLines = size(filter(lines, l => l.endsWith("..."))).cast("long")
+    val hashCount =
+      (length(col("text")) - length(translate(col("text"), "#", ""))).cast("long")
+    // 3 × (occurrences of "...") as a raw length delta — kept ×3 so the
+    // symbol-ratio rule stays integer (multiply the inequality through)
+    val ellipsis3 = (length(col("text")) -
+      length(call_function("replace", col("text"), lit("..."), lit("")))).cast("long")
+    Par.spread(docs).select(
+      col("doc_id"),
+      nWords.as("n_words"),
+      wordChars.as("word_chars"),
+      nWords.between(50L, 100000L).as("r_word_count"),
+      (wordChars >= nWords * 3L && wordChars <= nWords * 10L).as("r_mean_word_len"),
+      ((hashCount * 3L + ellipsis3) * 10L <= nWords * 3L).as("r_symbol_ratio"),
+      (alphaWords * 5L >= nWords * 4L).as("r_alpha_words"),
+      (stopHits >= 2L).as("r_stopwords"),
+      (bulletLines * 10L <= nLines * 9L).as("r_bullet_lines"),
+      (ellipsisLines * 10L <= nLines * 3L).as("r_ellipsis_lines"))
+      .withColumn("keep",
+        col("r_word_count") && col("r_mean_word_len") && col("r_symbol_ratio") &&
+          col("r_alpha_words") && col("r_stopwords") && col("r_bullet_lines") &&
+          col("r_ellipsis_lines"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Corpus token frequencies (top `k` by count desc, token asc) — the
     * explode/generator operator (Spark explode == DuckDB unnest).
     *

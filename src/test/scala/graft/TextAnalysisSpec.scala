@@ -20,6 +20,38 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!top.exists(r => r.getAs[String]("token") == "the"))
   }
 
+  test("gopherRules: each rule trips on its planted violator and only there") {
+    // 60 words, mean word length 4.7, stopword-rich
+    val good = ("the quick brown foxes jumped over the lazy sleeping dogs " * 6).trim
+    val tooShort = "the cat is here and it sat" // < 50 words
+    val longWords = Seq.fill(60)("pneumonoultramicroscopic").mkString(" ") ++ " the is" // mean len > 10
+    val hashy = good + " " + Seq.fill(20)("#tag").mkString(" ") // symbol ratio > 0.1
+    val numeric = ("the is " + Seq.fill(60)("12345").mkString(" ")) // alpha < 80%
+    val noStops = Seq.fill(60)("lorem ipsum dolor").mkString(" ") // < 2 stopword hits
+    val bullets = (1 to 10).map(i => s"- item $i the is and of a it in").mkString("\n") // all lines bulleted
+    val dots = good + "\n" + (1 to 9).map(i => s"line $i trails off...").mkString("\n")
+    val d = Seq(
+      (1L, good), (2L, tooShort), (3L, longWords), (4L, hashy),
+      (5L, numeric), (6L, noStops), (7L, bullets), (8L, dots))
+      .toDF("doc_id", "text")
+    val rows = TextAnalysis.gopherRules(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(rows(1L).getAs[Boolean]("keep"), "the clean doc must pass every rule")
+    def failsOnly(id: Long, rule: String) = {
+      assert(!rows(id).getAs[Boolean](rule), s"doc $id should trip $rule")
+      assert(!rows(id).getAs[Boolean]("keep"))
+    }
+    failsOnly(2L, "r_word_count")
+    failsOnly(3L, "r_mean_word_len")
+    failsOnly(4L, "r_symbol_ratio")
+    failsOnly(5L, "r_alpha_words")
+    failsOnly(6L, "r_stopwords")
+    failsOnly(7L, "r_bullet_lines")
+    failsOnly(8L, "r_ellipsis_lines")
+    // the clean doc's integer counters are the hand-computed ones
+    assert(rows(1L).getAs[Long]("n_words") == 60L)
+  }
+
   test("bigram PMI favors always-adjacent pairs over chance co-occurrence") {
     // "new york" always adjacent; "the" pairs with everything -> low PMI
     val phrase = Seq.fill(6)("in new york the weather is fine").mkString(" ")
