@@ -330,6 +330,9 @@ object SparkEntry {
     // Gopher rule battery: per-rule verdicts via exact integer
     // cross-multiplied compares — the canonical heuristic pre-filter
     "q_gopher_rules" -> ((s, d) => TextAnalysis.gopherRules(Tables.documents(s, d))),
+    // padding-waste audit: per length bucket, capacity vs real token
+    // mass — the dataloader-planning number bucketing optimizes
+    "q_padding_waste" -> ((s, d) => operators.Curation.paddingWaste(Tables.documents(s, d))),
     "q_token_freq" -> ((s, d) => TextAnalysis.tokenFrequencies(Tables.documents(s, d))),
     // Misra-Gries frequent-items sketch: constant-state twin of the exact
     // count (estimates are arrival-order dependent within the MG bound →
@@ -2100,6 +2103,24 @@ object SparkEntry {
         |  o.old_digest, n.new_digest
         |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
         |ORDER BY doc_id""".stripMargin,
+    "q_padding_waste" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens FROM documents),
+        |b AS (SELECT doc_id, n_tokens,
+        |  CASE WHEN n_tokens <= 16 THEN 16 WHEN n_tokens <= 32 THEN 32
+        |       WHEN n_tokens <= 64 THEN 64 WHEN n_tokens <= 128 THEN 128
+        |       WHEN n_tokens <= 256 THEN 256 WHEN n_tokens <= 512 THEN 512
+        |       WHEN n_tokens <= 1024 THEN 1024 ELSE 2048 END AS bucket FROM t),
+        |g AS (SELECT CAST(bucket AS BIGINT) AS bucket,
+        |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+        |  FROM b GROUP BY bucket)
+        |SELECT bucket, n_docs, total_tokens,
+        |  bucket * n_docs AS capacity,
+        |  bucket * n_docs - total_tokens AS waste,
+        |  CAST(((bucket * n_docs - total_tokens) * 10000) // (bucket * n_docs)
+        |    AS BIGINT) AS waste_bp
+        |FROM g ORDER BY bucket""".stripMargin,
     "q_gopher_rules" ->
       s"""WITH d AS (SELECT doc_id, text,
          |    string_split(text, ' ') AS ws,

@@ -247,6 +247,30 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** Padding-waste audit over [[lengthBuckets]] — the dataloader-planning
+    * number bucketed batching exists to optimize: per bucket, how many
+    * docs land there, their real token mass, the padded capacity
+    * (bucket·n_docs), the waste (capacity − tokens), and waste as an
+    * exact per-ten-thousand integer (`waste_bp` — basis points; a DOUBLE
+    * ratio would re-open the engine-rounding door the bucket ladder
+    * closed). A release-over-release waste shift says re-tune the bucket
+    * ladder or the chunker. One tiny aggregation over the bucket
+    * projection; bucket-count rows out.
+    */
+  def paddingWaste(
+      docs: DataFrame, minBucket: Int = 16, maxBucket: Int = 2048): DataFrame =
+    lengthBuckets(docs, minBucket, maxBucket)
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"))
+      .withColumn("capacity", col("bucket") * col("n_docs"))
+      .withColumn("waste", col("capacity") - col("total_tokens"))
+      // integer `div`, not `/`: a double quotient loses exactness past
+      // 2^53 and its cast re-opens the engine-rounding door
+      .withColumn("waste_bp", expr("(waste * 10000) div capacity"))
+      .orderBy(col("bucket"))
+
   /** Cross-document boilerplate removal (the C4/RefinedWeb line-dedup rule):
     * segment every document, count in how many DISTINCT documents each
     * segment occurs, strip segments whose document frequency reaches

@@ -259,4 +259,24 @@ class CurationSpec extends SparkSpec {
     assert(rows((3L, 0L)) == ("w1 w2 w3 w4", 4L))
     assert(rows((4L, 0L)) == ("w1 w2", 2L))
   }
+
+  test("paddingWaste: conserves docs/tokens, integer waste math per bucket") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf)
+    val buckets = Curation.lengthBuckets(docs).collect()
+      .map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("n_tokens")))
+    val audit = Curation.paddingWaste(docs).collect()
+    assert(audit.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    assert(audit.map(_.getAs[Long]("total_tokens")).sum == buckets.map(_._2).sum)
+    audit.foreach { r =>
+      val (b, n, tot) = (r.getAs[Long]("bucket"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("total_tokens"))
+      val members = buckets.filter(_._1 == b)
+      assert(members.length.toLong == n && members.map(_._2).sum == tot)
+      assert(r.getAs[Long]("capacity") == b * n)
+      assert(r.getAs[Long]("waste") == b * n - tot)
+      assert(r.getAs[Long]("waste_bp") == (b * n - tot) * 10000L / (b * n))
+      assert(r.getAs[Long]("waste") >= 0)
+    }
+  }
 }
