@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{array_distinct, col, concat, count, explode, expr, length, lit, sum, when}
+import org.apache.spark.sql.functions.{array_distinct, col, concat, count, explode, expr, length, lit, max, sum, when}
 import graft.operators.{Dedup, Relational, SimilaritySearch, Skew, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -330,6 +330,27 @@ object SparkEntry {
     // Gopher rule battery: per-rule verdicts via exact integer
     // cross-multiplied compares — the canonical heuristic pre-filter
     "q_gopher_rules" -> ((s, d) => TextAnalysis.gopherRules(Tables.documents(s, d))),
+    // materialized-rollup rewrite (Catalyst Rule[LogicalPlan]): the query
+    // groups the FACT table, the optimizer reroutes it to the registered
+    // summary; the oracle recomputes from the fact table in DuckDB, so
+    // the hash gate proves the rewrite is answer-preserving. sum stays on
+    // l_quantity (integer-valued doubles — order-independent) by design.
+    "q_mv_rollup" -> ((s, d) => {
+      val li = Tables.load(s, d, "lineitem")
+      val summary = li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("cnt"),
+          max(col("l_extendedprice")).as("max_price"))
+        .localCheckpoint()
+      graft.plans.SummaryRewrite.register("q_mv_rollup", li, summary,
+        Seq("l_returnflag", "l_linestatus"),
+        Map(("sum", "l_quantity") -> "sum_qty", ("count", "*") -> "cnt",
+          ("max", "l_extendedprice") -> "max_price"))
+      graft.plans.SummaryRewrite.install(s)
+      li.groupBy(col("l_returnflag"))
+        .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_items"),
+          max(col("l_extendedprice")).as("max_price"))
+        .orderBy(col("l_returnflag"))
+    }),
     // padding-waste audit: per length bucket, capacity vs real token
     // mass — the dataloader-planning number bucketing optimizes
     "q_padding_waste" -> ((s, d) => operators.Curation.paddingWaste(Tables.documents(s, d))),
@@ -2103,6 +2124,10 @@ object SparkEntry {
         |  o.old_digest, n.new_digest
         |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
         |ORDER BY doc_id""".stripMargin,
+    "q_mv_rollup" ->
+      """SELECT l_returnflag, SUM(l_quantity) AS sum_qty,
+        |  COUNT(*) AS n_items, MAX(l_extendedprice) AS max_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_padding_waste" ->
       """WITH t AS (SELECT doc_id,
         |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens FROM documents),
