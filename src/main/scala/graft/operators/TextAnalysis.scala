@@ -88,7 +88,17 @@ object TextAnalysis {
     * codegen'd projection, no shuffle, no state — composes in front of
     * the gate at any scale.
     */
-  def gopherRules(docs: DataFrame): DataFrame = {
+  def gopherRules(docs: DataFrame): DataFrame =
+    gopherProjection(Par.spread(docs)).orderBy(col("doc_id"))
+
+  /** [[gopherRules]] minus the presentation sort — the stateless
+    * append-safe stream form: a pure projection with no model side and no
+    * state, so it composes in FRONT of the ingest gate at any rate
+    * (StreamCurationSpec pins stream == batch per doc).
+    */
+  def gopherRulesStream(docs: DataFrame): DataFrame = gopherProjection(docs)
+
+  private def gopherProjection(docs: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
     val lines = split(col("text"), "\n")
     val nWords = size(toks).cast("long")
@@ -106,7 +116,7 @@ object TextAnalysis {
     // symbol-ratio rule stays integer (multiply the inequality through)
     val ellipsis3 = (length(col("text")) -
       length(call_function("replace", col("text"), lit("..."), lit("")))).cast("long")
-    Par.spread(docs).select(
+    docs.select(
       col("doc_id"),
       nWords.as("n_words"),
       wordChars.as("word_chars"),
@@ -121,7 +131,6 @@ object TextAnalysis {
         col("r_word_count") && col("r_mean_word_len") && col("r_symbol_ratio") &&
           col("r_alpha_words") && col("r_stopwords") && col("r_bullet_lines") &&
           col("r_ellipsis_lines"))
-      .orderBy(col("doc_id"))
   }
 
   /** Corpus token frequencies (top `k` by count desc, token asc) — the

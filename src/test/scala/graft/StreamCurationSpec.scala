@@ -28,6 +28,34 @@ class StreamCurationSpec extends SparkSpec {
     (1 to 12).map(i => Doc(i.toLong, "big", words(i, 20))) ++
       (1 to 3).map(i => Doc(100L + i, "small", words(1000 + i, 10)))
 
+  test("gopher rule battery on the stream equals the batch verdicts per doc") {
+    implicit val sqlCtx = spark.sqlContext
+    // mix fixture docs (all short -> r_word_count trips) with a long clean
+    // one so both verdicts appear on the stream
+    val clean = Doc(500L, "big",
+      ("the quick brown foxes jumped over the lazy sleeping dogs " * 6).trim)
+    val rows = fixture :+ clean
+    val expected = TextAnalysis.gopherRules(rows.toDF())
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Boolean]("keep"), r.getAs[Long]("n_words"))).toMap
+    assert(expected.values.exists(_._1) && expected.values.exists(!_._1))
+    val input = MemoryStream[Doc]
+    val q = TextAnalysis.gopherRulesStream(input.toDF())
+      .writeStream.format("memory").queryName("sgopher")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val (b1, b2) = rows.partition(_.doc_id % 2 == 0)
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+      val got = spark.table("sgopher").collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Boolean]("keep"), r.getAs[Long]("n_words"))).toMap
+      assert(got == expected, s"stream verdicts diverged:\n$got\n$expected")
+    } finally q.stop()
+  }
+
   test("streaming rebalance draw replays the batch sample exactly") {
     implicit val sqlCtx = spark.sqlContext
     val batchDf = fixture.toDF()
