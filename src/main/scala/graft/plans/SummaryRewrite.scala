@@ -54,10 +54,18 @@ object SummaryRewrite extends Rule[LogicalPlan] {
       // (func, base column) -> summary column; count(1) keys as ("count", "*")
       measures: Map[(String, String), String])
 
-  private val defs = new scala.collection.concurrent.TrieMap[String, SummaryDef]
+  // registry scoped per session (identity key): a summary's analyzed plan
+  // carries session-bound relations, so a rewrite must never cross
+  // sessions — process-global caches of session-bound plans leak
+  private val defs =
+    new scala.collection.concurrent.TrieMap[(Int, String), SummaryDef]
+
+  private def sessionKey(s: org.apache.spark.sql.SparkSession): Int =
+    System.identityHashCode(s)
 
   /** Register a materialized rollup of `base.groupBy(groupCols)`:
     * `measures` maps (func, baseCol) -> the summary column holding it.
+    * Scoped to `base`'s session.
     */
   def register(
       name: String, base: DataFrame, summary: DataFrame,
@@ -65,11 +73,19 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     val paths = rootPaths(stripProjects(base.queryExecution.analyzed))
       .getOrElse(throw new IllegalArgumentException(
         s"summary '$name': base must be a file relation (got ${base.queryExecution.analyzed.nodeName})"))
-    defs.put(name, SummaryDef(
+    defs.put((sessionKey(base.sparkSession), name), SummaryDef(
       name, paths, summary.queryExecution.analyzed, groupCols, measures))
   }
 
   def clear(): Unit = defs.clear()
+
+  private def sessionDefs: Iterator[SummaryDef] =
+    org.apache.spark.sql.SparkSession.getActiveSession match {
+      case Some(s) =>
+        val key = sessionKey(s)
+        defs.iterator.collect { case ((u, _), d) if u == key => d }
+      case None => Iterator.empty
+    }
 
   /** Idempotently append this rule to the session's runtime optimizer. */
   def install(spark: org.apache.spark.sql.SparkSession): Unit =
@@ -79,7 +95,7 @@ object SummaryRewrite extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case agg: Aggregate =>
-      defs.values.iterator.flatMap(rewrite(agg, _)).nextOption().getOrElse(agg)
+      sessionDefs.flatMap(rewrite(agg, _)).nextOption().getOrElse(agg)
   }
 
   private def stripProjects(p: LogicalPlan): LogicalPlan = p match {
@@ -140,6 +156,26 @@ object SummaryRewrite extends Rule[LogicalPlan] {
             d.measures.get(("max", c.name)).map(x => Max(sOut(x)).toAggregateExpression())
           case _ => None
         }
+        // avg decomposes as sum-of-sums / sum-of-counts when the summary
+        // carries BOTH. Caveat (documented, spec-pinned): for fractional
+        // doubles the re-sum's addition order differs from the row scan's,
+        // so results agree to ulp, not bit — exact for integer-valued and
+        // decimal measures. Spark's own partial-aggregation merge makes
+        // the identical trade.
+        case a: org.apache.spark.sql.catalyst.expressions.aggregate.Average
+            if al.dataType == org.apache.spark.sql.types.DoubleType =>
+          a.child match {
+            case c: AttributeReference =>
+              for {
+                s <- d.measures.get(("sum", c.name))
+                n <- d.measures.get(("count", "*"))
+              } yield org.apache.spark.sql.catalyst.expressions.Divide(
+                Cast(Sum(sOut(s)).toAggregateExpression(),
+                  org.apache.spark.sql.types.DoubleType),
+                Cast(Sum(sOut(n)).toAggregateExpression(),
+                  org.apache.spark.sql.types.DoubleType))
+            case _ => None
+          }
         case _ => None
       }
       rolled.map { r =>

@@ -63,6 +63,22 @@ class SummaryRewriteSpec extends SparkSpec {
     } finally SummaryRewrite.clear()
   }
 
+  test("avg decomposes to sum-of-sums / sum-of-counts; exact on integer-valued doubles") {
+    SummaryRewrite.clear()
+    val want = base.groupBy(col("l_returnflag")).agg(avg(col("l_quantity")).as("a"))
+      .orderBy(col("l_returnflag")).collect().map(_.toSeq).toSeq
+    registerRollup()
+    try {
+      val q = base.groupBy(col("l_returnflag")).agg(avg(col("l_quantity")).as("a"))
+        .orderBy(col("l_returnflag"))
+      assert(q.queryExecution.executedPlan.toString.contains("ExistingRDD"),
+        "avg over registered (sum, count) must ride the summary")
+      // l_quantity is integer-valued: both sums are exact, so the rewritten
+      // quotient equals the row-scan average bit-for-bit here
+      assert(q.collect().map(_.toSeq).toSeq == want)
+    } finally SummaryRewrite.clear()
+  }
+
   test("soundness gates decline: filter, distinct agg, unknown measure, avg") {
     SummaryRewrite.clear()
     registerRollup()
@@ -78,9 +94,9 @@ class SummaryRewriteSpec extends SparkSpec {
       val unknown = base.groupBy(col("l_returnflag")).agg(sum(col("l_tax")).as("s"))
       assert(unknown.queryExecution.executedPlan.toString.toLowerCase.contains("parquet"),
         "a measure the summary lacks must fall back to the fact scan")
-      val average = base.groupBy(col("l_returnflag")).agg(avg(col("l_quantity")).as("a"))
+      val average = base.groupBy(col("l_returnflag")).agg(avg(col("l_extendedprice")).as("a"))
       assert(average.queryExecution.executedPlan.toString.toLowerCase.contains("parquet"),
-        "avg is not registered as decomposable here — declined")
+        "avg over a measure with no registered SUM must fall back")
     } finally SummaryRewrite.clear()
   }
 }
