@@ -346,10 +346,17 @@ object SparkEntry {
         Map(("sum", "l_quantity") -> "sum_qty", ("count", "*") -> "cnt",
           ("max", "l_extendedprice") -> "max_price"))
       graft.plans.SummaryRewrite.install(s)
-      li.groupBy(col("l_returnflag"))
+      val q = li.groupBy(col("l_returnflag"))
         .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_items"),
           max(col("l_extendedprice")).as("max_price"))
         .orderBy(col("l_returnflag"))
+      // force optimization NOW (QueryExecution memoizes optimizedPlan),
+      // then drop the registration so the rewrite stays scoped to the one
+      // query whose oracle proves it — no other aggregate in the session
+      // can silently ride the summary afterwards
+      q.queryExecution.optimizedPlan
+      graft.plans.SummaryRewrite.clear(s)
+      q
     }),
     // padding-waste audit: per length bucket, capacity vs real token
     // mass — the dataloader-planning number bucketing optimizes

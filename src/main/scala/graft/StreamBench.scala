@@ -215,8 +215,9 @@ object StreamBench {
     // vector batches into the serving graph — steady-state work tracks
     // the ingest rate, never the accumulated corpus
     val maintainer = {
-      val m = new graft.streaming.GraphMaintainer(corpusVec, k = 5, nCentroids = 64)
-      m.graph.count() // materialize the initial build before the clock starts
+      val m = graft.streaming.GraphMaintainer.build(
+        corpusVec, s"$root/knngraph", k = 5, nCentroids = 64)
+      m.graph.count() // land the initial build before the clock starts
       m
     }
     timeQuery("knn-graph maintenance (incremental folds)", nVecs) {

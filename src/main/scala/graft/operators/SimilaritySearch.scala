@@ -350,8 +350,11 @@ object SimilaritySearch {
   /** Narrow kernel pass: route every vector to its nearest centroid —
     * (vec_id, embedding, cell). Shared by the graph build and its
     * incremental maintenance so both sides see bit-identical routing.
+    * Package-visible: [[graft.streaming.GraphMaintainer]] persists this
+    * routing as a lake artifact (partitioned by cell) so folds never
+    * re-assign the stored corpus.
     */
-  private def cellAssign(df: DataFrame,
+  private[graft] def cellAssign(df: DataFrame,
       centroids: org.apache.spark.broadcast.Broadcast[Array[(Long, Array[Double], Double)]])
       : DataFrame = {
     val spark = df.sparkSession
@@ -373,17 +376,23 @@ object SimilaritySearch {
   }
 
   /** Scored same-cell edges src→dst (self-free): the shared candidate
-    * generator of [[knnGraph]] and [[knnGraphIncrement]].
+    * generator of [[knnGraph]] and [[knnGraphIncrement]]. The `WithCell`
+    * form keeps the (shared) cell id on each edge — the partition key the
+    * maintainer's lake-landed graph artifact prunes folds by.
     */
-  private def cellEdges(src: DataFrame, dst: DataFrame): DataFrame =
+  private[graft] def cellEdgesWithCell(src: DataFrame, dst: DataFrame): DataFrame =
     src.as("a")
       .join(dst.as("b"), col("a.cell") === col("b.cell")
         && col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("neighbor_id"),
+        col("a.cell").as("cell"),
         col("a.embedding").as("v_emb"), col("b.embedding").as("n_emb"))
       .withColumn("cos", round(
         call_function("cosine_similarity", col("v_emb"), col("n_emb")), 6))
-      .select(col("vec_id"), col("neighbor_id"), col("cos"))
+      .select(col("vec_id"), col("neighbor_id"), col("cell"), col("cos"))
+
+  private def cellEdges(src: DataFrame, dst: DataFrame): DataFrame =
+    cellEdgesWithCell(src, dst).drop("cell")
 
   /** Incremental graph maintenance — fold a vector batch into an existing
     * [[knnGraph]] WITHOUT rebuilding it: the quantizer stays FROZEN (the
@@ -399,11 +408,21 @@ object SimilaritySearch {
     * invariant, spec-pinned like the boilerplate index's.
     *
     * Cost model at 100 TB: per-batch work is |batch| × mean-cell-size
-    * scored pairs plus a re-rank over (old top-k ∪ fresh) — the corpus
-    * contributes its stored cell assignment (here recomputed; on a
-    * cluster the lake-landed routing the build already wrote) and its k·n
-    * edge list, both O(index), never an O(corpus²) rebuild. The batch
+    * scored pairs plus a re-rank restricted to the vertices of the
+    * batch's TOUCHED cells — a vertex in an untouched cell gets no fresh
+    * candidate, so its stored top-k passes through byte-identical and
+    * never re-sorts. The corpus contributes its stored cell assignment
+    * (here recomputed; [[graft.streaming.GraphMaintainer]] reads the
+    * lake-landed, cell-partitioned routing so only touched partitions are
+    * even scanned) and the touched slice of its k·n edge list. The batch
     * side broadcasts into both candidate joins.
+    *
+    * Append-only contract (fail-loud): a batch vec_id already present in
+    * the stored corpus is an update/re-embed — the old graph's stale
+    * edges for it would survive the merge and silently break
+    * merge==rebuild, so overlapping ids throw instead. Route updates
+    * through a rebuild (or the maintainer, which distinguishes replayed
+    * batches from true updates by comparing the stored embedding).
     */
   def knnGraphIncrement(
       oldGraph: DataFrame, corpus: DataFrame, batch: DataFrame,
@@ -411,22 +430,42 @@ object SimilaritySearch {
       quantizerSource: Option[DataFrame] = None): DataFrame = {
     val spark = corpus.sparkSession
     graft.plans.GraftFunctions.register(spark)
+    val dup = batch.select(col("vec_id"))
+      .join(corpus.select(col("vec_id")), Seq("vec_id"), "left_semi")
+      .limit(5).collect().map(_.getLong(0))
+    require(dup.isEmpty,
+      s"knnGraphIncrement: batch vec_ids already in the stored corpus " +
+        s"(e.g. ${dup.mkString(", ")}) — updates/re-embeds break the " +
+        "merge==rebuild invariant; rebuild the graph or fold through " +
+        "GraphMaintainer instead")
     // chained folds must pin the quantizer to the REFRESH-TIME corpus —
     // letting the draw drift with each accumulated batch would re-route
     // old vertices and break the merge==rebuild argument mid-epoch
     val centroids = spark.sparkContext.broadcast(
       ivfCentroids(quantizerSource.getOrElse(corpus), nCentroids))
-    val oldCells = cellAssign(corpus, centroids).localCheckpoint()
     val batchCells = cellAssign(batch, centroids).localCheckpoint()
-    val fresh = cellEdges(oldCells.union(batchCells), broadcast(batchCells))
-      .union(cellEdges(broadcast(batchCells), oldCells))
+    val touchedCells = batchCells.select(col("cell")).distinct()
+    // only members of touched cells can gain/lose an edge
+    val oldTouched = cellAssign(corpus, centroids)
+      .join(broadcast(touchedCells), Seq("cell"), "left_semi")
+      .select(col("vec_id"), col("embedding"), col("cell")).localCheckpoint()
+    val fresh = cellEdges(oldTouched.union(batchCells), broadcast(batchCells))
+      .union(cellEdges(broadcast(batchCells), oldTouched))
+    val touchedIds = oldTouched.select(col("vec_id"))
+      .union(batchCells.select(col("vec_id")))
+    val untouched = oldGraph
+      .select(col("vec_id"), col("neighbor_id"), col("rank"), col("cos"))
+      .join(touchedIds, Seq("vec_id"), "left_anti")
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
-    oldGraph.select(col("vec_id"), col("neighbor_id"), col("cos"))
+    val reranked = oldGraph
+      .join(touchedIds, Seq("vec_id"), "left_semi")
+      .select(col("vec_id"), col("neighbor_id"), col("cos"))
       .union(fresh)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("vec_id"), col("neighbor_id"), col("rank"), col("cos"))
+    untouched.unionByName(reranked)
       .orderBy(col("vec_id"), col("rank"))
   }
 

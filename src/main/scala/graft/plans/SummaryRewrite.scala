@@ -1,11 +1,11 @@
 package graft.plans
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Expression, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, LogicalRelation}
 
 /** Materialized-rollup rewrite — the aggregate-reuse optimization every
   * warehouse ships (Oracle query rewrite, BigQuery/Snowflake materialized
@@ -23,11 +23,26 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   *    by parquet root paths, through column-pruning Projects only — a
   *    Filter/Join/expression in between disqualifies: the summary rows
   *    could not reproduce it);
+  *  - the base relation must be UNCHANGED since `register()`: the file
+  *    listing signature (path, length, modification time of every data
+  *    file) captured at register time must equal the candidate scan's
+  *    current listing. A single appended, rewritten, or removed file
+  *    declines the rewrite — the materialized-view staleness contract.
+  *    The compare costs one in-memory listing of an already-listed
+  *    FileIndex, paid only for scans whose root paths already matched;
   *  - every grouping expression is a bare column ⊆ the summary's group
   *    columns (subset ⇒ valid rollup);
-  *  - every aggregate is an undistinct, unfiltered sum/count(1)/min/max
-  *    over a measure the summary carries. count(DISTINCT) is the classic
+  *  - every aggregate is an undistinct, unfiltered sum/count/min/max
+  *    over a measure the summary carries, or an avg whose denominator is
+  *    provably null-correct (below). count(DISTINCT) is the classic
   *    non-example — not self-decomposable — and is declined.
+  *
+  * avg(x) decomposes to SUM(sum_x)/SUM(n) only when the denominator
+  * matches avg's null semantics: a registered per-column ("count", x)
+  * measure always qualifies (count(x) skips NULLs exactly as avg does);
+  * the row count ("count", "*") qualifies ONLY when x is non-nullable —
+  * over a nullable x with NULLs present, count(*) over-counts the
+  * denominator and the quotient would be silently too small.
   *
   * The rewritten Aggregate preserves each original output attribute's
   * exprId (parents keep resolving), casts a re-sum back to the original
@@ -44,51 +59,80 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
 object SummaryRewrite extends Rule[LogicalPlan] {
 
   /** One registered summary: the analyzed plan of the MATERIALIZED rollup
-    * plus the recipe that built it.
+    * plus the recipe that built it and the base relation's file-listing
+    * signature at registration (the freshness token).
     */
   final case class SummaryDef(
       name: String,
       basePaths: Seq[String],
+      baseSignature: Seq[(String, Long, Long)],
       summary: LogicalPlan,
       groupCols: Seq[String],
+      nonNullable: Set[String],
       // (func, base column) -> summary column; count(1) keys as ("count", "*")
       measures: Map[(String, String), String])
 
-  // registry scoped per session (identity key): a summary's analyzed plan
-  // carries session-bound relations, so a rewrite must never cross
-  // sessions — process-global caches of session-bound plans leak
-  private val defs =
-    new scala.collection.concurrent.TrieMap[(Int, String), SummaryDef]
+  // registry keyed on the session OBJECT (WeakHashMap: reference identity,
+  // no hash-collision ambiguity): a summary's analyzed plan carries
+  // session-bound relations, so a rewrite must never cross sessions, and
+  // a dead session's defs (which pin its plan trees) must be collectable
+  private val defs = new java.util.WeakHashMap[
+    SparkSession, scala.collection.concurrent.TrieMap[String, SummaryDef]]()
 
-  private def sessionKey(s: org.apache.spark.sql.SparkSession): Int =
-    System.identityHashCode(s)
+  private def sessionMap(s: SparkSession) = defs.synchronized {
+    var m = defs.get(s)
+    if (m == null) {
+      m = scala.collection.concurrent.TrieMap.empty[String, SummaryDef]
+      defs.put(s, m)
+    }
+    m
+  }
+
+  /** (path, length, modificationTime) of every data file the index lists —
+    * the equality token `rewrite` compares against the registered one.
+    */
+  private def listingSignature(idx: FileIndex): Seq[(String, Long, Long)] =
+    idx.listFiles(Nil, Nil)
+      .flatMap(_.files)
+      .map(f => (f.getPath.toString, f.getLen, f.getModificationTime))
+      .sortBy(_._1)
 
   /** Register a materialized rollup of `base.groupBy(groupCols)`:
     * `measures` maps (func, baseCol) -> the summary column holding it.
-    * Scoped to `base`'s session.
+    * Scoped to `base`'s session; valid only while the base relation's
+    * file listing stays byte-identical (see staleness gate above).
     */
   def register(
       name: String, base: DataFrame, summary: DataFrame,
       groupCols: Seq[String], measures: Map[(String, String), String]): Unit = {
-    val paths = rootPaths(stripProjects(base.queryExecution.analyzed))
+    val baseIndex = fileIndex(stripProjects(base.queryExecution.analyzed))
       .getOrElse(throw new IllegalArgumentException(
         s"summary '$name': base must be a file relation (got ${base.queryExecution.analyzed.nodeName})"))
-    defs.put((sessionKey(base.sparkSession), name), SummaryDef(
-      name, paths, summary.queryExecution.analyzed, groupCols, measures))
+    val nonNull = base.schema.fields.collect { case f if !f.nullable => f.name }.toSet
+    sessionMap(base.sparkSession).put(name, SummaryDef(
+      name, baseIndex.rootPaths.map(_.toString), listingSignature(baseIndex),
+      summary.queryExecution.analyzed, groupCols, nonNull, measures))
   }
 
-  def clear(): Unit = defs.clear()
+  /** Drop every registration in every session. */
+  def clear(): Unit = defs.synchronized(defs.clear())
+
+  /** Drop `spark`'s registrations only — call when a query's registration
+    * must not outlive the query (the harness pattern: register, force
+    * optimization, clear).
+    */
+  def clear(spark: SparkSession): Unit = defs.synchronized(defs.remove(spark))
 
   private def sessionDefs: Iterator[SummaryDef] =
-    org.apache.spark.sql.SparkSession.getActiveSession match {
+    SparkSession.getActiveSession match {
       case Some(s) =>
-        val key = sessionKey(s)
-        defs.iterator.collect { case ((u, _), d) if u == key => d }
+        val m = defs.synchronized(defs.get(s))
+        if (m == null) Iterator.empty else m.values.iterator
       case None => Iterator.empty
     }
 
   /** Idempotently append this rule to the session's runtime optimizer. */
-  def install(spark: org.apache.spark.sql.SparkSession): Unit =
+  def install(spark: SparkSession): Unit =
     if (!spark.experimental.extraOptimizations.contains(this))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ this
@@ -104,17 +148,21 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     case other => other
   }
 
-  private def rootPaths(p: LogicalPlan): Option[Seq[String]] = p match {
+  private def fileIndex(p: LogicalPlan): Option[FileIndex] = p match {
     case lr: LogicalRelation => lr.relation match {
-      case h: HadoopFsRelation => Some(h.location.rootPaths.map(_.toString))
+      case h: HadoopFsRelation => Some(h.location)
       case _ => None
     }
     case _ => None
   }
 
   private def rewrite(agg: Aggregate, d: SummaryDef): Option[Aggregate] = {
-    val child = stripProjects(agg.child)
-    if (!rootPaths(child).contains(d.basePaths)) return None
+    val idx = fileIndex(stripProjects(agg.child)).getOrElse(return None)
+    if (idx.rootPaths.map(_.toString) != d.basePaths) return None
+    // staleness gate: any appended / rewritten / vacuumed file since
+    // register() changes the listing → the summary no longer reproduces
+    // the base and the rewrite declines (the query runs on the fact scan)
+    if (listingSignature(idx) != d.baseSignature) return None
     val sOut: Map[String, Attribute] = d.summary.output.map(a => a.name -> a).toMap
 
     // grouping: bare columns, subset of the summary's group columns
@@ -146,6 +194,17 @@ object SummaryRewrite extends Rule[LogicalPlan] {
         }
         case c: Count if c.children == Seq(Literal(1)) =>
           d.measures.get(("count", "*")).map(m => Sum(sOut(m)).toAggregateExpression())
+        // count(x) re-sums a registered per-column count exactly (each
+        // summary row already excluded its NULLs); for non-nullable x the
+        // row count is an equivalent fallback
+        case c: Count if c.children.length == 1 =>
+          c.children.head match {
+            case x: AttributeReference =>
+              d.measures.get(("count", x.name))
+                .orElse(if (d.nonNullable(x.name)) d.measures.get(("count", "*")) else None)
+                .map(m => Sum(sOut(m)).toAggregateExpression())
+            case _ => None
+          }
         case m: Min => m.child match {
           case c: AttributeReference =>
             d.measures.get(("min", c.name)).map(x => Min(sOut(x)).toAggregateExpression())
@@ -157,18 +216,23 @@ object SummaryRewrite extends Rule[LogicalPlan] {
           case _ => None
         }
         // avg decomposes as sum-of-sums / sum-of-counts when the summary
-        // carries BOTH. Caveat (documented, spec-pinned): for fractional
-        // doubles the re-sum's addition order differs from the row scan's,
-        // so results agree to ulp, not bit — exact for integer-valued and
-        // decimal measures. Spark's own partial-aggregation merge makes
-        // the identical trade.
+        // carries both AND the denominator matches avg's null semantics:
+        // a per-column ("count", x) measure always does; the row count
+        // ("count", "*") only when x is non-nullable (avg skips NULLs,
+        // count(*) doesn't — over a nullable x the quotient would be
+        // silently too small). Caveat (documented, spec-pinned): for
+        // fractional doubles the re-sum's addition order differs from the
+        // row scan's, so results agree to ulp, not bit — exact for
+        // integer-valued and decimal measures. Spark's own
+        // partial-aggregation merge makes the identical trade.
         case a: org.apache.spark.sql.catalyst.expressions.aggregate.Average
             if al.dataType == org.apache.spark.sql.types.DoubleType =>
           a.child match {
             case c: AttributeReference =>
               for {
                 s <- d.measures.get(("sum", c.name))
-                n <- d.measures.get(("count", "*"))
+                n <- d.measures.get(("count", c.name))
+                  .orElse(if (d.nonNullable(c.name)) d.measures.get(("count", "*")) else None)
               } yield org.apache.spark.sql.catalyst.expressions.Divide(
                 Cast(Sum(sOut(s)).toAggregateExpression(),
                   org.apache.spark.sql.types.DoubleType),

@@ -1,8 +1,12 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row}
-import org.apache.spark.sql.functions.col
+import org.apache.hadoop.fs.Path
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.util.sketch.BloomFilter
 import graft.operators.SimilaritySearch
 
 /** Continuously maintained kNN-graph artifact — the streaming arm of
@@ -13,60 +17,203 @@ import graft.operators.SimilaritySearch
   * the next compaction, per the centroid-staleness contract in SCALE.md).
   *
   * State model: the graph is DERIVED state — an index artifact, not
-  * stream state. It lives outside the streaming checkpoint (here as a
-  * localCheckpoint'ed frame; on a cluster as the lake-landed edge list
-  * the batch build already writes), so restart semantics are the
-  * artifact's, not the query's: on recovery, reload the last published
-  * edge list and replay the stream from the artifact's high-water mark —
-  * the same re-derivation contract as every served index here
-  * (boilerplate df index, semantic novelty cells, SQ8 ranges).
+  * stream state — and it lives on RELIABLE storage, not in the streaming
+  * checkpoint and not in `localCheckpoint` lineage: `workDir` holds
+  *   - `centroids/`   the frozen coarse quantizer (written once per epoch),
+  *   - `routing/`     (vec_id, embedding, cell), parquet PARTITIONED BY cell,
+  *   - `graph/`       (vec_id, neighbor_id, rank, cos, cell), partitioned by cell,
+  *   - `folded/`      one marker file per applied streaming batchId.
+  * Restart semantics are therefore the artifact's: [[GraphMaintainer.recover]]
+  * reopens `workDir` and continues folding — an executor or driver loss
+  * never costs the epoch (the failure mode `localCheckpoint`, documented
+  * non-fault-tolerant, could not survive).
   *
-  * Per-fold cost is the incremental one — |batch| × mean cell size
-  * scored pairs plus a re-rank over (stored top-k ∪ fresh edges) — so
-  * the always-on query's steady-state work tracks the INGEST rate, never
-  * the accumulated corpus.
+  * Per-fold cost is genuinely incremental: the batch alone is assigned to
+  * cells (O(|batch| · nCentroids) kernel work); the stored corpus
+  * contributes ONLY its touched-cell slice — both `routing/` and `graph/`
+  * are partitioned by cell, so the reads partition-prune to the batch's
+  * cells — and the writes are dynamic partition overwrites of those same
+  * cells. Untouched cells are never read, re-ranked, or rewritten, so
+  * steady-state work tracks the ingest rate × mean cell size, never the
+  * accumulated corpus.
+  *
+  * Idempotence / at-least-once: folds are replay-safe three ways —
+  * (1) an applied batchId short-circuits on its `folded/` marker;
+  * (2) a batch vector whose vec_id is already stored WITH THE SAME
+  * embedding is a replayed row (crash between the routing write and the
+  * marker) and is dropped; a same-id DIFFERENT-embedding row is a true
+  * update/re-embed and throws — the fail-loud append-only contract
+  * [[SimilaritySearch.knnGraphIncrement]] pins; (3) the re-rank dedups
+  * (vec_id, neighbor_id) before the window, so re-merging edges a
+  * half-applied fold already wrote cannot double-count a neighbor.
+  * The id-overlap probe is Bloom-prescreened (driver-held filter over all
+  * stored ids, fed per fold), so the common no-collision fold never scans
+  * stored ids at all.
   */
-final class GraphMaintainer(
-    initialCorpus: DataFrame, k: Int = 5, nCentroids: Int = 16) {
+final class GraphMaintainer private (
+    spark: SparkSession, workDir: String, val k: Int,
+    centroids: Broadcast[Array[(Long, Array[Double], Double)]],
+    idFilter: BloomFilter) {
+  import GraphMaintainer._
 
-  private def narrow(df: DataFrame): DataFrame =
-    df.select(col("vec_id"), col("embedding"))
-
-  // the refresh-time corpus: quantizer source for every fold this epoch
-  private val frozen = narrow(initialCorpus).localCheckpoint()
-  @volatile private var accumulated: DataFrame = frozen
-  @volatile private var current: DataFrame =
-    SimilaritySearch.knnGraph(frozen, k, nCentroids).localCheckpoint()
+  private val fs = new Path(workDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** The maintained artifact — what [[SimilaritySearch.graphSearchTopK]]
-    * walks and the recall audit measures at the next refresh.
+    * walks and the recall audit measures at the next refresh. Always the
+    * on-disk state, so a recovered maintainer serves the same frame.
     */
-  def graph: DataFrame = current
+  def graph: DataFrame = spark.read.parquet(s"$workDir/graph")
+    .select(col("vec_id"), col("neighbor_id"), col("rank"), col("cos"))
 
   /** Vectors folded so far (refresh corpus + every batch). */
-  def corpus: DataFrame = accumulated
+  def corpus: DataFrame = spark.read.parquet(s"$workDir/routing")
+    .select(col("vec_id"), col("embedding"))
 
   /** Fold one batch of vectors in — exact per the merge==rebuild
     * invariant (SimilaritySpec pins it); chained folds stay exact because
-    * the quantizer never drifts mid-epoch.
+    * the quantizer never drifts mid-epoch. `batchId` (from foreachBatch)
+    * makes the fold skip already-applied streaming batches on replay.
     */
-  def fold(batch: DataFrame): Unit = synchronized {
-    val b = narrow(batch).localCheckpoint()
-    current = SimilaritySearch
-      .knnGraphIncrement(current, accumulated, b, k, nCentroids,
-        quantizerSource = Some(frozen))
+  def fold(batch: DataFrame, batchId: Option[Long] = None): Unit = synchronized {
+    if (batchId.exists(id => fs.exists(new Path(s"$workDir/folded/$id")))) return
+    import spark.implicits._
+    val b0 = narrow(batch).localCheckpoint()
+    if (b0.isEmpty) return
+
+    // id-overlap gate: Bloom prescreen, exact confirm only on a hit
+    val ids = b0.select(col("vec_id")).as[Long].collect()
+    val suspects = ids.filter(idFilter.mightContainLong)
+    val replayIds: Set[Long] = if (suspects.isEmpty) Set.empty else {
+      val stored = spark.read.parquet(s"$workDir/routing")
+        .join(broadcast(suspects.toSeq.toDF("vec_id")), Seq("vec_id"), "left_semi")
+        .select(col("vec_id"), col("embedding").as("stored_emb"))
+      val overlap = b0.join(broadcast(stored), Seq("vec_id"))
+        .select(col("vec_id"),
+          (col("embedding") === col("stored_emb")).as("same"))
+        .as[(Long, Boolean)].collect()
+      val updates = overlap.collect { case (id, false) => id }
+      require(updates.isEmpty,
+        s"GraphMaintainer.fold: vec_ids ${updates.take(5).mkString(", ")} are " +
+          "already stored with DIFFERENT embeddings — updates/re-embeds " +
+          "break the merge==rebuild invariant; rebuild the epoch instead")
+      overlap.collect { case (id, true) => id }.toSet
+    }
+    val b = if (replayIds.isEmpty) b0
+      else b0.join(broadcast(replayIds.toSeq.toDF("vec_id")), Seq("vec_id"), "left_anti")
+    if (replayIds.size < ids.length) applyFold(b)
+    ids.foreach(idFilter.putLong)
+    batchId.foreach { id =>
+      fs.mkdirs(new Path(s"$workDir/folded"))
+      fs.create(new Path(s"$workDir/folded/$id"), true).close()
+    }
+  }
+
+  private def applyFold(b: DataFrame): Unit = {
+    graft.plans.GraftFunctions.register(spark)
+    val batchCells = SimilaritySearch.cellAssign(b, centroids).localCheckpoint()
+    val touched = batchCells.select(col("cell")).distinct()
+      .collect().map(_.getLong(0))
+    // partition-pruned reads: only the batch's cells are scanned
+    val oldTouched = spark.read.parquet(s"$workDir/routing")
+      .filter(col("cell").isin(touched: _*))
+      .select(col("vec_id"), col("embedding"), col("cell").cast("long").as("cell"))
       .localCheckpoint()
-    accumulated = accumulated.unionByName(b).localCheckpoint()
+    val fresh = SimilaritySearch
+      .cellEdgesWithCell(oldTouched.unionByName(batchCells), broadcast(batchCells))
+      .unionByName(SimilaritySearch.cellEdgesWithCell(broadcast(batchCells), oldTouched))
+    val oldEdges = spark.read.parquet(s"$workDir/graph")
+      .filter(col("cell").isin(touched: _*))
+      .select(col("vec_id"), col("neighbor_id"), col("cell").cast("long").as("cell"),
+        col("cos"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    val reranked = oldEdges.unionByName(fresh)
+      // replay safety: a half-applied fold's edges re-merge as duplicates
+      .dropDuplicates("vec_id", "neighbor_id")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("vec_id"), col("neighbor_id"), col("rank"), col("cos"), col("cell"))
+    // dynamic partition overwrite: only the touched cells' files change
+    reranked.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cell").parquet(s"$workDir/graph")
+    oldTouched.unionByName(batchCells)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cell").parquet(s"$workDir/routing")
   }
 
   /** Attach to a vector stream: every micro-batch folds into the graph
     * via foreachBatch (the artifact-maintenance loop; empty batches are
-    * skipped so idle triggers don't churn checkpoints).
+    * skipped so idle triggers don't churn checkpoints, and the batchId
+    * marker makes redelivered batches no-ops).
     */
   def attach(stream: DataFrame): StreamingQuery =
     stream.writeStream
-      .foreachBatch { (b: Dataset[Row], _: Long) =>
-        if (!b.isEmpty) fold(b.toDF())
+      .foreachBatch { (b: Dataset[Row], id: Long) =>
+        if (!b.isEmpty) fold(b.toDF(), Some(id))
       }
       .start()
+}
+
+object GraphMaintainer {
+
+  private def narrow(df: DataFrame): DataFrame =
+    df.select(col("vec_id"), col("embedding"))
+
+  /** Build the epoch's artifacts in `workDir` (quantizer, routing, graph)
+    * from the refresh-time corpus, then maintain from there.
+    */
+  def build(initialCorpus: DataFrame, workDir: String,
+      k: Int = 5, nCentroids: Int = 16): GraphMaintainer = {
+    val spark = initialCorpus.sparkSession
+    import spark.implicits._
+    graft.plans.GraftFunctions.register(spark)
+    val corpus = narrow(initialCorpus)
+    val cs = SimilaritySearch.ivfCentroids(corpus, nCentroids)
+    cs.toSeq.map { case (cid, emb, norm) => (cid, emb, norm) }
+      .toDF("cid", "emb", "norm")
+      .coalesce(1).write.mode("overwrite").parquet(s"$workDir/centroids")
+    val bcast = spark.sparkContext.broadcast(cs)
+    val cells = SimilaritySearch.cellAssign(corpus, bcast).localCheckpoint()
+    cells.write.mode("overwrite").partitionBy("cell").parquet(s"$workDir/routing")
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    SimilaritySearch.cellEdgesWithCell(cells, cells)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("vec_id"), col("neighbor_id"), col("rank"), col("cos"), col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$workDir/graph")
+    val fs = new Path(workDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new Path(s"$workDir/meta.json"), true)
+    out.write(s"""{"k":$k}""".getBytes("UTF-8")); out.close()
+    new GraphMaintainer(spark, workDir, k, bcast, bloomOf(spark, workDir))
+  }
+
+  /** Reopen `workDir` after a restart: the frozen quantizer, routing, and
+    * graph are the landed artifacts, so the recovered maintainer's next
+    * fold equals the uninterrupted one's (GraphMaintenanceSpec pins it).
+    */
+  def recover(spark: SparkSession, workDir: String): GraphMaintainer = {
+    import spark.implicits._
+    val fs = new Path(workDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(new Path(s"$workDir/meta.json"))
+    val meta = try scala.io.Source.fromInputStream(in).mkString finally in.close()
+    val k = """"k":(\d+)""".r.findFirstMatchIn(meta)
+      .map(_.group(1).toInt)
+      .getOrElse(throw new IllegalStateException(s"$workDir/meta.json: no k"))
+    val cs = spark.read.parquet(s"$workDir/centroids")
+      .as[(Long, Array[Double], Double)].collect().sortBy(_._1)
+    new GraphMaintainer(spark, workDir, k,
+      spark.sparkContext.broadcast(cs), bloomOf(spark, workDir))
+  }
+
+  /** Driver-held Bloom over every stored id — the O(1) prescreen that
+    * keeps the common no-collision fold from scanning stored ids.
+    */
+  private def bloomOf(spark: SparkSession, workDir: String): BloomFilter = {
+    val ids = spark.read.parquet(s"$workDir/routing").select(col("vec_id"))
+    val n = ids.count()
+    ids.stat.bloomFilter("vec_id", math.max(1000000L, 8 * n), 0.001)
+  }
 }

@@ -8,6 +8,9 @@ import graft.streaming.GraphMaintainer
 class GraphMaintenanceSpec extends SparkSpec {
   import spark.implicits._
 
+  private def tmp(tag: String) =
+    java.nio.file.Files.createTempDirectory(s"graft-gm-$tag").toString
+
   private def rebuildWant = {
     val emb = Tables.embeddings(spark, sf)
     val old = emb.filter(col("vec_id") % 5 =!= 0)
@@ -22,7 +25,7 @@ class GraphMaintenanceSpec extends SparkSpec {
     val old = emb.filter(col("vec_id") % 5 =!= 0)
     val b1 = emb.filter(col("vec_id") % 5 === 0 && col("vec_id") % 2 === 0)
     val b2 = emb.filter(col("vec_id") % 5 === 0 && col("vec_id") % 2 =!= 0)
-    val m = new GraphMaintainer(old)
+    val m = GraphMaintainer.build(old, tmp("chain"))
     m.fold(b1)
     m.fold(b2)
     assert(m.graph.collect().map(_.toSeq).toSet == rebuildWant)
@@ -37,7 +40,7 @@ class GraphMaintenanceSpec extends SparkSpec {
       .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])].collect()
     val (b1, b2) = rows.partition(_._1 % 2 == 0)
     val input = MemoryStream[(Long, Array[Float])]
-    val m = new GraphMaintainer(old)
+    val m = GraphMaintainer.build(old, tmp("stream"))
     val q = m.attach(input.toDF().toDF("vec_id", "embedding"))
     try {
       input.addData(b1.toSeq: _*)
@@ -46,5 +49,69 @@ class GraphMaintenanceSpec extends SparkSpec {
       q.processAllAvailable()
       assert(m.graph.collect().map(_.toSeq).toSet == rebuildWant)
     } finally q.stop()
+  }
+
+  test("recovery: a maintainer reopened from the landed artifacts folds on as if uninterrupted") {
+    val emb = Tables.embeddings(spark, sf)
+    val old = emb.filter(col("vec_id") % 5 =!= 0)
+    val b1 = emb.filter(col("vec_id") % 5 === 0 && col("vec_id") % 2 === 0)
+    val b2 = emb.filter(col("vec_id") % 5 === 0 && col("vec_id") % 2 =!= 0)
+    val dir = tmp("recover")
+    val m1 = GraphMaintainer.build(old, dir)
+    m1.fold(b1)
+    // "crash": drop the maintainer object entirely; the graph, routing and
+    // quantizer live only in workDir
+    val m2 = GraphMaintainer.recover(spark, dir)
+    m2.fold(b2)
+    assert(m2.graph.collect().map(_.toSeq).toSet == rebuildWant,
+      "recovered maintainer must produce the uninterrupted epoch's graph")
+    assert(m2.corpus.count() == emb.count())
+  }
+
+  test("replayed batches are no-ops; a true re-embed fails loud") {
+    val emb = Tables.embeddings(spark, sf)
+    val old = emb.filter(col("vec_id") % 5 =!= 0)
+    val b1 = emb.filter(col("vec_id") % 5 === 0)
+    val m = GraphMaintainer.build(old, tmp("replay"))
+    m.fold(b1)
+    val want = m.graph.collect().map(_.toSeq).toSet
+    // at-least-once redelivery: same rows, no batchId marker — the
+    // embedding-equality check classifies every id as a replay
+    m.fold(b1)
+    assert(m.graph.collect().map(_.toSeq).toSet == want,
+      "replaying an applied batch must not change the artifact")
+    // same id, different vector = an update: must throw, not silently merge
+    val reEmbed = b1.limit(1).withColumn("embedding",
+      org.apache.spark.sql.functions.transform(col("embedding"), x => x * 2f))
+    val e = intercept[IllegalArgumentException](m.fold(reEmbed))
+    assert(e.getMessage.contains("DIFFERENT embeddings"))
+  }
+
+  test("a fold touches only the batch's cells on disk") {
+    val emb = Tables.embeddings(spark, sf)
+    val old = emb.filter(col("vec_id") % 5 =!= 0)
+    val b1 = emb.filter(col("vec_id") % 5 === 0).limit(3)
+    val dir = tmp("prune")
+    val m = GraphMaintainer.build(old, dir)
+    def partStamps = new java.io.File(s"$dir/graph").listFiles()
+      .filter(_.getName.startsWith("cell="))
+      .map(d => d.getName ->
+        d.listFiles().map(f => f.getName -> f.lastModified()).toSet)
+      .toMap
+    val before = partStamps
+    Thread.sleep(1100) // FS mtime granularity
+    m.fold(b1)
+    val touched = graft.operators.SimilaritySearch
+      .cellAssign(b1.select(col("vec_id"), col("embedding")),
+        spark.sparkContext.broadcast(
+          SimilaritySearch.ivfCentroids(old.select(col("vec_id"), col("embedding")), 16)))
+      .select(col("cell")).distinct().as[Long].collect()
+      .map(c => s"cell=$c").toSet
+    val after = partStamps
+    val rewritten = after.keySet.filter(p => before.get(p) != after.get(p))
+    assert(rewritten.nonEmpty && rewritten.subsetOf(touched),
+      s"only the batch's cells may be rewritten: changed=$rewritten touched=$touched")
+    assert((before.keySet -- touched).forall(p => before(p) == after(p)),
+      "untouched cell partitions must be byte-stable across a fold")
   }
 }

@@ -7,20 +7,22 @@ class SummaryRewriteSpec extends SparkSpec {
 
   private def base = Tables.load(spark, sf, "lineitem")
 
-  private def registerRollup(): Unit = {
-    val summary = base
+  private def registerRollup(b: org.apache.spark.sql.DataFrame = base): Unit = {
+    val summary = b
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         sum(col("l_quantity")).as("sum_qty"),
         count(lit(1)).as("cnt"),
+        count(col("l_quantity")).as("cnt_qty"),
         min(col("l_extendedprice")).as("min_price"),
         max(col("l_extendedprice")).as("max_price"))
       .localCheckpoint()
-    SummaryRewrite.register("li_rollup", base, summary,
+    SummaryRewrite.register("li_rollup", b, summary,
       Seq("l_returnflag", "l_linestatus"),
       Map(
         ("sum", "l_quantity") -> "sum_qty",
         ("count", "*") -> "cnt",
+        ("count", "l_quantity") -> "cnt_qty",
         ("min", "l_extendedprice") -> "min_price",
         ("max", "l_extendedprice") -> "max_price"))
     SummaryRewrite.install(spark)
@@ -97,6 +99,99 @@ class SummaryRewriteSpec extends SparkSpec {
       val average = base.groupBy(col("l_returnflag")).agg(avg(col("l_extendedprice")).as("a"))
       assert(average.queryExecution.executedPlan.toString.toLowerCase.contains("parquet"),
         "avg over a measure with no registered SUM must fall back")
+    } finally SummaryRewrite.clear()
+  }
+
+  test("staleness gate: appending to the base declines the rewrite and the answer sees the new rows") {
+    SummaryRewrite.clear()
+    val dir = java.nio.file.Files.createTempDirectory("graft-mv-stale").toString
+    try {
+      base.write.mode("overwrite").parquet(dir)
+      def rd = spark.read.parquet(dir)
+      registerRollup(rd)
+      val fresh = rd.groupBy(col("l_returnflag")).agg(sum(col("l_quantity")).as("s"))
+      assert(fresh.queryExecution.executedPlan.toString.contains("ExistingRDD"),
+        "pre-append the rewrite must fire")
+      val before = fresh.collect().map(_.toSeq).toSeq
+
+      // append one row with a known quantity and re-read: the listing
+      // signature changes, so the SAME aggregate must decline the summary
+      // and its answer must include the appended row
+      rd.limit(1).withColumn("l_quantity", lit(1000000.0))
+        .write.mode("append").parquet(dir)
+      spark.catalog.refreshByPath(dir)
+      val after = rd.groupBy(col("l_returnflag")).agg(sum(col("l_quantity")).as("s"))
+      val plan = after.queryExecution.executedPlan.toString
+      assert(plan.toLowerCase.contains("parquet") && !plan.contains("ExistingRDD"),
+        s"post-append the rewrite must decline (stale summary):\n$plan")
+      val beforeTotal = before.map(_(1).asInstanceOf[Double]).sum
+      val afterTotal = after.collect().map(_.getDouble(1)).sum
+      assert(math.abs(afterTotal - beforeTotal - 1000000.0) < 1e-6,
+        "the declined plan's answer must include the appended row")
+    } finally {
+      SummaryRewrite.clear()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
+  test("avg over a nullable measure with NULLs: count(*) denominator declines; count(x) stays exact") {
+    SummaryRewrite.clear()
+    val dir = java.nio.file.Files.createTempDirectory("graft-mv-null").toString
+    try {
+      // half the measure values NULL: avg must skip them, count(*) wouldn't
+      base.withColumn("l_quantity",
+          when(col("l_orderkey") % 2 === 0, col("l_quantity")))
+        .write.mode("overwrite").parquet(dir)
+      val nb = spark.read.parquet(dir)
+      val want = nb.groupBy(col("l_returnflag")).agg(avg(col("l_quantity")).as("a"))
+        .orderBy(col("l_returnflag")).collect().map(_.toSeq).toSeq
+
+      // registration carrying ONLY the row count: the avg rewrite must
+      // decline (nullable measure, wrong denominator) and stay correct
+      val starOnly = nb.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("cnt"))
+        .localCheckpoint()
+      SummaryRewrite.register("null_star", nb, starOnly,
+        Seq("l_returnflag", "l_linestatus"),
+        Map(("sum", "l_quantity") -> "sum_qty", ("count", "*") -> "cnt"))
+      SummaryRewrite.install(spark)
+      val declined = nb.groupBy(col("l_returnflag")).agg(avg(col("l_quantity")).as("a"))
+        .orderBy(col("l_returnflag"))
+      assert(declined.queryExecution.executedPlan.toString.toLowerCase.contains("parquet"),
+        "avg over a nullable measure with only count(*) registered must fall back")
+      assert(declined.collect().map(_.toSeq).toSeq == want)
+      SummaryRewrite.clear()
+
+      // registration carrying the per-column count: the rewrite fires AND
+      // matches the row scan (integer-valued doubles -> exact quotient)
+      val perCol = nb.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"),
+          count(col("l_quantity")).as("cnt_qty"))
+        .localCheckpoint()
+      SummaryRewrite.register("null_percol", nb, perCol,
+        Seq("l_returnflag", "l_linestatus"),
+        Map(("sum", "l_quantity") -> "sum_qty",
+          ("count", "l_quantity") -> "cnt_qty"))
+      val rewritten = nb.groupBy(col("l_returnflag")).agg(avg(col("l_quantity")).as("a"))
+        .orderBy(col("l_returnflag"))
+      assert(rewritten.queryExecution.executedPlan.toString.contains("ExistingRDD"),
+        "avg with a per-column count measure must ride the summary")
+      assert(rewritten.collect().map(_.toSeq).toSeq == want,
+        "count(x) denominator reproduces avg's NULL-skipping exactly")
+    } finally {
+      SummaryRewrite.clear()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
+  test("clear(session) drops only that session's registrations") {
+    SummaryRewrite.clear()
+    registerRollup()
+    try {
+      assert(rollupQuery.queryExecution.executedPlan.toString.contains("ExistingRDD"))
+      SummaryRewrite.clear(spark)
+      assert(rollupQuery.queryExecution.executedPlan.toString.toLowerCase.contains("parquet"),
+        "after clear(session) the aggregate must plan on the fact scan again")
     } finally SummaryRewrite.clear()
   }
 }
