@@ -537,9 +537,27 @@ object SimilaritySearch {
       corpus: DataFrame, queries: DataFrame, k: Int = 5, beam: Int = 8,
       hops: Int = 2, graphK: Int = 5, nCentroids: Int = 16): DataFrame = {
     val spark = corpus.sparkSession
-    graft.plans.GraftFunctions.register(spark)
+    import spark.implicits._
     val graph = knnGraph(corpus, graphK, nCentroids)
       .select(col("vec_id"), col("neighbor_id")).localCheckpoint()
+    val entryNodes = ivfCentroids(corpus, nCentroids).map(_._1).toSeq.toDF("node")
+    graphSearchServe(graph, entryNodes, corpus, queries, k, beam, hops)
+  }
+
+  /** Serve-side graph walk over a PREBUILT graph artifact — the per-refresh
+    * split [[graphSearchTopK]]'s docstring promises: `graph` is the stored
+    * edge list (a [[knnGraph]] output or [[graft.streaming.GraphMaintainer]]'s
+    * maintained artifact), `entryNodes` the frozen quantizer's centroid ids,
+    * and the walk itself contains NO cell self-join — every hop is a
+    * broadcast probe of the O(|queries|·beam) frontier into the stored
+    * edges and vectors. Build cost is paid once per refresh, never per
+    * query batch.
+    */
+  def graphSearchServe(
+      graph: DataFrame, entryNodes: DataFrame, corpus: DataFrame,
+      queries: DataFrame, k: Int = 5, beam: Int = 8, hops: Int = 2): DataFrame = {
+    val spark = corpus.sparkSession
+    graft.plans.GraftFunctions.register(spark)
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     val vecs = corpus.select(col("vec_id").as("node"), col("embedding").as("n_emb"))
 
@@ -558,17 +576,22 @@ object SimilaritySearch {
         .select(col("query_id"), col("node"), col("cos"))
     }
 
-    import spark.implicits._
-    val entryNodes = ivfCentroids(corpus, nCentroids).map(_._1).toSeq.toDF("node")
+    // per-hop localCheckpoint: the frontier subtree feeds THREE consumers
+    // next hop (both union branches + the prune broadcast) — letting the
+    // plan compose would re-evaluate it 3^hops times (measured slower);
+    // materializing the O(|queries|·beam)-row frontier per hop is cheaper
     val entry = q.select(col("query_id")).crossJoin(broadcast(entryNodes))
     var frontier = prune(entry, beam).localCheckpoint()
-    (1 to hops).foreach { _ =>
+    (1 to hops).foreach { h =>
       val expanded = frontier.select(col("query_id"), col("node"))
         .union(graph
           .join(broadcast(frontier.select(col("query_id"), col("node"))),
             graph("vec_id") === col("node"))
           .select(col("query_id"), col("neighbor_id").as("node")))
-      frontier = prune(expanded, beam).localCheckpoint()
+      frontier = prune(expanded, beam)
+      // the LAST hop's frontier has a single consumer (the final rank), so
+      // it composes into that job instead of paying one more checkpoint
+      if (h < hops) frontier = frontier.localCheckpoint()
     }
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("node"))
