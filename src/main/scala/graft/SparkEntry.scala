@@ -253,6 +253,34 @@ object SparkEntry {
         .select(col("vec_id"), col("label"))
       SimilaritySearch.labelPropagate(emb, seeds)
     }),
+    // incremental label propagation after a graph fold: only the batch's
+    // influence set re-votes (touched cells, then delta neighborhoods),
+    // yet the result equals the full re-propagation — which is exactly
+    // what the oracle recomputes from scratch on the folded graph
+    "q_label_prop_incr" -> ((s, d) => {
+      import org.apache.spark.sql.functions.broadcast
+      val emb = Tables.embeddings(s, d)
+      val old = emb.filter(col("vec_id") % 5 =!= 0)
+      val batch = emb.filter(col("vec_id") % 5 === 0)
+      val seeds = emb.filter(col("vec_id") % 4 === 0)
+        .select(col("vec_id"), col("label"))
+      val oldGraph = SimilaritySearch.knnGraph(old).localCheckpoint()
+      val oldLabels = SimilaritySearch.labelPropagateOnGraph(oldGraph, seeds)
+      val newGraph = SimilaritySearch.knnGraphIncrement(oldGraph, old, batch)
+        .localCheckpoint()
+      // the fold's influence set: the batch plus the stored members of its
+      // cells under the frozen quantizer (what GraphMaintainer.fold returns)
+      val cs = s.sparkContext.broadcast(SimilaritySearch.ivfCentroids(
+        old.select(col("vec_id"), col("embedding")), 16))
+      val bc = SimilaritySearch.cellAssign(
+        batch.select(col("vec_id"), col("embedding")), cs)
+      val touched = SimilaritySearch.cellAssign(
+          old.select(col("vec_id"), col("embedding")), cs)
+        .join(broadcast(bc.select(col("cell")).distinct()), Seq("cell"), "left_semi")
+        .select(col("vec_id"))
+        .union(bc.select(col("vec_id")))
+      SimilaritySearch.labelPropagateIncrement(newGraph, oldLabels, seeds, touched)
+    }),
     // incremental graph maintenance: fold a batch into the stored graph
     // under a FROZEN quantizer — merge==rebuild invariant, oracle = the
     // full rebuild an independent engine computes from scratch
@@ -1852,6 +1880,51 @@ object SparkEntry {
     "q_label_prop" ->
       s"""WITH e AS ($duckEmb),
          |$duckIvfAssign,
+         |gc AS (SELECT a.vec_id, b.vec_id AS neighbor_id
+         |  FROM iasg a JOIN iasg b ON a.cid = b.cid AND a.vec_id <> b.vec_id),
+         |gsc AS (SELECT gc.vec_id, gc.neighbor_id,
+         |    ${duckCos("x.emb", "y.emb")} AS cos
+         |  FROM gc JOIN e x ON x.vec_id = gc.vec_id
+         |  JOIN e y ON y.vec_id = gc.neighbor_id),
+         |g AS (SELECT vec_id, neighbor_id,
+         |    CAST(round(cos * 1000000.0, 0) AS BIGINT) AS w FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rk
+         |  FROM gsc) WHERE rk <= 5),
+         |l0 AS (SELECT vec_id, CAST(label AS BIGINT) AS label, 0 AS round
+         |  FROM embeddings WHERE vec_id % 4 = 0),
+         |v1 AS (SELECT g.vec_id, l.label, CAST(SUM(g.w) AS BIGINT) AS votes
+         |  FROM g JOIN l0 l ON l.vec_id = g.neighbor_id
+         |  WHERE g.vec_id NOT IN (SELECT vec_id FROM l0)
+         |  GROUP BY g.vec_id, l.label),
+         |n1 AS (SELECT vec_id, label, 1 AS round FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY vec_id ORDER BY votes DESC, label) AS rk FROM v1)
+         |  WHERE rk = 1),
+         |l1 AS (SELECT * FROM l0 UNION ALL SELECT * FROM n1),
+         |v2 AS (SELECT g.vec_id, l.label, CAST(SUM(g.w) AS BIGINT) AS votes
+         |  FROM g JOIN l1 l ON l.vec_id = g.neighbor_id
+         |  WHERE g.vec_id NOT IN (SELECT vec_id FROM l1)
+         |  GROUP BY g.vec_id, l.label),
+         |n2 AS (SELECT vec_id, label, 2 AS round FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY vec_id ORDER BY votes DESC, label) AS rk FROM v2)
+         |  WHERE rk = 1),
+         |l2 AS (SELECT * FROM l1 UNION ALL SELECT * FROM n2)
+         |SELECT vec_id, label, round FROM l2 ORDER BY vec_id""".stripMargin,
+    // incremental label propagation: the oracle recomputes the FULL label
+    // propagation from scratch over the folded graph (frozen eo-quantizer,
+    // exactly q_knn_graph_incr's graph) — equality proves the incremental
+    // re-vote path loses nothing
+    "q_label_prop_incr" ->
+      s"""WITH e AS ($duckEmb),
+         |eo AS (SELECT * FROM e WHERE vec_id % 5 <> 0),
+         |ic AS (SELECT vec_id AS cid, emb AS cemb FROM eo
+         |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+         |iasg AS (SELECT vec_id, cid FROM (
+         |  SELECT e.vec_id, ic.cid, ROW_NUMBER() OVER (
+         |      PARTITION BY e.vec_id ORDER BY ${duckCos("e.emb", "ic.cemb")} DESC, ic.cid) AS rn
+         |  FROM e CROSS JOIN ic) WHERE rn = 1),
          |gc AS (SELECT a.vec_id, b.vec_id AS neighbor_id
          |  FROM iasg a JOIN iasg b ON a.cid = b.cid AND a.vec_id <> b.vec_id),
          |gsc AS (SELECT gc.vec_id, gc.neighbor_id,

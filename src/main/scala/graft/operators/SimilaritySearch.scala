@@ -490,26 +490,115 @@ object SimilaritySearch {
     */
   def labelPropagate(
       corpus: DataFrame, seeds: DataFrame, rounds: Int = 2,
-      k: Int = 5, nCentroids: Int = 16): DataFrame = {
-    val graph = knnGraph(corpus, k, nCentroids)
-      .withColumn("w", round(col("cos") * 1e6, 0).cast("long"))
-      .select(col("vec_id"), col("neighbor_id"), col("w")).localCheckpoint()
-    var labels = seeds
-      .select(col("vec_id"), col("label").cast("long").as("label"))
-      .withColumn("round", lit(0)).localCheckpoint()
+      k: Int = 5, nCentroids: Int = 16): DataFrame =
+    labelPropagateOnGraph(knnGraph(corpus, k, nCentroids), seeds, rounds)
+
+  /** [[labelPropagate]] over a PREBUILT graph (a [[knnGraph]] output or the
+    * maintainer's stored artifact) — the serve split: voting rounds only,
+    * no build. Edge weights are the ×10⁶-integer rounded cosines, so the
+    * result is identical whichever engine stored the graph.
+    */
+  def labelPropagateOnGraph(
+      graphEdges: DataFrame, seeds: DataFrame, rounds: Int = 2): DataFrame = {
+    val graph = weighted(graphEdges).localCheckpoint()
+    var labels = seedLabels(seeds).localCheckpoint()
     (1 to rounds).foreach { r =>
-      val votes = graph
-        .join(labels.select(col("vec_id").as("neighbor_id"), col("label")),
-          Seq("neighbor_id"))
-        .join(labels.select(col("vec_id")), Seq("vec_id"), "left_anti")
-        .groupBy(col("vec_id"), col("label"))
-        .agg(sum(col("w")).as("votes"))
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(col("votes").desc, col("label"))
-      val newly = votes
-        .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
-        .select(col("vec_id"), col("label"), lit(r).as("round"))
+      val newly = voteRound(graph, labels, r)
       labels = labels.unionByName(newly).localCheckpoint()
+    }
+    labels.orderBy(col("vec_id"))
+  }
+
+  private def weighted(graphEdges: DataFrame): DataFrame =
+    graphEdges
+      .withColumn("w", round(col("cos") * 1e6, 0).cast("long"))
+      .select(col("vec_id"), col("neighbor_id"), col("w"))
+
+  private def seedLabels(seeds: DataFrame): DataFrame =
+    seeds.select(col("vec_id"), col("label").cast("long").as("label"))
+      .withColumn("round", lit(0))
+
+  /** One cosine-weighted vote round: for every still-unlabeled vertex in
+    * `targets` (all unlabeled vertices when None), the argmax label over
+    * its labeled neighbors — exact integer votes, ties to smallest label.
+    */
+  private def voteRound(
+      graph: DataFrame, labels: DataFrame, r: Int,
+      targets: Option[DataFrame] = None): DataFrame = {
+    val base = targets.fold(graph)(t =>
+      graph.join(t.select(col("vec_id")), Seq("vec_id"), "left_semi"))
+    val votes = base
+      .join(labels.select(col("vec_id").as("neighbor_id"), col("label")),
+        Seq("neighbor_id"))
+      .join(labels.select(col("vec_id")), Seq("vec_id"), "left_anti")
+      .groupBy(col("vec_id"), col("label"))
+      .agg(sum(col("w")).as("votes"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("votes").desc, col("label"))
+    votes
+      .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("vec_id"), col("label"), lit(r).as("round"))
+  }
+
+  /** Incremental label propagation after a graph fold — re-votes ONLY the
+    * vertices a batch could have influenced, yet returns exactly
+    * `labelPropagateOnGraph(newGraph, seeds, rounds)` (spec-pinned).
+    *
+    * `touched` is the folded batch's influence set: every vertex whose
+    * edge list may have changed (the batch's cells' members — what
+    * [[graft.streaming.GraphMaintainer.fold]] returns). Per round r the
+    * recompute set is
+    *   affected_r = touched ∪ delta_{r-1} ∪ inNeighbors(delta_{r-1})
+    * where delta is the accumulated set of vertices whose label state
+    * diverged from `oldLabels`: a vertex outside affected_r has an
+    * unchanged edge list AND every neighbor in an unchanged state, so its
+    * old round-r outcome is provably still correct and is KEPT without
+    * re-voting. Only affected vertices vote; deltas then grow by the
+    * vertices whose round-r outcome actually changed (gained, lost, or
+    * relabeled — a full-outer compare restricted to affected_r).
+    *
+    * Scale shape: per round, one semi-join restricting the edge list to
+    * affected vertices (broadcast — affected is batch-sized in steady
+    * state), the usual vote aggregation over that slice, and a
+    * batch-sized full-outer diff. Work tracks the batch's influence
+    * radius, never the corpus — the label-maintenance twin of the
+    * maintainer's O(batch) graph fold.
+    */
+  def labelPropagateIncrement(
+      newGraph: DataFrame, oldLabels: DataFrame, seeds: DataFrame,
+      touched: DataFrame, rounds: Int = 2): DataFrame = {
+    val graph = weighted(newGraph).localCheckpoint()
+    val touchedIds = touched.select(col("vec_id")).distinct().localCheckpoint()
+    var labels = seedLabels(seeds).localCheckpoint()
+    // delta: vertices whose label state (label at ≤ r, or unlabeled)
+    // differs from the old run's — seeds are immutable, so it starts empty
+    var delta = touchedIds.limit(0)
+    (1 to rounds).foreach { r =>
+      val inNbrs = graph
+        .join(delta.select(col("vec_id").as("neighbor_id")), Seq("neighbor_id"),
+          "left_semi")
+        .select(col("vec_id"))
+      val affected = touchedIds.union(delta).union(inNbrs).distinct().localCheckpoint()
+      val revoted = voteRound(graph, labels, r, targets = Some(affected))
+      // an old round-r label outside the affected set is provably unchanged
+      val kept = oldLabels.filter(col("round") === r)
+        .select(col("vec_id"), col("label").cast("long").as("label"), col("round"))
+        .join(affected, Seq("vec_id"), "left_anti")
+        // ...but only if the vertex is still unlabeled in the new state —
+        // vacuous outside delta (state matches old, where it WAS unlabeled
+        // before round r); kept for defense in depth
+        .join(labels.select(col("vec_id")), Seq("vec_id"), "left_anti")
+      // outcome diff, restricted to affected: gained / lost / relabeled
+      val oldR = oldLabels.filter(col("round") === r)
+        .select(col("vec_id"), col("label").cast("long").as("old_label"))
+        .join(affected, Seq("vec_id"), "left_semi")
+      val changed = oldR.join(revoted.select(col("vec_id"), col("label")),
+          Seq("vec_id"), "full_outer")
+        .filter(col("old_label").isNull || col("label").isNull ||
+          col("old_label") =!= col("label"))
+        .select(col("vec_id"))
+      delta = delta.union(changed).distinct().localCheckpoint()
+      labels = labels.unionByName(revoted).unionByName(kept).localCheckpoint()
     }
     labels.orderBy(col("vec_id"))
   }

@@ -73,12 +73,19 @@ final class GraphMaintainer private (
     * invariant (SimilaritySpec pins it); chained folds stay exact because
     * the quantizer never drifts mid-epoch. `batchId` (from foreachBatch)
     * makes the fold skip already-applied streaming batches on replay.
+    *
+    * Returns the fold's INFLUENCE SET — every vertex whose edge list may
+    * have changed (the batch plus its cells' stored members): the
+    * `touched` input [[SimilaritySearch.labelPropagateIncrement]] re-votes
+    * after a fold. Empty for skipped/replayed batches.
     */
-  def fold(batch: DataFrame, batchId: Option[Long] = None): Unit = synchronized {
-    if (batchId.exists(id => fs.exists(new Path(s"$workDir/folded/$id")))) return
+  def fold(batch: DataFrame, batchId: Option[Long] = None): DataFrame = synchronized {
     import spark.implicits._
+    def noneTouched = spark.emptyDataset[Long].toDF("vec_id")
+    if (batchId.exists(id => fs.exists(new Path(s"$workDir/folded/$id"))))
+      return noneTouched
     val b0 = narrow(batch).localCheckpoint()
-    if (b0.isEmpty) return
+    if (b0.isEmpty) return noneTouched
 
     // id-overlap gate: Bloom prescreen, exact confirm only on a hit
     val ids = b0.select(col("vec_id")).as[Long].collect()
@@ -100,15 +107,17 @@ final class GraphMaintainer private (
     }
     val b = if (replayIds.isEmpty) b0
       else b0.join(broadcast(replayIds.toSeq.toDF("vec_id")), Seq("vec_id"), "left_anti")
-    if (replayIds.size < ids.length) applyFold(b)
+    val touched =
+      if (replayIds.size < ids.length) applyFold(b) else noneTouched
     ids.foreach(idFilter.putLong)
     batchId.foreach { id =>
       fs.mkdirs(new Path(s"$workDir/folded"))
       fs.create(new Path(s"$workDir/folded/$id"), true).close()
     }
+    touched
   }
 
-  private def applyFold(b: DataFrame): Unit = {
+  private def applyFold(b: DataFrame): DataFrame = {
     graft.plans.GraftFunctions.register(spark)
     val batchCells = SimilaritySearch.cellAssign(b, centroids).localCheckpoint()
     val touched = batchCells.select(col("cell")).distinct()
@@ -141,6 +150,8 @@ final class GraphMaintainer private (
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("cell").parquet(s"$workDir/routing")
+    oldTouched.select(col("vec_id"))
+      .unionByName(batchCells.select(col("vec_id"))).localCheckpoint()
   }
 
   /** Attach to a vector stream: every micro-batch folds into the graph
@@ -151,7 +162,7 @@ final class GraphMaintainer private (
   def attach(stream: DataFrame): StreamingQuery =
     stream.writeStream
       .foreachBatch { (b: Dataset[Row], id: Long) =>
-        if (!b.isEmpty) fold(b.toDF(), Some(id))
+        if (!b.isEmpty) { fold(b.toDF(), Some(id)); () }
       }
       .start()
 }

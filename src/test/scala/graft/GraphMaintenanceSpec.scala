@@ -87,6 +87,27 @@ class GraphMaintenanceSpec extends SparkSpec {
     assert(e.getMessage.contains("DIFFERENT embeddings"))
   }
 
+  test("labelPropagateIncrement over a fold's influence set equals the full re-propagation") {
+    val emb = Tables.embeddings(spark, sf)
+    val old = emb.filter(col("vec_id") % 5 =!= 0)
+    val batch = emb.filter(col("vec_id") % 5 === 0)
+    // sparse seeds so round 2 carries real hearsay (deltas can cascade)
+    val seeds = emb.filter(col("vec_id") % 16 === 0)
+      .select(col("vec_id"), col("label"))
+    val m = GraphMaintainer.build(old, tmp("labels"))
+    val oldLabels = SimilaritySearch
+      .labelPropagateOnGraph(m.graph, seeds).localCheckpoint()
+    val touched = m.fold(batch)
+    assert(touched.count() > 0, "a non-empty fold must report its influence set")
+    val full = SimilaritySearch.labelPropagateOnGraph(m.graph, seeds)
+      .collect().map(_.toSeq).toSet
+    val incr = SimilaritySearch
+      .labelPropagateIncrement(m.graph, oldLabels, seeds, touched)
+      .collect().map(_.toSeq).toSet
+    assert(incr == full,
+      "re-voting only the influence set must reproduce the full propagation")
+  }
+
   test("a fold touches only the batch's cells on disk") {
     val emb = Tables.embeddings(spark, sf)
     val old = emb.filter(col("vec_id") % 5 =!= 0)
