@@ -145,4 +145,133 @@ object LakeSink {
       .drop("zkey")
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
+
+  /** [[writeZOrdered]] plus a landed zone map: after the clustered write,
+    * one metadata-only pass reads every file's parquet FOOTER (no data
+    * pages) and stores per-file min/max of the clustered columns under
+    * `path/_boxes` — the underscore keeps it invisible to normal parquet
+    * reads of `path`. This is the Delta/Iceberg stats-collection step:
+    * boxes are captured once at layout time, so query-time pruning
+    * ([[readPruned]]) is a lookup in a files-count-sized table, never a
+    * scan. Footer reads fan out over executors (one ranged read each).
+    */
+  def writeZOrderedBoxed(
+      df: DataFrame, path: String, cols: Seq[String], nFiles: Int,
+      bits: Int = 16): Unit = {
+    writeZOrdered(df, path, cols, nFiles, bits)
+    landBoxes(df.sparkSession, path, cols)
+  }
+
+  /** Read each data file's footer statistics and land the zone map
+    * (file, col, mn, mx) at `path/_boxes`. Numeric clustered columns only
+    * (int/long/float/double) — the types [[zorderKey]] bins.
+    */
+  def landBoxes(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      cols: Seq[String]): Unit = {
+    import spark.implicits._
+    val files = listParquet(spark, path)
+    val boxes = spark.sparkContext
+      .parallelize(files, math.max(1, math.min(files.size, 32)))
+      .flatMap { f =>
+        import scala.jdk.CollectionConverters._
+        val conf = new org.apache.hadoop.conf.Configuration()
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(f), conf))
+        try {
+          val blocks = reader.getFooter.getBlocks.asScala.toSeq
+          cols.map { c =>
+            val stats = blocks.flatMap(
+              _.getColumns.asScala.find(_.getPath.toDotString == c))
+              .map(_.getStatistics)
+              .filter(s => s != null && s.hasNonNullValue)
+            require(stats.nonEmpty, s"landBoxes: no footer stats for '$c' in $f")
+            def d(v: Any): Double = v match {
+              case n: java.lang.Number => n.doubleValue()
+              case other => throw new IllegalArgumentException(
+                s"landBoxes: non-numeric stats for '$c' (${other.getClass.getName})")
+            }
+            (f, c, stats.map(s => d(s.genericGetMin)).min,
+              stats.map(s => d(s.genericGetMax)).max)
+          }
+        } finally reader.close()
+      }
+      .collect().toSeq
+    boxes.toDF("file", "col", "mn", "mx")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/_boxes")
+  }
+
+  private def listParquet(
+      spark: org.apache.spark.sql.SparkSession, path: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet")
+        && !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+      .map(_.getPath.toString)
+  }
+
+  /** The files of `path` whose stored box intersects every `ranges` bound
+    * (inclusive), plus the total file count — the pruning decision itself,
+    * made entirely from the landed `_boxes` zone map (one row per
+    * file × column; metadata-scale, no data I/O).
+    */
+  def pruneFiles(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      ranges: Seq[(String, Double, Double)]): (Seq[String], Int) =
+    pruneFilesFrom(loadBoxes(spark, path), ranges)
+
+  /** The landed zone map as driver rows — load ONCE per layout (a planner
+    * caches table stats; the harness memoizes this next to the layout) so
+    * per-query pruning is pure driver arithmetic, no job at all.
+    */
+  def loadBoxes(spark: org.apache.spark.sql.SparkSession, path: String)
+      : Seq[(String, String, Double, Double)] = {
+    import org.apache.spark.sql.functions.col
+    spark.read.parquet(s"$path/_boxes")
+      .select(col("file"), col("col"), col("mn"), col("mx"))
+      .collect().toSeq
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getDouble(3)))
+  }
+
+  def pruneFilesFrom(
+      boxes: Seq[(String, String, Double, Double)],
+      ranges: Seq[(String, Double, Double)]): (Seq[String], Int) = {
+    val byFile = boxes.groupBy(_._1)
+    val kept = byFile.collect { case (f, rows) if ranges.forall { case (c, lo, hi) =>
+      rows.find(_._2 == c).forall { case (_, _, mn, mx) => mn <= hi && mx >= lo }
+    } => f }.toSeq.sorted
+    (kept, byFile.size)
+  }
+
+  /** Range-predicate read over a boxed layout: open ONLY the files whose
+    * zone-map box intersects the predicate, then apply the exact residual
+    * filter — identical rows to the full scan (LakeLayoutSpec pins it; the
+    * q_zorder_prune oracle re-filters the raw table), minus the skipped
+    * files' I/O. At 100 TB this is the difference between touching a few
+    * boxes and touching the table.
+    */
+  def readPruned(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      ranges: Seq[(String, Double, Double)]): DataFrame =
+    readPrunedFrom(spark, path, loadBoxes(spark, path), ranges)
+
+  /** [[readPruned]] against a pre-loaded zone map: the pruning decision is
+    * driver arithmetic over `boxes`, so the query's only job is the scan
+    * of the surviving files.
+    */
+  def readPrunedFrom(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      boxes: Seq[(String, String, Double, Double)],
+      ranges: Seq[(String, Double, Double)]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val (kept, _) = pruneFilesFrom(boxes, ranges)
+    val base =
+      if (kept.isEmpty) spark.read.parquet(path).filter(lit(false))
+      else spark.read.parquet(kept: _*)
+    ranges.foldLeft(base) { case (d, (c, lo, hi)) =>
+      d.filter(col(c) >= lo && col(c) <= hi)
+    }
+  }
 }

@@ -51,6 +51,56 @@ class LakeLayoutSpec extends SparkSpec {
       .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey")).count())
   }
 
+  test("boxed z-order layout: footer zone map prunes files, pruned read loses nothing (sf0.1)") {
+    val sfDir = "/root/testdata/sf0.1"
+    assume(new java.io.File(sfDir).isDirectory, s"$sfDir not generated")
+    val dir = Files.createTempDirectory("graft-zbox").toString + "/orders"
+    val orders = Tables.orders(spark, sfDir)
+    LakeSink.writeZOrderedBoxed(
+      orders, dir, Seq("o_custkey", "o_totalprice"), nFiles = 16)
+    val ranges = Seq(("o_custkey", 100.0, 500.0), ("o_totalprice", 50000.0, 150000.0))
+
+    // the zone map must actually skip files for this narrow 2-D box...
+    val (kept, total) = LakeSink.pruneFiles(spark, dir, ranges)
+    assert(total >= 8, s"layout should land many files, got $total")
+    assert(kept.nonEmpty && kept.size < total,
+      s"zone map must prune: kept ${kept.size} of $total")
+
+    // ...and the pruned read must equal the full scan with the predicate
+    def scanMetric(df: org.apache.spark.sql.DataFrame, metric: String): Long = {
+      val plan = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case o => o
+      }
+      plan.collectLeaves().collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.metrics(metric).value
+      }.sum
+    }
+    // execute THESE frames (not derived ones) so their scan metrics fill
+    val prunedDf = LakeSink.readPruned(spark, dir, ranges)
+      .select(col("o_orderkey"))
+    val fullDf = ranges.foldLeft(spark.read.parquet(dir)) { case (d, (c, lo, hi)) =>
+      d.filter(col(c) >= lo && col(c) <= hi)
+    }.select(col("o_orderkey"))
+    val pruned = prunedDf.collect().map(_.getLong(0)).toSet
+    val full = fullDf.collect().map(_.getLong(0)).toSet
+    assert(pruned == full, "file skipping must be lossless")
+    assert(pruned.nonEmpty, "the probe box should select rows at sf0.1")
+
+    // the I/O proof, independent of wall clock: the pruned plan opens
+    // fewer files and reads fewer bytes than the full scan of the layout
+    val (pFiles, fFiles) =
+      (scanMetric(prunedDf, "numFiles"), scanMetric(fullDf, "numFiles"))
+    val (pBytes, fBytes) =
+      (scanMetric(prunedDf, "filesSize"), scanMetric(fullDf, "filesSize"))
+    assert(pFiles == kept.size && pFiles < fFiles,
+      s"pruned scan must open only surviving files: $pFiles vs $fFiles")
+    assert(pBytes < fBytes,
+      s"pruned scan must read fewer bytes: $pBytes vs $fBytes")
+  }
+
   test("compact collapses a many-small-files table to the size-derived count") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-compact").toString
     val fragmented = s"$tmp/fragmented"
