@@ -157,6 +157,15 @@ object SparkEntry {
     // multimodal decode pipeline over documents-as-binary; rows-only check
     // (the stub decoder's float features are engine-specific)
     "q_media_features" -> ((s, d) => operators.Multimodal.documentMediaFeatures(Tables.documents(s, d))),
+    // cross-modal consistency gate (LAION-style): keep pairs whose two
+    // tower embeddings align (cosine >= tau); per-pair verdicts, fully
+    // oracle-replayed over the deterministic fixture pairing
+    "q_crossmodal_filter" -> ((s, d) =>
+      operators.Multimodal.crossModalConsistency(crossModalPairs(s, d))),
+    // ...and the per-source consistency distribution the gate's tau is
+    // tuned against
+    "q_crossmodal_report" -> ((s, d) =>
+      operators.Multimodal.crossModalReport(crossModalPairs(s, d))),
     // perceptual (dHash) near-dup pairs over documents-as-media: banded
     // Hamming blocking + codegen'd verify — the image-pillar dedup operator.
     // Harness re-ingestion policy (the corpus has no byte-identical payloads
@@ -592,6 +601,21 @@ object SparkEntry {
 
   private[graft] val zPruneRanges =
     Seq(("o_custkey", 100.0, 500.0), ("o_totalprice", 50000.0, 150000.0))
+
+  /** Deterministic cross-modal PAIRS fixture: the text tower is vec_id's
+    * embedding, the "image tower" its XOR-1 partner's (every id pairs with
+    * a distinct neighbor, both towers in one space — the CLIP contract),
+    * source joined in from the documents row of the same id. Any engine
+    * reproduces the pairing, so the gate carries a full hash oracle.
+    */
+  private def crossModalPairs(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val docs = Tables.documents(s, d)
+    emb.select(col("vec_id").as("pair_id"), col("embedding").as("text_emb"))
+      .join(emb.select(col("vec_id").bitwiseXOR(lit(1L)).as("pair_id"),
+        col("embedding").as("image_emb")), Seq("pair_id"))
+      .join(docs.select(col("doc_id").as("pair_id"), col("source")), Seq("pair_id"))
+  }
 
   private val duckShingles =
     """SELECT doc_id, lang, list_distinct(list_transform(
@@ -1038,6 +1062,28 @@ object SparkEntry {
         |  $fs
         |FROM documents ORDER BY media_id""".stripMargin
     },
+    // cross-modal gate replay: XOR-1 partner pairing, 6-dp cosine, tau
+    // verdict — pure list math any engine reproduces
+    "q_crossmodal_filter" ->
+      s"""WITH e AS ($duckEmb),
+         |p AS (SELECT a.vec_id AS pair_id, a.emb AS t, b.emb AS i
+         |  FROM e a JOIN e b ON b.vec_id = CAST(xor(a.vec_id, 1) AS BIGINT)),
+         |c AS (SELECT p.pair_id, d.source, ${duckCos("p.t", "p.i")} AS cos
+         |  FROM p JOIN documents d ON d.doc_id = p.pair_id)
+         |SELECT pair_id, source, cos, cos >= 0.05 AS keep
+         |FROM c ORDER BY pair_id""".stripMargin,
+    "q_crossmodal_report" ->
+      s"""WITH e AS ($duckEmb),
+         |p AS (SELECT a.vec_id AS pair_id, a.emb AS t, b.emb AS i
+         |  FROM e a JOIN e b ON b.vec_id = CAST(xor(a.vec_id, 1) AS BIGINT)),
+         |c AS (SELECT p.pair_id, d.source, ${duckCos("p.t", "p.i")} AS cos
+         |  FROM p JOIN documents d ON d.doc_id = p.pair_id)
+         |SELECT source, COUNT(*) AS n_pairs,
+         |  CAST(SUM(CASE WHEN cos >= 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  min(cos) AS min_cos, max(cos) AS max_cos,
+         |  round(CAST(SUM(CAST(cos AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+         |    AS avg_cos
+         |FROM c GROUP BY source ORDER BY source""".stripMargin,
     // dHash oracle: the stub pixel grid is md5-hex bytes of 8 contiguous
     // character slices; bit(r,c) = px(r,c) < px(r,c+1) row-major; pairs via
     // the same 4×16-bit pigeonhole blocking the Spark plan uses, Hamming

@@ -204,4 +204,52 @@ object Multimodal {
         col("media_id"),
         posexplode(sequence(lit(0L), greatest(col("duration_ms") - 1, lit(0L)), lit(everyMs))))
       .toDF("media_id", "frame_idx", "frame_ts_ms")
+
+  /** Cross-modal consistency gate — the LAION-style filter an image-text
+    * corpus runs before anything else: a caption whose text-tower embedding
+    * does not align with its image-tower embedding (cosine < τ) is noise
+    * (mis-scraped alt text, watermark spam) and is dropped. Input is a
+    * PAIRS frame (pair_id, source, text_emb, image_emb — both towers in
+    * one space, CLIP's contract); output adds the 6-dp rounded cosine and
+    * the keep verdict. Pure codegen'd column math over the fused cosine
+    * kernel — stateless and narrow, so the streaming front door serves the
+    * identical projection ([[crossModalConsistencyStream]], stream==batch
+    * spec-pinned) and at 100 TB the gate rides the ingest scan with no
+    * shuffle at all.
+    */
+  def crossModalConsistency(pairs: DataFrame, tau: Double = 0.05): DataFrame =
+    crossModalProjection(Par.spread(pairs), tau).orderBy(col("pair_id"))
+
+  /** [[crossModalConsistency]] minus the presentation sort — the stateless
+    * append-safe twin the streaming front door composes.
+    */
+  def crossModalConsistencyStream(pairs: DataFrame, tau: Double = 0.05): DataFrame =
+    crossModalProjection(pairs, tau)
+
+  private def crossModalProjection(pairs: DataFrame, tau: Double): DataFrame = {
+    graft.plans.GraftFunctions.register(pairs.sparkSession)
+    pairs.select(
+      col("pair_id"), col("source"),
+      round(call_function("cosine_similarity",
+        col("text_emb"), col("image_emb")), 6).as("cos"))
+      .withColumn("keep", col("cos") >= lit(tau))
+  }
+
+  /** Per-source consistency distribution — the corpus-health report the
+    * gate's τ is tuned against: pair/kept counts plus min/avg/max cosine
+    * per source. The average is summed in DECIMAL (6-dp cosines are exact
+    * there) and divided once in double, so every engine reproduces it
+    * bit-for-bit. One narrow projection + one shrinking aggregation.
+    */
+  def crossModalReport(pairs: DataFrame, tau: Double = 0.05): DataFrame =
+    crossModalProjection(pairs, tau)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(col("keep").cast("long")).as("n_kept"),
+        min(col("cos")).as("min_cos"),
+        max(col("cos")).as("max_cos"),
+        round(sum(col("cos").cast("decimal(18,6)")).cast("double") /
+          count(lit(1)), 6).as("avg_cos"))
+      .orderBy(col("source"))
 }

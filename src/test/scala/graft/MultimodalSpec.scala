@@ -142,4 +142,57 @@ class MultimodalSpec extends SparkSpec {
     // the planted exact duplicates pair at Hamming 0
     assert(got.count(_._3 == 0) >= (10 * 9) / 2)
   }
+
+  test("cross-modal gate: keeps aligned pairs, drops misaligned, report sums the verdicts") {
+    import org.apache.spark.sql.functions._
+    // planted geometry: id 0/1 aligned (same direction), 2/3 orthogonal,
+    // 4/5 opposed — cosines 1, 0, -1 exactly
+    val pairs = Seq(
+      (0L, "web", Array(1f, 0f), Array(2f, 0f)),
+      (1L, "web", Array(0f, 3f), Array(0f, 1f)),
+      (2L, "book", Array(1f, 0f), Array(0f, 1f)),
+      (3L, "book", Array(0f, 1f), Array(1f, 0f)),
+      (4L, "web", Array(1f, 0f), Array(-1f, 0f)),
+      (5L, "web", Array(0f, 1f), Array(0f, -2f)))
+      .toDF("pair_id", "source", "text_emb", "image_emb")
+    val got = Multimodal.crossModalConsistency(pairs, tau = 0.5).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(2), r.getBoolean(3))).toMap
+    assert(got(0L) == ((1.0, true)) && got(1L) == ((1.0, true)))
+    assert(got(2L) == ((0.0, false)) && got(3L) == ((0.0, false)))
+    assert(got(4L) == ((-1.0, false)) && got(5L) == ((-1.0, false)))
+    val report = Multimodal.crossModalReport(pairs, tau = 0.5).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(report("web") == ((4L, 2L)) && report("book") == ((2L, 0L)))
+  }
+
+  test("cross-modal gate on the stream equals the batch verdicts per pair") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    val rows = (0 until 20).map { i =>
+      val t = Array.tabulate(4)(j => (math.sin(i * 4 + j) * 10).toFloat)
+      val im = Array.tabulate(4)(j => (math.cos(i * 4 + j) * 10).toFloat)
+      (i.toLong, if (i % 2 == 0) "web" else "book", t, im)
+    }
+    val batch = rows.toDF("pair_id", "source", "text_emb", "image_emb")
+    val expected = Multimodal.crossModalConsistency(batch).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(2), r.getBoolean(3))).toMap
+    assert(expected.values.exists(_._2) && expected.values.exists(!_._2),
+      "fixture must exercise both verdicts")
+    val input = MemoryStream[(Long, String, Array[Float], Array[Float])]
+    val q = Multimodal.crossModalConsistencyStream(
+        input.toDF().toDF("pair_id", "source", "text_emb", "image_emb"))
+      .writeStream.format("memory").queryName("scrossmodal")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val (b1, b2) = rows.partition(_._1 % 2 == 0)
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+      val got = spark.table("scrossmodal").collect()
+        .map(r => r.getLong(0) -> (r.getDouble(2), r.getBoolean(3))).toMap
+      assert(got == expected, "stream gate diverged from the batch twin")
+    } finally q.stop()
+  }
 }
