@@ -391,6 +391,20 @@ object SparkEntry {
     // Gopher rule battery: per-rule verdicts via exact integer
     // cross-multiplied compares — the canonical heuristic pre-filter
     "q_gopher_rules" -> ((s, d) => TextAnalysis.gopherRules(Tables.documents(s, d))),
+    // RefinedWeb-style domain front door: blocklist anti-tag + per-domain
+    // md5-rank cap, every drop carrying its reason
+    "q_domain_filter" -> ((s, d) => {
+      import s.implicits._
+      operators.Curation.domainFilter(
+        Tables.documents(s, d), Seq("src3", "src13").toDF("domain"))
+    }),
+    // ...composed with the Gopher battery: content rules run only on the
+    // domain-curated survivors — the chained front-door shape
+    "q_domain_gopher" -> ((s, d) => {
+      import s.implicits._
+      TextAnalysis.gopherRules(operators.Curation.domainKept(
+        Tables.documents(s, d), Seq("src3", "src13").toDF("domain")))
+    }),
     // materialized-rollup rewrite (Catalyst Rule[LogicalPlan]): the query
     // groups the FACT table, the optimizer reroutes it to the registered
     // summary; the oracle recomputes from the fact table in DuckDB, so
@@ -633,6 +647,44 @@ object SparkEntry {
   private val duckTokenHashes =
     """list_transform(string_split(text,' '),
       |    t -> ('0x' || substr(md5(t),1,15))::BIGINT)""".stripMargin
+  /** The Gopher rule battery as DuckDB SQL over any (doc_id, text)
+    * relation — shared by q_gopher_rules (the raw corpus) and
+    * q_domain_gopher (the domain-curated survivors).
+    */
+  private def duckGopherSql(from: String): String =
+    s"""WITH d AS (SELECT doc_id, text,
+       |    string_split(text, ' ') AS ws,
+       |    string_split(text, chr(10)) AS ls FROM $from),
+       |c AS (SELECT doc_id,
+       |    CAST(len(ws) AS BIGINT) AS n_words,
+       |    CAST(list_sum(list_transform(ws, w -> length(w))) AS BIGINT) AS word_chars,
+       |    CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT)
+       |      AS alpha_words,
+       |    CAST(${duckStopHits(enStopList)} AS BIGINT) AS stop_hits,
+       |    CAST(len(ls) AS BIGINT) AS n_lines,
+       |    CAST(len(list_filter(ls, l -> l LIKE '-%' OR l LIKE '•%')) AS BIGINT)
+       |      AS bullet_lines,
+       |    CAST(len(list_filter(ls, l -> l LIKE '%...')) AS BIGINT) AS ellipsis_lines,
+       |    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS hash_count,
+       |    CAST(length(text) - length(replace(text, '...', '')) AS BIGINT) AS ellipsis3
+       |  FROM d)
+       |SELECT doc_id, n_words, word_chars,
+       |  (n_words BETWEEN 50 AND 100000) AS r_word_count,
+       |  (word_chars >= n_words * 3 AND word_chars <= n_words * 10) AS r_mean_word_len,
+       |  ((hash_count * 3 + ellipsis3) * 10 <= n_words * 3) AS r_symbol_ratio,
+       |  (alpha_words * 5 >= n_words * 4) AS r_alpha_words,
+       |  (stop_hits >= 2) AS r_stopwords,
+       |  (bullet_lines * 10 <= n_lines * 9) AS r_bullet_lines,
+       |  (ellipsis_lines * 10 <= n_lines * 3) AS r_ellipsis_lines,
+       |  ((n_words BETWEEN 50 AND 100000)
+       |    AND (word_chars >= n_words * 3 AND word_chars <= n_words * 10)
+       |    AND ((hash_count * 3 + ellipsis3) * 10 <= n_words * 3)
+       |    AND (alpha_words * 5 >= n_words * 4)
+       |    AND (stop_hits >= 2)
+       |    AND (bullet_lines * 10 <= n_lines * 9)
+       |    AND (ellipsis_lines * 10 <= n_lines * 3)) AS keep
+       |FROM c ORDER BY doc_id""".stripMargin
+
   private val duckEmb =
     "SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings"
   private def duckDot(a: String, b: String): String =
@@ -2363,39 +2415,31 @@ object SparkEntry {
         |  CAST(((bucket * n_docs - total_tokens) * 10000) // (bucket * n_docs)
         |    AS BIGINT) AS waste_bp
         |FROM g ORDER BY bucket""".stripMargin,
-    "q_gopher_rules" ->
-      s"""WITH d AS (SELECT doc_id, text,
-         |    string_split(text, ' ') AS ws,
-         |    string_split(text, chr(10)) AS ls FROM documents),
-         |c AS (SELECT doc_id,
-         |    CAST(len(ws) AS BIGINT) AS n_words,
-         |    CAST(list_sum(list_transform(ws, w -> length(w))) AS BIGINT) AS word_chars,
-         |    CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT)
-         |      AS alpha_words,
-         |    CAST(${duckStopHits(enStopList)} AS BIGINT) AS stop_hits,
-         |    CAST(len(ls) AS BIGINT) AS n_lines,
-         |    CAST(len(list_filter(ls, l -> l LIKE '-%' OR l LIKE '•%')) AS BIGINT)
-         |      AS bullet_lines,
-         |    CAST(len(list_filter(ls, l -> l LIKE '%...')) AS BIGINT) AS ellipsis_lines,
-         |    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS hash_count,
-         |    CAST(length(text) - length(replace(text, '...', '')) AS BIGINT) AS ellipsis3
-         |  FROM d)
-         |SELECT doc_id, n_words, word_chars,
-         |  (n_words BETWEEN 50 AND 100000) AS r_word_count,
-         |  (word_chars >= n_words * 3 AND word_chars <= n_words * 10) AS r_mean_word_len,
-         |  ((hash_count * 3 + ellipsis3) * 10 <= n_words * 3) AS r_symbol_ratio,
-         |  (alpha_words * 5 >= n_words * 4) AS r_alpha_words,
-         |  (stop_hits >= 2) AS r_stopwords,
-         |  (bullet_lines * 10 <= n_lines * 9) AS r_bullet_lines,
-         |  (ellipsis_lines * 10 <= n_lines * 3) AS r_ellipsis_lines,
-         |  ((n_words BETWEEN 50 AND 100000)
-         |    AND (word_chars >= n_words * 3 AND word_chars <= n_words * 10)
-         |    AND ((hash_count * 3 + ellipsis3) * 10 <= n_words * 3)
-         |    AND (alpha_words * 5 >= n_words * 4)
-         |    AND (stop_hits >= 2)
-         |    AND (bullet_lines * 10 <= n_lines * 9)
-         |    AND (ellipsis_lines * 10 <= n_lines * 3)) AS keep
-         |FROM c ORDER BY doc_id""".stripMargin,
+    "q_gopher_rules" -> duckGopherSql("documents"),
+    // domain front door: NOT IN blocklist, then md5-rank <= cap per domain
+    "q_domain_filter" ->
+      s"""WITH t AS (SELECT doc_id, source,
+         |    source IN ('src3', 'src13') AS blocked FROM documents),
+         |nr AS (SELECT doc_id, source, row_number() OVER (
+         |    PARTITION BY source
+         |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+         |  FROM t WHERE NOT blocked),
+         |o AS (
+         |  SELECT doc_id, source, CAST(rk AS INT) AS rk,
+         |    CASE WHEN rk <= 20 THEN 'kept' ELSE 'over_cap' END AS reason
+         |  FROM nr
+         |  UNION ALL
+         |  SELECT doc_id, source, CAST(NULL AS INT) AS rk, 'blocked' AS reason
+         |  FROM t WHERE blocked)
+         |SELECT doc_id, source, rk, reason, reason = 'kept' AS keep
+         |FROM o ORDER BY doc_id""".stripMargin,
+    "q_domain_gopher" -> duckGopherSql(
+      s"""(SELECT doc_id, text FROM (
+         |  SELECT d0.doc_id, d0.text, row_number() OVER (
+         |      PARTITION BY d0.source
+         |      ORDER BY md5(CAST(d0.doc_id AS VARCHAR)), d0.doc_id) AS rk
+         |  FROM documents d0 WHERE d0.source NOT IN ('src3', 'src13')) k
+         |  WHERE k.rk <= 20)""".stripMargin),
     "q_source_report" ->
       """WITH d AS (SELECT source, lang, n_chars,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,

@@ -462,4 +462,51 @@ object Curation {
         (col("start") % budget).as("seq_offset"))
       .orderBy(col("source"), col("doc_id"))
   }
+
+  /** RefinedWeb-style domain curation front door — the URL/domain rules a
+    * web corpus runs before any content signal:
+    *  1. BLOCKLIST: docs from a blocked domain drop outright (broadcast
+    *     anti-tag; a production blocklist of millions of domains is still
+    *     a broadcast-or-bloom side, never a shuffle of the corpus);
+    *  2. PER-DOMAIN CAP: no surviving domain contributes more than `cap`
+    *     docs — the anti-SEO-farm guard — drawn by md5-rank, the same
+    *     deterministic hash order as [[Relational.stratifiedFixedN]], so
+    *     the kept set is replayable on any engine and stable under
+    *     re-partitioning.
+    * Output is the full per-doc AUDIT (doc_id, source, rk, reason, keep):
+    * every drop carries its reason, the governance contract of every gate
+    * here. One broadcast tag + one window shuffle on the domain key.
+    */
+  def domainFilter(
+      docs: DataFrame, blocklist: DataFrame, cap: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tagged = Par.spread(docs).select(col("doc_id"), col("source"))
+      .join(broadcast(blocklist.select(col("domain"))),
+        col("source") === col("domain"), "left_outer")
+      .withColumn("blocked", col("domain").isNotNull)
+      .drop("domain")
+    val w = Window.partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    val survivors = tagged.filter(!col("blocked"))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("reason",
+        when(col("rk") <= cap, "kept").otherwise("over_cap"))
+    val dropped = tagged.filter(col("blocked"))
+      .withColumn("rk", lit(null).cast("int"))
+      .withColumn("reason", lit("blocked"))
+    survivors.select(col("doc_id"), col("source"), col("rk"), col("reason"))
+      .unionByName(dropped.select(col("doc_id"), col("source"), col("rk"), col("reason")))
+      .withColumn("keep", col("reason") === "kept")
+      .orderBy(col("doc_id"))
+  }
+
+  /** The docs [[domainFilter]] keeps, full rows — the composition input
+    * for downstream content gates (the Gopher battery, dedup, quality).
+    */
+  def domainKept(
+      docs: DataFrame, blocklist: DataFrame, cap: Int = 20): DataFrame =
+    docs.join(
+      domainFilter(docs, blocklist, cap).filter(col("keep"))
+        .select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
 }

@@ -279,4 +279,30 @@ class CurationSpec extends SparkSpec {
       assert(r.getAs[Long]("waste") >= 0)
     }
   }
+
+  test("domainFilter: blocklist drops, per-domain cap holds, draw is partitioning-independent") {
+    import org.apache.spark.sql.functions.col
+    val docs = (0 until 90).map { i =>
+      (i.toLong, s"dom${i % 3}", s"text body $i")
+    }.toDF("doc_id", "source", "text")
+    val bl = Seq("dom1").toDF("domain")
+    val out = Curation.domainFilter(docs, bl, cap = 10).collect()
+    val byReason = out.groupBy(_.getAs[String]("reason")).view.mapValues(_.length).toMap
+    // dom1's 30 docs all block; dom0/dom2 keep 10 each, 20 each over cap
+    assert(byReason("blocked") == 30 && byReason("kept") == 20
+      && byReason("over_cap") == 40)
+    assert(out.filter(_.getAs[String]("reason") == "blocked")
+      .forall(r => r.getAs[String]("source") == "dom1" && r.isNullAt(r.fieldIndex("rk"))))
+    out.filter(r => r.getAs[String]("reason") != "blocked").foreach { r =>
+      val rk = r.getAs[Int]("rk")
+      assert(if (r.getAs[Boolean]("keep")) rk <= 10 else rk > 10)
+    }
+    // the md5-rank draw must not depend on physical layout
+    val again = Curation.domainFilter(docs.repartition(7), bl, cap = 10)
+      .collect().map(_.toSeq).toSet
+    assert(again == out.map(_.toSeq).toSet)
+    // composition input: domainKept carries full rows for content gates
+    val kept = Curation.domainKept(docs, bl, cap = 10)
+    assert(kept.count() == 20 && kept.columns.contains("text"))
+  }
 }
