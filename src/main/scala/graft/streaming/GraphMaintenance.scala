@@ -142,12 +142,16 @@ final class GraphMaintainer private (
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("vec_id"), col("neighbor_id"), col("rank"), col("cos"), col("cell"))
-    // dynamic partition overwrite: only the touched cells' files change
-    reranked.write.mode("overwrite")
+    // dynamic partition overwrite: only the touched cells' files change.
+    // The pre-write repartition on cell puts each cell's rows in ONE task,
+    // so every overwritten partition dir holds one file — without it, every
+    // shuffle task that owns a few rows of a cell commits its own small
+    // file and the per-fold commit cost scales with tasks × cells
+    reranked.repartition(col("cell")).write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("cell").parquet(s"$workDir/graph")
     oldTouched.unionByName(batchCells)
-      .write.mode("overwrite")
+      .repartition(col("cell")).write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("cell").parquet(s"$workDir/routing")
     oldTouched.select(col("vec_id"))
@@ -187,13 +191,15 @@ object GraphMaintainer {
       .coalesce(1).write.mode("overwrite").parquet(s"$workDir/centroids")
     val bcast = spark.sparkContext.broadcast(cs)
     val cells = SimilaritySearch.cellAssign(corpus, bcast).localCheckpoint()
-    cells.write.mode("overwrite").partitionBy("cell").parquet(s"$workDir/routing")
+    cells.repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$workDir/routing")
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     SimilaritySearch.cellEdgesWithCell(cells, cells)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("vec_id"), col("neighbor_id"), col("rank"), col("cos"), col("cell"))
+      .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$workDir/graph")
     val fs = new Path(workDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(new Path(s"$workDir/meta.json"), true)
