@@ -28,7 +28,12 @@ class PartitionInvarianceSpec extends SparkSpec {
     "q_kmeans", "q_semantic_dedup", "q_boilerplate", "q_boilerplate_incr",
     "q_classifier", "q_ingest_audit_clf", "q_domain_mix_temp",
     "q_lm_bigram", "q_ccnet_buckets", "q_materialize_seqs",
-    "q_fuzzy_decontaminate", "q_shuffle_shards", "q_length_buckets")
+    "q_fuzzy_decontaminate", "q_shuffle_shards", "q_length_buckets",
+    // round-8 wave: incremental label re-vote (join-order-sensitive if the
+    // delta bookkeeping leaned on arrival order), zone-map pruned read
+    // (file-set selection), cross-modal cosines, md5-rank domain caps
+    "q_label_prop_incr", "q_zorder_prune", "q_crossmodal_filter",
+    "q_crossmodal_report", "q_domain_filter", "q_domain_gopher")
 
   test("query results are invariant to shuffle-partition count and scan splits") {
     val missing = targets.filterNot(SparkEntry.queries.contains)
