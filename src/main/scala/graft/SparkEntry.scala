@@ -255,6 +255,13 @@ object SparkEntry {
       val emb = Tables.embeddings(s, d)
       operators.Sq.sq8TopK(emb, emb.filter(col("vec_id") < 5))
     }),
+    // Matryoshka (MRL) tier: 16-dim prefix cosine shortlists at 1/4 the
+    // flop cost (and a prefix-pruned column read on a lake), full-width
+    // exact re-rank over the O(k') survivors
+    "q_ann_mrl" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      SimilaritySearch.mrlTopK(emb, emb.filter(col("vec_id") < 5))
+    }),
     // IVFADC+R: ADC shortlist from the compressed index, exact re-rank of
     // just those candidates — final cos is the brute twin's arithmetic
     "q_ann_pq_rerank" -> ((s, d) => {
@@ -478,6 +485,14 @@ object SparkEntry {
     // bigram LM with add-one smoothing — the n-gram step that scores word order
     "q_lm_bigram" -> ((s, d) => TextAnalysis.lmBigramScore(Tables.documents(s, d))),
     "q_domain_mix" -> ((s, d) => TextAnalysis.domainMixture(Tables.documents(s, d))),
+    // token-budget mixture planner: integer-exact per-source draw + epoch
+    // factor for a 1M-token training set under a 4-cycle part table
+    "q_mixture_plan" -> ((s, d) => {
+      import s.implicits._
+      TextAnalysis.mixturePlan(Tables.documents(s, d),
+        (0 until 20).map(i => (s"src$i", (i % 4) + 1)).toDF("source", "part"),
+        budget = 1000000L)
+    }),
     // temperature-scaled mixture (share^alpha, XLM-R/mT5 sampling rule)
     "q_domain_mix_temp" -> ((s, d) => TextAnalysis.domainMixtureTemp(Tables.documents(s, d))),
     // the streaming ingest gate's audit is a plain DataFrame op — run it in
@@ -687,10 +702,13 @@ object SparkEntry {
 
   private val duckEmb =
     "SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings"
-  private def duckDot(a: String, b: String): String =
-    s"list_sum(list_transform(range(1,65), i -> $a[i]*$b[i]))"
+  private def duckDot(a: String, b: String, dim: Int = 64): String =
+    s"list_sum(list_transform(range(1,${dim + 1}), i -> $a[i]*$b[i]))"
   private def duckCos(a: String, b: String): String =
     s"round(${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)})), 6)"
+  /** [[duckCos]] over only the first `dim` components — the MRL prefix. */
+  private def duckCosPrefix(a: String, b: String, dim: Int): String =
+    s"round(${duckDot(a, b, dim)} / (sqrt(${duckDot(a, a, dim)}) * sqrt(${duckDot(b, b, dim)})), 6)"
   private def duckStopHits(list: String): String =
     s"len(list_filter(string_split(text,' '), t -> list_contains($list, t)))"
   // full 4-plane LSH bucket over the md5-derived hyperplanes; `emb` bound
@@ -1983,6 +2001,27 @@ object SparkEntry {
          |      PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
          |  FROM sc) WHERE rank <= 5
          |ORDER BY query_id, rank""".stripMargin,
+    // MRL replay: 16-dim prefix cosine shortlist (rk <= 20), full-width
+    // exact re-rank — the two-stage shape shared with PQ+rerank
+    "q_ann_mrl" ->
+      s"""WITH e AS ($duckEmb),
+         |q AS (SELECT vec_id AS query_id, emb AS q_emb FROM e WHERE vec_id < 5),
+         |psc AS (SELECT query_id, e.vec_id AS neighbor_id,
+         |    ${duckCosPrefix("q_emb", "emb", 16)} AS cos
+         |  FROM e CROSS JOIN q WHERE e.vec_id != query_id),
+         |sh AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT *, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+         |  FROM psc) WHERE rk <= 20),
+         |rr AS (SELECT sh.query_id, sh.neighbor_id,
+         |    ${duckCos("eq.emb", "ev.emb")} AS cos
+         |  FROM sh JOIN e eq ON eq.vec_id = sh.query_id
+         |  JOIN e ev ON ev.vec_id = sh.neighbor_id)
+         |SELECT query_id, neighbor_id, rank, cos FROM (
+         |  SELECT *, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM rr) WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
     // IVFADC+R replay: the q_ann_pq chain at shortlist depth (pqk, k=20),
     // then the shortlist's candidates re-scored with the EXACT brute-twin
     // cosine and re-ranked — the final rank/cos come from full vectors
@@ -2275,11 +2314,27 @@ object SparkEntry {
          |  SELECT *, row_number() OVER (
          |      PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
          |  FROM xrx) WHERE rk <= 5),
+         |mpsc AS (SELECT query_id, e.vec_id AS neighbor_id,
+         |    ${duckCosPrefix("q_emb", "emb", 16)} AS cos
+         |  FROM e CROSS JOIN q WHERE e.vec_id != query_id),
+         |msh AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT *, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+         |  FROM mpsc) WHERE rk <= 20),
+         |mrx AS (SELECT msh.query_id, msh.neighbor_id,
+         |    ${duckCos("eq.emb", "ev.emb")} AS cos
+         |  FROM msh JOIN e eq ON eq.vec_id = msh.query_id
+         |  JOIN e ev ON ev.vec_id = msh.neighbor_id),
+         |mrl AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT *, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+         |  FROM mrx) WHERE rk <= 5),
          |tagged AS (
          |  SELECT 'ivf' AS method, query_id, neighbor_id FROM ivf
          |  UNION ALL SELECT 'ivf_kmeans', query_id, neighbor_id FROM kms
          |  UNION ALL SELECT 'ivf_pq_rerank', query_id, neighbor_id FROM xrr
          |  UNION ALL SELECT 'lsh', query_id, neighbor_id FROM lsh
+         |  UNION ALL SELECT 'mrl', query_id, neighbor_id FROM mrl
          |  UNION ALL SELECT 'pq', query_id, neighbor_id FROM pqk
          |  UNION ALL SELECT 'pq_rerank', query_id, neighbor_id FROM prr
          |  UNION ALL SELECT 'sq8', query_id, neighbor_id FROM sq8
@@ -2934,6 +2989,23 @@ object SparkEntry {
         |  round(CAST(n_tokens AS DOUBLE)/CAST(tot AS DOUBLE), 6) AS token_share,
         |  round((1.0/n_sources)/(CAST(n_tokens AS DOUBLE)/CAST(tot AS DOUBLE)), 6) AS weight
         |FROM per CROSS JOIN tot ORDER BY source""".stripMargin,
+    // mixture plan: pure integer arithmetic (parts, int div) end to end
+    "q_mixture_plan" -> {
+      val vals = (0 until 20).map(i => s"('src$i', ${(i % 4) + 1})").mkString(", ")
+      s"""WITH sup AS (SELECT source,
+         |    CAST(sum(len(string_split(text,' '))) AS BIGINT) AS supply_tokens
+         |  FROM documents GROUP BY source),
+         |w(source, part) AS (VALUES $vals),
+         |j AS (SELECT sup.source, supply_tokens, CAST(part AS BIGINT) AS part
+         |  FROM sup JOIN w ON w.source = sup.source),
+         |tot AS (SELECT CAST(SUM(part) AS BIGINT) AS total_parts FROM j)
+         |SELECT source, supply_tokens, part,
+         |  (1000000 * part) // total_parts AS target_tokens,
+         |  (((1000000 * part) // total_parts) * 10000) // supply_tokens AS epochs_bp,
+         |  CASE WHEN (((1000000 * part) // total_parts) * 10000) // supply_tokens > 10000
+         |       THEN 'up' ELSE 'down' END AS direction
+         |FROM j CROSS JOIN tot ORDER BY source""".stripMargin
+    },
     // share^0.5 rounded to 6 dp DECIMAL before the normalizing sum, so the
     // one cross-row accumulation is order-independent (matches the Spark op)
     "q_domain_mix_temp" ->

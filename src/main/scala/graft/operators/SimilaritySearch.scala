@@ -94,6 +94,42 @@ object SimilaritySearch {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Matryoshka (MRL) truncated-prefix ANN tier — the serving shortcut a
+    * matryoshka-trained embedding model buys (Kusupati et al. 2022): the
+    * first `dPrefix` dimensions carry a coarse-but-faithful similarity, so
+    * the shortlist scores at dPrefix/dim of the full flop cost (and a lake
+    * that lands the prefix as its own column cuts the shortlist scan's
+    * BYTES by the same factor) and only the O(|q|·
+    * shortlist) survivors pay full-width exact cosines in the re-rank.
+    * Same two-stage shape as PQ+rerank — prefix slicing simply replaces
+    * codebook quantization as the compressor — and like every tier here
+    * it is deterministic end to end (rounded cos, id ties) and measured
+    * against the brute twin in [[annRecallAudit]].
+    */
+  def mrlTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int = 5, dPrefix: Int = 16,
+      shortlist: Int = 20): DataFrame = {
+    val spark = corpus.sparkSession
+    graft.plans.GraftFunctions.register(spark)
+    def prefix(df: DataFrame): DataFrame = df.select(
+      col("vec_id"), slice(col("embedding"), 1, dPrefix).as("embedding"))
+    val short = bruteForceTopK(prefix(corpus), prefix(queries), shortlist, dPrefix)
+      .select(col("query_id"), col("neighbor_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"))
+      .join(broadcast(short), Seq("neighbor_id"))
+      .join(broadcast(queries.select(
+        col("vec_id").as("query_id"), col("embedding").as("q_emb"))),
+        Seq("query_id"))
+      .withColumn("cos", round(
+        call_function("cosine_similarity", col("q_emb"), col("n_emb")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Deterministic random-hyperplane signs: component i of plane p is
     * ±1 from bit 0 of md5("p:i") — reproducible in any engine with md5.
     */
@@ -242,6 +278,7 @@ object SimilaritySearch {
       "ivf_pq" -> Pq.ivfPqTopK(corpus, queries, k, nCentroids),
       "ivf_pq_rerank" -> Pq.ivfPqTopKRerank(corpus, queries, k, 20, nCentroids),
       "lsh" -> lshTopK(corpus, queries, numPlanes, dim, k),
+      "mrl" -> mrlTopK(corpus, queries, k),
       "pq" -> Pq.pqTopK(corpus, queries, k),
       "pq_rerank" -> Pq.pqTopKRerank(corpus, queries, k, 20),
       "sq8" -> Sq.sq8TopK(corpus, queries, k))

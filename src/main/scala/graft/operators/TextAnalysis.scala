@@ -841,6 +841,40 @@ object TextAnalysis {
     * (the lmPerplexityScore policy). Plan: [[domainMixture]]'s two hash
     * aggregations plus one more one-row broadcast for the normalizer.
     */
+  /** Token-budget mixture planner — the bookkeeping every mixture decision
+    * ships as: given the corpus's per-source token SUPPLY and a target
+    * weight table (integer `part`s, so shares are exact rationals — no
+    * float normalization anywhere), the per-source draw for a
+    * `budget`-token training set:
+    *   target_tokens = budget·part / Σparts  (integer div),
+    *   epochs_bp     = target·10⁴ / supply   (basis points; > 10000 means
+    *                   the source REPEATS — the upsampling/overfitting-risk
+    *                   factor mixture papers report per source),
+    *   direction     = up / down.
+    * All integer arithmetic → engine-exact; weights join INNER, so sources
+    * absent from the corpus (or the weight table) simply don't draw. Plan:
+    * one supply aggregation, one broadcast weight join, one one-row
+    * normalizer broadcast — the [[domainMixture]] shape with the budget
+    * arithmetic on top.
+    */
+  def mixturePlan(
+      docs: DataFrame, weights: DataFrame, budget: Long): DataFrame = {
+    val supply = Par.spread(docs).groupBy(col("source"))
+      .agg(sum(size(tokens(col("text"))).cast("long")).as("supply_tokens"))
+    val joined = supply.join(broadcast(weights.select(
+      col("source"), col("part").cast("long").as("part"))), Seq("source"))
+    val tot = joined.agg(sum(col("part")).as("total_parts"))
+    joined.crossJoin(broadcast(tot))
+      .withColumn("target_tokens",
+        expr(s"(${budget}L * part) div total_parts"))
+      .withColumn("epochs_bp",
+        expr("(target_tokens * 10000L) div supply_tokens"))
+      .select(col("source"), col("supply_tokens"), col("part"),
+        col("target_tokens"), col("epochs_bp"),
+        when(col("epochs_bp") > 10000L, "up").otherwise("down").as("direction"))
+      .orderBy(col("source"))
+  }
+
   def domainMixtureTemp(docs: DataFrame, alpha: Double = 0.5): DataFrame = {
     val per = Par.spread(docs).groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),

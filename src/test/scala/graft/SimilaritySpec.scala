@@ -261,6 +261,32 @@ class SimilaritySpec extends SparkSpec {
     info(f"recall@5: beam 4 = $narrow%.2f, beam 16 = $wide%.2f")
   }
 
+  test("mrlTopK: exact full-width scores on the shortlist; wider prefix never loses recall") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 5)
+    val brute = SimilaritySearch.bruteForceTopK(emb, queries, k = 5).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    val got = SimilaritySearch.mrlTopK(emb, queries, k = 5).collect()
+      .map(r => ((r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")),
+        r.getAs[Double]("cos")))
+    // re-rank scores are the brute twin's arithmetic: any returned pair
+    // that IS a true neighbor must carry the identical cosine
+    got.foreach { case (pair, cos) =>
+      brute.get(pair).foreach(b => assert(b == cos, s"$pair: $cos != $b"))
+    }
+    def recallAt(dPrefix: Int): Double = {
+      val ids = SimilaritySearch.mrlTopK(emb, queries, k = 5, dPrefix = dPrefix)
+        .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+      ids.intersect(brute.keySet).size.toDouble / brute.size
+    }
+    // a full-width "prefix" IS the brute search: recall must be 1.0, and
+    // the narrow prefix must stay measurably useful
+    assert(recallAt(64) == 1.0, "dPrefix = dim must reproduce brute exactly")
+    val narrow = recallAt(16)
+    assert(narrow > 0.0, "16-dim prefix should find some true neighbors")
+    info(f"recall@5: dPrefix 16 = $narrow%.2f, 64 = 1.00")
+  }
+
   test("annRecallAudit: per-method hits/recall equal a driver-side recomputation") {
     val emb = Tables.embeddings(spark, sf)
     val queries = emb.filter(col("vec_id") < 5)
@@ -274,12 +300,13 @@ class SimilaritySpec extends SparkSpec {
       "ivf_pq" -> ids(graft.operators.Pq.ivfPqTopK(emb, queries)),
       "ivf_pq_rerank" -> ids(graft.operators.Pq.ivfPqTopKRerank(emb, queries)),
       "lsh" -> ids(SimilaritySearch.lshTopK(emb, queries)),
+      "mrl" -> ids(SimilaritySearch.mrlTopK(emb, queries)),
       "pq" -> ids(graft.operators.Pq.pqTopK(emb, queries)),
       "pq_rerank" -> ids(graft.operators.Pq.pqTopKRerank(emb, queries)),
       "sq8" -> ids(graft.operators.Sq.sq8TopK(emb, queries)))
     val audit = SimilaritySearch.annRecallAudit(emb, queries).collect()
     assert(audit.map(_.getString(0)).toSeq ==
-      Seq("ivf", "ivf_kmeans", "ivf_pq", "ivf_pq_rerank", "lsh",
+      Seq("ivf", "ivf_kmeans", "ivf_pq", "ivf_pq_rerank", "lsh", "mrl",
         "pq", "pq_rerank", "sq8"))
     audit.foreach { r =>
       val m = r.getString(0)

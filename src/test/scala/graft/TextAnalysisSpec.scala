@@ -290,4 +290,31 @@ class TextAnalysisSpec extends SparkSpec {
     exact.collect { case (t, c) if c > err => t }
       .foreach(t => assert(present.contains(t), s"heavy hitter $t missing"))
   }
+
+  test("mixturePlan: integer-exact targets, epoch factors, inner-join scoping") {
+    val d = Seq(
+      (1L, "a b c d e f g h", "big"),    // 8 tokens
+      (2L, "a b c d e f g h", "big"),    // 8 tokens -> supply 16
+      (3L, "a b c d", "small"),          // supply 4
+      (4L, "x y", "unweighted"))         // no part -> excluded
+      .toDF("doc_id", "text", "source")
+    val w = Seq(("big", 1L), ("small", 3L), ("ghost", 4L)).toDF("source", "part")
+    val plan = TextAnalysis.mixturePlan(d, w, budget = 100L).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    // inner join both ways: no 'unweighted' (absent part), no 'ghost'
+    // (absent supply); total_parts = 1 + 3 = 4
+    assert(plan.keySet == Set("big", "small"))
+    // big: 100*1 div 4 = 25 targets over supply 16 -> 15625 bp, 'up'
+    assert(plan("big").getAs[Long]("target_tokens") == 25L)
+    assert(plan("big").getAs[Long]("epochs_bp") == 15625L)
+    assert(plan("big").getAs[String]("direction") == "up")
+    // small: 100*3 div 4 = 75 over supply 4 -> 187500 bp, 'up'; flip the
+    // budget down and it drops below one epoch
+    assert(plan("small").getAs[Long]("target_tokens") == 75L)
+    val tiny = TextAnalysis.mixturePlan(d, w, budget = 8L).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    // big: 8*1 div 4 = 2 over 16 -> 1250 bp, 'down'
+    assert(tiny("big").getAs[Long]("epochs_bp") == 1250L)
+    assert(tiny("big").getAs[String]("direction") == "down")
+  }
 }
