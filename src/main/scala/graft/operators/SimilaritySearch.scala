@@ -608,14 +608,18 @@ object SimilaritySearch {
     val touchedIds = touched.select(col("vec_id")).distinct().localCheckpoint()
     var labels = seedLabels(seeds).localCheckpoint()
     // delta: vertices whose label state (label at ≤ r, or unlabeled)
-    // differs from the old run's — seeds are immutable, so it starts empty
-    var delta = touchedIds.limit(0)
+    // differs from the old run's — seeds are immutable, so it starts
+    // PROVABLY empty (None), and round 1 skips the whole delta/in-neighbor
+    // pipeline instead of joining against an empty frame
+    var delta: Option[DataFrame] = None
     (1 to rounds).foreach { r =>
-      val inNbrs = graph
-        .join(delta.select(col("vec_id").as("neighbor_id")), Seq("neighbor_id"),
-          "left_semi")
-        .select(col("vec_id"))
-      val affected = touchedIds.union(delta).union(inNbrs).distinct().localCheckpoint()
+      val affected = delta.fold(touchedIds) { d =>
+        val inNbrs = graph
+          .join(d.select(col("vec_id").as("neighbor_id")), Seq("neighbor_id"),
+            "left_semi")
+          .select(col("vec_id"))
+        touchedIds.union(d).union(inNbrs).distinct().localCheckpoint()
+      }
       val revoted = voteRound(graph, labels, r, targets = Some(affected))
       // an old round-r label outside the affected set is provably unchanged
       val kept = oldLabels.filter(col("round") === r)
@@ -634,7 +638,7 @@ object SimilaritySearch {
         .filter(col("old_label").isNull || col("label").isNull ||
           col("old_label") =!= col("label"))
         .select(col("vec_id"))
-      delta = delta.union(changed).distinct().localCheckpoint()
+      delta = Some(delta.fold(changed)(_.union(changed).distinct()))
       labels = labels.unionByName(revoted).unionByName(kept).localCheckpoint()
     }
     labels.orderBy(col("vec_id"))
