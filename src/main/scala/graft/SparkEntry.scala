@@ -329,6 +329,9 @@ object SparkEntry {
     // duplication report card: per cluster-size class, clusters / docs /
     // would-be-dropped — the corpus-health histogram of every release
     "q_dedup_audit" -> ((s, d) => Dedup.dedupAudit(Tables.documents(s, d))),
+    // provenance union: the canonical survivor inherits its cluster's
+    // source/lang unions — the license-audit table a keep-one dedup owes
+    "q_dedup_provenance" -> ((s, d) => Dedup.dedupProvenance(Tables.documents(s, d))),
     // corpus curation / analytics extensions
     "q_tfidf" -> ((s, d) => TextAnalysis.tfidfTopTerms(Tables.documents(s, d))),
     "q_sessionize" -> ((s, d) => Relational.sessionize(Tables.events(s, d))),
@@ -2400,6 +2403,27 @@ object SparkEntry {
          |  SELECT e.i, w.lbl FROM edges e JOIN walk w ON w.id = e.j)
          |SELECT id AS doc_id, MIN(lbl) AS cluster_id
          |FROM walk GROUP BY id ORDER BY doc_id""".stripMargin,
+    "q_dedup_provenance" ->
+      s"""WITH RECURSIVE shs AS ($duckShingles),
+         |scored AS (SELECT a.doc_id AS i, b.doc_id AS j,
+         |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |        CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE), 6) AS jac
+         |  FROM shs a JOIN shs b ON a.lang = b.lang AND a.doc_id < b.doc_id),
+         |edges AS (SELECT i, j FROM scored WHERE jac >= 0.6
+         |  UNION ALL SELECT j AS i, i AS j FROM scored WHERE jac >= 0.6),
+         |walk(id, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.i, w.lbl FROM edges e JOIN walk w ON w.id = e.j),
+         |labels AS (SELECT id AS doc_id, MIN(lbl) AS cluster_id
+         |  FROM walk GROUP BY id)
+         |SELECT l.cluster_id, MIN(l.doc_id) AS canonical_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_members,
+         |  CAST(COUNT(DISTINCT d.source) AS BIGINT) AS n_sources,
+         |  string_agg(DISTINCT d.source, ',' ORDER BY d.source) AS sources,
+         |  string_agg(DISTINCT d.lang, ',' ORDER BY d.lang) AS langs
+         |FROM labels l JOIN documents d ON d.doc_id = l.doc_id
+         |GROUP BY l.cluster_id ORDER BY l.cluster_id""".stripMargin,
     "q_dedup_audit" ->
       s"""WITH RECURSIVE shs AS ($duckShingles),
          |scored AS (SELECT a.doc_id AS i, b.doc_id AS j,

@@ -732,6 +732,36 @@ object Dedup {
     attachClusterLabels(docs, "doc_id", labels)
   }
 
+  /** Provenance union over [[nearDupClusters]] — the governance step a
+    * keep-one dedup MUST run before dropping anything: the surviving
+    * canonical doc inherits the UNION of its cluster's source domains and
+    * languages, because dropping a near-duplicate does not drop its
+    * provenance obligations (license terms, attribution, takedown scope
+    * travel with the TEXT, which the survivor still carries). Per cluster:
+    * the min-id canonical, member count, and the sorted-distinct source /
+    * lang unions (comma-joined so the row is one flat hashable string —
+    * deterministic on any engine). `n_sources > 1` rows are the
+    * cross-source duplications — the set a license audit reads first.
+    *
+    * Plan shape: the CC labels (one fixpoint already paid), one hash join
+    * back to the doc metadata on doc_id, ONE shrinking aggregation on
+    * cluster_id. collect_set stays bounded by the per-cluster distinct
+    * domain count, not member count.
+    */
+  def dedupProvenance(
+      docs: DataFrame, threshold: Double = 0.6, maxIter: Int = 20): DataFrame =
+    nearDupClusters(docs, threshold, maxIter)
+      .select(col("doc_id"), col("cluster_id"))
+      .join(docs.select(col("doc_id"), col("source"), col("lang")), Seq("doc_id"))
+      .groupBy(col("cluster_id"))
+      .agg(
+        min(col("doc_id")).as("canonical_id"),
+        count(lit(1)).as("n_members"),
+        size(array_sort(collect_set(col("source")))).cast("long").as("n_sources"),
+        array_join(array_sort(collect_set(col("source"))), ",").as("sources"),
+        array_join(array_sort(collect_set(col("lang"))), ",").as("langs"))
+      .orderBy(col("cluster_id"))
+
   /** Duplication report card over [[nearDupClusters]] — the corpus-health
     * summary a curation run publishes with every release: for each
     * duplicate-cluster SIZE class, how many clusters there are, how many

@@ -306,6 +306,34 @@ class DedupSpec extends SparkSpec {
     assert(rounds <= 12, s"expected O(log 99) ~ 7 rounds (+slack), got $rounds")
   }
 
+  test("dedupProvenance: the canonical inherits its cluster's source/lang union") {
+    // planted cross-source cluster: three near-dups from two domains; one
+    // singleton from a third
+    val base = (0 until 40).map(i => s"w$i").mkString(" ")
+    val step1 = (0 until 40).map(i => if (i == 5) "X" else s"w$i").mkString(" ")
+    val step2 = (0 until 40).map(i => if (i == 5) "X" else if (i == 30) "Y" else s"w$i").mkString(" ")
+    val other = (100 until 140).map(i => s"v$i").mkString(" ")
+    val d = Seq(
+      (1L, base, "en", "mirror.example"),
+      (2L, step1, "en", "origin.example"),
+      (3L, step2, "en", "origin.example"),
+      (4L, other, "en", "lonely.example"))
+      .toDF("doc_id", "text", "lang", "source")
+    val rows = Dedup.dedupProvenance(d).collect()
+      .map(r => r.getAs[Long]("cluster_id") -> r).toMap
+    assert(rows.keySet == Set(1L, 4L))
+    val c = rows(1L)
+    assert(c.getAs[Long]("canonical_id") == 1L)
+    assert(c.getAs[Long]("n_members") == 3L)
+    assert(c.getAs[Long]("n_sources") == 2L)
+    // sorted-distinct unions, comma-joined: deterministic on any engine
+    assert(c.getAs[String]("sources") == "mirror.example,origin.example")
+    assert(c.getAs[String]("langs") == "en")
+    val s = rows(4L)
+    assert(s.getAs[Long]("n_members") == 1L
+      && s.getAs[String]("sources") == "lonely.example")
+  }
+
   test("substring dup pairs: verbatim 20-token run pairs docs; shorter runs don't") {
     import spark.implicits._
     val run = (1 to 20).map(i => s"tok$i").mkString(" ")     // exactly 20 tokens

@@ -33,7 +33,8 @@ class PartitionInvarianceSpec extends SparkSpec {
     // delta bookkeeping leaned on arrival order), zone-map pruned read
     // (file-set selection), cross-modal cosines, md5-rank domain caps
     "q_label_prop_incr", "q_zorder_prune", "q_crossmodal_filter",
-    "q_crossmodal_report", "q_domain_filter", "q_domain_gopher")
+    "q_crossmodal_report", "q_domain_filter", "q_domain_gopher",
+    "q_ann_mrl", "q_mixture_plan")
 
   test("query results are invariant to shuffle-partition count and scan splits") {
     val missing = targets.filterNot(SparkEntry.queries.contains)
