@@ -168,10 +168,54 @@ object LakeSink {
     */
   def landBoxes(
       spark: org.apache.spark.sql.SparkSession, path: String,
-      cols: Seq[String]): Unit = {
+      cols: Seq[String]): Unit =
+    writeBoxTable(spark, path, boxesOf(spark, listParquet(spark, path), cols))
+
+  /** Fold a NEW batch into a boxed layout incrementally: the batch is
+    * z-order-clustered on the same columns into its own tight-boxed files
+    * (an unclustered append would land whole-domain boxes that never
+    * prune), appended, and ONLY the new files' footers are read — the
+    * stored zone map gains their rows without touching an existing
+    * footer: `merge(boxes(old), batch) == boxes(old ∪ batch)`, the
+    * boilerplate-index incremental contract applied to layout stats.
+    * Per-fold cost is O(|batch|) + one small-file metadata pass; the
+    * cross-batch overlap that accumulates (two appends may cover the same
+    * key box) degrades pruning, not correctness — a widening overlap
+    * fraction is the re-OPTIMIZE (full [[writeZOrderedBoxed]]) signal.
+    */
+  def appendBoxed(
+      df: DataFrame, path: String, cols: Seq[String], nFiles: Int,
+      bits: Int = 16): Unit = {
+    import org.apache.spark.sql.functions.col
+    val spark = df.sparkSession
+    val before = listParquet(spark, path).toSet
+    zorderFrame(df, cols, bits)
+      .repartitionByRange(nFiles, col("zkey"))
+      .sortWithinPartitions(col("zkey"))
+      .drop("zkey")
+      .write.mode(SaveMode.Append).parquet(path)
+    val fresh = listParquet(spark, path).filterNot(before)
+    writeBoxTable(spark, path,
+      loadBoxes(spark, path) ++ boxesOf(spark, fresh, cols))
+  }
+
+  private def writeBoxTable(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      boxes: Seq[(String, String, Double, Double)]): Unit = {
     import spark.implicits._
-    val files = listParquet(spark, path)
-    val boxes = spark.sparkContext
+    boxes.toDF("file", "col", "mn", "mx")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/_boxes")
+  }
+
+  /** Footer pass over `files` only — the executor-fanned metadata read
+    * shared by [[landBoxes]] (all files) and [[appendBoxed]] (the fresh
+    * batch's files).
+    */
+  private def boxesOf(
+      spark: org.apache.spark.sql.SparkSession, files: Seq[String],
+      cols: Seq[String]): Seq[(String, String, Double, Double)] = {
+    if (files.isEmpty) return Nil
+    spark.sparkContext
       .parallelize(files, math.max(1, math.min(files.size, 32)))
       .flatMap { f =>
         import scala.jdk.CollectionConverters._
@@ -198,8 +242,6 @@ object LakeSink {
         } finally reader.close()
       }
       .collect().toSeq
-    boxes.toDF("file", "col", "mn", "mx")
-      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/_boxes")
   }
 
   private def listParquet(

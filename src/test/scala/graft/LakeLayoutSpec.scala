@@ -101,6 +101,35 @@ class LakeLayoutSpec extends SparkSpec {
       s"pruned scan must read fewer bytes: $pBytes vs $fBytes")
   }
 
+  test("appendBoxed folds a batch into the zone map: merge == full relisting, pruning stays lossless") {
+    val dir = Files.createTempDirectory("graft-zappend").toString + "/orders"
+    val orders = Tables.orders(spark, sf)
+    val (oldSlice, batch) =
+      (orders.filter(col("o_orderkey") % 3 =!= 0), orders.filter(col("o_orderkey") % 3 === 0))
+    LakeSink.writeZOrderedBoxed(
+      oldSlice, dir, Seq("o_custkey", "o_totalprice"), nFiles = 8)
+    LakeSink.appendBoxed(batch, dir, Seq("o_custkey", "o_totalprice"), nFiles = 4)
+
+    // the incrementally-merged zone map equals a from-scratch relisting
+    val merged = LakeSink.loadBoxes(spark, dir).toSet
+    LakeSink.landBoxes(spark, dir, Seq("o_custkey", "o_totalprice"))
+    assert(LakeSink.loadBoxes(spark, dir).toSet == merged,
+      "merge(boxes(old), batch) must equal boxes(old ∪ batch)")
+    assert(merged.map(_._1).size >= 10, "every data file must carry a box")
+
+    // pruned read over the appended layout still equals the raw predicate
+    val ranges = Seq(("o_custkey", 10.0, 60.0), ("o_totalprice", 0.0, 1e9))
+    val (kept, total) = LakeSink.pruneFiles(spark, dir, ranges)
+    assert(kept.nonEmpty && kept.size < total,
+      s"zone map must still prune after the append: $kept of $total")
+    val pruned = LakeSink.readPruned(spark, dir, ranges)
+      .agg(count(lit(1)), sum(col("o_orderkey"))).collect()(0)
+    val full = orders
+      .filter(col("o_custkey") >= 10 && col("o_custkey") <= 60)
+      .agg(count(lit(1)), sum(col("o_orderkey"))).collect()(0)
+    assert(pruned == full, "append must not lose rows from the pruned read")
+  }
+
   test("compact collapses a many-small-files table to the size-derived count") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-compact").toString
     val fragmented = s"$tmp/fragmented"
