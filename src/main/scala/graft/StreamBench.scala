@@ -318,6 +318,21 @@ object StreamBench {
         .option("checkpointLocation", s"$root/chk10").start()
     }
 
+    // --- timed: streaming domain gate (blocklist + per-domain budget) ---
+    // one transformWithState counter per domain — the crawl-frontier cap;
+    // the fixture's 5 sources: one blocked, the rest budgeted far under
+    // their supply so the counter path dominates the measurement
+    timeQuery("domain gate (blocklist + first-N budget)", nDocs.toLong) {
+      val src = spark.readStream
+        .schema(docs.schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(s"$root/docs")
+      val blocklist = Seq("src3").toDF("domain")
+      graft.streaming.DomainGate.admit(src, blocklist, cap = nDocs / 400)
+        .writeStream.format("noop").outputMode(OutputMode.Append())
+        .option("checkpointLocation", s"$root/chk11").start()
+    }
+
     spark.stop()
   }
 }
