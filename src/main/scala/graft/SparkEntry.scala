@@ -447,6 +447,14 @@ object SparkEntry {
         docs.filter(col("doc_id") % 97 =!= 0),
         docs.filter(col("doc_id") % 97 === 0))
     }),
+    // transitive decontamination: direct n-gram hits PLUS every near-dup
+    // cluster-mate of a hit — the paraphrase-leakage closure
+    "q_decontaminate_transitive" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.transitiveContamination(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0))
+    }),
     // near-dup contamination: train docs at shingle-Jaccard >= 0.6 vs the
     // benchmark slice, reported with their best-matching bench doc. The
     // fuzzy harness policy holds out %10 (the %97 slice used by exact
@@ -2403,6 +2411,40 @@ object SparkEntry {
          |  SELECT e.i, w.lbl FROM edges e JOIN walk w ON w.id = e.j)
          |SELECT id AS doc_id, MIN(lbl) AS cluster_id
          |FROM walk GROUP BY id ORDER BY doc_id""".stripMargin,
+    // transitive decontamination: the direct 4-gram report's ids plus the
+    // train-slice CC closure — a cluster with >= 1 direct hit flags every
+    // member, tagged by vector
+    "q_decontaminate_transitive" ->
+      s"""WITH RECURSIVE
+         |toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+         |posts AS (SELECT doc_id, unnest(list_distinct(list_transform(
+         |    range(1, greatest(len(t)-2, 1)), i -> array_to_string(t[i:i+3], ' ')))) AS s
+         |  FROM toks),
+         |bench AS (SELECT DISTINCT s FROM posts WHERE doc_id % 97 = 0),
+         |direct AS (SELECT p.doc_id FROM posts p JOIN bench b ON p.s = b.s
+         |  WHERE p.doc_id % 97 != 0 GROUP BY p.doc_id),
+         |shs0 AS ($duckShingles),
+         |shs AS (SELECT * FROM shs0 WHERE doc_id % 97 <> 0),
+         |scored AS (SELECT a.doc_id AS i, b.doc_id AS j,
+         |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |        CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE), 6) AS jac
+         |  FROM shs a JOIN shs b ON a.lang = b.lang AND a.doc_id < b.doc_id),
+         |edges AS (SELECT i, j FROM scored WHERE jac >= 0.6
+         |  UNION ALL SELECT j AS i, i AS j FROM scored WHERE jac >= 0.6),
+         |walk(id, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents WHERE doc_id % 97 <> 0
+         |  UNION
+         |  SELECT e.i, w.lbl FROM edges e JOIN walk w ON w.id = e.j),
+         |labels AS (SELECT id AS doc_id, MIN(lbl) AS cluster_id
+         |  FROM walk GROUP BY id),
+         |hits AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_direct
+         |  FROM labels JOIN direct USING (doc_id) GROUP BY cluster_id)
+         |SELECT l.doc_id, l.cluster_id, h.n_direct,
+         |  CASE WHEN d.doc_id IS NOT NULL THEN 'direct'
+         |       ELSE 'via_cluster' END AS vector
+         |FROM labels l JOIN hits h USING (cluster_id)
+         |LEFT JOIN direct d ON d.doc_id = l.doc_id
+         |ORDER BY l.doc_id""".stripMargin,
     "q_dedup_provenance" ->
       s"""WITH RECURSIVE shs AS ($duckShingles),
          |scored AS (SELECT a.doc_id AS i, b.doc_id AS j,

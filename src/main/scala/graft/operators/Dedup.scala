@@ -732,6 +732,41 @@ object Dedup {
     attachClusterLabels(docs, "doc_id", labels)
   }
 
+  /** Transitive (cluster-propagated) decontamination — the indirect-
+    * leakage closure a direct n-gram check misses: a training doc sharing
+    * NO shingle with any benchmark doc can still be a near-duplicate of a
+    * doc that does (a paraphrase, a trimmed mirror), and training on the
+    * paraphrase leaks the benchmark just the same. Contaminated :=
+    * directly contaminated ∪ every near-dup cluster-mate of a directly
+    * contaminated doc. Each flagged doc reports its `vector` ('direct' /
+    * 'via_cluster'), its cluster, and how many direct hits the cluster
+    * holds — the evidence trail a quarantine review reads.
+    *
+    * Plan shape: the direct report is the usual broadcast probe of the
+    * benchmark shingle vocabulary; the closure adds ONE semi-join of the
+    * (already-paid) CC labels against the direct set and one shrinking
+    * per-cluster count — no new pair generation, no corpus self-join
+    * beyond the dedup artifact the pipeline already builds.
+    */
+  def transitiveContamination(
+      trainDocs: DataFrame, benchDocs: DataFrame,
+      threshold: Double = 0.6, n: Int = 4): DataFrame = {
+    val direct = TextAnalysis.contaminationReport(trainDocs, benchDocs, n)
+      .select(col("doc_id")).withColumn("is_direct", lit(true))
+    val clusters = nearDupClusters(trainDocs, threshold)
+      .select(col("doc_id"), col("cluster_id"))
+    val hits = clusters
+      .join(direct.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("n_direct"))
+    clusters
+      .join(hits, Seq("cluster_id")) // only contaminated clusters survive
+      .join(direct, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("cluster_id"), col("n_direct"),
+        when(col("is_direct").isNotNull, "direct")
+          .otherwise("via_cluster").as("vector"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Provenance union over [[nearDupClusters]] — the governance step a
     * keep-one dedup MUST run before dropping anything: the surviving
     * canonical doc inherits the UNION of its cluster's source domains and

@@ -306,6 +306,34 @@ class DedupSpec extends SparkSpec {
     assert(rounds <= 12, s"expected O(log 99) ~ 7 rounds (+slack), got $rounds")
   }
 
+  test("transitiveContamination: a clean paraphrase of a contaminated doc flags via_cluster") {
+    // doc 1 = shared frame + the leaked bench span (direct hit); doc 2 =
+    // the same frame + a distinct tail — near-dup of doc 1 through the
+    // frame's shingles, yet carrying NONE of the bench 4-grams, so only
+    // the cluster closure can catch it
+    val frame = (0 until 36).map(i => s"f$i").mkString(" ")
+    val benchSpan = (0 until 8).map(i => s"secret$i").mkString(" ")
+    val d = Seq(
+      (1L, s"$frame $benchSpan", "en"),               // direct leak
+      (2L, s"$frame unique0 unique1 unique2", "en"),  // paraphrase, no leak
+      (3L, (100 until 140).map(i => s"v$i").mkString(" "), "en"), // unrelated
+      (97L * 5, benchSpan, "en"))                      // the benchmark doc (%97==0)
+      .toDF("doc_id", "text", "lang")
+    val train = d.filter(col("doc_id") % 97 =!= 0)
+    val bench = d.filter(col("doc_id") % 97 === 0)
+    val rows = Dedup.transitiveContamination(train, bench).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("vector"), r.getAs[Long]("n_direct"))).toMap
+    assert(rows.keySet == Set(1L, 2L), s"got $rows")
+    assert(rows(1L) == (("direct", 1L)))
+    assert(rows(2L) == (("via_cluster", 1L)),
+      "the clean near-dup of a contaminated doc must flag transitively")
+    // sanity: doc 2 really is invisible to the direct check
+    val direct = graft.operators.TextAnalysis.contaminationReport(train, bench)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(direct == Set(1L))
+  }
+
   test("dedupProvenance: the canonical inherits its cluster's source/lang union") {
     // planted cross-source cluster: three near-dups from two domains; one
     // singleton from a third
