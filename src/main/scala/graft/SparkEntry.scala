@@ -334,6 +334,11 @@ object SparkEntry {
     "q_dedup_provenance" -> ((s, d) => Dedup.dedupProvenance(Tables.documents(s, d))),
     // corpus curation / analytics extensions
     "q_tfidf" -> ((s, d) => TextAnalysis.tfidfTopTerms(Tables.documents(s, d))),
+    // BM25 keyword retrieval — the lexical half of hybrid search; the
+    // query mixes one rare term ('dup', high idf) with two common ones so
+    // the ranking exercises both idf spread and length normalization
+    "q_bm25" -> ((s, d) => TextAnalysis.bm25TopK(
+      Tables.documents(s, d), Seq("dup", "window", "merge"))),
     "q_sessionize" -> ((s, d) => Relational.sessionize(Tables.events(s, d))),
     "q_topk_per_group" -> ((s, d) => Relational.topOrdersPerSegment(Tables.orders(s, d), Tables.customer(s, d))),
     "q_topk_per_group_agg" -> ((s, d) => operators.TopK.topOrdersPerSegmentAgg(Tables.orders(s, d), Tables.customer(s, d))),
@@ -355,6 +360,19 @@ object SparkEntry {
     // per-source report card: volume, language spread, exact-dup mass —
     // the per-release provenance summary
     "q_source_report" -> ((s, d) => operators.Governance.sourceReportCard(Tables.documents(s, d))),
+    // CDC MERGE: apply a (key, seq, op, payload) changelog to a base
+    // snapshot — last change per key wins, 'D' tombstones delete, 'U'
+    // upserts (insert-or-update). The batch generalization of the
+    // reference's Faust/KSQL table appliers, with the delete handling the
+    // transit tables never needed. Fixture: customer is the base keyed
+    // view; orders replay as its changelog ('F' status → tombstone,
+    // else upsert of o_totalprice), o_orderkey as the commit LSN.
+    "q_cdc_merge" -> ((s, d) =>
+      operators.Cdc.mergeChangelog(cdcBase(s, d), cdcChangelog(s, d))),
+    // ...and the MERGE audit row: inserted/updated/deleted/carried key
+    // counts + replay depth (changes per touched key)
+    "q_cdc_audit" -> ((s, d) =>
+      operators.Cdc.mergeAudit(cdcBase(s, d), cdcChangelog(s, d))),
     "q_user_journeys" -> ((s, d) => Relational.userJourneys(Tables.events(s, d))),
     "q_moving_window" -> ((s, d) => Relational.trailingWindowStats(Tables.events(s, d))),
     "q_profile" -> ((s, d) => Relational.profileLineitem(Tables.lineitem(s, d))),
@@ -690,6 +708,30 @@ object SparkEntry {
         col("embedding").as("image_emb")), Seq("pair_id"))
       .join(docs.select(col("doc_id").as("pair_id"), col("source")), Seq("pair_id"))
   }
+
+  /** CDC fixture, base side: the customer table as a keyed snapshot
+    * (key, name, val), minus the %13 keys — changelog rows touching those
+    * exercise the insert (and tombstone-on-absent) MERGE arms. */
+  private def cdcBase(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).filter(col("c_custkey") % 13 =!= 0).select(
+      col("c_custkey").as("key"), col("c_name").as("name"),
+      col("c_acctbal").as("val"))
+
+  /** CDC fixture, changelog side: orders replayed as a per-customer
+    * changelog — o_orderkey is the commit LSN (globally unique, so
+    * "latest per key" is deterministic), status 'F' rows are tombstones,
+    * everything else upserts o_totalprice as the key's new payload. The
+    * %3 orderkeys and the %17≡3 customers sit this replay out so some
+    * base keys go untouched ('carried'); with the base's %13 holes, all
+    * five MERGE outcomes (carried / updated / inserted / deleted /
+    * noop_delete) occur. */
+  private def cdcChangelog(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .filter(col("o_orderkey") % 3 =!= 0 && col("o_custkey") % 17 =!= 3)
+      .select(
+      col("o_custkey").as("key"), col("o_orderkey").as("seq"),
+      when(col("o_orderstatus") === "F", lit("D")).otherwise(lit("U")).as("op"),
+      col("o_totalprice").as("val"))
 
   private val duckShingles =
     """SELECT doc_id, lang, list_distinct(list_transform(
@@ -2498,6 +2540,25 @@ object SparkEntry {
         |  SELECT *, ROW_NUMBER() OVER (
         |    PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rank FROM scored)
         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "q_bm25" ->
+      """WITH dl AS (SELECT doc_id,
+        |    CAST(len(string_split(text,' ')) AS DOUBLE) AS dl FROM documents),
+        |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+        |    CAST(SUM(CAST(dl AS DECIMAL(18,0))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+        |  FROM dl),
+        |dt AS (SELECT doc_id, token, CAST(COUNT(*) AS DOUBLE) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text,' ')) AS token FROM documents)
+        |  WHERE token IN ('dup', 'window', 'merge') GROUP BY doc_id, token),
+        |df AS (SELECT token, CAST(COUNT(*) AS DOUBLE) AS df FROM dt GROUP BY token),
+        |w AS (SELECT dt.doc_id,
+        |    round((round(ln((n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0), 6)
+        |      * (tf * 2.2))
+        |      / (tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / avgdl))), 6) AS w
+        |  FROM dt JOIN df USING (token) JOIN dl ON dt.doc_id = dl.doc_id
+        |  CROSS JOIN stats)
+        |SELECT doc_id, CAST(SUM(CAST(w AS DECIMAL(18,6))) AS DOUBLE) AS score,
+        |  CAST(COUNT(*) AS BIGINT) AS n_terms
+        |FROM w GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 25""".stripMargin,
     "q_sessionize" ->
       """WITH x AS (SELECT user_id, event_id, ts, value,
         |    LAG(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
@@ -2606,6 +2667,39 @@ object SparkEntry {
         |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
         |  CAST(SUM(CASE WHEN dn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_docs
         |FROM c GROUP BY source ORDER BY source""".stripMargin,
+    "q_cdc_merge" ->
+      """WITH ch AS (SELECT o_custkey AS key, o_orderkey AS seq,
+        |    CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op,
+        |    o_totalprice AS val FROM orders WHERE o_orderkey % 3 <> 0 AND o_custkey % 17 <> 3),
+        |b AS (SELECT * FROM customer WHERE c_custkey % 13 <> 0),
+        |latest AS (SELECT key, op, val AS new_val, seq AS last_seq FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
+        |    FROM ch) WHERE rn = 1)
+        |SELECT COALESCE(b.c_custkey, l.key) AS key, b.c_name AS name,
+        |  CASE WHEN l.op = 'U' THEN l.new_val ELSE b.c_acctbal END AS val,
+        |  l.last_seq
+        |FROM b FULL OUTER JOIN latest l ON b.c_custkey = l.key
+        |WHERE l.op IS NULL OR l.op <> 'D'
+        |ORDER BY key""".stripMargin,
+    "q_cdc_audit" ->
+      """WITH ch AS (SELECT o_custkey AS key, o_orderkey AS seq,
+        |    CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op
+        |  FROM orders WHERE o_orderkey % 3 <> 0 AND o_custkey % 17 <> 3),
+        |b0 AS (SELECT * FROM customer WHERE c_custkey % 13 <> 0),
+        |latest AS (SELECT key,
+        |    ARG_MAX(op, seq) AS op, COUNT(*) AS n_changes
+        |  FROM ch GROUP BY key),
+        |j AS (SELECT CASE
+        |    WHEN l.op IS NULL THEN 'carried'
+        |    WHEN l.op = 'D' AND b.c_custkey IS NOT NULL THEN 'deleted'
+        |    WHEN l.op = 'D' THEN 'noop_delete'
+        |    WHEN b.c_custkey IS NOT NULL THEN 'updated'
+        |    ELSE 'inserted' END AS outcome,
+        |    COALESCE(l.n_changes, 0) AS n_changes
+        |  FROM b0 b FULL OUTER JOIN latest l ON b.c_custkey = l.key)
+        |SELECT outcome, CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |  CAST(SUM(n_changes) AS BIGINT) AS n_changes
+        |FROM j GROUP BY outcome ORDER BY outcome""".stripMargin,
     "q_train_split" ->
       """SELECT doc_id, source, bucket,
         |  CASE WHEN bucket < 80 THEN 'train'

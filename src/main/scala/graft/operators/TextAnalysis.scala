@@ -229,6 +229,60 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("rank"))
   }
 
+  /** BM25 keyword retrieval — the probabilistic ranking function behind
+    * every inverted-index search engine, and the lexical half of the
+    * retrieval stack the ANN tiers are the dense half of (hybrid search =
+    * this ∪ [[SimilaritySearch]], fused by score). Okapi form:
+    *
+    *   score(d, q) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    *   idf(t)     = ln((N − df + 0.5) / (df + 0.5) + 1)
+    *
+    * Plan shape at scale: the explode filters to the query's terms BEFORE
+    * the (doc, term) aggregation, so the shuffled grain is |docs matching
+    * any term| × |terms| — the posting lists, not the corpus; df and the
+    * (N, avgdl) stats ride in as broadcast one-row/tiny frames; the final
+    * top-k compiles to TakeOrderedAndProject (per-partition heaps, no
+    * global sort). Cross-engine parity: idf and each term weight are
+    * rounded to 6 dp (the ln guard every scorer here uses), the per-doc
+    * sum accumulates in DECIMAL(18,6), and ties break on doc_id — the
+    * ranking is engine-exact, not approximately equal.
+    */
+  def bm25TopK(
+      docs: DataFrame, queryTerms: Seq[String], k: Int = 25,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val spread = Par.spread(docs)
+    val docLen = spread.select(
+      col("doc_id"), size(tokens(col("text"))).cast("double").as("dl"))
+    val stats = docLen.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      (sum(col("dl").cast("decimal(18,0)")).cast("double") /
+        count(lit(1)).cast("double")).as("avgdl"))
+    val docTerms = spread
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .filter(col("token").isin(queryTerms: _*))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val df = docTerms.groupBy(col("token"))
+      .agg(count(lit(1)).cast("double").as("df"))
+    docTerms
+      .join(broadcast(df), "token")
+      .join(docLen, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", round(
+        log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+          + lit(1.0)), 6))
+      .withColumn("w", round(
+        (col("idf") * (col("tf") * lit(k1 + 1.0))) /
+          (col("tf") + lit(k1) *
+            (lit(1.0) - lit(b) + lit(b) * (col("dl") / col("avgdl")))), 6))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("w").cast("decimal(18,6)")).cast("double").as("score"),
+        count(lit(1)).as("n_terms"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Array higher-order-function battery over the token array — transform /
     * filter / exists / aggregate in one narrow projection (Spark HOFs ==
     * DuckDB list_* lambdas). These evaluate interpreted in Catalyst (see

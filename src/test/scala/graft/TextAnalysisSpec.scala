@@ -317,4 +317,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(tiny("big").getAs[Long]("epochs_bp") == 1250L)
     assert(tiny("big").getAs[String]("direction") == "down")
   }
+
+  test("bm25: rare terms dominate, length normalization penalizes long docs") {
+    val d = Seq(
+      (1L, "rare common common", "en", "web", 0L),
+      (2L, "common common common common common common common common", "en", "web", 0L),
+      (3L, "common rare", "en", "web", 0L),
+      (4L, "common", "en", "web", 0L),
+      (5L, "filler filler filler", "en", "web", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = TextAnalysis.bm25TopK(d, Seq("rare", "common"), k = 5).collect()
+    val order = got.map(_.getAs[Long]("doc_id")).toSeq
+    val score = got.map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+    // docs holding the rare term outrank any amount of the common one
+    assert(order.take(2).toSet == Set(1L, 3L))
+    // ...and between them, the shorter doc wins (same tf, smaller dl)
+    assert(score(3L) > score(1L))
+    // doc 5 matches nothing -> absent even with k=5
+    assert(!order.contains(5L))
+    // n_terms counts matched query terms per doc
+    val nt = got.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_terms")).toMap
+    assert(nt(1L) == 2L && nt(4L) == 1L)
+    // scores are monotone in the returned order (rounded-rank contract)
+    assert(order.map(score) == order.map(score).sorted(Ordering[Double].reverse))
+  }
 }
