@@ -84,6 +84,12 @@ object SparkEntry {
       val docs = Tables.documents(s, d)
       operators.Subword.encodeIds(docs, operators.Subword.fitMerges(docs))
     }),
+    // tokenizer fertility audit: subwords/word + chars/subword per lang —
+    // the drift signal a vocab budget is re-allocated against
+    "q_bpe_fertility" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      operators.Subword.fertilityByLang(docs, operators.Subword.fitMerges(docs))
+    }),
     "q_chunk_docs" -> ((s, d) => operators.Curation.chunkDocuments(Tables.documents(s, d))),
     // Z-order (Morton) clustering key over two lake columns — the
     // multi-dimensional zone-map layout; the key is a pure deterministic
@@ -357,6 +363,14 @@ object SparkEntry {
       operators.Governance.snapshotDiff(oldSnap, newSnap)
     }),
     "q_train_split" -> ((s, d) => operators.Governance.trainValTestSplit(Tables.documents(s, d))),
+    // right-to-be-forgotten cascade: the deletion work list across every
+    // derived artifact (docs, exact copies, chunks, packed sequences) for
+    // a tombstone list — fixture tombstones = the %41 doc_ids
+    "q_forget_cascade" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      operators.Governance.forgetCascade(
+        docs, docs.filter(col("doc_id") % 41 === 0).select(col("doc_id")))
+    }),
     // per-source report card: volume, language spread, exact-dup mass —
     // the per-release provenance summary
     "q_source_report" -> ((s, d) => operators.Governance.sourceReportCard(Tables.documents(s, d))),
@@ -1949,6 +1963,18 @@ object SparkEntry {
          |    round(CAST(n_subwords AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
          |  ELSE 0.0 END AS subword_ratio
          |FROM bcnt ORDER BY doc_id""".stripMargin,
+    "q_bpe_fertility" ->
+      s"""${duckBpeDocCounts(3, 20, 512)}
+         |SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         |  CAST(SUM(n_subwords) AS BIGINT) AS total_subwords,
+         |  CAST(SUM(length(d.text)) AS BIGINT) AS total_chars,
+         |  round(CAST(SUM(n_subwords) AS DOUBLE) / CAST(SUM(n_tokens) AS DOUBLE), 6)
+         |    AS fertility,
+         |  round(CAST(SUM(length(d.text)) AS DOUBLE) / CAST(SUM(n_subwords) AS DOUBLE), 6)
+         |    AS chars_per_subword
+         |FROM bcnt JOIN documents d USING (doc_id)
+         |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
     "q_length_buckets_bpe" ->
       s"""${duckBpeDocCounts(3, 20, 512)}
          |SELECT doc_id, n_subwords,
@@ -2700,6 +2726,37 @@ object SparkEntry {
         |SELECT outcome, CAST(COUNT(*) AS BIGINT) AS n_keys,
         |  CAST(SUM(n_changes) AS BIGINT) AS n_changes
         |FROM j GROUP BY outcome ORDER BY outcome""".stripMargin,
+    "q_forget_cascade" ->
+      """WITH ts AS (SELECT doc_id FROM documents WHERE doc_id % 41 = 0),
+        |dg AS (SELECT DISTINCT md5(text) AS digest FROM documents JOIN ts USING (doc_id)),
+        |aff AS (SELECT d.doc_id,
+        |    CASE WHEN t.doc_id IS NOT NULL THEN 'requested'
+        |         ELSE 'exact_copy' END AS reason
+        |  FROM documents d JOIN dg ON md5(d.text) = dg.digest
+        |  LEFT JOIN ts t ON d.doc_id = t.doc_id),
+        |tk AS (SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS n
+        |  FROM documents),
+        |ch AS (SELECT a.doc_id, a.reason, unnest(range(0,
+        |    CASE WHEN n <= 64 THEN 1 ELSE 1 + (n - 64 + 47) // 48 END)) AS chunk_idx
+        |  FROM aff a JOIN tk USING (doc_id)),
+        |pk AS (SELECT source, doc_id, (cum - n_tokens) // 2048 AS seq_id FROM (
+        |  SELECT source, doc_id, n_tokens,
+        |    CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM (SELECT source, doc_id,
+        |      CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens
+        |    FROM documents)))
+        |SELECT artifact, artifact_key, doc_id, reason FROM (
+        |  SELECT 'document' AS artifact, CAST(doc_id AS VARCHAR) AS artifact_key,
+        |    doc_id, reason FROM aff
+        |  UNION ALL
+        |  SELECT 'chunk', CAST(doc_id AS VARCHAR) || ':' || CAST(chunk_idx AS VARCHAR),
+        |    doc_id, reason FROM ch
+        |  UNION ALL
+        |  SELECT 'packed_seq', p.source || ':' || CAST(p.seq_id AS VARCHAR),
+        |    a.doc_id, 'contains_forgotten'
+        |  FROM pk p JOIN aff a USING (doc_id))
+        |ORDER BY artifact, artifact_key, doc_id""".stripMargin,
     "q_train_split" ->
       """SELECT doc_id, source, bucket,
         |  CASE WHEN bucket < 80 THEN 'train'

@@ -76,6 +76,61 @@ object Governance {
       .orderBy(col("source"))
   }
 
+  /** Right-to-be-forgotten cascade — given a tombstone list of doc_ids,
+    * enumerate EVERY derived artifact a deletion request must reach before
+    * the lake can attest the data is gone: the documents themselves, their
+    * byte-identical copies elsewhere in the corpus (a deletion request
+    * covers the content, not one row id), the chunk artifacts cut from any
+    * affected doc, and the packed training sequences that contain one
+    * (those must be re-materialized — a sequence is an artifact of its
+    * member docs). The output is the deletion work list, one row per
+    * (artifact, affected doc): the thing a compliance job executes and a
+    * governance audit files.
+    *
+    * Plan shape at scale: the tombstone list and its digest set are tiny
+    * and ride as broadcasts — the corpus is probed twice with semi-join
+    * filters (never shuffled on content), the chunk enumeration runs only
+    * over the affected docs, and the pack-assignment join reuses the
+    * corpus's existing (source, doc_id → seq_id) artifact grain
+    * ([[Curation.packSequences]]'s one range exchange). Deleting from a
+    * packed corpus without this membership join is the classic compliance
+    * bug — the doc's tokens survive inside sequence files.
+    */
+  def forgetCascade(docs: DataFrame, tombstones: DataFrame): DataFrame = {
+    val digests = docs
+      .join(broadcast(tombstones), Seq("doc_id"), "left_semi")
+      .select(md5(col("text")).as("digest")).distinct()
+    val affected = docs
+      .withColumn("digest", md5(col("text")))
+      .join(broadcast(digests), Seq("digest"), "left_semi")
+      .join(broadcast(tombstones.withColumn("req", lit(1))),
+        Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        when(col("req").isNotNull, lit("requested"))
+          .otherwise(lit("exact_copy")).as("reason"))
+    val docRows = affected.select(
+      lit("document").as("artifact"),
+      col("doc_id").cast("string").as("artifact_key"),
+      col("doc_id"), col("reason"))
+    val chunkRows = Curation
+      .chunkDocuments(docs.join(broadcast(affected), Seq("doc_id"), "left_semi"))
+      .join(broadcast(affected), Seq("doc_id"))
+      .select(
+        lit("chunk").as("artifact"),
+        concat(col("doc_id").cast("string"), lit(":"),
+          col("chunk_idx").cast("string")).as("artifact_key"),
+        col("doc_id"), col("reason"))
+    val seqRows = Curation.packSequences(docs)
+      .join(broadcast(affected), Seq("doc_id"))
+      .select(
+        lit("packed_seq").as("artifact"),
+        concat(col("source"), lit(":"),
+          col("seq_id").cast("string")).as("artifact_key"),
+        col("doc_id"), lit("contains_forgotten").as("reason"))
+    docRows.unionAll(chunkRows).unionAll(seqRows)
+      .orderBy(col("artifact"), col("artifact_key"), col("doc_id"))
+  }
+
   /** Versioned deterministic train/val/test split: each document's bucket
     * is md5(seed ":" doc_id) reduced mod 100 — the replayable uniform draw
     * every sampler here uses ([[Relational.hashStratifiedSample]],

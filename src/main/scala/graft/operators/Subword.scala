@@ -207,6 +207,48 @@ object Subword {
       .orderBy(col("doc_id"))
   }
 
+  /** Tokenizer fertility audit, per language — the per-release number a
+    * tokenizer owner watches: subwords per whitespace word ("fertility")
+    * and characters per subword ("compression"). A language whose
+    * fertility drifts up is being fragmented by a merges table fit on
+    * someone else's distribution — the signal that the vocab budget needs
+    * re-allocating before a training run pays the token-count bill.
+    *
+    * Same row-local fold kernel as [[subwordCounts]] with lang carried
+    * through the partition walk (no join back to the corpus), then one
+    * tiny per-lang aggregation: integer sums shuffle, the two ratios are
+    * single rounded double divisions on the reduced rows — engine-exact.
+    * Scale: O(tokens × merges) compute, one |langs|-key exchange.
+    */
+  def fertilityByLang(docs: DataFrame, merges: Seq[Merge]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val pats = spark.sparkContext.broadcast(patternTable(merges))
+    Par.spread(docs.select(col("lang"), col("doc_id"), col("text")))
+      .as[(String, Long, String)]
+      .mapPartitions { it =>
+        val ps = pats.value
+        it.map { case (lang, _, text) =>
+          val toks = text.split(" ", -1)
+          var subs = 0L
+          var i = 0
+          while (i < toks.length) { subs += countOpen(foldKernel(toks(i), ps)); i += 1 }
+          (lang, toks.length.toLong, subs, text.length.toLong)
+        }
+      }.toDF("lang", "n_tokens", "n_subwords", "n_chars")
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(col("n_subwords")).as("total_subwords"),
+        sum(col("n_chars")).as("total_chars"))
+      .withColumn("fertility", round(
+        col("total_subwords").cast("double") / col("total_tokens").cast("double"), 6))
+      .withColumn("chars_per_subword", round(
+        col("total_chars").cast("double") / col("total_subwords").cast("double"), 6))
+      .orderBy(col("lang"))
+  }
+
   /** The declarative twin of [[subwordCounts]] (the aggregate∘transform
     * HOF fold) — kept as the parity baseline the kernel is pinned to.
     */

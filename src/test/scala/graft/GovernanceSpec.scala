@@ -88,4 +88,36 @@ class GovernanceSpec extends SparkSpec {
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("bucket")).toMap
     assert(v1 != v2, "different seeds must produce different bucketings")
   }
+
+  test("forgetCascade: docs, exact copies, chunks, and packed seqs all flagged") {
+    // 100-token doc -> 2 chunks (64-token window, stride 48); its exact
+    // copy under another id must cascade too
+    val longText = (1 to 100).map(_ => "w").mkString(" ")
+    val docs = Seq(
+      (1L, longText, "en", "web", 0L),
+      (2L, "keep me", "en", "web", 0L),
+      (3L, longText, "en", "books", 0L),   // byte-identical copy of 1
+      (4L, "also kept", "en", "books", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val ts = Seq(Tuple1(1L)).toDF("doc_id")
+    val got = Governance.forgetCascade(docs, ts).collect()
+    val keys = got.map(r => (r.getAs[String]("artifact"),
+      r.getAs[String]("artifact_key"), r.getAs[Long]("doc_id"),
+      r.getAs[String]("reason"))).toSet
+    // the requested doc and its byte-identical copy
+    assert(keys.contains(("document", "1", 1L, "requested")))
+    assert(keys.contains(("document", "3", 3L, "exact_copy")))
+    // both docs' chunks (2 each at 100 tokens), reasons inherited
+    assert(keys.contains(("chunk", "1:0", 1L, "requested")))
+    assert(keys.contains(("chunk", "1:1", 1L, "requested")))
+    assert(keys.contains(("chunk", "3:0", 3L, "exact_copy")))
+    assert(keys.contains(("chunk", "3:1", 3L, "exact_copy")))
+    // the packed sequences holding them, per source
+    assert(keys.contains(("packed_seq", "web:0", 1L, "contains_forgotten")))
+    assert(keys.contains(("packed_seq", "books:0", 3L, "contains_forgotten")))
+    // nothing else: untouched docs appear in NO artifact row
+    assert(!got.exists(r => r.getAs[Long]("doc_id") == 2L ||
+      r.getAs[Long]("doc_id") == 4L))
+    assert(got.length == 8)
+  }
 }

@@ -131,4 +131,26 @@ class SubwordSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(2)).toMap
     grouped.foreach { case (id, rows) => assert(rows.length.toLong == counts(id)) }
   }
+
+  test("fertilityByLang: the lang the merges table was not fit for fragments more") {
+    // 'aa' dominates the pair stats, so the fit learns a+a; lang Y's 'bc'
+    // words never merge and stay two symbols each
+    val docs = (1L to 8L).map(i => (i, "aa aa aa", "X", "web")) ++
+      Seq((9L, "bc bc bc", "Y", "web"), (10L, "bc bc", "Y", "web"))
+    val d = docs.toDF("doc_id", "text", "lang", "source")
+    val ms = Subword.fitMerges(d, rounds = 1, mergesPerRound = 1, maxVocab = 16)
+    val got = Subword.fertilityByLang(d, ms).collect()
+      .map(r => r.getAs[String]("lang") -> r).toMap
+    assert(got.keySet == Set("X", "Y"))
+    // X: every 'aa' folds to one symbol -> fertility 1.0
+    assert(got("X").getAs[Double]("fertility") == 1.0)
+    // Y: 'bc' stays (b)(c) -> fertility 2.0; chars count the RAW text
+    // (spaces included, what the tokenizer consumes): 8+5 over 10 subwords
+    assert(got("Y").getAs[Double]("fertility") == 2.0)
+    assert(got("Y").getAs[Double]("chars_per_subword") == 1.3)
+    // integer sides are exact: Y = 2 docs, 5 words, 10 subwords
+    assert(got("Y").getAs[Long]("n_docs") == 2L)
+    assert(got("Y").getAs[Long]("total_tokens") == 5L)
+    assert(got("Y").getAs[Long]("total_subwords") == 10L)
+  }
 }
