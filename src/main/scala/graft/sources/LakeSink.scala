@@ -199,6 +199,85 @@ object LakeSink {
       loadBoxes(spark, path) ++ boxesOf(spark, fresh, cols))
   }
 
+  /** Zone-map health audit — the number the appendBoxed docstring's
+    * "widening overlap fraction is the re-OPTIMIZE signal" promise is
+    * cashed out in. Per clustered column, over the landed `_boxes` rows:
+    * file count, the mean box width relative to the column's domain
+    * (tight-after-OPTIMIZE, widening as unclustered mass accumulates),
+    * and the fraction of file PAIRS whose boxes overlap in THIS column's
+    * projection — per-column telemetry for choosing which columns earn a
+    * clustering slot (a column whose projection overlap is ~1 buys no
+    * skipping on its own). The layout-level health number is
+    * [[boxOverlapAllDims]]. Pure driver arithmetic over the
+    * files-count-sized zone map (the same rows query-time pruning
+    * reads) — no job, O(files²) pairs at metadata scale.
+    */
+  def boxAudit(boxes: Seq[(String, String, Double, Double)])
+      : Seq[(String, Int, Double, Double)] = {
+    boxes.groupBy(_._2).toSeq.sortBy(_._1).map { case (c, rows) =>
+      val n = rows.size
+      val lo = rows.map(_._3).min
+      val hi = rows.map(_._4).max
+      val domain = hi - lo
+      val meanRelWidth =
+        if (domain == 0.0) 0.0
+        else rows.map(r => (r._4 - r._3) / domain).sum / n
+      val pairs = for {
+        (a, i) <- rows.zipWithIndex; b <- rows.drop(i + 1)
+      } yield if (a._3 <= b._4 && a._4 >= b._3) 1 else 0
+      val overlapFrac =
+        if (pairs.isEmpty) 0.0 else pairs.sum.toDouble / pairs.size
+      (c, n, meanRelWidth, overlapFrac)
+    }
+  }
+
+  /** The MULTI-dimensional overlap — fraction of file pairs whose boxes
+    * intersect in EVERY clustered column simultaneously. This, not the
+    * per-column projection, is the z-order health number: a fresh Morton
+    * tiling gives files near-disjoint k-D boxes even though their 1-D
+    * projections overlap freely (a file's custkey span recurs in every
+    * file at other price bands — inherent, not degradation), while each
+    * append epoch re-tiles the whole key space and its boxes intersect
+    * most of the previous epochs'. Near 0 after OPTIMIZE, climbing with
+    * every fold.
+    */
+  def boxOverlapAllDims(boxes: Seq[(String, String, Double, Double)]): Double = {
+    val byFile = boxes.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (_, rows) => rows.map(r => (r._2, r._3, r._4)) }
+    val hits = for {
+      (a, i) <- byFile.zipWithIndex; b <- byFile.drop(i + 1)
+    } yield if (a.forall { case (c, mn, mx) =>
+      b.find(_._1 == c).forall { case (_, bmn, bmx) => mn <= bmx && mx >= bmn }
+    }) 1 else 0
+    if (hits.isEmpty) 0.0 else hits.sum.toDouble / hits.size
+  }
+
+  /** The maintenance decision: re-OPTIMIZE when the all-dims pairwise
+    * box-overlap fraction exceeds `maxOverlap`. Correctness never
+    * degrades with appends, pruning does — this is the moment the lake
+    * schedules [[reoptimizeBoxed]].
+    */
+  def shouldReoptimize(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      maxOverlap: Double = 0.5): Boolean =
+    boxOverlapAllDims(loadBoxes(spark, path)) > maxOverlap
+
+  /** The re-OPTIMIZE itself — rewrite an append-degraded boxed layout as
+    * a fresh z-order-clustered one (full [[writeZOrderedBoxed]] of the
+    * accumulated rows) at `outPath`. A distinct output path because
+    * overwriting a parquet directory while reading it is undefined; a
+    * production lake swaps the table pointer (the Delta/Iceberg commit)
+    * after the rewrite lands. Returns the post-rewrite audit so the
+    * caller can assert the overlap actually collapsed.
+    */
+  def reoptimizeBoxed(
+      spark: org.apache.spark.sql.SparkSession, inPath: String, outPath: String,
+      cols: Seq[String], nFiles: Int, bits: Int = 16)
+      : Seq[(String, Int, Double, Double)] = {
+    writeZOrderedBoxed(spark.read.parquet(inPath), outPath, cols, nFiles, bits)
+    boxAudit(loadBoxes(spark, outPath))
+  }
+
   private def writeBoxTable(
       spark: org.apache.spark.sql.SparkSession, path: String,
       boxes: Seq[(String, String, Double, Double)]): Unit = {

@@ -130,6 +130,42 @@ class LakeLayoutSpec extends SparkSpec {
     assert(pruned == full, "append must not lose rows from the pruned read")
   }
 
+  test("boxAudit prices append degradation; reoptimizeBoxed collapses it back") {
+    val base = Files.createTempDirectory("graft-zreopt").toString
+    val dir = base + "/orders"
+    val orders = Tables.orders(spark, sf)
+    val cols = Seq("o_custkey", "o_totalprice")
+    LakeSink.writeZOrderedBoxed(
+      orders.filter(col("o_orderkey") % 4 === 0), dir, cols, nFiles = 8)
+    val fresh = LakeSink.boxOverlapAllDims(LakeSink.loadBoxes(spark, dir))
+    // three append folds, each clustered alone: every epoch re-tiles the
+    // key space, so cross-epoch boxes intersect in ALL dims
+    (1 to 3).foreach { r =>
+      LakeSink.appendBoxed(
+        orders.filter(col("o_orderkey") % 4 === r), dir, cols, nFiles = 4)
+    }
+    val degraded = LakeSink.boxOverlapAllDims(LakeSink.loadBoxes(spark, dir))
+    assert(degraded > fresh,
+      s"appends must widen the all-dims overlap: $fresh -> $degraded")
+    assert(LakeSink.shouldReoptimize(spark, dir, maxOverlap = 0.3),
+      s"the maintenance decision must fire on the degraded layout: $degraded")
+
+    // the rewrite restores a tight layout AND loses no rows
+    val out = base + "/orders_opt"
+    val after = LakeSink.reoptimizeBoxed(spark, dir, out, cols, nFiles = 20)
+    after.foreach { case (c, n, _, _) =>
+      assert(n == 20, s"re-clustered layout must land nFiles boxes, got $n for $c")
+    }
+    val reopt = LakeSink.boxOverlapAllDims(LakeSink.loadBoxes(spark, out))
+    assert(reopt < degraded,
+      s"re-OPTIMIZE must shrink the all-dims overlap: $degraded -> $reopt")
+    assert(!LakeSink.shouldReoptimize(spark, out, maxOverlap = 0.3),
+      s"decision must clear after the rewrite: $reopt")
+    val a = spark.read.parquet(out).agg(count(lit(1)), sum(col("o_orderkey"))).collect()(0)
+    val b = orders.agg(count(lit(1)), sum(col("o_orderkey"))).collect()(0)
+    assert(a == b, "re-OPTIMIZE must preserve every row")
+  }
+
   test("compact collapses a many-small-files table to the size-derived count") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-compact").toString
     val fragmented = s"$tmp/fragmented"
