@@ -304,6 +304,32 @@ object StreamBench {
         .option("checkpointLocation", s"$root/chk3").start()
     }
 
+    // --- timed: CDC changelog reduction (latest change per key) ---
+    // the continuous half of Cdc.mergeChangelog: one ValueState row per
+    // key (100k keys here, 10 changes each), late/stale seqs dropped in
+    // the processor — per-batch work tracks the batch, state the keyspace
+    val nChanges = nTurnstile.toLong
+    spark.range(nChanges).select(
+      (org.apache.spark.sql.functions.col("id") % 100000L).as("key"),
+      org.apache.spark.sql.functions.col("id").as("seq"),
+      org.apache.spark.sql.functions.when(
+        org.apache.spark.sql.functions.col("id") % 11L === 0L,
+        org.apache.spark.sql.functions.lit("D"))
+        .otherwise(org.apache.spark.sql.functions.lit("U")).as("op"),
+      (org.apache.spark.sql.functions.col("id") % 9973L).cast("double").as("value"))
+      .repartition(8).write.parquet(s"$root/changes")
+    timeQuery("cdc changelog reduction (transformWithState)", nChanges) {
+      val src = spark.readStream
+        .schema(org.apache.spark.sql.Encoders.product[
+          graft.streaming.CdcStream.Change].schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(s"$root/changes")
+        .as[graft.streaming.CdcStream.Change]
+      graft.streaming.CdcStream.latestChanges(src)
+        .writeStream.format("noop").outputMode(OutputMode.Update())
+        .option("checkpointLocation", s"$root/chk12").start()
+    }
+
     // --- timed: vocab-drift monitor (MG sketch ON the stream) ---
     // constant state (nShards x capacity counters, forever) over the same
     // gate corpus — the 12-token docs make this a tokens-heavy stateful

@@ -64,4 +64,62 @@ class CdcSpec extends SparkSpec {
       "inserted" -> ((1L, 1L)),
       "noop_delete" -> ((1L, 1L))))
   }
+
+  test("latestChanges stream == mergeChangelog batch; stale seqs dropped") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import graft.streaming.CdcStream
+    import graft.streaming.CdcStream.{Change, KeyChange}
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val chunks = Seq(
+        Seq(Change(1L, 100L, "U", 11.0), Change(2L, 102L, "U", 25.0)),
+        // key 1: LATE lower seq (must be dropped); key 2: tombstone
+        Seq(Change(1L, 99L, "U", 1.0), Change(2L, 103L, "D", 0.0)),
+        // key 4 inserts; key 2 resurrects after its delete
+        Seq(Change(4L, 104L, "U", 40.0), Change(2L, 105L, "U", 26.0)))
+      val input = MemoryStream[Change]
+      val q = CdcStream.latestChanges(input.toDS())
+        .writeStream.format("memory").queryName("cdc_latest")
+        .outputMode(OutputMode.Update()).start()
+      val emissions = try {
+        val perChunk = chunks.map { c =>
+          val before = spark.table("cdc_latest").count()
+          input.addData(c); q.processAllAvailable()
+          spark.table("cdc_latest").count() - before
+        }
+        // chunk 2: only key 2 transitions (key 1's late row is stale)
+        assert(perChunk == Seq(2L, 1L, 2L), s"emission counts: $perChunk")
+        spark.table("cdc_latest").as[KeyChange].collect()
+      } finally q.stop()
+      // last emission per key == the batch reduction inside mergeChangelog:
+      // apply the streamed state to a base and compare full snapshots
+      val streamedLatest = emissions.groupBy(_.key)
+        .map { case (k, es) => k -> es.maxBy(_.seq) }
+      val base = Seq((1L, "one", 10.0), (2L, "two", 20.0), (3L, "three", 30.0))
+        .toDF("key", "name", "val")
+      val changelog = chunks.flatten
+        .map(c => (c.key, c.seq, c.op, c.value)).toDF("key", "seq", "op", "val")
+      val batch = graft.operators.Cdc.mergeChangelog(base, changelog).collect()
+        .map(r => r.getAs[Long]("key") -> r.getAs[Double]("val")).toMap
+      val baseMap = Map(1L -> 10.0, 2L -> 20.0, 3L -> 30.0)
+      val streamedSnapshot = (baseMap.keySet ++ streamedLatest.keySet).flatMap { k =>
+        streamedLatest.get(k) match {
+          case Some(c) if c.op == "D" => None
+          case Some(c) => Some(k -> c.value)
+          case None => Some(k -> baseMap(k))
+        }
+      }.toMap
+      assert(streamedSnapshot == batch,
+        s"stream-applied snapshot $streamedSnapshot != batch MERGE $batch")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
