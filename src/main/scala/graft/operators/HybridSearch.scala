@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Hybrid retrieval — fuse the lexical ranking ([[TextAnalysis.bm25TopK]])
+  * with the dense one ([[SimilaritySearch]]) by Reciprocal Rank Fusion:
+  *
+  *   rrf(d) = Σ_r 1 / (rrfK + rank_r(d))
+  *
+  * RRF is the standard production fusion because it needs NO score
+  * calibration between the two systems — only ranks cross the boundary,
+  * so a BM25 log-scale score and a cosine in [-1, 1] combine without a
+  * learned weight. A doc absent from one list simply contributes nothing
+  * from it (the full-outer join below).
+  *
+  * Plan shape at scale: both inputs are ALREADY top-k shortlists (constant
+  * rows — the expensive work happened inside each retriever's own pruned
+  * plan), so the fusion is a full-outer join of two k-row frames plus a
+  * TakeOrderedAndProject: driver-scale arithmetic, negligible next to
+  * either retriever. Cross-engine parity: each reciprocal term is rounded
+  * to 6 dp, the sum accumulates in DECIMAL(18,6), ties break on id.
+  */
+object HybridSearch {
+
+  /** Fuse two (id, rank) shortlists; ranks are 1-based. Output:
+    * (id, lex_rank, dense_rank, rrf) — ranks NULL where the doc missed
+    * that list.
+    */
+  def rrfFuse(
+      lexical: DataFrame, dense: DataFrame, k: Int = 25,
+      rrfK: Int = 60): DataFrame = {
+    def term(rank: org.apache.spark.sql.Column) =
+      coalesce(
+        round(lit(1.0) / (lit(rrfK.toDouble) + rank.cast("double")), 6)
+          .cast("decimal(18,6)"),
+        lit(java.math.BigDecimal.ZERO).cast("decimal(18,6)"))
+    lexical.select(col("id"), col("rank").as("lex_rank"))
+      .join(dense.select(col("id"), col("rank").as("dense_rank")),
+        Seq("id"), "full_outer")
+      .withColumn("rrf",
+        (term(col("lex_rank")) + term(col("dense_rank"))).cast("double"))
+      .orderBy(col("rrf").desc, col("id"))
+      .limit(k)
+  }
+
+  /** End-to-end hybrid query over the corpus: BM25 on `queryTerms` and
+    * exact cosine against `queryVecId`'s embedding, RRF-fused. The dense
+    * shortlist excludes the query vector itself (the ANN convention);
+    * the lexical one has no such notion — an id can enter from either
+    * side. Both shortlists take `perList` candidates into the fusion
+    * (deeper than the final k, the standard RRF setup: a doc ranked
+    * k+3 in BOTH lists can still out-fuse one ranked 1 in only one).
+    */
+  def hybridTopK(
+      docs: DataFrame, embeddings: DataFrame, queryTerms: Seq[String],
+      queryVecId: Long, k: Int = 25, perList: Int = 50,
+      rrfK: Int = 60): DataFrame = {
+    val lex = TextAnalysis.bm25TopK(docs, queryTerms, k = perList)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
+      .select(col("doc_id").as("id"), col("rank"))
+    val dense = SimilaritySearch.bruteForceTopK(
+      embeddings, embeddings.filter(col("vec_id") === queryVecId), k = perList)
+      .select(col("neighbor_id").as("id"), col("rank"))
+    rrfFuse(lex, dense, k, rrfK)
+  }
+}

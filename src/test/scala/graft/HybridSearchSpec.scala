@@ -1,0 +1,43 @@
+package graft
+
+import graft.operators.HybridSearch
+
+class HybridSearchSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("rrfFuse: consensus beats a single list's #1; absent side contributes 0") {
+    val lex = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("id", "rank")
+    val dense = Seq((40L, 1L), (20L, 2L), (30L, 4L)).toDF("id", "rank")
+    val got = HybridSearch.rrfFuse(lex, dense, k = 10).collect()
+    val byId = got.map(r => r.getAs[Long]("id") -> r).toMap
+    val order = got.map(_.getAs[Long]("id")).toSeq
+    // 20 is rank 2 in BOTH lists: 1/62 + 1/62 > 1/61 (either #1 alone)
+    assert(order.head == 20L)
+    // 30 (ranks 3 and 4) still out-fuses both solo #1s: 1/63 + 1/64 > 1/61
+    assert(order(1) == 30L)
+    // solo entries tie on the reciprocal of rank 1 -> id ascending
+    assert(order.drop(2) == Seq(10L, 40L))
+    assert(byId(10L).getAs[Double]("rrf") == byId(40L).getAs[Double]("rrf"))
+    // absent ranks surface as NULL, not 0
+    assert(byId(10L).isNullAt(byId(10L).fieldIndex("dense_rank")))
+    assert(byId(40L).isNullAt(byId(40L).fieldIndex("lex_rank")))
+  }
+
+  test("hybridTopK: ids enter from either retriever, k bounds the fusion") {
+    val docs = Tables.documents(spark, sf)
+    val emb = Tables.embeddings(spark, sf)
+    val got = HybridSearch.hybridTopK(
+      docs, emb, Seq("dup", "window", "merge"), queryVecId = 0L, k = 15)
+      .collect()
+    assert(got.length == 15)
+    // monotone rrf in output order; ties broken by id
+    val rrfs = got.map(_.getAs[Double]("rrf")).toSeq
+    assert(rrfs == rrfs.sorted(Ordering[Double].reverse))
+    // at least one id made the cut from each side alone
+    assert(got.exists(r => r.isNullAt(r.fieldIndex("dense_rank"))))
+    assert(got.exists(r => r.isNullAt(r.fieldIndex("lex_rank"))))
+    // the dense side never returns the query vector itself
+    assert(!got.exists(r => !r.isNullAt(r.fieldIndex("dense_rank"))
+      && r.getAs[Long]("id") == 0L && r.isNullAt(r.fieldIndex("lex_rank"))))
+  }
+}
