@@ -420,6 +420,15 @@ object SparkEntry {
     "q_doc_stats" -> ((s, d) => TextAnalysis.docStats(Tables.documents(s, d))),
     "q_lang_id" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
     "q_quality_score" -> ((s, d) => TextAnalysis.qualityScore(Tables.documents(s, d))),
+    // preference-pair mining: per (source, lang) stratum, the best-vs-worst
+    // quality pair with its margin — the DPO-style bootstrap from a scalar
+    // judge
+    "q_preference_pairs" -> ((s, d) =>
+      operators.Curation.preferencePairs(Tables.documents(s, d))),
+    // Efraimidis-Spirakis weighted sampling without replacement: one scan,
+    // top-n by ln(u)/w key — quality-biased draw at any corpus size
+    "q_weighted_sample" -> ((s, d) =>
+      operators.Curation.weightedSample(Tables.documents(s, d))),
     // Gopher rule battery: per-rule verdicts via exact integer
     // cross-multiplied compares — the canonical heuristic pre-filter
     "q_gopher_rules" -> ((s, d) => TextAnalysis.gopherRules(Tables.documents(s, d))),
@@ -3081,6 +3090,52 @@ object SparkEntry {
          |    (CASE WHEN totlen/tc BETWEEN 3.0 AND 8.0 THEN 0.2 ELSE 0.0 END) >= 0.5
          |    THEN 'keep' ELSE 'drop' END AS verdict
          |FROM s ORDER BY doc_id""".stripMargin,
+    "q_preference_pairs" ->
+      s"""WITH s AS (SELECT doc_id,
+         |  CAST(len(string_split(text,' ')) AS DOUBLE) AS tc,
+         |  CAST(${duckStopHits(enStopList)} AS DOUBLE) AS sw,
+         |  CAST(list_sum(list_transform(string_split(text,' '), t -> CAST(length(t) AS BIGINT))) AS DOUBLE) AS totlen
+         |FROM documents),
+         |qv AS (SELECT doc_id,
+         |  round(least(1.0, tc/100.0)*0.5 +
+         |    (CASE WHEN sw/tc BETWEEN 0.01 AND 0.5 THEN 0.3 ELSE 0.0 END) +
+         |    (CASE WHEN totlen/tc BETWEEN 3.0 AND 8.0 THEN 0.2 ELSE 0.0 END), 6) AS quality
+         |  FROM s),
+         |j AS (SELECT qv.doc_id, qv.quality, d.source, d.lang
+         |  FROM qv JOIN documents d ON qv.doc_id = d.doc_id),
+         |r AS (SELECT *,
+         |    ROW_NUMBER() OVER (PARTITION BY source, lang
+         |      ORDER BY quality DESC, doc_id) AS rc,
+         |    ROW_NUMBER() OVER (PARTITION BY source, lang
+         |      ORDER BY quality ASC, doc_id) AS rr
+         |  FROM j),
+         |g AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    MAX(CASE WHEN rc = 1 THEN doc_id END) AS chosen_id,
+         |    MAX(quality) AS chosen_q,
+         |    MAX(CASE WHEN rr = 1 THEN doc_id END) AS rejected_id,
+         |    MIN(quality) AS rejected_q
+         |  FROM r GROUP BY source, lang HAVING COUNT(*) >= 2)
+         |SELECT source, lang, n_docs, chosen_id, rejected_id, chosen_q,
+         |  rejected_q, round(chosen_q - rejected_q, 6) AS margin
+         |FROM g ORDER BY source, lang""".stripMargin,
+    "q_weighted_sample" ->
+      s"""WITH s AS (SELECT doc_id,
+         |  CAST(len(string_split(text,' ')) AS DOUBLE) AS tc,
+         |  CAST(${duckStopHits(enStopList)} AS DOUBLE) AS sw,
+         |  CAST(list_sum(list_transform(string_split(text,' '), t -> CAST(length(t) AS BIGINT))) AS DOUBLE) AS totlen
+         |FROM documents),
+         |qv AS (SELECT doc_id,
+         |  round(least(1.0, tc/100.0)*0.5 +
+         |    (CASE WHEN sw/tc BETWEEN 0.01 AND 0.5 THEN 0.3 ELSE 0.0 END) +
+         |    (CASE WHEN totlen/tc BETWEEN 3.0 AND 8.0 THEN 0.2 ELSE 0.0 END), 6) AS quality
+         |  FROM s),
+         |k AS (SELECT qv.doc_id, d.source, qv.quality,
+         |    round(ln((CAST(('0x' || substr(md5('ws:' || CAST(qv.doc_id AS VARCHAR)), 1, 15))::BIGINT
+         |        AS DOUBLE) + 0.5) / 1152921504606846976.0), 6)
+         |      / (qv.quality + 0.001) AS skey
+         |  FROM qv JOIN documents d ON qv.doc_id = d.doc_id)
+         |SELECT doc_id, source, quality, skey FROM k
+         |ORDER BY skey DESC, doc_id LIMIT 100""".stripMargin,
     "q_token_freq" ->
       """SELECT token, COUNT(*) AS n FROM (
         |  SELECT unnest(string_split(text,' ')) AS token FROM documents)

@@ -509,4 +509,76 @@ object Curation {
       domainFilter(docs, blocklist, cap).filter(col("keep"))
         .select(col("doc_id")),
       Seq("doc_id"), "left_semi")
+
+  /** Weighted sampling WITHOUT replacement, one distributed pass — the
+    * Efraimidis–Spirakis A-Res scheme: each row draws a deterministic
+    * uniform u from its id, keys itself with ln(u)/w (equivalently
+    * u^(1/w)), and the global top-`n` keys ARE an exact without-
+    * replacement sample with inclusion probability proportional to the
+    * weight `w`. This is how a curation run takes "100k docs, biased
+    * toward quality" from a 100 TB corpus in one scan: a narrow codegen'd
+    * projection plus TakeOrderedAndProject (per-partition heaps of n, no
+    * global sort, no state, no second pass) — the sequential reservoir
+    * algorithm's distributed form.
+    *
+    * Weight = [[TextAnalysis.qualityScore]] + 0.001 (the floor keeps
+    * zero-quality docs drawable with vanishing, not undefined, odds).
+    * Engine parity: u = (md5-long + 0.5) / 2^60 is exact double math,
+    * ln(u) is rounded to 6 dp (the libm guard), and the quotient of two
+    * identical doubles is identical — the selected SET matches across
+    * engines, not just approximately.
+    */
+  def weightedSample(docs: DataFrame, n: Int = 100, seed: String = "ws"): DataFrame = {
+    val scored = TextAnalysis.qualityScore(docs)
+      .select(col("doc_id"), col("quality"))
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+    val h = conv(substring(
+      md5(concat(lit(seed), lit(":"), col("doc_id").cast("string"))), 1, 15),
+      16, 10).cast("long")
+    scored
+      .withColumn("skey",
+        round(log((h.cast("double") + lit(0.5)) / lit((1L << 60).toDouble)), 6) /
+          (col("quality") + lit(0.001)))
+      .orderBy(col("skey").desc, col("doc_id"))
+      .limit(n)
+      .select(col("doc_id"), col("source"), col("quality"), col("skey"))
+  }
+
+  /** Preference-pair mining — per (source, lang) stratum, pair the
+    * highest-quality document with the lowest as a (chosen, rejected)
+    * training example, the way DPO/RLHF data pipelines bootstrap
+    * preference sets from a scalar judge when no human labels exist. The
+    * judge here is [[TextAnalysis.qualityScore]] (already oracle-exact);
+    * `margin` is the score gap — downstream consumers threshold on it
+    * (a near-zero margin is a coin-flip pair, worse than no pair).
+    *
+    * Plan shape: the scored frame aggregates once per stratum with
+    * max_by/min_by over a (quality, ±doc_id) ordering struct — a hash
+    * aggregate with CONSTANT state per group (never a per-stratum sort or
+    * materialized ranking), the [[Relational.latestEventPerUserAgg]]
+    * shape. Strata with one doc can't form a pair and drop. Ties break
+    * on doc_id (chosen: lowest id among max-quality; rejected: lowest id
+    * among min-quality) so the pair set is engine-exact.
+    */
+  def preferencePairs(docs: DataFrame): DataFrame = {
+    val scored = TextAnalysis.qualityScore(docs)
+      .select(col("doc_id"), col("quality"))
+      .join(docs.select(col("doc_id"), col("source"), col("lang")), Seq("doc_id"))
+    scored
+      .groupBy(col("source"), col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        max_by(col("doc_id"), struct(col("quality"), (-col("doc_id")).as("n")))
+          .as("chosen_id"),
+        max(col("quality")).as("chosen_q"),
+        min_by(col("doc_id"), struct(col("quality"), col("doc_id")))
+          .as("rejected_id"),
+        min(col("quality")).as("rejected_q"))
+      .filter(col("n_docs") >= 2)
+      .withColumn("margin", round(col("chosen_q") - col("rejected_q"), 6))
+      .select(
+        col("source"), col("lang"), col("n_docs"), col("chosen_id"),
+        col("rejected_id"), col("chosen_q"), col("rejected_q"), col("margin"))
+      .orderBy(col("source"), col("lang"))
+  }
 }

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.{avg, col}
 import graft.operators.Curation
 
 class CurationSpec extends SparkSpec {
@@ -304,5 +305,54 @@ class CurationSpec extends SparkSpec {
     // composition input: domainKept carries full rows for content gates
     val kept = Curation.domainKept(docs, bl, cap = 10)
     assert(kept.count() == 20 && kept.columns.contains("text"))
+  }
+
+  test("preferencePairs: best-vs-worst per stratum, deterministic tie-break") {
+    val d = Seq(
+      // web/en: 1 long high-quality doc, 1 tiny low-quality, 1 middle
+      (1L, ("the of and to a " * 30).trim, "en", "web", 0L),
+      (2L, "x", "en", "web", 0L),
+      (3L, "the of and to a x y z", "en", "web", 0L),
+      // books/en: single doc -> no pair
+      (4L, "lonely", "en", "books", 0L),
+      // web/fr: two IDENTICAL docs -> margin 0, ties break on doc_id
+      (5L, "le la et", "fr", "web", 0L),
+      (6L, "le la et", "fr", "web", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = Curation.preferencePairs(d).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[String]("lang")) -> r).toMap
+    assert(got.keySet == Set(("web", "en"), ("web", "fr")))
+    val en = got(("web", "en"))
+    assert(en.getAs[Long]("chosen_id") == 1L)
+    assert(en.getAs[Long]("rejected_id") == 2L)
+    assert(en.getAs[Double]("margin") > 0.0)
+    val fr = got(("web", "fr"))
+    assert(fr.getAs[Long]("chosen_id") == 5L && fr.getAs[Long]("rejected_id") == 5L)
+    assert(fr.getAs[Double]("margin") == 0.0)
+  }
+
+  test("weightedSample: quality-biased, without replacement, seed-replayable") {
+    // bimodal corpus: 100 quality~1.0 docs vs 100 quality~0 junk docs —
+    // the weight gap (~170x) makes the bias visible deterministically
+    val good = ("the alpha beta gamma delta " * 25).trim
+    val docs = ((0L until 100L).map(i => (i, good, "en", "web", 0L)) ++
+      (100L until 200L).map(i => (i, "x", "en", "web", 0L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val n = 50
+    val sample = Curation.weightedSample(docs, n).collect()
+    assert(sample.length == n)
+    // without replacement: ids unique
+    assert(sample.map(_.getAs[Long]("doc_id")).distinct.length == n)
+    // the draw is biased: high-weight docs dominate far beyond their 50%
+    // population share (every id's key is a fixed md5 draw — no flake)
+    val nGood = sample.count(_.getAs[Long]("doc_id") < 100L)
+    assert(nGood >= 40, s"quality docs must dominate the draw: $nGood/50")
+    // same seed -> same set; new seed -> a different draw
+    val again = Curation.weightedSample(docs, n).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(again == sample.map(_.getAs[Long]("doc_id")).toSet)
+    val reseeded = Curation.weightedSample(docs, n, seed = "ws2").collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(reseeded != again)
   }
 }
