@@ -345,6 +345,17 @@ object SparkEntry {
     // the ranking exercises both idf spread and length normalization
     "q_bm25" -> ((s, d) => TextAnalysis.bm25TopK(
       Tables.documents(s, d), Seq("dup", "window", "merge"))),
+    // BM25 served from an INCREMENTALLY-maintained stats artifact: stats
+    // fit on the %3!=0 docs, the %3==0 batch folded in via mergeBm25Stats
+    // (merge == full-refit invariant), ranking served from the merged
+    // artifact — the oracle recomputes everything from the raw corpus
+    "q_bm25_incr" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val stats = TextAnalysis.mergeBm25Stats(
+        TextAnalysis.bm25Stats(docs.filter(col("doc_id") % 3 =!= 0)),
+        docs.filter(col("doc_id") % 3 === 0))
+      TextAnalysis.bm25TopKFrom(docs, stats, Seq("dup", "window", "merge"))
+    }),
     // hybrid retrieval: BM25 shortlist + exact-cosine shortlist, fused by
     // Reciprocal Rank Fusion (rank-only, no score calibration)
     "q_hybrid_search" -> ((s, d) => operators.HybridSearch.hybridTopK(
@@ -814,6 +825,26 @@ object SparkEntry {
        |    AND (bullet_lines * 10 <= n_lines * 9)
        |    AND (ellipsis_lines * 10 <= n_lines * 3)) AS keep
        |FROM c ORDER BY doc_id""".stripMargin
+
+  private val duckBm25 =
+    """WITH dl AS (SELECT doc_id,
+      |    CAST(len(string_split(text,' ')) AS DOUBLE) AS dl FROM documents),
+      |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+      |    CAST(SUM(CAST(dl AS DECIMAL(18,0))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+      |  FROM dl),
+      |dt AS (SELECT doc_id, token, CAST(COUNT(*) AS DOUBLE) AS tf FROM (
+      |    SELECT doc_id, unnest(string_split(text,' ')) AS token FROM documents)
+      |  WHERE token IN ('dup', 'window', 'merge') GROUP BY doc_id, token),
+      |df AS (SELECT token, CAST(COUNT(*) AS DOUBLE) AS df FROM dt GROUP BY token),
+      |w AS (SELECT dt.doc_id,
+      |    round((round(ln((n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0), 6)
+      |      * (tf * 2.2))
+      |      / (tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / avgdl))), 6) AS w
+      |  FROM dt JOIN df USING (token) JOIN dl ON dt.doc_id = dl.doc_id
+      |  CROSS JOIN stats)
+      |SELECT doc_id, CAST(SUM(CAST(w AS DECIMAL(18,6))) AS DOUBLE) AS score,
+      |  CAST(COUNT(*) AS BIGINT) AS n_terms
+      |FROM w GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 25""".stripMargin
 
   private val duckEmb =
     "SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb FROM embeddings"
@@ -2580,25 +2611,10 @@ object SparkEntry {
         |  SELECT *, ROW_NUMBER() OVER (
         |    PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rank FROM scored)
         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
-    "q_bm25" ->
-      """WITH dl AS (SELECT doc_id,
-        |    CAST(len(string_split(text,' ')) AS DOUBLE) AS dl FROM documents),
-        |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
-        |    CAST(SUM(CAST(dl AS DECIMAL(18,0))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
-        |  FROM dl),
-        |dt AS (SELECT doc_id, token, CAST(COUNT(*) AS DOUBLE) AS tf FROM (
-        |    SELECT doc_id, unnest(string_split(text,' ')) AS token FROM documents)
-        |  WHERE token IN ('dup', 'window', 'merge') GROUP BY doc_id, token),
-        |df AS (SELECT token, CAST(COUNT(*) AS DOUBLE) AS df FROM dt GROUP BY token),
-        |w AS (SELECT dt.doc_id,
-        |    round((round(ln((n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0), 6)
-        |      * (tf * 2.2))
-        |      / (tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / avgdl))), 6) AS w
-        |  FROM dt JOIN df USING (token) JOIN dl ON dt.doc_id = dl.doc_id
-        |  CROSS JOIN stats)
-        |SELECT doc_id, CAST(SUM(CAST(w AS DECIMAL(18,6))) AS DOUBLE) AS score,
-        |  CAST(COUNT(*) AS BIGINT) AS n_terms
-        |FROM w GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 25""".stripMargin,
+    "q_bm25" -> duckBm25,
+    // same corpus, same terms, identical ranking by the merge==refit
+    // invariant — the oracle proves the incremental serve path exact
+    "q_bm25_incr" -> duckBm25,
     "q_hybrid_search" ->
       s"""WITH dl AS (SELECT doc_id,
          |    CAST(len(string_split(text,' ')) AS DOUBLE) AS dl FROM documents),

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Hybrid retrieval — fuse the lexical ranking ([[TextAnalysis.bm25TopK]])
@@ -57,10 +56,20 @@ object HybridSearch {
       docs: DataFrame, embeddings: DataFrame, queryTerms: Seq[String],
       queryVecId: Long, k: Int = 25, perList: Int = 50,
       rrfK: Int = 60): DataFrame = {
-    val lex = TextAnalysis.bm25TopK(docs, queryTerms, k = perList)
-      .withColumn("rank",
-        row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
-      .select(col("doc_id").as("id"), col("rank"))
+    // rank within the k-row BM25 shortlist WITHOUT a partition-less window
+    // (banned by the plan-quality sweep even over constant-size frames):
+    // rank(a) = 1 + |rows strictly ahead of a| via a broadcast theta-join
+    // of the shortlist against itself — O(perList²) on a constant frame,
+    // partitioning-safe at any scale
+    val short = TextAnalysis.bm25TopK(docs, queryTerms, k = perList)
+      .select(col("doc_id"), col("score"))
+    val lex = short.as("a")
+      .join(broadcast(short.as("b")),
+        col("b.score") > col("a.score") ||
+          (col("b.score") === col("a.score") && col("b.doc_id") < col("a.doc_id")),
+        "left_outer")
+      .groupBy(col("a.doc_id").as("id"))
+      .agg((count(col("b.doc_id")) + lit(1L)).as("rank"))
     val dense = SimilaritySearch.bruteForceTopK(
       embeddings, embeddings.filter(col("vec_id") === queryVecId), k = perList)
       .select(col("neighbor_id").as("id"), col("rank"))

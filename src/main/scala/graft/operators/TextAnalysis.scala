@@ -283,6 +283,91 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** The corpus-level statistics BM25 serving needs, as a persistable
+    * artifact: one row per term (token, df) plus the sentinel row
+    * (token = "", df = n_docs, dl_sum) carrying the corpus totals — a
+    * single narrow frame a retrieval tier lands per refresh instead of
+    * re-aggregating 100 TB per query. df counts DOCUMENTS containing the
+    * term (not occurrences), dl_sum accumulates whitespace token counts.
+    */
+  def bm25Stats(docs: DataFrame): DataFrame = {
+    val spread = Par.spread(docs)
+    val df = spread
+      .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .withColumn("dl_sum", lit(null).cast("long"))
+    val totals = spread
+      .agg(count(lit(1)).as("df"), sum(size(tokens(col("text"))).cast("long")).as("dl_sum"))
+      .select(lit("").as("token"), col("df"), col("dl_sum"))
+    df.unionByName(totals).orderBy(col("token"))
+  }
+
+  /** Fold a DISJOINT batch into stored BM25 stats:
+    * `merge(bm25Stats(old), batch) == bm25Stats(old ∪ batch)` — the
+    * incremental-index contract ([[graft.operators.Curation.mergeSegmentDf]]'s
+    * shape applied to the lexical tier). df and the totals row are both
+    * plain sums, so the fold is one batch-sized aggregation + a
+    * full-outer merge on token — O(|batch| vocab), never a corpus
+    * re-scan. Disjointness (no doc in both sides) is the caller's
+    * contract, same as every incremental fold here.
+    */
+  def mergeBm25Stats(stats: DataFrame, batch: DataFrame): DataFrame = {
+    val b = bm25Stats(batch)
+    stats.select(col("token"), col("df").as("df_a"), col("dl_sum").as("dl_a"))
+      .join(b.select(col("token"), col("df").as("df_b"), col("dl_sum").as("dl_b")),
+        Seq("token"), "full_outer")
+      .select(
+        col("token"),
+        (coalesce(col("df_a"), lit(0L)) + coalesce(col("df_b"), lit(0L))).as("df"),
+        when(col("token") === "",
+          coalesce(col("dl_a"), lit(0L)) + coalesce(col("dl_b"), lit(0L)))
+          .otherwise(lit(null).cast("long")).as("dl_sum"))
+      .orderBy(col("token"))
+  }
+
+  /** [[bm25TopK]] served from a STORED stats artifact — the production
+    * split: the corpus-wide aggregation (df, N, avgdl) comes from
+    * [[bm25Stats]] (refreshed incrementally via [[mergeBm25Stats]]),
+    * and query time only touches the matching postings: explode filtered
+    * to the query's terms, stats broadcast. Identical ranking to the
+    * inline twin by construction (same rounded arithmetic) — spec-pinned,
+    * and q_bm25_incr's oracle recomputes everything from the raw corpus.
+    */
+  def bm25TopKFrom(
+      docs: DataFrame, stats: DataFrame, queryTerms: Seq[String], k: Int = 25,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val spread = Par.spread(docs)
+    val corpus = broadcast(stats.filter(col("token") === "")
+      .select(col("df").cast("double").as("n_docs"),
+        (col("dl_sum").cast("decimal(18,0)").cast("double") /
+          col("df").cast("double")).as("avgdl")))
+    val df = broadcast(stats
+      .filter(col("token").isin(queryTerms: _*))
+      .select(col("token"), col("df").cast("double").as("df")))
+    val docTerms = spread
+      .select(col("doc_id"), size(tokens(col("text"))).cast("double").as("dl"),
+        explode(tokens(col("text"))).as("token"))
+      .filter(col("token").isin(queryTerms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("token"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    docTerms
+      .join(df, "token")
+      .crossJoin(corpus)
+      .withColumn("idf", round(
+        log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+          + lit(1.0)), 6))
+      .withColumn("w", round(
+        (col("idf") * (col("tf") * lit(k1 + 1.0))) /
+          (col("tf") + lit(k1) *
+            (lit(1.0) - lit(b) + lit(b) * (col("dl") / col("avgdl")))), 6))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("w").cast("decimal(18,6)")).cast("double").as("score"),
+        count(lit(1)).as("n_terms"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Array higher-order-function battery over the token array — transform /
     * filter / exists / aggregate in one narrow projection (Spark HOFs ==
     * DuckDB list_* lambdas). These evaluate interpreted in Catalyst (see

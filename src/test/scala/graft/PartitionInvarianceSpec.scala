@@ -34,7 +34,11 @@ class PartitionInvarianceSpec extends SparkSpec {
     // (file-set selection), cross-modal cosines, md5-rank domain caps
     "q_label_prop_incr", "q_zorder_prune", "q_crossmodal_filter",
     "q_crossmodal_report", "q_domain_filter", "q_domain_gopher",
-    "q_ann_mrl", "q_mixture_plan")
+    "q_ann_mrl", "q_mixture_plan",
+    // this round's wave: rank fusions and top-k draws (tie-breaking),
+    // max_by/min_by reductions (arrival order), artifact cascades
+    "q_bm25", "q_hybrid_search", "q_cdc_merge", "q_cdc_audit",
+    "q_forget_cascade", "q_preference_pairs", "q_weighted_sample")
 
   test("query results are invariant to shuffle-partition count and scan splits") {
     val missing = targets.filterNot(SparkEntry.queries.contains)

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import graft.operators.TextAnalysis
 
 class TextAnalysisSpec extends SparkSpec {
@@ -340,5 +341,31 @@ class TextAnalysisSpec extends SparkSpec {
     assert(nt(1L) == 2L && nt(4L) == 1L)
     // scores are monotone in the returned order (rounded-rank contract)
     assert(order.map(score) == order.map(score).sorted(Ordering[Double].reverse))
+  }
+
+  test("bm25Stats incremental fold: merge == full refit, serve is bit-identical") {
+    val docs = Tables.documents(spark, sf)
+    val old = docs.filter(col("doc_id") % 3 =!= 0)
+    val batch = docs.filter(col("doc_id") % 3 === 0)
+    // the incremental-index invariant on the lexical tier
+    val merged = TextAnalysis.mergeBm25Stats(TextAnalysis.bm25Stats(old), batch)
+      .collect().map(_.toSeq).toSet
+    val refit = TextAnalysis.bm25Stats(docs).collect().map(_.toSeq).toSet
+    assert(merged == refit, "merge(stats(old), batch) must equal stats(old ∪ batch)")
+    // serving from the merged artifact == the inline twin, row for row
+    val stats = TextAnalysis.mergeBm25Stats(TextAnalysis.bm25Stats(old), batch)
+    val served = TextAnalysis.bm25TopKFrom(docs, stats, Seq("dup", "window", "merge"))
+      .collect().map(_.toSeq).toSeq
+    val inline = TextAnalysis.bm25TopK(docs, Seq("dup", "window", "merge"))
+      .collect().map(_.toSeq).toSeq
+    assert(served == inline)
+    // a token only the batch carries still lands in the merged df table
+    val a = Seq((1L, "common words here", "en", "web", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val b = Seq((2L, "common unseen", "en", "web", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val m = TextAnalysis.mergeBm25Stats(TextAnalysis.bm25Stats(a), b).collect()
+      .map(r => r.getAs[String]("token") -> r.getAs[Long]("df")).toMap
+    assert(m("unseen") == 1L && m("common") == 2L && m("") == 2L)
   }
 }
