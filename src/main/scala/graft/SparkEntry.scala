@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{array_distinct, col, concat, count, explode, expr, length, lit, max, sum, when}
+import org.apache.spark.sql.functions.{array_distinct, col, concat, count, explode, expr, length, lit, max, sum, upper, when}
 import graft.operators.{Dedup, Relational, SimilaritySearch, Skew, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -200,6 +200,10 @@ object SparkEntry {
     "q_dedup_exact" -> ((s, d) => Dedup.exactDuplicateGroups(Tables.documents(s, d))),
     "q_dedup_keepfirst" -> ((s, d) => Dedup.dedupKeepFirst(Tables.documents(s, d))),
     "q_dedup_minhash_lsh" -> ((s, d) => Dedup.minhashLshPairs(Tables.documents(s, d))),
+    // contrastive training pairs: LSH near-dups as positives (jaccard
+    // weight), XOR-1 id pairing minus known near-dups as negatives
+    "q_contrastive_pairs" -> ((s, d) =>
+      operators.Curation.contrastivePairs(Tables.documents(s, d))),
     "q_dedup_incr_exact" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       Dedup.incrementalExactDedup(
@@ -430,6 +434,19 @@ object SparkEntry {
     "q_bigram_pmi" -> ((s, d) => TextAnalysis.bigramPmi(Tables.documents(s, d))),
     "q_doc_stats" -> ((s, d) => TextAnalysis.docStats(Tables.documents(s, d))),
     "q_lang_id" -> ((s, d) => TextAnalysis.langId(Tables.documents(s, d))),
+    // lang-ID confusion matrix: labeled vs guessed counts — the audit a
+    // heuristic classifier publishes per corpus release
+    "q_langid_confusion" -> ((s, d) =>
+      TextAnalysis.langId(Tables.documents(s, d))
+        .groupBy(col("labeled_lang"), col("lang_guess"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("labeled_lang"), col("lang_guess"))),
+    // normalized exact dedup over a re-ingestion harness: %6 docs re-arrive
+    // UPPER-CASED (+30000), %10 docs with trailing punctuation (+40000) —
+    // the casing/punct variants byte-exact dedup misses and normalization
+    // unifies (n_byte_variants > 1)
+    "q_dedup_normalized" -> ((s, d) =>
+      Dedup.normalizedDuplicateGroups(normVariantDocs(s, d))),
     "q_quality_score" -> ((s, d) => TextAnalysis.qualityScore(Tables.documents(s, d))),
     // preference-pair mining: per (source, lang) stratum, the best-vs-worst
     // quality pair with its margin — the DPO-style bootstrap from a scalar
@@ -746,6 +763,22 @@ object SparkEntry {
       .join(emb.select(col("vec_id").bitwiseXOR(lit(1L)).as("pair_id"),
         col("embedding").as("image_emb")), Seq("pair_id"))
       .join(docs.select(col("doc_id").as("pair_id"), col("source")), Seq("pair_id"))
+  }
+
+  /** Re-ingestion harness for normalized dedup: the corpus plus %6 docs
+    * re-arrived upper-cased (new id +30000) and %10 docs re-arrived with
+    * trailing punctuation (+40000) — the two canonicalization-variant
+    * arrival shapes byte-exact dedup misses. */
+  private def normVariantDocs(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    docs
+      .unionByName(docs.filter(col("doc_id") % 6 === 0).select(
+        (col("doc_id") + 30000L).as("doc_id"), upper(col("text")).as("text"),
+        col("lang"), col("source"), col("n_chars")))
+      .unionByName(docs.filter(col("doc_id") % 10 === 0).select(
+        (col("doc_id") + 40000L).as("doc_id"),
+        concat(col("text"), lit(" !!")).as("text"),
+        col("lang"), col("source"), col("n_chars")))
   }
 
   /** CDC fixture, base side: the customer table as a keyed snapshot
@@ -1557,6 +1590,31 @@ object SparkEntry {
          |  FROM cand JOIN sigs a ON cand.i = a.doc_id JOIN sigs b ON cand.j = b.doc_id)
          |SELECT i, j, jac FROM scored WHERE jac >= 0.6 ORDER BY i, j""".stripMargin
     },
+    "q_contrastive_pairs" ->
+      s"""WITH shs AS ($duckShingles),
+         |sigs AS (SELECT doc_id, sh, [
+         |      $duckSigEntries] AS sig FROM shs),
+         |banded AS (SELECT doc_id, unnest(range(0, 4)) AS band, unnest([
+         |      $duckBandEntries]) AS bh FROM sigs),
+         |cand AS (SELECT DISTINCT x.doc_id AS i, y.doc_id AS j
+         |  FROM banded x JOIN banded y
+         |  ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
+         |scored AS (SELECT i, j,
+         |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |        CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE), 6) AS jac
+         |  FROM cand JOIN sigs a ON cand.i = a.doc_id JOIN sigs b ON cand.j = b.doc_id),
+         |pos AS (SELECT i AS anchor_id, j AS other_id, 'pos' AS label, jac AS weight
+         |  FROM scored WHERE jac >= 0.6),
+         |neg AS (SELECT n.anchor_id, n.other_id, 'neg' AS label, 0.0 AS weight
+         |  FROM (SELECT doc_id AS anchor_id,
+         |      xor(doc_id, CAST(1 AS BIGINT)) AS other_id FROM documents) n
+         |  WHERE n.anchor_id < n.other_id
+         |    AND n.other_id IN (SELECT doc_id FROM documents)
+         |    AND NOT EXISTS (SELECT 1 FROM pos p
+         |      WHERE p.anchor_id = n.anchor_id AND p.other_id = n.other_id))
+         |SELECT anchor_id, other_id, label, weight FROM (
+         |  SELECT * FROM pos UNION ALL SELECT * FROM neg)
+         |ORDER BY label, anchor_id, other_id""".stripMargin,
     // incremental (new batch vs existing corpus) twins: batch = doc_id%3=0,
     // corpus = the rest; admitted batch survivors come back
     "q_dedup_incr_exact" ->
@@ -3091,6 +3149,39 @@ object SparkEntry {
          |       WHEN de_hits >= es_hits THEN 'de'
          |       ELSE 'es' END AS lang_guess
          |FROM h ORDER BY doc_id""".stripMargin,
+    "q_langid_confusion" ->
+      s"""WITH h AS (SELECT doc_id, lang AS labeled_lang,
+         |  ${duckStopHits(enStopList)} AS en_hits,
+         |  ${duckStopHits("['le','la','et','les','des','un','une','du']")} AS fr_hits,
+         |  ${duckStopHits("['der','die','und','das','ein','nicht','mit','ist']")} AS de_hits,
+         |  ${duckStopHits("['el','la','de','que','y','los','un','una']")} AS es_hits
+         |FROM documents),
+         |g AS (SELECT labeled_lang,
+         |  CASE WHEN greatest(en_hits, fr_hits, de_hits, es_hits) = 0 THEN 'und'
+         |       WHEN en_hits >= greatest(fr_hits, de_hits, es_hits) THEN 'en'
+         |       WHEN fr_hits >= greatest(de_hits, es_hits) THEN 'fr'
+         |       WHEN de_hits >= es_hits THEN 'de'
+         |       ELSE 'es' END AS lang_guess
+         |FROM h)
+         |SELECT labeled_lang, lang_guess, CAST(COUNT(*) AS BIGINT) AS n_docs
+         |FROM g GROUP BY labeled_lang, lang_guess
+         |ORDER BY labeled_lang, lang_guess""".stripMargin,
+    "q_dedup_normalized" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 30000, upper(text) FROM documents WHERE doc_id % 6 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 40000, text || ' !!' FROM documents WHERE doc_id % 10 = 0),
+        |n AS (SELECT doc_id, md5(text) AS raw_hash,
+        |    md5(trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_hash
+        |  FROM corpus)
+        |SELECT norm_hash, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(DISTINCT raw_hash) AS BIGINT) AS n_byte_variants,
+        |  MIN(doc_id) AS keeper_id
+        |FROM n GROUP BY norm_hash HAVING COUNT(*) >= 2
+        |ORDER BY norm_hash""".stripMargin,
     "q_quality_score" ->
       s"""WITH s AS (SELECT doc_id,
          |  CAST(len(string_split(text,' ')) AS DOUBLE) AS tc,

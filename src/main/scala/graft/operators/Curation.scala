@@ -510,6 +510,41 @@ object Curation {
         .select(col("doc_id")),
       Seq("doc_id"), "left_semi")
 
+  /** Contrastive-pair mining for embedding training — the (anchor,
+    * positive) / (anchor, negative) set a contrastive or triplet loss
+    * consumes, bootstrapped from the corpus itself: positives are the
+    * MinHash-LSH near-dup pairs ([[Dedup.minhashLshPairs]] — documents
+    * that SHOULD embed close, weighted by their Jaccard), negatives the
+    * deterministic XOR-1 id pairing (the [[graft.SparkEntry]] cross-modal
+    * fixture's trick: adjacent ids are independent draws in any corpus
+    * ordered by arrival, and the pairing needs no shuffle, no global
+    * rank, no RNG) minus any pair the positive miner surfaced. Every pair
+    * is replayable by construction — the oracle reproduces positives
+    * through the full MinHash chain and negatives through the same XOR
+    * arithmetic.
+    *
+    * Plan shape: the positive side is the banded LSH join (Σ bucket²
+    * bounded, never n²); the negative side is a narrow projection + two
+    * broadcast-size semi/anti joins. Scales exactly as far as the dedup
+    * tier it reuses.
+    */
+  def contrastivePairs(docs: DataFrame, threshold: Double = 0.6): DataFrame = {
+    val pos = Dedup.minhashLshPairs(docs, threshold = threshold)
+      .select(col("i").as("anchor_id"), col("j").as("other_id"),
+        lit("pos").as("label"), col("jac").as("weight"))
+    val ids = docs.select(col("doc_id"))
+    val neg = ids.select(col("doc_id").as("anchor_id"),
+        col("doc_id").bitwiseXOR(lit(1L)).as("other_id"))
+      .filter(col("anchor_id") < col("other_id"))
+      .join(ids.select(col("doc_id").as("other_id")), Seq("other_id"), "left_semi")
+      .join(pos.select(col("anchor_id"), col("other_id")),
+        Seq("anchor_id", "other_id"), "left_anti")
+      .select(col("anchor_id"), col("other_id"),
+        lit("neg").as("label"), lit(0.0).as("weight"))
+    pos.unionByName(neg)
+      .orderBy(col("label"), col("anchor_id"), col("other_id"))
+  }
+
   /** Weighted sampling WITHOUT replacement, one distributed pass — the
     * Efraimidis–Spirakis A-Res scheme: each row draws a deterministic
     * uniform u from its id, keys itself with ln(u)/w (equivalently

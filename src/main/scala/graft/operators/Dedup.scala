@@ -27,6 +27,36 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper_id"))
       .orderBy(col("text_hash"))
 
+  /** Canonical text normalization for dedup identity: lowercase, replace
+    * every non-[a-z0-9 ] char with a space, collapse runs, trim. The
+    * C4/CCNet canonicalization step — byte-exact dedup misses the same
+    * article re-crawled with different casing or trailing punctuation,
+    * and near-dup (MinHash) catches it only at shingle granularity with
+    * band luck. Pure codegen'd column math; both engines run the same
+    * regex class so the identity is oracle-exact.
+    */
+  def normalizeText(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
+
+  /** Exact-duplicate groups under NORMALIZED identity — the
+    * [[exactDuplicateGroups]] rule on md5(normalize(text)), reporting per
+    * group how many BYTE-distinct variants it unified (`n_byte_variants`
+    * > 1 is the mass normalization recovered that byte-exact dedup left
+    * behind — the number that justifies the extra projection). Same one
+    * shuffle on the digest; text never crosses the exchange.
+    */
+  def normalizedDuplicateGroups(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"), md5(col("text")).as("raw_hash"),
+      md5(normalizeText(col("text"))).as("norm_hash"))
+      .groupBy(col("norm_hash"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("raw_hash")).as("n_byte_variants"),
+        min(col("doc_id")).as("keeper_id"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("norm_hash"))
+
   /** Exact dedup survivors — one doc_id per distinct text. */
   def dedupKeepFirst(docs: DataFrame): DataFrame =
     docs.groupBy(col("text"))

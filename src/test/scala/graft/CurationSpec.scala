@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.functions.{avg, col}
+import org.apache.spark.sql.functions.{avg, col, lit}
 import graft.operators.Curation
 
 class CurationSpec extends SparkSpec {
@@ -354,5 +354,28 @@ class CurationSpec extends SparkSpec {
     val reseeded = Curation.weightedSample(docs, n, seed = "ws2").collect()
       .map(_.getAs[Long]("doc_id")).toSet
     assert(reseeded != again)
+  }
+
+  test("contrastivePairs: near-dups are positives, XOR-1 negatives never collide") {
+    // 60-token docs; 2 and 3 are near-dups (one word differs), 0/1 unrelated
+    val base = (0 until 60).map(i => s"w$i").mkString(" ")
+    val variant = base.replace("w30", "w30x")
+    val other = (0 until 60).map(i => s"v$i").mkString(" ")
+    val third = (0 until 60).map(i => s"u$i").mkString(" ")
+    val d = Seq((0L, other), (1L, third), (2L, base), (3L, variant))
+      .toDF("doc_id", "text").withColumn("lang", lit("en"))
+    val got = Curation.contrastivePairs(d).collect()
+    val pos = got.filter(_.getAs[String]("label") == "pos")
+      .map(r => (r.getAs[Long]("anchor_id"), r.getAs[Long]("other_id"))).toSet
+    val neg = got.filter(_.getAs[String]("label") == "neg")
+      .map(r => (r.getAs[Long]("anchor_id"), r.getAs[Long]("other_id"))).toSet
+    assert(pos == Set((2L, 3L)))
+    // XOR-1 pairing proposes (0,1) and (2,3); (2,3) is a positive -> excluded
+    assert(neg == Set((0L, 1L)))
+    // positive weight is the pair's jaccard, negatives carry 0
+    val w = got.filter(_.getAs[String]("label") == "pos").head.getAs[Double]("weight")
+    assert(w >= 0.6 && w < 1.0)
+    assert(got.filter(_.getAs[String]("label") == "neg")
+      .forall(_.getAs[Double]("weight") == 0.0))
   }
 }

@@ -401,4 +401,22 @@ class DedupSpec extends SparkSpec {
     // signature computation must stay narrow (no Exchange between scan and generate)
     assert(plan.contains("Generate"), "band explode should be a Generate node")
   }
+
+  test("normalizedDuplicateGroups unifies casing/punct variants byte dedup misses") {
+    val d = Seq(
+      (1L, "Hello, World!"),
+      (2L, "hello world"),          // normalized twin of 1
+      (3L, "HELLO  WORLD"),         // and of this (case + double space)
+      (4L, "goodbye world"),        // singleton -> filtered out
+      (5L, "same text"), (6L, "same text")) // byte-exact pair: 1 variant
+      .toDF("doc_id", "text")
+    val got = Dedup.normalizedDuplicateGroups(d).collect()
+      .map(r => r.getAs[Long]("keeper_id") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_byte_variants")))).toMap
+    assert(got == Map(1L -> ((3L, 3L)), 5L -> ((2L, 1L))))
+    // byte-exact dedup sees NONE of the hello group
+    val exact = Dedup.exactDuplicateGroups(d).collect()
+      .filter(_.getAs[Long]("n_docs") > 1)
+    assert(exact.length == 1 && exact.head.getAs[Long]("keeper_id") == 5L)
+  }
 }
