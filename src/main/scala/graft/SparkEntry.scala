@@ -394,6 +394,14 @@ object SparkEntry {
     // per-source report card: volume, language spread, exact-dup mass —
     // the per-release provenance summary
     "q_source_report" -> ((s, d) => operators.Governance.sourceReportCard(Tables.documents(s, d))),
+    // embedding-store integrity audit over a planted-defect harness:
+    // %97 vecs zeroed, %101 truncated to 3 dims, %89 get a NaN component,
+    // %53 re-land under orphan ids (+50000), %41 docs re-land with no
+    // vector (+70000) — each defect class counts under its CASE precedence
+    "q_emb_integrity" -> ((s, d) => {
+      val (docsPlus, embPlus) = embIntegrityFixture(s, d)
+      operators.Governance.embeddingIntegrity(docsPlus, embPlus)
+    }),
     // CDC MERGE: apply a (key, seq, op, payload) changelog to a base
     // snapshot — last change per key wins, 'D' tombstones delete, 'U'
     // upserts (insert-or-update). The batch generalization of the
@@ -779,6 +787,29 @@ object SparkEntry {
         (col("doc_id") + 40000L).as("doc_id"),
         concat(col("text"), lit(" !!")).as("text"),
         col("lang"), col("source"), col("n_chars")))
+  }
+
+  /** Planted-defect harness for the embedding integrity audit: corrupt a
+    * deterministic slice of the real embeddings (zeroed / truncated / NaN)
+    * plus orphan vectors and vector-less docs, so every defect class the
+    * audit names actually occurs. Branch order matches the audit's CASE
+    * precedence (a %97∧%89 id is 'zeroed', both engines agree). */
+  private def embIntegrityFixture(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions.{array, array_repeat, slice}
+    val emb = Tables.embeddings(s, d)
+    val docs = Tables.documents(s, d)
+    val corrupted = emb.select(col("vec_id"),
+      when(col("vec_id") % 97 === 0, array_repeat(lit(0.0f), 64))
+        .when(col("vec_id") % 101 === 0, slice(col("embedding"), 1, 3))
+        .when(col("vec_id") % 89 === 0,
+          concat(slice(col("embedding"), 1, 63), array(lit(Float.NaN))))
+        .otherwise(col("embedding")).as("embedding"))
+      .unionByName(emb.filter(col("vec_id") % 53 === 0).select(
+        (col("vec_id") + 50000L).as("vec_id"), col("embedding")))
+    val docsPlus = docs.select(col("doc_id"))
+      .unionByName(docs.filter(col("doc_id") % 41 === 0)
+        .select((col("doc_id") + 70000L).as("doc_id")))
+    (docsPlus, corrupted)
   }
 
   /** CDC fixture, base side: the customer table as a keyed snapshot
@@ -2743,6 +2774,35 @@ object SparkEntry {
         |  FROM documents)
         |WHERE bucket < CASE WHEN lang = 'en' THEN 50 ELSE 20 END
         |ORDER BY doc_id""".stripMargin,
+    "q_emb_integrity" ->
+      """WITH e0 AS (SELECT vec_id, embedding FROM embeddings),
+        |e AS (
+        |  SELECT vec_id,
+        |    CASE WHEN vec_id % 97 = 0
+        |           THEN list_transform(range(0, 64), i -> CAST(0 AS FLOAT))
+        |         WHEN vec_id % 101 = 0 THEN embedding[1:3]
+        |         WHEN vec_id % 89 = 0
+        |           THEN list_concat(embedding[1:63], [CAST('NaN' AS FLOAT)])
+        |         ELSE embedding END AS embedding
+        |  FROM e0
+        |  UNION ALL
+        |  SELECT vec_id + 50000, embedding FROM e0 WHERE vec_id % 53 = 0),
+        |d AS (SELECT doc_id FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 70000 FROM documents WHERE doc_id % 41 = 0),
+        |flags AS (SELECT d.doc_id AS did, e.vec_id,
+        |    len(e.embedding) AS edim,
+        |    len(list_filter(e.embedding, v -> isnan(v))) > 0 AS has_nan,
+        |    list_sum(list_transform(e.embedding,
+        |      v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))) = 0.0 AS zero_norm
+        |  FROM d FULL OUTER JOIN e ON d.doc_id = e.vec_id)
+        |SELECT CASE WHEN edim IS NULL THEN 'missing_vector'
+        |            WHEN did IS NULL THEN 'orphan_vector'
+        |            WHEN edim <> 64 THEN 'bad_dim'
+        |            WHEN has_nan THEN 'nan_component'
+        |            WHEN zero_norm THEN 'zero_norm'
+        |            ELSE 'ok' END AS status, CAST(COUNT(*) AS BIGINT) AS n_rows
+        |FROM flags GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_corpus_diff" ->
       """WITH o AS (SELECT doc_id, md5(text) AS old_digest
         |  FROM documents WHERE doc_id % 7 <> 0),

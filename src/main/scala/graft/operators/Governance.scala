@@ -76,6 +76,45 @@ object Governance {
       .orderBy(col("source"))
   }
 
+  /** Embedding-store integrity audit — the referential/shape contract
+    * between the document corpus and its embedding table, checked in one
+    * full-outer pass: docs with no vector (the re-embed backlog), vectors
+    * with no doc (the retire backlog — exactly what [[snapshotDiff]]'s
+    * `removed` rows should have retired), wrong-dimension rows (a mixed
+    * model-version write), zero-norm rows (a failed encode — they poison
+    * every cosine downstream, see the ANN tiers' zero-norm guards), and
+    * NaN components (the arithmetic already happened somewhere upstream).
+    * One audit row per defect class, integer counts — the gate a serving
+    * index refresh runs before it trusts the table.
+    *
+    * Plan shape: one full-outer hash join on the id plus a narrow
+    * projection of per-row flags, then a tiny class aggregation. The
+    * flags are pure column math (`size`, `exists` over the float array) —
+    * no kernel needed for an audit pass.
+    */
+  def embeddingIntegrity(
+      docs: DataFrame, embeddings: DataFrame, dim: Int = 64): DataFrame = {
+    val e = embeddings.select(
+      col("vec_id").as("doc_id"),
+      size(col("embedding")).as("edim"),
+      exists(col("embedding"), v => isnan(v)).as("has_nan"),
+      (aggregate(col("embedding"),
+        lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")) === 0.0)
+        .as("zero_norm"))
+    docs.select(col("doc_id"), lit(1).as("in_docs"))
+      .join(e, Seq("doc_id"), "full_outer")
+      .select(
+        when(col("edim").isNull, lit("missing_vector"))
+          .when(col("in_docs").isNull, lit("orphan_vector"))
+          .when(col("edim") =!= dim, lit("bad_dim"))
+          .when(col("has_nan"), lit("nan_component"))
+          .when(col("zero_norm"), lit("zero_norm"))
+          .otherwise(lit("ok")).as("status"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_rows"))
+      .orderBy(col("status"))
+  }
+
   /** Right-to-be-forgotten cascade — given a tombstone list of doc_ids,
     * enumerate EVERY derived artifact a deletion request must reach before
     * the lake can attest the data is gone: the documents themselves, their

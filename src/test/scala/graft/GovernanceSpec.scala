@@ -120,4 +120,28 @@ class GovernanceSpec extends SparkSpec {
       r.getAs[Long]("doc_id") == 4L))
     assert(got.length == 8)
   }
+
+  test("embeddingIntegrity: each defect class counted once, precedence fixed") {
+    val docs = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
+    def vec(seed: Int) = Array.tabulate(3)(i => (seed + i).toFloat)
+    val emb = Seq(
+      (1L, vec(1)),                       // ok
+      (2L, Array(0f, 0f, 0f)),            // zero_norm
+      (3L, Array(1f, Float.NaN, 2f)),     // nan_component
+      (4L, Array(1f, 2f)),                // bad_dim (expect 3)
+      // doc 5 and 6 have no vector -> missing_vector x2
+      (9L, vec(9)))                       // orphan_vector
+      .toDF("vec_id", "embedding")
+    val got = graft.operators.Governance.embeddingIntegrity(docs, emb, dim = 3)
+      .collect().map(r => r.getAs[String]("status") -> r.getAs[Long]("n_rows")).toMap
+    assert(got == Map(
+      "ok" -> 1L, "zero_norm" -> 1L, "nan_component" -> 1L,
+      "bad_dim" -> 1L, "missing_vector" -> 2L, "orphan_vector" -> 1L))
+    // precedence: a wrong-dim vector containing NaN is bad_dim, not nan
+    val emb2 = Seq((1L, Array(Float.NaN, 1f))).toDF("vec_id", "embedding")
+    val got2 = graft.operators.Governance.embeddingIntegrity(
+      Seq(1L).toDF("doc_id"), emb2, dim = 3).collect()
+      .map(r => r.getAs[String]("status")).toSeq
+    assert(got2 == Seq("bad_dim"))
+  }
 }
