@@ -415,6 +415,11 @@ object SparkEntry {
     // counts + replay depth (changes per touched key)
     "q_cdc_audit" -> ((s, d) =>
       operators.Cdc.mergeAudit(cdcBase(s, d), cdcChangelog(s, d))),
+    // Kafka-style log compaction: one change per key (latest LSN wins,
+    // tombstones kept), shaped as a changelog — replay-equivalent by
+    // contract (CdcSpec pins apply(compact(log)) == apply(log))
+    "q_cdc_compact" -> ((s, d) =>
+      operators.Cdc.compactChangelog(cdcChangelog(s, d))),
     "q_user_journeys" -> ((s, d) => Relational.userJourneys(Tables.events(s, d))),
     "q_moving_window" -> ((s, d) => Relational.trailingWindowStats(Tables.events(s, d))),
     "q_profile" -> ((s, d) => Relational.profileLineitem(Tables.lineitem(s, d))),
@@ -2890,6 +2895,14 @@ object SparkEntry {
         |FROM b FULL OUTER JOIN latest l ON b.c_custkey = l.key
         |WHERE l.op IS NULL OR l.op <> 'D'
         |ORDER BY key""".stripMargin,
+    "q_cdc_compact" ->
+      """WITH ch AS (SELECT o_custkey AS key, o_orderkey AS seq,
+        |    CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op,
+        |    o_totalprice AS val
+        |  FROM orders WHERE o_orderkey % 3 <> 0 AND o_custkey % 17 <> 3)
+        |SELECT key, seq, op, val FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
+        |  FROM ch) WHERE rn = 1 ORDER BY key""".stripMargin,
     "q_cdc_audit" ->
       """WITH ch AS (SELECT o_custkey AS key, o_orderkey AS seq,
         |    CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op

@@ -330,6 +330,20 @@ object StreamBench {
         .option("checkpointLocation", s"$root/chk12").start()
     }
 
+    // --- timed: streaming weighted sampler (E-S top-n per shard) ---
+    // constant nShards x n state; the key projection (quality + md5 draw)
+    // dominates per-row cost, the heap fold is O(log n); docs/s like the
+    // gate rows. Uses the same gate corpus.
+    timeQuery("weighted sampler (E-S shard top-n)", nDocs.toLong) {
+      val src = spark.readStream
+        .schema(docs.schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(s"$root/docs")
+      graft.streaming.StreamSample.weightedSampleStream(src, n = 100, nShards = 32)
+        .writeStream.format("noop").outputMode(OutputMode.Update())
+        .option("checkpointLocation", s"$root/chk13").start()
+    }
+
     // --- timed: vocab-drift monitor (MG sketch ON the stream) ---
     // constant state (nShards x capacity counters, forever) over the same
     // gate corpus — the 12-token docs make this a tokens-heavy stateful

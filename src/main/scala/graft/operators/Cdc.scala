@@ -79,6 +79,30 @@ object Cdc {
       .orderBy(col("key"))
   }
 
+  /** Changelog compaction — Kafka log-compaction semantics as a batch
+    * operator: keep exactly ONE change per key (the highest-`seq` one),
+    * shaped AS a changelog so it replays anywhere the full log did.
+    * Tombstones are KEPT (dropping a 'D' would resurrect the key on
+    * replay against a base that still has it — the classic compaction
+    * bug; Kafka only drops them after a delete-retention window, which
+    * is a policy decision left to the caller). The contract the spec
+    * pins: `mergeChangelog(base, compact(log)) == mergeChangelog(base,
+    * log)` for EVERY base.
+    *
+    * Same single constant-state reduction as the MERGE's own first stage
+    * — compaction is exactly that stage materialized as an artifact, so
+    * a log compacted at rest makes every later MERGE's reduction read
+    * |keys| rows instead of |history|.
+    */
+  def compactChangelog(changelog: DataFrame): DataFrame =
+    changelog
+      .groupBy(col("key"))
+      .agg(
+        max_by(struct(col("op"), col("val")), col("seq")).as("c"),
+        max(col("seq")).as("seq"))
+      .select(col("key"), col("seq"), col("c.op").as("op"), col("c.val").as("val"))
+      .orderBy(col("key"))
+
   /** The audit row a MERGE publishes alongside the snapshot it wrote:
     * how many keys were inserted / updated / deleted / carried through,
     * and the changelog's replay depth (changes per touched key) — the

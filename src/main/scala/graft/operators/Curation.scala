@@ -563,20 +563,29 @@ object Curation {
     * identical doubles is identical — the selected SET matches across
     * engines, not just approximately.
     */
-  def weightedSample(docs: DataFrame, n: Int = 100, seed: String = "ws"): DataFrame = {
-    val scored = TextAnalysis.qualityScore(docs)
-      .select(col("doc_id"), col("quality"))
-      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
-    val h = conv(substring(
-      md5(concat(lit(seed), lit(":"), col("doc_id").cast("string"))), 1, 15),
-      16, 10).cast("long")
-    scored
-      .withColumn("skey",
-        round(log((h.cast("double") + lit(0.5)) / lit((1L << 60).toDouble)), 6) /
-          (col("quality") + lit(0.001)))
+  def weightedSample(docs: DataFrame, n: Int = 100, seed: String = "ws"): DataFrame =
+    sampleKeyed(Par.spread(docs), seed)
       .orderBy(col("skey").desc, col("doc_id"))
       .limit(n)
       .select(col("doc_id"), col("source"), col("quality"), col("skey"))
+
+  /** The per-row sampling key projection [[weightedSample]] ranks on —
+    * shared verbatim with the streaming sampler
+    * ([[graft.streaming.StreamSample]]) so both draw IDENTICAL keys:
+    * quality from the one shared judge column, u from the seeded md5
+    * draw, skey = round(ln u, 6) / (quality + 0.001). Stream-safe (pure
+    * projection, no sort, no state).
+    */
+  private[graft] def sampleKeyed(docs: DataFrame, seed: String): DataFrame = {
+    val h = conv(substring(
+      md5(concat(lit(seed), lit(":"), col("doc_id").cast("string"))), 1, 15),
+      16, 10).cast("long")
+    docs.select(
+      col("doc_id"), col("source"),
+      TextAnalysis.qualityColumn.as("quality"))
+      .withColumn("skey",
+        round(log((h.cast("double") + lit(0.5)) / lit((1L << 60).toDouble)), 6) /
+          (col("quality") + lit(0.001)))
   }
 
   /** Preference-pair mining — per (source, lang) stratum, pair the

@@ -52,26 +52,35 @@ object TextAnalysis {
     * stopword-band component + token-length-band component; "keep" label at
     * ≥ 0.5. The shape of heuristics used for corpus filtering.
     */
-  def qualityScore(docs: DataFrame): DataFrame = {
+  /** The quality score as a bare Column over a `text` column — the one
+    * expression [[qualityScore]], [[graft.operators.Curation.weightedSample]],
+    * and the streaming sampler all share, so the judge can never drift
+    * between the batch and stream paths.
+    */
+  private[graft] def qualityRawColumn: org.apache.spark.sql.Column = {
     val toks = tokens(col("text"))
     val tc = size(toks).cast("double")
     val swRatio = stopwordHits(toks, EnStop).cast("double") / tc
     val avgLen =
       aggregate(transform(toks, t => length(t).cast("long")), lit(0L), _ + _)
         .cast("double") / tc
+    least(lit(1.0), tc / 100.0) * 0.5 +
+      when(swRatio.between(0.01, 0.5), 0.3).otherwise(0.0) +
+      when(avgLen.between(3.0, 8.0), 0.2).otherwise(0.0)
+  }
+
+  /** The 6-dp score column; the verdict threshold compares the RAW score
+    * (matching the oracle — a 0.4999996 must stay 'drop' even though it
+    * rounds to 0.5). */
+  private[graft] def qualityColumn: org.apache.spark.sql.Column =
+    round(qualityRawColumn, 6)
+
+  def qualityScore(docs: DataFrame): DataFrame =
     Par.spread(docs).select(
       col("doc_id"),
-      round(
-        least(lit(1.0), tc / 100.0) * 0.5 +
-          when(swRatio.between(0.01, 0.5), 0.3).otherwise(0.0) +
-          when(avgLen.between(3.0, 8.0), 0.2).otherwise(0.0), 6).as("quality"),
-      when(
-        least(lit(1.0), tc / 100.0) * 0.5 +
-          when(swRatio.between(0.01, 0.5), 0.3).otherwise(0.0) +
-          when(avgLen.between(3.0, 8.0), 0.2).otherwise(0.0) >= 0.5, "keep")
-        .otherwise("drop").as("verdict"))
+      qualityColumn.as("quality"),
+      when(qualityRawColumn >= 0.5, "keep").otherwise("drop").as("verdict"))
       .orderBy(col("doc_id"))
-  }
 
   /** Gopher-style rule battery (Rae et al. 2021, Appendix A1.1.1 — the
     * canonical pre-filter every large text corpus runs before model-based

@@ -122,4 +122,33 @@ class CdcSpec extends SparkSpec {
       }
     }
   }
+
+  test("compactChangelog: replay-equivalent against EVERY base, tombstones kept") {
+    val changelog = Seq(
+      (1L, 100L, "U", 11.0), (1L, 101L, "U", 15.0),
+      (2L, 102L, "U", 25.0), (2L, 103L, "D", 0.0),
+      (4L, 104L, "U", 40.0),
+      (6L, 106L, "D", 0.0), (6L, 107L, "U", 60.0)
+    ).toDF("key", "seq", "op", "val")
+    val compacted = Cdc.compactChangelog(changelog)
+    // one row per key, highest LSN
+    val byKey = compacted.collect()
+      .map(r => r.getAs[Long]("key") ->
+        ((r.getAs[Long]("seq"), r.getAs[String]("op")))).toMap
+    assert(byKey == Map(
+      1L -> ((101L, "U")), 2L -> ((103L, "D")),
+      4L -> ((104L, "U")), 6L -> ((107L, "U"))))
+    // the contract: apply(compact(log)) == apply(log) on bases that do
+    // and do not hold the tombstoned key (dropping the 'D' would diverge
+    // on the first one)
+    val bases = Seq(
+      Seq((2L, "two", 20.0), (3L, "three", 30.0)),
+      Seq((1L, "one", 10.0)))
+    bases.foreach { b =>
+      val base = b.toDF("key", "name", "val")
+      val full = Cdc.mergeChangelog(base, changelog).collect().map(_.toSeq).toSeq
+      val comp = Cdc.mergeChangelog(base, compacted).collect().map(_.toSeq).toSeq
+      assert(full == comp, s"replay divergence on base $b")
+    }
+  }
 }
