@@ -231,6 +231,12 @@ object SparkEntry {
       val emb = Tables.embeddings(s, d)
       SimilaritySearch.bruteForceTopK(emb, emb.filter(col("vec_id") < 5))
     }),
+    // multi-probe LSH: + every 1-bit-flip neighbor bucket — recovers the
+    // straddled-hyperplane misses without more hash tables
+    "q_ann_lsh_mp" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      SimilaritySearch.lshMultiProbeTopK(emb, emb.filter(col("vec_id") < 5))
+    }),
     "q_ann_lsh" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       SimilaritySearch.lshTopK(emb, emb.filter(col("vec_id") < 5))
@@ -2163,6 +2169,24 @@ object SparkEntry {
          |  SELECT *, ROW_NUMBER() OVER (
          |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
          |  FROM scored) WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "q_ann_lsh_mp" -> {
+      s"""WITH e AS ($duckEmb),
+         |b AS (SELECT vec_id, emb, $duckLshBucket AS bucket FROM e),
+         |q AS (SELECT vec_id AS query_id, emb AS q_emb, bucket AS q_bucket FROM b WHERE vec_id < 5),
+         |probes AS (SELECT query_id, q_emb, unnest([q_bucket,
+         |    substr(q_bucket, 1, 0) || (CASE WHEN substr(q_bucket, 1, 1) = '1' THEN '0' ELSE '1' END) || substr(q_bucket, 2, 3),
+         |    substr(q_bucket, 1, 1) || (CASE WHEN substr(q_bucket, 2, 1) = '1' THEN '0' ELSE '1' END) || substr(q_bucket, 3, 2),
+         |    substr(q_bucket, 1, 2) || (CASE WHEN substr(q_bucket, 3, 1) = '1' THEN '0' ELSE '1' END) || substr(q_bucket, 4, 1),
+         |    substr(q_bucket, 1, 3) || (CASE WHEN substr(q_bucket, 4, 1) = '1' THEN '0' ELSE '1' END) || substr(q_bucket, 5, 0)
+         |  ]) AS probe FROM q),
+         |scored AS (SELECT query_id, b.vec_id AS neighbor_id,
+         |    ${duckCos("q_emb", "emb")} AS cos
+         |  FROM b JOIN probes ON b.bucket = probes.probe AND b.vec_id != probes.query_id)
+         |SELECT query_id, neighbor_id, rank, cos FROM (
+         |  SELECT *, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM scored) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    },
     "q_ann_lsh" -> {
       s"""WITH e AS ($duckEmb),
          |b AS (SELECT vec_id, emb, $duckLshBucket AS bucket FROM e),
@@ -2500,6 +2524,19 @@ object SparkEntry {
          |  SELECT *, ROW_NUMBER() OVER (
          |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
          |  FROM lscored) WHERE rank <= 5),
+         |lmprobes AS (SELECT query_id, q_emb, unnest([q_bucket,
+         |    substr(q_bucket, 1, 0) || (CASE WHEN substr(q_bucket, 1, 1) = '1' THEN '0' ELSE '1' END) || substr(q_bucket, 2, 3),
+         |    substr(q_bucket, 1, 1) || (CASE WHEN substr(q_bucket, 2, 1) = '1' THEN '0' ELSE '1' END) || substr(q_bucket, 3, 2),
+         |    substr(q_bucket, 1, 2) || (CASE WHEN substr(q_bucket, 3, 1) = '1' THEN '0' ELSE '1' END) || substr(q_bucket, 4, 1),
+         |    substr(q_bucket, 1, 3) || (CASE WHEN substr(q_bucket, 4, 1) = '1' THEN '0' ELSE '1' END) || substr(q_bucket, 5, 0)
+         |  ]) AS probe FROM lq),
+         |lmpscored AS (SELECT query_id, lb.vec_id AS neighbor_id,
+         |    ${duckCos("q_emb", "emb")} AS cos
+         |  FROM lb JOIN lmprobes ON lb.bucket = lmprobes.probe AND lb.vec_id != lmprobes.query_id),
+         |lmp AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT *, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM lmpscored) WHERE rank <= 5),
          |$duckIvfAssign,
          |iq AS (SELECT e.vec_id AS query_id, e.emb AS q_emb, iasg.cid AS cell
          |  FROM e JOIN iasg ON e.vec_id = iasg.vec_id WHERE e.vec_id < 5),
@@ -2586,6 +2623,7 @@ object SparkEntry {
          |  UNION ALL SELECT 'ivf_kmeans', query_id, neighbor_id FROM kms
          |  UNION ALL SELECT 'ivf_pq_rerank', query_id, neighbor_id FROM xrr
          |  UNION ALL SELECT 'lsh', query_id, neighbor_id FROM lsh
+         |  UNION ALL SELECT 'lsh_mp', query_id, neighbor_id FROM lmp
          |  UNION ALL SELECT 'mrl', query_id, neighbor_id FROM mrl
          |  UNION ALL SELECT 'pq', query_id, neighbor_id FROM pqk
          |  UNION ALL SELECT 'pq_rerank', query_id, neighbor_id FROM prr

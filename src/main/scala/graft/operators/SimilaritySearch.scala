@@ -278,6 +278,7 @@ object SimilaritySearch {
       "ivf_pq" -> Pq.ivfPqTopK(corpus, queries, k, nCentroids),
       "ivf_pq_rerank" -> Pq.ivfPqTopKRerank(corpus, queries, k, 20, nCentroids),
       "lsh" -> lshTopK(corpus, queries, numPlanes, dim, k),
+      "lsh_mp" -> lshMultiProbeTopK(corpus, queries, numPlanes, dim, k),
       "mrl" -> mrlTopK(corpus, queries, k),
       "pq" -> Pq.pqTopK(corpus, queries, k),
       "pq_rerank" -> Pq.pqTopKRerank(corpus, queries, k, 20),
@@ -336,6 +337,59 @@ object SimilaritySearch {
         col("q_emb"), col("embedding"))
       // native codegen'd expression — same index-ascending double arithmetic
       // as the HOF composition and the oracle (see CosineSimilarity)
+      .withColumn("cos", round(
+        call_function("cosine_similarity", col("q_emb"), col("embedding")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Flip bit `p` (1-based) of an n-char sign-bucket string. */
+  private def flipAt(b: Column, p: Int, n: Int): Column =
+    concat(substring(b, 1, p - 1),
+      when(substring(b, p, 1) === "1", lit("0")).otherwise(lit("1")),
+      substring(b, p + 1, n - p))
+
+  /** MULTI-PROBE LSH top-k (Lv et al. 2007): the query probes its own
+    * bucket AND every 1-bit-flip neighbor bucket — a vector whose true
+    * neighbors straddle one hyperplane (the dominant LSH failure mode:
+    * a near-zero margin on a single plane flips the bit) is recovered
+    * without adding hash tables. With `numPlanes` planes the probe set is
+    * `numPlanes + 1` of the `2^numPlanes` buckets, so candidate volume
+    * rises ~(p+1)/2^p-fold while recall jumps (q_ann_recall now measures
+    * both tiers side by side — same corpus, same planes, only the probe
+    * set differs).
+    *
+    * Plan shape: identical to [[lshTopK]] — the query side explodes to
+    * its probe buckets BEFORE the broadcast, so the corpus side still
+    * partitions by its single stored bucket and the join fans each probe
+    * to one bucket's members. Candidate sets stay exact-deterministic
+    * (bit flips are string surgery on the md5-derived bucket), so the
+    * oracle reproduces them including the recall gap.
+    */
+  def lshMultiProbeTopK(
+      corpus: DataFrame, queries: DataFrame,
+      numPlanes: Int = 4, dim: Int = 64, k: Int = 5): DataFrame = {
+    graft.plans.GraftFunctions.register(corpus.sparkSession)
+    val planes = planeSigns(numPlanes, dim)
+    val bucketed = corpus.select(
+      col("vec_id"), col("embedding"),
+      lshBucket(col("embedding"), planes).as("bucket"))
+    val q = queries.select(
+      col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+      lshBucket(col("embedding"), planes).as("q_bucket"))
+    val probeCols = col("q_bucket") +:
+      (1 to numPlanes).map(p => flipAt(col("q_bucket"), p, numPlanes))
+    val probes = q.select(col("query_id"), col("q_emb"),
+      explode(array(probeCols: _*)).as("probe"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    bucketed
+      .join(broadcast(probes),
+        col("bucket") === col("probe") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("q_emb"), col("embedding"))
       .withColumn("cos", round(
         call_function("cosine_similarity", col("q_emb"), col("embedding")), 6))
       .withColumn("rank", row_number().over(w))

@@ -348,4 +348,24 @@ class SimilaritySpec extends SparkSpec {
     assert(plan.contains("MapPartitions"))
     assert(!plan.contains("Join"), s"no join expected in:\n$plan")
   }
+
+  test("multi-probe LSH: superset of single-probe hits, recall never lower") {
+    val emb = Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 5)
+    val single = SimilaritySearch.lshTopK(emb, queries).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val multi = SimilaritySearch.lshMultiProbeTopK(emb, queries).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    // same planes, probe set strictly contains the base bucket: anything
+    // the single probe scored is still a candidate, so any single-probe
+    // top-k member can only be displaced by something scoring HIGHER
+    val truth = SimilaritySearch.bruteForceTopK(emb, queries, k = 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    assert((multi & truth).size >= (single & truth).size,
+      s"multi-probe recall ${(multi & truth).size} < single ${(single & truth).size}")
+    // candidate widening is real on this corpus: the audit shows strictly
+    // more true neighbors recovered
+    assert((multi & truth).size > (single & truth).size,
+      "fixture should demonstrate the straddled-hyperplane recovery")
+  }
 }
