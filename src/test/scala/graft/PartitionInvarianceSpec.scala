@@ -38,7 +38,9 @@ class PartitionInvarianceSpec extends SparkSpec {
     // this round's wave: rank fusions and top-k draws (tie-breaking),
     // max_by/min_by reductions (arrival order), artifact cascades
     "q_bm25", "q_hybrid_search", "q_cdc_merge", "q_cdc_audit",
-    "q_forget_cascade", "q_preference_pairs", "q_weighted_sample")
+    "q_forget_cascade", "q_preference_pairs", "q_weighted_sample",
+    "q_bm25_incr", "q_contrastive_pairs", "q_dedup_normalized",
+    "q_emb_integrity", "q_cdc_compact", "q_ann_lsh_mp")
 
   test("query results are invariant to shuffle-partition count and scan splits") {
     val missing = targets.filterNot(SparkEntry.queries.contains)
