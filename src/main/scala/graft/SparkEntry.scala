@@ -389,6 +389,10 @@ object SparkEntry {
       operators.Governance.snapshotDiff(oldSnap, newSnap)
     }),
     "q_train_split" -> ((s, d) => operators.Governance.trainValTestSplit(Tables.documents(s, d))),
+    // leakage-safe split: the seeded draw keyed by NEAR-DUP CLUSTER, so a
+    // doc and its paraphrases can never straddle train/test
+    "q_split_leakage_safe" -> ((s, d) =>
+      operators.Governance.leakageSafeSplit(Tables.documents(s, d))),
     // right-to-be-forgotten cascade: the deletion work list across every
     // derived artifact (docs, exact copies, chunks, packed sequences) for
     // a tombstone list — fixture tombstones = the %41 doc_ids
@@ -400,6 +404,19 @@ object SparkEntry {
     // per-source report card: volume, language spread, exact-dup mass —
     // the per-release provenance summary
     "q_source_report" -> ((s, d) => operators.Governance.sourceReportCard(Tables.documents(s, d))),
+    // embedding drift audit between two snapshots (re-embed QA): %13 vecs
+    // re-land sign-flipped (cos -1), %19 reversed — per-label stable /
+    // drifted / flipped counts + min/mean cosine
+    "q_emb_drift" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{reverse, transform}
+      val emb = Tables.embeddings(s, d)
+      val refreshed = emb.select(col("vec_id"),
+        when(col("vec_id") % 13 === 0,
+          transform(col("embedding"), x => -x))
+          .when(col("vec_id") % 19 === 0, reverse(col("embedding")))
+          .otherwise(col("embedding")).as("embedding"))
+      operators.Governance.embeddingDrift(emb, refreshed)
+    }),
     // embedding-store integrity audit over a planted-defect harness:
     // %97 vecs zeroed, %101 truncated to 3 dims, %89 get a NaN component,
     // %53 re-land under orphan ids (+50000), %41 docs re-land with no
@@ -2656,6 +2673,28 @@ object SparkEntry {
          |  SELECT e.i, w.lbl FROM edges e JOIN walk w ON w.id = e.j)
          |SELECT id AS doc_id, MIN(lbl) AS cluster_id
          |FROM walk GROUP BY id ORDER BY doc_id""".stripMargin,
+    "q_split_leakage_safe" ->
+      s"""WITH RECURSIVE shs AS ($duckShingles),
+         |scored AS (SELECT a.doc_id AS i, b.doc_id AS j,
+         |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |        CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE), 6) AS jac
+         |  FROM shs a JOIN shs b ON a.lang = b.lang AND a.doc_id < b.doc_id),
+         |edges AS (SELECT i, j FROM scored WHERE jac >= 0.6
+         |  UNION ALL SELECT j AS i, i AS j FROM scored WHERE jac >= 0.6),
+         |walk(id, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.i, w.lbl FROM edges e JOIN walk w ON w.id = e.j),
+         |labels AS (SELECT id AS doc_id, MIN(lbl) AS cluster_id
+         |  FROM walk GROUP BY id),
+         |bk AS (SELECT doc_id, cluster_id,
+         |    ('0x' || substr(md5('v1:' || CAST(cluster_id AS VARCHAR)), 1, 15))::BIGINT % 100
+         |      AS bucket
+         |  FROM labels)
+         |SELECT doc_id, cluster_id, bucket,
+         |  CASE WHEN bucket < 80 THEN 'train'
+         |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+         |FROM bk ORDER BY doc_id""".stripMargin,
     // transitive decontamination: the direct 4-gram report's ids plus the
     // train-slice CC closure — a cluster with >= 1 direct hit flags every
     // member, tagged by vector
@@ -2817,6 +2856,25 @@ object SparkEntry {
         |  FROM documents)
         |WHERE bucket < CASE WHEN lang = 'en' THEN 50 ELSE 20 END
         |ORDER BY doc_id""".stripMargin,
+    "q_emb_drift" ->
+      s"""WITH e AS ($duckEmb),
+         |lbl AS (SELECT vec_id, label FROM embeddings),
+         |n AS (SELECT vec_id,
+         |    CASE WHEN vec_id % 13 = 0 THEN list_transform(emb, x -> -x)
+         |         WHEN vec_id % 19 = 0 THEN list_reverse(emb)
+         |         ELSE emb END AS emb
+         |  FROM e),
+         |j AS (SELECT e.vec_id, lbl.label,
+         |    ${duckCos("e.emb", "n.emb")} AS cos
+         |  FROM e JOIN n ON e.vec_id = n.vec_id
+         |  JOIN lbl ON e.vec_id = lbl.vec_id)
+         |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+         |  CAST(SUM(CASE WHEN cos >= 0.99 THEN 1 ELSE 0 END) AS BIGINT) AS n_stable,
+         |  CAST(SUM(CASE WHEN cos < 0.99 AND cos >= 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_drifted,
+         |  CAST(SUM(CASE WHEN cos < 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flipped,
+         |  MIN(cos) AS min_cos,
+         |  CAST(SUM(CAST(cos AS DECIMAL(18,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_cos
+         |FROM j GROUP BY label ORDER BY label""".stripMargin,
     "q_emb_integrity" ->
       """WITH e0 AS (SELECT vec_id, embedding FROM embeddings),
         |e AS (

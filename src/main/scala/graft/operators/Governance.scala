@@ -115,6 +115,40 @@ object Governance {
       .orderBy(col("status"))
   }
 
+  /** Embedding drift audit between two snapshots of the same ids — the
+    * re-embed QA gate: when an encoder is refreshed (new checkpoint, new
+    * quantization, new preprocessing), per-id cosine(old, new) says
+    * whether the space MOVED. Per label: stable (cos ≥ tau) / drifted /
+    * flipped (cos < 0) counts plus the min and DECIMAL-exact mean cosine
+    * — a label whose vectors flipped wholesale is the classic
+    * sign-convention or normalization regression, and every stored
+    * artifact fit on the old space (IVF centroids, PQ codebooks, kNN
+    * graph — the SCALE.md centroid-staleness contract) must refit before
+    * serving resumes.
+    *
+    * Plan shape: one co-keyed join of two narrow (id, vector) frames, the
+    * fused cosine kernel per pair, a tiny per-label aggregation.
+    */
+  def embeddingDrift(
+      oldSnap: DataFrame, newSnap: DataFrame, tau: Double = 0.99): DataFrame = {
+    graft.plans.GraftFunctions.register(oldSnap.sparkSession)
+    oldSnap.select(col("vec_id"), col("label"), col("embedding").as("a"))
+      .join(newSnap.select(col("vec_id"), col("embedding").as("b")), Seq("vec_id"))
+      .withColumn("cos", round(
+        call_function("cosine_similarity", col("a"), col("b")), 6))
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        sum(when(col("cos") >= tau, 1L).otherwise(0L)).as("n_stable"),
+        sum(when(col("cos") < tau && col("cos") >= 0.0, 1L).otherwise(0L))
+          .as("n_drifted"),
+        sum(when(col("cos") < 0.0, 1L).otherwise(0L)).as("n_flipped"),
+        min(col("cos")).as("min_cos"),
+        (sum(col("cos").cast("decimal(18,6)")).cast("double") /
+          count(lit(1)).cast("double")).as("mean_cos"))
+      .orderBy(col("label"))
+  }
+
   /** Right-to-be-forgotten cascade — given a tombstone list of doc_ids,
     * enumerate EVERY derived artifact a deletion request must reach before
     * the lake can attest the data is gone: the documents themselves, their
@@ -169,6 +203,36 @@ object Governance {
     docRows.unionAll(chunkRows).unionAll(seqRows)
       .orderBy(col("artifact"), col("artifact_key"), col("doc_id"))
   }
+
+  /** LEAKAGE-SAFE train/val/test split — [[trainValTestSplit]]'s seeded
+    * md5 draw keyed by the document's NEAR-DUP CLUSTER instead of its own
+    * id, so a doc and its paraphrases/mirrors always land in the SAME
+    * split. Splitting by doc_id alone has a quiet eval bug: a near-dup
+    * pair straddling train/test leaks the test set through the training
+    * copy (the same indirect channel [[Dedup.transitiveContamination]]
+    * closes for benchmarks, applied to the corpus's own eval slice).
+    * Membership depends only on (seed, cluster_id) — and cluster identity
+    * is content-derived — so re-curations keep surviving clusters in
+    * place exactly like the per-doc split.
+    *
+    * Cost: the near-dup clustering artifact the pipeline already builds
+    * ([[Dedup.nearDupClusters]] — banded pair generation + CC), plus one
+    * narrow projection. When the cluster table is stored per release,
+    * the split is projection-only, the same price as the naive one.
+    */
+  def leakageSafeSplit(
+      docs: DataFrame, seed: String = "v1",
+      trainPct: Int = 80, valPct: Int = 10): DataFrame =
+    Dedup.nearDupClusters(docs)
+      .withColumn("bucket",
+        conv(substring(md5(concat(lit(seed), lit(":"),
+          col("cluster_id").cast("string"))), 1, 15), 16, 10).cast("long") % 100)
+      .withColumn("split",
+        when(col("bucket") < trainPct, lit("train"))
+          .when(col("bucket") < trainPct + valPct, lit("val"))
+          .otherwise(lit("test")))
+      .select(col("doc_id"), col("cluster_id"), col("bucket"), col("split"))
+      .orderBy(col("doc_id"))
 
   /** Versioned deterministic train/val/test split: each document's bucket
     * is md5(seed ":" doc_id) reduced mod 100 — the replayable uniform draw

@@ -144,4 +144,48 @@ class GovernanceSpec extends SparkSpec {
       .map(r => r.getAs[String]("status")).toSeq
     assert(got2 == Seq("bad_dim"))
   }
+
+  test("leakageSafeSplit: near-dup cluster-mates can never straddle splits") {
+    // 60-token docs: 1 and 2 near-dup (one word differs), others unrelated
+    val base = (0 until 60).map(i => s"w$i").mkString(" ")
+    val variant = base.replace("w30", "w30x")
+    val docs = Seq(
+      (1L, base, "en"), (2L, variant, "en"),
+      (3L, (0 until 60).map(i => s"x$i").mkString(" "), "en"),
+      (4L, (0 until 60).map(i => s"y$i").mkString(" "), "en"))
+      .toDF("doc_id", "text", "lang")
+    val got = Governance.leakageSafeSplit(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("cluster_id"), r.getAs[String]("split")))).toMap
+    // the pair shares a cluster AND a split, keyed by the cluster min-id
+    assert(got(1L)._1 == 1L && got(2L)._1 == 1L)
+    assert(got(1L)._2 == got(2L)._2,
+      s"cluster-mates split apart: ${got(1L)} vs ${got(2L)}")
+    // singletons are their own cluster
+    assert(got(3L)._1 == 3L && got(4L)._1 == 4L)
+    // the property that matters at corpus scale: EVERY cluster maps to
+    // exactly one split on the real fixture
+    val real = Governance.leakageSafeSplit(Tables.documents(spark, sf)).collect()
+    val perCluster = real.groupBy(_.getAs[Long]("cluster_id"))
+      .view.mapValues(_.map(_.getAs[String]("split")).distinct.length)
+    assert(perCluster.values.forall(_ == 1), "a cluster straddles splits")
+  }
+
+  test("embeddingDrift: planted geometry lands in the right class") {
+    val a = Array(1f, 0f, 0f)
+    val old = Seq((1L, 0, a), (2L, 0, a), (3L, 1, a))
+      .toDF("vec_id", "label", "embedding")
+    val neu = Seq(
+      (1L, a),                        // identical -> stable
+      (2L, Array(-1f, 0f, 0f)),       // negated -> flipped
+      (3L, Array(0f, 1f, 0f)))        // orthogonal -> drifted
+      .toDF("vec_id", "embedding")
+    val got = graft.operators.Governance.embeddingDrift(old, neu).collect()
+      .map(r => r.getAs[Int]("label") -> r).toMap
+    assert(got(0).getAs[Long]("n_stable") == 1L)
+    assert(got(0).getAs[Long]("n_flipped") == 1L)
+    assert(got(0).getAs[Double]("min_cos") == -1.0)
+    assert(got(1).getAs[Long]("n_drifted") == 1L)
+    assert(got(1).getAs[Double]("mean_cos") == 0.0)
+  }
 }
