@@ -91,6 +91,11 @@ object SparkEntry {
       operators.Subword.fertilityByLang(docs, operators.Subword.fitMerges(docs))
     }),
     "q_chunk_docs" -> ((s, d) => operators.Curation.chunkDocuments(Tables.documents(s, d))),
+    // chunk-grain duplicate mass: per doc, the fraction of its dataloader
+    // chunks that occur verbatim in another doc — the redundancy byte
+    // dedup misses at the grain that reaches training
+    "q_chunk_dedup" -> ((s, d) =>
+      operators.Curation.chunkDupMass(Tables.documents(s, d))),
     // Z-order (Morton) clustering key over two lake columns — the
     // multi-dimensional zone-map layout; the key is a pure deterministic
     // function of the row plus one broadcast (min,max) row per column
@@ -2017,6 +2022,25 @@ object SparkEntry {
         |  array_to_string(toks[chunk_idx*48+1 : chunk_idx*48+64], ' ') AS chunk_text,
         |  least(64, n - chunk_idx*48) AS n_chunk_tokens
         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q_chunk_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS toks,
+        |    CAST(len(string_split(text,' ')) AS BIGINT) AS n FROM documents),
+        |c AS (SELECT doc_id, toks, n, unnest(range(0,
+        |    CASE WHEN n <= 64 THEN 1 ELSE 1 + (n - 64 + 47) // 48 END)) AS chunk_idx
+        |  FROM t),
+        |ch AS (SELECT doc_id,
+        |    md5(array_to_string(toks[chunk_idx*48+1 : chunk_idx*48+64], ' ')) AS digest
+        |  FROM c),
+        |df AS (SELECT digest, COUNT(DISTINCT doc_id) AS n_docs_sharing
+        |  FROM ch GROUP BY digest),
+        |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+        |    CAST(SUM(CASE WHEN n_docs_sharing >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_dup_chunks
+        |  FROM ch JOIN df USING (digest) GROUP BY doc_id)
+        |SELECT doc_id, n_chunks, n_dup_chunks,
+        |  round(CAST(n_dup_chunks AS DOUBLE) / CAST(n_chunks AS DOUBLE), 6)
+        |    AS dup_fraction
+        |FROM agg WHERE n_dup_chunks >= 1 ORDER BY doc_id""".stripMargin,
     // same 8-token non-overlapping windows as tokenWindowSegments(8); a
     // segment is boilerplate when it occurs in >= 2 distinct docs
     "q_boilerplate" ->

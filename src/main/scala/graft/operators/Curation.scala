@@ -510,6 +510,37 @@ object Curation {
         .select(col("doc_id")),
       Seq("doc_id"), "left_semi")
 
+  /** Chunk-grain duplicate mass — per document, how many of its chunks
+    * ([[chunkDocuments]]'s dataloader windows) also occur verbatim in
+    * ANOTHER document. Byte-exact dedup sees none of this (the docs
+    * differ), substring-window dedup ([[Dedup.substringDupPairs]]) finds
+    * the pairs at higher cost; this is the cheap corpus-wide audit at the
+    * grain that actually reaches training: a doc whose chunks are 80%
+    * shared is mostly redundant to the model even if no whole-doc rule
+    * fires. Only docs with at least one shared chunk report.
+    *
+    * Plan shape: the chunk projection, a digest-grain distinct-doc count
+    * (bounded two-level aggregate — never a per-digest member list, the
+    * [[segmentDfIndex]] trade), a co-keyed join back, then the per-doc
+    * aggregation. Digests, never chunk text, cross the shuffles.
+    */
+  def chunkDupMass(docs: DataFrame): DataFrame = {
+    val chunks = chunkDocuments(docs)
+      .select(col("doc_id"), md5(col("chunk_text")).as("digest"))
+    val df = chunks.groupBy(col("digest"))
+      .agg(countDistinct(col("doc_id")).as("n_docs_sharing"))
+    chunks.join(df, "digest")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("n_docs_sharing") >= 2, 1L).otherwise(0L))
+          .as("n_dup_chunks"))
+      .filter(col("n_dup_chunks") >= 1)
+      .withColumn("dup_fraction", round(
+        col("n_dup_chunks").cast("double") / col("n_chunks").cast("double"), 6))
+      .orderBy(col("doc_id"))
+  }
+
   /** Contrastive-pair mining for embedding training — the (anchor,
     * positive) / (anchor, negative) set a contrastive or triplet loss
     * consumes, bootstrapped from the corpus itself: positives are the

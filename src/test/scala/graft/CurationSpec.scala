@@ -378,4 +378,26 @@ class CurationSpec extends SparkSpec {
     assert(got.filter(_.getAs[String]("label") == "neg")
       .forall(_.getAs[Double]("weight") == 0.0))
   }
+
+  test("chunkDupMass: partial chunk overlap reported, within-doc repeats ignored") {
+    // 112-token docs -> chunks [0:64] and [48:112]; A and B share the
+    // FIRST 64 tokens exactly (chunk 0 identical), differ afterwards; C is
+    // fully unique; D is a byte-exact copy of C (all chunks shared)
+    val head = (0 until 64).map(i => s"h$i").mkString(" ")
+    val a = head + " " + (0 until 48).map(i => s"a$i").mkString(" ")
+    val b = head + " " + (0 until 48).map(i => s"b$i").mkString(" ")
+    val c = (0 until 112).map(i => s"c$i").mkString(" ")
+    val d = Seq((1L, a), (2L, b), (3L, c), (4L, c))
+      .toDF("doc_id", "text")
+    val got = Curation.chunkDupMass(d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_chunks"), r.getAs[Long]("n_dup_chunks"),
+          r.getAs[Double]("dup_fraction")))).toMap
+    // A and B: 2 chunks each, exactly one (the shared head) duplicated
+    assert(got(1L) == ((2L, 1L, 0.5)))
+    assert(got(2L) == ((2L, 1L, 0.5)))
+    // C and D: every chunk shared with the byte copy
+    assert(got(3L) == ((2L, 2L, 1.0)))
+    assert(got(4L) == ((2L, 2L, 1.0)))
+  }
 }
