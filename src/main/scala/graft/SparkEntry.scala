@@ -152,6 +152,13 @@ object SparkEntry {
     "q_asof_join" -> ((s, d) => Relational.asOfJoinLatestError(Tables.events(s, d))),
     "q_asof_join_sorted" -> ((s, d) => Relational.asOfJoinLatestErrorSorted(Tables.events(s, d))),
     "q_range_join" -> ((s, d) => Relational.eventPairsWithinWindow(Tables.events(s, d))),
+    // interval×interval overlap via time-bucket blocking — the oracle runs
+    // the plain theta join, so a hash match proves the blocking lossless
+    "q_interval_join" -> ((s, d) => Relational.activityOverlapPairs(Tables.events(s, d))),
+    // ordered conversion funnel view -> click -> purchase with strict
+    // first-occurrence temporal order; users counted at their max depth
+    "q_funnel" -> ((s, d) => Relational.funnel(
+      Tables.events(s, d), Seq("view", "click", "purchase"))),
     "q_cube" -> ((s, d) => Relational.orderCube(Tables.orders(s, d))),
     "q_string_fns" -> ((s, d) => Relational.partNameFormats(Tables.part(s, d))),
     "q_date_parts" -> ((s, d) => Relational.orderDateParts(Tables.orders(s, d))),
@@ -2845,6 +2852,34 @@ object SparkEntry {
          |  FROM lex l FULL OUTER JOIN dense d ON l.id = d.id)
          |SELECT id, lex_rank, dense_rank, rrf FROM fused
          |ORDER BY rrf DESC, id LIMIT 25""".stripMargin,
+    "q_interval_join" ->
+      """WITH iv AS (SELECT user_id, event_type,
+        |    CAST(floor(epoch(MIN(ts))) AS BIGINT) AS start_s,
+        |    CAST(floor(epoch(MAX(ts))) AS BIGINT) AS end_s
+        |  FROM events GROUP BY user_id, event_type)
+        |SELECT a.user_id, a.event_type AS type_a, b.event_type AS type_b,
+        |  least(a.end_s, b.end_s) - greatest(a.start_s, b.start_s) AS overlap_s
+        |FROM iv a JOIN iv b ON a.user_id = b.user_id
+        |  AND a.event_type < b.event_type
+        |  AND a.start_s <= b.end_s AND b.start_s <= a.end_s
+        |ORDER BY a.user_id, type_a, type_b""".stripMargin,
+    "q_funnel" ->
+      """WITH f AS (SELECT user_id,
+        |    MIN(CASE WHEN event_type = 'view'
+        |      THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS s1,
+        |    MIN(CASE WHEN event_type = 'click'
+        |      THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS s2,
+        |    MIN(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS s3
+        |  FROM events WHERE event_type IN ('view', 'click', 'purchase')
+        |  GROUP BY user_id),
+        |d AS (SELECT user_id, CASE
+        |    WHEN s1 IS NULL THEN 0
+        |    WHEN s2 IS NULL OR s2 < s1 THEN 1
+        |    WHEN s3 IS NULL OR s3 < s2 THEN 2
+        |    ELSE 3 END AS depth FROM f)
+        |SELECT depth, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM d GROUP BY depth ORDER BY depth""".stripMargin,
     "q_sessionize" ->
       """WITH x AS (SELECT user_id, event_id, ts, value,
         |    LAG(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts

@@ -982,4 +982,75 @@ object Relational {
       .agg(countDistinct(col("user_id")).as("distinct_users"),
         count(lit(1)).as("n"))
       .orderBy(col("event_type"))
+
+  /** INTERVAL-overlap self-join via time-bucket blocking — the interval ×
+    * interval generalization of [[eventPairsWithinWindow]]'s point-in-
+    * range shape. Naively, overlap is a theta join (`a.start <= b.end AND
+    * b.start <= a.end`) — a cartesian product at scale. The scalable form
+    * explodes each interval to the fixed-width time buckets it covers and
+    * equi-joins on (key, bucket): two overlapping intervals ALWAYS share
+    * the bucket containing their overlap start, so recall is exact; the
+    * distinct() collapses multi-bucket double-hits; the residual predicate
+    * verifies. Work is Σ per-bucket² per key — bounded by the bucket
+    * width, never by the row count (the banded-LSH argument applied to
+    * time). Per-bucket row counts are the skew signal; shrink `bucketSec`
+    * to split hot buckets.
+    *
+    * Fixture grain: each (user, event_type) activity window [min ts,
+    * max ts]; pairs = overlapping type windows within a user, with the
+    * overlap length — bounded output, full oracle (the DuckDB side runs
+    * the plain theta join, so a hash match proves the blocking lossless).
+    */
+  def activityOverlapPairs(
+      events: DataFrame, bucketSec: Long = 21600): DataFrame = {
+    val iv = events
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(
+        min(col("ts").cast("long")).as("start_s"),
+        max(col("ts").cast("long")).as("end_s"))
+    def blocks(side: DataFrame, tag: String) = side.select(
+      col("user_id"), col("event_type").as(s"type_$tag"),
+      col("start_s").as(s"start_$tag"), col("end_s").as(s"end_$tag"),
+      explode(sequence(
+        expr(s"start_s DIV ${bucketSec}L"),
+        expr(s"end_s DIV ${bucketSec}L"))).as("bucket"))
+    blocks(iv, "a")
+      .join(blocks(iv, "b"), Seq("user_id", "bucket"))
+      .filter(col("type_a") < col("type_b"))
+      .filter(col("start_a") <= col("end_b") && col("start_b") <= col("end_a"))
+      .select(col("user_id"), col("type_a"), col("type_b"),
+        (least(col("end_a"), col("end_b")) -
+          greatest(col("start_a"), col("start_b"))).as("overlap_s"))
+      .distinct()
+      .orderBy(col("user_id"), col("type_a"), col("type_b"))
+  }
+
+  /** Ordered-funnel analysis — of the users who did step 1, how many went
+    * on to step 2 AFTER it, then step 3 after that (strict temporal
+    * order, first-occurrence semantics: the canonical conversion-funnel
+    * query). One aggregation computes each user's first ts per step
+    * (constant state per user — min_by, never the event history), a
+    * narrow projection scores how deep the ordered chain goes, and a tiny
+    * rollup counts users per depth. Engine-exact: timestamps compare as
+    * epoch seconds, ties on equal seconds count as progression (<=).
+    */
+  def funnel(events: DataFrame, steps: Seq[String]): DataFrame = {
+    require(steps.size >= 2, "a funnel needs at least two steps")
+    val firsts = events
+      .filter(col("event_type").isin(steps: _*))
+      .groupBy(col("user_id"))
+      .pivot("event_type", steps)
+      .agg(min(col("ts").cast("long")))
+    val depth = steps.zipWithIndex.drop(1).foldLeft(
+      when(col(steps.head).isNotNull, lit(1)).otherwise(lit(0))) {
+      case (acc, (s, i)) =>
+        when(acc === i && col(s).isNotNull &&
+          col(s) >= col(steps(i - 1)), lit(i + 1)).otherwise(acc)
+    }
+    firsts
+      .select(col("user_id"), depth.as("depth"))
+      .groupBy(col("depth"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("depth"))
+  }
 }

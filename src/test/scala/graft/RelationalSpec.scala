@@ -196,4 +196,48 @@ class RelationalSpec extends SparkSpec {
         "shortest-repr JSON round-trip of a double must be exact")
     }
   }
+
+  test("funnel: strict temporal order, first-occurrence semantics") {
+    import java.sql.Timestamp
+    def t(s: Long) = new Timestamp(s * 1000L)
+    val events = Seq(
+      // user 1: full ordered funnel
+      (1L, t(10), 1L, "view", 0.0, "{}"),
+      (2L, t(20), 1L, "click", 0.0, "{}"),
+      (3L, t(30), 1L, "purchase", 0.0, "{}"),
+      // user 2: purchase BEFORE click -> depth 1 only... view at 10,
+      // purchase 15, click 20: click>=view -> depth 2; purchase(15) < click -> stops
+      (4L, t(10), 2L, "view", 0.0, "{}"),
+      (5L, t(15), 2L, "purchase", 0.0, "{}"),
+      (6L, t(20), 2L, "click", 0.0, "{}"),
+      // user 3: never viewed -> depth 0 even though it clicked
+      (7L, t(10), 3L, "click", 0.0, "{}"),
+      // user 4: view only
+      (8L, t(10), 4L, "view", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = Relational.funnel(events, Seq("view", "click", "purchase"))
+      .collect().map(r => r.getAs[Int]("depth") -> r.getAs[Long]("n_users")).toMap
+    assert(got == Map(0 -> 1L, 1 -> 1L, 2 -> 1L, 3 -> 1L), s"got $got")
+  }
+
+  test("interval blocking is lossless across bucket boundaries") {
+    import java.sql.Timestamp
+    def t(s: Long) = new Timestamp(s * 1000L)
+    val B = 100L // tiny buckets so the fixture spans several
+    val events = Seq(
+      // type a: [50, 250] spans buckets 0..2; type b: [240, 260] only
+      // overlaps in bucket 2; type c: [300, 400] touches neither... wait
+      // c starts at 300 > a's end 250 -> no overlap with a; b [240,260]
+      // overlaps c? 300 > 260 -> no
+      (1L, t(50), 1L, "a", 0.0, "{}"), (2L, t(250), 1L, "a", 0.0, "{}"),
+      (3L, t(240), 1L, "b", 0.0, "{}"), (4L, t(260), 1L, "b", 0.0, "{}"),
+      (5L, t(300), 1L, "c", 0.0, "{}"), (6L, t(400), 1L, "c", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = Relational.activityOverlapPairs(events, bucketSec = B).collect()
+      .map(r => (r.getAs[String]("type_a"), r.getAs[String]("type_b"),
+        r.getAs[Long]("overlap_s"))).toSet
+    // exactly the one true overlap, counted ONCE despite the multi-bucket
+    // span, with the exact length 250-240
+    assert(got == Set(("a", "b", 10L)), s"got $got")
+  }
 }
