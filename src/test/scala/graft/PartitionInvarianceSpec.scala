@@ -41,7 +41,8 @@ class PartitionInvarianceSpec extends SparkSpec {
     "q_forget_cascade", "q_preference_pairs", "q_weighted_sample",
     "q_bm25_incr", "q_contrastive_pairs", "q_dedup_normalized",
     "q_emb_integrity", "q_cdc_compact", "q_ann_lsh_mp",
-    "q_split_leakage_safe", "q_emb_drift", "q_chunk_dedup")
+    "q_split_leakage_safe", "q_emb_drift", "q_chunk_dedup",
+    "q_interval_join", "q_funnel")
 
   test("query results are invariant to shuffle-partition count and scan splits") {
     val missing = targets.filterNot(SparkEntry.queries.contains)
