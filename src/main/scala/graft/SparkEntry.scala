@@ -3090,7 +3090,9 @@ object SparkEntry {
         |ch AS (SELECT a.doc_id, a.reason, unnest(range(0,
         |    CASE WHEN n <= 64 THEN 1 ELSE 1 + (n - 64 + 47) // 48 END)) AS chunk_idx
         |  FROM aff a JOIN tk USING (doc_id)),
-        |pk AS (SELECT source, doc_id, (cum - n_tokens) // 2048 AS seq_id FROM (
+        |pk AS (SELECT source, doc_id,
+        |    unnest(range((cum - n_tokens) // 2048, (cum - 1) // 2048 + 1)) AS seq_id
+        |  FROM (
         |  SELECT source, doc_id, n_tokens,
         |    CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
@@ -3403,7 +3405,7 @@ object SparkEntry {
         |  SELECT doc_id + 40000, text || ' !!' FROM documents WHERE doc_id % 10 = 0),
         |n AS (SELECT doc_id, md5(text) AS raw_hash,
         |    md5(trim(regexp_replace(regexp_replace(lower(text),
-        |      '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_hash
+        |      '[^\p{L}\p{N} ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_hash
         |  FROM corpus)
         |SELECT norm_hash, CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  CAST(COUNT(DISTINCT raw_hash) AS BIGINT) AS n_byte_variants,

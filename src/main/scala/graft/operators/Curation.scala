@@ -480,8 +480,10 @@ object Curation {
   def domainFilter(
       docs: DataFrame, blocklist: DataFrame, cap: Int = 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // distinct: a blocklist with a repeated domain must not multiply the
+    // blocked audit rows (IN-list semantics, matching the oracle)
     val tagged = Par.spread(docs).select(col("doc_id"), col("source"))
-      .join(broadcast(blocklist.select(col("domain"))),
+      .join(broadcast(blocklist.select(col("domain")).distinct()),
         col("source") === col("domain"), "left_outer")
       .withColumn("blocked", col("domain").isNotNull)
       .drop("domain")

@@ -28,15 +28,19 @@ object Dedup {
       .orderBy(col("text_hash"))
 
   /** Canonical text normalization for dedup identity: lowercase, replace
-    * every non-[a-z0-9 ] char with a space, collapse runs, trim. The
-    * C4/CCNet canonicalization step — byte-exact dedup misses the same
-    * article re-crawled with different casing or trailing punctuation,
-    * and near-dup (MinHash) catches it only at shingle granularity with
-    * band luck. Pure codegen'd column math; both engines run the same
-    * regex class so the identity is oracle-exact.
+    * every non-letter/digit/space char with a space (UNICODE classes —
+    * an ASCII-only [a-z0-9] would erase every accented or non-Latin
+    * letter and collapse unrelated foreign-language docs into one
+    * "duplicate" group), collapse runs, trim. The C4/CCNet
+    * canonicalization step — byte-exact dedup misses the same article
+    * re-crawled with different casing or trailing punctuation, and
+    * near-dup (MinHash) catches it only at shingle granularity with band
+    * luck. Pure codegen'd column math; Java regex and RE2 agree on
+    * \p{L}/\p{N}, so the identity is oracle-exact.
     */
   def normalizeText(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^\\p{L}\\p{N} ]", " "), " +", " "))
 
   /** Exact-duplicate groups under NORMALIZED identity — the
     * [[exactDuplicateGroups]] rule on md5(normalize(text)), reporting per

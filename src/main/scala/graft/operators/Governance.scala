@@ -193,8 +193,17 @@ object Governance {
         concat(col("doc_id").cast("string"), lit(":"),
           col("chunk_idx").cast("string")).as("artifact_key"),
         col("doc_id"), col("reason"))
+    // EVERY sequence the doc's tokens touch, not just the one it starts
+    // in: a doc straddling a budget boundary spills into the next
+    // sequence(s) — [start DIV budget .. (cum_tokens-1) DIV budget].
+    // Missing the continuation is the compliance bug where a deletion is
+    // attested while the doc's tail tokens survive in the next file.
     val seqRows = Curation.packSequences(docs)
       .join(broadcast(affected), Seq("doc_id"))
+      .select(col("source"), col("doc_id"),
+        explode(sequence(
+          expr("(cum_tokens - n_tokens) DIV 2048"),
+          expr("(cum_tokens - 1) DIV 2048"))).as("seq_id"))
       .select(
         lit("packed_seq").as("artifact"),
         concat(col("source"), lit(":"),

@@ -521,14 +521,6 @@ object SimilaritySearch {
       quantizerSource: Option[DataFrame] = None): DataFrame = {
     val spark = corpus.sparkSession
     graft.plans.GraftFunctions.register(spark)
-    val dup = batch.select(col("vec_id"))
-      .join(corpus.select(col("vec_id")), Seq("vec_id"), "left_semi")
-      .limit(5).collect().map(_.getLong(0))
-    require(dup.isEmpty,
-      s"knnGraphIncrement: batch vec_ids already in the stored corpus " +
-        s"(e.g. ${dup.mkString(", ")}) — updates/re-embeds break the " +
-        "merge==rebuild invariant; rebuild the graph or fold through " +
-        "GraphMaintainer instead")
     // chained folds must pin the quantizer to the REFRESH-TIME corpus —
     // letting the draw drift with each accumulated batch would re-route
     // old vertices and break the merge==rebuild argument mid-epoch
@@ -536,10 +528,24 @@ object SimilaritySearch {
       ivfCentroids(quantizerSource.getOrElse(corpus), nCentroids))
     val batchCells = cellAssign(batch, centroids).localCheckpoint()
     val touchedCells = batchCells.select(col("cell")).distinct()
+    // ONE corpus assignment pass serves both the append-only guard and
+    // the touched-cell slice (previously the guard ran its own full
+    // corpus scan on top of this one — the per-fold corpus cost doubled
+    // for nothing; materializing the assignment once is the knnGraph
+    // builder's own trade)
+    val corpusCells = cellAssign(corpus, centroids).localCheckpoint()
+    val dup = batchCells.select(col("vec_id"))
+      .join(corpusCells.select(col("vec_id")), Seq("vec_id"), "left_semi")
+      .limit(5).collect().map(_.getLong(0))
+    require(dup.isEmpty,
+      s"knnGraphIncrement: batch vec_ids already in the stored corpus " +
+        s"(e.g. ${dup.mkString(", ")}) — updates/re-embeds break the " +
+        "merge==rebuild invariant; rebuild the graph or fold through " +
+        "GraphMaintainer instead")
     // only members of touched cells can gain/lose an edge
-    val oldTouched = cellAssign(corpus, centroids)
+    val oldTouched = corpusCells
       .join(broadcast(touchedCells), Seq("cell"), "left_semi")
-      .select(col("vec_id"), col("embedding"), col("cell")).localCheckpoint()
+      .select(col("vec_id"), col("embedding"), col("cell"))
     val fresh = cellEdges(oldTouched.union(batchCells), broadcast(batchCells))
       .union(cellEdges(broadcast(batchCells), oldTouched))
     val touchedIds = oldTouched.select(col("vec_id"))

@@ -294,7 +294,11 @@ object TextAnalysis {
 
   /** The corpus-level statistics BM25 serving needs, as a persistable
     * artifact: one row per term (token, df) plus the sentinel row
-    * (token = "", df = n_docs, dl_sum) carrying the corpus totals — a
+    * (token = " ", df = n_docs, dl_sum) carrying the corpus totals — a
+    * SINGLE SPACE sentinel because it is the one string split-on-space
+    * can never emit as a token (the empty string CAN: consecutive or
+    * leading/trailing spaces produce "" tokens, which must stay ordinary
+    * df rows, not collide with the totals). A
     * single narrow frame a retrieval tier lands per refresh instead of
     * re-aggregating 100 TB per query. df counts DOCUMENTS containing the
     * term (not occurrences), dl_sum accumulates whitespace token counts.
@@ -307,7 +311,7 @@ object TextAnalysis {
       .withColumn("dl_sum", lit(null).cast("long"))
     val totals = spread
       .agg(count(lit(1)).as("df"), sum(size(tokens(col("text"))).cast("long")).as("dl_sum"))
-      .select(lit("").as("token"), col("df"), col("dl_sum"))
+      .select(lit(" ").as("token"), col("df"), col("dl_sum"))
     df.unionByName(totals).orderBy(col("token"))
   }
 
@@ -328,7 +332,7 @@ object TextAnalysis {
       .select(
         col("token"),
         (coalesce(col("df_a"), lit(0L)) + coalesce(col("df_b"), lit(0L))).as("df"),
-        when(col("token") === "",
+        when(col("token") === " ",
           coalesce(col("dl_a"), lit(0L)) + coalesce(col("dl_b"), lit(0L)))
           .otherwise(lit(null).cast("long")).as("dl_sum"))
       .orderBy(col("token"))
@@ -346,7 +350,7 @@ object TextAnalysis {
       docs: DataFrame, stats: DataFrame, queryTerms: Seq[String], k: Int = 25,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val spread = Par.spread(docs)
-    val corpus = broadcast(stats.filter(col("token") === "")
+    val corpus = broadcast(stats.filter(col("token") === " ")
       .select(col("df").cast("double").as("n_docs"),
         (col("dl_sum").cast("decimal(18,0)").cast("double") /
           col("df").cast("double")).as("avgdl")))

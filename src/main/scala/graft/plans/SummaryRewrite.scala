@@ -75,17 +75,42 @@ object SummaryRewrite extends Rule[LogicalPlan] {
   // registry keyed on the session OBJECT (WeakHashMap: reference identity,
   // no hash-collision ambiguity): a summary's analyzed plan carries
   // session-bound relations, so a rewrite must never cross sessions, and
-  // a dead session's defs (which pin its plan trees) must be collectable
+  // a dead session's defs (which pin its plan trees) must be collectable.
+  //
+  // Collectability needs one extra indirection: a SummaryDef's analyzed
+  // plan strongly references its session (LogicalRelation →
+  // HadoopFsRelation.sparkSession), and WeakHashMap documents that a
+  // value strongly reaching its key pins the entry forever. So the map's
+  // VALUE is a WeakReference to the defs holder, and the STRONG edge to
+  // the holder comes from the session ITSELF (registered as a no-op
+  // QueryExecutionListener on the session's listenerManager): session
+  // alive ⇒ listenerManager ⇒ holder ⇒ defs stay; session unreachable ⇒
+  // nothing else holds the holder ⇒ both references clear and the plan
+  // trees collect with the session.
+  private final class DefsHolder
+      extends org.apache.spark.sql.util.QueryExecutionListener {
+    val map = scala.collection.concurrent.TrieMap.empty[String, SummaryDef]
+    override def onSuccess(funcName: String,
+        qe: org.apache.spark.sql.execution.QueryExecution,
+        durationNs: Long): Unit = ()
+    override def onFailure(funcName: String,
+        qe: org.apache.spark.sql.execution.QueryExecution,
+        exception: Exception): Unit = ()
+  }
+
   private val defs = new java.util.WeakHashMap[
-    SparkSession, scala.collection.concurrent.TrieMap[String, SummaryDef]]()
+    SparkSession, java.lang.ref.WeakReference[DefsHolder]]()
 
   private def sessionMap(s: SparkSession) = defs.synchronized {
-    var m = defs.get(s)
-    if (m == null) {
-      m = scala.collection.concurrent.TrieMap.empty[String, SummaryDef]
-      defs.put(s, m)
+    val existing = Option(defs.get(s)).flatMap(r => Option(r.get()))
+    existing match {
+      case Some(h) => h.map
+      case None =>
+        val h = new DefsHolder
+        s.listenerManager.register(h) // the session-lifetime strong edge
+        defs.put(s, new java.lang.ref.WeakReference(h))
+        h.map
     }
-    m
   }
 
   /** (path, length, modificationTime) of every data file the index lists —
@@ -115,19 +140,30 @@ object SummaryRewrite extends Rule[LogicalPlan] {
   }
 
   /** Drop every registration in every session. */
-  def clear(): Unit = defs.synchronized(defs.clear())
+  def clear(): Unit = defs.synchronized {
+    import scala.jdk.CollectionConverters._
+    defs.keySet.asScala.toSeq.foreach(clearLocked)
+    defs.clear()
+  }
 
   /** Drop `spark`'s registrations only — call when a query's registration
     * must not outlive the query (the harness pattern: register, force
     * optimization, clear).
     */
-  def clear(spark: SparkSession): Unit = defs.synchronized(defs.remove(spark))
+  def clear(spark: SparkSession): Unit = defs.synchronized(clearLocked(spark))
+
+  private def clearLocked(spark: SparkSession): Unit = {
+    val holder = Option(defs.remove(spark)).flatMap(r => Option(r.get()))
+    // drop the session-lifetime strong edge too, or the holder (and its
+    // plan trees) would live exactly as long as the session regardless
+    holder.foreach(spark.listenerManager.unregister)
+  }
 
   private def sessionDefs: Iterator[SummaryDef] =
     SparkSession.getActiveSession match {
       case Some(s) =>
-        val m = defs.synchronized(defs.get(s))
-        if (m == null) Iterator.empty else m.values.iterator
+        defs.synchronized(Option(defs.get(s)).flatMap(r => Option(r.get())))
+          .map(_.map.values.iterator).getOrElse(Iterator.empty)
       case None => Iterator.empty
     }
 

@@ -335,13 +335,41 @@ object LakeSink {
 
   /** The files of `path` whose stored box intersects every `ranges` bound
     * (inclusive), plus the total file count — the pruning decision itself,
-    * made entirely from the landed `_boxes` zone map (one row per
-    * file × column; metadata-scale, no data I/O).
+    * made from the landed `_boxes` zone map plus the ACTUAL data-file
+    * listing: a data file with no box row is KEPT, never skipped. That
+    * safe default is what makes the append protocol crash-tolerant —
+    * [[appendBoxed]] commits data files before it rewrites `_boxes`, so a
+    * crash in the window (or mid-overwrite of the non-atomic box table)
+    * leaves unknown files behind; pruning on boxes alone would silently
+    * drop their rows from every pruned read, the worst failure a lake
+    * can have. Unknown files cost a full scan of themselves until the
+    * next [[landBoxes]]/append repairs the map — degraded pruning, never
+    * degraded answers.
     */
   def pruneFiles(
       spark: org.apache.spark.sql.SparkSession, path: String,
       ranges: Seq[(String, Double, Double)]): (Seq[String], Int) =
-    pruneFilesFrom(loadBoxes(spark, path), ranges)
+    pruneFilesListed(
+      listParquet(spark, path), loadBoxes(spark, path), ranges)
+
+  /** [[pruneFiles]] against pre-loaded inputs: `allFiles` is the data-file
+    * listing (unknown files kept), `boxes` the zone map.
+    */
+  def pruneFilesListed(
+      allFiles: Seq[String],
+      boxes: Seq[(String, String, Double, Double)],
+      ranges: Seq[(String, Double, Double)]): (Seq[String], Int) = {
+    val byFile = boxes.groupBy(_._1)
+    val kept = allFiles.filter { f =>
+      byFile.get(f) match {
+        case None => true // no box row: cannot prune, must read
+        case Some(rows) => ranges.forall { case (c, lo, hi) =>
+          rows.find(_._2 == c).forall { case (_, _, mn, mx) => mn <= hi && mx >= lo }
+        }
+      }
+    }.sorted
+    (kept, allFiles.size)
+  }
 
   /** The landed zone map as driver rows — load ONCE per layout (a planner
     * caches table stats; the harness memoizes this next to the layout) so
@@ -356,22 +384,13 @@ object LakeSink {
       .map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getDouble(3)))
   }
 
-  def pruneFilesFrom(
-      boxes: Seq[(String, String, Double, Double)],
-      ranges: Seq[(String, Double, Double)]): (Seq[String], Int) = {
-    val byFile = boxes.groupBy(_._1)
-    val kept = byFile.collect { case (f, rows) if ranges.forall { case (c, lo, hi) =>
-      rows.find(_._2 == c).forall { case (_, _, mn, mx) => mn <= hi && mx >= lo }
-    } => f }.toSeq.sorted
-    (kept, byFile.size)
-  }
-
   /** Range-predicate read over a boxed layout: open ONLY the files whose
-    * zone-map box intersects the predicate, then apply the exact residual
-    * filter — identical rows to the full scan (LakeLayoutSpec pins it; the
-    * q_zorder_prune oracle re-filters the raw table), minus the skipped
-    * files' I/O. At 100 TB this is the difference between touching a few
-    * boxes and touching the table.
+    * zone-map box intersects the predicate (plus any file the map does
+    * not know — see [[pruneFiles]]'s safe default), then apply the exact
+    * residual filter — identical rows to the full scan (LakeLayoutSpec
+    * pins it; the q_zorder_prune oracle re-filters the raw table), minus
+    * the skipped files' I/O. At 100 TB this is the difference between
+    * touching a few boxes and touching the table.
     */
   def readPruned(
       spark: org.apache.spark.sql.SparkSession, path: String,
@@ -379,15 +398,15 @@ object LakeSink {
     readPrunedFrom(spark, path, loadBoxes(spark, path), ranges)
 
   /** [[readPruned]] against a pre-loaded zone map: the pruning decision is
-    * driver arithmetic over `boxes`, so the query's only job is the scan
-    * of the surviving files.
+    * driver arithmetic over `boxes` + the file listing (one metadata RPC),
+    * so the query's only job is the scan of the surviving files.
     */
   def readPrunedFrom(
       spark: org.apache.spark.sql.SparkSession, path: String,
       boxes: Seq[(String, String, Double, Double)],
       ranges: Seq[(String, Double, Double)]): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
-    val (kept, _) = pruneFilesFrom(boxes, ranges)
+    val (kept, _) = pruneFilesListed(listParquet(spark, path), boxes, ranges)
     val base =
       if (kept.isEmpty) spark.read.parquet(path).filter(lit(false))
       else spark.read.parquet(kept: _*)

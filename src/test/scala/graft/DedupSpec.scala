@@ -418,5 +418,15 @@ class DedupSpec extends SparkSpec {
     val exact = Dedup.exactDuplicateGroups(d).collect()
       .filter(_.getAs[Long]("n_docs") > 1)
     assert(exact.length == 1 && exact.head.getAs[Long]("keeper_id") == 5L)
+    // Unicode letters SURVIVE normalization: accented/non-Latin docs keep
+    // distinct identities (an ASCII-only class would collapse both pairs)
+    val intl = Seq(
+      (1L, "caf\u00e9 au lait"), (2L, "CAF\u00c9 au lait!"),  // true variants
+      (3L, "caf au lait"),                                // NOT their dup
+      (4L, "\u65e5\u672c\u8a9e \u6587\u66f8"), (5L, "\u4e2d\u6587 \u6587\u4ef6"))    // distinct scripts
+      .toDF("doc_id", "text")
+    val g2 = Dedup.normalizedDuplicateGroups(intl).collect()
+      .map(r => r.getAs[Long]("keeper_id") -> r.getAs[Long]("n_docs")).toMap
+    assert(g2 == Map(1L -> 2L), s"got $g2")
   }
 }

@@ -188,4 +188,21 @@ class GovernanceSpec extends SparkSpec {
     assert(got(1).getAs[Long]("n_drifted") == 1L)
     assert(got(1).getAs[Double]("mean_cos") == 0.0)
   }
+
+  test("forgetCascade flags EVERY sequence a boundary-straddling doc spills into") {
+    // source order by doc_id: filler(2040 tokens) then the tombstoned doc
+    // (100 tokens at start=2040) -> its tokens occupy seqs 0 AND 1
+    val filler = (1 to 2040).map(_ => "f").mkString(" ")
+    val doomed = (1 to 100).map(_ => "d").mkString(" ")
+    val docs = Seq(
+      (1L, filler, "en", "web", 0L),
+      (2L, doomed, "en", "web", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val ts = Seq(Tuple1(2L)).toDF("doc_id")
+    val seqs = Governance.forgetCascade(docs, ts).collect()
+      .filter(_.getAs[String]("artifact") == "packed_seq")
+      .map(_.getAs[String]("artifact_key")).toSet
+    assert(seqs == Set("web:0", "web:1"),
+      s"both touched sequences must be flagged, got $seqs")
+  }
 }

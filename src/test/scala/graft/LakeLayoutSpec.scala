@@ -311,4 +311,29 @@ class LakeLayoutSpec extends SparkSpec {
       assert(math.abs(salted(k)._1 - s) < 1e-6) // double sum order differs across salts
     }
   }
+
+  test("pruned reads KEEP files the zone map does not know (crash-window safety)") {
+    val base = Files.createTempDirectory("graft-zcrash").toString
+    val dir = base + "/orders"
+    val orders = Tables.orders(spark, sf)
+    val cols = Seq("o_custkey", "o_totalprice")
+    LakeSink.writeZOrderedBoxed(
+      orders.filter(col("o_orderkey") % 2 === 0), dir, cols, nFiles = 6)
+    // simulate appendBoxed dying between the data commit and the _boxes
+    // rewrite: append raw files, do NOT touch the zone map
+    orders.filter(col("o_orderkey") % 2 =!= 0)
+      .repartition(2).write.mode("append").parquet(dir)
+    val ranges = Seq(("o_custkey", 10.0, 60.0), ("o_totalprice", 0.0, 1e9))
+    val pruned = LakeSink.readPruned(spark, dir, ranges)
+      .agg(count(lit(1)), sum(col("o_orderkey"))).collect()(0)
+    val full = orders
+      .filter(col("o_custkey") >= 10 && col("o_custkey") <= 60)
+      .agg(count(lit(1)), sum(col("o_orderkey"))).collect()(0)
+    assert(pruned == full,
+      "rows from unknown (not-yet-boxed) files must never vanish from a pruned read")
+    // and the boxed slice still prunes: kept < total even with the
+    // unknown files force-included
+    val (kept, total) = LakeSink.pruneFiles(spark, dir, ranges)
+    assert(kept.size < total, s"boxed files must still skip: $kept of $total")
+  }
 }

@@ -366,6 +366,6 @@ class TextAnalysisSpec extends SparkSpec {
       .toDF("doc_id", "text", "lang", "source", "n_chars")
     val m = TextAnalysis.mergeBm25Stats(TextAnalysis.bm25Stats(a), b).collect()
       .map(r => r.getAs[String]("token") -> r.getAs[Long]("df")).toMap
-    assert(m("unseen") == 1L && m("common") == 2L && m("") == 2L)
+    assert(m("unseen") == 1L && m("common") == 2L && m(" ") == 2L)
   }
 }
