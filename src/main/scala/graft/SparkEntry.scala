@@ -688,7 +688,13 @@ object SparkEntry {
     * `graph`); this memo is the harness's stand-in for that read, so the
     * serve query pays the build once per session, not per probe batch.
     * Weak-keyed on the session object (the guardCache lesson): a dead
-    * session's checkpointed plans must be collectable with it.
+    * session's checkpointed plans must be collectable with it. Known
+    * caveat shared by the three artifact memos here: the cached
+    * DataFrames strongly reference their session, so (per WeakHashMap's
+    * value→key warning) entries pin the session until `clear`ed — fine
+    * for the harness (ONE session per process, dies with it); the
+    * production-shaped fix is the listener-owned holder indirection
+    * [[graft.plans.SummaryRewrite]] uses for its registry.
     */
   private val graphArtifacts = new java.util.WeakHashMap[
     SparkSession, scala.collection.concurrent.TrieMap[String, (DataFrame, DataFrame)]]()
