@@ -383,6 +383,11 @@ object SparkEntry {
     "q_hybrid_search" -> ((s, d) => operators.HybridSearch.hybridTopK(
       Tables.documents(s, d), Tables.embeddings(s, d),
       Seq("dup", "window", "merge"), queryVecId = 0L)),
+    // the production hybrid: dense side served by the multi-probe LSH tier
+    // (bucket-pruned) — deterministically approximate, so still hash-exact
+    "q_hybrid_search_ann" -> ((s, d) => operators.HybridSearch.hybridTopKAnn(
+      Tables.documents(s, d), Tables.embeddings(s, d),
+      Seq("dup", "window", "merge"), queryVecId = 0L)),
     "q_sessionize" -> ((s, d) => Relational.sessionize(Tables.events(s, d))),
     "q_topk_per_group" -> ((s, d) => Relational.topOrdersPerSegment(Tables.orders(s, d), Tables.customer(s, d))),
     "q_topk_per_group_agg" -> ((s, d) => operators.TopK.topOrdersPerSegmentAgg(Tables.orders(s, d), Tables.customer(s, d))),
@@ -2886,6 +2891,49 @@ object SparkEntry {
         |    ELSE 3 END AS depth FROM f)
         |SELECT depth, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM d GROUP BY depth ORDER BY depth""".stripMargin,
+    "q_hybrid_search_ann" ->
+      s"""WITH dl AS (SELECT doc_id,
+         |    CAST(len(string_split(text,' ')) AS DOUBLE) AS dl FROM documents),
+         |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+         |    CAST(SUM(CAST(dl AS DECIMAL(18,0))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+         |  FROM dl),
+         |dt AS (SELECT doc_id, token, CAST(COUNT(*) AS DOUBLE) AS tf FROM (
+         |    SELECT doc_id, unnest(string_split(text,' ')) AS token FROM documents)
+         |  WHERE token IN ('dup', 'window', 'merge') GROUP BY doc_id, token),
+         |tdf AS (SELECT token, CAST(COUNT(*) AS DOUBLE) AS df FROM dt GROUP BY token),
+         |w AS (SELECT dt.doc_id,
+         |    round((round(ln((n_docs - tdf.df + 0.5) / (tdf.df + 0.5) + 1.0), 6)
+         |      * (tf * 2.2))
+         |      / (tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / avgdl))), 6) AS w
+         |  FROM dt JOIN tdf USING (token) JOIN dl ON dt.doc_id = dl.doc_id
+         |  CROSS JOIN stats),
+         |bm AS (SELECT doc_id, CAST(SUM(CAST(w AS DECIMAL(18,6))) AS DOUBLE) AS score
+         |  FROM w GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 50),
+         |lex AS (SELECT doc_id AS id, ROW_NUMBER() OVER (
+         |    ORDER BY score DESC, doc_id) AS lex_rank FROM bm),
+         |e AS ($duckEmb),
+         |b AS (SELECT vec_id, emb, $duckLshBucket AS bucket FROM e),
+         |q AS (SELECT vec_id AS query_id, emb AS q_emb, bucket AS q_bucket
+         |  FROM b WHERE vec_id = 0),
+         |probes AS (SELECT query_id, q_emb, unnest([q_bucket,
+         |    substr(q_bucket, 1, 0) || (CASE WHEN substr(q_bucket, 1, 1) = '1' THEN '0' ELSE '1' END) || substr(q_bucket, 2, 3),
+         |    substr(q_bucket, 1, 1) || (CASE WHEN substr(q_bucket, 2, 1) = '1' THEN '0' ELSE '1' END) || substr(q_bucket, 3, 2),
+         |    substr(q_bucket, 1, 2) || (CASE WHEN substr(q_bucket, 3, 1) = '1' THEN '0' ELSE '1' END) || substr(q_bucket, 4, 1),
+         |    substr(q_bucket, 1, 3) || (CASE WHEN substr(q_bucket, 4, 1) = '1' THEN '0' ELSE '1' END) || substr(q_bucket, 5, 0)
+         |  ]) AS probe FROM q),
+         |scored AS (SELECT b.vec_id AS id, ${duckCos("q_emb", "emb")} AS cos
+         |  FROM b JOIN probes ON b.bucket = probes.probe AND b.vec_id != probes.query_id),
+         |dense AS (SELECT id, dense_rank FROM (
+         |  SELECT id, ROW_NUMBER() OVER (ORDER BY cos DESC, id) AS dense_rank
+         |  FROM scored) WHERE dense_rank <= 50),
+         |fused AS (SELECT COALESCE(l.id, d.id) AS id, l.lex_rank, d.dense_rank,
+         |  CAST(COALESCE(CAST(round(1.0 / (60.0 + CAST(l.lex_rank AS DOUBLE)), 6)
+         |        AS DECIMAL(18,6)), CAST(0 AS DECIMAL(18,6)))
+         |    + COALESCE(CAST(round(1.0 / (60.0 + CAST(d.dense_rank AS DOUBLE)), 6)
+         |        AS DECIMAL(18,6)), CAST(0 AS DECIMAL(18,6))) AS DOUBLE) AS rrf
+         |  FROM lex l FULL OUTER JOIN dense d ON l.id = d.id)
+         |SELECT id, lex_rank, dense_rank, rrf FROM fused
+         |ORDER BY rrf DESC, id LIMIT 25""".stripMargin,
     "q_sessionize" ->
       """WITH x AS (SELECT user_id, event_id, ts, value,
         |    LAG(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts

@@ -75,4 +75,33 @@ object HybridSearch {
       .select(col("neighbor_id").as("id"), col("rank"))
     rrfFuse(lex, dense, k, rrfK)
   }
+
+  /** The PRODUCTION-shaped hybrid: the dense shortlist comes from an ANN
+    * tier (multi-probe LSH — bucket-pruned scan) instead of the exact
+    * brute-force pass. [[hybridTopK]] stays the oracle baseline; this is
+    * what actually serves at corpus scale, and because the ANN tier is
+    * deterministically approximate, the fused ranking is still
+    * engine-exact (q_hybrid_search_ann carries a full hash oracle — the
+    * SQL reproduces the probe buckets, the candidate cosines, AND the
+    * fusion). Rank-only RRF is also what makes the swap free: no score
+    * recalibration when the dense tier changes.
+    */
+  def hybridTopKAnn(
+      docs: DataFrame, embeddings: DataFrame, queryTerms: Seq[String],
+      queryVecId: Long, k: Int = 25, perList: Int = 50,
+      rrfK: Int = 60): DataFrame = {
+    val short = TextAnalysis.bm25TopK(docs, queryTerms, k = perList)
+      .select(col("doc_id"), col("score"))
+    val lex = short.as("a")
+      .join(broadcast(short.as("b")),
+        col("b.score") > col("a.score") ||
+          (col("b.score") === col("a.score") && col("b.doc_id") < col("a.doc_id")),
+        "left_outer")
+      .groupBy(col("a.doc_id").as("id"))
+      .agg((count(col("b.doc_id")) + lit(1L)).as("rank"))
+    val dense = SimilaritySearch.lshMultiProbeTopK(
+      embeddings, embeddings.filter(col("vec_id") === queryVecId), k = perList)
+      .select(col("neighbor_id").as("id"), col("rank"))
+    rrfFuse(lex, dense, k, rrfK)
+  }
 }

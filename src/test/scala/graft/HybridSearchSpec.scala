@@ -40,4 +40,20 @@ class HybridSearchSpec extends SparkSpec {
     assert(!got.exists(r => !r.isNullAt(r.fieldIndex("dense_rank"))
       && r.getAs[Long]("id") == 0L && r.isNullAt(r.fieldIndex("lex_rank"))))
   }
+
+  test("hybridTopKAnn: ANN-served fusion stays close to the exact twin") {
+    val docs = Tables.documents(spark, sf)
+    val emb = Tables.embeddings(spark, sf)
+    val exact = HybridSearch.hybridTopK(
+      docs, emb, Seq("dup", "window", "merge"), queryVecId = 0L)
+      .collect().map(_.getAs[Long]("id")).toSet
+    val served = HybridSearch.hybridTopKAnn(
+      docs, emb, Seq("dup", "window", "merge"), queryVecId = 0L)
+      .collect().map(_.getAs[Long]("id")).toSet
+    assert(served.size == exact.size)
+    // the lexical half is identical; only dense-side recall differs, so
+    // the fused sets must overlap substantially (>= half at this sf)
+    assert((served & exact).size * 2 >= exact.size,
+      s"ANN-served fusion drifted too far: ${(served & exact).size}/${exact.size}")
+  }
 }

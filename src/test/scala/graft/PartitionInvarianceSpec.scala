@@ -42,7 +42,7 @@ class PartitionInvarianceSpec extends SparkSpec {
     "q_bm25_incr", "q_contrastive_pairs", "q_dedup_normalized",
     "q_emb_integrity", "q_cdc_compact", "q_ann_lsh_mp",
     "q_split_leakage_safe", "q_emb_drift", "q_chunk_dedup",
-    "q_interval_join", "q_funnel")
+    "q_interval_join", "q_funnel", "q_hybrid_search_ann")
 
   test("query results are invariant to shuffle-partition count and scan splits") {
     val missing = targets.filterNot(SparkEntry.queries.contains)
