@@ -989,8 +989,10 @@ object Relational {
     * b.start <= a.end`) — a cartesian product at scale. The scalable form
     * explodes each interval to the fixed-width time buckets it covers and
     * equi-joins on (key, bucket): two overlapping intervals ALWAYS share
-    * the bucket containing their overlap start, so recall is exact; the
-    * distinct() collapses multi-bucket double-hits; the residual predicate
+    * the bucket containing their overlap start, so recall is exact; each
+    * pair is emitted EXACTLY ONCE by keeping only that overlap-start
+    * bucket (no output distinct, no second shuffle of the result
+    * relation); the residual predicate
     * verifies. Work is Σ per-bucket² per key — bounded by the bucket
     * width, never by the row count (the banded-LSH argument applied to
     * time). Per-bucket row counts are the skew signal; shrink `bucketSec`
@@ -1018,10 +1020,11 @@ object Relational {
       .join(blocks(iv, "b"), Seq("user_id", "bucket"))
       .filter(col("type_a") < col("type_b"))
       .filter(col("start_a") <= col("end_b") && col("start_b") <= col("end_a"))
+      .filter(col("bucket") ===
+        expr(s"greatest(start_a, start_b) DIV ${bucketSec}L"))
       .select(col("user_id"), col("type_a"), col("type_b"),
         (least(col("end_a"), col("end_b")) -
           greatest(col("start_a"), col("start_b"))).as("overlap_s"))
-      .distinct()
       .orderBy(col("user_id"), col("type_a"), col("type_b"))
   }
 
@@ -1050,7 +1053,9 @@ object Relational {
     firsts
       .select(col("user_id"), depth.as("depth"))
       .groupBy(col("depth"))
-      .agg(countDistinct(col("user_id")).as("n_users"))
+      // post-pivot rows are already unique per user: a plain count is the
+      // same answer without the distinct aggregation's Expand
+      .agg(count(lit(1)).as("n_users"))
       .orderBy(col("depth"))
   }
 }
