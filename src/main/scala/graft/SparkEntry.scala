@@ -2729,10 +2729,12 @@ object SparkEntry {
          |  SELECT e.i, w.lbl FROM edges e JOIN walk w ON w.id = e.j),
          |labels AS (SELECT id AS doc_id, MIN(lbl) AS cluster_id
          |  FROM walk GROUP BY id),
-         |bk AS (SELECT doc_id, cluster_id,
-         |    ('0x' || substr(md5('v1:' || CAST(cluster_id AS VARCHAR)), 1, 15))::BIGINT % 100
+         |ck AS (SELECT l.cluster_id, MIN(md5(d.text)) AS content_key
+         |  FROM labels l JOIN documents d USING (doc_id) GROUP BY l.cluster_id),
+         |bk AS (SELECT l.doc_id, l.cluster_id,
+         |    ('0x' || substr(md5('v1:' || c.content_key), 1, 15))::BIGINT % 100
          |      AS bucket
-         |  FROM labels)
+         |  FROM labels l JOIN ck c USING (cluster_id))
          |SELECT doc_id, cluster_id, bucket,
          |  CASE WHEN bucket < 80 THEN 'train'
          |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split

@@ -169,7 +169,15 @@ object Governance {
     * packed corpus without this membership join is the classic compliance
     * bug — the doc's tokens survive inside sequence files.
     */
-  def forgetCascade(docs: DataFrame, tombstones: DataFrame): DataFrame = {
+  /** `budget` is the SAME token budget the corpus was packed with — it
+    * feeds both [[Curation.packSequences]] and the straddle arithmetic
+    * below from one parameter, so a lake packed at a non-default budget
+    * cannot silently attest deletions against the wrong sequence grid
+    * (the fragility a hardcoded constant had: change one site, and
+    * deletion is attested while tokens survive in unlisted files).
+    */
+  def forgetCascade(
+      docs: DataFrame, tombstones: DataFrame, budget: Long = 2048): DataFrame = {
     val digests = docs
       .join(broadcast(tombstones), Seq("doc_id"), "left_semi")
       .select(md5(col("text")).as("digest")).distinct()
@@ -198,12 +206,12 @@ object Governance {
     // sequence(s) — [start DIV budget .. (cum_tokens-1) DIV budget].
     // Missing the continuation is the compliance bug where a deletion is
     // attested while the doc's tail tokens survive in the next file.
-    val seqRows = Curation.packSequences(docs)
+    val seqRows = Curation.packSequences(docs, budget)
       .join(broadcast(affected), Seq("doc_id"))
       .select(col("source"), col("doc_id"),
         explode(sequence(
-          expr("(cum_tokens - n_tokens) DIV 2048"),
-          expr("(cum_tokens - 1) DIV 2048"))).as("seq_id"))
+          expr(s"(cum_tokens - n_tokens) DIV ${budget}L"),
+          expr(s"(cum_tokens - 1) DIV ${budget}L"))).as("seq_id"))
       .select(
         lit("packed_seq").as("artifact"),
         concat(col("source"), lit(":"),
@@ -220,28 +228,42 @@ object Governance {
     * pair straddling train/test leaks the test set through the training
     * copy (the same indirect channel [[Dedup.transitiveContamination]]
     * closes for benchmarks, applied to the corpus's own eval slice).
-    * Membership depends only on (seed, cluster_id) — and cluster identity
-    * is content-derived — so re-curations keep surviving clusters in
-    * place exactly like the per-doc split.
+    * The split KEY is content-derived: min md5(text) over the cluster's
+    * members — the same content digest every dedup/forget path here keys
+    * on — never the cluster's min doc_id (row identity). Stability
+    * contract, precisely: a doc's split survives any re-curation that
+    * (a) re-assigns doc_ids (re-IDing the corpus moves no one — an
+    * id-keyed split fails this), or (b) drops cluster members OTHER than
+    * the one holding the cluster's min digest; dropping that member
+    * re-keys the survivors (inherent to any membership-derived key — the
+    * cluster IS its members), and a singleton's key is its own digest,
+    * stable under everything but its own edit.
     *
     * Cost: the near-dup clustering artifact the pipeline already builds
     * ([[Dedup.nearDupClusters]] — banded pair generation + CC), plus one
-    * narrow projection. When the cluster table is stored per release,
-    * the split is projection-only, the same price as the naive one.
+    * narrow digest join and a cluster-count-sized min aggregation. When
+    * the cluster table is stored per release, the split is a projection
+    * plus one tiny join, the same order as the naive one.
     */
   def leakageSafeSplit(
       docs: DataFrame, seed: String = "v1",
-      trainPct: Int = 80, valPct: Int = 10): DataFrame =
-    Dedup.nearDupClusters(docs)
+      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    val clusters = Dedup.nearDupClusters(docs)
+    val keys = clusters
+      .join(docs.select(col("doc_id"), md5(col("text")).as("ck")), Seq("doc_id"))
+      .groupBy(col("cluster_id"))
+      .agg(min(col("ck")).as("content_key"))
+    clusters.join(keys, Seq("cluster_id"))
       .withColumn("bucket",
         conv(substring(md5(concat(lit(seed), lit(":"),
-          col("cluster_id").cast("string"))), 1, 15), 16, 10).cast("long") % 100)
+          col("content_key"))), 1, 15), 16, 10).cast("long") % 100)
       .withColumn("split",
         when(col("bucket") < trainPct, lit("train"))
           .when(col("bucket") < trainPct + valPct, lit("val"))
           .otherwise(lit("test")))
       .select(col("doc_id"), col("cluster_id"), col("bucket"), col("split"))
       .orderBy(col("doc_id"))
+  }
 
   /** Versioned deterministic train/val/test split: each document's bucket
     * is md5(seed ":" doc_id) reduced mod 100 — the replayable uniform draw

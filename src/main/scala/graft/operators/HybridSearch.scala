@@ -52,24 +52,32 @@ object HybridSearch {
     * (deeper than the final k, the standard RRF setup: a doc ranked
     * k+3 in BOTH lists can still out-fuse one ranked 1 in only one).
     */
-  def hybridTopK(
-      docs: DataFrame, embeddings: DataFrame, queryTerms: Seq[String],
-      queryVecId: Long, k: Int = 25, perList: Int = 50,
-      rrfK: Int = 60): DataFrame = {
-    // rank within the k-row BM25 shortlist WITHOUT a partition-less window
-    // (banned by the plan-quality sweep even over constant-size frames):
-    // rank(a) = 1 + |rows strictly ahead of a| via a broadcast theta-join
-    // of the shortlist against itself — O(perList²) on a constant frame,
-    // partitioning-safe at any scale
+  /** Rank the BM25 shortlist WITHOUT a partition-less window (banned by
+    * the plan-quality sweep even over constant-size frames): rank(a) =
+    * 1 + |rows strictly ahead of a| via a broadcast theta-join of the
+    * shortlist against itself — O(perList²) on a constant frame,
+    * partitioning-safe at any scale. The single lexical-side recipe every
+    * hybrid entry point shares, so a tie-break change lands everywhere
+    * at once.
+    */
+  private def lexShortlist(
+      docs: DataFrame, queryTerms: Seq[String], perList: Int): DataFrame = {
     val short = TextAnalysis.bm25TopK(docs, queryTerms, k = perList)
       .select(col("doc_id"), col("score"))
-    val lex = short.as("a")
+    short.as("a")
       .join(broadcast(short.as("b")),
         col("b.score") > col("a.score") ||
           (col("b.score") === col("a.score") && col("b.doc_id") < col("a.doc_id")),
         "left_outer")
       .groupBy(col("a.doc_id").as("id"))
       .agg((count(col("b.doc_id")) + lit(1L)).as("rank"))
+  }
+
+  def hybridTopK(
+      docs: DataFrame, embeddings: DataFrame, queryTerms: Seq[String],
+      queryVecId: Long, k: Int = 25, perList: Int = 50,
+      rrfK: Int = 60): DataFrame = {
+    val lex = lexShortlist(docs, queryTerms, perList)
     val dense = SimilaritySearch.bruteForceTopK(
       embeddings, embeddings.filter(col("vec_id") === queryVecId), k = perList)
       .select(col("neighbor_id").as("id"), col("rank"))
@@ -90,15 +98,7 @@ object HybridSearch {
       docs: DataFrame, embeddings: DataFrame, queryTerms: Seq[String],
       queryVecId: Long, k: Int = 25, perList: Int = 50,
       rrfK: Int = 60): DataFrame = {
-    val short = TextAnalysis.bm25TopK(docs, queryTerms, k = perList)
-      .select(col("doc_id"), col("score"))
-    val lex = short.as("a")
-      .join(broadcast(short.as("b")),
-        col("b.score") > col("a.score") ||
-          (col("b.score") === col("a.score") && col("b.doc_id") < col("a.doc_id")),
-        "left_outer")
-      .groupBy(col("a.doc_id").as("id"))
-      .agg((count(col("b.doc_id")) + lit(1L)).as("rank"))
+    val lex = lexShortlist(docs, queryTerms, perList)
     val dense = SimilaritySearch.lshMultiProbeTopK(
       embeddings, embeddings.filter(col("vec_id") === queryVecId), k = perList)
       .select(col("neighbor_id").as("id"), col("rank"))

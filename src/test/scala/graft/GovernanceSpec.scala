@@ -205,4 +205,59 @@ class GovernanceSpec extends SparkSpec {
     assert(seqs == Set("web:0", "web:1"),
       s"both touched sequences must be flagged, got $seqs")
   }
+
+  test("forgetCascade threads a non-default budget through packing AND straddle math") {
+    // 60-token filler + 10-token doomed doc: on the 64-token grid the
+    // doomed doc starts at 60 and ends at 69 -> straddles seqs 0 and 1;
+    // on the default 2048 grid everything fits in seq 0. Listing web:1
+    // only at budget=64 proves ONE parameter reached both packSequences
+    // and the DIV arithmetic — the compliance fragility the hardcoded
+    // constant had.
+    val filler = (1 to 60).map(_ => "f").mkString(" ")
+    val doomed = (1 to 10).map(_ => "d").mkString(" ")
+    val docs = Seq(
+      (1L, filler, "en", "web", 0L),
+      (2L, doomed, "en", "web", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val ts = Seq(Tuple1(2L)).toDF("doc_id")
+    def seqKeys(budget: Option[Long]) =
+      budget.fold(Governance.forgetCascade(docs, ts))(
+        b => Governance.forgetCascade(docs, ts, b)).collect()
+        .filter(_.getAs[String]("artifact") == "packed_seq")
+        .map(_.getAs[String]("artifact_key")).toSet
+    assert(seqKeys(Some(64L)) == Set("web:0", "web:1"))
+    assert(seqKeys(None) == Set("web:0"))
+  }
+
+  test("leakageSafeSplit: split key is content-derived, not id-derived") {
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val base = (0 until 60).map(i => s"w$i").mkString(" ")
+    val variant = base.replace("w30", "w30x")
+    // put the LARGER-digest text on the cluster's id representative (min
+    // doc_id): dropping the representative then leaves the cluster's min
+    // CONTENT digest — and so the split — in place, exactly where an
+    // id-keyed split re-rolls (cluster_id would change 1 -> 2)
+    val (repText, mateText) =
+      if (md5hex(base) > md5hex(variant)) (base, variant) else (variant, base)
+    val solo = (0 until 60).map(i => s"z$i").mkString(" ")
+    val docs = Seq((1L, repText, "en"), (2L, mateText, "en"), (3L, solo, "en"))
+      .toDF("doc_id", "text", "lang")
+    def splits(d: org.apache.spark.sql.DataFrame) =
+      Governance.leakageSafeSplit(d).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("bucket"), r.getAs[String]("split")))).toMap
+    val before = splits(docs)
+    // re-curation drops the cluster representative: the surviving mate
+    // keeps its bucket and split
+    val after = splits(docs.filter(col("doc_id") =!= 1L))
+    assert(after(2L) == before(2L),
+      s"survivor re-rolled after representative drop: ${after(2L)} vs ${before(2L)}")
+    // re-IDing the corpus moves no one: the singleton relabeled 99 keeps
+    // its split (the id-keyed draw fails exactly this)
+    val reid = splits(docs.withColumn("doc_id",
+      when(col("doc_id") === 3L, 99L).otherwise(col("doc_id"))))
+    assert(reid(99L) == before(3L),
+      s"re-IDed singleton moved: ${reid(99L)} vs ${before(3L)}")
+  }
 }

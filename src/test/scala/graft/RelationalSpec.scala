@@ -233,11 +233,12 @@ class RelationalSpec extends SparkSpec {
       (3L, t(240), 1L, "b", 0.0, "{}"), (4L, t(260), 1L, "b", 0.0, "{}"),
       (5L, t(300), 1L, "c", 0.0, "{}"), (6L, t(400), 1L, "c", 0.0, "{}"))
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-    val got = Relational.activityOverlapPairs(events, bucketSec = B).collect()
+    val rows = Relational.activityOverlapPairs(events, bucketSec = B).collect()
       .map(r => (r.getAs[String]("type_a"), r.getAs[String]("type_b"),
-        r.getAs[Long]("overlap_s"))).toSet
-    // exactly the one true overlap, counted ONCE despite the multi-bucket
-    // span, with the exact length 250-240
-    assert(got == Set(("a", "b", 10L)), s"got $got")
+        r.getAs[Long]("overlap_s"))).toSeq
+    // exactly the one true overlap, EMITTED ONCE despite the multi-bucket
+    // span (row count pins the exactly-once property — a duplicate pair
+    // would survive a set compare), with the exact length 250-240
+    assert(rows == Seq(("a", "b", 10L)), s"got $rows")
   }
 }
