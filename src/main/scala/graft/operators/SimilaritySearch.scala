@@ -528,24 +528,27 @@ object SimilaritySearch {
       ivfCentroids(quantizerSource.getOrElse(corpus), nCentroids))
     val batchCells = cellAssign(batch, centroids).localCheckpoint()
     val touchedCells = batchCells.select(col("cell")).distinct()
-    // ONE corpus assignment pass serves both the append-only guard and
-    // the touched-cell slice (previously the guard ran its own full
-    // corpus scan on top of this one — the per-fold corpus cost doubled
-    // for nothing; materializing the assignment once is the knnGraph
-    // builder's own trade)
-    val corpusCells = cellAssign(corpus, centroids).localCheckpoint()
+    // append-only guard: id overlap needs ONLY the corpus's vec_id column
+    // — a column-pruned id scan (stats + dictionary pages, no embedding
+    // bytes), never a materialization
     val dup = batchCells.select(col("vec_id"))
-      .join(corpusCells.select(col("vec_id")), Seq("vec_id"), "left_semi")
+      .join(corpus.select(col("vec_id")), Seq("vec_id"), "left_semi")
       .limit(5).collect().map(_.getLong(0))
     require(dup.isEmpty,
       s"knnGraphIncrement: batch vec_ids already in the stored corpus " +
         s"(e.g. ${dup.mkString(", ")}) — updates/re-embeds break the " +
         "merge==rebuild invariant; rebuild the graph or fold through " +
         "GraphMaintainer instead")
-    // only members of touched cells can gain/lose an edge
-    val oldTouched = corpusCells
+    // only members of touched cells can gain/lose an edge — and only THAT
+    // slice gets pinned: the checkpoint holds O(touched-cell) rows with
+    // embeddings, shared by the two candidate joins below, never the full
+    // corpus assignment (a per-fold O(corpus) materialization is a
+    // scale-killer in a maintenance path; sharing one full-corpus scan
+    // between the guard and this slice was a false economy)
+    val oldTouched = cellAssign(corpus, centroids)
       .join(broadcast(touchedCells), Seq("cell"), "left_semi")
       .select(col("vec_id"), col("embedding"), col("cell"))
+      .localCheckpoint()
     val fresh = cellEdges(oldTouched.union(batchCells), broadcast(batchCells))
       .union(cellEdges(broadcast(batchCells), oldTouched))
     val touchedIds = oldTouched.select(col("vec_id"))
