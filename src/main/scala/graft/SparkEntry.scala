@@ -692,28 +692,15 @@ object SparkEntry {
     * graph walks from the per-refresh stored artifact (the maintainer's
     * `graph`); this memo is the harness's stand-in for that read, so the
     * serve query pays the build once per session, not per probe batch.
-    * Weak-keyed on the session object (the guardCache lesson): a dead
-    * session's checkpointed plans must be collectable with it. Known
-    * caveat shared by the three artifact memos here: the cached
-    * DataFrames strongly reference their session, so (per WeakHashMap's
-    * value→key warning) entries pin the session until `clear`ed — fine
-    * for the harness (ONE session per process, dies with it); the
-    * production-shaped fix is the listener-owned holder indirection
-    * [[graft.plans.SummaryRewrite]] uses for its registry.
+    * All three artifact memos here live in [[graft.plans.SessionMemo]] —
+    * session-owned storage, so a dead session's checkpointed plans
+    * collect with it (the WeakHashMap these replaced pinned its entries
+    * forever: the cached DataFrames strongly reach their session-key).
     */
-  private val graphArtifacts = new java.util.WeakHashMap[
-    SparkSession, scala.collection.concurrent.TrieMap[String, (DataFrame, DataFrame)]]()
-
   private def graphArtifact(
       s: SparkSession, d: String, emb: DataFrame): (DataFrame, DataFrame) = {
-    val m = graphArtifacts.synchronized {
-      var t = graphArtifacts.get(s)
-      if (t == null) {
-        t = scala.collection.concurrent.TrieMap.empty[String, (DataFrame, DataFrame)]
-        graphArtifacts.put(s, t)
-      }
-      t
-    }
+    val m = graft.plans.SessionMemo
+      .memo[String, (DataFrame, DataFrame)](s, "graphArtifact")
     m.getOrElseUpdate(d, {
       import s.implicits._
       val graph = SimilaritySearch.knnGraph(emb)
@@ -732,21 +719,10 @@ object SparkEntry {
     * artifact (Delta's OPTIMIZE ZORDER product): built once, then every
     * range query prunes from its landed `_boxes` zone map.
     */
-  private val zLakeArtifacts = new java.util.WeakHashMap[
-    SparkSession,
-    scala.collection.concurrent.TrieMap[String, (String, Seq[(String, String, Double, Double)])]]()
-
   private[graft] def zLakeArtifact(
       s: SparkSession, d: String): (String, Seq[(String, String, Double, Double)]) = {
-    val m = zLakeArtifacts.synchronized {
-      var t = zLakeArtifacts.get(s)
-      if (t == null) {
-        t = scala.collection.concurrent.TrieMap
-          .empty[String, (String, Seq[(String, String, Double, Double)])]
-        zLakeArtifacts.put(s, t)
-      }
-      t
-    }
+    val m = graft.plans.SessionMemo
+      .memo[String, (String, Seq[(String, String, Double, Double)])](s, "zLakeArtifact")
     m.getOrElseUpdate(d, {
       val dir = java.nio.file.Files.createTempDirectory("graft-zlake").toString + "/orders"
       sources.LakeSink.writeZOrderedBoxed(
@@ -764,21 +740,10 @@ object SparkEntry {
     * returns). All localCheckpoint'ed: in production these are lake
     * artifacts; the memo is the harness's stand-in for that read.
     */
-  private val labelFoldArtifacts = new java.util.WeakHashMap[
-    SparkSession,
-    scala.collection.concurrent.TrieMap[String, (DataFrame, DataFrame, DataFrame, DataFrame)]]()
-
   private def labelFoldArtifact(s: SparkSession, d: String)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val m = labelFoldArtifacts.synchronized {
-      var t = labelFoldArtifacts.get(s)
-      if (t == null) {
-        t = scala.collection.concurrent.TrieMap
-          .empty[String, (DataFrame, DataFrame, DataFrame, DataFrame)]
-        labelFoldArtifacts.put(s, t)
-      }
-      t
-    }
+    val m = graft.plans.SessionMemo
+      .memo[String, (DataFrame, DataFrame, DataFrame, DataFrame)](s, "labelFoldArtifact")
     m.getOrElseUpdate(d, {
       import org.apache.spark.sql.functions.broadcast
       val emb = Tables.embeddings(s, d)

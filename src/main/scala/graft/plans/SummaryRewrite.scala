@@ -50,13 +50,13 @@ import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, 
   * registered summary plan — for a localCheckpoint'ed / lake-landed
   * summary, a scan of the materialization, not a recompute.
   *
-  * Injection: `SummaryRewrite.install(spark)` appends the rule to
-  * `spark.experimental.extraOptimizations` (runtime-injectable, no
-  * session rebuild) — the same insertion family as GraftExtensions'
-  * injectOptimizerRule, which requires the extensions conf at session
-  * build time.
+  * Injection: `SummaryRewrite.install(spark)` appends a PER-SESSION rule
+  * instance to `spark.experimental.extraOptimizations` (runtime-
+  * injectable, no session rebuild) — the same insertion family as
+  * GraftExtensions' injectOptimizerRule, which requires the extensions
+  * conf at session build time.
   */
-object SummaryRewrite extends Rule[LogicalPlan] {
+object SummaryRewrite {
 
   /** One registered summary: the analyzed plan of the MATERIALIZED rollup
     * plus the recipe that built it and the base relation's file-listing
@@ -72,44 +72,51 @@ object SummaryRewrite extends Rule[LogicalPlan] {
       // (func, base column) -> summary column; count(1) keys as ("count", "*")
       measures: Map[(String, String), String])
 
-  // registry keyed on the session OBJECT (WeakHashMap: reference identity,
-  // no hash-collision ambiguity): a summary's analyzed plan carries
-  // session-bound relations, so a rewrite must never cross sessions, and
-  // a dead session's defs (which pin its plan trees) must be collectable.
-  //
-  // Collectability needs one extra indirection: a SummaryDef's analyzed
-  // plan strongly references its session (LogicalRelation →
-  // HadoopFsRelation.sparkSession), and WeakHashMap documents that a
-  // value strongly reaching its key pins the entry forever. So the map's
-  // VALUE is a WeakReference to the defs holder, and the STRONG edge to
-  // the holder comes from the session ITSELF (registered as a no-op
-  // QueryExecutionListener on the session's listenerManager): session
-  // alive ⇒ listenerManager ⇒ holder ⇒ defs stay; session unreachable ⇒
-  // nothing else holds the holder ⇒ both references clear and the plan
-  // trees collect with the session.
-  private final class DefsHolder
-      extends org.apache.spark.sql.util.QueryExecutionListener {
-    val map = scala.collection.concurrent.TrieMap.empty[String, SummaryDef]
-    override def onSuccess(funcName: String,
-        qe: org.apache.spark.sql.execution.QueryExecution,
-        durationNs: Long): Unit = ()
-    override def onFailure(funcName: String,
-        qe: org.apache.spark.sql.execution.QueryExecution,
-        exception: Exception): Unit = ()
+  /** The registry lives INSIDE the session it serves: one rule instance
+    * per session, held only by that session's own
+    * `experimental.extraOptimizations`. Lifetime is therefore structural,
+    * not bookkept — session alive ⇒ sessionState ⇒ extraOptimizations ⇒
+    * rule ⇒ defs; session unreachable ⇒ the rule, its defs, and their
+    * plan trees (which strongly reference the session through
+    * HadoopFsRelation) all collect with it, no global map to leak
+    * through. This replaces a WeakHashMap + listener-bus indirection
+    * whose "session-lifetime strong edge" was in fact CONTEXT-lifetime:
+    * listenerManager registrations land on the SparkContext's shared
+    * LiveListenerBus, so a closed session's plans survived until the
+    * context died — exactly the leak the indirection claimed to close.
+    *
+    * The owner-identity guard keeps rewrites session-scoped even when a
+    * cloned session copies the parent's extraOptimizations seq (clones
+    * share the instance but must not consume the parent's plans).
+    */
+  final class SessionRule private[SummaryRewrite] (
+      private[SummaryRewrite] val owner: SparkSession)
+      extends Rule[LogicalPlan] {
+    private[SummaryRewrite] val defs =
+      scala.collection.concurrent.TrieMap.empty[String, SummaryDef]
+    // owner is a session -> rule -> session CYCLE, not a leak: the rule's
+    // only inbound strong edge is the owner's own extraOptimizations seq,
+    // and a tracing GC collects cycles whole once the session is
+    // unreachable. Reference identity (eq) is the ownership test — a
+    // cloned session copies the parent's extraOptimizations seq and must
+    // not consume the parent's plans.
+    override def apply(plan: LogicalPlan): LogicalPlan =
+      if (defs.isEmpty ||
+        !SparkSession.getActiveSession.exists(_ eq owner)) plan
+      else plan.transformUp {
+        case agg: Aggregate =>
+          defs.values.iterator.flatMap(rewrite(agg, _)).nextOption().getOrElse(agg)
+      }
   }
 
-  private val defs = new java.util.WeakHashMap[
-    SparkSession, java.lang.ref.WeakReference[DefsHolder]]()
-
-  private def sessionMap(s: SparkSession) = defs.synchronized {
-    val existing = Option(defs.get(s)).flatMap(r => Option(r.get()))
-    existing match {
-      case Some(h) => h.map
-      case None =>
-        val h = new DefsHolder
-        s.listenerManager.register(h) // the session-lifetime strong edge
-        defs.put(s, new java.lang.ref.WeakReference(h))
-        h.map
+  private def ruleFor(spark: SparkSession): SessionRule = synchronized {
+    spark.experimental.extraOptimizations.collectFirst {
+      case r: SessionRule if r.owner eq spark => r
+    }.getOrElse {
+      val r = new SessionRule(spark)
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ r
+      r
     }
   }
 
@@ -134,49 +141,36 @@ object SummaryRewrite extends Rule[LogicalPlan] {
       .getOrElse(throw new IllegalArgumentException(
         s"summary '$name': base must be a file relation (got ${base.queryExecution.analyzed.nodeName})"))
     val nonNull = base.schema.fields.collect { case f if !f.nullable => f.name }.toSet
-    sessionMap(base.sparkSession).put(name, SummaryDef(
+    ruleFor(base.sparkSession).defs.put(name, SummaryDef(
       name, baseIndex.rootPaths.map(_.toString), listingSignature(baseIndex),
       summary.queryExecution.analyzed, groupCols, nonNull, measures))
   }
 
-  /** Drop every registration in every session. */
-  def clear(): Unit = defs.synchronized {
-    import scala.jdk.CollectionConverters._
-    defs.keySet.asScala.toSeq.foreach(clearLocked)
-    defs.clear()
-  }
+  /** Drop the calling thread's reachable sessions' registrations (active
+    * + default) — the one-session harness convenience; the precise API is
+    * [[clear(spark*]].
+    */
+  def clear(): Unit =
+    (SparkSession.getActiveSession.toSeq ++ SparkSession.getDefaultSession)
+      .distinct.foreach(clear)
 
   /** Drop `spark`'s registrations only — call when a query's registration
     * must not outlive the query (the harness pattern: register, force
-    * optimization, clear).
+    * optimization, clear). Uninstalls the session's rule instance
+    * entirely, releasing every registered plan tree immediately.
     */
-  def clear(spark: SparkSession): Unit = defs.synchronized(clearLocked(spark))
-
-  private def clearLocked(spark: SparkSession): Unit = {
-    val holder = Option(defs.remove(spark)).flatMap(r => Option(r.get()))
-    // drop the session-lifetime strong edge too, or the holder (and its
-    // plan trees) would live exactly as long as the session regardless
-    holder.foreach(spark.listenerManager.unregister)
+  def clear(spark: SparkSession): Unit = synchronized {
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filter {
+        case r: SessionRule if r.owner eq spark => false
+        case _ => true
+      }
   }
 
-  private def sessionDefs: Iterator[SummaryDef] =
-    SparkSession.getActiveSession match {
-      case Some(s) =>
-        defs.synchronized(Option(defs.get(s)).flatMap(r => Option(r.get())))
-          .map(_.map.values.iterator).getOrElse(Iterator.empty)
-      case None => Iterator.empty
-    }
-
-  /** Idempotently append this rule to the session's runtime optimizer. */
-  def install(spark: SparkSession): Unit =
-    if (!spark.experimental.extraOptimizations.contains(this))
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ this
-
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case agg: Aggregate =>
-      sessionDefs.flatMap(rewrite(agg, _)).nextOption().getOrElse(agg)
-  }
+  /** Idempotently append the session's rule instance to its runtime
+    * optimizer (a no-op if already installed; `register` installs too).
+    */
+  def install(spark: SparkSession): Unit = { ruleFor(spark); () }
 
   private def stripProjects(p: LogicalPlan): LogicalPlan = p match {
     case Project(exprs, child) if exprs.forall(_.isInstanceOf[AttributeReference]) =>

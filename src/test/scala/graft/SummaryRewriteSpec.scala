@@ -194,4 +194,49 @@ class SummaryRewriteSpec extends SparkSpec {
         "after clear(session) the aggregate must plan on the fact scan again")
     } finally SummaryRewrite.clear()
   }
+
+  private def registerInThrowawaySession()
+      : java.lang.ref.WeakReference[SummaryRewrite.SessionRule] = {
+    val s2 = spark.newSession()
+    val b = Tables.load(s2, sf, "lineitem")
+    val summary = b.groupBy(col("l_returnflag"))
+      .agg(sum(col("l_quantity")).as("sum_qty"))
+    SummaryRewrite.register("throwaway", b, summary,
+      Seq("l_returnflag"), Map(("sum", "l_quantity") -> "sum_qty"))
+    SummaryRewrite.install(s2)
+    // force one optimization pass through the rule in the owner session
+    org.apache.spark.sql.SparkSession.setActiveSession(s2)
+    b.groupBy(col("l_returnflag")).agg(sum(col("l_quantity")).as("sum_qty"))
+      .queryExecution.optimizedPlan
+    new java.lang.ref.WeakReference(
+      s2.experimental.extraOptimizations.collectFirst {
+        case r: SummaryRewrite.SessionRule => r
+      }.get)
+  }
+
+  test("a dead session's registrations (and plan trees) are GC-collectable") {
+    SummaryRewrite.clear()
+    // register + exercise in a THROWAWAY session, drop every strong ref,
+    // and assert the session-owned rule (which pins the registered plan
+    // trees) collects. This is the contract the old global registry broke:
+    // its 'session-lifetime strong edge' was a listener registered on the
+    // SparkContext-lifetime bus, so closed sessions' plans survived until
+    // the context died.
+    // everything session-bound is built inside a helper ACTIVATION that
+    // returns before the GC loop: a JVM stack frame's dead local slots
+    // (b, summary, the probe Dataset) are conservatively reachable until
+    // the frame pops, so building them inline here would pin the session
+    // for the whole test regardless of the registry's correctness
+    val ruleRef = registerInThrowawaySession()
+    // release the thread-local active-session slot the helper set
+    org.apache.spark.sql.SparkSession.setActiveSession(spark)
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    while (ruleRef.get() != null && System.nanoTime() < deadline) {
+      System.gc()
+      Thread.sleep(100)
+    }
+    assert(ruleRef.get() == null,
+      "the throwaway session's rule (and its registered plan trees) must be " +
+        "collectable once the session is unreachable — something still pins it")
+  }
 }
