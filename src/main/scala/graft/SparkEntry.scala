@@ -451,6 +451,20 @@ object SparkEntry {
     // else upsert of o_totalprice), o_orderkey as the commit LSN.
     "q_cdc_merge" -> ((s, d) =>
       operators.Cdc.mergeChangelog(cdcBase(s, d), cdcChangelog(s, d))),
+    // the MERGE applied AT THE STORAGE LAYER: init a committed boxed
+    // z-order layout from the base, apply the changelog rewriting only
+    // box-intersecting files, read back the attested snapshot — the
+    // oracle recomputes the whole MERGE from raw frames, so the hash
+    // proves lake MERGE == frame MERGE end-to-end
+    "q_lake_apply" -> ((s, d) => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-lakeapply").toString + "/t"
+      sources.LakeTable.init(cdcBase(s, d), dir, Seq("key"), nFiles = 8)
+      sources.LakeTable.applyChangelog(s, dir, cdcChangelog(s, d), Seq("key"))
+      sources.LakeTable.readLive(s, dir)
+        .select(col("key"), col("name"), col("val"))
+        .orderBy(col("key"))
+    }),
     // ...and the MERGE audit row: inserted/updated/deleted/carried key
     // counts + replay depth (changes per touched key)
     "q_cdc_audit" -> ((s, d) =>
@@ -3068,6 +3082,21 @@ object SparkEntry {
         |SELECT COALESCE(b.c_custkey, l.key) AS key, b.c_name AS name,
         |  CASE WHEN l.op = 'U' THEN l.new_val ELSE b.c_acctbal END AS val,
         |  l.last_seq
+        |FROM b FULL OUTER JOIN latest l ON b.c_custkey = l.key
+        |WHERE l.op IS NULL OR l.op <> 'D'
+        |ORDER BY key""".stripMargin,
+    // the storage-layer MERGE must read back as exactly the frame MERGE
+    // (minus the last_seq audit column the snapshot does not store)
+    "q_lake_apply" ->
+      """WITH ch AS (SELECT o_custkey AS key, o_orderkey AS seq,
+        |    CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op,
+        |    o_totalprice AS val FROM orders WHERE o_orderkey % 3 <> 0 AND o_custkey % 17 <> 3),
+        |b AS (SELECT * FROM customer WHERE c_custkey % 13 <> 0),
+        |latest AS (SELECT key, op, val AS new_val FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
+        |    FROM ch) WHERE rn = 1)
+        |SELECT COALESCE(b.c_custkey, l.key) AS key, b.c_name AS name,
+        |  CASE WHEN l.op = 'U' THEN l.new_val ELSE b.c_acctbal END AS val
         |FROM b FULL OUTER JOIN latest l ON b.c_custkey = l.key
         |WHERE l.op IS NULL OR l.op <> 'D'
         |ORDER BY key""".stripMargin,

@@ -290,7 +290,7 @@ object LakeSink {
     * shared by [[landBoxes]] (all files) and [[appendBoxed]] (the fresh
     * batch's files).
     */
-  private def boxesOf(
+  private[sources] def boxesOf(
       spark: org.apache.spark.sql.SparkSession, files: Seq[String],
       cols: Seq[String]): Seq[(String, String, Double, Double)] = {
     if (files.isEmpty) return Nil
@@ -323,7 +323,7 @@ object LakeSink {
       .collect().toSeq
   }
 
-  private def listParquet(
+  private[sources] def listParquet(
       spark: org.apache.spark.sql.SparkSession, path: String): Seq[String] = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

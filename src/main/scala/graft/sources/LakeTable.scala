@@ -1,0 +1,308 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Cdc
+
+/** A COMMITTED boxed z-order layout — [[LakeSink]]'s clustered parquet
+  * plus a versioned manifest, the minimal transaction log that makes
+  * file REPLACEMENT safe. Append-only layouts get crash-safety from
+  * directory listing alone (an unknown file is conservatively read —
+  * [[LakeSink.pruneFiles]]); the moment maintenance must DELETE or
+  * REWRITE files (changelog upserts, right-to-be-forgotten tombstones),
+  * directory presence stops being a commit marker: between "new files
+  * landed" and "old files deleted" a listing reader sees every row
+  * twice, and in the reverse order it sees rows vanish. The fix is the
+  * same one every production lake format ships (the Delta/Iceberg
+  * commit): readers resolve the live file set from the LATEST manifest
+  * version, and a mutation's single atomic step is publishing the next
+  * version file.
+  *
+  * Layout under `path/`:
+  *   - data files: z-order-clustered parquet, appended with unique names,
+  *     never overwritten in place;
+  *   - `_commits/v%09d.txt`: one manifest per table version — the live
+  *     file list AND the per-(file, clustered-column) zone-map boxes in
+  *     one atomically-published file (boxes live IN the commit, so the
+  *     crash window a separately-rewritten `_boxes` table had — old
+  *     manifest, half-written stats — cannot exist).
+  *
+  * Commit protocol (single writer; a lost rename race retries on the
+  * next version number):
+  *   1. land new data files (`Append`, unique names — uncommitted files
+  *      are invisible garbage, never read);
+  *   2. write the full next manifest to `_commits/.tmp-<uuid>`;
+  *   3. rename it to `_commits/v%09d.txt` — rename-without-overwrite is
+  *      the atomic commit point (posix / HDFS contract);
+  *   4. delete replaced data files — pure garbage collection AFTER the
+  *      commit; a crash leaves stale files no reader resolves
+  *      ([[vacuum]] sweeps them later).
+  * A crash anywhere before (3) leaves the previous version fully intact:
+  * readers never observe duplicates, partial rewrites, or missing rows.
+  *
+  * Scale shape: the manifest is files-count-sized metadata (the same
+  * rows query-time pruning reads); mutations touch ONLY the files whose
+  * key-column box intersects a changed key — the rest of a 100 TB table
+  * is neither read nor rewritten, and the touch decision itself is one
+  * broadcast join of the box table against the changed-key set.
+  */
+object LakeTable {
+
+  /** One table version: live data files (paths relative to the table
+    * root) and their zone-map boxes.
+    */
+  final case class Commit(
+      version: Int,
+      files: Seq[String],
+      boxes: Seq[(String, String, Double, Double)],
+      schemaDdl: String)
+
+  /** What a maintenance pass did — the audit row it publishes. */
+  final case class ApplyStats(
+      version: Int, filesRewritten: Int, filesKept: Int, filesNew: Int)
+
+  /** Create the table: one z-order-clustered OPTIMIZE write + manifest
+    * v1. `cols` are the clustering (and box) columns — numeric, and the
+    * first one should be the table's merge key for maintenance pruning
+    * to bite.
+    */
+  def init(
+      df: DataFrame, path: String, cols: Seq[String], nFiles: Int,
+      bits: Int = 16): Commit = {
+    val spark = df.sparkSession
+    LakeSink.writeZOrdered(df, path, cols, nFiles, bits)
+    val files = LakeSink.listParquet(spark, path)
+    val boxes = LakeSink.boxesOf(spark, files, cols)
+    writeCommit(spark, path, 1,
+      files.map(rel(path, _)),
+      boxes.map { case (f, c, mn, mx) => (rel(path, f), c, mn, mx) },
+      df.schema.toDDL)
+  }
+
+  /** The latest committed version — the ONLY thing readers trust. */
+  def latest(spark: SparkSession, path: String): Commit = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = new Path(s"$path/_commits")
+    require(fs.exists(dir), s"LakeTable: no _commits at $path — not a committed table")
+    val versions = fs.listStatus(dir).toSeq
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") && n.endsWith(".txt") =>
+        n.stripPrefix("v").stripSuffix(".txt").toInt }
+    require(versions.nonEmpty, s"LakeTable: empty _commits at $path")
+    val v = versions.max
+    val lines = {
+      val in = fs.open(new Path(dir, f"v$v%09d.txt"))
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
+      finally in.close()
+    }
+    val files = lines.collect { case l if l.startsWith("F\t") => l.split('\t')(1) }
+    val boxes = lines.collect { case l if l.startsWith("B\t") =>
+      val p = l.split('\t')
+      (p(1), p(2), java.lang.Double.parseDouble(p(3)), java.lang.Double.parseDouble(p(4)))
+    }
+    val ddl = lines.collectFirst { case l if l.startsWith("S\t") => l.split('\t')(1) }
+      .getOrElse("")
+    Commit(v, files, boxes, ddl)
+  }
+
+  /** The live data files, absolute. */
+  def liveFiles(spark: SparkSession, path: String): Seq[String] =
+    latest(spark, path).files.map(abs(path, _))
+
+  /** The current snapshot — exactly the latest commit's files, never the
+    * directory listing (uncommitted and replaced files are invisible).
+    */
+  def readLive(spark: SparkSession, path: String): DataFrame = {
+    val c = latest(spark, path)
+    if (c.files.isEmpty)
+      // an empty table has no file to infer from: the commit carries the
+      // schema (as DDL) precisely for this state
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(c.schemaDdl))
+    else spark.read.parquet(c.files.map(abs(path, _)): _*)
+  }
+
+  /** Zone-map-pruned range read over the committed layout: the pruning
+    * decision is driver arithmetic over the manifest's own boxes — with
+    * a commit there ARE no unknown files, so the prune is exact, plus
+    * the same residual filter as [[LakeSink.readPruned]].
+    */
+  def readPrunedLive(
+      spark: SparkSession, path: String,
+      ranges: Seq[(String, Double, Double)]): DataFrame = {
+    val c = latest(spark, path)
+    val (kept, _) = LakeSink.pruneFilesListed(
+      c.files.map(abs(path, _)),
+      c.boxes.map { case (f, col_, mn, mx) => (abs(path, f), col_, mn, mx) },
+      ranges)
+    val base =
+      if (kept.isEmpty) readLive(spark, path).filter(lit(false))
+      else spark.read.parquet(kept: _*)
+    ranges.foldLeft(base) { case (d, (cn, lo, hi)) =>
+      d.filter(col(cn) >= lo && col(cn) <= hi)
+    }
+  }
+
+  /** MERGE a CDC changelog into the table — the continuous
+    * changelog-table semantics of the reference's consumers
+    * (consumers/faust_stream.py:87-92 upserts the station table;
+    * consumers/ksql.py:35-39 maintains it continuously) promoted to the
+    * 100 TB boxed layout, WITH the delete half a training-data lake
+    * needs. Table schema is [[Cdc.mergeChangelog]]'s (key, name, val);
+    * `changelog` is (key, seq, op 'U'|'D', val).
+    *
+    * Only files whose `keyCol` box intersects a touched key are read and
+    * rewritten: the changelog reduces to one row per key (the MERGE's
+    * own first stage), the reduced key set probes the broadcast box
+    * table, and the surviving file list is metadata-sized. Rows from
+    * touched files merge with the reduced changelog via the exact
+    * [[Cdc.mergeChangelog]] plan (so lake MERGE == frame MERGE, the
+    * oracle contract); inserted keys beyond every box need no file at
+    * all and land in the fresh z-ordered batch. Untouched files carry
+    * their bytes AND their box rows into the next commit unread.
+    */
+  def applyChangelog(
+      spark: SparkSession, path: String, changelog: DataFrame,
+      cols: Seq[String], keyCol: String = "key", nFilesNew: Int = 2,
+      bits: Int = 16): ApplyStats = {
+    val reduced = Cdc.compactChangelog(changelog)
+    mutate(spark, path, cols, keyCol, nFilesNew, bits,
+      touchKeys = reduced.select(col("key")),
+      rewrite = base => Cdc.mergeChangelog(base, reduced).drop("last_seq"))
+  }
+
+  /** Right-to-be-forgotten at the storage layer: delete every row whose
+    * key is tombstoned, rewriting ONLY the files whose box can hold one.
+    * This is the executable half of [[graft.operators.Governance
+    * .forgetCascade]]'s work list — the cascade names the artifacts, this
+    * removes the table rows and publishes the attested next version
+    * (tombstoned keys are unreadable the instant the commit lands, while
+    * a crash before it leaves the previous version fully intact).
+    */
+  def applyTombstones(
+      spark: SparkSession, path: String, tombstones: DataFrame,
+      cols: Seq[String], keyCol: String = "key", nFilesNew: Int = 2,
+      bits: Int = 16): ApplyStats = {
+    val keys = tombstones.select(col(keyCol).as("key"))
+    mutate(spark, path, cols, keyCol, nFilesNew, bits,
+      touchKeys = keys,
+      rewrite = base =>
+        base.join(broadcast(keys.withColumnRenamed("key", keyCol)),
+          Seq(keyCol), "left_anti"))
+  }
+
+  /** Delete data files no commit references (crashed writers' garbage,
+    * post-commit stragglers) and stale tmp manifests. Returns the number
+    * of files removed. Safe at any time: the live set is defined by the
+    * manifest alone.
+    */
+  def vacuum(spark: SparkSession, path: String): Int = {
+    val live = latest(spark, path).files.toSet
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stale = LakeSink.listParquet(spark, path)
+      .map(rel(path, _)).filterNot(live)
+    stale.foreach(f => fs.delete(new Path(s"$path/$f"), false))
+    val tmp = fs.listStatus(new Path(s"$path/_commits")).toSeq
+      .map(_.getPath).filter(_.getName.startsWith(".tmp-"))
+    tmp.foreach(fs.delete(_, false))
+    stale.size + tmp.size
+  }
+
+  // ---- internals ----------------------------------------------------
+
+  /** Shared mutation skeleton: decide touched files from the key set ×
+    * box table, rewrite = f(touched rows), land, commit, GC.
+    */
+  private def mutate(
+      spark: SparkSession, path: String, cols: Seq[String], keyCol: String,
+      nFilesNew: Int, bits: Int,
+      touchKeys: DataFrame, rewrite: DataFrame => DataFrame): ApplyStats = {
+    import spark.implicits._
+    val c = latest(spark, path)
+    val keyBoxes = c.boxes.filter(_._2 == keyCol)
+    val boxedFiles = keyBoxes.map(_._1).toSet
+    // legacy safety: a live file with no key box cannot be pruned —
+    // always rewrite it (committed tables always box every file)
+    val unboxed = c.files.filterNot(boxedFiles)
+    // one scan of the key set against the broadcast box table; the
+    // distinct file list is metadata-sized
+    val boxesDf = keyBoxes.map { case (f, _, mn, mx) => (f, mn, mx) }
+      .toDF("file", "mn", "mx")
+    val touchedBoxed = touchKeys
+      .join(broadcast(boxesDf),
+        col("key").cast("double") >= col("mn") &&
+          col("key").cast("double") <= col("mx"))
+      .select(col("file")).distinct()
+      .as[String].collect().toSeq
+    val touched = (touchedBoxed ++ unboxed).distinct.sorted
+    val base =
+      if (touched.nonEmpty) spark.read.parquet(touched.map(abs(path, _)): _*)
+      else readLive(spark, path).limit(0)
+    val next = rewrite(base)
+
+    val before = LakeSink.listParquet(spark, path).toSet
+    if (!next.isEmpty) {
+      LakeSink.zorderFrame(next, cols, bits)
+        .repartitionByRange(nFilesNew, col("zkey"))
+        .sortWithinPartitions(col("zkey"))
+        .drop("zkey")
+        .write.mode(SaveMode.Append).parquet(path)
+    }
+    val fresh = LakeSink.listParquet(spark, path).filterNot(before).sorted
+    val freshBoxes = LakeSink.boxesOf(spark, fresh, cols)
+      .map { case (f, cn, mn, mx) => (rel(path, f), cn, mn, mx) }
+
+    val touchedSet = touched.toSet
+    val keptFiles = c.files.filterNot(touchedSet)
+    val committed = writeCommit(spark, path, c.version + 1,
+      keptFiles ++ fresh.map(rel(path, _)),
+      c.boxes.filterNot(b => touchedSet(b._1)) ++ freshBoxes,
+      next.schema.toDDL)
+    // post-commit GC: replaced files are garbage the moment the new
+    // version exists; a crash here just leaves work for vacuum
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    touched.foreach(f => fs.delete(new Path(s"$path/$f"), false))
+    ApplyStats(committed.version, touched.size, keptFiles.size, fresh.size)
+  }
+
+  /** Write manifest `version` via tmp + rename-without-overwrite — the
+    * atomic commit point. A lost race (version already exists) throws:
+    * this layout is single-writer by contract, and failing loudly beats
+    * silently dropping a committed version.
+    */
+  private def writeCommit(
+      spark: SparkSession, path: String, version: Int,
+      files: Seq[String],
+      boxes: Seq[(String, String, Double, Double)],
+      schemaDdl: String): Commit = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new Path(s"$path/_commits"))
+    val tmp = new Path(s"$path/_commits/.tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, false)
+    try {
+      val sb = new StringBuilder
+      sb.append("S\t").append(schemaDdl).append('\n')
+      files.sorted.foreach(f => sb.append("F\t").append(f).append('\n'))
+      boxes.sortBy(b => (b._1, b._2)).foreach { case (f, cn, mn, mx) =>
+        sb.append("B\t").append(f).append('\t').append(cn).append('\t')
+          .append(mn).append('\t').append(mx).append('\n')
+      }
+      out.write(sb.toString.getBytes("UTF-8"))
+    } finally out.close()
+    val dest = new Path(f"$path/_commits/v$version%09d.txt")
+    require(fs.rename(tmp, dest),
+      s"LakeTable: commit v$version lost the rename race at $path — " +
+        "concurrent writer detected (single-writer layout)")
+    Commit(version, files, boxes, schemaDdl)
+  }
+
+  private def rel(path: String, f: String): String = {
+    val p = new Path(path).toUri.getPath
+    val fp = new Path(f).toUri.getPath
+    require(fp.startsWith(p), s"LakeTable: $f outside $path")
+    fp.stripPrefix(p).stripPrefix("/")
+  }
+
+  private def abs(path: String, f: String): String = s"$path/$f"
+}

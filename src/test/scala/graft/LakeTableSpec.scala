@@ -1,0 +1,110 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.operators.Cdc
+import graft.sources.LakeTable
+
+class LakeTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkTable(prefix: String): (String, org.apache.spark.sql.DataFrame) = {
+    val dir = Files.createTempDirectory(prefix).toString + "/t"
+    // 800 keys, clustered on key into 8 files -> each file owns ~100-key span
+    val base = (0L until 800L).map(k => (k, s"name_$k", k * 1.5))
+      .toDF("key", "name", "val")
+    LakeTable.init(base, dir, Seq("key"), nFiles = 8)
+    (dir, base)
+  }
+
+  test("applyChangelog: lake MERGE == frame MERGE, byte-for-byte") {
+    val (dir, base) = mkTable("graft-laketab")
+    val changelog = Seq(
+      (5L, 1L, "U", 100.0),   // update
+      (5L, 2L, "D", 0.0),     // ... then delete (latest wins)
+      (7L, 3L, "U", 7.7),     // update
+      (900L, 4L, "U", 9.9),   // insert beyond every box
+      (901L, 5L, "D", 0.0),   // delete of a never-present key: noop
+      (10L, 6L, "D", 0.0), (10L, 7L, "U", 1.0) // delete then resurrect
+    ).toDF("key", "seq", "op", "val")
+    LakeTable.applyChangelog(spark, dir, changelog, Seq("key"))
+    val got = LakeTable.readLive(spark, dir)
+      .select(col("key"), col("name"), col("val"))
+      .orderBy(col("key")).collect().map(_.toSeq).toSeq
+    val want = Cdc.mergeChangelog(base, changelog).drop("last_seq")
+      .orderBy(col("key")).collect().map(_.toSeq).toSeq
+    assert(got == want, "post-apply snapshot must equal the frame MERGE")
+    assert(!got.exists(_.head == 5L), "deleted key must be gone")
+    assert(got.exists(r => r.head == 900L && r(1) == null),
+      "inserted key carries NULL for base-only columns")
+  }
+
+  test("only files whose key box intersects a touched key are rewritten") {
+    val (dir, _) = mkTable("graft-laketouch")
+    val before = LakeTable.latest(spark, dir)
+    // all changes inside one narrow key band
+    val changelog = Seq((20L, 1L, "U", 1.0), (30L, 2L, "D", 0.0))
+      .toDF("key", "seq", "op", "val")
+    val stats = LakeTable.applyChangelog(spark, dir, changelog, Seq("key"))
+    val after = LakeTable.latest(spark, dir)
+    assert(stats.filesRewritten < before.files.size,
+      s"narrow change must not rewrite the table: $stats")
+    // untouched files carry over by NAME (bytes never read or rewritten)
+    val kept = before.files.toSet.intersect(after.files.toSet)
+    assert(kept.size == stats.filesKept && kept.nonEmpty)
+    // and their box rows carried over verbatim
+    val beforeBoxes = before.boxes.filter(b => kept(b._1)).toSet
+    val afterBoxes = after.boxes.filter(b => kept(b._1)).toSet
+    assert(beforeBoxes == afterBoxes)
+    assert(after.version == before.version + 1)
+  }
+
+  test("applyTombstones: forget attestation — zero tombstoned rows readable") {
+    val (dir, base) = mkTable("graft-lakeforget")
+    val doomed = Seq(3L, 250L, 251L, 799L).toDF("key")
+    val stats = LakeTable.applyTombstones(spark, dir, doomed, Seq("key"))
+    val live = LakeTable.readLive(spark, dir)
+    assert(live.join(broadcast(doomed), Seq("key"), "left_semi").isEmpty,
+      "tombstoned keys must be unreadable after the commit")
+    assert(live.count() == base.count() - 4)
+    // the pruned read path can't resurrect them either
+    val viaPrune = LakeTable.readPrunedLive(spark, dir,
+      Seq(("key", 0.0, 1000.0)))
+    assert(viaPrune.join(broadcast(doomed), Seq("key"), "left_semi").isEmpty)
+    assert(stats.filesRewritten < 8, s"tombstones span 3 files at most: $stats")
+  }
+
+  test("uncommitted directory garbage is invisible; vacuum sweeps it") {
+    val (dir, base) = mkTable("graft-lakevac")
+    val liveBefore = LakeTable.readLive(spark, dir).count()
+    // a writer crashed after landing data but before its commit: the
+    // stray file must not change any read
+    Seq((9999L, "ghost", 0.0)).toDF("key", "name", "val")
+      .coalesce(1).write.mode("append").parquet(dir)
+    assert(LakeTable.readLive(spark, dir).count() == liveBefore,
+      "uncommitted files must be invisible to manifest readers")
+    val removed = LakeTable.vacuum(spark, dir)
+    assert(removed >= 1, "vacuum must sweep the uncommitted file")
+    // committed files all survive vacuum and still serve the snapshot
+    assert(LakeTable.readLive(spark, dir).count() == base.count())
+  }
+
+  test("insert beyond every box rewrites nothing and lands a fresh file") {
+    val (dir, _) = mkTable("graft-lakeins")
+    val changelog = Seq((5000L, 1L, "U", 5.0)).toDF("key", "seq", "op", "val")
+    val stats = LakeTable.applyChangelog(spark, dir, changelog, Seq("key"))
+    assert(stats.filesRewritten == 0, s"no box covers key 5000: $stats")
+    assert(stats.filesNew >= 1)
+    assert(LakeTable.readLive(spark, dir).filter(col("key") === 5000L).count() == 1)
+  }
+
+  test("pure delete shrinking a file to nothing still commits (no fresh file required)") {
+    val dir = Files.createTempDirectory("graft-lakeempty").toString + "/t"
+    val base = (0L until 10L).map(k => (k, s"n$k", k.toDouble)).toDF("key", "name", "val")
+    LakeTable.init(base, dir, Seq("key"), nFiles = 1)
+    val stats = LakeTable.applyTombstones(
+      spark, dir, (0L until 10L).toDF("key"), Seq("key"))
+    assert(stats.filesRewritten == 1 && stats.filesNew == 0)
+    assert(LakeTable.readLive(spark, dir).isEmpty)
+  }
+}
