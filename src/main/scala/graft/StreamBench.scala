@@ -243,6 +243,24 @@ object StreamBench {
     println(f"[stream-bench] knn-graph per-fold seconds: ${
       foldTimes.map(t => f"$t%.2f").mkString(", ")}")
 
+    // --- timed: BM25-stats maintainer (lexical index folds) ---
+    // the GraphMaintainer pattern on the lexical tier: stats refit on half
+    // the gate corpus (untimed), the other half folded in per micro-batch
+    // via mergeBm25Stats — O(|batch| + vocab) per fold, batchId-idempotent,
+    // versioned-commit landing. Throughput in docs/s like the gate rows.
+    val bmHalfA = spark.read.parquet(s"$root/docs").filter(f.col("doc_id") % 2 === 0)
+    val bmHalfB = spark.read.parquet(s"$root/docs").filter(f.col("doc_id") % 2 =!= 0)
+    bmHalfB.repartition(8).write.parquet(s"$root/bm25feed")
+    val bm25m = graft.streaming.Bm25Maintainer.build(
+      bmHalfA, s"$root/bm25stats")
+    timeQuery("bm25-stats maintainer (mergeBm25Stats folds)", nDocs / 2L) {
+      val src = spark.readStream
+        .schema(bmHalfB.schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(s"$root/bm25feed")
+      bm25m.attach(src)
+    }
+
     // --- timed: the FULLY-LOADED front door, every serve-side model on ---
     // boilerplate strip + exact-novelty anti-join + watermark dedup + LM
     // perplexity + NB classifier + contamination + packing, ONE continuous

@@ -1,0 +1,155 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.streaming.StreamingQuery
+import graft.operators.TextAnalysis
+
+/** Continuously maintained BM25-stats artifact — the streaming arm of
+  * [[TextAnalysis.mergeBm25Stats]] and the lexical twin of
+  * [[GraphMaintainer]]: an always-on ingest stream folds every
+  * micro-batch of NEW documents into the stored (token, df) + totals
+  * artifact, so [[TextAnalysis.bm25TopKFrom]] always serves from stats
+  * that are one micro-batch behind the corpus instead of one REFRESH
+  * behind. Exactness per fold is the merge==refit invariant
+  * (`merge(stats(old), batch) == stats(old ∪ batch)` — q_bm25_incr's
+  * oracle proves the arithmetic), so chained folds equal one refit.
+  *
+  * State model: like the graph, the stats are DERIVED state — an index
+  * artifact on reliable storage, not streaming state. `workDir` holds
+  * versioned snapshots `stats/v%06d/`, each containing
+  *   - the stats parquet (vocab-sized — ONE coalesced file),
+  *   - `_folded.txt`: every streaming batchId folded into this version,
+  *     written AFTER the parquet lands — its presence IS the version's
+  *     commit marker.
+  * Readers and recovery resolve the highest version WITH a marker; a
+  * crash mid-write leaves a markerless directory that is simply ignored.
+  *
+  * Idempotence / at-least-once: the folded-set travels WITH the version
+  * it describes, which closes the replay hole a separate marker file
+  * has — with "stats then marker" as two independent writes, a crash
+  * between them replays the batch onto stats that already contain it
+  * and every df double-counts. Here the fold for batchId B reads the
+  * current version's folded set, short-circuits if B is in it, and
+  * otherwise publishes (merged stats, set ∪ {B}) as one atomic version.
+  * True duplicate DOCUMENTS (same content re-arriving under a new
+  * batchId) are upstream's contract: the ingest gate
+  * ([[IngestGate]] / [[StreamDedup]]) dedups before anything derived
+  * folds — same division of labor as the graph maintainer's id guard.
+  *
+  * Per-fold cost: one batch-sized aggregation + a full-outer merge on
+  * token against the vocab-sized artifact — O(|batch| + vocab), never a
+  * corpus re-scan; at 100 TB the corpus is only ever touched by the
+  * initial [[Bm25Maintainer.build]] refit.
+  */
+final class Bm25Maintainer private (spark: SparkSession, workDir: String) {
+  import Bm25Maintainer._
+
+  private val fs =
+    new Path(workDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** The served artifact — always the latest COMMITTED version, so a
+    * recovered maintainer serves the same frame a crash interrupted.
+    */
+  def stats: DataFrame = spark.read.parquet(statsPath(workDir, currentVersion))
+
+  /** Streaming batchIds already folded in (empty right after build). */
+  def foldedBatches: Set[Long] = foldedOf(fs, workDir, currentVersion)
+
+  private def currentVersion: Int = committedVersions(fs, workDir).max
+
+  /** Fold one micro-batch of new documents; returns false for an
+    * already-folded (redelivered) batchId, true when a new version
+    * committed.
+    */
+  def fold(batch: DataFrame, batchId: Option[Long] = None): Boolean = synchronized {
+    val v = currentVersion
+    val folded = foldedOf(fs, workDir, v)
+    if (batchId.exists(folded.contains)) return false
+    if (batch.isEmpty) return false
+    TextAnalysis.mergeBm25Stats(stats, batch)
+      .coalesce(1)
+      .write.parquet(statsPath(workDir, v + 1))
+    commitMarker(fs, workDir, v + 1, folded ++ batchId.toSet)
+    // keep the previous version for readers in flight; older ones are
+    // garbage (vocab-sized dirs — cheap, but unbounded without this)
+    committedVersions(fs, workDir).filter(_ < v).foreach { old =>
+      fs.delete(new Path(statsPath(workDir, old)), true)
+    }
+    true
+  }
+
+  /** Attach to a document stream: every micro-batch folds via
+    * foreachBatch, batchId-idempotent (the artifact-maintenance loop —
+    * [[GraphMaintainer.attach]]'s shape for the lexical index).
+    */
+  def attach(stream: DataFrame): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (b: Dataset[Row], id: Long) =>
+        fold(b.toDF(), Some(id)); ()
+      }
+      .start()
+
+  /** Query-time serve from the maintained artifact. */
+  def serveTopK(docs: DataFrame, queryTerms: Seq[String], k: Int = 25): DataFrame =
+    TextAnalysis.bm25TopKFrom(docs, stats, queryTerms, k)
+}
+
+object Bm25Maintainer {
+
+  /** Refit the epoch's stats from the corpus and start maintaining. */
+  def build(initialDocs: DataFrame, workDir: String): Bm25Maintainer = {
+    val spark = initialDocs.sparkSession
+    val fs = new Path(workDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    TextAnalysis.bm25Stats(initialDocs)
+      .coalesce(1)
+      .write.parquet(statsPath(workDir, 1))
+    commitMarker(fs, workDir, 1, Set.empty)
+    new Bm25Maintainer(spark, workDir)
+  }
+
+  /** Reopen `workDir` after a restart: the latest committed version is
+    * the whole state, so the recovered maintainer's next fold equals the
+    * uninterrupted one's and redelivered batchIds stay no-ops.
+    */
+  def recover(spark: SparkSession, workDir: String): Bm25Maintainer = {
+    val fs = new Path(workDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(committedVersions(fs, workDir).nonEmpty,
+      s"Bm25Maintainer: no committed stats under $workDir")
+    new Bm25Maintainer(spark, workDir)
+  }
+
+  private def statsPath(workDir: String, v: Int): String =
+    f"$workDir%s/stats/v$v%06d"
+
+  // underscore prefix: invisible to Spark's parquet file listing (the
+  // _SUCCESS convention), so the marker can live INSIDE the version dir
+  private def markerPath(workDir: String, v: Int): Path =
+    new Path(s"${statsPath(workDir, v)}/_folded.txt")
+
+  private def committedVersions(
+      fs: org.apache.hadoop.fs.FileSystem, workDir: String): Seq[Int] = {
+    val dir = new Path(s"$workDir/stats")
+    if (!fs.exists(dir)) return Nil
+    fs.listStatus(dir).toSeq
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") => n.stripPrefix("v").toInt }
+      .filter(v => fs.exists(markerPath(workDir, v)))
+  }
+
+  private def foldedOf(
+      fs: org.apache.hadoop.fs.FileSystem, workDir: String, v: Int): Set[Long] = {
+    val in = fs.open(markerPath(workDir, v))
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    text.split('\n').filter(_.nonEmpty).map(_.toLong).toSet
+  }
+
+  private def commitMarker(
+      fs: org.apache.hadoop.fs.FileSystem, workDir: String, v: Int,
+      folded: Set[Long]): Unit = {
+    val out = fs.create(markerPath(workDir, v), false)
+    try out.write(folded.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+}

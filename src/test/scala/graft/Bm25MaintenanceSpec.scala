@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.operators.TextAnalysis
+import graft.streaming.Bm25Maintainer
+
+class Bm25MaintenanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(tag: String) =
+    java.nio.file.Files.createTempDirectory(s"graft-bm25m-$tag").toString
+
+  private def docs = Tables.documents(spark, sf)
+  private def statsSet(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getAs[String]("token"),
+      r.getAs[Long]("df"), Option(r.get(r.fieldIndex("dl_sum"))))).toSet
+
+  test("chained folds equal the one-shot refit (merge == refit, twice over)") {
+    val m = Bm25Maintainer.build(docs.filter(col("doc_id") % 3 === 0), tmp("chain"))
+    m.fold(docs.filter(col("doc_id") % 3 === 1), Some(0L))
+    m.fold(docs.filter(col("doc_id") % 3 === 2), Some(1L))
+    assert(statsSet(m.stats) == statsSet(TextAnalysis.bm25Stats(docs)),
+      "two chained folds must equal a full refit of the union")
+  }
+
+  test("kill/restart: the recovered maintainer's folds equal the uninterrupted ones") {
+    val dir = tmp("recover")
+    val b0 = docs.filter(col("doc_id") % 3 === 0)
+    val b1 = docs.filter(col("doc_id") % 3 === 1)
+    val b2 = docs.filter(col("doc_id") % 3 === 2)
+    val m1 = Bm25Maintainer.build(b0, dir)
+    assert(m1.fold(b1, Some(7L)))
+    // crash here: m1 is dropped; a new process reopens the landed state
+    val m2 = Bm25Maintainer.recover(spark, dir)
+    assert(m2.foldedBatches == Set(7L))
+    // the source redelivers batch 7 (at-least-once): must be a no-op
+    assert(!m2.fold(b1, Some(7L)), "redelivered batchId must not refold")
+    assert(m2.fold(b2, Some(8L)))
+    assert(statsSet(m2.stats) == statsSet(TextAnalysis.bm25Stats(docs)),
+      "recovered fold chain must equal the uninterrupted refit")
+  }
+
+  test("a markerless (crash-interrupted) version directory is ignored") {
+    val dir = tmp("marker")
+    val m = Bm25Maintainer.build(docs.filter(col("doc_id") % 2 === 0), dir)
+    val before = statsSet(m.stats)
+    // simulate a fold that died after the parquet write, before the
+    // marker: a v000002 directory with data but no _folded.txt
+    TextAnalysis.bm25Stats(docs).coalesce(1).write.parquet(s"$dir/stats/v000002")
+    assert(statsSet(Bm25Maintainer.recover(spark, dir).stats) == before,
+      "an uncommitted version must be invisible to recovery and reads")
+  }
+
+  test("attached to a MemoryStream, serving equals the inline ranking over the whole corpus") {
+    val dir = tmp("stream")
+    val half = docs.filter(col("doc_id") % 2 === 0)
+    val rest = docs.filter(col("doc_id") % 2 =!= 0)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+      .as[(Long, String, String, String, Long)].collect()
+    val m = Bm25Maintainer.build(half, dir)
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, String, String, Long)]
+    val q = m.attach(input.toDF()
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    try {
+      val (a, b) = rest.splitAt(rest.length / 2)
+      input.addData(a.toSeq); q.processAllAvailable()
+      input.addData(b.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val terms = Seq("dup", "window", "merge")
+    val served = m.serveTopK(docs, terms).collect().map(_.toSeq).toSeq
+    val inline = TextAnalysis.bm25TopK(docs, terms).collect().map(_.toSeq).toSeq
+    assert(served == inline,
+      "ranking served from the stream-maintained stats must equal the inline twin")
+  }
+}
