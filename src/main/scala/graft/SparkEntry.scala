@@ -300,6 +300,13 @@ object SparkEntry {
       val emb = Tables.embeddings(s, d)
       operators.Pq.ivfPqTopKRerank(emb, emb.filter(col("vec_id") < 5))
     }),
+    // multi-probe IVFADC+R: each query probes its 4 nearest cells — the
+    // candidate-pool lever for deep-shortlist consumers (hybrid fusion);
+    // same ADC + exact-rerank arithmetic, 4x the scanned codes
+    "q_ann_ivfpq_mp" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      operators.Pq.ivfPqTopKRerank(emb, emb.filter(col("vec_id") < 5), nprobe = 4)
+    }),
     // index QA: recall@5 of each approximate index vs the brute twin —
     // the number a pipeline recomputes at every index refresh
     "q_ann_recall" -> ((s, d) => {
@@ -396,8 +403,9 @@ object SparkEntry {
       Seq("dup", "window", "merge"), queryVecId = 0L)),
     // fused-recall audit: per dense tier, how much of the EXACT hybrid's
     // top-k the served fusion retains — the tier-selection number a
-    // refresh recomputes (0.76 lsh_mp vs 0.52 ivfpq_rerank at sf0.01:
-    // the shallow-k dense ranking inverts at fusion depth)
+    // refresh recomputes (lsh_mp 0.76 / ivfpq_rerank 0.52 / +nprobe=4
+    // 0.64 at sf0.01: the shallow-k dense ranking inverts at fusion
+    // depth, and nprobe is the IVF side's recovery lever)
     "q_hybrid_recall" -> ((s, d) => operators.HybridSearch.hybridRecallAudit(
       Tables.documents(s, d), Tables.embeddings(s, d),
       Seq("dup", "window", "merge"), queryVecId = 0L)),
@@ -1154,58 +1162,76 @@ object SparkEntry {
   // reconstruction x̂ = centroid + decoded residual: dot(q,x̂) = dot(q,c) +
   // Σ_s lut, ‖x̂‖² = ‖c‖² + 2·Σ_s cross + Σ_s ‖code‖² — every per-term dot
   // 6-dp-rounded and ×10⁶-quantized so both sums are exact BIGINT
-  // arithmetic (the Pq scaladoc contract); queries probe their own cell
-  // only. `xpqk` is the (query_id, neighbor_id, rank, cos) top-k frame.
-  // Assumes `e`, `ic`, `iasg` are bound; queries are vec_id < 5.
-  private def duckIvfPqCtes(subLen: Int, nCodes: Int, iters: Int, k: Int): String =
+  // arithmetic (the Pq scaladoc contract). Queries probe their `nprobe`
+  // NEAREST cells (rounded-cosine rank, ties to the lowest cid; nprobe=1
+  // is the classic own-cell argmax — same formula as iasg, so the
+  // generalized probe CTE reproduces the original bit-for-bit). `xpqk`
+  // is the (query_id, neighbor_id, rank, cos) top-k frame. Assumes `e`,
+  // `ic`, `iasg` are bound; queries are vec_id < 5.
+  private def duckIvfPqCtes(
+      subLen: Int, nCodes: Int, iters: Int, k: Int, nprobe: Int = 1): String =
+    duckIvfPqFit(subLen, nCodes, iters) + ",\n" +
+      duckIvfPqQuery(subLen, iters, k, nprobe)
+
+  // the query-independent half: residual frame + PQ codebook fit chain
+  private def duckIvfPqFit(subLen: Int, nCodes: Int, iters: Int): String =
     s"""rv AS (SELECT e.vec_id,
        |    list_transform(range(1, 65), i -> e.emb[i] - c.cemb[i]) AS emb
        |  FROM e JOIN iasg a ON e.vec_id = a.vec_id JOIN ic c ON a.cid = c.cid),
-       |${duckPqCtes(64 / subLen, subLen, nCodes, iters, src = "rv", pfx = "r")},
-       |xq AS (SELECT e.vec_id AS query_id, e.emb AS q_emb, a.cid AS cell
-       |  FROM e JOIN iasg a ON e.vec_id = a.vec_id WHERE e.vec_id < 5),
-       |xqn AS (SELECT query_id, sqrt(${duckDot("q_emb", "q_emb")}) AS qn FROM xq),
-       |xqs AS (SELECT q.query_id, s.sub,
+       |${duckPqCtes(64 / subLen, subLen, nCodes, iters, src = "rv", pfx = "r")}""".stripMargin
+
+  // the per-query-set half, CTEs prefixed so two nprobe variants can
+  // coexist in one statement (the fused-recall audit); `${pfx}pqk` is the
+  // (query_id, neighbor_id, rank, cos) top-k frame
+  private def duckIvfPqQuery(
+      subLen: Int, iters: Int, k: Int, nprobe: Int, pfx: String = "x"): String =
+    s"""${pfx}q AS (SELECT query_id, q_emb, cell FROM (
+       |  SELECT e.vec_id AS query_id, e.emb AS q_emb, c.cid AS cell,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${duckCos("e.emb", "c.cemb")} DESC, c.cid) AS prn
+       |  FROM e CROSS JOIN ic c WHERE e.vec_id < 5) WHERE prn <= $nprobe),
+       |${pfx}qn AS (SELECT DISTINCT query_id, sqrt(${duckDot("q_emb", "q_emb")}) AS qn FROM ${pfx}q),
+       |${pfx}qs AS (SELECT DISTINCT q.query_id, s.sub,
        |    list_slice(q.q_emb, s.sub * $subLen + 1, (s.sub + 1) * $subLen) AS sv
-       |  FROM xq q CROSS JOIN rpsub s),
-       |xdqc AS (SELECT q.query_id,
+       |  FROM ${pfx}q q CROSS JOIN rpsub s),
+       |${pfx}dqc AS (SELECT q.query_id, q.cell,
        |    CAST(round(${duckDot("q.q_emb", "c.cemb")}, 6) * 1000000.0 AS BIGINT) AS dqc,
        |    CAST(round(${duckDot("c.cemb", "c.cemb")}, 6) * 1000000.0 AS BIGINT) AS nc
-       |  FROM xq q JOIN ic c ON q.cell = c.cid),
-       |xlut AS (SELECT q.query_id, b.sub, b.code,
+       |  FROM ${pfx}q q JOIN ic c ON q.cell = c.cid),
+       |${pfx}lut AS (SELECT q.query_id, b.sub, b.code,
        |    CAST(round(list_sum(list_transform(range(1, ${subLen + 1}),
        |      i -> q.sv[i] * b.cv[i])), 6) * 1000000.0 AS BIGINT) AS dq
-       |  FROM xqs q JOIN rpc$iters b ON q.sub = b.sub),
-       |xnq AS (SELECT sub, code,
+       |  FROM ${pfx}qs q JOIN rpc$iters b ON q.sub = b.sub),
+       |${pfx}nq AS (SELECT sub, code,
        |    CAST(round(list_sum(list_transform(range(1, ${subLen + 1}),
        |      i -> cv[i] * cv[i])), 6) * 1000000.0 AS BIGINT) AS nq
        |  FROM rpc$iters),
-       |xcc AS (SELECT c.cid, b.sub, b.code,
+       |${pfx}cc AS (SELECT c.cid, b.sub, b.code,
        |    CAST(round(list_sum(list_transform(range(1, ${subLen + 1}),
        |      i -> c.cemb[b.sub * $subLen + i] * b.cv[i])), 6) * 1000000.0 AS BIGINT) AS cx
        |  FROM ic c CROSS JOIN rpc$iters b),
-       |xsc AS (SELECT q.query_id, v.vec_id AS neighbor_id,
+       |${pfx}sc AS (SELECT q.query_id, v.vec_id AS neighbor_id, a.cid AS cell,
        |    SUM(l.dq) AS dres, SUM(x.cx) AS cxs, SUM(n.nq) AS nqs
        |  FROM rpenc v
        |  JOIN iasg a ON a.vec_id = v.vec_id
-       |  JOIN xq q ON q.cell = a.cid AND v.vec_id != q.query_id
-       |  JOIN xlut l ON l.query_id = q.query_id AND l.sub = v.sub AND l.code = v.code
-       |  JOIN xnq n ON n.sub = v.sub AND n.code = v.code
-       |  JOIN xcc x ON x.cid = a.cid AND x.sub = v.sub AND x.code = v.code
-       |  GROUP BY q.query_id, v.vec_id),
-       |xcos AS (SELECT s.query_id, s.neighbor_id,
+       |  JOIN ${pfx}q q ON q.cell = a.cid AND v.vec_id != q.query_id
+       |  JOIN ${pfx}lut l ON l.query_id = q.query_id AND l.sub = v.sub AND l.code = v.code
+       |  JOIN ${pfx}nq n ON n.sub = v.sub AND n.code = v.code
+       |  JOIN ${pfx}cc x ON x.cid = a.cid AND x.sub = v.sub AND x.code = v.code
+       |  GROUP BY q.query_id, v.vec_id, a.cid),
+       |${pfx}cos AS (SELECT s.query_id, s.neighbor_id,
        |    CASE WHEN (d.nc + 2 * s.cxs + s.nqs) <= 0 THEN -1.0
        |         WHEN q.qn * sqrt(CAST(d.nc + 2 * s.cxs + s.nqs AS DOUBLE) / 1000000.0) = 0
        |           THEN -1.0
        |         ELSE round((CAST(d.dqc + s.dres AS DOUBLE) / 1000000.0)
        |           / (q.qn * sqrt(CAST(d.nc + 2 * s.cxs + s.nqs AS DOUBLE) / 1000000.0)), 6)
        |    END AS cos
-       |  FROM xsc s JOIN xdqc d ON d.query_id = s.query_id
-       |  JOIN xqn q ON q.query_id = s.query_id),
-       |xpqk AS (SELECT query_id, neighbor_id, rank, cos FROM (
+       |  FROM ${pfx}sc s JOIN ${pfx}dqc d ON d.query_id = s.query_id AND d.cell = s.cell
+       |  JOIN ${pfx}qn q ON q.query_id = s.query_id),
+       |${pfx}pqk AS (SELECT query_id, neighbor_id, rank, cos FROM (
        |  SELECT *, row_number() OVER (
        |      PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
-       |  FROM xcos) WHERE rank <= $k)""".stripMargin
+       |  FROM ${pfx}cos) WHERE rank <= $k)""".stripMargin
 
   // the shared lexical chain of every hybrid oracle: BM25 shortlist of 50
   // + ROW_NUMBER ranking (verbatim q_hybrid_search shape)
@@ -1243,18 +1269,18 @@ object SparkEntry {
        |  ORDER BY rrf DESC, id LIMIT 25)""".stripMargin
 
   // IVF-PQ + exact-rerank dense shortlist for query 0, (id, dense_rank)
-  // up to 50 — assumes e/iasg/ic and the duckIvfPqCtes chain (xpqk at ADC
-  // shortlist 100) are bound
-  private val duckIvfPqDense =
-    s"""rr AS (SELECT p.query_id, p.neighbor_id,
+  // up to 50 — assumes e/iasg/ic and a duckIvfPqQuery chain (`${pfx}pqk`
+  // at ADC shortlist 100) are bound
+  private def duckIvfPqDense(pfx: String = "x", out: String = "dsp"): String =
+    s"""${out}rr AS (SELECT p.query_id, p.neighbor_id,
        |    ${duckCos("q.emb", "v.emb")} AS cos
-       |  FROM xpqk p JOIN e q ON q.vec_id = p.query_id
+       |  FROM ${pfx}pqk p JOIN e q ON q.vec_id = p.query_id
        |  JOIN e v ON v.vec_id = p.neighbor_id
        |  WHERE p.query_id = 0),
-       |dsp AS (SELECT id, dense_rank FROM (
+       |$out AS (SELECT id, dense_rank FROM (
        |  SELECT neighbor_id AS id, ROW_NUMBER() OVER (
        |      ORDER BY cos DESC, neighbor_id) AS dense_rank
-       |  FROM rr) WHERE dense_rank <= 50)""".stripMargin
+       |  FROM ${out}rr) WHERE dense_rank <= 50)""".stripMargin
 
   // BPE merge application as a DuckDB lambda: merges travel as VARCHAR
   // "a<chr1>b" pairs, the accumulator is the wrapped-symbol string, and
@@ -2427,6 +2453,19 @@ object SparkEntry {
          |      PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
          |  FROM rr) WHERE rank <= 5
          |ORDER BY query_id, rank""".stripMargin,
+    "q_ann_ivfpq_mp" ->
+      s"""WITH e AS ($duckEmb),
+         |$duckIvfAssign,
+         |${duckIvfPqCtes(8, 8, 2, 20, nprobe = 4)},
+         |rr AS (SELECT p.query_id, p.neighbor_id,
+         |    ${duckCos("q.emb", "v.emb")} AS cos
+         |  FROM xpqk p JOIN e q ON q.vec_id = p.query_id
+         |  JOIN e v ON v.vec_id = p.neighbor_id)
+         |SELECT query_id, neighbor_id, rank, cos FROM (
+         |  SELECT *, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM rr) WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
     // recall@5 per approximate method: each method's top-5 CTE is the
     // corresponding q_ann_* oracle verbatim (reduced to id pairs); truth is
     // the brute top-5; hits counted by an id-pair left join
@@ -2985,7 +3024,7 @@ object SparkEntry {
          |e AS ($duckEmb),
          |$duckIvfAssign,
          |${duckIvfPqCtes(8, 8, 2, 100)},
-         |$duckIvfPqDense,
+         |${duckIvfPqDense()},
          |fused AS (SELECT COALESCE(l.id, d.id) AS id, l.lex_rank, d.dense_rank,
          |  CAST(COALESCE(CAST(round(1.0 / (60.0 + CAST(l.lex_rank AS DOUBLE)), 6)
          |        AS DECIMAL(18,6)), CAST(0 AS DECIMAL(18,6)))
@@ -3021,10 +3060,13 @@ object SparkEntry {
          |  FROM hscored) WHERE dense_rank <= 50),
          |$duckIvfAssign,
          |${duckIvfPqCtes(8, 8, 2, 100)},
-         |$duckIvfPqDense,
+         |${duckIvfPqDense()},
+         |${duckIvfPqQuery(8, 2, 100, nprobe = 4, pfx = "y")},
+         |${duckIvfPqDense(pfx = "y", out = "dsm")},
          |${duckRrfFused("dsx", "fx")},
          |${duckRrfFused("dsl", "fl")},
          |${duckRrfFused("dsp", "fp")},
+         |${duckRrfFused("dsm", "fm")},
          |tn AS (SELECT id FROM fx),
          |audits AS (
          |  SELECT 'exact_brute' AS tier, CAST(COUNT(*) AS BIGINT) AS returned,
@@ -3033,6 +3075,9 @@ object SparkEntry {
          |  UNION ALL
          |  SELECT 'ivfpq_rerank', CAST(COUNT(*) AS BIGINT), CAST(COUNT(t.id) AS BIGINT)
          |  FROM fp r LEFT JOIN tn t ON r.id = t.id
+         |  UNION ALL
+         |  SELECT 'ivfpq_rerank_mp4', CAST(COUNT(*) AS BIGINT), CAST(COUNT(t.id) AS BIGINT)
+         |  FROM fm r LEFT JOIN tn t ON r.id = t.id
          |  UNION ALL
          |  SELECT 'lsh_multiprobe', CAST(COUNT(*) AS BIGINT), CAST(COUNT(t.id) AS BIGINT)
          |  FROM fl r LEFT JOIN tn t ON r.id = t.id)

@@ -44,14 +44,6 @@ object HybridSearch {
       .limit(k)
   }
 
-  /** End-to-end hybrid query over the corpus: BM25 on `queryTerms` and
-    * exact cosine against `queryVecId`'s embedding, RRF-fused. The dense
-    * shortlist excludes the query vector itself (the ANN convention);
-    * the lexical one has no such notion — an id can enter from either
-    * side. Both shortlists take `perList` candidates into the fusion
-    * (deeper than the final k, the standard RRF setup: a doc ranked
-    * k+3 in BOTH lists can still out-fuse one ranked 1 in only one).
-    */
   /** Rank the BM25 shortlist WITHOUT a partition-less window (banned by
     * the plan-quality sweep even over constant-size frames): rank(a) =
     * 1 + |rows strictly ahead of a| via a broadcast theta-join of the
@@ -73,6 +65,14 @@ object HybridSearch {
       .agg((count(col("b.doc_id")) + lit(1L)).as("rank"))
   }
 
+  /** End-to-end hybrid query over the corpus: BM25 on `queryTerms` and
+    * exact cosine against `queryVecId`'s embedding, RRF-fused. The dense
+    * shortlist excludes the query vector itself (the ANN convention);
+    * the lexical one has no such notion — an id can enter from either
+    * side. Both shortlists take `perList` candidates into the fusion
+    * (deeper than the final k, the standard RRF setup: a doc ranked
+    * k+3 in BOTH lists can still out-fuse one ranked 1 in only one).
+    */
   def hybridTopK(
       docs: DataFrame, embeddings: DataFrame, queryTerms: Seq[String],
       queryVecId: Long, k: Int = 25, perList: Int = 50,
@@ -114,18 +114,23 @@ object HybridSearch {
     * (~corpus/nCentroids rows) while multi-probe LSH surveys several
     * buckets — on the test corpus shape [[hybridRecallAudit]] measures
     * fused recall 0.52 for this tier vs 0.76 for the LSH one, inverting
-    * the shallow-k ranking. That is what the audit is FOR: it recomputes
-    * per index refresh and the winner serves; both tiers stay
-    * deterministic, so both fused rankings carry full hash oracles.
+    * the shallow-k ranking. `nprobe` is the recovery lever (probe the
+    * query's nprobe nearest cells): nprobe=4 lifts fused recall to 0.64
+    * at 4/16 of the corpus scanned — monotone in nprobe by construction
+    * (candidates only widen) — and at production cell counts (thousands
+    * of cells, nprobe a few dozen) this is how IVF tiers buy back deep
+    * recall at a small scan fraction. That is what the audit is FOR: it
+    * recomputes per index refresh and the winner serves; every tier stays
+    * deterministic, so every fused ranking carries a full hash oracle.
     */
   def hybridTopKAnnIvfPq(
       docs: DataFrame, embeddings: DataFrame, queryTerms: Seq[String],
       queryVecId: Long, k: Int = 25, perList: Int = 50,
-      rrfK: Int = 60, shortlist: Int = 100): DataFrame = {
+      rrfK: Int = 60, shortlist: Int = 100, nprobe: Int = 1): DataFrame = {
     val lex = lexShortlist(docs, queryTerms, perList)
     val dense = Pq.ivfPqTopKRerank(
       embeddings, embeddings.filter(col("vec_id") === queryVecId),
-      k = perList, shortlist = shortlist)
+      k = perList, shortlist = shortlist, nprobe = nprobe)
       .select(col("neighbor_id").as("id"), col("rank"))
     rrfFuse(lex, dense, k, rrfK)
   }
@@ -157,6 +162,9 @@ object HybridSearch {
       hybridTopK(docs, embeddings, queryTerms, queryVecId, k, perList))
       .unionAll(audit("ivfpq_rerank",
         hybridTopKAnnIvfPq(docs, embeddings, queryTerms, queryVecId, k, perList)))
+      .unionAll(audit("ivfpq_rerank_mp4",
+        hybridTopKAnnIvfPq(docs, embeddings, queryTerms, queryVecId, k, perList,
+          nprobe = 4)))
       .unionAll(audit("lsh_multiprobe",
         hybridTopKAnn(docs, embeddings, queryTerms, queryVecId, k, perList)))
       .orderBy(col("tier"))

@@ -509,15 +509,17 @@ object Pq {
   def ivfPqTopK(
       corpus: DataFrame, queries: DataFrame,
       k: Int = 5, nCentroids: Int = 16, m: Int = 8, nCodes: Int = 8,
-      iters: Int = 2): DataFrame =
-    rankTopK(ivfPqAdcScores(corpus, queries, nCentroids, m, nCodes, iters), k)
+      iters: Int = 2, nprobe: Int = 1): DataFrame =
+    rankTopK(
+      ivfPqAdcScores(corpus, queries, nCentroids, m, nCodes, iters, nprobe), k)
 
   /** The (query_id, neighbor_id, cos) ADC-scored frame behind [[ivfPqTopK]]
     * — exposed so [[ivfPqTopKRerank]] can shortlist from it.
     */
   private[operators] def ivfPqAdcScores(
       corpus: DataFrame, queries: DataFrame,
-      nCentroids: Int, m: Int, nCodes: Int, iters: Int): DataFrame = {
+      nCentroids: Int, m: Int, nCodes: Int, iters: Int,
+      nprobe: Int = 1): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val cents = SimilaritySearch.ivfCentroids(corpus, nCentroids)
@@ -561,22 +563,27 @@ object Pq {
     val ncSq: Map[Long, Long] =
       cents.map { case (cid, cv, _) => cid -> quant6(round6(dotKernel(cv, cv))) }.toMap
 
-    // queries: own-cell assignment (same argmax) + per-sub LUT + dot(q, c)
+    // queries: top-nprobe cell assignment (rounded-cosine rank, ties to
+    // the lowest cell id; nprobe=1 is the classic own-cell argmax) +
+    // per-sub LUT + per-probed-cell dot(q, c). One (qid, cell, qn, dqc,
+    // lut) entry PER PROBE — the scorer below is probe-count-agnostic: a
+    // corpus row matches at most one of a query's probes (its own cell),
+    // so multi-probe widens candidates without ever double-scoring a pair
     val qArr = queries.select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])].collect().sortBy(_._1)
-      .map { case (qid, f) =>
+      .flatMap { case (qid, f) =>
         val q = f.map(_.toDouble)
         val qn = l2NormKernel(q)
-        var bestId = -1L; var best = Double.NegativeInfinity
-        var bestVec: Array[Double] = null
-        cents.foreach { case (cid, cv, cn) =>
-          val cos = safeCos(dotKernel(q, cv), qn, cn)
-          if (cos > best) { best = cos; bestId = cid; bestVec = cv }
-        }
         val lut = Array.tabulate(m) { s =>
           books(s).map { case (_, cv) => quant6(round6(subDot(q, s * subLen, cv))) }
         }
-        (qid, bestId, qn, quant6(round6(dotKernel(q, bestVec))), lut)
+        cents.map { case (cid, cv, cn) =>
+          (safeCos(dotKernel(q, cv), qn, cn), cid, cv)
+        }.sortBy { case (cos, cid, _) => (-cos, cid) }
+          .take(nprobe)
+          .map { case (_, cid, cv) =>
+            (qid, cid, qn, quant6(round6(dotKernel(q, cv))), lut)
+          }
       }
     val bcQ = spark.sparkContext.broadcast(qArr)
     val bcBooks = spark.sparkContext.broadcast(books)
@@ -667,8 +674,10 @@ object Pq {
   def ivfPqTopKRerank(
       corpus: DataFrame, queries: DataFrame,
       k: Int = 5, shortlist: Int = 20, nCentroids: Int = 16,
-      m: Int = 8, nCodes: Int = 8, iters: Int = 2): DataFrame =
-    rerankExact(ivfPqAdcScores(corpus, queries, nCentroids, m, nCodes, iters),
+      m: Int = 8, nCodes: Int = 8, iters: Int = 2,
+      nprobe: Int = 1): DataFrame =
+    rerankExact(
+      ivfPqAdcScores(corpus, queries, nCentroids, m, nCodes, iters, nprobe),
       corpus, queries, k, shortlist)
 
   private def rerankExact(

@@ -63,7 +63,12 @@ class HybridSearchSpec extends SparkSpec {
     val terms = Seq("dup", "window", "merge")
     val audit = HybridSearch.hybridRecallAudit(docs, emb, terms, queryVecId = 0L)
       .collect().map(r => r.getAs[String]("tier") -> r).toMap
-    assert(audit.keySet == Set("exact_brute", "ivfpq_rerank", "lsh_multiprobe"))
+    assert(audit.keySet ==
+      Set("exact_brute", "ivfpq_rerank", "ivfpq_rerank_mp4", "lsh_multiprobe"))
+    // widening the probe can only add candidates: fused recall is
+    // monotone in nprobe (0.52 -> 0.64 at sf0.01; see the scaladoc)
+    assert(audit("ivfpq_rerank_mp4").getAs[Long]("hits") >=
+      audit("ivfpq_rerank").getAs[Long]("hits"))
     // the exact fusion compared to itself is the 1.0 anchor
     assert(audit("exact_brute").getAs[Double]("recall") == 1.0)
     // each tier's hits must equal an independent recount of its fused ids
