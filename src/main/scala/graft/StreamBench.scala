@@ -336,6 +336,29 @@ object StreamBench {
         .otherwise(org.apache.spark.sql.functions.lit("U")).as("op"),
       (org.apache.spark.sql.functions.col("id") % 9973L).cast("double").as("value"))
       .repartition(8).write.parquet(s"$root/changes")
+    // --- timed: streaming LAKE maintenance (changelog -> LakeTable) ---
+    // the full storage-layer loop per micro-batch: reduce to latest-per-
+    // key, prune to box-intersecting files, rewrite + manifest commit.
+    // Reuses the $root/changes fixture; base = one row per live key.
+    val lakeDir = s"$root/laketab"
+    graft.sources.LakeTable.init(
+      spark.range(100000L).select(
+        org.apache.spark.sql.functions.col("id").as("key"),
+        org.apache.spark.sql.functions.concat(
+          org.apache.spark.sql.functions.lit("n"),
+          org.apache.spark.sql.functions.col("id")).as("name"),
+        (org.apache.spark.sql.functions.col("id") % 997L).cast("double").as("val")),
+      lakeDir, Seq("key"), nFiles = 8)
+    timeQuery("lake maintenance (changelog MERGE -> committed layout)", nChanges) {
+      val src = spark.readStream
+        .schema(org.apache.spark.sql.Encoders.product[
+          graft.streaming.CdcStream.Change].schema)
+        .option("maxFilesPerTrigger", "4")
+        .parquet(s"$root/changes")
+        .withColumnRenamed("value", "val")
+      graft.streaming.LakeMaintenance.attach(src, lakeDir, Seq("key"), nFilesNew = 4)
+    }
+
     timeQuery("cdc changelog reduction (transformWithState)", nChanges) {
       val src = spark.readStream
         .schema(org.apache.spark.sql.Encoders.product[

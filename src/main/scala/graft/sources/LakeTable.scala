@@ -35,9 +35,9 @@ import graft.operators.Cdc
   *   2. write the full next manifest to `_commits/.tmp-<uuid>`;
   *   3. rename it to `_commits/v%09d.txt` — rename-without-overwrite is
   *      the atomic commit point (posix / HDFS contract);
-  *   4. delete replaced data files — pure garbage collection AFTER the
-  *      commit; a crash leaves stale files no reader resolves
-  *      ([[vacuum]] sweeps them later).
+  *   4. replaced files stay ON DISK, invisible to readers — they back
+  *      time travel ([[readAt]]) until [[vacuum]]'s retention window
+  *      (newest `keepVersions` manifests) drops them.
   * A crash anywhere before (3) leaves the previous version fully intact:
   * readers never observe duplicates, partial rewrites, or missing rows.
   *
@@ -56,7 +56,8 @@ object LakeTable {
       version: Int,
       files: Seq[String],
       boxes: Seq[(String, String, Double, Double)],
-      schemaDdl: String)
+      schemaDdl: String,
+      appliedBatches: Set[Long] = Set.empty)
 
   /** What a maintenance pass did — the audit row it publishes. */
   final case class ApplyStats(
@@ -80,19 +81,25 @@ object LakeTable {
       df.schema.toDDL)
   }
 
-  /** The latest committed version — the ONLY thing readers trust. */
-  def latest(spark: SparkSession, path: String): Commit = {
+  /** Every committed version number, ascending. */
+  def versions(spark: SparkSession, path: String): Seq[Int] = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dir = new Path(s"$path/_commits")
     require(fs.exists(dir), s"LakeTable: no _commits at $path — not a committed table")
-    val versions = fs.listStatus(dir).toSeq
+    val vs = fs.listStatus(dir).toSeq
       .map(_.getPath.getName)
       .collect { case n if n.startsWith("v") && n.endsWith(".txt") =>
         n.stripPrefix("v").stripSuffix(".txt").toInt }
-    require(versions.nonEmpty, s"LakeTable: empty _commits at $path")
-    val v = versions.max
+      .sorted
+    require(vs.nonEmpty, s"LakeTable: empty _commits at $path")
+    vs
+  }
+
+  /** The manifest of one committed version. */
+  def commitAt(spark: SparkSession, path: String, version: Int): Commit = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val lines = {
-      val in = fs.open(new Path(dir, f"v$v%09d.txt"))
+      val in = fs.open(new Path(f"$path%s/_commits/v$version%09d.txt"))
       try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
       finally in.close()
     }
@@ -103,7 +110,36 @@ object LakeTable {
     }
     val ddl = lines.collectFirst { case l if l.startsWith("S\t") => l.split('\t')(1) }
       .getOrElse("")
-    Commit(v, files, boxes, ddl)
+    val applied = lines.collect { case l if l.startsWith("A\t") =>
+      l.split('\t')(1).toLong }.toSet
+    Commit(version, files, boxes, ddl, applied)
+  }
+
+  /** The latest committed version — the ONLY thing readers trust. */
+  def latest(spark: SparkSession, path: String): Commit =
+    commitAt(spark, path, versions(spark, path).max)
+
+  /** Every manifest, ascending — the table's audit trail. */
+  def history(spark: SparkSession, path: String): Seq[Commit] =
+    versions(spark, path).map(commitAt(spark, path, _))
+
+  /** TIME TRAVEL: the snapshot exactly as version `version` committed it.
+    * Replaced files are RETAINED on disk until [[vacuum]] drops them, so
+    * any version inside the retention window reads back byte-identical;
+    * a version whose files vacuum already removed fails loud (the
+    * Delta/Iceberg retention contract).
+    */
+  def readAt(spark: SparkSession, path: String, version: Int): DataFrame = {
+    val c = commitAt(spark, path, version)
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val missing = c.files.filterNot(f => fs.exists(new Path(s"$path/$f")))
+    require(missing.isEmpty,
+      s"LakeTable: version $version references vacuumed files " +
+        s"(e.g. ${missing.take(3).mkString(", ")}) — outside the retention window")
+    if (c.files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(c.schemaDdl))
+    else spark.read.parquet(c.files.map(abs(path, _)): _*)
   }
 
   /** The live data files, absolute. */
@@ -165,11 +201,18 @@ object LakeTable {
   def applyChangelog(
       spark: SparkSession, path: String, changelog: DataFrame,
       cols: Seq[String], keyCol: String = "key", nFilesNew: Int = 2,
-      bits: Int = 16): ApplyStats = {
+      bits: Int = 16, batchId: Option[Long] = None): ApplyStats = {
+    // streaming at-least-once: an already-applied batchId is a no-op —
+    // the applied set travels IN the manifest, so the check and the
+    // apply commit atomically together (the Bm25Maintainer lesson)
+    val c = latest(spark, path)
+    if (batchId.exists(c.appliedBatches.contains))
+      return ApplyStats(c.version, 0, c.files.size, 0)
     val reduced = Cdc.compactChangelog(changelog)
     mutate(spark, path, cols, keyCol, nFilesNew, bits,
       touchKeys = reduced.select(col("key")),
-      rewrite = base => Cdc.mergeChangelog(base, reduced).drop("last_seq"))
+      rewrite = base => Cdc.mergeChangelog(base, reduced).drop("last_seq"),
+      appliedBatch = batchId)
   }
 
   /** Right-to-be-forgotten at the storage layer: delete every row whose
@@ -192,16 +235,21 @@ object LakeTable {
           Seq(keyCol), "left_anti"))
   }
 
-  /** Delete data files no commit references (crashed writers' garbage,
-    * post-commit stragglers) and stale tmp manifests. Returns the number
-    * of files removed. Safe at any time: the live set is defined by the
-    * manifest alone.
+  /** Delete data files outside the retention window — anything not
+    * referenced by the newest `keepVersions` manifests: crashed writers'
+    * uncommitted garbage, and files replaced long enough ago — plus
+    * stale tmp manifests. Returns the number of files removed.
+    * Manifests themselves are never deleted (metadata-sized history);
+    * [[readAt]] on a version whose data was vacuumed fails loud. Safe at
+    * any time: the live set is defined by the manifests alone.
     */
-  def vacuum(spark: SparkSession, path: String): Int = {
-    val live = latest(spark, path).files.toSet
+  def vacuum(spark: SparkSession, path: String, keepVersions: Int = 2): Int = {
+    val vs = versions(spark, path)
+    val retained = vs.takeRight(math.max(1, keepVersions))
+      .flatMap(commitAt(spark, path, _).files).toSet
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val stale = LakeSink.listParquet(spark, path)
-      .map(rel(path, _)).filterNot(live)
+      .map(rel(path, _)).filterNot(retained)
     stale.foreach(f => fs.delete(new Path(s"$path/$f"), false))
     val tmp = fs.listStatus(new Path(s"$path/_commits")).toSeq
       .map(_.getPath).filter(_.getName.startsWith(".tmp-"))
@@ -214,10 +262,11 @@ object LakeTable {
   /** Shared mutation skeleton: decide touched files from the key set ×
     * box table, rewrite = f(touched rows), land, commit, GC.
     */
-  private def mutate(
+  private[sources] def mutate(
       spark: SparkSession, path: String, cols: Seq[String], keyCol: String,
       nFilesNew: Int, bits: Int,
-      touchKeys: DataFrame, rewrite: DataFrame => DataFrame): ApplyStats = {
+      touchKeys: DataFrame, rewrite: DataFrame => DataFrame,
+      appliedBatch: Option[Long] = None): ApplyStats = {
     import spark.implicits._
     val c = latest(spark, path)
     val keyBoxes = c.boxes.filter(_._2 == keyCol)
@@ -258,11 +307,11 @@ object LakeTable {
     val committed = writeCommit(spark, path, c.version + 1,
       keptFiles ++ fresh.map(rel(path, _)),
       c.boxes.filterNot(b => touchedSet(b._1)) ++ freshBoxes,
-      next.schema.toDDL)
-    // post-commit GC: replaced files are garbage the moment the new
-    // version exists; a crash here just leaves work for vacuum
-    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    touched.foreach(f => fs.delete(new Path(s"$path/$f"), false))
+      next.schema.toDDL,
+      c.appliedBatches ++ appliedBatch)
+    // replaced files become invisible at the commit point but stay ON
+    // DISK: they back time travel (readAt) until vacuum's retention
+    // window drops them — GC is a policy decision, not a correctness one
     ApplyStats(committed.version, touched.size, keptFiles.size, fresh.size)
   }
 
@@ -275,7 +324,8 @@ object LakeTable {
       spark: SparkSession, path: String, version: Int,
       files: Seq[String],
       boxes: Seq[(String, String, Double, Double)],
-      schemaDdl: String): Commit = {
+      schemaDdl: String,
+      appliedBatches: Set[Long] = Set.empty): Commit = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(new Path(s"$path/_commits"))
     val tmp = new Path(s"$path/_commits/.tmp-${java.util.UUID.randomUUID()}")
@@ -283,6 +333,8 @@ object LakeTable {
     try {
       val sb = new StringBuilder
       sb.append("S\t").append(schemaDdl).append('\n')
+      appliedBatches.toSeq.sorted.foreach(b =>
+        sb.append("A\t").append(b).append('\n'))
       files.sorted.foreach(f => sb.append("F\t").append(f).append('\n'))
       boxes.sortBy(b => (b._1, b._2)).foreach { case (f, cn, mn, mx) =>
         sb.append("B\t").append(f).append('\t').append(cn).append('\t')
@@ -294,7 +346,7 @@ object LakeTable {
     require(fs.rename(tmp, dest),
       s"LakeTable: commit v$version lost the rename race at $path — " +
         "concurrent writer detected (single-writer layout)")
-    Commit(version, files, boxes, schemaDdl)
+    Commit(version, files, boxes, schemaDdl, appliedBatches)
   }
 
   private def rel(path: String, f: String): String = {

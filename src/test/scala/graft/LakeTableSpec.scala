@@ -98,6 +98,72 @@ class LakeTableSpec extends SparkSpec {
     assert(LakeTable.readLive(spark, dir).filter(col("key") === 5000L).count() == 1)
   }
 
+  test("time travel: readAt serves each version byte-identical until vacuum retires it") {
+    val (dir, base) = mkTable("graft-laketime")
+    val v1Rows = base.orderBy(col("key")).collect().map(_.toSeq).toSeq
+    val changelog = Seq((5L, 1L, "D", 0.0), (900L, 2L, "U", 9.9))
+      .toDF("key", "seq", "op", "val")
+    LakeTable.applyChangelog(spark, dir, changelog, Seq("key"))
+    // v1 still reads back exactly (replaced files retained on disk)
+    assert(LakeTable.readAt(spark, dir, 1)
+      .select(col("key"), col("name"), col("val"))
+      .orderBy(col("key")).collect().map(_.toSeq).toSeq == v1Rows)
+    // v2 == live
+    assert(LakeTable.readAt(spark, dir, 2).count() ==
+      LakeTable.readLive(spark, dir).count())
+    assert(LakeTable.history(spark, dir).map(_.version) == Seq(1, 2))
+    // retention window of 1 drops v1's replaced files: time travel to v1
+    // now fails LOUD, the live snapshot is untouched
+    LakeTable.vacuum(spark, dir, keepVersions = 1)
+    intercept[IllegalArgumentException](LakeTable.readAt(spark, dir, 1))
+    assert(LakeTable.readLive(spark, dir).count() == base.count() - 1 + 1)
+  }
+
+  test("streaming maintenance: redelivered batchIds are no-ops, folds equal one batch MERGE") {
+    val (dir, base) = mkTable("graft-lakestream")
+    val ch1 = Seq((10L, 1L, "U", 1.0), (11L, 2L, "D", 0.0)).toDF("key", "seq", "op", "val")
+    val ch2 = Seq((12L, 3L, "U", 2.0), (950L, 4L, "U", 4.0)).toDF("key", "seq", "op", "val")
+    val s1 = graft.streaming.LakeMaintenance.foldOnce(
+      spark, dir, ch1, Seq("key"), batchId = Some(0L))
+    assert(s1.version == 2)
+    // at-least-once redelivery of batch 0: no new version, no rewrite
+    val replay = graft.streaming.LakeMaintenance.foldOnce(
+      spark, dir, ch1, Seq("key"), batchId = Some(0L))
+    assert(replay.version == 2 && replay.filesRewritten == 0 && replay.filesNew == 0)
+    val s2 = graft.streaming.LakeMaintenance.foldOnce(
+      spark, dir, ch2, Seq("key"), batchId = Some(1L))
+    assert(s2.version == 3)
+    assert(LakeTable.latest(spark, dir).appliedBatches == Set(0L, 1L))
+    // the folded table equals one MERGE of the concatenated changelog
+    val got = LakeTable.readLive(spark, dir)
+      .select(col("key"), col("name"), col("val"))
+      .orderBy(col("key")).collect().map(_.toSeq).toSeq
+    val want = Cdc.mergeChangelog(base, ch1.unionAll(ch2)).drop("last_seq")
+      .orderBy(col("key")).collect().map(_.toSeq).toSeq
+    assert(got == want)
+  }
+
+  test("streaming maintenance: a MemoryStream changelog folds through foreachBatch") {
+    val (dir, base) = mkTable("graft-lakemem")
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, String, Double)]
+    val q = graft.streaming.LakeMaintenance.attach(
+      input.toDF().toDF("key", "seq", "op", "val"), dir, Seq("key"))
+    try {
+      input.addData(Seq((20L, 1L, "U", 5.0), (21L, 2L, "D", 0.0)))
+      q.processAllAvailable()
+      input.addData(Seq((960L, 3L, "U", 6.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val live = LakeTable.readLive(spark, dir)
+    assert(live.filter(col("key") === 20L).select(col("val"))
+      .collect().head.getDouble(0) == 5.0)
+    assert(live.filter(col("key") === 21L).isEmpty)
+    assert(live.filter(col("key") === 960L).count() == 1)
+    assert(live.count() == base.count() - 1 + 1)
+  }
+
   test("pure delete shrinking a file to nothing still commits (no fresh file required)") {
     val dir = Files.createTempDirectory("graft-lakeempty").toString + "/t"
     val base = (0L until 10L).map(k => (k, s"n$k", k.toDouble)).toDF("key", "name", "val")
