@@ -2742,6 +2742,19 @@ object SparkEntry {
          |  SELECT *, row_number() OVER (
          |      PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
          |  FROM xrx) WHERE rk <= 5),
+         |${duckIvfPqQuery(8, 2, 5, nprobe = 4, pfx = "y")},
+         |yrr20 AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT *, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+         |  FROM ycos) WHERE rk <= 20),
+         |yrx AS (SELECT p.query_id, p.neighbor_id,
+         |    ${duckCos("eq.emb", "ev.emb")} AS cos
+         |  FROM yrr20 p JOIN e eq ON eq.vec_id = p.query_id
+         |  JOIN e ev ON ev.vec_id = p.neighbor_id),
+         |yrr AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT *, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+         |  FROM yrx) WHERE rk <= 5),
          |mpsc AS (SELECT query_id, e.vec_id AS neighbor_id,
          |    ${duckCosPrefix("q_emb", "emb", 16)} AS cos
          |  FROM e CROSS JOIN q WHERE e.vec_id != query_id),
@@ -2761,6 +2774,7 @@ object SparkEntry {
          |  SELECT 'ivf' AS method, query_id, neighbor_id FROM ivf
          |  UNION ALL SELECT 'ivf_kmeans', query_id, neighbor_id FROM kms
          |  UNION ALL SELECT 'ivf_pq_rerank', query_id, neighbor_id FROM xrr
+         |  UNION ALL SELECT 'ivf_pq_mp', query_id, neighbor_id FROM yrr
          |  UNION ALL SELECT 'lsh', query_id, neighbor_id FROM lsh
          |  UNION ALL SELECT 'lsh_mp', query_id, neighbor_id FROM lmp
          |  UNION ALL SELECT 'mrl', query_id, neighbor_id FROM mrl

@@ -277,6 +277,8 @@ object SimilaritySearch {
       "ivf_kmeans" -> ivfTopKKmeans(corpus, queries, k, nCentroids),
       "ivf_pq" -> Pq.ivfPqTopK(corpus, queries, k, nCentroids),
       "ivf_pq_rerank" -> Pq.ivfPqTopKRerank(corpus, queries, k, 20, nCentroids),
+      "ivf_pq_mp" -> Pq.ivfPqTopKRerank(corpus, queries, k, 20, nCentroids,
+        nprobe = 4),
       "lsh" -> lshTopK(corpus, queries, numPlanes, dim, k),
       "lsh_mp" -> lshMultiProbeTopK(corpus, queries, numPlanes, dim, k),
       "mrl" -> mrlTopK(corpus, queries, k),

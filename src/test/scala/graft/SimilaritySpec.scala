@@ -299,6 +299,7 @@ class SimilaritySpec extends SparkSpec {
       "ivf_kmeans" -> ids(SimilaritySearch.ivfTopKKmeans(emb, queries)),
       "ivf_pq" -> ids(graft.operators.Pq.ivfPqTopK(emb, queries)),
       "ivf_pq_rerank" -> ids(graft.operators.Pq.ivfPqTopKRerank(emb, queries)),
+      "ivf_pq_mp" -> ids(graft.operators.Pq.ivfPqTopKRerank(emb, queries, nprobe = 4)),
       "lsh" -> ids(SimilaritySearch.lshTopK(emb, queries)),
       "lsh_mp" -> ids(SimilaritySearch.lshMultiProbeTopK(emb, queries)),
       "mrl" -> ids(SimilaritySearch.mrlTopK(emb, queries)),
@@ -307,8 +308,8 @@ class SimilaritySpec extends SparkSpec {
       "sq8" -> ids(graft.operators.Sq.sq8TopK(emb, queries)))
     val audit = SimilaritySearch.annRecallAudit(emb, queries).collect()
     assert(audit.map(_.getString(0)).toSeq ==
-      Seq("ivf", "ivf_kmeans", "ivf_pq", "ivf_pq_rerank", "lsh", "lsh_mp",
-        "mrl", "pq", "pq_rerank", "sq8"))
+      Seq("ivf", "ivf_kmeans", "ivf_pq", "ivf_pq_mp", "ivf_pq_rerank", "lsh",
+        "lsh_mp", "mrl", "pq", "pq_rerank", "sq8"))
     audit.foreach { r =>
       val m = r.getString(0)
       val approx = expected(m)
