@@ -142,13 +142,22 @@ object HybridSearch {
     * tier the hybrid front door serves from after an index refresh, the
     * same role [[SimilaritySearch.annRecallAudit]] plays for the pure
     * dense tiers. All inputs are constant-size fused shortlists, so the
-    * audit is driver-scale arithmetic on top of the three retrievals.
+    * audit is driver-scale arithmetic on top of the retrievals — and the
+    * LEXICAL side is shared by every fusion, so it is computed (and
+    * pinned) exactly once: the corpus pays one BM25 pass for the whole
+    * audit, not one per tier.
     */
   def hybridRecallAudit(
       docs: DataFrame, embeddings: DataFrame, queryTerms: Seq[String],
       queryVecId: Long, k: Int = 25, perList: Int = 50): DataFrame = {
-    val truth = hybridTopK(docs, embeddings, queryTerms, queryVecId, k, perList)
-      .select(col("id"))
+    val lex = lexShortlist(docs, queryTerms, perList).localCheckpoint()
+    val qVec = embeddings.filter(col("vec_id") === queryVecId)
+    def denseIds(df: DataFrame): DataFrame =
+      df.select(col("neighbor_id").as("id"), col("rank"))
+    val exactFused = rrfFuse(lex,
+      denseIds(SimilaritySearch.bruteForceTopK(embeddings, qVec, k = perList)), k)
+      .localCheckpoint() // the truth set, probed by every tier row
+    val truth = exactFused.select(col("id"))
     def audit(tier: String, fused: DataFrame): DataFrame =
       fused.select(col("id"))
         .join(truth.withColumn("hit", lit(1)), Seq("id"), "left_outer")
@@ -158,15 +167,14 @@ object HybridSearch {
         .select(
           lit(tier).as("tier"), col("returned"), col("hits"),
           round(col("hits").cast("double") / lit(k.toDouble), 6).as("recall"))
-    audit("exact_brute",
-      hybridTopK(docs, embeddings, queryTerms, queryVecId, k, perList))
-      .unionAll(audit("ivfpq_rerank",
-        hybridTopKAnnIvfPq(docs, embeddings, queryTerms, queryVecId, k, perList)))
-      .unionAll(audit("ivfpq_rerank_mp4",
-        hybridTopKAnnIvfPq(docs, embeddings, queryTerms, queryVecId, k, perList,
-          nprobe = 4)))
-      .unionAll(audit("lsh_multiprobe",
-        hybridTopKAnn(docs, embeddings, queryTerms, queryVecId, k, perList)))
+    audit("exact_brute", exactFused)
+      .unionAll(audit("ivfpq_rerank", rrfFuse(lex,
+        denseIds(Pq.ivfPqTopKRerank(embeddings, qVec, k = perList, shortlist = 100)), k)))
+      .unionAll(audit("ivfpq_rerank_mp4", rrfFuse(lex,
+        denseIds(Pq.ivfPqTopKRerank(embeddings, qVec, k = perList, shortlist = 100,
+          nprobe = 4)), k)))
+      .unionAll(audit("lsh_multiprobe", rrfFuse(lex,
+        denseIds(SimilaritySearch.lshMultiProbeTopK(embeddings, qVec, k = perList)), k)))
       .orderBy(col("tier"))
   }
 }
