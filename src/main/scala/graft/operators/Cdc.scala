@@ -56,8 +56,18 @@ object Cdc {
     *
     * The filter keeps `op IS NULL` (untouched base rows) or `op <> 'D'`;
     * a 'D' on a key the base never had drops silently (idempotent
-    * replay), and a 'D' followed by a later 'U' resurrects the key —
-    * both standard CDC replay semantics.
+    * replay), and a 'D' followed by a later 'U' WITHIN ONE MERGE
+    * resurrects the key with its base payload intact — both standard CDC
+    * replay semantics. Batch-boundary caveat (LakeTableSpec's property
+    * case pins it): applying a log in several sequential MERGEs is NOT
+    * identical to one MERGE of the concatenation when a delete and a
+    * resurrect straddle a batch boundary — the intermediate snapshot
+    * really dropped the row, so base-only columns the changelog does not
+    * carry (`name`) come back NULL, where the one-shot reduction's
+    * latest-wins collapse would have kept the stale base value. The
+    * sequential chain is the ground truth (the delete happened); emit
+    * full-row images in the changelog if resurrection must preserve
+    * them.
     */
   def mergeChangelog(base: DataFrame, changelog: DataFrame): DataFrame = {
     val latest = changelog

@@ -17,6 +17,14 @@ import graft.sources.LakeTable
   * maintenance cost tracks the CHANGE RATE times the touched-file
   * fraction, never the accumulated table.
   *
+  * Fold-boundary semantics: a delete and a later resurrect in the SAME
+  * micro-batch keep the row's base-only columns (the batch reduces to
+  * latest-per-key before applying); split across micro-batches, the
+  * delete really lands and the resurrect is a fresh insert — base-only
+  * columns return NULL, exactly as replaying the same batches against
+  * any CDC consumer would ([[graft.operators.Cdc.mergeChangelog]]'s
+  * batch-boundary caveat, property-pinned in LakeTableSpec).
+  *
   * At-least-once safety is the manifest's: the applied-batchId set
   * travels IN the commit (an `A` line per batch), so the dedup check and
   * the apply are one atomic publication — a redelivered batch after a

@@ -164,6 +164,65 @@ class LakeTableSpec extends SparkSpec {
     assert(live.count() == base.count() - 1 + 1)
   }
 
+  test("property: seeded random fold chains equal one concatenated MERGE") {
+    // LSN-ordered random changelogs (inserts beyond the boxes, deletes of
+    // absent keys, delete-then-resurrect, repeated touches of one key):
+    // folding them one by one through the storage layer must equal both
+    // the sequential frame folds AND one MERGE of the concatenation.
+    val rnd = new scala.util.Random(42)
+    var seq = 0L
+    def randomChangelog(n: Int) = {
+      val rows = (1 to n).map { _ =>
+        seq += 1
+        val key = rnd.nextInt(260).toLong // keys 200..259 start absent
+        val op = if (rnd.nextInt(3) == 0) "D" else "U"
+        (key, seq, op, rnd.nextInt(1000) / 10.0)
+      }
+      rows.toDF("key", "seq", "op", "val")
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-lakeprop").toString + "/t"
+    val base = (0L until 200L).map(k => (k, s"n$k", k * 2.0)).toDF("key", "name", "val")
+    LakeTable.init(base, dir, Seq("key"), nFiles = 4)
+    val batches = Seq(randomChangelog(30), randomChangelog(30), randomChangelog(30))
+    var frame = base
+    batches.zipWithIndex.foreach { case (ch, i) =>
+      LakeTable.applyChangelog(spark, dir, ch, Seq("key"), batchId = Some(i.toLong))
+      frame = Cdc.mergeChangelog(frame, ch).drop("last_seq").localCheckpoint()
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("key"), col("name"), col("val"))
+      .orderBy(col("key")).collect().map(_.toSeq).toSeq
+    val lake = rows(LakeTable.readLive(spark, dir))
+    assert(lake == rows(frame), "lake chain != sequential frame folds")
+    // vs ONE concatenated MERGE the chain may differ — in exactly one
+    // documented way: a delete-then-resurrect pair STRADDLING a fold
+    // boundary really destroys the row, so base-only columns (name) come
+    // back NULL, while the one-shot reduction collapses D..U to U and
+    // keeps the stale base name. Keys and vals must still agree
+    // everywhere, and every name divergence must be such a straddle.
+    val oneShot = rows(Cdc.mergeChangelog(
+      base, batches.reduce(_ unionAll _)).drop("last_seq"))
+    assert(lake.map(r => (r(0), r(2))) == oneShot.map(r => (r(0), r(2))),
+      "fold chain != concatenated MERGE on (key, val)")
+    val lastOps = batches.map(_.collect()
+      .groupBy(_.getLong(0))
+      .map { case (k, ops) => k -> ops.maxBy(_.getLong(1)).getString(2) })
+    def straddleResurrected(key: Long): Boolean = {
+      val perBatch = lastOps.flatMap(_.get(key))
+      val lastD = perBatch.lastIndexOf("D")
+      lastD >= 0 && perBatch.drop(lastD + 1).contains("U")
+    }
+    val diverged = lake.zip(oneShot).collect {
+      case (l, o) if l(1) != o(1) => l(0).asInstanceOf[Long]
+    }
+    assert(diverged.nonEmpty, // seed 42 plants several straddles
+      "fixture should exercise the cross-fold delete-resurrect case")
+    diverged.foreach { k =>
+      assert(straddleResurrected(k),
+        s"key $k lost its name without a cross-fold delete-resurrect")
+    }
+  }
+
   test("pure delete shrinking a file to nothing still commits (no fresh file required)") {
     val dir = Files.createTempDirectory("graft-lakeempty").toString + "/t"
     val base = (0L until 10L).map(k => (k, s"n$k", k.toDouble)).toDF("key", "name", "val")
