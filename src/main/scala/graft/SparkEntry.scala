@@ -486,6 +486,19 @@ object SparkEntry {
         .select(col("key"), col("name"), col("val"))
         .orderBy(col("key"))
     }),
+    // TIME TRAVEL through the committed layout: after the MERGE lands v2,
+    // readAt(v1) must reproduce the PRE-merge base byte-identical (the
+    // oracle recomputes it from the raw table) — replaced files back the
+    // old version until vacuum's retention window drops them
+    "q_lake_time_travel" -> ((s, d) => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-laketime").toString + "/t"
+      sources.LakeTable.init(cdcBase(s, d), dir, Seq("key"), nFiles = 8)
+      sources.LakeTable.applyChangelog(s, dir, cdcChangelog(s, d), Seq("key"))
+      sources.LakeTable.readAt(s, dir, 1)
+        .select(col("key"), col("name"), col("val"))
+        .orderBy(col("key"))
+    }),
     // ...and the MERGE audit row: inserted/updated/deleted/carried key
     // counts + replay depth (changes per touched key)
     "q_cdc_audit" -> ((s, d) =>
@@ -3282,6 +3295,11 @@ object SparkEntry {
         |  CASE WHEN l.op = 'U' THEN l.new_val ELSE b.c_acctbal END AS val
         |FROM b FULL OUTER JOIN latest l ON b.c_custkey = l.key
         |WHERE l.op IS NULL OR l.op <> 'D'
+        |ORDER BY key""".stripMargin,
+    // version 1 of the committed table IS the pre-merge base, exactly
+    "q_lake_time_travel" ->
+      """SELECT c_custkey AS key, c_name AS name, c_acctbal AS val
+        |FROM customer WHERE c_custkey % 13 <> 0
         |ORDER BY key""".stripMargin,
     "q_cdc_compact" ->
       """WITH ch AS (SELECT o_custkey AS key, o_orderkey AS seq,
