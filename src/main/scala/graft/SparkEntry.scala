@@ -499,6 +499,24 @@ object SparkEntry {
         .select(col("key"), col("name"), col("val"))
         .orderBy(col("key"))
     }),
+    // the committed layout's APPEND + in-place OPTIMIZE lifecycle: three
+    // interleaved thirds land as append epochs, the re-cluster rewrites
+    // all of it as version 4 — content must equal the raw base exactly
+    "q_lake_append_optimize" -> ((s, d) => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-lakeopt").toString + "/t"
+      val base = cdcBase(s, d)
+      sources.LakeTable.init(
+        base.filter(col("key") % 3 === 0), dir, Seq("key"), nFiles = 4)
+      sources.LakeTable.append(
+        base.filter(col("key") % 3 === 1), dir, Seq("key"), nFilesNew = 4)
+      sources.LakeTable.append(
+        base.filter(col("key") % 3 === 2), dir, Seq("key"), nFilesNew = 4)
+      sources.LakeTable.optimize(s, dir, Seq("key"), nFiles = 8)
+      sources.LakeTable.readLive(s, dir)
+        .select(col("key"), col("name"), col("val"))
+        .orderBy(col("key"))
+    }),
     // ...and the MERGE audit row: inserted/updated/deleted/carried key
     // counts + replay depth (changes per touched key)
     "q_cdc_audit" -> ((s, d) =>
@@ -3298,6 +3316,11 @@ object SparkEntry {
         |ORDER BY key""".stripMargin,
     // version 1 of the committed table IS the pre-merge base, exactly
     "q_lake_time_travel" ->
+      """SELECT c_custkey AS key, c_name AS name, c_acctbal AS val
+        |FROM customer WHERE c_custkey % 13 <> 0
+        |ORDER BY key""".stripMargin,
+    // init third + two append epochs + full re-cluster == the raw base
+    "q_lake_append_optimize" ->
       """SELECT c_custkey AS key, c_name AS name, c_acctbal AS val
         |FROM customer WHERE c_custkey % 13 <> 0
         |ORDER BY key""".stripMargin,

@@ -235,6 +235,50 @@ object LakeTable {
           Seq(keyCol), "left_anti"))
   }
 
+  /** APPEND a batch under the manifest protocol — [[LakeSink.appendBoxed]]
+    * re-homed on the committed layout: the batch z-order-clusters into
+    * its own tight-boxed files (touching NO existing file), their footer
+    * boxes fold into the next manifest, and the rename publishes both
+    * atomically — so the append-then-box crash window the listing layout
+    * tolerates with its keep-unknown-files rule simply does not exist
+    * here. Cross-batch box overlap accumulates exactly as appendBoxed's
+    * does; [[shouldOptimize]]/[[optimize]] are the response.
+    */
+  def append(
+      df: DataFrame, path: String, cols: Seq[String], nFilesNew: Int = 2,
+      bits: Int = 16): ApplyStats = {
+    val spark = df.sparkSession
+    mutate(spark, path, cols, keyCol = cols.head, nFilesNew, bits,
+      touchKeys = df.select(col(cols.head).as("key")).limit(0), // touch nothing
+      rewrite = _ => df)
+  }
+
+  /** Re-OPTIMIZE the table in place: rewrite EVERY live row as one fresh
+    * z-order clustering and publish it as the next version. The listing
+    * layout's [[LakeSink.reoptimizeBoxed]] had to write to a NEW
+    * directory (overwriting a directory while reading it is undefined);
+    * under the manifest the rewrite is just a mutation that touches all
+    * files — readers on the old version are untouched, the swap is the
+    * rename, and the pre-optimize version stays time-travelable until
+    * vacuum retires it.
+    */
+  def optimize(
+      spark: SparkSession, path: String, cols: Seq[String], nFiles: Int,
+      bits: Int = 16): ApplyStats = {
+    val c = latest(spark, path)
+    val live = readLive(spark, path)
+    mutateAll(spark, path, cols, nFiles, bits, c, live)
+  }
+
+  /** The all-dims pairwise box-overlap fraction of the CURRENT manifest's
+    * zone map — [[LakeSink.boxOverlapAllDims]] over the commit's own
+    * boxes; the [[optimize]] trigger, same threshold semantics as
+    * [[LakeSink.shouldReoptimize]].
+    */
+  def shouldOptimize(
+      spark: SparkSession, path: String, maxOverlap: Double = 0.5): Boolean =
+    LakeSink.boxOverlapAllDims(latest(spark, path).boxes) > maxOverlap
+
   /** Delete data files outside the retention window — anything not
     * referenced by the newest `keepVersions` manifests: crashed writers'
     * uncommitted garbage, and files replaced long enough ago — plus
@@ -313,6 +357,30 @@ object LakeTable {
     // DISK: they back time travel (readAt) until vacuum's retention
     // window drops them — GC is a policy decision, not a correctness one
     ApplyStats(committed.version, touched.size, keptFiles.size, fresh.size)
+  }
+
+  /** Full-table rewrite commit — [[optimize]]'s engine: every live row
+    * lands as one fresh clustering, every old file is replaced, applied
+    * batchIds carry over (a re-cluster changes no row content, so replay
+    * markers must survive it).
+    */
+  private def mutateAll(
+      spark: SparkSession, path: String, cols: Seq[String], nFiles: Int,
+      bits: Int, c: Commit, rows: DataFrame): ApplyStats = {
+    val before = LakeSink.listParquet(spark, path).toSet
+    if (!rows.isEmpty) {
+      LakeSink.zorderFrame(rows, cols, bits)
+        .repartitionByRange(nFiles, col("zkey"))
+        .sortWithinPartitions(col("zkey"))
+        .drop("zkey")
+        .write.mode(SaveMode.Append).parquet(path)
+    }
+    val fresh = LakeSink.listParquet(spark, path).filterNot(before).sorted
+    val freshBoxes = LakeSink.boxesOf(spark, fresh, cols)
+      .map { case (f, cn, mn, mx) => (rel(path, f), cn, mn, mx) }
+    val committed = writeCommit(spark, path, c.version + 1,
+      fresh.map(rel(path, _)), freshBoxes, rows.schema.toDDL, c.appliedBatches)
+    ApplyStats(committed.version, c.files.size, 0, fresh.size)
   }
 
   /** Write manifest `version` via tmp + rename-without-overwrite — the

@@ -223,6 +223,40 @@ class LakeTableSpec extends SparkSpec {
     }
   }
 
+  test("append + in-place optimize: overlap degrades then collapses, old versions stay travelable") {
+    import graft.sources.LakeSink
+    val dir = java.nio.file.Files.createTempDirectory("graft-lakeopt").toString + "/t"
+    val mk = (lo: Long, n: Long) =>
+      (lo until lo + n).map(k => (k, s"n$k", k * 1.0)).toDF("key", "name", "val")
+    LakeTable.init(mk(0L, 400L), dir, Seq("key"), nFiles = 4)
+    val freshOverlap = LakeSink.boxOverlapAllDims(LakeTable.latest(spark, dir).boxes)
+    // three append epochs INTERLEAVE over the same [1000, 1400) key span
+    // (epoch i takes keys 1000 + 4k + i), so each epoch's file boxes
+    // overlap every other epoch's — the append-degradation the listing
+    // layout's appendBoxed documents, reproduced under the manifest
+    (1 to 3).foreach { i =>
+      val keys = (0L until 100L).map(k => 1000L + 4L * k + i)
+      val batch = keys.map(k => (k, s"n$k", k * 1.0)).toDF("key", "name", "val")
+      val st = LakeTable.append(batch, dir, Seq("key"), nFilesNew = 3)
+      assert(st.filesRewritten == 0, s"append must touch no existing file: $st")
+    }
+    val degraded = LakeSink.boxOverlapAllDims(LakeTable.latest(spark, dir).boxes)
+    assert(degraded > freshOverlap, f"appends must degrade overlap: $degraded%.2f")
+    val total = LakeTable.readLive(spark, dir).count()
+    val preOptVersion = LakeTable.latest(spark, dir).version
+    val st = LakeTable.optimize(spark, dir, Seq("key"), nFiles = 6)
+    assert(st.filesRewritten == 13 && st.filesNew == 6, s"full rewrite: $st")
+    val reopt = LakeSink.boxOverlapAllDims(LakeTable.latest(spark, dir).boxes)
+    assert(reopt < degraded,
+      f"optimize must collapse box overlap: fresh=$freshOverlap%.2f " +
+        f"degraded=$degraded%.2f reopt=$reopt%.2f")
+    // content identical, version bumped, pre-optimize version travelable
+    assert(LakeTable.readLive(spark, dir).count() == total)
+    assert(LakeTable.readAt(spark, dir, preOptVersion).count() == total)
+    // replay markers survive the re-cluster (none set here -> still empty)
+    assert(LakeTable.latest(spark, dir).appliedBatches.isEmpty)
+  }
+
   test("pure delete shrinking a file to nothing still commits (no fresh file required)") {
     val dir = Files.createTempDirectory("graft-lakeempty").toString + "/t"
     val base = (0L until 10L).map(k => (k, s"n$k", k.toDouble)).toDF("key", "name", "val")
