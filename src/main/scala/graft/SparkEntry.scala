@@ -499,6 +499,19 @@ object SparkEntry {
         .select(col("key"), col("name"), col("val"))
         .orderBy(col("key"))
     }),
+    // zone-map-pruned range read over the COMMITTED layout: the manifest
+    // is generic over schema/columns (only the MERGE path assumes the
+    // key/name/val shape), so orders clusters on (custkey, totalprice)
+    // and the pruned read must equal the raw filter exactly
+    "q_lake_prune" -> ((s, d) => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-lakeprune").toString + "/t"
+      sources.LakeTable.init(
+        Tables.orders(s, d), dir, Seq("o_custkey", "o_totalprice"), nFiles = 16)
+      sources.LakeTable.readPrunedLive(s, dir, zPruneRanges)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
     // the committed layout's APPEND + in-place OPTIMIZE lifecycle: three
     // interleaved thirds land as append epochs, the re-cluster rewrites
     // all of it as version 4 — content must equal the raw base exactly
@@ -3586,6 +3599,12 @@ object SparkEntry {
     // boxed-layout pruned read ≡ the predicate on the raw table: DuckDB
     // never sees the layout, so equality proves file skipping is lossless
     "q_zorder_prune" ->
+      s"""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         |WHERE o_custkey >= 100 AND o_custkey <= 500
+         |  AND o_totalprice >= 50000 AND o_totalprice <= 150000
+         |ORDER BY o_orderkey""".stripMargin,
+    // same predicate through the COMMITTED layout's manifest-boxed prune
+    "q_lake_prune" ->
       s"""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
          |WHERE o_custkey >= 100 AND o_custkey <= 500
          |  AND o_totalprice >= 50000 AND o_totalprice <= 150000

@@ -72,6 +72,13 @@ object LakeTable {
       df: DataFrame, path: String, cols: Seq[String], nFiles: Int,
       bits: Int = 16): Commit = {
     val spark = df.sparkSession
+    // re-initializing an existing table would publish v1 UNDER a higher
+    // latest version — readers would never see it and the table would be
+    // silently wedged; a new table needs a new path (or drop _commits)
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!fs.exists(new Path(s"$path/_commits")),
+      s"LakeTable.init: $path already holds a committed table — " +
+        "fold into it (applyChangelog/append) or choose a fresh path")
     LakeSink.writeZOrdered(df, path, cols, nFiles, bits)
     val files = LakeSink.listParquet(spark, path)
     val boxes = LakeSink.boxesOf(spark, files, cols)
