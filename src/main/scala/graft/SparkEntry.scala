@@ -472,6 +472,11 @@ object SparkEntry {
     // else upsert of o_totalprice), o_orderkey as the commit LSN.
     "q_cdc_merge" -> ((s, d) =>
       operators.Cdc.mergeChangelog(cdcBase(s, d), cdcChangelog(s, d))),
+    // full-row-image MERGE (the Debezium after-image model): an upsert
+    // replaces the WHOLE row from its image — the variant whose fold
+    // batching is provably invisible (see the LakeTableSpec property)
+    "q_cdc_merge_full" -> ((s, d) =>
+      operators.Cdc.mergeChangelogFull(cdcBase(s, d), cdcChangelogFull(s, d))),
     // the MERGE applied AT THE STORAGE LAYER: init a committed boxed
     // z-order layout from the base, apply the changelog rewriting only
     // box-intersecting files, read back the attested snapshot — the
@@ -930,6 +935,16 @@ object SparkEntry {
       col("o_custkey").as("key"), col("o_orderkey").as("seq"),
       when(col("o_orderstatus") === "F", lit("D")).otherwise(lit("U")).as("op"),
       col("o_totalprice").as("val"))
+
+  /** The same changelog with FULL-ROW IMAGES: each 'U' carries the whole
+    * replacement row — o_orderpriority stands in as the new `name`. */
+  private def cdcChangelogFull(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .filter(col("o_orderkey") % 3 =!= 0 && col("o_custkey") % 17 =!= 3)
+      .select(
+      col("o_custkey").as("key"), col("o_orderkey").as("seq"),
+      when(col("o_orderstatus") === "F", lit("D")).otherwise(lit("U")).as("op"),
+      col("o_orderpriority").as("name"), col("o_totalprice").as("val"))
 
   private val duckShingles =
     """SELECT doc_id, lang, list_distinct(list_transform(
@@ -3324,6 +3339,23 @@ object SparkEntry {
         |    FROM ch) WHERE rn = 1)
         |SELECT COALESCE(b.c_custkey, l.key) AS key, b.c_name AS name,
         |  CASE WHEN l.op = 'U' THEN l.new_val ELSE b.c_acctbal END AS val
+        |FROM b FULL OUTER JOIN latest l ON b.c_custkey = l.key
+        |WHERE l.op IS NULL OR l.op <> 'D'
+        |ORDER BY key""".stripMargin,
+    "q_cdc_merge_full" ->
+      """WITH ch AS (SELECT o_custkey AS key, o_orderkey AS seq,
+        |    CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op,
+        |    o_orderpriority AS name, o_totalprice AS val
+        |  FROM orders WHERE o_orderkey % 3 <> 0 AND o_custkey % 17 <> 3),
+        |b AS (SELECT * FROM customer WHERE c_custkey % 13 <> 0),
+        |latest AS (SELECT key, op, name AS new_name, val AS new_val,
+        |    seq AS last_seq FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
+        |    FROM ch) WHERE rn = 1)
+        |SELECT COALESCE(b.c_custkey, l.key) AS key,
+        |  CASE WHEN l.op = 'U' THEN l.new_name ELSE b.c_name END AS name,
+        |  CASE WHEN l.op = 'U' THEN l.new_val ELSE b.c_acctbal END AS val,
+        |  l.last_seq
         |FROM b FULL OUTER JOIN latest l ON b.c_custkey = l.key
         |WHERE l.op IS NULL OR l.op <> 'D'
         |ORDER BY key""".stripMargin,

@@ -89,6 +89,55 @@ object Cdc {
       .orderBy(col("key"))
   }
 
+  /** [[mergeChangelog]] over FULL-ROW IMAGES — the Debezium "after image"
+    * model: every 'U' row carries the COMPLETE new row (key, name, val),
+    * not just the changed payload, so an upsert replaces the whole row
+    * and never reaches back into the base for columns the changelog
+    * "doesn't know". This is the remedy for [[mergeChangelog]]'s
+    * batch-boundary caveat: with full images, applying a log in any
+    * batching equals one MERGE of the concatenation EXACTLY — a
+    * cross-batch delete-then-resurrect re-creates the row from its own
+    * image instead of resurrecting NULLs (LakeTableSpec's property case
+    * pins both behaviors side by side). The cost is changelog width:
+    * every image ships every column, which is why slim payload
+    * changelogs exist at all — pick per table.
+    *
+    * Shapes: `base` = (key, name, val); `changelog` = (key, seq,
+    * op 'U'|'D', name, val). Identical two-exchange plan.
+    */
+  def mergeChangelogFull(base: DataFrame, changelog: DataFrame): DataFrame = {
+    val latest = changelog
+      .groupBy(col("key"))
+      .agg(
+        max_by(struct(col("op"), col("name"), col("val")), col("seq")).as("c"),
+        max(col("seq")).as("last_seq"))
+      .select(
+        col("key"), col("c.op").as("op"), col("c.name").as("new_name"),
+        col("c.val").as("new_val"), col("last_seq"))
+    base
+      .join(latest, Seq("key"), "full_outer")
+      .filter(col("op").isNull || col("op") =!= "D")
+      .select(
+        col("key"),
+        when(col("op") === "U", col("new_name")).otherwise(col("name")).as("name"),
+        when(col("op") === "U", col("new_val")).otherwise(col("val")).as("val"),
+        col("last_seq"))
+      .orderBy(col("key"))
+  }
+
+  /** [[compactChangelog]] for full-row-image changelogs: one change per
+    * key, the whole image kept with it. Same replay contract.
+    */
+  def compactChangelogFull(changelog: DataFrame): DataFrame =
+    changelog
+      .groupBy(col("key"))
+      .agg(
+        max_by(struct(col("op"), col("name"), col("val")), col("seq")).as("c"),
+        max(col("seq")).as("seq"))
+      .select(col("key"), col("seq"), col("c.op").as("op"),
+        col("c.name").as("name"), col("c.val").as("val"))
+      .orderBy(col("key"))
+
   /** Changelog compaction — Kafka log-compaction semantics as a batch
     * operator: keep exactly ONE change per key (the highest-`seq` one),
     * shaped AS a changelog so it replays anywhere the full log did.

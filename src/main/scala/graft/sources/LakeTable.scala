@@ -222,6 +222,27 @@ object LakeTable {
       appliedBatch = batchId)
   }
 
+  /** [[applyChangelog]] for FULL-ROW-IMAGE changelogs (key, seq, op,
+    * name, val) — [[Cdc.mergeChangelogFull]] at the storage layer. With
+    * images, fold batching is invisible: any micro-batch boundary
+    * placement yields the byte-identical table (the property spec pins
+    * it), which is the contract to pick when resurrection must preserve
+    * row content.
+    */
+  def applyChangelogFull(
+      spark: SparkSession, path: String, changelog: DataFrame,
+      cols: Seq[String], keyCol: String = "key", nFilesNew: Int = 2,
+      bits: Int = 16, batchId: Option[Long] = None): ApplyStats = {
+    val c = latest(spark, path)
+    if (batchId.exists(c.appliedBatches.contains))
+      return ApplyStats(c.version, 0, c.files.size, 0)
+    val reduced = Cdc.compactChangelogFull(changelog)
+    mutate(spark, path, cols, keyCol, nFilesNew, bits,
+      touchKeys = reduced.select(col("key")),
+      rewrite = base => Cdc.mergeChangelogFull(base, reduced).drop("last_seq"),
+      appliedBatch = batchId)
+  }
+
   /** Right-to-be-forgotten at the storage layer: delete every row whose
     * key is tombstoned, rewriting ONLY the files whose box can hold one.
     * This is the executable half of [[graft.operators.Governance

@@ -221,6 +221,25 @@ class LakeTableSpec extends SparkSpec {
       assert(straddleResurrected(k),
         s"key $k lost its name without a cross-fold delete-resurrect")
     }
+
+    // the remedy, proven on the SAME chains: with FULL-ROW IMAGES
+    // (each 'U' carries its replacement name), fold batching is
+    // invisible — the chained table equals the one-shot MERGE exactly,
+    // straddles included
+    val fullBatches = batches.map(_.withColumn("name",
+      concat(lit("img"), col("seq"))).select("key", "seq", "op", "name", "val"))
+    val dir2 = java.nio.file.Files
+      .createTempDirectory("graft-lakepropf").toString + "/t"
+    LakeTable.init(base, dir2, Seq("key"), nFiles = 4)
+    fullBatches.zipWithIndex.foreach { case (ch, i) =>
+      LakeTable.applyChangelogFull(spark, dir2, ch, Seq("key"),
+        batchId = Some(i.toLong))
+    }
+    val lakeFull = rows(LakeTable.readLive(spark, dir2))
+    val oneShotFull = rows(Cdc.mergeChangelogFull(
+      base, fullBatches.reduce(_ unionAll _)).drop("last_seq"))
+    assert(lakeFull == oneShotFull,
+      "full-image fold chain must equal the concatenated MERGE exactly")
   }
 
   test("append + in-place optimize: overlap degrades then collapses, old versions stay travelable") {
