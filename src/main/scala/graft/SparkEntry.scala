@@ -535,6 +535,20 @@ object SparkEntry {
         .select(col("key"), col("name"), col("val"))
         .orderBy(col("key"))
     }),
+    // CHANGEFEED between two committed versions (the Delta-CDF read):
+    // after the MERGE lands v2, readChanges(1,2) reads ONLY the
+    // replaced+added files and emits the row-level diff — 'I'/'U' with
+    // the new image, 'D' with the old; the oracle recomputes the diff
+    // of the two logical snapshots from raw frames, so the hash proves
+    // file-pruned diff == full logical diff
+    "q_lake_changefeed" -> ((s, d) => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-lakecdf").toString + "/t"
+      sources.LakeTable.init(cdcBase(s, d), dir, Seq("key"), nFiles = 8)
+      sources.LakeTable.applyChangelog(s, dir, cdcChangelog(s, d), Seq("key"))
+      sources.LakeTable.readChanges(s, dir, 1, 2)
+        .orderBy(col("key"))
+    }),
     // ...and the MERGE audit row: inserted/updated/deleted/carried key
     // counts + replay depth (changes per touched key)
     "q_cdc_audit" -> ((s, d) =>
@@ -638,6 +652,26 @@ object SparkEntry {
       q.queryExecution.optimizedPlan
       graft.plans.SummaryRewrite.clear(s)
       q
+    }),
+    // incremental MV maintenance: the base arrives as three append
+    // epochs; the summary folds each batch's partial aggregate in
+    // (O(|summary|+|batch|) per fold, never a base rescan) — the oracle
+    // recomputes the rollup over the WHOLE table, so the hash proves
+    // fold-chain == refit exactly
+    "q_mv_incr" -> ((s, d) => {
+      val li = Tables.load(s, d, "lineitem")
+      val groupCols = Seq("l_returnflag", "l_linestatus")
+      val measures = Map(
+        ("sum", "l_quantity") -> "sum_qty", ("count", "*") -> "cnt",
+        ("min", "l_extendedprice") -> "min_price",
+        ("max", "l_extendedprice") -> "max_price")
+      val s0 = operators.Mv.summarize(
+        li.filter(col("l_orderkey") % 3 === 0), groupCols, measures)
+      val s1 = operators.Mv.foldSummary(
+        s0, li.filter(col("l_orderkey") % 3 === 1), groupCols, measures)
+      operators.Mv.foldSummary(
+        s1, li.filter(col("l_orderkey") % 3 === 2), groupCols, measures)
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
     // padding-waste audit: per length bucket, capacity vs real token
     // mass — the dataloader-planning number bucketing optimizes
@@ -3259,6 +3293,13 @@ object SparkEntry {
       """SELECT l_returnflag, SUM(l_quantity) AS sum_qty,
         |  COUNT(*) AS n_items, MAX(l_extendedprice) AS max_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // the fold chain must equal the one-shot rollup over the full table
+    "q_mv_incr" ->
+      """SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty,
+        |  COUNT(*) AS cnt, MIN(l_extendedprice) AS min_price,
+        |  MAX(l_extendedprice) AS max_price
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q_padding_waste" ->
       """WITH t AS (SELECT doc_id,
         |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens FROM documents),
@@ -3368,6 +3409,31 @@ object SparkEntry {
     "q_lake_append_optimize" ->
       """SELECT c_custkey AS key, c_name AS name, c_acctbal AS val
         |FROM customer WHERE c_custkey % 13 <> 0
+        |ORDER BY key""".stripMargin,
+    // the row-level diff of the two logical snapshots (pre-merge base vs
+    // merged), recomputed wholly from raw frames: the lake derives the
+    // same rows from only the replaced+added files
+    "q_lake_changefeed" ->
+      """WITH ch AS (SELECT o_custkey AS key, o_orderkey AS seq,
+        |    CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op,
+        |    o_totalprice AS val FROM orders WHERE o_orderkey % 3 <> 0 AND o_custkey % 17 <> 3),
+        |b AS (SELECT * FROM customer WHERE c_custkey % 13 <> 0),
+        |latest AS (SELECT key, op, val AS new_val FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
+        |    FROM ch) WHERE rn = 1),
+        |merged AS (SELECT COALESCE(b.c_custkey, l.key) AS key, b.c_name AS name,
+        |    CASE WHEN l.op = 'U' THEN l.new_val ELSE b.c_acctbal END AS val
+        |  FROM b FULL OUTER JOIN latest l ON b.c_custkey = l.key
+        |  WHERE l.op IS NULL OR l.op <> 'D'),
+        |old AS (SELECT c_custkey AS key, c_name AS name, c_acctbal AS val FROM b)
+        |SELECT COALESCE(o.key, n.key) AS key,
+        |  CASE WHEN o.key IS NULL THEN 'I' WHEN n.key IS NULL THEN 'D'
+        |    ELSE 'U' END AS op,
+        |  CASE WHEN n.key IS NULL THEN o.name ELSE n.name END AS name,
+        |  CASE WHEN n.key IS NULL THEN o.val ELSE n.val END AS val
+        |FROM old o FULL OUTER JOIN merged n ON o.key = n.key
+        |WHERE o.key IS NULL OR n.key IS NULL
+        |  OR o.name IS DISTINCT FROM n.name OR o.val IS DISTINCT FROM n.val
         |ORDER BY key""".stripMargin,
     "q_cdc_compact" ->
       """WITH ch AS (SELECT o_custkey AS key, o_orderkey AS seq,

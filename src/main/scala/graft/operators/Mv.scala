@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Incremental maintenance of materialized rollups — the refresh half of
+  * [[graft.plans.SummaryRewrite]]'s serve half. The rewrite's staleness
+  * gate declines a summary the moment its base's file listing changes;
+  * without a fold that makes every append a FULL base re-aggregation
+  * before the summary serves again. For the mergeable measure family the
+  * rewrite already understands (sum / count / min / max, with avg
+  * derived from sum+count), the refit is unnecessary: partial-aggregate
+  * the batch alone in the summary's own column layout, then merge — a
+  * shuffle over O(|summary| + |batch|) rows that never rescans the base.
+  * The invariant the spec and oracle pin:
+  * `foldSummary(summarize(old), batch) == summarize(old ∪ batch)`
+  * exactly, for any batching of the appends.
+  *
+  * The maintenance loop this closes: base gains an append epoch (e.g.
+  * [[graft.sources.LakeTable.append]]) → the registered rewrite declines
+  * (listing signature changed — answers stay correct via the fact scan)
+  * → `foldSummary` folds the batch → re-register over the refreshed base
+  * → the rewrite serves again, now from the folded summary. Deletes are
+  * the documented boundary: sum/count could retract, min/max cannot —
+  * a changefeed 'D' (see [[graft.sources.LakeTable.readChanges]]) forces
+  * re-summarizing the affected groups, so this operator's contract is
+  * append-only epochs, exactly the spans whose changefeed is pure 'I'.
+  *
+  * Measures use [[graft.plans.SummaryRewrite.register]]'s shape:
+  * (func, base column) -> summary column, count(1) keyed ("count", "*").
+  */
+object Mv {
+
+  private def partialExprs(measures: Map[(String, String), String]): Seq[Column] =
+    measures.toSeq.sortBy(_._2).map {
+      case (("sum", c), name)     => sum(col(c)).as(name)
+      case (("count", "*"), name) => count(lit(1)).as(name)
+      case (("count", c), name)   => count(col(c)).as(name)
+      case (("min", c), name)     => min(col(c)).as(name)
+      case (("max", c), name)     => max(col(c)).as(name)
+      case ((f, c), _) => throw new IllegalArgumentException(
+        s"Mv: non-mergeable measure $f($c) — sum/count/min/max only " +
+          "(avg derives from a registered sum + count pair)")
+    }
+
+  /** The rollup of one frame in the summary's column layout — both the
+    * initial materialization and the per-batch partial the fold merges.
+    */
+  def summarize(
+      df: DataFrame, groupCols: Seq[String],
+      measures: Map[(String, String), String]): DataFrame = {
+    val exprs = partialExprs(measures)
+    df.groupBy(groupCols.map(col): _*).agg(exprs.head, exprs.tail: _*)
+  }
+
+  /** Merge a batch into a stored summary: per measure, sum-of-sums /
+    * sum-of-counts / min-of-mins / max-of-maxes over the union of the
+    * old summary and the batch's partial — new groups appear, untouched
+    * groups pass through the (summary-sized) shuffle unchanged. Measure
+    * columns cast back to the stored summary's types, so a re-aggregated
+    * decimal sum's widened precision never drifts the schema across
+    * folds and the result re-registers as-is.
+    */
+  def foldSummary(
+      oldSummary: DataFrame, batch: DataFrame, groupCols: Seq[String],
+      measures: Map[(String, String), String]): DataFrame = {
+    val names = measures.toSeq.sortBy(_._2).map(_._2)
+    val layout = groupCols.map(col) ++ names.map(col)
+    val mergeExprs = measures.toSeq.sortBy(_._2).map {
+      case (("sum" | "count", _), name) => sum(col(name)).as(name)
+      case (("min", _), name)           => min(col(name)).as(name)
+      case (("max", _), name)           => max(col(name)).as(name)
+      case ((f, c), _) => throw new IllegalArgumentException(
+        s"Mv: non-mergeable measure $f($c)")
+    }
+    val merged = oldSummary.select(layout: _*)
+      .unionByName(summarize(batch, groupCols, measures).select(layout: _*))
+      .groupBy(groupCols.map(col): _*)
+      .agg(mergeExprs.head, mergeExprs.tail: _*)
+    val oldTypes = names.map(n => n -> oldSummary.schema(n).dataType).toMap
+    merged.select(
+      groupCols.map(col) ++ names.map(n => col(n).cast(oldTypes(n)).as(n)): _*)
+  }
+}

@@ -307,6 +307,81 @@ object LakeTable {
       spark: SparkSession, path: String, maxOverlap: Double = 0.5): Boolean =
     LakeSink.boxOverlapAllDims(latest(spark, path).boxes) > maxOverlap
 
+  /** CHANGEFEED between two committed versions — the row-level diff a
+    * downstream incremental consumer subscribes to (the Delta CDF /
+    * Iceberg changelog-scan read), derived from the manifests alone:
+    * data files are IMMUTABLE, so every logical change between
+    * `fromVersion` and `toVersion` lives in a file one manifest
+    * references and the other doesn't. Only those replaced+added files
+    * are read — a MERGE that touched 0.1% of a 100 TB table yields a
+    * changefeed scan of 0.1%, and the kept 99.9% is provably not opened
+    * (the spec deletes a kept file from disk and the feed still reads).
+    * The worst case is an [[optimize]] span (every file replaced): the
+    * feed scans the table once and returns EMPTY, because a re-cluster
+    * changes no row — the carried-pair filter makes file movement
+    * invisible, which is exactly the contract that lets consumers
+    * subscribe to the table without seeing maintenance.
+    *
+    * Output: (`keyCol`, op 'I'|'U'|'D', payload columns) — 'I'/'U' rows
+    * carry the NEW image, 'D' rows the last OLD image (the Debezium
+    * before-image convention for deletes). A multi-commit span returns
+    * the NET change (intermediate flips collapse), so
+    * `Cdc.mergeChangelogFull(readAt(from), feed as 'U'/'D')` equals
+    * `readAt(to)` exactly — the round-trip property LakeTableSpec pins.
+    *
+    * Contract: the table is key-unique on `keyCol` (the MERGE contract —
+    * an append-only duplicate-key table has no per-key diff) and the
+    * schema is stable across the span (fails loud otherwise).
+    */
+  def readChanges(
+      spark: SparkSession, path: String, fromVersion: Int, toVersion: Int,
+      keyCol: String = "key"): DataFrame = {
+    require(fromVersion < toVersion,
+      s"LakeTable.readChanges: need fromVersion < toVersion, got $fromVersion >= $toVersion")
+    val cFrom = commitAt(spark, path, fromVersion)
+    val cTo = commitAt(spark, path, toVersion)
+    // names + types must agree; nullability legitimately loosens across a
+    // MERGE (an inserted key carries NULL for base-only columns)
+    def shape(ddl: String) = org.apache.spark.sql.types.StructType.fromDDL(ddl)
+      .fields.toSeq.map(f => (f.name, f.dataType))
+    require(shape(cFrom.schemaDdl) == shape(cTo.schemaDdl),
+      s"LakeTable.readChanges: schema changed across the span " +
+        s"(v$fromVersion: ${cFrom.schemaDdl} / v$toVersion: ${cTo.schemaDdl})")
+    val toSet = cTo.files.toSet
+    val fromSet = cFrom.files.toSet
+    val removed = cFrom.files.filterNot(toSet)
+    val added = cTo.files.filterNot(fromSet)
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val missing = (removed ++ added).filterNot(f => fs.exists(new Path(s"$path/$f")))
+    require(missing.isEmpty,
+      s"LakeTable.readChanges: span references vacuumed files " +
+        s"(e.g. ${missing.take(3).mkString(", ")}) — outside the retention window")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(cTo.schemaDdl)
+    def readOrEmpty(files: Seq[String]): DataFrame =
+      if (files.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.parquet(files.map(abs(path, _)): _*)
+    val payload = schema.fieldNames.toSeq.filterNot(_ == keyCol)
+    require(payload.nonEmpty,
+      s"LakeTable.readChanges: table has no payload columns beyond $keyCol")
+    def imaged(df: DataFrame, as: String): DataFrame =
+      df.select(col(keyCol), struct(payload.map(col): _*).as(as))
+    imaged(readOrEmpty(removed), "_old")
+      .join(imaged(readOrEmpty(added), "_new"), Seq(keyCol), "full_outer")
+      // a rewrite carries untouched rows into fresh files — identical
+      // (old, new) pairs are file movement, not change, and drop here
+      .filter(!(col("_old") <=> col("_new")))
+      .select(
+        col(keyCol) +:
+          when(col("_old").isNull, lit("I"))
+            .when(col("_new").isNull, lit("D"))
+            .otherwise(lit("U")).as("op") +:
+          payload.map(c =>
+            when(col("_new").isNotNull, col(s"_new.$c"))
+              .otherwise(col(s"_old.$c")).as(c)): _*)
+  }
+
   /** Delete data files outside the retention window — anything not
     * referenced by the newest `keepVersions` manifests: crashed writers'
     * uncommitted garbage, and files replaced long enough ago — plus

@@ -74,6 +74,52 @@ class LakeTableSpec extends SparkSpec {
     assert(stats.filesRewritten < 8, s"tombstones span 3 files at most: $stats")
   }
 
+  test("changefeed: file-pruned diff, invisible optimize, net span, round-trip, kept files unopened") {
+    val (dir, _) = mkTable("graft-lakecdf")
+    val changelog = Seq(
+      (5L, 1L, "U", 100.0),     // update
+      (7L, 2L, "D", 0.0),       // delete
+      (900L, 3L, "U", 9.9),     // insert beyond every box
+      (20L, 4L, "U", 20 * 1.5)  // upsert to the SAME value: not a change
+    ).toDF("key", "seq", "op", "val")
+    LakeTable.applyChangelog(spark, dir, changelog, Seq("key"))
+    def feedRows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("key")).collect().map(r => (r.getLong(0), r.getString(1),
+        r.getAs[String]("name"), r.getDouble(3))).toSeq
+    val feed = feedRows(LakeTable.readChanges(spark, dir, 1, 2))
+    // I/U carry the new image, D the old; the same-value upsert of key 20
+    // and every carried row of the rewritten file are absent
+    assert(feed == Seq(
+      (5L, "U", "name_5", 100.0),
+      (7L, "D", "name_7", 7 * 1.5),
+      (900L, "I", null, 9.9)), s"got $feed")
+    // round-trip: folding the feed (as a full-image changelog) onto the
+    // old snapshot reproduces the new one exactly
+    val asLog = LakeTable.readChanges(spark, dir, 1, 2).select(
+      col("key"), lit(1L).as("seq"),
+      when(col("op") === "I", "U").otherwise(col("op")).as("op"),
+      col("name"), col("val"))
+    def snap(v: Int) = LakeTable.readAt(spark, dir, v)
+      .orderBy(col("key")).collect().map(_.toSeq).toSeq
+    assert(Cdc.mergeChangelogFull(LakeTable.readAt(spark, dir, 1), asLog)
+      .drop("last_seq")
+      .orderBy(col("key")).collect().map(_.toSeq).toSeq == snap(2))
+    // an OPTIMIZE replaces every file yet changes no row: empty feed
+    LakeTable.optimize(spark, dir, Seq("key"), nFiles = 4)
+    assert(LakeTable.readChanges(spark, dir, 2, 3).isEmpty,
+      "a re-cluster must be invisible to changefeed consumers")
+    // a multi-commit span returns the NET change
+    assert(feedRows(LakeTable.readChanges(spark, dir, 1, 3)) == feed)
+    // kept files are provably never opened: delete one from disk — the
+    // snapshot read breaks, the feed does not
+    val kept = LakeTable.commitAt(spark, dir, 1).files.toSet
+      .intersect(LakeTable.commitAt(spark, dir, 2).files.toSet)
+    assert(kept.nonEmpty)
+    assert(new java.io.File(s"$dir/${kept.head}").delete())
+    assert(feedRows(LakeTable.readChanges(spark, dir, 1, 2)) == feed)
+    intercept[IllegalArgumentException](LakeTable.readAt(spark, dir, 1))
+  }
+
   test("uncommitted directory garbage is invisible; vacuum sweeps it") {
     val (dir, base) = mkTable("graft-lakevac")
     val liveBefore = LakeTable.readLive(spark, dir).count()

@@ -134,6 +134,51 @@ class SummaryRewriteSpec extends SparkSpec {
     }
   }
 
+  test("incremental fold: fold == refit exactly, and the rewrite serves the folded summary after re-register") {
+    SummaryRewrite.clear()
+    val dir = java.nio.file.Files.createTempDirectory("graft-mv-fold").toString
+    try {
+      import graft.operators.Mv
+      val epoch0 = base.filter(col("l_orderkey") % 2 === 0)
+      val epoch1 = base.filter(col("l_orderkey") % 2 =!= 0)
+      epoch0.write.mode("overwrite").parquet(dir)
+      def rd = spark.read.parquet(dir)
+      val groupCols = Seq("l_returnflag", "l_linestatus")
+      val measures = Map(
+        ("sum", "l_quantity") -> "sum_qty", ("count", "*") -> "cnt",
+        ("min", "l_extendedprice") -> "min_price",
+        ("max", "l_extendedprice") -> "max_price")
+      val s0 = Mv.summarize(rd, groupCols, measures).localCheckpoint()
+      val folded = Mv.foldSummary(s0, epoch1, groupCols, measures).localCheckpoint()
+      // fold == refit, bit-exactly (integer-valued double sums)
+      def sorted(df: org.apache.spark.sql.DataFrame) = df
+        .orderBy(groupCols.map(col): _*).collect().map(_.toSeq).toSeq
+      assert(sorted(folded) == sorted(Mv.summarize(base, groupCols, measures)),
+        "folding the epoch must equal re-aggregating the whole base")
+      // the maintenance loop: the append epoch lands in the base dir, the
+      // FOLDED summary re-registers over the refreshed listing, and the
+      // rewrite serves it — no base re-aggregation ever ran
+      epoch1.write.mode("append").parquet(dir)
+      spark.catalog.refreshByPath(dir)
+      val want = base.groupBy(col("l_returnflag"))
+        .agg(sum(col("l_quantity")).as("s"), max(col("l_extendedprice")).as("m"))
+        .orderBy(col("l_returnflag")).collect().map(_.toSeq).toSeq
+      SummaryRewrite.register("li_fold", rd, folded, groupCols, measures)
+      SummaryRewrite.install(spark)
+      val q = rd.groupBy(col("l_returnflag"))
+        .agg(sum(col("l_quantity")).as("s"), max(col("l_extendedprice")).as("m"))
+        .orderBy(col("l_returnflag"))
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("ExistingRDD") && !plan.toLowerCase.contains("parquet"),
+        s"post-fold the rewrite must serve the folded summary:\n$plan")
+      assert(q.collect().map(_.toSeq).toSeq == want,
+        "the folded summary must answer for the full (appended) base")
+    } finally {
+      SummaryRewrite.clear()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("avg over a nullable measure with NULLs: count(*) denominator declines; count(x) stays exact") {
     SummaryRewrite.clear()
     val dir = java.nio.file.Files.createTempDirectory("graft-mv-null").toString
