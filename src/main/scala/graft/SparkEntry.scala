@@ -673,6 +673,30 @@ object SparkEntry {
         s1, li.filter(col("l_orderkey") % 3 === 2), groupCols, measures)
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
+    // IVM under deletes: the downstream rollup (grouped by name) folds
+    // the lake's RETRACTING changefeed — 'D' retracts, 'U' retracts the
+    // preimage and adds the postimage, groups whose last row left vanish
+    // — and must equal re-summarizing the post-merge snapshot, which is
+    // what the oracle computes from raw frames
+    "q_mv_cdc" -> ((s, d) => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-mvcdc").toString + "/t"
+      sources.LakeTable.init(cdcBase(s, d), dir, Seq("key"), nFiles = 8)
+      sources.LakeTable.applyChangelog(s, dir, cdcChangelog(s, d), Seq("key"))
+      val groupCols = Seq("name")
+      val measures = Map(("sum", "val") -> "sum_val", ("count", "*") -> "cnt")
+      def dec(df: org.apache.spark.sql.DataFrame, c: String) =
+        df.withColumn(c, col(c).cast("decimal(20,4)"))
+      val v1 = operators.Mv.summarize(
+        dec(sources.LakeTable.readAt(s, dir, 1), "val"), groupCols, measures)
+      val feed = dec(dec(
+        sources.LakeTable.readChanges(s, dir, 1, 2, withPreimage = true),
+        "val"), "val_pre")
+      operators.Mv.applyChanges(v1, feed, groupCols, measures)
+        .select(col("name"), col("sum_val").cast("double").as("sum_val"),
+          col("cnt"))
+        .orderBy(col("name"))
+    }),
     // padding-waste audit: per length bucket, capacity vs real token
     // mass — the dataloader-planning number bucketing optimizes
     "q_padding_waste" -> ((s, d) => operators.Curation.paddingWaste(Tables.documents(s, d))),
@@ -3293,6 +3317,22 @@ object SparkEntry {
       """SELECT l_returnflag, SUM(l_quantity) AS sum_qty,
         |  COUNT(*) AS n_items, MAX(l_extendedprice) AS max_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // the retracting fold must equal the rollup of the post-merge state
+    "q_mv_cdc" ->
+      """WITH ch AS (SELECT o_custkey AS key, o_orderkey AS seq,
+        |    CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op,
+        |    o_totalprice AS val FROM orders WHERE o_orderkey % 3 <> 0 AND o_custkey % 17 <> 3),
+        |b AS (SELECT * FROM customer WHERE c_custkey % 13 <> 0),
+        |latest AS (SELECT key, op, val AS new_val FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
+        |    FROM ch) WHERE rn = 1),
+        |merged AS (SELECT COALESCE(b.c_custkey, l.key) AS key, b.c_name AS name,
+        |    CASE WHEN l.op = 'U' THEN l.new_val ELSE b.c_acctbal END AS val
+        |  FROM b FULL OUTER JOIN latest l ON b.c_custkey = l.key
+        |  WHERE l.op IS NULL OR l.op <> 'D')
+        |SELECT name, CAST(SUM(CAST(val AS DECIMAL(20,4))) AS DOUBLE) AS sum_val,
+        |  CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM merged GROUP BY name ORDER BY name""".stripMargin,
     // the fold chain must equal the one-shot rollup over the full table
     "q_mv_incr" ->
       """SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty,

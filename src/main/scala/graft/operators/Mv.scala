@@ -81,4 +81,68 @@ object Mv {
     merged.select(
       groupCols.map(col) ++ names.map(n => col(n).cast(oldTypes(n)).as(n)): _*)
   }
+
+  /** Fold a RETRACTING changefeed into a stored summary — incremental
+    * view maintenance under deletes and updates, not just appends:
+    * `changes` is [[graft.sources.LakeTable.readChanges]]'s
+    * `withPreimage = true` shape (op 'I'|'U'|'D', postimage payload
+    * columns, `<col>_pre` preimages). Each change contributes up to two
+    * delta rows — a retraction keyed by the PREIMAGE's group values
+    * ('U'/'D') and an addition keyed by the POSTIMAGE's ('I'/'U') — so
+    * an update that moves a row between groups retracts from the old
+    * group and lands in the new, and a group whose last row leaves
+    * vanishes (its count reaches zero). One shuffle over
+    * O(|summary| + 2·|changes|) rows; the base is never rescanned.
+    * Invariant (spec-pinned):
+    * `applyChanges(summarize(v1), readChanges(v1, v2, withPreimage)) ==
+    * summarize(v2)`.
+    *
+    * Only sum/count measures are retractable — min/max lose information
+    * on delete (the new extremum may live in unread rows), so they fail
+    * loud here: maintain them by re-summarizing the touched groups, or
+    * keep the view append-only and use [[foldSummary]]. A ("count", "*")
+    * measure is REQUIRED — it is the group-death detector. Exactness
+    * caveat: a double-typed sum retracts bit-exactly only when addition
+    * is (integer-valued doubles, decimals); cast the measure to DECIMAL
+    * first otherwise.
+    */
+  def applyChanges(
+      oldSummary: DataFrame, changes: DataFrame, groupCols: Seq[String],
+      measures: Map[(String, String), String]): DataFrame = {
+    measures.keys.foreach { case (f, c) =>
+      require(f == "sum" || f == "count",
+        s"Mv.applyChanges: $f($c) is not retractable — min/max need a " +
+          "re-summarize of the touched groups (or an append-only view)")
+    }
+    val cntName = measures.getOrElse(("count", "*"),
+      throw new IllegalArgumentException(
+        "Mv.applyChanges: a (\"count\", \"*\") measure is required — it " +
+          "detects groups whose last row left"))
+    val names = measures.toSeq.sortBy(_._2).map(_._2)
+    def deltas(sign: Int): Seq[Column] = measures.toSeq.sortBy(_._2).map {
+      case (("sum", c), name) =>
+        val v = if (sign > 0) col(c) else -col(s"${c}_pre")
+        v.as(name)
+      case (("count", "*"), name) => lit(sign.toLong).as(name)
+      case (("count", c), name) =>
+        val src = if (sign > 0) col(c) else col(s"${c}_pre")
+        when(src.isNotNull, lit(sign.toLong)).otherwise(lit(0L)).as(name)
+      case ((f, c), _) => throw new IllegalArgumentException(
+        s"Mv.applyChanges: unexpected measure $f($c)")
+    }
+    val add = changes.filter(col("op") =!= "D")
+      .select(groupCols.map(col) ++ deltas(1): _*)
+    val retract = changes.filter(col("op") =!= "I")
+      .select(groupCols.map(c => col(s"${c}_pre").as(c)) ++ deltas(-1): _*)
+    val layout = groupCols.map(col) ++ names.map(col)
+    val merged = oldSummary.select(layout: _*)
+      .unionByName(add).unionByName(retract)
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum(col(names.head)).as(names.head),
+        names.tail.map(n => sum(col(n)).as(n)): _*)
+      .filter(col(cntName) =!= 0L)
+    val oldTypes = names.map(n => n -> oldSummary.schema(n).dataType).toMap
+    merged.select(
+      groupCols.map(col) ++ names.map(n => col(n).cast(oldTypes(n)).as(n)): _*)
+  }
 }

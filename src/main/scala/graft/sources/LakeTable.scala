@@ -332,10 +332,18 @@ object LakeTable {
     * Contract: the table is key-unique on `keyCol` (the MERGE contract —
     * an append-only duplicate-key table has no per-key diff) and the
     * schema is stable across the span (fails loud otherwise).
+    *
+    * With `withPreimage = true` the feed carries BOTH images — payload
+    * columns hold the NEW image (NULL on 'D'), `<col>_pre` columns the
+    * OLD (NULL on 'I') — the shape a retracting consumer needs
+    * ([[graft.operators.Mv.applyChanges]] subtracts the preimage's
+    * contribution and adds the postimage's, so an update that moves a
+    * row BETWEEN groups retracts from the old group and lands in the
+    * new). Default mode keeps the single-image Debezium convention.
     */
   def readChanges(
       spark: SparkSession, path: String, fromVersion: Int, toVersion: Int,
-      keyCol: String = "key"): DataFrame = {
+      keyCol: String = "key", withPreimage: Boolean = false): DataFrame = {
     require(fromVersion < toVersion,
       s"LakeTable.readChanges: need fromVersion < toVersion, got $fromVersion >= $toVersion")
     val cFrom = commitAt(spark, path, fromVersion)
@@ -367,16 +375,22 @@ object LakeTable {
       s"LakeTable.readChanges: table has no payload columns beyond $keyCol")
     def imaged(df: DataFrame, as: String): DataFrame =
       df.select(col(keyCol), struct(payload.map(col): _*).as(as))
-    imaged(readOrEmpty(removed), "_old")
+    val changed = imaged(readOrEmpty(removed), "_old")
       .join(imaged(readOrEmpty(added), "_new"), Seq(keyCol), "full_outer")
       // a rewrite carries untouched rows into fresh files — identical
       // (old, new) pairs are file movement, not change, and drop here
       .filter(!(col("_old") <=> col("_new")))
-      .select(
-        col(keyCol) +:
-          when(col("_old").isNull, lit("I"))
-            .when(col("_new").isNull, lit("D"))
-            .otherwise(lit("U")).as("op") +:
+    val op = when(col("_old").isNull, lit("I"))
+      .when(col("_new").isNull, lit("D"))
+      .otherwise(lit("U")).as("op")
+    if (withPreimage)
+      changed.select(
+        col(keyCol) +: op +:
+          (payload.map(c => col(s"_new.$c").as(c)) ++
+            payload.map(c => col(s"_old.$c").as(s"${c}_pre"))): _*)
+    else
+      changed.select(
+        col(keyCol) +: op +:
           payload.map(c =>
             when(col("_new").isNotNull, col(s"_new.$c"))
               .otherwise(col(s"_old.$c")).as(c)): _*)

@@ -179,6 +179,46 @@ class SummaryRewriteSpec extends SparkSpec {
     }
   }
 
+  test("retracting fold: the changefeed maintains the view under deletes, updates and group moves") {
+    import spark.implicits._
+    import graft.operators.Mv
+    import graft.sources.LakeTable
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-mv-retract").toString + "/t"
+    val base0 = Seq(
+      (0L, "g0", 5.0), (1L, "g1", 10.0), (2L, "g1", 20.0),
+      (3L, "g2", 30.0), (4L, "g2", 40.0)).toDF("key", "name", "val")
+    LakeTable.init(base0, dir, Seq("key"), nFiles = 2)
+    // full-image changelog: key 2 MIGRATES g1→g2 with a new val; key 4
+    // updates in place; key 0 deletes (g0's last row); key 9 inserts g3
+    val ch = Seq(
+      (2L, 1L, "U", "g2", 25.0), (4L, 2L, "U", "g2", 45.0),
+      (0L, 3L, "D", null.asInstanceOf[String], 0.0),
+      (9L, 4L, "U", "g3", 5.0)).toDF("key", "seq", "op", "name", "val")
+    LakeTable.applyChangelogFull(spark, dir, ch, Seq("key"))
+    val groupCols = Seq("name")
+    val measures = Map(("sum", "val") -> "sum_val", ("count", "*") -> "cnt")
+    val v1 = Mv.summarize(LakeTable.readAt(spark, dir, 1), groupCols, measures)
+    val feed = LakeTable.readChanges(spark, dir, 1, 2, withPreimage = true)
+    val got = Mv.applyChanges(v1, feed, groupCols, measures)
+    def sorted(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("name")).collect().map(_.toSeq).toSeq
+    assert(sorted(got) ==
+      sorted(Mv.summarize(LakeTable.readAt(spark, dir, 2), groupCols, measures)),
+      "retracting fold must equal re-summarizing the new snapshot")
+    val m = got.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(!m.contains("g0"), "a group whose last row left must vanish")
+    assert(m("g1") == ((1L, 10.0)), "the migrated row must retract from g1")
+    assert(m("g2") == ((3L, 100.0)), "g2 = carried 30 + migrated-in 25 + updated 45")
+    assert(m("g3") == ((1L, 5.0)), "the insert must open g3")
+    // non-retractable / underspecified measure sets fail loud
+    intercept[IllegalArgumentException](Mv.applyChanges(
+      v1, feed, groupCols, Map(("min", "val") -> "m", ("count", "*") -> "cnt")))
+    intercept[IllegalArgumentException](Mv.applyChanges(
+      v1, feed, groupCols, Map(("sum", "val") -> "sum_val")))
+  }
+
   test("avg over a nullable measure with NULLs: count(*) denominator declines; count(x) stays exact") {
     SummaryRewrite.clear()
     val dir = java.nio.file.Files.createTempDirectory("graft-mv-null").toString
