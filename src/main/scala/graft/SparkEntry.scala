@@ -697,6 +697,27 @@ object SparkEntry {
           col("cnt"))
         .orderBy(col("name"))
     }),
+    // IVM with NON-retractable measures (min/max): the feed names the
+    // touched groups, only those re-summarize from the new snapshot,
+    // untouched groups pass through from the old summary — the oracle
+    // recomputes the whole rollup from raw frames
+    "q_mv_minmax" -> ((s, d) => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-mvmm").toString + "/t"
+      sources.LakeTable.init(cdcBase(s, d), dir, Seq("key"), nFiles = 8)
+      sources.LakeTable.applyChangelog(s, dir, cdcChangelog(s, d), Seq("key"))
+      val groupCols = Seq("name")
+      val measures = Map(
+        ("min", "val") -> "min_val", ("max", "val") -> "max_val",
+        ("count", "*") -> "cnt")
+      val v1 = operators.Mv.summarize(
+        sources.LakeTable.readAt(s, dir, 1), groupCols, measures)
+      operators.Mv.repairChanges(
+        v1, sources.LakeTable.readLive(s, dir),
+        sources.LakeTable.readChanges(s, dir, 1, 2, withPreimage = true),
+        groupCols, measures)
+        .orderBy(col("name"))
+    }),
     // padding-waste audit: per length bucket, capacity vs real token
     // mass — the dataloader-planning number bucketing optimizes
     "q_padding_waste" -> ((s, d) => operators.Curation.paddingWaste(Tables.documents(s, d))),
@@ -3332,6 +3353,22 @@ object SparkEntry {
         |  WHERE l.op IS NULL OR l.op <> 'D')
         |SELECT name, CAST(SUM(CAST(val AS DECIMAL(20,4))) AS DOUBLE) AS sum_val,
         |  CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM merged GROUP BY name ORDER BY name""".stripMargin,
+    // touched-group repair must equal the rollup of the post-merge state
+    "q_mv_minmax" ->
+      """WITH ch AS (SELECT o_custkey AS key, o_orderkey AS seq,
+        |    CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op,
+        |    o_totalprice AS val FROM orders WHERE o_orderkey % 3 <> 0 AND o_custkey % 17 <> 3),
+        |b AS (SELECT * FROM customer WHERE c_custkey % 13 <> 0),
+        |latest AS (SELECT key, op, val AS new_val FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
+        |    FROM ch) WHERE rn = 1),
+        |merged AS (SELECT COALESCE(b.c_custkey, l.key) AS key, b.c_name AS name,
+        |    CASE WHEN l.op = 'U' THEN l.new_val ELSE b.c_acctbal END AS val
+        |  FROM b FULL OUTER JOIN latest l ON b.c_custkey = l.key
+        |  WHERE l.op IS NULL OR l.op <> 'D')
+        |SELECT name, CAST(COUNT(*) AS BIGINT) AS cnt,
+        |  MAX(val) AS max_val, MIN(val) AS min_val
         |FROM merged GROUP BY name ORDER BY name""".stripMargin,
     // the fold chain must equal the one-shot rollup over the full table
     "q_mv_incr" ->

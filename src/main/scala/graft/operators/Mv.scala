@@ -145,4 +145,43 @@ object Mv {
     merged.select(
       groupCols.map(col) ++ names.map(n => col(n).cast(oldTypes(n)).as(n)): _*)
   }
+
+  /** Maintain a summary WITH non-retractable measures (min/max) under
+    * deletes: re-summarize only the groups the changefeed touched. The
+    * feed names every group whose membership could have changed — each
+    * change's POSTIMAGE group ('I'/'U') and PREIMAGE group ('U'/'D') —
+    * so untouched groups pass through from the old summary without a
+    * base read, touched groups recompute all measures from
+    * `newBase`-restricted rows (on a group-clustered lake that filter is
+    * a pruned scan), and a group whose last row left simply has no
+    * recomputed row. Work: O(|summary|) pass-through + one scan of the
+    * touched groups' rows — between [[applyChanges]]'s feed-only cost
+    * and a full refit, and the ONLY sound option once min/max are in
+    * the measure set (a delete can evict the current extremum, whose
+    * replacement lives in rows no feed carries). NULL-valued groups
+    * repair correctly (null-safe group equality throughout).
+    */
+  def repairChanges(
+      oldSummary: DataFrame, newBase: DataFrame, changes: DataFrame,
+      groupCols: Seq[String],
+      measures: Map[(String, String), String]): DataFrame = {
+    val names = measures.toSeq.sortBy(_._2).map(_._2)
+    val touched = changes.filter(col("op") =!= "D")
+      .select(groupCols.map(col): _*)
+      .unionByName(changes.filter(col("op") =!= "I")
+        .select(groupCols.map(c => col(s"${c}_pre").as(c)): _*))
+      .distinct()
+    def nullSafeOn(left: DataFrame, right: DataFrame): Column =
+      groupCols.map(c => left(c) <=> right(c)).reduce(_ && _)
+    val repaired = summarize(
+      newBase.join(broadcast(touched), nullSafeOn(newBase, touched), "left_semi"),
+      groupCols, measures)
+    val untouched = oldSummary.select(
+      groupCols.map(col) ++ names.map(col): _*)
+    val kept = untouched.join(
+      broadcast(touched), nullSafeOn(untouched, touched), "left_anti")
+    val oldTypes = names.map(n => n -> oldSummary.schema(n).dataType).toMap
+    kept.unionByName(repaired.select(
+      groupCols.map(col) ++ names.map(n => col(n).cast(oldTypes(n)).as(n)): _*))
+  }
 }

@@ -70,4 +70,123 @@ object LakeMaintenance {
       batchId: Option[Long] = None): LakeTable.ApplyStats =
     LakeTable.applyChangelog(
       spark, path, changelog, cols, keyCol, nFilesNew, batchId = batchId)
+
+  // ---- lockstep derived view ------------------------------------------
+
+  /** [[attach]] plus a DERIVED VIEW maintained in lockstep: after each
+    * fold commits, [[refreshView]] advances the materialized rollup at
+    * `viewDir` to the table's new version by folding the changefeed —
+    * the end-to-end incremental pipeline (table and view both move
+    * change-sized work per batch, the base is never re-aggregated). A
+    * crash between the table commit and the view refresh self-heals:
+    * the next batch's refresh reads the MULTI-version feed from the
+    * view's recorded table version, so the view lags at most one fold
+    * and never double-applies. Retention must cover the lag:
+    * `vacuum(keepVersions)` ≥ the view's maximum staleness in versions.
+    */
+  def attachWithView(
+      changelog: DataFrame, path: String, cols: Seq[String],
+      viewDir: String, groupCols: Seq[String],
+      measures: Map[(String, String), String],
+      keyCol: String = "key", nFilesNew: Int = 2): StreamingQuery = {
+    val spark = changelog.sparkSession
+    changelog.writeStream
+      .foreachBatch { (b: Dataset[Row], id: Long) =>
+        if (!b.isEmpty) {
+          LakeTable.applyChangelog(
+            spark, path, b.toDF(), cols, keyCol, nFilesNew, batchId = Some(id))
+          refreshView(spark, path, viewDir, groupCols, measures, keyCol)
+          ()
+        }
+      }
+      .start()
+  }
+
+  /** Advance the materialized rollup at `viewDir` to the table's current
+    * version — change-sized work, idempotent, crash-safe:
+    *   - first call materializes `Mv.summarize(readLive)` as view v1;
+    *   - later calls read the newest COMMITTED view (its `_applied.txt`
+    *     marker records the table version it reflects), pull
+    *     `readChanges(reflected, current, withPreimage)` — one feed even
+    *     across a multi-fold gap — and land the folded view as the next
+    *     version (parquet first, marker rename last: a markerless dir is
+    *     invisible garbage, so a crash mid-land leaves the old view
+    *     serving);
+    *   - a view already at the current table version is a no-op (replay
+    *     safety), and re-running after any crash point converges.
+    * Measure routing: an all-sum/count view folds the feed alone
+    * ([[graft.operators.Mv.applyChanges]]); a view with min/max
+    * re-summarizes only the touched groups
+    * ([[graft.operators.Mv.repairChanges]]). Returns the table version
+    * the view now reflects.
+    */
+  def refreshView(
+      spark: SparkSession, tablePath: String, viewDir: String,
+      groupCols: Seq[String], measures: Map[(String, String), String],
+      keyCol: String = "key"): Int = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(viewDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cur = LakeTable.latest(spark, tablePath).version
+    val committed = committedViews(spark, viewDir)
+    val (nextViewV, next) = committed.lastOption match {
+      case None =>
+        (1, graft.operators.Mv.summarize(
+          LakeTable.readLive(spark, tablePath), groupCols, measures))
+      case Some((_, tableV)) if tableV >= cur => return cur // up to date
+      case Some((viewV, tableV)) =>
+        val view = spark.read.parquet(f"$viewDir%s/v$viewV%09d")
+        val feed = LakeTable.readChanges(
+          spark, tablePath, tableV, cur, keyCol, withPreimage = true)
+        val folded =
+          if (measures.keys.forall { case (f, _) => f == "sum" || f == "count" })
+            graft.operators.Mv.applyChanges(view, feed, groupCols, measures)
+          else graft.operators.Mv.repairChanges(
+            view, LakeTable.readLive(spark, tablePath), feed, groupCols, measures)
+        (viewV + 1, folded)
+    }
+    val dest = f"$viewDir%s/v$nextViewV%09d"
+    // views are summary-sized; one file keeps the artifact cheap to open,
+    // and guarantees an empty view still lands a schema-bearing file
+    next.repartition(1).write.mode("overwrite").parquet(dest)
+    val tmp = new Path(s"$dest/.tmp-marker")
+    val out = fs.create(tmp, false)
+    try out.write(cur.toString.getBytes("UTF-8")) finally out.close()
+    require(fs.rename(tmp, new Path(s"$dest/_applied.txt")),
+      s"refreshView: marker rename lost at $dest")
+    cur
+  }
+
+  /** The newest COMMITTED view — what a serving reader opens; markerless
+    * (crash-landed) version dirs are invisible.
+    */
+  def readView(spark: SparkSession, viewDir: String): DataFrame = {
+    val vs = committedViews(spark, viewDir)
+    require(vs.nonEmpty, s"LakeMaintenance.readView: no committed view at $viewDir")
+    spark.read.parquet(f"$viewDir%s/v${vs.last._1}%09d")
+  }
+
+  /** (view version, reflected table version) of every committed view
+    * version, ascending — a dir without its `_applied.txt` marker never
+    * lists (the land's commit point is the marker rename).
+    */
+  private def committedViews(
+      spark: SparkSession, viewDir: String): Seq[(Int, Int)] = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(viewDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(viewDir))) Seq.empty
+    else fs.listStatus(new Path(viewDir)).toSeq
+      .map(_.getPath).filter(_.getName.startsWith("v"))
+      .flatMap { d =>
+        val marker = new Path(d, "_applied.txt")
+        if (!fs.exists(marker)) None // crashed land: invisible
+        else {
+          val in = fs.open(marker)
+          val tv = try scala.io.Source.fromInputStream(in, "UTF-8")
+            .mkString.trim.toInt finally in.close()
+          Some(d.getName.stripPrefix("v").toInt -> tv)
+        }
+      }.sortBy(_._1)
+  }
 }

@@ -210,6 +210,66 @@ class LakeTableSpec extends SparkSpec {
     assert(live.count() == base.count() - 1 + 1)
   }
 
+  test("lockstep view: refreshView catches up across folds, crash dirs invisible, stream keeps both in step") {
+    import graft.streaming.LakeMaintenance
+    import graft.operators.Mv
+    val dir = Files.createTempDirectory("graft-lakeview").toString + "/t"
+    val viewDir = Files.createTempDirectory("graft-lakeviewv").toString + "/view"
+    val base = (0L until 100L).map(k => (k, s"g${k % 7}", k * 1.0))
+      .toDF("key", "name", "val")
+    LakeTable.init(base, dir, Seq("key"), nFiles = 4)
+    val groupCols = Seq("name")
+    val measures = Map(("sum", "val") -> "sum_val", ("count", "*") -> "cnt")
+    def sorted(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("name")).collect().map(_.toSeq).toSeq
+    def expect = sorted(Mv.summarize(
+      LakeTable.readLive(spark, dir), groupCols, measures))
+    // first refresh materializes the init summary as view v1
+    assert(LakeMaintenance.refreshView(spark, dir, viewDir, groupCols, measures) == 1)
+    assert(sorted(LakeMaintenance.readView(spark, viewDir)) == expect)
+    // two folds land WITHOUT refreshes in between — one catch-up call
+    // must cross the multi-version gap in a single feed
+    LakeMaintenance.foldOnce(spark, dir,
+      Seq((5L, 1L, "U", 100.0), (6L, 2L, "D", 0.0)).toDF("key", "seq", "op", "val"),
+      Seq("key"))
+    LakeMaintenance.foldOnce(spark, dir,
+      Seq((200L, 3L, "U", 9.0)).toDF("key", "seq", "op", "val"), Seq("key"))
+    assert(LakeMaintenance.refreshView(spark, dir, viewDir, groupCols, measures) == 3)
+    assert(sorted(LakeMaintenance.readView(spark, viewDir)) == expect)
+    // replay no-op: the view gains no version
+    val nDirs = new java.io.File(viewDir).list().length
+    assert(LakeMaintenance.refreshView(spark, dir, viewDir, groupCols, measures) == 3)
+    assert(new java.io.File(viewDir).list().length == nDirs)
+    // a crash-landed dir without its marker is invisible to readers
+    assert(new java.io.File(s"$viewDir/v000000099").mkdir())
+    assert(sorted(LakeMaintenance.readView(spark, viewDir)) == expect)
+    // streaming lockstep: each micro-batch folds the table AND the view
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, String, Double)]
+    val q = LakeMaintenance.attachWithView(
+      input.toDF().toDF("key", "seq", "op", "val"), dir, Seq("key"),
+      viewDir, groupCols, measures)
+    try {
+      input.addData(Seq((7L, 4L, "U", 50.0), (8L, 5L, "D", 0.0)))
+      q.processAllAvailable()
+      input.addData(Seq((300L, 6L, "U", 1.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(sorted(LakeMaintenance.readView(spark, viewDir)) == expect,
+      "after the stream, the view must equal re-summarizing the live table")
+    // min/max measures route through touched-group repair: same contract
+    val viewDir2 = Files.createTempDirectory("graft-lakeviewm").toString + "/view"
+    val mm = Map(("min", "val") -> "min_val", ("max", "val") -> "max_val",
+      ("count", "*") -> "cnt")
+    LakeMaintenance.refreshView(spark, dir, viewDir2, groupCols, mm)
+    LakeMaintenance.foldOnce(spark, dir,
+      Seq((10L, 7L, "D", 0.0)).toDF("key", "seq", "op", "val"), Seq("key"))
+    LakeMaintenance.refreshView(spark, dir, viewDir2, groupCols, mm)
+    assert(sorted(LakeMaintenance.readView(spark, viewDir2)) ==
+      sorted(Mv.summarize(LakeTable.readLive(spark, dir), groupCols, mm)))
+  }
+
   test("property: seeded random fold chains equal one concatenated MERGE") {
     // LSN-ordered random changelogs (inserts beyond the boxes, deletes of
     // absent keys, delete-then-resurrect, repeated touches of one key):

@@ -219,6 +219,49 @@ class SummaryRewriteSpec extends SparkSpec {
       v1, feed, groupCols, Map(("sum", "val") -> "sum_val")))
   }
 
+  test("touched-group repair maintains min/max under deletes (extremum eviction)") {
+    import spark.implicits._
+    import graft.operators.Mv
+    import graft.sources.LakeTable
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-mv-repair").toString + "/t"
+    val base0 = Seq(
+      (0L, "g0", 5.0), (1L, "g1", 10.0), (2L, "g1", 20.0),
+      (3L, "g2", 30.0), (4L, "g2", 40.0)).toDF("key", "name", "val")
+    LakeTable.init(base0, dir, Seq("key"), nFiles = 2)
+    // key 2 was g1's MAX: its delete must surface 10.0 as the new max —
+    // the case no retraction can answer; key 4 raises g2's max in place;
+    // key 0's delete kills g0; key 9 opens g3
+    val ch = Seq(
+      (2L, 1L, "D", null.asInstanceOf[String], 0.0),
+      (4L, 2L, "U", "g2", 45.0),
+      (0L, 3L, "D", null.asInstanceOf[String], 0.0),
+      (9L, 4L, "U", "g3", 5.0)).toDF("key", "seq", "op", "name", "val")
+    LakeTable.applyChangelogFull(spark, dir, ch, Seq("key"))
+    val groupCols = Seq("name")
+    val measures = Map(
+      ("min", "val") -> "min_val", ("max", "val") -> "max_val",
+      ("count", "*") -> "cnt")
+    val v1 = Mv.summarize(LakeTable.readAt(spark, dir, 1), groupCols, measures)
+    val got = Mv.repairChanges(
+      v1, LakeTable.readLive(spark, dir),
+      LakeTable.readChanges(spark, dir, 1, 2, withPreimage = true),
+      groupCols, measures)
+    def sorted(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("name")).collect().map(_.toSeq).toSeq
+    assert(sorted(got) ==
+      sorted(Mv.summarize(LakeTable.readAt(spark, dir, 2), groupCols, measures)),
+      "touched-group repair must equal re-summarizing the new snapshot")
+    val m = got.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(m("g1") == ((1L, 10.0, 10.0)),
+      "deleting the group max must surface the surviving extremum")
+    assert(m("g2") == ((2L, 45.0, 30.0)))
+    assert(m("g3") == ((1L, 5.0, 5.0)))
+    assert(!m.contains("g0"), "a dead group must not survive the repair")
+  }
+
   test("avg over a nullable measure with NULLs: count(*) denominator declines; count(x) stays exact") {
     SummaryRewrite.clear()
     val dir = java.nio.file.Files.createTempDirectory("graft-mv-null").toString
