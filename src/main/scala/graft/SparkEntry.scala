@@ -549,6 +549,21 @@ object SparkEntry {
       sources.LakeTable.readChanges(s, dir, 1, 2)
         .orderBy(col("key"))
     }),
+    // SCHEMA EVOLUTION under the manifest: an append epoch carries a NEW
+    // column (source) — the commit's schema widens, pre-evolution rows
+    // serve NULL through the manifest reader schema, and the oracle
+    // rebuilds the union from raw frames
+    "q_lake_evolve" -> ((s, d) => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-lakeevoq").toString + "/t"
+      sources.LakeTable.init(cdcBase(s, d), dir, Seq("key"), nFiles = 8)
+      val batch = Tables.orders(s, d).filter(col("o_orderkey") % 7 === 0)
+        .select((col("o_orderkey") + 10000000L).as("key"),
+          col("o_orderpriority").as("name"), col("o_totalprice").as("val"),
+          col("o_orderstatus").as("source"))
+      sources.LakeTable.append(batch, dir, Seq("key"))
+      sources.LakeTable.readLive(s, dir).orderBy(col("key"))
+    }),
     // ...and the MERGE audit row: inserted/updated/deleted/carried key
     // counts + replay depth (changes per touched key)
     "q_cdc_audit" -> ((s, d) =>
@@ -3511,6 +3526,16 @@ object SparkEntry {
         |FROM old o FULL OUTER JOIN merged n ON o.key = n.key
         |WHERE o.key IS NULL OR n.key IS NULL
         |  OR o.name IS DISTINCT FROM n.name OR o.val IS DISTINCT FROM n.val
+        |ORDER BY key""".stripMargin,
+    // pre-evolution rows carry NULL in the added column; the epoch's own
+    // rows carry their values — the union of both shapes
+    "q_lake_evolve" ->
+      """SELECT c_custkey AS key, c_name AS name, c_acctbal AS val,
+        |  CAST(NULL AS VARCHAR) AS source
+        |FROM customer WHERE c_custkey % 13 <> 0
+        |UNION ALL
+        |SELECT o_orderkey + 10000000, o_orderpriority, o_totalprice, o_orderstatus
+        |FROM orders WHERE o_orderkey % 7 = 0
         |ORDER BY key""".stripMargin,
     "q_cdc_compact" ->
       """WITH ch AS (SELECT o_custkey AS key, o_orderkey AS seq,

@@ -146,7 +146,8 @@ object LakeTable {
     if (c.files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType.fromDDL(c.schemaDdl))
-    else spark.read.parquet(c.files.map(abs(path, _)): _*)
+    else spark.read.schema(readerSchema(c.schemaDdl))
+      .parquet(c.files.map(abs(path, _)): _*)
   }
 
   /** The live data files, absolute. */
@@ -163,7 +164,12 @@ object LakeTable {
       // schema (as DDL) precisely for this state
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType.fromDDL(c.schemaDdl))
-    else spark.read.parquet(c.files.map(abs(path, _)): _*)
+    // the COMMIT's schema is the reader schema, not footer inference:
+    // after schema evolution (an append epoch adding a column) older
+    // files simply lack the column and serve NULL — the name-based
+    // parquet reconciliation every lake format relies on
+    else spark.read.schema(readerSchema(c.schemaDdl))
+      .parquet(c.files.map(abs(path, _)): _*)
   }
 
   /** Zone-map-pruned range read over the committed layout: the pruning
@@ -181,7 +187,7 @@ object LakeTable {
       ranges)
     val base =
       if (kept.isEmpty) readLive(spark, path).filter(lit(false))
-      else spark.read.parquet(kept: _*)
+      else spark.read.schema(readerSchema(c.schemaDdl)).parquet(kept: _*)
     ranges.foldLeft(base) { case (d, (cn, lo, hi)) =>
       d.filter(col(cn) >= lo && col(cn) <= hi)
     }
@@ -447,7 +453,8 @@ object LakeTable {
       .as[String].collect().toSeq
     val touched = (touchedBoxed ++ unboxed).distinct.sorted
     val base =
-      if (touched.nonEmpty) spark.read.parquet(touched.map(abs(path, _)): _*)
+      if (touched.nonEmpty) spark.read.schema(readerSchema(c.schemaDdl))
+        .parquet(touched.map(abs(path, _)): _*)
       else readLive(spark, path).limit(0)
     val next = rewrite(base)
 
@@ -468,7 +475,7 @@ object LakeTable {
     val committed = writeCommit(spark, path, c.version + 1,
       keptFiles ++ fresh.map(rel(path, _)),
       c.boxes.filterNot(b => touchedSet(b._1)) ++ freshBoxes,
-      next.schema.toDDL,
+      unionDdl(c.schemaDdl, next.schema),
       c.appliedBatches ++ appliedBatch)
     // replaced files become invisible at the commit point but stay ON
     // DISK: they back time travel (readAt) until vacuum's retention
@@ -496,7 +503,8 @@ object LakeTable {
     val freshBoxes = LakeSink.boxesOf(spark, fresh, cols)
       .map { case (f, cn, mn, mx) => (rel(path, f), cn, mn, mx) }
     val committed = writeCommit(spark, path, c.version + 1,
-      fresh.map(rel(path, _)), freshBoxes, rows.schema.toDDL, c.appliedBatches)
+      fresh.map(rel(path, _)), freshBoxes,
+      unionDdl(c.schemaDdl, rows.schema), c.appliedBatches)
     ApplyStats(committed.version, c.files.size, 0, fresh.size)
   }
 
@@ -532,6 +540,46 @@ object LakeTable {
       s"LakeTable: commit v$version lost the rename race at $path — " +
         "concurrent writer detected (single-writer layout)")
     Commit(version, files, boxes, schemaDdl, appliedBatches)
+  }
+
+  /** The commit's schema as a READER schema: every field nullable,
+    * because after evolution some live files legitimately lack a column
+    * (older epochs before an added field; an append batch that omitted
+    * one) and those rows serve NULL.
+    */
+  private def readerSchema(ddl: String): org.apache.spark.sql.types.StructType = {
+    val s = org.apache.spark.sql.types.StructType.fromDDL(ddl)
+    org.apache.spark.sql.types.StructType(s.fields.map(_.copy(nullable = true)))
+  }
+
+  /** SCHEMA EVOLUTION at the commit: the next manifest's schema is the
+    * previous schema with the mutation's new columns APPENDED (widening
+    * only — a same-name column changing type fails loud; columns are
+    * never dropped, a rewrite that omits one just leaves it NULL in the
+    * rewritten rows). A field becomes nullable the moment any epoch can
+    * lack it. Name-based parquet reconciliation does the rest at read
+    * time. [[readChanges]] intentionally rejects spans whose shape
+    * changed — a feed across an evolution boundary has no stable row
+    * contract.
+    */
+  private def unionDdl(
+      oldDdl: String, next: org.apache.spark.sql.types.StructType): String = {
+    val oldS = org.apache.spark.sql.types.StructType.fromDDL(oldDdl)
+    val byName = next.fields.map(f => f.name -> f).toMap
+    val merged = oldS.fields.map { f =>
+      byName.get(f.name) match {
+        case Some(nf) =>
+          require(nf.dataType == f.dataType,
+            s"LakeTable: column ${f.name} changed type " +
+              s"${f.dataType.simpleString} -> ${nf.dataType.simpleString} — " +
+              "type changes are not an append-safe evolution")
+          f.copy(nullable = f.nullable || nf.nullable)
+        case None => f.copy(nullable = true) // this epoch lacks it
+      }
+    } ++ next.fields.collect {
+      case f if !oldS.fieldNames.contains(f.name) => f.copy(nullable = true)
+    }
+    org.apache.spark.sql.types.StructType(merged).toDDL
   }
 
   private def rel(path: String, f: String): String = {

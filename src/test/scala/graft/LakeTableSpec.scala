@@ -210,6 +210,39 @@ class LakeTableSpec extends SparkSpec {
     assert(live.count() == base.count() - 1 + 1)
   }
 
+  test("schema evolution: an append epoch adds a column, old rows serve NULL, each version keeps its schema") {
+    val (dir, _) = mkTable("graft-lakeevo")
+    val batch = Seq((900L, "n900", 1.0, "web"), (901L, "n901", 2.0, "pdf"))
+      .toDF("key", "name", "val", "source")
+    LakeTable.append(batch, dir, Seq("key"))
+    val live = LakeTable.readLive(spark, dir)
+    assert(live.columns.toSeq == Seq("key", "name", "val", "source"))
+    assert(live.count() == 802)
+    assert(live.filter(col("key") === 900L)
+      .select(col("source")).head.getString(0) == "web")
+    assert(live.filter(col("key") === 3L).select(col("source")).head.isNullAt(0),
+      "pre-evolution rows must serve NULL for the added column")
+    // time travel: v1 still has its own (pre-evolution) schema
+    assert(!LakeTable.readAt(spark, dir, 1).columns.contains("source"))
+    // generic maintenance composes with the evolved schema: tombstoning a
+    // pre-evolution key rewrites its file WITH the source column kept
+    LakeTable.applyTombstones(spark, dir, Seq(3L).toDF("key"), Seq("key"))
+    val after = LakeTable.readLive(spark, dir)
+    assert(after.columns.toSeq == Seq("key", "name", "val", "source"))
+    assert(after.count() == 801)
+    assert(after.filter(col("key") === 900L)
+      .select(col("source")).head.getString(0) == "web")
+    // a same-name type change is NOT an append-safe evolution
+    intercept[IllegalArgumentException](LakeTable.append(
+      Seq((902L, 5, 3.0)).toDF("key", "name", "val"), dir, Seq("key")))
+    // an epoch omitting an old column serves NULL for ITS rows instead
+    LakeTable.append(Seq((903L, 4.0, "api")).toDF("key", "val", "source"),
+      dir, Seq("key"))
+    val v = LakeTable.readLive(spark, dir)
+    assert(v.columns.toSeq == Seq("key", "name", "val", "source"))
+    assert(v.filter(col("key") === 903L).select(col("name")).head.isNullAt(0))
+  }
+
   test("lockstep view: refreshView catches up across folds, crash dirs invisible, stream keeps both in step") {
     import graft.streaming.LakeMaintenance
     import graft.operators.Mv
