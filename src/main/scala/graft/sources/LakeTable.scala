@@ -28,8 +28,9 @@ import graft.operators.Cdc
   *     crash window a separately-rewritten `_boxes` table had — old
   *     manifest, half-written stats — cannot exist).
   *
-  * Commit protocol (single writer; a lost rename race retries on the
-  * next version number):
+  * Commit protocol (OPTIMISTIC CONCURRENCY: rename order serializes
+  * writers — a lost race retries the whole read→compute→land→commit
+  * cycle on the winner's state, so concurrent mutations both land):
   *   1. land new data files (`Append`, unique names — uncommitted files
   *      are invisible garbage, never read);
   *   2. write the full next manifest to `_commits/.tmp-<uuid>`;
@@ -62,6 +63,14 @@ object LakeTable {
   /** What a maintenance pass did — the audit row it publishes. */
   final case class ApplyStats(
       version: Int, filesRewritten: Int, filesKept: Int, filesNew: Int)
+
+  /** A commit lost the rename race: another writer published this
+    * version first. [[mutate]] retries on fresh state (optimistic
+    * concurrency); escapes only after the retry budget.
+    */
+  final class CommitConflictException(msg: String) extends RuntimeException(msg)
+
+  private val MaxCommitRetries = 5
 
   /** Create the table: one z-order-clustered OPTIMIZE write + manifest
     * v1. `cols` are the clustering (and box) columns — numeric, and the
@@ -298,11 +307,8 @@ object LakeTable {
     */
   def optimize(
       spark: SparkSession, path: String, cols: Seq[String], nFiles: Int,
-      bits: Int = 16): ApplyStats = {
-    val c = latest(spark, path)
-    val live = readLive(spark, path)
-    mutateAll(spark, path, cols, nFiles, bits, c, live)
-  }
+      bits: Int = 16): ApplyStats =
+    mutateAll(spark, path, cols, nFiles, bits)
 
   /** The all-dims pairwise box-overlap fraction of the CURRENT manifest's
     * zone map — [[LakeSink.boxOverlapAllDims]] over the commit's own
@@ -427,15 +433,41 @@ object LakeTable {
   // ---- internals ----------------------------------------------------
 
   /** Shared mutation skeleton: decide touched files from the key set ×
-    * box table, rewrite = f(touched rows), land, commit, GC.
+    * box table, rewrite = f(touched rows), land, commit, GC. OPTIMISTIC
+    * CONCURRENCY: the whole read→compute→land→commit cycle retries on a
+    * lost commit race, recomputing from the interloper's version — both
+    * writers' changes land, serialized by the rename order (a failed
+    * attempt's landed files are uncommitted garbage for [[vacuum]]).
+    * Escapes with [[CommitConflictException]] after [[MaxCommitRetries]]
+    * consecutive losses (a pathologically contended table needs a
+    * coordinator, not more retries).
     */
-  private[sources] def mutate(
+  private[graft] def mutate(
       spark: SparkSession, path: String, cols: Seq[String], keyCol: String,
       nFilesNew: Int, bits: Int,
       touchKeys: DataFrame, rewrite: DataFrame => DataFrame,
       appliedBatch: Option[Long] = None): ApplyStats = {
+    var lastConflict: CommitConflictException = null
+    (0 to MaxCommitRetries).foreach { _ =>
+      try return mutateOnce(
+        spark, path, cols, keyCol, nFilesNew, bits, touchKeys, rewrite,
+        appliedBatch)
+      catch { case e: CommitConflictException => lastConflict = e }
+    }
+    throw lastConflict
+  }
+
+  private def mutateOnce(
+      spark: SparkSession, path: String, cols: Seq[String], keyCol: String,
+      nFilesNew: Int, bits: Int,
+      touchKeys: DataFrame, rewrite: DataFrame => DataFrame,
+      appliedBatch: Option[Long]): ApplyStats = {
     import spark.implicits._
     val c = latest(spark, path)
+    // re-check the replay marker on the FRESH manifest: the interloper
+    // that beat us may have been a redelivery of this very batch
+    if (appliedBatch.exists(c.appliedBatches.contains))
+      return ApplyStats(c.version, 0, c.files.size, 0)
     val keyBoxes = c.boxes.filter(_._2 == keyCol)
     val boxedFiles = keyBoxes.map(_._1).toSet
     // legacy safety: a live file with no key box cannot be pruned —
@@ -486,9 +518,23 @@ object LakeTable {
   /** Full-table rewrite commit — [[optimize]]'s engine: every live row
     * lands as one fresh clustering, every old file is replaced, applied
     * batchIds carry over (a re-cluster changes no row content, so replay
-    * markers must survive it).
+    * markers must survive it). Same optimistic-retry contract as
+    * [[mutate]] — a lost race re-clusters the interloper's version.
     */
   private def mutateAll(
+      spark: SparkSession, path: String, cols: Seq[String], nFiles: Int,
+      bits: Int): ApplyStats = {
+    var lastConflict: CommitConflictException = null
+    (0 to MaxCommitRetries).foreach { _ =>
+      val c = latest(spark, path)
+      val rows = readLive(spark, path)
+      try return mutateAllOnce(spark, path, cols, nFiles, bits, c, rows)
+      catch { case e: CommitConflictException => lastConflict = e }
+    }
+    throw lastConflict
+  }
+
+  private def mutateAllOnce(
       spark: SparkSession, path: String, cols: Seq[String], nFiles: Int,
       bits: Int, c: Commit, rows: DataFrame): ApplyStats = {
     val before = LakeSink.listParquet(spark, path).toSet
@@ -509,9 +555,10 @@ object LakeTable {
   }
 
   /** Write manifest `version` via tmp + rename-without-overwrite — the
-    * atomic commit point. A lost race (version already exists) throws:
-    * this layout is single-writer by contract, and failing loudly beats
-    * silently dropping a committed version.
+    * atomic commit point. A lost race (version already exists) throws
+    * [[CommitConflictException]], which [[mutate]]/[[mutateAll]] catch
+    * to retry the whole cycle on the winner's state — rename order IS
+    * the serialization order.
     */
   private def writeCommit(
       spark: SparkSession, path: String, version: Int,
@@ -536,9 +583,11 @@ object LakeTable {
       out.write(sb.toString.getBytes("UTF-8"))
     } finally out.close()
     val dest = new Path(f"$path/_commits/v$version%09d.txt")
-    require(fs.rename(tmp, dest),
-      s"LakeTable: commit v$version lost the rename race at $path — " +
-        "concurrent writer detected (single-writer layout)")
+    if (!fs.rename(tmp, dest)) {
+      fs.delete(tmp, false)
+      throw new CommitConflictException(
+        s"LakeTable: commit v$version lost the rename race at $path")
+    }
     Commit(version, files, boxes, schemaDdl, appliedBatches)
   }
 

@@ -210,6 +210,40 @@ class LakeTableSpec extends SparkSpec {
     assert(live.count() == base.count() - 1 + 1)
   }
 
+  test("optimistic concurrency: a losing commit retries on the winner's state, both writers land") {
+    val (dir, _) = mkTable("graft-lakeocc")
+    // writer A's rewrite closure fires writer B's append mid-cycle (plan
+    // construction happens between A's manifest read and A's commit), so
+    // A deterministically loses the v2 rename race and must retry
+    var fired = false
+    val stats = LakeTable.mutate(spark, dir, Seq("key"), "key",
+      nFilesNew = 2, bits = 16,
+      touchKeys = Seq(5L).toDF("key"),
+      rewrite = b => {
+        if (!fired) {
+          fired = true
+          LakeTable.append(
+            Seq((950L, "interloper", 1.0)).toDF("key", "name", "val"),
+            dir, Seq("key"))
+        }
+        b.withColumn("val",
+          when(col("key") === 5L, lit(999.0)).otherwise(col("val")))
+      })
+    // v1 init, v2 interloper append, v3 the retried mutation
+    assert(stats.version == 3, s"the losing writer must commit AFTER the winner: $stats")
+    val live = LakeTable.readLive(spark, dir)
+    assert(live.filter(col("key") === 950L).count() == 1,
+      "the winner's append must survive the retried mutation")
+    assert(live.filter(col("key") === 5L)
+      .select(col("val")).head.getDouble(0) == 999.0,
+      "the loser's mutation must land on retry")
+    assert(live.count() == 801)
+    // the failed attempt's landed files are uncommitted garbage: vacuum
+    // sweeps them and every committed row survives
+    LakeTable.vacuum(spark, dir, keepVersions = 3)
+    assert(LakeTable.readLive(spark, dir).count() == 801)
+  }
+
   test("schema evolution: an append epoch adds a column, old rows serve NULL, each version keeps its schema") {
     val (dir, _) = mkTable("graft-lakeevo")
     val batch = Seq((900L, "n900", 1.0, "web"), (901L, "n901", 2.0, "pdf"))

@@ -42,7 +42,10 @@ class PartitionInvarianceSpec extends SparkSpec {
     "q_bm25_incr", "q_contrastive_pairs", "q_dedup_normalized",
     "q_emb_integrity", "q_cdc_compact", "q_ann_lsh_mp",
     "q_split_leakage_safe", "q_emb_drift", "q_chunk_dedup",
-    "q_interval_join", "q_funnel", "q_hybrid_search_ann")
+    "q_interval_join", "q_funnel", "q_hybrid_search_ann",
+    // full-image MERGE (max_by reduction) + the MV folds (re-aggregated
+    // partials must not depend on which reducer saw which epoch)
+    "q_cdc_merge_full", "q_mv_incr", "q_mv_cdc", "q_mv_minmax")
 
   test("query results are invariant to shuffle-partition count and scan splits") {
     val missing = targets.filterNot(SparkEntry.queries.contains)
