@@ -699,7 +699,8 @@ object SparkEntry {
       sources.LakeTable.init(cdcBase(s, d), dir, Seq("key"), nFiles = 8)
       sources.LakeTable.applyChangelog(s, dir, cdcChangelog(s, d), Seq("key"))
       val groupCols = Seq("name")
-      val measures = Map(("sum", "val") -> "sum_val", ("count", "*") -> "cnt")
+      val measures = Map(("sum", "val") -> "sum_val", ("count", "*") -> "cnt",
+        ("count", "val") -> "cnt_val")
       def dec(df: org.apache.spark.sql.DataFrame, c: String) =
         df.withColumn(c, col(c).cast("decimal(20,4)"))
       val v1 = operators.Mv.summarize(
@@ -709,7 +710,7 @@ object SparkEntry {
         "val"), "val_pre")
       operators.Mv.applyChanges(v1, feed, groupCols, measures)
         .select(col("name"), col("sum_val").cast("double").as("sum_val"),
-          col("cnt"))
+          col("cnt"), col("cnt_val"))
         .orderBy(col("name"))
     }),
     // IVM with NON-retractable measures (min/max): the feed names the
@@ -3367,7 +3368,7 @@ object SparkEntry {
         |  FROM b FULL OUTER JOIN latest l ON b.c_custkey = l.key
         |  WHERE l.op IS NULL OR l.op <> 'D')
         |SELECT name, CAST(SUM(CAST(val AS DECIMAL(20,4))) AS DOUBLE) AS sum_val,
-        |  CAST(COUNT(*) AS BIGINT) AS cnt
+        |  CAST(COUNT(*) AS BIGINT) AS cnt, CAST(COUNT(val) AS BIGINT) AS cnt_val
         |FROM merged GROUP BY name ORDER BY name""".stripMargin,
     // touched-group repair must equal the rollup of the post-merge state
     "q_mv_minmax" ->

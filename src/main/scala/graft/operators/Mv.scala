@@ -101,7 +101,10 @@ object Mv {
     * on delete (the new extremum may live in unread rows), so they fail
     * loud here: maintain them by re-summarizing the touched groups, or
     * keep the view append-only and use [[foldSummary]]. A ("count", "*")
-    * measure is REQUIRED — it is the group-death detector. Exactness
+    * measure is REQUIRED — it is the group-death detector — and every
+    * ("sum", c) needs its ("count", c) companion, the all-NULL-group
+    * detector (the fold rewrites such a sum to NULL exactly where a
+    * refit would). Exactness
     * caveat: a double-typed sum retracts bit-exactly only when addition
     * is (integer-valued doubles, decimals); cast the measure to DECIMAL
     * first otherwise.
@@ -118,6 +121,16 @@ object Mv {
       throw new IllegalArgumentException(
         "Mv.applyChanges: a (\"count\", \"*\") measure is required — it " +
           "detects groups whose last row left"))
+    // every sum needs its count(c) companion: when a group's surviving
+    // values are all NULL, summarize gives a NULL sum but a retracting
+    // fold's arithmetic gives 0 — count(c) == 0 is the detector
+    val sumCompanion: Map[String, String] = measures.collect {
+      case (("sum", c), sumName) =>
+        sumName -> measures.getOrElse(("count", c),
+          throw new IllegalArgumentException(
+            s"Mv.applyChanges: sum($c) needs a count($c) measure — " +
+              "retraction cannot tell an all-NULL group's NULL sum from zero"))
+    }
     val names = measures.toSeq.sortBy(_._2).map(_._2)
     def deltas(sign: Int): Seq[Column] = measures.toSeq.sortBy(_._2).map {
       case (("sum", c), name) =>
@@ -143,7 +156,13 @@ object Mv {
       .filter(col(cntName) =!= 0L)
     val oldTypes = names.map(n => n -> oldSummary.schema(n).dataType).toMap
     merged.select(
-      groupCols.map(col) ++ names.map(n => col(n).cast(oldTypes(n)).as(n)): _*)
+      groupCols.map(col) ++ names.map { n =>
+        val v = sumCompanion.get(n) match {
+          case Some(cntC) => when(col(cntC) === 0L, lit(null)).otherwise(col(n))
+          case None       => col(n)
+        }
+        v.cast(oldTypes(n)).as(n)
+      }: _*)
   }
 
   /** Maintain a summary WITH non-retractable measures (min/max) under

@@ -226,10 +226,8 @@ object LakeTable {
       bits: Int = 16, batchId: Option[Long] = None): ApplyStats = {
     // streaming at-least-once: an already-applied batchId is a no-op —
     // the applied set travels IN the manifest, so the check and the
-    // apply commit atomically together (the Bm25Maintainer lesson)
-    val c = latest(spark, path)
-    if (batchId.exists(c.appliedBatches.contains))
-      return ApplyStats(c.version, 0, c.files.size, 0)
+    // apply commit atomically together (the Bm25Maintainer lesson);
+    // the check itself lives in mutate, on the FRESH manifest per retry
     val reduced = Cdc.compactChangelog(changelog)
     mutate(spark, path, cols, keyCol, nFilesNew, bits,
       touchKeys = reduced.select(col("key")),
@@ -248,9 +246,6 @@ object LakeTable {
       spark: SparkSession, path: String, changelog: DataFrame,
       cols: Seq[String], keyCol: String = "key", nFilesNew: Int = 2,
       bits: Int = 16, batchId: Option[Long] = None): ApplyStats = {
-    val c = latest(spark, path)
-    if (batchId.exists(c.appliedBatches.contains))
-      return ApplyStats(c.version, 0, c.files.size, 0)
     val reduced = Cdc.compactChangelogFull(changelog)
     mutate(spark, path, cols, keyCol, nFilesNew, bits,
       touchKeys = reduced.select(col("key")),
@@ -381,7 +376,10 @@ object LakeTable {
       if (files.isEmpty)
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else spark.read.parquet(files.map(abs(path, _)): _*)
+      // the commit's reader schema, NOT footer inference: a replaced file
+      // may predate a past schema evolution and lack a since-added column
+      else spark.read.schema(readerSchema(cTo.schemaDdl))
+        .parquet(files.map(abs(path, _)): _*)
     val payload = schema.fieldNames.toSeq.filterNot(_ == keyCol)
     require(payload.nonEmpty,
       s"LakeTable.readChanges: table has no payload columns beyond $keyCol")
@@ -413,19 +411,33 @@ object LakeTable {
     * uncommitted garbage, and files replaced long enough ago — plus
     * stale tmp manifests. Returns the number of files removed.
     * Manifests themselves are never deleted (metadata-sized history);
-    * [[readAt]] on a version whose data was vacuumed fails loud. Safe at
-    * any time: the live set is defined by the manifests alone.
+    * [[readAt]] on a version whose data was vacuumed fails loud.
+    *
+    * Concurrency: under a single maintenance owner this is safe at any
+    * time — the live set is defined by the manifests alone. Under
+    * CONCURRENT writers, a file an in-flight mutation just landed is
+    * indistinguishable from crash garbage until its commit renames, so
+    * pass `graceMs` ≥ the longest land→commit window: only unreferenced
+    * files whose modification time is older than the grace are deleted
+    * (the same mtime-retention rationale as Delta's VACUUM hours).
     */
-  def vacuum(spark: SparkSession, path: String, keepVersions: Int = 2): Int = {
+  def vacuum(
+      spark: SparkSession, path: String, keepVersions: Int = 2,
+      graceMs: Long = 0L): Int = {
     val vs = versions(spark, path)
     val retained = vs.takeRight(math.max(1, keepVersions))
       .flatMap(commitAt(spark, path, _).files).toSet
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cutoff = System.currentTimeMillis() - graceMs
     val stale = LakeSink.listParquet(spark, path)
       .map(rel(path, _)).filterNot(retained)
+      .filter(f =>
+        fs.getFileStatus(new Path(s"$path/$f")).getModificationTime <= cutoff)
     stale.foreach(f => fs.delete(new Path(s"$path/$f"), false))
     val tmp = fs.listStatus(new Path(s"$path/_commits")).toSeq
-      .map(_.getPath).filter(_.getName.startsWith(".tmp-"))
+      .map(_.getPath)
+      .filter(p => p.getName.startsWith(".tmp-") &&
+        fs.getFileStatus(p).getModificationTime <= cutoff)
     tmp.foreach(fs.delete(_, false))
     stale.size + tmp.size
   }
@@ -489,6 +501,20 @@ object LakeTable {
         .parquet(touched.map(abs(path, _)): _*)
       else readLive(spark, path).limit(0)
     val next = rewrite(base)
+    // a rewrite that REPLACES files must cover every committed column —
+    // otherwise carried rows in touched files silently lose the dropped
+    // column's values while the manifest still advertises it (a
+    // fixed-shape rewrite like the demo-schema changelog MERGE fails
+    // loud on an evolved table instead). Appends (touched empty) stay
+    // free to omit columns: their rows serve NULL, nobody else's do.
+    if (touched.nonEmpty) {
+      val nextNames = next.schema.fieldNames.toSet
+      val dropped = org.apache.spark.sql.types.StructType
+        .fromDDL(c.schemaDdl).fieldNames.filterNot(nextNames)
+      require(dropped.isEmpty,
+        s"LakeTable: rewrite drops committed column(s) ${dropped.mkString(", ")} " +
+          "— carried rows in touched files would silently lose their values")
+    }
 
     val before = LakeSink.listParquet(spark, path).toSet
     if (!next.isEmpty) {

@@ -138,8 +138,18 @@ object LakeMaintenance {
         val view = spark.read.parquet(f"$viewDir%s/v$viewV%09d")
         val feed = LakeTable.readChanges(
           spark, tablePath, tableV, cur, keyCol, withPreimage = true)
+        // feed-only retraction needs applyChanges' full contract (all
+        // sum/count, a count(*) group-death detector, a count(c)
+        // companion per sum(c)); anything else repairs touched groups
+        val retractable =
+          measures.contains(("count", "*")) &&
+            measures.keys.forall { case (f, _) => f == "sum" || f == "count" } &&
+            measures.keys.forall {
+              case ("sum", c) => measures.contains(("count", c))
+              case _          => true
+            }
         val folded =
-          if (measures.keys.forall { case (f, _) => f == "sum" || f == "count" })
+          if (retractable)
             graft.operators.Mv.applyChanges(view, feed, groupCols, measures)
           else graft.operators.Mv.repairChanges(
             view, LakeTable.readLive(spark, tablePath), feed, groupCols, measures)

@@ -133,6 +133,14 @@ class LakeTableSpec extends SparkSpec {
     assert(removed >= 1, "vacuum must sweep the uncommitted file")
     // committed files all survive vacuum and still serve the snapshot
     assert(LakeTable.readLive(spark, dir).count() == base.count())
+    // under concurrent writers, the grace window protects a JUST-landed
+    // file (an in-flight mutation's step 1 looks exactly like garbage)
+    Seq((9998L, "ghost2", 0.0)).toDF("key", "name", "val")
+      .coalesce(1).write.mode("append").parquet(dir)
+    assert(LakeTable.vacuum(spark, dir, graceMs = 3600000L) == 0,
+      "fresh unreferenced files must survive the grace window")
+    assert(LakeTable.vacuum(spark, dir) >= 1,
+      "without a grace they are garbage as before")
   }
 
   test("insert beyond every box rewrites nothing and lands a fresh file") {
@@ -275,6 +283,16 @@ class LakeTableSpec extends SparkSpec {
     val v = LakeTable.readLive(spark, dir)
     assert(v.columns.toSeq == Seq("key", "name", "val", "source"))
     assert(v.filter(col("key") === 903L).select(col("name")).head.isNullAt(0))
+    // the fixed-shape changelog MERGE cannot preserve the evolved column
+    // in carried rows of rewritten files — it fails LOUD instead of
+    // silently NULLing them (and the failed attempt's files stay
+    // uncommitted garbage)
+    val before = LakeTable.latest(spark, dir).version
+    intercept[IllegalArgumentException](LakeTable.applyChangelog(
+      spark, dir, Seq((5L, 10L, "U", 1.0)).toDF("key", "seq", "op", "val"),
+      Seq("key")))
+    assert(LakeTable.latest(spark, dir).version == before,
+      "a rejected rewrite must not publish a version")
   }
 
   test("lockstep view: refreshView catches up across folds, crash dirs invisible, stream keeps both in step") {
@@ -286,7 +304,10 @@ class LakeTableSpec extends SparkSpec {
       .toDF("key", "name", "val")
     LakeTable.init(base, dir, Seq("key"), nFiles = 4)
     val groupCols = Seq("name")
-    val measures = Map(("sum", "val") -> "sum_val", ("count", "*") -> "cnt")
+    // full retracting contract: count(*) + a count(val) companion, so the
+    // stream path exercises applyChanges (not the repair fallback)
+    val measures = Map(("sum", "val") -> "sum_val", ("count", "*") -> "cnt",
+      ("count", "val") -> "cnt_val")
     def sorted(df: org.apache.spark.sql.DataFrame) =
       df.orderBy(col("name")).collect().map(_.toSeq).toSeq
     def expect = sorted(Mv.summarize(

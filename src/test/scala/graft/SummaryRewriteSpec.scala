@@ -197,7 +197,8 @@ class SummaryRewriteSpec extends SparkSpec {
       (9L, 4L, "U", "g3", 5.0)).toDF("key", "seq", "op", "name", "val")
     LakeTable.applyChangelogFull(spark, dir, ch, Seq("key"))
     val groupCols = Seq("name")
-    val measures = Map(("sum", "val") -> "sum_val", ("count", "*") -> "cnt")
+    val measures = Map(("sum", "val") -> "sum_val", ("count", "*") -> "cnt",
+      ("count", "val") -> "cnt_val")
     val v1 = Mv.summarize(LakeTable.readAt(spark, dir, 1), groupCols, measures)
     val feed = LakeTable.readChanges(spark, dir, 1, 2, withPreimage = true)
     val got = Mv.applyChanges(v1, feed, groupCols, measures)
@@ -206,17 +207,33 @@ class SummaryRewriteSpec extends SparkSpec {
     assert(sorted(got) ==
       sorted(Mv.summarize(LakeTable.readAt(spark, dir, 2), groupCols, measures)),
       "retracting fold must equal re-summarizing the new snapshot")
-    val m = got.collect()
-      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val m = got.collect() // columns: name, cnt, cnt_val, sum_val
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(3))).toMap
     assert(!m.contains("g0"), "a group whose last row left must vanish")
     assert(m("g1") == ((1L, 10.0)), "the migrated row must retract from g1")
     assert(m("g2") == ((3L, 100.0)), "g2 = carried 30 + migrated-in 25 + updated 45")
     assert(m("g3") == ((1L, 5.0)), "the insert must open g3")
-    // non-retractable / underspecified measure sets fail loud
+    // a group whose surviving values go all-NULL must fold to a NULL sum
+    // (not 0) — exactly what a refit would produce; the count(val)
+    // companion is the detector
+    val nullFeed = Seq(
+      ("k", "U", "g1", null.asInstanceOf[java.lang.Double],
+        "g1", java.lang.Double.valueOf(10.0)))
+      .toDF("key", "op", "name", "val", "name_pre", "val_pre")
+    val nulled = Mv.applyChanges(got, nullFeed, groupCols, measures)
+      .filter(col("name") === "g1").collect().head
+    assert(nulled.getLong(1) == 1L && nulled.getLong(2) == 0L &&
+      nulled.isNullAt(3),
+      s"all-NULL group must carry a NULL sum, got $nulled")
+    // non-retractable / underspecified measure sets fail loud: min/max,
+    // a missing count(*), and a sum without its count(c) companion
     intercept[IllegalArgumentException](Mv.applyChanges(
       v1, feed, groupCols, Map(("min", "val") -> "m", ("count", "*") -> "cnt")))
     intercept[IllegalArgumentException](Mv.applyChanges(
       v1, feed, groupCols, Map(("sum", "val") -> "sum_val")))
+    intercept[IllegalArgumentException](Mv.applyChanges(
+      v1, feed, groupCols,
+      Map(("sum", "val") -> "sum_val", ("count", "*") -> "cnt")))
   }
 
   test("touched-group repair maintains min/max under deletes (extremum eviction)") {
