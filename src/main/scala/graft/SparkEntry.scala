@@ -734,6 +734,27 @@ object SparkEntry {
         groupCols, measures)
         .orderBy(col("name"))
     }),
+    // the LOCKSTEP VIEW through its artifact layer: materialize the
+    // rollup at table v1, MERGE the changelog into the table, refreshView
+    // folds the changefeed and lands view v2 — readView must equal the
+    // rollup of the post-merge state the oracle recomputes from raw
+    // frames (the whole maintain→land→serve loop under one hash)
+    "q_lake_view" -> ((s, d) => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-lakeviewq").toString
+      val t = s"$dir/t"
+      sources.LakeTable.init(cdcBase(s, d), t, Seq("key"), nFiles = 8)
+      val groupCols = Seq("name")
+      // min/max/count: engine-exact under any fold order, and they route
+      // refreshView through the touched-group REPAIR path
+      val measures = Map(("min", "val") -> "min_val",
+        ("max", "val") -> "max_val", ("count", "*") -> "cnt")
+      streaming.LakeMaintenance.refreshView(s, t, s"$dir/view", groupCols, measures)
+      sources.LakeTable.applyChangelog(s, t, cdcChangelog(s, d), Seq("key"))
+      streaming.LakeMaintenance.refreshView(s, t, s"$dir/view", groupCols, measures)
+      streaming.LakeMaintenance.readView(s, s"$dir/view")
+        .orderBy(col("name"))
+    }),
     // padding-waste audit: per length bucket, capacity vs real token
     // mass — the dataloader-planning number bucketing optimizes
     "q_padding_waste" -> ((s, d) => operators.Curation.paddingWaste(Tables.documents(s, d))),
@@ -3372,6 +3393,23 @@ object SparkEntry {
         |FROM merged GROUP BY name ORDER BY name""".stripMargin,
     // touched-group repair must equal the rollup of the post-merge state
     "q_mv_minmax" ->
+      """WITH ch AS (SELECT o_custkey AS key, o_orderkey AS seq,
+        |    CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op,
+        |    o_totalprice AS val FROM orders WHERE o_orderkey % 3 <> 0 AND o_custkey % 17 <> 3),
+        |b AS (SELECT * FROM customer WHERE c_custkey % 13 <> 0),
+        |latest AS (SELECT key, op, val AS new_val FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
+        |    FROM ch) WHERE rn = 1),
+        |merged AS (SELECT COALESCE(b.c_custkey, l.key) AS key, b.c_name AS name,
+        |    CASE WHEN l.op = 'U' THEN l.new_val ELSE b.c_acctbal END AS val
+        |  FROM b FULL OUTER JOIN latest l ON b.c_custkey = l.key
+        |  WHERE l.op IS NULL OR l.op <> 'D')
+        |SELECT name, CAST(COUNT(*) AS BIGINT) AS cnt,
+        |  MAX(val) AS max_val, MIN(val) AS min_val
+        |FROM merged GROUP BY name ORDER BY name""".stripMargin,
+    // the served view artifact must equal the rollup of the post-merge
+    // state (same merged CTE, min/max/count by name)
+    "q_lake_view" ->
       """WITH ch AS (SELECT o_custkey AS key, o_orderkey AS seq,
         |    CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op,
         |    o_totalprice AS val FROM orders WHERE o_orderkey % 3 <> 0 AND o_custkey % 17 <> 3),

@@ -359,6 +359,35 @@ object StreamBench {
       graft.streaming.LakeMaintenance.attach(src, lakeDir, Seq("key"), nFilesNew = 4)
     }
 
+    // --- timed: LOCKSTEP lake maintenance (table + derived view) ---
+    // the end-to-end incremental pipeline: per micro-batch, the changelog
+    // folds into the table AND the materialized rollup advances via the
+    // changefeed (retracting applyChanges path; 64 groups) — the delta
+    // over the table-only row above is the price of a continuously-fresh
+    // downstream view
+    val lakeDir2 = s"$root/laketab2"
+    graft.sources.LakeTable.init(
+      spark.range(100000L).select(
+        org.apache.spark.sql.functions.col("id").as("key"),
+        org.apache.spark.sql.functions.concat(
+          org.apache.spark.sql.functions.lit("g"),
+          org.apache.spark.sql.functions.col("id") % 64L).as("name"),
+        (org.apache.spark.sql.functions.col("id") % 997L).cast("double").as("val")),
+      lakeDir2, Seq("key"), nFiles = 8)
+    timeQuery("lake maintenance + lockstep view (table AND rollup per batch)", nChanges) {
+      val src = spark.readStream
+        .schema(org.apache.spark.sql.Encoders.product[
+          graft.streaming.CdcStream.Change].schema)
+        .option("maxFilesPerTrigger", "4")
+        .parquet(s"$root/changes")
+        .withColumnRenamed("value", "val")
+      graft.streaming.LakeMaintenance.attachWithView(
+        src, lakeDir2, Seq("key"), s"$root/lakeview", Seq("name"),
+        Map(("sum", "val") -> "sum_val", ("count", "*") -> "cnt",
+          ("count", "val") -> "cnt_val"),
+        nFilesNew = 4)
+    }
+
     timeQuery("cdc changelog reduction (transformWithState)", nChanges) {
       val src = spark.readStream
         .schema(org.apache.spark.sql.Encoders.product[
