@@ -346,6 +346,16 @@ object SparkEntry {
       val batch = emb.filter(col("vec_id") % 5 === 0)
       SimilaritySearch.knnGraphIncrement(SimilaritySearch.knnGraph(old), old, batch)
     }),
+    // index retire: delete every %7 vector from the stored graph under
+    // the frozen quantizer — retire==rebuild invariant; oracle = the
+    // from-scratch rebuild over the surviving corpus (quantizer still
+    // drawn from the FULL corpus, the staleness contract)
+    "q_knn_graph_retire" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      SimilaritySearch.knnGraphRetire(
+        SimilaritySearch.knnGraph(emb), emb,
+        emb.filter(col("vec_id") % 7 === 0).select(col("vec_id")))
+    }),
     // graph-walk serve (NSW pattern): entry points -> expand graph
     // neighbors -> beam prune, `hops` rounds; fully oracle-replayed. The
     // walk runs over the PREBUILT per-refresh graph artifact (memoized per
@@ -2748,6 +2758,21 @@ object SparkEntry {
          |  FROM e CROSS JOIN ic) WHERE rn = 1),
          |cand AS (SELECT a.vec_id, b.vec_id AS neighbor_id
          |  FROM iasg a JOIN iasg b ON a.cid = b.cid AND a.vec_id <> b.vec_id),
+         |scored AS (SELECT cand.vec_id, cand.neighbor_id,
+         |    ${duckCos("x.emb", "y.emb")} AS cos
+         |  FROM cand JOIN e x ON x.vec_id = cand.vec_id
+         |  JOIN e y ON y.vec_id = cand.neighbor_id)
+         |SELECT vec_id, neighbor_id, rank, cos FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM scored) WHERE rank <= 5 ORDER BY vec_id, rank""".stripMargin,
+    // quantizer (ic/iasg) from the FULL corpus; candidates among survivors
+    "q_knn_graph_retire" ->
+      s"""WITH e AS ($duckEmb),
+         |$duckIvfAssign,
+         |cand AS (SELECT a.vec_id, b.vec_id AS neighbor_id
+         |  FROM iasg a JOIN iasg b ON a.cid = b.cid AND a.vec_id <> b.vec_id
+         |  WHERE a.vec_id % 7 <> 0 AND b.vec_id % 7 <> 0),
          |scored AS (SELECT cand.vec_id, cand.neighbor_id,
          |    ${duckCos("x.emb", "y.emb")} AS cos
          |  FROM cand JOIN e x ON x.vec_id = cand.vec_id

@@ -571,6 +571,59 @@ object SimilaritySearch {
       .orderBy(col("vec_id"), col("rank"))
   }
 
+  /** RETIRE vectors from an existing [[knnGraph]] — the index half of
+    * right-to-be-forgotten, completing the cascade
+    * ([[graft.operators.Governance.forgetCascade]] lists the artifacts,
+    * [[graft.sources.LakeTable.applyTombstones]] deletes the table rows,
+    * this removes the vectors from the serving graph) WITHOUT a rebuild.
+    * The quantizer stays FROZEN, so cell routing is unchanged and every
+    * edge is same-cell: only the DOOMED vectors' cells can lose an edge.
+    * Survivors of those touched cells re-score their whole cell (a
+    * deleted neighbor in a stored top-k needs replacements from below
+    * the stored horizon, which the k-row graph does not carry);
+    * every vertex in an untouched cell passes its stored rows through
+    * byte-identical, and the deleted vertices' own rows drop. Exact:
+    * `knnGraphRetire(knnGraph(corpus), corpus, doomed) ==
+    * knnGraph(corpus \ doomed, quantizerSource = corpus)` — the
+    * retire==rebuild invariant, spec-pinned like merge==rebuild.
+    *
+    * Cost at 100 TB: one column-pruned routing of the doomed rows, the
+    * touched cells' survivor slice (embeddings only for those cells),
+    * Σ|touched cell|² scored pairs — work tracks the deletion's cell
+    * footprint, never the corpus. Ids absent from the corpus are no-ops.
+    */
+  def knnGraphRetire(
+      oldGraph: DataFrame, corpus: DataFrame, tombstones: DataFrame,
+      k: Int = 5, nCentroids: Int = 16,
+      quantizerSource: Option[DataFrame] = None): DataFrame = {
+    val spark = corpus.sparkSession
+    graft.plans.GraftFunctions.register(spark)
+    val centroids = spark.sparkContext.broadcast(
+      ivfCentroids(quantizerSource.getOrElse(corpus), nCentroids))
+    val doomed = tombstones.select(col("vec_id"))
+    val touchedCells = cellAssign(
+      corpus.join(broadcast(doomed), Seq("vec_id"), "left_semi"), centroids)
+      .select(col("cell")).distinct()
+    // every member of a touched cell (doomed included) leaves the
+    // pass-through set; survivors re-score their cell exactly
+    val touchedMembers = cellAssign(corpus, centroids)
+      .join(broadcast(touchedCells), Seq("cell"), "left_semi")
+      .localCheckpoint()
+    val survivors = touchedMembers
+      .join(broadcast(doomed), Seq("vec_id"), "left_anti")
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    val repaired = cellEdges(survivors, survivors)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("vec_id"), col("neighbor_id"), col("rank"), col("cos"))
+    val untouched = oldGraph
+      .select(col("vec_id"), col("neighbor_id"), col("rank"), col("cos"))
+      .join(touchedMembers.select(col("vec_id")), Seq("vec_id"), "left_anti")
+    untouched.unionByName(repaired)
+      .orderBy(col("vec_id"), col("rank"))
+  }
+
   /** Label propagation over the [[knnGraph]] — the weak-supervision move a
     * training-data pipeline uses to stretch a small labeled seed set
     * (human-rated quality, domain tags, license classes) across the whole

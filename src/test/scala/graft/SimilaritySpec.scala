@@ -169,6 +169,31 @@ class SimilaritySpec extends SparkSpec {
     assert(incremental.nonEmpty)
   }
 
+  test("knnGraphRetire: deleting vectors equals the frozen-quantizer rebuild on survivors") {
+    val emb = Tables.embeddings(spark, sf)
+    val doomed = emb.filter(col("vec_id") % 7 === 0).select(col("vec_id"))
+    val retired = SimilaritySearch
+      .knnGraphRetire(SimilaritySearch.knnGraph(emb), emb, doomed)
+      .collect().map(_.toSeq).toSet
+    val rebuild = SimilaritySearch
+      .knnGraph(emb.join(doomed, Seq("vec_id"), "left_anti"),
+        quantizerSource = Some(emb))
+      .collect().map(_.toSeq).toSet
+    assert(retired == rebuild)
+    assert(retired.nonEmpty)
+    // forget attestation at the index: no deleted id survives as a vertex
+    // OR as anyone's neighbor
+    val ids = doomed.collect().map(_.getLong(0)).toSet
+    assert(!retired.exists(r =>
+      ids(r.head.asInstanceOf[Long]) || ids(r(1).asInstanceOf[Long])))
+    // retiring ids the corpus never held is a no-op
+    import spark.implicits._
+    val ghost = SimilaritySearch.knnGraphRetire(
+      SimilaritySearch.knnGraph(emb), emb, Seq(10_000_000L).toDF("vec_id"))
+      .collect().map(_.toSeq).toSet
+    assert(ghost == SimilaritySearch.knnGraph(emb).collect().map(_.toSeq).toSet)
+  }
+
   test("labelPropagate: seeds immutable, monotone rounds, accuracy vs withheld truth") {
     val emb = Tables.embeddings(spark, sf)
     val seeds = emb.filter(col("vec_id") % 4 === 0).select(col("vec_id"), col("label"))
