@@ -158,6 +158,71 @@ final class GraphMaintainer private (
       .unionByName(batchCells.select(col("vec_id"))).localCheckpoint()
   }
 
+  /** RETIRE stored vectors from the landed artifact —
+    * [[SimilaritySearch.knnGraphRetire]] at the maintainer: the frozen
+    * quantizer makes every edge same-cell, so only the doomed ids' cells
+    * are read (partition-pruned), their survivors re-score, and ONLY
+    * those cell partitions of `graph/` and `routing/` rewrite. Returns
+    * the influence set (the touched cells' surviving vertices — the
+    * re-vote input, like [[fold]]'s).
+    *
+    * Idempotent by re-run: touched cells are found via the doomed ids in
+    * `routing/` OR as a vertex/neighbor in `graph/` (both column-pruned
+    * id scans), so a crash between the partition rewrites converges on
+    * the next call instead of stranding stale edges behind an
+    * already-cleaned routing. Cell partitions left without survivors (or
+    * without edges — one survivor makes no pair) are deleted explicitly:
+    * dynamic overwrite only touches partitions present in the written
+    * frame. Retired ids stay in the Bloom prescreen (additive-only) —
+    * harmless: the exact confirm consults `routing/`, so a later
+    * re-insert of a retired id folds as a NEW vector.
+    */
+  def retire(tombstones: DataFrame): DataFrame = synchronized {
+    import spark.implicits._
+    graft.plans.GraftFunctions.register(spark)
+    val doomed = tombstones.select(col("vec_id")).localCheckpoint()
+    val routingCells = spark.read.parquet(s"$workDir/routing")
+      .join(broadcast(doomed), Seq("vec_id"), "left_semi")
+      .select(col("cell").cast("long").as("cell"))
+    val g = spark.read.parquet(s"$workDir/graph")
+    val graphCells = g
+      .join(broadcast(doomed), Seq("vec_id"), "left_semi")
+      .select(col("cell").cast("long").as("cell"))
+      .unionByName(g
+        .join(broadcast(doomed), g("neighbor_id") === doomed("vec_id"), "left_semi")
+        .select(col("cell").cast("long").as("cell")))
+    val touched = routingCells.unionByName(graphCells)
+      .distinct().as[Long].collect()
+    if (touched.isEmpty) return spark.emptyDataset[Long].toDF("vec_id")
+    val survivors = spark.read.parquet(s"$workDir/routing")
+      .filter(col("cell").isin(touched: _*))
+      .select(col("vec_id"), col("embedding"), col("cell").cast("long").as("cell"))
+      .join(broadcast(doomed), Seq("vec_id"), "left_anti")
+      .localCheckpoint()
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    val repaired = SimilaritySearch.cellEdgesWithCell(survivors, survivors)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("vec_id"), col("neighbor_id"), col("rank"), col("cos"), col("cell"))
+      .localCheckpoint()
+    survivors.repartition(col("cell")).write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cell").parquet(s"$workDir/routing")
+    repaired.repartition(col("cell")).write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cell").parquet(s"$workDir/graph")
+    // partitions the writes above could not empty: no survivors → no
+    // routing rows; <2 survivors → no edges
+    val survivedCells = survivors.select(col("cell")).distinct().as[Long].collect().toSet
+    val edgedCells = repaired.select(col("cell")).distinct().as[Long].collect().toSet
+    touched.filterNot(survivedCells).foreach(c =>
+      fs.delete(new Path(s"$workDir/routing/cell=$c"), true))
+    touched.filterNot(edgedCells).foreach(c =>
+      fs.delete(new Path(s"$workDir/graph/cell=$c"), true))
+    survivors.select(col("vec_id"))
+  }
+
   /** Attach to a vector stream: every micro-batch folds into the graph
     * via foreachBatch (the artifact-maintenance loop; empty batches are
     * skipped so idle triggers don't churn checkpoints, and the batchId

@@ -32,6 +32,40 @@ class GraphMaintenanceSpec extends SparkSpec {
     assert(m.corpus.count() == emb.count())
   }
 
+  test("retire purges vectors from the landed artifact; re-run converges; a retired id re-inserts as new") {
+    val emb = Tables.embeddings(spark, sf)
+    val old = emb.filter(col("vec_id") % 5 =!= 0)
+    val batch = emb.filter(col("vec_id") % 5 === 0)
+    val dir = tmp("retire")
+    val m = GraphMaintainer.build(old, dir)
+    m.fold(batch)
+    val doomed = emb.filter(col("vec_id") % 7 === 0).select(col("vec_id"))
+    m.retire(doomed)
+    // artifact == frozen-quantizer rebuild over the survivors
+    val want = graft.operators.SimilaritySearch
+      .knnGraph(emb.join(doomed, Seq("vec_id"), "left_anti"),
+        quantizerSource = Some(old))
+      .collect().map(_.toSeq).toSet
+    assert(m.graph.collect().map(_.toSeq).toSet == want)
+    // forget attestation: no doomed id as vertex, neighbor, or stored row
+    val ids = doomed.collect().map(_.getLong(0)).toSet
+    val g = m.graph.collect()
+    assert(!g.exists(r => ids(r.getLong(0)) || ids(r.getLong(1))))
+    assert(m.corpus.join(doomed, Seq("vec_id"), "left_semi").isEmpty)
+    // re-running the same retire is a no-op that still serves `want`
+    m.retire(doomed)
+    assert(m.graph.collect().map(_.toSeq).toSet == want)
+    // a retired id re-inserts as a NEW vector (bloom hit, exact confirm
+    // finds routing empty for it) and the fold stays exact
+    val one = emb.filter(col("vec_id") === ids.min)
+    m.fold(one)
+    val want2 = graft.operators.SimilaritySearch
+      .knnGraph(emb.join(doomed, Seq("vec_id"), "left_anti").unionByName(one),
+        quantizerSource = Some(old))
+      .collect().map(_.toSeq).toSet
+    assert(m.graph.collect().map(_.toSeq).toSet == want2)
+  }
+
   test("attached to a MemoryStream, the artifact matches the rebuild") {
     implicit val sqlCtx = spark.sqlContext
     val emb = Tables.embeddings(spark, sf)
