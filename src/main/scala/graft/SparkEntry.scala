@@ -395,6 +395,18 @@ object SparkEntry {
         docs.filter(col("doc_id") % 3 === 0))
       TextAnalysis.bm25TopKFrom(docs, stats, Seq("dup", "window", "merge"))
     }),
+    // lexical-index retire: subtract the forgotten docs (%41, the forget
+    // fixture) from the stored stats and serve the survivors — the
+    // ranking must equal a from-scratch BM25 over the surviving corpus
+    "q_bm25_retire" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val removed = docs.filter(col("doc_id") % 41 === 0)
+      val stats = TextAnalysis.retireBm25Stats(
+        TextAnalysis.bm25Stats(docs), removed)
+      TextAnalysis.bm25TopKFrom(
+        docs.filter(col("doc_id") % 41 =!= 0), stats,
+        Seq("dup", "window", "merge"))
+    }),
     // hybrid retrieval: BM25 shortlist + exact-cosine shortlist, fused by
     // Reciprocal Rank Fusion (rank-only, no score calibration)
     "q_hybrid_search" -> ((s, d) => operators.HybridSearch.hybridTopK(
@@ -3124,6 +3136,9 @@ object SparkEntry {
     // same corpus, same terms, identical ranking by the merge==refit
     // invariant — the oracle proves the incremental serve path exact
     "q_bm25_incr" -> duckBm25,
+    // same BM25 replay, corpus restricted to the survivors
+    "q_bm25_retire" -> duckBm25.replace(
+      "FROM documents", "FROM (SELECT * FROM documents WHERE doc_id % 41 <> 0)"),
     "q_hybrid_search" ->
       s"""WITH dl AS (SELECT doc_id,
          |    CAST(len(string_split(text,' ')) AS DOUBLE) AS dl FROM documents),

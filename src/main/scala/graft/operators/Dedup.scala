@@ -1184,6 +1184,32 @@ object Dedup {
     SemanticIndex(centroids, cells, sizeHint)
   }
 
+  /** RETIRE vectors from a [[SemanticIndex]] — the novelty-gate half of
+    * the forget cascade: explode the doomed ids' packed members out,
+    * re-pack the survivors in the same sorted order, keep the FROZEN
+    * centroids (the staleness contract — re-fitting is the next
+    * refresh's job). Cells whose last member leaves drop entirely, so a
+    * probe landing there reports `ok` exactly as against a rebuild.
+    * Equals `assignTo(corpus \ doomed, same centroids)` re-packed
+    * whenever no cell was cellCap-truncated at build time (a truncated
+    * cell cannot resurrect members the cap dropped — it under-serves
+    * candidates until the refresh, which only weakens dup-detection,
+    * never the attestation: no doomed id survives in ANY cell,
+    * unconditionally). One explode + an id anti-join + one re-pack —
+    * work tracks the index size, and at scale the anti-join broadcasts
+    * the tombstone batch.
+    */
+  def retireSemanticIndex(
+      index: SemanticIndex, tombstones: DataFrame): SemanticIndex = {
+    val doomed = tombstones.select(col("vec_id"))
+    val repacked = index.cells
+      .select(col("cell"), explode(col("members")).as("m"))
+      .join(broadcast(doomed), col("m.id") === col("vec_id"), "left_anti")
+      .groupBy(col("cell"))
+      .agg(sort_array(collect_list(col("m"))).as("members"))
+    SemanticIndex(index.centroids, repacked, index.sizeHintBytes)
+  }
+
   /** Probe a [[SemanticIndex]] with a batch OR STREAM of vectors: each
     * probe vector is routed to its nearest centroid (stateless kernel
     * pass, [[Embeddings.assignTo]]) and scored against the packed members

@@ -338,6 +338,32 @@ object TextAnalysis {
       .orderBy(col("token"))
   }
 
+  /** RETIRE documents from stored BM25 stats — the lexical-index half of
+    * the forget cascade, and the retraction [[mergeBm25Stats]]'s
+    * integer sums make EXACT: df and the totals row subtract the removed
+    * docs' own aggregation, tokens whose last document left drop
+    * entirely, so `retire(bm25Stats(c), removed) == bm25Stats(c \
+    * removed)` bit-for-bit (removed ⊆ c and a non-empty remainder are
+    * the caller's contract, the mirror of merge's disjointness). One
+    * batch-sized aggregation + a left join on token — O(|removed| ·
+    * vocab), never a corpus re-scan: the same cost shape as the merge,
+    * pointing down.
+    */
+  def retireBm25Stats(stats: DataFrame, removed: DataFrame): DataFrame = {
+    val r = bm25Stats(removed)
+    stats.select(col("token"), col("df").as("df_a"), col("dl_sum").as("dl_a"))
+      .join(r.select(col("token"), col("df").as("df_b"), col("dl_sum").as("dl_b")),
+        Seq("token"), "left_outer")
+      .select(
+        col("token"),
+        (col("df_a") - coalesce(col("df_b"), lit(0L))).as("df"),
+        when(col("token") === " ",
+          col("dl_a") - coalesce(col("dl_b"), lit(0L)))
+          .otherwise(lit(null).cast("long")).as("dl_sum"))
+      .filter(col("token") === " " || col("df") > 0L)
+      .orderBy(col("token"))
+  }
+
   /** [[bm25TopK]] served from a STORED stats artifact — the production
     * split: the corpus-wide aggregation (df, N, avgdl) comes from
     * [[bm25Stats]] (refreshed incrementally via [[mergeBm25Stats]]),

@@ -429,4 +429,33 @@ class DedupSpec extends SparkSpec {
       .map(r => r.getAs[Long]("keeper_id") -> r.getAs[Long]("n_docs")).toMap
     assert(g2 == Map(1L -> 2L), s"got $g2")
   }
+
+  test("retireSemanticIndex: no doomed id in cells or evidence; survivors keep serving the gate") {
+    val emb = Tables.embeddings(spark, sf)
+    val doomed = emb.filter(col("vec_id") % 7 === 0).select(col("vec_id"))
+    val idx = Dedup.buildSemanticIndex(emb, k = 4, iters = 1)
+    val retired = Dedup.retireSemanticIndex(idx, doomed)
+    // attestation: no doomed member in any packed cell...
+    assert(retired.cells
+      .select(explode(col("members.id")).as("vec_id"))
+      .join(doomed, Seq("vec_id"), "left_semi").isEmpty)
+    // ...and EVERY survivor is still packed (frozen centroids: the retire
+    // is exactly the survivor filter of the original pack)
+    val survivorIds = emb.join(doomed, Seq("vec_id"), "left_anti")
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(retired.cells.select(explode(col("members.id")).as("id"))
+      .collect().map(_.getLong(0)).toSet == survivorIds)
+    // probes re-submitting every original vector: evidence never names a
+    // doomed id, and an exact survivor copy still flags as a duplicate
+    val probes = emb.select(
+      (col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    val after = Dedup.semanticNoveltyProbe(probes, retired).collect()
+    val doomedSet = doomed.collect().map(_.getLong(0)).toSet
+    assert(!after.exists(r => !r.isNullAt(3) && doomedSet(r.getLong(3))),
+      "a retired vector must never surface as match evidence")
+    val surv = after.filter(r => survivorIds(r.getLong(0) - 1000000L))
+    assert(surv.nonEmpty && surv.forall(r =>
+      r.getString(4) == "duplicate_semantic" && r.getDouble(2) == 1.0),
+      "an exact copy of a surviving vector must still flag at cos 1.0")
+  }
 }

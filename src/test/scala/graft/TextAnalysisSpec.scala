@@ -368,4 +368,25 @@ class TextAnalysisSpec extends SparkSpec {
       .map(r => r.getAs[String]("token") -> r.getAs[Long]("df")).toMap
     assert(m("unseen") == 1L && m("common") == 2L && m(" ") == 2L)
   }
+
+  test("retireBm25Stats: exact retraction — retire(stats(c), removed) == stats(c \\ removed)") {
+    val docs = Tables.documents(spark, sf)
+    val removed = docs.filter(col("doc_id") % 41 === 0)
+    val retired = TextAnalysis
+      .retireBm25Stats(TextAnalysis.bm25Stats(docs), removed)
+      .collect().map(_.toSeq).toSet
+    val refit = TextAnalysis.bm25Stats(docs.filter(col("doc_id") % 41 =!= 0))
+      .collect().map(_.toSeq).toSet
+    assert(retired == refit,
+      "retiring must equal re-aggregating the surviving corpus exactly")
+    // a token whose LAST document left must vanish from the stats
+    import spark.implicits._
+    val c = Seq((1L, "common words here", "en", "web", 0L),
+      (2L, "common rare", "en", "web", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r2 = TextAnalysis.retireBm25Stats(
+      TextAnalysis.bm25Stats(c), c.filter(col("doc_id") === 2L)).collect()
+      .map(r => r.getAs[String]("token") -> r.getAs[Long]("df")).toMap
+    assert(!r2.contains("rare") && r2("common") == 1L && r2(" ") == 1L)
+  }
 }
