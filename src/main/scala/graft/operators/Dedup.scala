@@ -1188,7 +1188,9 @@ object Dedup {
     * the forget cascade: explode the doomed ids' packed members out,
     * re-pack the survivors in the same sorted order, keep the FROZEN
     * centroids (the staleness contract — re-fitting is the next
-    * refresh's job). Cells whose last member leaves drop entirely, so a
+    * refresh's job; unlike the graph's DRAWN quantizer these are k-means
+    * MEANS — aggregates, not verbatim corpus rows — so freezing them
+    * retains no forgotten embedding). Cells whose last member leaves drop entirely, so a
     * probe landing there reports `ok` exactly as against a rebuild.
     * Equals `assignTo(corpus \ doomed, same centroids)` re-packed
     * whenever no cell was cellCap-truncated at build time (a truncated
@@ -1202,12 +1204,23 @@ object Dedup {
   def retireSemanticIndex(
       index: SemanticIndex, tombstones: DataFrame): SemanticIndex = {
     val doomed = tombstones.select(col("vec_id"))
+    // only cells holding a doomed member explode and re-pack; the id-only
+    // membership probe never unpacks embeddings, and untouched cells'
+    // packed arrays pass through byte-identical (the knnGraphRetire /
+    // GraphMaintainer.retire cost shape, applied to the packed layout)
+    val touched = index.cells
+      .select(col("cell"), explode(col("members.id")).as("vec_id"))
+      .join(broadcast(doomed), Seq("vec_id"), "left_semi")
+      .select(col("cell")).distinct()
     val repacked = index.cells
+      .join(broadcast(touched), Seq("cell"), "left_semi")
       .select(col("cell"), explode(col("members")).as("m"))
       .join(broadcast(doomed), col("m.id") === col("vec_id"), "left_anti")
       .groupBy(col("cell"))
       .agg(sort_array(collect_list(col("m"))).as("members"))
-    SemanticIndex(index.centroids, repacked, index.sizeHintBytes)
+    val untouched = index.cells.join(broadcast(touched), Seq("cell"), "left_anti")
+    SemanticIndex(index.centroids, untouched.unionByName(repacked),
+      index.sizeHintBytes)
   }
 
   /** Probe a [[SemanticIndex]] with a batch OR STREAM of vectors: each

@@ -587,10 +587,19 @@ object SimilaritySearch {
     * knnGraph(corpus \ doomed, quantizerSource = corpus)` — the
     * retire==rebuild invariant, spec-pinned like merge==rebuild.
     *
-    * Cost at 100 TB: one column-pruned routing of the doomed rows, the
-    * touched cells' survivor slice (embeddings only for those cells),
-    * Σ|touched cell|² scored pairs — work tracks the deletion's cell
-    * footprint, never the corpus. Ids absent from the corpus are no-ops.
+    * Cost: the re-scores and the pinned slice track the deletion's cell
+    * footprint (Σ|touched cell|² pairs, O(touched) embeddings) — but the
+    * routing itself re-assigns the corpus here, exactly like
+    * [[knnGraphIncrement]] ("here recomputed"); the streaming twin
+    * ([[graft.streaming.GraphMaintainer.retire]]) reads the lake-landed,
+    * cell-partitioned routing instead, so only touched partitions are
+    * even scanned — use it when the artifact exists.
+    *
+    * `corpus` must be the corpus THE GRAPH WAS BUILT OVER — run retire
+    * BEFORE (or from a time-travel read of) the table delete. A doomed
+    * id still present in the graph but missing from `corpus` fails loud:
+    * silently returning the old graph would be a false forget
+    * attestation. Ids in neither (never ingested) are no-ops.
     */
   def knnGraphRetire(
       oldGraph: DataFrame, corpus: DataFrame, tombstones: DataFrame,
@@ -601,6 +610,15 @@ object SimilaritySearch {
     val centroids = spark.sparkContext.broadcast(
       ivfCentroids(quantizerSource.getOrElse(corpus), nCentroids))
     val doomed = tombstones.select(col("vec_id"))
+    val orphans = oldGraph.select(col("vec_id"))
+      .join(broadcast(doomed), Seq("vec_id"), "left_semi")
+      .join(corpus.select(col("vec_id")), Seq("vec_id"), "left_anti")
+      .limit(5).collect().map(_.getLong(0))
+    require(orphans.isEmpty,
+      s"knnGraphRetire: doomed vec_ids ${orphans.mkString(", ")} are in the " +
+        "graph but not in `corpus` — pass the corpus the graph was built " +
+        "over (retire before the table delete, or read the pre-delete " +
+        "version); a silent no-op here would falsely attest the forget")
     val touchedCells = cellAssign(
       corpus.join(broadcast(doomed), Seq("vec_id"), "left_semi"), centroids)
       .select(col("cell")).distinct()

@@ -181,6 +181,17 @@ final class GraphMaintainer private (
     import spark.implicits._
     graft.plans.GraftFunctions.register(spark)
     val doomed = tombstones.select(col("vec_id")).localCheckpoint()
+    // the quantizer stores VERBATIM corpus vectors (ivfCentroids is a
+    // draw, not a mean): a doomed centroid's raw embedding would survive
+    // in centroids/ and keep routing folds — that is a false forget
+    // attestation only an epoch rebuild can honor, so fail loud
+    val doomedCentroids = doomed.as[Long].collect().toSet
+      .intersect(centroids.value.map(_._1).toSet)
+    require(doomedCentroids.isEmpty,
+      s"GraphMaintainer.retire: vec_ids ${doomedCentroids.take(5).mkString(", ")} " +
+        "are quantizer centroids — their raw embeddings live in centroids/ " +
+        "and route every fold; forgetting them requires rebuilding the " +
+        "epoch (GraphMaintainer.build over the surviving corpus)")
     val routingCells = spark.read.parquet(s"$workDir/routing")
       .join(broadcast(doomed), Seq("vec_id"), "left_semi")
       .select(col("cell").cast("long").as("cell"))

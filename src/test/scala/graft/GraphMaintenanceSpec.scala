@@ -39,7 +39,21 @@ class GraphMaintenanceSpec extends SparkSpec {
     val dir = tmp("retire")
     val m = GraphMaintainer.build(old, dir)
     m.fold(batch)
+    // a quantizer centroid's raw embedding lives in centroids/ — retiring
+    // one must fail loud (only an epoch rebuild can honor that forget)
+    val centroidIds = spark.read.parquet(s"$dir/centroids")
+      .select(col("cid").as("vec_id"))
+    intercept[IllegalArgumentException](m.retire(centroidIds.limit(1)))
     val doomed = emb.filter(col("vec_id") % 7 === 0).select(col("vec_id"))
+      .join(centroidIds, Seq("vec_id"), "left_anti")
+    // capture one doomed vertex's stale edges for the crash simulation
+    val staleProbe = m.graph
+      .join(doomed, Seq("vec_id"), "left_semi").limit(3)
+    val stale = spark.read.parquet(s"$dir/graph")
+      .join(staleProbe.select(col("vec_id"), col("neighbor_id")),
+        Seq("vec_id", "neighbor_id"), "left_semi")
+      .localCheckpoint()
+    assert(stale.count() > 0)
     m.retire(doomed)
     // artifact == frozen-quantizer rebuild over the survivors
     val want = graft.operators.SimilaritySearch
@@ -55,6 +69,14 @@ class GraphMaintenanceSpec extends SparkSpec {
     // re-running the same retire is a no-op that still serves `want`
     m.retire(doomed)
     assert(m.graph.collect().map(_.toSeq).toSet == want)
+    // crash convergence: a retire that rewrote routing/ but died before
+    // graph/ leaves stale doomed edges behind an already-clean routing —
+    // the re-run must find their cells through the GRAPH references
+    stale.write.mode("append").partitionBy("cell").parquet(s"$dir/graph")
+    assert(m.graph.collect().map(_.toSeq).toSet != want, "stale edges planted")
+    m.retire(doomed)
+    assert(m.graph.collect().map(_.toSeq).toSet == want,
+      "re-run must purge stale graph references after a simulated crash")
     // a retired id re-inserts as a NEW vector (bloom hit, exact confirm
     // finds routing empty for it) and the fold stays exact
     val one = emb.filter(col("vec_id") === ids.min)

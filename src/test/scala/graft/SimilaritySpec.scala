@@ -192,6 +192,12 @@ class SimilaritySpec extends SparkSpec {
       SimilaritySearch.knnGraph(emb), emb, Seq(10_000_000L).toDF("vec_id"))
       .collect().map(_.toSeq).toSet
     assert(ghost == SimilaritySearch.knnGraph(emb).collect().map(_.toSeq).toSet)
+    // ...but a doomed id still in the GRAPH while missing from `corpus`
+    // (the post-delete-corpus misuse) fails loud instead of silently
+    // returning the old graph as a false attestation
+    intercept[IllegalArgumentException](SimilaritySearch.knnGraphRetire(
+      SimilaritySearch.knnGraph(emb),
+      emb.join(doomed, Seq("vec_id"), "left_anti"), doomed))
   }
 
   test("labelPropagate: seeds immutable, monotone rounds, accuracy vs withheld truth") {
