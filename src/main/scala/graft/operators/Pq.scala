@@ -415,6 +415,33 @@ object Pq {
     * m integer adds per member — dim/m× less arithmetic AND 32× less
     * broadcast traffic than the full-vector probe.
     */
+  /** RETIRE vectors from a [[PqSemanticIndex]] —
+    * [[Dedup.retireSemanticIndex]] for the compressed layout: only cells
+    * holding a doomed member explode and re-pack (codes and the
+    * precomputed `nsq` are per-member, so survivors carry theirs
+    * unchanged); untouched packed cells pass through byte-identical and
+    * emptied cells drop. Centroids AND codebooks stay frozen — both are
+    * Lloyd means (aggregates, no verbatim corpus row survives in them;
+    * the md5 init draw is refined away by the build's pqIters ≥ 1
+    * rounds), so the forget attestation is the cells' alone.
+    */
+  def retirePqSemanticIndex(
+      index: PqSemanticIndex, tombstones: DataFrame): PqSemanticIndex = {
+    val doomed = tombstones.select(col("vec_id"))
+    val touched = index.cells
+      .select(col("cell"), explode(col("members.id")).as("vec_id"))
+      .join(broadcast(doomed), Seq("vec_id"), "left_semi")
+      .select(col("cell")).distinct()
+    val repacked = index.cells
+      .join(broadcast(touched), Seq("cell"), "left_semi")
+      .select(col("cell"), explode(col("members")).as("m"))
+      .join(broadcast(doomed), col("m.id") === col("vec_id"), "left_anti")
+      .groupBy(col("cell"))
+      .agg(sort_array(collect_list(col("m"))).as("members"))
+    val untouched = index.cells.join(broadcast(touched), Seq("cell"), "left_anti")
+    index.copy(cells = untouched.unionByName(repacked))
+  }
+
   def pqNoveltyProbe(
       vecs: DataFrame, index: PqSemanticIndex,
       threshold: Double = 0.45): DataFrame = {

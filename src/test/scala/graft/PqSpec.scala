@@ -259,4 +259,29 @@ class PqSpec extends SparkSpec {
     assert(out.forall(_.getAs[Double]("cos") == -1.0))
     assert(books.forall(_.nonEmpty))
   }
+
+  test("retirePqSemanticIndex: no doomed id in cells or evidence; survivor codes carry unchanged") {
+    val emb = Tables.embeddings(spark, sf)
+    val doomed = emb.filter(col("vec_id") % 7 === 0).select(col("vec_id"))
+    val idx = Pq.buildPqSemanticIndex(emb, k = 4, iters = 1)
+    val retired = Pq.retirePqSemanticIndex(idx, doomed)
+    // attestation: no doomed member in any packed cell
+    assert(retired.cells
+      .select(explode(col("members.id")).as("vec_id"))
+      .join(doomed, Seq("vec_id"), "left_semi").isEmpty)
+    // survivors all packed, each with the SAME codes+nsq as before
+    def flat(cells: org.apache.spark.sql.DataFrame) = cells
+      .select(explode(col("members")).as("m"))
+      .select(col("m.id"), col("m.codes"), col("m.nsq"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1), r.getLong(2))).toSet
+    val doomedSet = doomed.collect().map(_.getLong(0)).toSet
+    assert(flat(retired.cells) == flat(idx.cells).filterNot(t => doomedSet(t._1)),
+      "survivors must carry their original codes and nsq byte-identical")
+    // probe evidence never names a doomed id
+    val probes = emb.select(
+      (col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    val after = Pq.pqNoveltyProbe(probes, retired).collect()
+    assert(!after.exists(r => !r.isNullAt(3) && doomedSet(r.getLong(3))),
+      "a retired vector must never surface as ADC match evidence")
+  }
 }
