@@ -264,13 +264,18 @@ object LakeTable {
   def applyTombstones(
       spark: SparkSession, path: String, tombstones: DataFrame,
       cols: Seq[String], keyCol: String = "key", nFilesNew: Int = 2,
-      bits: Int = 16): ApplyStats = {
+      bits: Int = 16, batchId: Option[Long] = None): ApplyStats = {
     val keys = tombstones.select(col(keyCol).as("key"))
+    // a delete of an absent key is semantically a no-op, so replay is
+    // SAFE even without the marker — the batchId check (in mutate, on
+    // the fresh manifest) just keeps a redelivered batch from paying a
+    // pointless box-probe + rewrite and burning a manifest version
     mutate(spark, path, cols, keyCol, nFilesNew, bits,
       touchKeys = keys,
       rewrite = base =>
         base.join(broadcast(keys.withColumnRenamed("key", keyCol)),
-          Seq(keyCol), "left_anti"))
+          Seq(keyCol), "left_anti"),
+      appliedBatch = batchId)
   }
 
   /** APPEND a batch under the manifest protocol — [[LakeSink.appendBoxed]]

@@ -71,6 +71,29 @@ object LakeMaintenance {
     LakeTable.applyChangelog(
       spark, path, changelog, cols, keyCol, nFilesNew, batchId = batchId)
 
+  /** The STREAMING forget arm: a tombstone stream (one `keyCol` column of
+    * keys to erase) folds through [[LakeTable.applyTombstones]] per
+    * micro-batch — right-to-be-forgotten as an always-on consumer, the
+    * delete twin of [[attach]]. Same at-least-once contract: the
+    * applied-batchId set travels in the manifest, and a tombstone replay
+    * is additionally SEMANTICALLY idempotent (deleting an absent key
+    * no-ops), so the marker only saves the pointless rewrite.
+    */
+  def attachTombstones(
+      tombstones: DataFrame, path: String, cols: Seq[String],
+      keyCol: String = "key", nFilesNew: Int = 2): StreamingQuery = {
+    val spark = tombstones.sparkSession
+    tombstones.writeStream
+      .foreachBatch { (b: Dataset[Row], id: Long) =>
+        if (!b.isEmpty) {
+          LakeTable.applyTombstones(
+            spark, path, b.toDF(), cols, keyCol, nFilesNew, batchId = Some(id))
+          ()
+        }
+      }
+      .start()
+  }
+
   // ---- lockstep derived view ------------------------------------------
 
   /** [[attach]] plus a DERIVED VIEW maintained in lockstep: after each

@@ -120,6 +120,31 @@ class LakeTableSpec extends SparkSpec {
     intercept[IllegalArgumentException](LakeTable.readAt(spark, dir, 1))
   }
 
+  test("streaming tombstones: a forget stream erases keys per batch; replays burn nothing") {
+    val (dir, base) = mkTable("graft-laketombs")
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Long]
+    val q = graft.streaming.LakeMaintenance.attachTombstones(
+      input.toDF().toDF("key"), dir, Seq("key"))
+    try {
+      input.addData(Seq(3L, 250L))
+      q.processAllAvailable()
+      input.addData(Seq(799L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val live = LakeTable.readLive(spark, dir)
+    assert(live.join(Seq(3L, 250L, 799L).toDF("key"), Seq("key"), "left_semi")
+      .isEmpty, "streamed tombstones must be unreadable")
+    assert(live.count() == base.count() - 3)
+    // a redelivered tombstone batch is a manifest-level no-op
+    val v = LakeTable.latest(spark, dir).version
+    LakeTable.applyTombstones(spark, dir, Seq(3L, 250L).toDF("key"),
+      Seq("key"), batchId = Some(0L))
+    assert(LakeTable.latest(spark, dir).version == v,
+      "an applied batchId must not burn a version")
+  }
+
   test("uncommitted directory garbage is invisible; vacuum sweeps it") {
     val (dir, base) = mkTable("graft-lakevac")
     val liveBefore = LakeTable.readLive(spark, dir).count()
