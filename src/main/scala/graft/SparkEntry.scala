@@ -313,6 +313,16 @@ object SparkEntry {
       val emb = Tables.embeddings(s, d)
       SimilaritySearch.annRecallAudit(emb, emb.filter(col("vec_id") < 5))
     }),
+    // position-aware index QA: MRR and graded nDCG of the IVF tier's
+    // ranking against the exact one — recall counts the set, these weigh
+    // the ORDER; the oracle rebuilds both rankings and the metric math
+    "q_retrieval_eval" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") < 5)
+      SimilaritySearch.rankingMetrics(
+        SimilaritySearch.bruteForceTopK(emb, q, k = 5),
+        SimilaritySearch.ivfTopK(emb, q, k = 5), k = 5)
+    }),
     // cell-blocked kNN graph over the WHOLE corpus — the build artifact
     // behind graph-ANN serving, graph-clustering dedup, label propagation
     "q_knn_graph" -> ((s, d) => SimilaritySearch.knnGraph(Tables.embeddings(s, d))),
@@ -554,6 +564,43 @@ object SparkEntry {
         base.filter(col("key") % 3 === 2), dir, Seq("key"), nFilesNew = 4)
       sources.LakeTable.optimize(s, dir, Seq("key"), nFiles = 8)
       sources.LakeTable.readLive(s, dir)
+        .select(col("key"), col("name"), col("val"))
+        .orderBy(col("key"))
+    }),
+    // BIN-PACKING COMPACTION: four ingest epochs leave a sliver-file
+    // manifest; compact packs every undersized file's rows into fresh
+    // z-ordered files and carries right-sized files unread — row content
+    // is provably unchanged (the oracle recomputes the union from raw
+    // frames), which is the whole contract: compaction fixes file-count
+    // metadata, never data
+    "q_lake_compact" -> ((s, d) => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-lakecompact").toString + "/t"
+      val base = cdcBase(s, d)
+      sources.LakeTable.init(
+        base.filter(col("key") % 4 === 0), dir, Seq("key"), nFiles = 2)
+      (1 to 3).foreach { r =>
+        sources.LakeTable.append(
+          base.filter(col("key") % 4 === r), dir, Seq("key"), nFilesNew = 3,
+          batchId = Some(r.toLong))
+      }
+      sources.LakeTable.compact(s, dir, Seq("key"), targetFileBytes = 1L << 20)
+      sources.LakeTable.readLive(s, dir)
+        .select(col("key"), col("name"), col("val"))
+        .orderBy(col("key"))
+    }),
+    // BLOOM-FILTER FILE SKIPPING: the table clusters on key, so a
+    // needle lookup on NAME intersects every zone-map box — the bloom
+    // index is what turns it back into a few-file read; the oracle is
+    // the plain IN filter (the index changes which files open, never
+    // the answer), and the harness routes the read THROUGH the index
+    "q_lake_bloom" -> ((s, d) => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-lakebloom").toString + "/t"
+      sources.LakeTable.init(cdcBase(s, d), dir, Seq("key"), nFiles = 8)
+      sources.BloomIndex.refresh(s, dir, "name")
+      sources.BloomIndex.lookup(s, dir, "name",
+        Seq("Customer#000000042", "Customer#000000777", "Customer#000000001"))
         .select(col("key"), col("name"), col("val"))
         .orderBy(col("key"))
     }),
@@ -2540,6 +2587,49 @@ object SparkEntry {
          |  SELECT *, ROW_NUMBER() OVER (
          |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
          |  FROM scored) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // both rankings rebuilt in SQL (the brute + IVF chains above), then
+    // the metric math: graded rel = 6 - truth_rank, every DCG term
+    // 6-dp-rounded and DECIMAL-summed, IDCG the same arithmetic over the
+    // ideal ranking
+    "q_retrieval_eval" ->
+      s"""WITH e AS ($duckEmb),
+         |q0 AS (SELECT vec_id AS query_id, emb AS q_emb FROM e WHERE vec_id < 5),
+         |bscored AS (SELECT query_id, vec_id AS neighbor_id,
+         |    ${duckCos("q_emb", "emb")} AS cos
+         |  FROM e CROSS JOIN q0 WHERE vec_id != query_id),
+         |truth AS (SELECT query_id, neighbor_id, rank AS t_rank FROM (
+         |  SELECT *, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM bscored) WHERE rank <= 5),
+         |c AS (SELECT vec_id AS cid, emb AS cemb FROM e
+         |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+         |asg AS (SELECT vec_id, cid FROM (
+         |  SELECT e.vec_id, c.cid, ROW_NUMBER() OVER (
+         |      PARTITION BY e.vec_id ORDER BY ${duckCos("e.emb", "c.cemb")} DESC, c.cid) AS rn
+         |  FROM e CROSS JOIN c) WHERE rn = 1),
+         |q AS (SELECT e.vec_id AS query_id, e.emb AS q_emb, asg.cid AS cell
+         |  FROM e JOIN asg ON e.vec_id = asg.vec_id WHERE e.vec_id < 5),
+         |iscored AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+         |    ${duckCos("q.q_emb", "e.emb")} AS cos
+         |  FROM e JOIN asg ON e.vec_id = asg.vec_id
+         |  JOIN q ON asg.cid = q.cell AND e.vec_id != q.query_id),
+         |served AS (SELECT query_id, neighbor_id, rank AS s_rank FROM (
+         |  SELECT *, ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM iscored) WHERE rank <= 5),
+         |j AS (SELECT s.query_id, s.s_rank, t.t_rank
+         |  FROM served s LEFT JOIN truth t
+         |    ON s.query_id = t.query_id AND s.neighbor_id = t.neighbor_id),
+         |idcg AS (SELECT SUM(CAST(round((6 - i) / log2(i + 1.0), 6)
+         |    AS DECIMAL(18,6))) AS v FROM range(1, 6) r(i))
+         |SELECT query_id,
+         |  CAST(SUM(CASE WHEN t_rank IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+         |  round(COALESCE(CAST(1.0 AS DOUBLE) /
+         |    MIN(CASE WHEN t_rank IS NOT NULL THEN s_rank END), CAST(0.0 AS DOUBLE)), 6) AS mrr,
+         |  round(CAST(SUM(CAST(round(CAST(COALESCE(6 - t_rank, 0) AS DOUBLE)
+         |        / log2(s_rank + 1.0), 6) AS DECIMAL(18,6))) AS DOUBLE)
+         |    / CAST((SELECT v FROM idcg) AS DOUBLE), 6) AS ndcg
+         |FROM j GROUP BY query_id ORDER BY query_id""".stripMargin,
     // the fitted per-subspace codebooks in the exact-integer form
     // (component micro-sum + member count — mean = csum/cnt/1e6); the
     // rounded mean itself can land on a 6-dp half boundary where the two
@@ -3580,6 +3670,20 @@ object SparkEntry {
     "q_lake_append_optimize" ->
       """SELECT c_custkey AS key, c_name AS name, c_acctbal AS val
         |FROM customer WHERE c_custkey % 13 <> 0
+        |ORDER BY key""".stripMargin,
+    // compaction changes file layout, never rows: the oracle is the
+    // plain union of the four ingest epochs
+    "q_lake_compact" ->
+      """SELECT c_custkey AS key, c_name AS name, c_acctbal AS val
+        |FROM customer WHERE c_custkey % 13 <> 0
+        |ORDER BY key""".stripMargin,
+    // the bloom index changes which files open, never the answer: the
+    // oracle is the plain IN filter over the raw frame
+    "q_lake_bloom" ->
+      """SELECT c_custkey AS key, c_name AS name, c_acctbal AS val
+        |FROM customer WHERE c_custkey % 13 <> 0
+        |  AND c_name IN ('Customer#000000042', 'Customer#000000777',
+        |                 'Customer#000000001')
         |ORDER BY key""".stripMargin,
     // the row-level diff of the two logical snapshots (pre-merge base vs
     // merged), recomputed wholly from raw frames: the lake derives the

@@ -388,6 +388,42 @@ object StreamBench {
         nFilesNew = 4)
     }
 
+    // --- timed: streaming INGEST arm (append stream -> committed lake) ---
+    // each micro-batch lands O(batch) as its own z-ordered files under the
+    // manifest (exactly-once per batchId — an append replay is NOT
+    // semantically idempotent, so the marker is load-bearing); in-loop
+    // bin-packing compaction keeps the live file count bounded while the
+    // changefeed stays empty across compaction spans
+    val lakeDir3 = s"$root/laketab3"
+    graft.sources.LakeTable.init(
+      spark.range(1000L).select(
+        org.apache.spark.sql.functions.col("id").as("key"),
+        org.apache.spark.sql.functions.concat(
+          org.apache.spark.sql.functions.lit("s"),
+          org.apache.spark.sql.functions.col("id")).as("name"),
+        (org.apache.spark.sql.functions.col("id") % 997L).cast("double").as("val")),
+      lakeDir3, Seq("key"), nFiles = 2)
+    val nIngest = 200000L
+    val ingestRows = spark.range(nIngest).select(
+      (org.apache.spark.sql.functions.col("id") + 10000L).as("key"),
+      org.apache.spark.sql.functions.concat(
+        org.apache.spark.sql.functions.lit("n"),
+        org.apache.spark.sql.functions.col("id")).as("name"),
+      (org.apache.spark.sql.functions.col("id") % 997L).cast("double").as("val"))
+    ingestRows.repartition(16).write.parquet(s"$root/ingestsrc")
+    timeQuery("lake ingest arm (append stream, in-loop compaction)", nIngest) {
+      val src = spark.readStream
+        .schema(ingestRows.schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(s"$root/ingestsrc")
+      graft.streaming.LakeMaintenance.attachAppend(
+        src, lakeDir3, Seq("key"), nFilesNew = 4,
+        compactTargetBytes = Some(4L << 20))
+    }
+    println(s"[stream-bench] ingest-arm live files after 8 folds: " +
+      s"${graft.sources.LakeTable.latest(spark, lakeDir3).files.size} " +
+      s"(rows ${graft.sources.LakeTable.readLive(spark, lakeDir3).count()})")
+
     timeQuery("cdc changelog reduction (transformWithState)", nChanges) {
       val src = spark.readStream
         .schema(org.apache.spark.sql.Encoders.product[

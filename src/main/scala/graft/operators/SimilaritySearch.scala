@@ -305,6 +305,51 @@ object SimilaritySearch {
       .orderBy(col("method"))
   }
 
+  /** Position-aware retrieval-quality metrics of a served ranking against
+    * the exact one — the numbers an index refresh publishes next to
+    * recall ([[annRecallAudit]] counts set membership; these weigh WHERE
+    * the hits landed). Per query:
+    *   - `hits`: |served ∩ truth| within the top k (recall's numerator);
+    *   - `mrr`: 1/rank of the FIRST served hit (0 when none) — the
+    *     single-answer serving metric;
+    *   - `ndcg`: DCG/IDCG with graded relevance rel = k+1−truth_rank
+    *     (the exact top-1 is worth k, the exact k-th is worth 1, misses
+    *     0), so a tier that returns the right set in the wrong order
+    *     scores below one — exactly what recall cannot see.
+    * Both inputs are (query_id, neighbor_id, rank) shortlists. Numeric
+    * policy: every DCG term is 6-dp-rounded then summed as DECIMAL (the
+    * repo's order-independent-sum contract), IDCG is the same arithmetic
+    * over the ideal ranking, so the oracle reproduces the numbers
+    * bit-for-bit. One k-bounded join + one k-bounded aggregate per
+    * query: cost is O(|queries|·k), independent of corpus size.
+    */
+  def rankingMetrics(
+      truth: DataFrame, served: DataFrame, k: Int = 5): DataFrame = {
+    val t = truth.filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank").as("t_rank"))
+    val s = served.filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank").as("s_rank"))
+    val idcg = (1 to k).map { i =>
+      BigDecimal((k + 1 - i).toDouble / (math.log(i + 1.0) / math.log(2.0)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    }.sum
+    s.join(t, Seq("query_id", "neighbor_id"), "left_outer")
+      .withColumn("rel",
+        coalesce(lit(k + 1) - col("t_rank"), lit(0)).cast("double"))
+      .withColumn("dcg_term",
+        round(col("rel") / log2(col("s_rank").cast("double") + 1.0), 6)
+          .cast("decimal(18,6)"))
+      .groupBy(col("query_id"))
+      .agg(
+        sum(when(col("t_rank").isNotNull, 1L).otherwise(0L)).as("hits"),
+        round(coalesce(
+          lit(1.0) / min(when(col("t_rank").isNotNull, col("s_rank"))),
+          lit(0.0)), 6).as("mrr"),
+        round(sum(col("dcg_term")).cast("double") / lit(idcg.toDouble), 6)
+          .as("ndcg"))
+      .orderBy(col("query_id"))
+  }
+
   /** Bucket id = bit string of hyperplane-side signs (dot(v, plane) > 0). */
   def lshBucket(emb: Column, planes: Seq[Seq[Int]]): Column =
     concat(planes.map { plane =>

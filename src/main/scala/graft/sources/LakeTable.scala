@@ -289,11 +289,12 @@ object LakeTable {
     */
   def append(
       df: DataFrame, path: String, cols: Seq[String], nFilesNew: Int = 2,
-      bits: Int = 16): ApplyStats = {
+      bits: Int = 16, batchId: Option[Long] = None): ApplyStats = {
     val spark = df.sparkSession
     mutate(spark, path, cols, keyCol = cols.head, nFilesNew, bits,
       touchKeys = df.select(col(cols.head).as("key")).limit(0), // touch nothing
-      rewrite = _ => df)
+      rewrite = _ => df,
+      appliedBatch = batchId)
   }
 
   /** Re-OPTIMIZE the table in place: rewrite EVERY live row as one fresh
@@ -309,6 +310,87 @@ object LakeTable {
       spark: SparkSession, path: String, cols: Seq[String], nFiles: Int,
       bits: Int = 16): ApplyStats =
     mutateAll(spark, path, cols, nFiles, bits)
+
+  /** Bin-packing COMPACTION — the small-file half of OPTIMIZE, without
+    * the full rewrite. Streaming maintenance lands change-sized files
+    * every fold; after ten thousand folds the manifest lists ten thousand
+    * slivers and scan cost is dominated by per-file open overhead. A
+    * full [[optimize]] re-clusters the WHOLE table — 100 TB of IO to fix
+    * a metadata problem. `compact` rewrites ONLY the live files smaller
+    * than `targetFileBytes`, packing their rows into
+    * ceil(their summed bytes / target) fresh z-ordered files; every
+    * right-sized file carries its bytes and its box rows into the next
+    * commit unread (the Delta `OPTIMIZE` bin-packing contract). Row
+    * content is unchanged, so: applied batchIds carry over, pre-compact
+    * versions stay time-travelable, and a [[readChanges]] span across a
+    * compaction is EMPTY (the carried-pair filter sees every row land
+    * where it left — maintenance stays invisible to subscribers).
+    * Fewer than two undersized files is a NO-OP that burns no manifest
+    * version (the idle-trigger rule). Same optimistic-concurrency retry
+    * as every mutation.
+    *
+    * "Undersized" means under HALF the target: selecting right up to the
+    * target would re-select compaction's own outputs forever (n packed
+    * inputs land ceil(bytes/target) files that average JUST under the
+    * target), so an always-on loop would rewrite the same bytes every
+    * poll. Under the half-target rule a packed output is ≥ target/2 in
+    * the steady state and never re-picked; only genuinely new slivers
+    * (the next ingest folds) trigger the next compaction.
+    */
+  def compact(
+      spark: SparkSession, path: String, cols: Seq[String],
+      targetFileBytes: Long, bits: Int = 16): ApplyStats = {
+    var lastConflict: CommitConflictException = null
+    (0 to MaxCommitRetries).foreach { _ =>
+      try return compactOnce(spark, path, cols, targetFileBytes, bits)
+      catch { case e: CommitConflictException => lastConflict = e }
+    }
+    throw lastConflict
+  }
+
+  /** True iff [[compact]] would do work: at least two live files are
+    * under the half-target selection bound — the cheap trigger a
+    * maintenance loop polls (driver-side metadata arithmetic over the
+    * manifest's own file list, no data read).
+    */
+  def shouldCompact(
+      spark: SparkSession, path: String, targetFileBytes: Long): Boolean = {
+    val c = latest(spark, path)
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    c.files.count(f =>
+      fs.getFileStatus(new Path(abs(path, f))).getLen < targetFileBytes / 2) >= 2
+  }
+
+  private def compactOnce(
+      spark: SparkSession, path: String, cols: Seq[String],
+      targetFileBytes: Long, bits: Int): ApplyStats = {
+    val c = latest(spark, path)
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sized = c.files.map(f =>
+      f -> fs.getFileStatus(new Path(abs(path, f))).getLen)
+    val small = sized.filter(_._2 < targetFileBytes / 2).map(_._1)
+    if (small.size < 2) return ApplyStats(c.version, 0, c.files.size, 0)
+    val packed = sized.collect { case (f, len) if small.contains(f) => len }.sum
+    val nFiles = math.max(1, math.ceil(packed.toDouble / targetFileBytes).toInt)
+    val rows = spark.read.schema(readerSchema(c.schemaDdl))
+      .parquet(small.map(abs(path, _)): _*)
+    val before = LakeSink.listParquet(spark, path).toSet
+    LakeSink.zorderFrame(rows, cols, bits)
+      .repartitionByRange(nFiles, col("zkey"))
+      .sortWithinPartitions(col("zkey"))
+      .drop("zkey")
+      .write.mode(SaveMode.Append).parquet(path)
+    val fresh = LakeSink.listParquet(spark, path).filterNot(before).sorted
+    val freshBoxes = LakeSink.boxesOf(spark, fresh, cols)
+      .map { case (f, cn, mn, mx) => (rel(path, f), cn, mn, mx) }
+    val smallSet = small.toSet
+    val kept = c.files.filterNot(smallSet)
+    val committed = writeCommit(spark, path, c.version + 1,
+      kept ++ fresh.map(rel(path, _)),
+      c.boxes.filterNot(b => smallSet(b._1)) ++ freshBoxes,
+      c.schemaDdl, c.appliedBatches)
+    ApplyStats(committed.version, small.size, kept.size, fresh.size)
+  }
 
   /** The all-dims pairwise box-overlap fraction of the CURRENT manifest's
     * zone map — [[LakeSink.boxOverlapAllDims]] over the commit's own

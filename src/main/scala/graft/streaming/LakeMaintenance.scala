@@ -94,6 +94,43 @@ object LakeMaintenance {
       .start()
   }
 
+  /** The STREAMING ingest arm: an append-only record stream lands per
+    * micro-batch through [[LakeTable.append]] — each batch z-orders into
+    * its own tight-boxed files touching NO existing file, so the fold is
+    * O(batch) regardless of table size. Unlike the changelog/tombstone
+    * arms, an append replay is NOT semantically idempotent (a redelivered
+    * batch would duplicate every row), so here the manifest's
+    * applied-batchId marker is load-bearing, not belt-and-braces: the
+    * check and the append publish atomically in one rename, which is what
+    * makes at-least-once delivery exactly-once at the table.
+    *
+    * Every fold adds `nFilesNew` files; compaction is the response —
+    * poll [[LakeTable.shouldCompact]] and run [[LakeTable.compact]]
+    * (change-sized: only undersized files rewrite, and the changefeed
+    * across the compaction span is empty, so downstream incremental
+    * consumers never see maintenance).
+    */
+  def attachAppend(
+      records: DataFrame, path: String, cols: Seq[String],
+      nFilesNew: Int = 2,
+      compactTargetBytes: Option[Long] = None): StreamingQuery = {
+    val spark = records.sparkSession
+    records.writeStream
+      .foreachBatch { (b: Dataset[Row], id: Long) =>
+        if (!b.isEmpty) {
+          LakeTable.append(b.toDF(), path, cols, nFilesNew, batchId = Some(id))
+          compactTargetBytes.foreach { t =>
+            if (LakeTable.shouldCompact(spark, path, t)) {
+              LakeTable.compact(spark, path, cols, t)
+              ()
+            }
+          }
+          ()
+        }
+      }
+      .start()
+  }
+
   // ---- lockstep derived view ------------------------------------------
 
   /** [[attach]] plus a DERIVED VIEW maintained in lockstep: after each

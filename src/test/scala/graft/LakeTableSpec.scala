@@ -495,6 +495,81 @@ class LakeTableSpec extends SparkSpec {
     assert(LakeTable.latest(spark, dir).appliedBatches.isEmpty)
   }
 
+  test("compact: bin-packs only undersized files; rows, markers, history and changefeed unaffected") {
+    val dir = Files.createTempDirectory("graft-lakecompact").toString + "/t"
+    val mk = (lo: Long, n: Long) =>
+      (lo until lo + n).map(k => (k, s"n$k", k * 1.0)).toDF("key", "name", "val")
+    LakeTable.init(mk(0L, 2000L), dir, Seq("key"), nFiles = 2) // two big files
+    // three ingest folds leave six sliver files
+    (1 to 3).foreach { i =>
+      LakeTable.append(mk(10000L * i, 30L), dir, Seq("key"),
+        nFilesNew = 2, batchId = Some(i.toLong))
+    }
+    val pre = LakeTable.latest(spark, dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sizes = pre.files.map(f =>
+      f -> fs.getFileStatus(new org.apache.hadoop.fs.Path(s"$dir/$f")).getLen).toMap
+    val sorted = sizes.values.toSeq.sorted
+    assert(sorted(5) < sorted(6), s"fixture must separate slivers from big files: $sorted")
+    // half-target bound lands exactly at the smallest big file's size
+    val target = sorted(6) * 2
+    assert(LakeTable.shouldCompact(spark, dir, target))
+    val preRows = LakeTable.readLive(spark, dir)
+      .orderBy(col("key")).collect().toSeq
+    val st = LakeTable.compact(spark, dir, Seq("key"), targetFileBytes = target)
+    assert(st.filesRewritten == 6 && st.filesKept == 2,
+      s"only the six slivers rewrite: $st")
+    assert(st.filesNew < st.filesRewritten, s"packing must reduce file count: $st")
+    val post = LakeTable.latest(spark, dir)
+    // right-sized files carry over by NAME with their box rows verbatim
+    val keptNames = pre.files.filter(f => sizes(f) >= target / 2).toSet
+    assert(keptNames.size == 2 && keptNames.subsetOf(post.files.toSet))
+    assert(pre.boxes.filter(b => keptNames(b._1)).toSet ==
+      post.boxes.filter(b => keptNames(b._1)).toSet)
+    // row content unchanged byte-for-byte; replay markers carry; the
+    // pre-compact version stays travelable
+    assert(LakeTable.readLive(spark, dir).orderBy(col("key")).collect().toSeq == preRows)
+    assert(post.appliedBatches == Set(1L, 2L, 3L))
+    assert(LakeTable.readAt(spark, dir, pre.version)
+      .orderBy(col("key")).collect().toSeq == preRows)
+    // maintenance is invisible to changefeed subscribers
+    assert(LakeTable.readChanges(spark, dir, pre.version, post.version).isEmpty)
+    // steady state: compaction never re-picks its own outputs, and an
+    // idle compact burns no manifest version
+    assert(!LakeTable.shouldCompact(spark, dir, target))
+    val idle = LakeTable.compact(spark, dir, Seq("key"), targetFileBytes = target)
+    assert(idle.version == post.version && idle.filesRewritten == 0 && idle.filesNew == 0)
+  }
+
+  test("streaming ingest: appends land exactly-once per batchId; replays duplicate nothing") {
+    val dir = Files.createTempDirectory("graft-lakeingest").toString + "/t"
+    LakeTable.init(
+      (0L until 100L).map(k => (k, s"n$k", k * 1.0)).toDF("key", "name", "val"),
+      dir, Seq("key"), nFiles = 2)
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, Double)]
+    val q = graft.streaming.LakeMaintenance.attachAppend(
+      input.toDF().toDF("key", "name", "val"), dir, Seq("key"))
+    try {
+      input.addData((1000L until 1050L).map(k => (k, s"n$k", k * 1.0)))
+      q.processAllAvailable()
+      input.addData((2000L until 2030L).map(k => (k, s"n$k", k * 1.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(LakeTable.readLive(spark, dir).count() == 180L)
+    // an append replay is NOT semantically idempotent — the manifest's
+    // batchId marker is what makes at-least-once exactly-once here
+    val c = LakeTable.latest(spark, dir)
+    val replay = LakeTable.append(
+      (1000L until 1050L).map(k => (k, s"n$k", k * 1.0)).toDF("key", "name", "val"),
+      dir, Seq("key"), batchId = Some(0L))
+    assert(replay.version == c.version && replay.filesNew == 0)
+    assert(LakeTable.readLive(spark, dir).count() == 180L,
+      "a redelivered ingest batch must not duplicate rows")
+  }
+
   test("pure delete shrinking a file to nothing still commits (no fresh file required)") {
     val dir = Files.createTempDirectory("graft-lakeempty").toString + "/t"
     val base = (0L until 10L).map(k => (k, s"n$k", k.toDouble)).toDF("key", "name", "val")

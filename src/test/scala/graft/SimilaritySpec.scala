@@ -401,4 +401,28 @@ class SimilaritySpec extends SparkSpec {
     assert((multi & truth).size > (single & truth).size,
       "fixture should demonstrate the straddled-hyperplane recovery")
   }
+
+  test("rankingMetrics: perfect ranking scores 1, right-set-wrong-order scores below, miss scores 0") {
+    import spark.implicits._
+    def ranked(rows: (Long, Long, Int)*) =
+      rows.toSeq.toDF("query_id", "neighbor_id", "rank")
+    val truth = ranked((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3))
+    val k = 3
+    def metrics(served: org.apache.spark.sql.DataFrame) = {
+      val r = SimilaritySearch.rankingMetrics(truth, served, k).collect().head
+      (r.getAs[Long]("hits"), r.getAs[Double]("mrr"), r.getAs[Double]("ndcg"))
+    }
+    // identical ranking: every metric maxes
+    assert(metrics(truth) == ((3L, 1.0, 1.0)))
+    // exact SET, reversed ORDER: recall still 3/3 and mrr 1 (rank-1 item
+    // IS relevant), but graded nDCG sees the inversion — the signal
+    // recall cannot provide
+    val (h2, m2, n2) = metrics(ranked((1L, 12L, 1), (1L, 11L, 2), (1L, 10L, 3)))
+    assert(h2 == 3L && m2 == 1.0 && n2 < 1.0 && n2 > 0.5)
+    // first hit at rank 2: mrr halves
+    val (h3, m3, n3) = metrics(ranked((1L, 99L, 1), (1L, 10L, 2), (1L, 98L, 3)))
+    assert(h3 == 1L && m3 == 0.5 && n3 > 0.0 && n3 < 1.0)
+    // total miss: everything zero
+    assert(metrics(ranked((1L, 99L, 1), (1L, 98L, 2))) == ((0L, 0.0, 0.0)))
+  }
 }
