@@ -633,6 +633,65 @@ object SparkEntry {
       sources.LakeTable.append(batch, dir, Seq("key"))
       sources.LakeTable.readLive(s, dir).orderBy(col("key"))
     }),
+    // DELETION VECTORS: the tombstones land as one equality-delete
+    // sidecar + a manifest rename — NO data file is read or rewritten
+    // (the spec pins that), yet every read path serves the table minus
+    // the tombstoned keys; the oracle is the plain anti-filter
+    "q_lake_dv" -> ((s, d) => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-lakedv").toString + "/t"
+      sources.LakeTable.init(cdcBase(s, d), dir, Seq("key"), nFiles = 8)
+      sources.LakeTable.applyTombstonesDv(s, dir, dvTombstones(s, d))
+      sources.LakeTable.readLive(s, dir)
+        .select(col("key"), col("name"), col("val"))
+        .orderBy(col("key"))
+    }),
+    // ...and the changefeed across a DV-only commit: no file was
+    // replaced, but the (file, vector-set) diff units emit exactly the
+    // 'D' rows with their old images — the oracle recomputes the deleted
+    // slice from the raw frame
+    "q_lake_dv_feed" -> ((s, d) => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-lakedvf").toString + "/t"
+      sources.LakeTable.init(cdcBase(s, d), dir, Seq("key"), nFiles = 8)
+      sources.LakeTable.applyTombstonesDv(s, dir, dvTombstones(s, d))
+      sources.LakeTable.readChanges(s, dir, 1, 2)
+        .orderBy(col("key"))
+    }),
+    // MERGE-ON-READ: the same changelog commits as one deletion-vector
+    // sidecar + fresh image files — ZERO existing files read or written
+    // — and the read-side anti-join must serve the byte-identical MERGE
+    // (the oracle recomputes the full-image MERGE from raw frames)
+    "q_lake_mor" -> ((s, d) => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-lakemor").toString + "/t"
+      sources.LakeTable.init(cdcBase(s, d), dir, Seq("key"), nFiles = 8)
+      sources.LakeTable.applyChangelogFullMor(
+        s, dir, cdcChangelogFull(s, d), Seq("key"))
+      sources.LakeTable.readLive(s, dir)
+        .select(col("key"), col("name"), col("val"))
+        .orderBy(col("key"))
+    }),
+    // SCD TYPE 2: the changelog's full history as validity intervals —
+    // every 'U' image opens [its seq, the key's next seq), a 'D' closes
+    // without opening, open intervals are current; one window, no join
+    "q_scd2" -> ((s, d) =>
+      operators.Cdc.scdHistory(cdcChangelogFull(s, d))
+        .withColumn("is_current", col("is_current").cast("int"))),
+    // the incremental SCD2 fold, checked against the REFIT oracle: fold
+    // the first half of the log, merge the second half in — the oracle
+    // derives the whole history in one pass, so the hash proves
+    // fold == refit end-to-end (monotone-LSN split at the seq midpoint)
+    "q_scd2_merge" -> ((s, d) => {
+      val log = cdcChangelogFull(s, d)
+      val mid = log.agg(((org.apache.spark.sql.functions.min(col("seq")) +
+          org.apache.spark.sql.functions.max(col("seq"))) / 2).as("m"))
+        .first().getDouble(0)
+      operators.Cdc.scdMerge(
+        operators.Cdc.scdHistory(log.filter(col("seq") <= mid)),
+        log.filter(col("seq") > mid))
+        .withColumn("is_current", col("is_current").cast("int"))
+    }),
     // ...and the MERGE audit row: inserted/updated/deleted/carried key
     // counts + replay depth (changes per touched key)
     "q_cdc_audit" -> ((s, d) =>
@@ -1104,6 +1163,13 @@ object SparkEntry {
     Tables.customer(s, d).filter(col("c_custkey") % 13 =!= 0).select(
       col("c_custkey").as("key"), col("c_name").as("name"),
       col("c_acctbal").as("val"))
+
+  /** Deletion-vector fixture: every %11≡5 customer key is tombstoned —
+    * including keys the base's %13 filter already dropped, so the
+    * absent-key no-op arm executes too. */
+  private def dvTombstones(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).filter(col("c_custkey") % 11 === 5)
+      .select(col("c_custkey").as("key"))
 
   /** CDC fixture, changelog side: orders replayed as a per-customer
     * changelog — o_orderkey is the commit LSN (globally unique, so
@@ -3710,6 +3776,59 @@ object SparkEntry {
         |WHERE o.key IS NULL OR n.key IS NULL
         |  OR o.name IS DISTINCT FROM n.name OR o.val IS DISTINCT FROM n.val
         |ORDER BY key""".stripMargin,
+    // a deletion-vector commit serves the table minus the tombstoned
+    // keys — the oracle is the plain anti-filter (no storage machinery)
+    "q_lake_dv" ->
+      """SELECT c_custkey AS key, c_name AS name, c_acctbal AS val
+        |FROM customer WHERE c_custkey % 13 <> 0 AND c_custkey % 11 <> 5
+        |ORDER BY key""".stripMargin,
+    // the changefeed across a DV-only commit is exactly the deleted
+    // slice, op 'D' with the old image (Debezium before-image rule)
+    "q_lake_dv_feed" ->
+      """SELECT c_custkey AS key, 'D' AS op, c_name AS name, c_acctbal AS val
+        |FROM customer WHERE c_custkey % 13 <> 0 AND c_custkey % 11 = 5
+        |ORDER BY key""".stripMargin,
+    // merge-on-read == merge-on-write == the frame MERGE: the oracle is
+    // the full-image MERGE recomputed from raw frames (minus last_seq)
+    "q_lake_mor" ->
+      """WITH ch AS (SELECT o_custkey AS key, o_orderkey AS seq,
+        |    CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op,
+        |    o_orderpriority AS name, o_totalprice AS val
+        |  FROM orders WHERE o_orderkey % 3 <> 0 AND o_custkey % 17 <> 3),
+        |b AS (SELECT * FROM customer WHERE c_custkey % 13 <> 0),
+        |latest AS (SELECT key, op, name AS new_name, val AS new_val FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
+        |    FROM ch) WHERE rn = 1)
+        |SELECT COALESCE(b.c_custkey, l.key) AS key,
+        |  CASE WHEN l.op = 'U' THEN l.new_name ELSE b.c_name END AS name,
+        |  CASE WHEN l.op = 'U' THEN l.new_val ELSE b.c_acctbal END AS val
+        |FROM b FULL OUTER JOIN latest l ON b.c_custkey = l.key
+        |WHERE l.op IS NULL OR l.op <> 'D'
+        |ORDER BY key""".stripMargin,
+    // SCD2 history: every 'U' image as [seq, next seq per key), 'D'
+    // closes without opening, open intervals are current
+    "q_scd2" ->
+      """WITH ch AS (SELECT o_custkey AS key, o_orderkey AS seq,
+        |    CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op,
+        |    o_orderpriority AS name, o_totalprice AS val
+        |  FROM orders WHERE o_orderkey % 3 <> 0 AND o_custkey % 17 <> 3),
+        |h AS (SELECT *, LEAD(seq) OVER (PARTITION BY key ORDER BY seq) AS valid_to
+        |  FROM ch)
+        |SELECT key, name, val, seq AS valid_from, valid_to,
+        |  CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS is_current
+        |FROM h WHERE op = 'U' ORDER BY key, valid_from""".stripMargin,
+    // the incremental fold's oracle is the REFIT: one-pass history of
+    // the whole log — identical SQL, so hash-match proves fold == refit
+    "q_scd2_merge" ->
+      """WITH ch AS (SELECT o_custkey AS key, o_orderkey AS seq,
+        |    CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op,
+        |    o_orderpriority AS name, o_totalprice AS val
+        |  FROM orders WHERE o_orderkey % 3 <> 0 AND o_custkey % 17 <> 3),
+        |h AS (SELECT *, LEAD(seq) OVER (PARTITION BY key ORDER BY seq) AS valid_to
+        |  FROM ch)
+        |SELECT key, name, val, seq AS valid_from, valid_to,
+        |  CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS is_current
+        |FROM h WHERE op = 'U' ORDER BY key, valid_from""".stripMargin,
     // pre-evolution rows carry NULL in the added column; the epoch's own
     // rows carry their values — the union of both shapes
     "q_lake_evolve" ->

@@ -162,6 +162,69 @@ object Cdc {
       .select(col("key"), col("seq"), col("c.op").as("op"), col("c.val").as("val"))
       .orderBy(col("key"))
 
+  /** SCD TYPE 2 — the full-history twin of [[mergeChangelogFull]]: where
+    * the MERGE keeps only each key's LATEST image, SCD2 keeps EVERY
+    * image as a validity interval, the dimension-table shape a training
+    * lake needs to answer "what did this row say when snapshot S was
+    * cut" without time-travelling the whole table.
+    *
+    * Input: a full-row-image changelog (key, seq, op 'U'|'D', name, val),
+    * `seq` unique per key (commit LSN). Output: one row per 'U' change —
+    * (key, name, val, valid_from = its seq, valid_to = the key's NEXT
+    * change's seq or NULL, is_current = open AND not later deleted).
+    * A 'D' closes the prior interval (its seq becomes that row's
+    * valid_to) and opens nothing — a deleted key has NO current row.
+    * Half-open intervals [valid_from, valid_to): the standard warehouse
+    * convention, so `valid_from <= t < valid_to` partitions history.
+    *
+    * Plan: ONE shuffle (hash by key) + per-key sort for the `lead`
+    * window, then a filter — no join, no second pass. Per-key history is
+    * change-count-sized; the window state is one row of lookahead.
+    */
+  def scdHistory(changelog: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("seq"))
+    changelog
+      .withColumn("valid_to", lead(col("seq"), 1).over(w))
+      .filter(col("op") === "U")
+      .select(
+        col("key"), col("name"), col("val"),
+        col("seq").as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+      .orderBy(col("key"), col("valid_from"))
+  }
+
+  /** Incremental SCD2 fold — apply a NEW changelog slice to an existing
+    * history WITHOUT re-deriving it, under the monotone-LSN contract
+    * (every new seq for a key exceeds every seq already folded for it —
+    * the property any CDC offset stream satisfies). The invariant the
+    * spec pins: `scdMerge(scdHistory(a), b) == scdHistory(a ∪ b)`.
+    *
+    * Shape: CLOSED intervals are immutable history and pass through
+    * untouched (at scale: never read, if history lands partitioned by
+    * is_current). Only touched keys' OPEN rows re-enter the derivation:
+    * they convert back to changelog rows (their valid_from as seq) and
+    * re-derive together with the new slice — the lead window then closes
+    * them at the slice's first seq and opens the new intervals, exactly
+    * as the refit would have. Open rows of untouched keys also pass
+    * through. Cost: one window over (open rows of touched keys + new
+    * slice) — slice-sized, not history-sized.
+    */
+  def scdMerge(history: DataFrame, changelog: DataFrame): DataFrame = {
+    val touched = changelog.select(col("key")).distinct()
+    val closedOrUntouched = history
+      .join(touched, Seq("key"), "left_semi").filter(!col("is_current"))
+      .unionByName(history.join(touched, Seq("key"), "left_anti"))
+    val reopened = history
+      .join(touched, Seq("key"), "left_semi").filter(col("is_current"))
+      .select(col("key"), col("valid_from").as("seq"), lit("U").as("op"),
+        col("name"), col("val"))
+    scdHistory(reopened.unionByName(changelog.select(
+      col("key"), col("seq"), col("op"), col("name"), col("val"))))
+      .unionByName(closedOrUntouched)
+      .orderBy(col("key"), col("valid_from"))
+  }
+
   /** The audit row a MERGE publishes alongside the snapshot it wrote:
     * how many keys were inserted / updated / deleted / carried through,
     * and the changelog's replay depth (changes per touched key) — the

@@ -152,14 +152,10 @@ object BloomIndex {
     val files = kept ++ unindexed
     val base =
       if (files.isEmpty) LakeTable.readLive(spark, tablePath).filter(lit(false))
-      else {
-        val ddl = LakeTable.latest(spark, tablePath).schemaDdl
-        val s = org.apache.spark.sql.types.StructType.fromDDL(ddl)
-        spark.read
-          .schema(org.apache.spark.sql.types.StructType(
-            s.fields.map(_.copy(nullable = true))))
-          .parquet(files.map(f => s"$tablePath/$f"): _*)
-      }
+      // through the table's shared resolver, so deletion vectors apply —
+      // a raw read here would resurrect shadowed rows into lookups
+      else LakeTable.readFilesResolved(
+        spark, tablePath, LakeTable.latest(spark, tablePath), files)
     base.filter(col(column).isin(values: _*))
   }
 

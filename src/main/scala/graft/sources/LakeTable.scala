@@ -51,18 +51,30 @@ import graft.operators.Cdc
 object LakeTable {
 
   /** One table version: live data files (paths relative to the table
-    * root) and their zone-map boxes.
+    * root), their zone-map boxes, and the DELETION VECTORS shadowing
+    * them — `deletes` maps a data file to an equality-delete sidecar
+    * (a tiny parquet of deleted key values under `_deletes/`): a reader
+    * of that data file anti-joins its rows against every sidecar
+    * attached to it. A file with no attachment reads raw.
     */
   final case class Commit(
       version: Int,
       files: Seq[String],
       boxes: Seq[(String, String, Double, Double)],
       schemaDdl: String,
-      appliedBatches: Set[Long] = Set.empty)
+      appliedBatches: Set[String] = Set.empty,
+      deletes: Seq[(String, String)] = Seq.empty)
 
   /** What a maintenance pass did — the audit row it publishes. */
   final case class ApplyStats(
       version: Int, filesRewritten: Int, filesKept: Int, filesNew: Int)
+
+  /** What a deletion-vector commit did: how many live data files the new
+    * sidecar shadows (box-intersecting ones only), and the table version
+    * it published. `filesShadowed == 0` means the tombstone keys missed
+    * every box — a no-op that burned no version.
+    */
+  final case class DvStats(version: Int, filesShadowed: Int, keysListed: Long)
 
   /** A commit lost the rename race: another writer published this
     * version first. [[mutate]] retries on fresh state (optimistic
@@ -127,8 +139,10 @@ object LakeTable {
     val ddl = lines.collectFirst { case l if l.startsWith("S\t") => l.split('\t')(1) }
       .getOrElse("")
     val applied = lines.collect { case l if l.startsWith("A\t") =>
-      l.split('\t')(1).toLong }.toSet
-    Commit(version, files, boxes, ddl, applied)
+      l.split('\t')(1) }.toSet
+    val deletes = lines.collect { case l if l.startsWith("D\t") =>
+      val p = l.split('\t'); (p(1), p(2)) }
+    Commit(version, files, boxes, ddl, applied, deletes)
   }
 
   /** The latest committed version — the ONLY thing readers trust. */
@@ -148,15 +162,15 @@ object LakeTable {
   def readAt(spark: SparkSession, path: String, version: Int): DataFrame = {
     val c = commitAt(spark, path, version)
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val missing = c.files.filterNot(f => fs.exists(new Path(s"$path/$f")))
+    val missing = (c.files ++ c.deletes.map(_._2).distinct)
+      .filterNot(f => fs.exists(new Path(s"$path/$f")))
     require(missing.isEmpty,
       s"LakeTable: version $version references vacuumed files " +
         s"(e.g. ${missing.take(3).mkString(", ")}) — outside the retention window")
     if (c.files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType.fromDDL(c.schemaDdl))
-    else spark.read.schema(readerSchema(c.schemaDdl))
-      .parquet(c.files.map(abs(path, _)): _*)
+    else readFilesResolved(spark, path, c, c.files)
   }
 
   /** The live data files, absolute. */
@@ -176,9 +190,9 @@ object LakeTable {
     // the COMMIT's schema is the reader schema, not footer inference:
     // after schema evolution (an append epoch adding a column) older
     // files simply lack the column and serve NULL — the name-based
-    // parquet reconciliation every lake format relies on
-    else spark.read.schema(readerSchema(c.schemaDdl))
-      .parquet(c.files.map(abs(path, _)): _*)
+    // parquet reconciliation every lake format relies on; deletion
+    // vectors apply per attached file inside the shared resolver
+    else readFilesResolved(spark, path, c, c.files)
   }
 
   /** Zone-map-pruned range read over the committed layout: the pruning
@@ -196,7 +210,7 @@ object LakeTable {
       ranges)
     val base =
       if (kept.isEmpty) readLive(spark, path).filter(lit(false))
-      else spark.read.schema(readerSchema(c.schemaDdl)).parquet(kept: _*)
+      else readFilesResolved(spark, path, c, kept.map(rel(path, _)))
     ranges.foldLeft(base) { case (d, (cn, lo, hi)) =>
       d.filter(col(cn) >= lo && col(cn) <= hi)
     }
@@ -223,7 +237,8 @@ object LakeTable {
   def applyChangelog(
       spark: SparkSession, path: String, changelog: DataFrame,
       cols: Seq[String], keyCol: String = "key", nFilesNew: Int = 2,
-      bits: Int = 16, batchId: Option[Long] = None): ApplyStats = {
+      bits: Int = 16, batchId: Option[Long] = None,
+      arm: String = "cdc"): ApplyStats = {
     // streaming at-least-once: an already-applied batchId is a no-op —
     // the applied set travels IN the manifest, so the check and the
     // apply commit atomically together (the Bm25Maintainer lesson);
@@ -232,7 +247,7 @@ object LakeTable {
     mutate(spark, path, cols, keyCol, nFilesNew, bits,
       touchKeys = reduced.select(col("key")),
       rewrite = base => Cdc.mergeChangelog(base, reduced).drop("last_seq"),
-      appliedBatch = batchId)
+      appliedBatch = batchId.map(b => s"$arm#$b"))
   }
 
   /** [[applyChangelog]] for FULL-ROW-IMAGE changelogs (key, seq, op,
@@ -245,12 +260,13 @@ object LakeTable {
   def applyChangelogFull(
       spark: SparkSession, path: String, changelog: DataFrame,
       cols: Seq[String], keyCol: String = "key", nFilesNew: Int = 2,
-      bits: Int = 16, batchId: Option[Long] = None): ApplyStats = {
+      bits: Int = 16, batchId: Option[Long] = None,
+      arm: String = "cdc"): ApplyStats = {
     val reduced = Cdc.compactChangelogFull(changelog)
     mutate(spark, path, cols, keyCol, nFilesNew, bits,
       touchKeys = reduced.select(col("key")),
       rewrite = base => Cdc.mergeChangelogFull(base, reduced).drop("last_seq"),
-      appliedBatch = batchId)
+      appliedBatch = batchId.map(b => s"$arm#$b"))
   }
 
   /** Right-to-be-forgotten at the storage layer: delete every row whose
@@ -264,7 +280,8 @@ object LakeTable {
   def applyTombstones(
       spark: SparkSession, path: String, tombstones: DataFrame,
       cols: Seq[String], keyCol: String = "key", nFilesNew: Int = 2,
-      bits: Int = 16, batchId: Option[Long] = None): ApplyStats = {
+      bits: Int = 16, batchId: Option[Long] = None,
+      arm: String = "forget"): ApplyStats = {
     val keys = tombstones.select(col(keyCol).as("key"))
     // a delete of an absent key is semantically a no-op, so replay is
     // SAFE even without the marker — the batchId check (in mutate, on
@@ -275,7 +292,7 @@ object LakeTable {
       rewrite = base =>
         base.join(broadcast(keys.withColumnRenamed("key", keyCol)),
           Seq(keyCol), "left_anti"),
-      appliedBatch = batchId)
+      appliedBatch = batchId.map(b => s"$arm#$b"))
   }
 
   /** APPEND a batch under the manifest protocol — [[LakeSink.appendBoxed]]
@@ -289,12 +306,13 @@ object LakeTable {
     */
   def append(
       df: DataFrame, path: String, cols: Seq[String], nFilesNew: Int = 2,
-      bits: Int = 16, batchId: Option[Long] = None): ApplyStats = {
+      bits: Int = 16, batchId: Option[Long] = None,
+      arm: String = "ingest"): ApplyStats = {
     val spark = df.sparkSession
     mutate(spark, path, cols, keyCol = cols.head, nFilesNew, bits,
       touchKeys = df.select(col(cols.head).as("key")).limit(0), // touch nothing
       rewrite = _ => df,
-      appliedBatch = batchId)
+      appliedBatch = batchId.map(b => s"$arm#$b"))
   }
 
   /** Re-OPTIMIZE the table in place: rewrite EVERY live row as one fresh
@@ -372,8 +390,8 @@ object LakeTable {
     if (small.size < 2) return ApplyStats(c.version, 0, c.files.size, 0)
     val packed = sized.collect { case (f, len) if small.contains(f) => len }.sum
     val nFiles = math.max(1, math.ceil(packed.toDouble / targetFileBytes).toInt)
-    val rows = spark.read.schema(readerSchema(c.schemaDdl))
-      .parquet(small.map(abs(path, _)): _*)
+    // DV-resolved: compacting a shadowed sliver folds its vectors in
+    val rows = readFilesResolved(spark, path, c, small)
     val before = LakeSink.listParquet(spark, path).toSet
     LakeSink.zorderFrame(rows, cols, bits)
       .repartitionByRange(nFiles, col("zkey"))
@@ -388,7 +406,8 @@ object LakeTable {
     val committed = writeCommit(spark, path, c.version + 1,
       kept ++ fresh.map(rel(path, _)),
       c.boxes.filterNot(b => smallSet(b._1)) ++ freshBoxes,
-      c.schemaDdl, c.appliedBatches)
+      c.schemaDdl, c.appliedBatches,
+      deletes = c.deletes.filterNot(d => smallSet(d._1)))
     ApplyStats(committed.version, small.size, kept.size, fresh.size)
   }
 
@@ -449,31 +468,44 @@ object LakeTable {
     require(shape(cFrom.schemaDdl) == shape(cTo.schemaDdl),
       s"LakeTable.readChanges: schema changed across the span " +
         s"(v$fromVersion: ${cFrom.schemaDdl} / v$toVersion: ${cTo.schemaDdl})")
-    val toSet = cTo.files.toSet
-    val fromSet = cFrom.files.toSet
-    val removed = cFrom.files.filterNot(toSet)
-    val added = cTo.files.filterNot(fromSet)
+    // the diff unit is (file, attached-deletion-vector set): a DV-only
+    // commit replaces no file, but a file whose attachment set changed
+    // serves different rows — it diffs as removed (old resolution) +
+    // added (new resolution), and the carried-pair filter nets out the
+    // rows the new vectors did not touch
+    def units(c: Commit): Map[String, List[String]] = {
+      val dv = c.deletes.groupBy(_._1)
+        .view.mapValues(_.map(_._2).distinct.sorted.toList).toMap
+      c.files.map(f => f -> dv.getOrElse(f, Nil)).toMap
+    }
+    val uFrom = units(cFrom)
+    val uTo = units(cTo)
+    val removed = cFrom.files.filter(f => !uTo.get(f).contains(uFrom(f)))
+    val added = cTo.files.filter(f => !uFrom.get(f).contains(uTo(f)))
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val missing = (removed ++ added).filterNot(f => fs.exists(new Path(s"$path/$f")))
+    val missing = (removed ++ added ++
+      removed.flatMap(uFrom(_)) ++ added.flatMap(uTo(_)))
+      .filterNot(f => fs.exists(new Path(s"$path/$f")))
     require(missing.isEmpty,
       s"LakeTable.readChanges: span references vacuumed files " +
         s"(e.g. ${missing.take(3).mkString(", ")}) — outside the retention window")
     val schema = org.apache.spark.sql.types.StructType.fromDDL(cTo.schemaDdl)
-    def readOrEmpty(files: Seq[String]): DataFrame =
+    def readOrEmpty(c: Commit, files: Seq[String]): DataFrame =
       if (files.isEmpty)
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       // the commit's reader schema, NOT footer inference: a replaced file
       // may predate a past schema evolution and lack a since-added column
-      else spark.read.schema(readerSchema(cTo.schemaDdl))
-        .parquet(files.map(abs(path, _)): _*)
+      // (shapes agree across the span, so either commit's DDL serves);
+      // each side resolves through ITS OWN deletion vectors
+      else readFilesResolved(spark, path, c, files)
     val payload = schema.fieldNames.toSeq.filterNot(_ == keyCol)
     require(payload.nonEmpty,
       s"LakeTable.readChanges: table has no payload columns beyond $keyCol")
     def imaged(df: DataFrame, as: String): DataFrame =
       df.select(col(keyCol), struct(payload.map(col): _*).as(as))
-    val changed = imaged(readOrEmpty(removed), "_old")
-      .join(imaged(readOrEmpty(added), "_new"), Seq(keyCol), "full_outer")
+    val changed = imaged(readOrEmpty(cFrom, removed), "_old")
+      .join(imaged(readOrEmpty(cTo, added), "_new"), Seq(keyCol), "full_outer")
       // a rewrite carries untouched rows into fresh files — identical
       // (old, new) pairs are file movement, not change, and drop here
       .filter(!(col("_old") <=> col("_new")))
@@ -513,11 +545,18 @@ object LakeTable {
       graceMs: Long = 0L): Int = {
     val vs = versions(spark, path)
     val retained = vs.takeRight(math.max(1, keepVersions))
-      .flatMap(commitAt(spark, path, _).files).toSet
+      .map(commitAt(spark, path, _))
+      .flatMap(c => c.files ++ c.deletes.map(_._2)).toSet
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val cutoff = System.currentTimeMillis() - graceMs
-    val stale = LakeSink.listParquet(spark, path)
-      .map(rel(path, _)).filterNot(retained)
+    val dvDir = new Path(s"$path/_deletes")
+    val dvFiles =
+      if (!fs.exists(dvDir)) Seq.empty[String]
+      else fs.listStatus(dvDir).toSeq
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .map(s => s"_deletes/${s.getPath.getName}")
+    val stale = (LakeSink.listParquet(spark, path).map(rel(path, _)) ++ dvFiles)
+      .filterNot(retained)
       .filter(f =>
         fs.getFileStatus(new Path(s"$path/$f")).getModificationTime <= cutoff)
     stale.foreach(f => fs.delete(new Path(s"$path/$f"), false))
@@ -526,7 +565,275 @@ object LakeTable {
       .filter(p => p.getName.startsWith(".tmp-") &&
         fs.getFileStatus(p).getModificationTime <= cutoff)
     tmp.foreach(fs.delete(_, false))
-    stale.size + tmp.size
+    // crashed sidecar writers leave .tmp-<uuid> DIRS under _deletes
+    val dvTmp =
+      if (!fs.exists(dvDir)) Seq.empty[Path]
+      else fs.listStatus(dvDir).toSeq.map(_.getPath)
+        .filter(p => p.getName.startsWith(".tmp-") &&
+          fs.getFileStatus(p).getModificationTime <= cutoff)
+    dvTmp.foreach(fs.delete(_, true))
+    stale.size + tmp.size + dvTmp.size
+  }
+
+  /** Read a subset of a commit's data files with that commit's DELETION
+    * VECTORS applied — the one read primitive every snapshot/changefeed/
+    * maintenance path shares (and the hook an external index like
+    * [[BloomIndex.lookup]] must route through, or shadowed rows would
+    * resurrect). Files sharing the same attachment set read as one scan;
+    * each shadowed group anti-joins against the broadcast union of its
+    * sidecars' keys (sidecars are tombstone-request-sized, never
+    * data-sized). `relFiles` are manifest-relative; output column order
+    * is the commit schema's.
+    */
+  def readFilesResolved(
+      spark: SparkSession, path: String, c: Commit,
+      relFiles: Seq[String]): DataFrame = {
+    val schema = readerSchema(c.schemaDdl)
+    val outCols = schema.fieldNames.toSeq.map(col)
+    if (relFiles.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val dvByFile = c.deletes.groupBy(_._1)
+      .view.mapValues(_.map(_._2).distinct.sorted.toList).toMap
+    val groups = relFiles.groupBy(f => dvByFile.getOrElse(f, Nil))
+      .toSeq.sortBy(_._1.mkString(","))
+    groups.map { case (dvs, fs0) =>
+      val base = spark.read.schema(schema).parquet(fs0.map(abs(path, _)): _*)
+      if (dvs.isEmpty) base
+      else {
+        val del = spark.read.parquet(dvs.map(abs(path, _)): _*)
+        val kc = del.schema.fieldNames.head
+        base.join(broadcast(del.select(col(kc)).distinct()), Seq(kc), "left_anti")
+          .select(outCols: _*)
+      }
+    }.reduce(_ unionByName _)
+  }
+
+  /** DELETION-VECTOR delete — the O(tombstones) alternative to
+    * [[applyTombstones]]'s box-intersecting file REWRITE: land the
+    * tombstone keys as one tiny equality-delete sidecar under
+    * `_deletes/`, attach it (in the manifest) to every live file whose
+    * `keyCol` box could hold a tombstoned key, and publish the next
+    * version. No data file is read or written — delete latency is
+    * sidecar-write + manifest-rename, INDEPENDENT of table size, which
+    * is what a right-to-be-forgotten SLA on a 100 TB table needs.
+    * Readers pay the anti-join until [[materializeDeletes]] (or any
+    * rewrite that touches the shadowed files — MERGE, compact, optimize)
+    * folds the vectors in; [[shouldMaterialize]] is the maintenance
+    * trigger.
+    *
+    * Semantics are exactly [[applyTombstones]]'s (the spec pins
+    * equality): delete EVERY row whose `keyCol` is tombstoned, absent
+    * keys no-op, replay under `batchId` no-ops. A later re-insert lands
+    * in a fresh file with no attachment, so it is NOT shadowed —
+    * attachments scope file-granular, the property that makes equality
+    * deletes sound without Iceberg-style sequence numbers.
+    */
+  def applyTombstonesDv(
+      spark: SparkSession, path: String, tombstones: DataFrame,
+      keyCol: String = "key", batchId: Option[Long] = None,
+      arm: String = "forget-dv"): DvStats = {
+    import spark.implicits._
+    val marker = batchId.map(b => s"$arm#$b")
+    var lastConflict: CommitConflictException = null
+    (0 to MaxCommitRetries).foreach { _ =>
+      val c = latest(spark, path)
+      if (marker.exists(c.appliedBatches.contains))
+        return DvStats(c.version, 0, 0L)
+      val keys = tombstones.select(col(keyCol)).distinct()
+      val keyBoxes = c.boxes.filter(_._2 == keyCol)
+      val boxedFiles = keyBoxes.map(_._1).toSet
+      val unboxed = c.files.filterNot(boxedFiles)
+      val boxesDf = keyBoxes.map { case (f, _, mn, mx) => (f, mn, mx) }
+        .toDF("file", "mn", "mx")
+      val shadowedBoxed = keys
+        .join(broadcast(boxesDf),
+          col(keyCol).cast("double") >= col("mn") &&
+            col(keyCol).cast("double") <= col("mx"))
+        .select(col("file")).distinct()
+        .as[String].collect().toSeq
+      val shadowed = (shadowedBoxed ++ unboxed).distinct.sorted
+      if (shadowed.isEmpty) return DvStats(c.version, 0, 0L)
+      val (dvRel, nKeys) = landSidecar(spark, path, keys)
+      try {
+        writeCommit(spark, path, c.version + 1, c.files, c.boxes,
+          c.schemaDdl, c.appliedBatches ++ marker,
+          c.deletes ++ shadowed.map(f => (f, dvRel)))
+        return DvStats(c.version + 1, shadowed.size, nKeys)
+      } catch {
+        case e: CommitConflictException =>
+          // the sidecar is uncommitted garbage for vacuum; retry whole cycle
+          lastConflict = e
+      }
+    }
+    throw lastConflict
+  }
+
+  /** Land one equality-delete sidecar under `_deletes/`: one part file,
+    * renamed to a stable name (outside the data listing; uncommitted
+    * sidecars are vacuum garbage exactly like uncommitted data files).
+    * Returns (manifest-relative sidecar path, key count).
+    */
+  private def landSidecar(
+      spark: SparkSession, path: String, keys: DataFrame): (String, Long) = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new Path(s"$path/_deletes"))
+    val tmp = s"$path/_deletes/.tmp-${java.util.UUID.randomUUID()}"
+    keys.coalesce(1).write.parquet(tmp)
+    val part = fs.listStatus(new Path(tmp)).toSeq
+      .map(_.getPath).find(_.getName.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException(
+        s"LakeTable: no sidecar part file under $tmp"))
+    val nKeys = keys.count()
+    val dvRel = s"_deletes/dv-${java.util.UUID.randomUUID()}.parquet"
+    require(fs.rename(part, new Path(s"$path/$dvRel")),
+      s"LakeTable: sidecar rename failed at $path")
+    fs.delete(new Path(tmp), true)
+    (dvRel, nKeys)
+  }
+
+  /** MERGE-ON-READ apply — the write-optimized MERGE for FULL-ROW-IMAGE
+    * changelogs: instead of rewriting box-intersecting files
+    * ([[applyChangelogFull]], merge-on-write), the whole batch commits
+    * as (a) ONE deletion-vector sidecar shadowing every touched key's
+    * old rows and (b) the latest 'U' images landed as fresh z-ordered
+    * files — ZERO existing data files are read or written, so apply
+    * latency is O(changelog) regardless of table size. This is the
+    * Hudi/Iceberg merge-on-read trade: ingest pays nothing, reads pay
+    * the anti-join until maintenance folds the vectors in
+    * ([[materializeDeletes]] / [[compact]] / [[optimize]] — or the next
+    * merge-on-WRITE touching the same files). Full images are REQUIRED:
+    * with a slim payload changelog an update would need the base row's
+    * other columns, which only a base read (the thing MoR exists to
+    * avoid) could supply.
+    *
+    * Equivalence contract (spec + oracle-pinned): after the commit,
+    * `readLive` equals [[Cdc.mergeChangelogFull]] of the pre-commit
+    * snapshot and the same changelog, byte-for-byte. Chained MoR applies
+    * compose: a later batch's box probe sees earlier batches' fresh
+    * files (they are manifest files with boxes like any other), so their
+    * superseded images get shadowed exactly like base rows.
+    */
+  def applyChangelogFullMor(
+      spark: SparkSession, path: String, changelog: DataFrame,
+      cols: Seq[String], keyCol: String = "key", nFilesNew: Int = 2,
+      bits: Int = 16, batchId: Option[Long] = None,
+      arm: String = "cdc-mor"): DvStats = {
+    import spark.implicits._
+    val reduced = Cdc.compactChangelogFull(changelog)
+    val marker = batchId.map(b => s"$arm#$b")
+    var lastConflict: CommitConflictException = null
+    (0 to MaxCommitRetries).foreach { _ =>
+      val c = latest(spark, path)
+      if (marker.exists(c.appliedBatches.contains))
+        return DvStats(c.version, 0, 0L)
+      val keys = reduced.select(col("key").as(keyCol)).distinct()
+      val keyBoxes = c.boxes.filter(_._2 == keyCol)
+      val boxedFiles = keyBoxes.map(_._1).toSet
+      val unboxed = c.files.filterNot(boxedFiles)
+      val boxesDf = keyBoxes.map { case (f, _, mn, mx) => (f, mn, mx) }
+        .toDF("file", "mn", "mx")
+      val shadowedBoxed = keys
+        .join(broadcast(boxesDf),
+          col(keyCol).cast("double") >= col("mn") &&
+            col(keyCol).cast("double") <= col("mx"))
+        .select(col("file")).distinct()
+        .as[String].collect().toSeq
+      val shadowed = (shadowedBoxed ++ unboxed).distinct.sorted
+      val images = reduced.filter(col("op") === "U")
+        .select(col("key"), col("name"), col("val"))
+      if (shadowed.isEmpty && images.isEmpty)
+        return DvStats(c.version, 0, 0L)
+      // land the fresh image files first (uncommitted = invisible) ...
+      val before = LakeSink.listParquet(spark, path).toSet
+      if (!images.isEmpty) {
+        LakeSink.zorderFrame(images, cols, bits)
+          .repartitionByRange(nFilesNew, col("zkey"))
+          .sortWithinPartitions(col("zkey"))
+          .drop("zkey")
+          .write.mode(SaveMode.Append).parquet(path)
+      }
+      val fresh = LakeSink.listParquet(spark, path).filterNot(before).sorted
+      val freshBoxes = LakeSink.boxesOf(spark, fresh, cols)
+        .map { case (f, cn, mn, mx) => (rel(path, f), cn, mn, mx) }
+      // ... then the sidecar, attached to PRE-COMMIT files only — the
+      // fresh files hold the new images and must not be shadowed
+      val (dvAttach, nKeys) =
+        if (shadowed.isEmpty) (Seq.empty[(String, String)], 0L)
+        else {
+          val (dvRel, n) = landSidecar(spark, path, keys)
+          (shadowed.map(f => (f, dvRel)), n)
+        }
+      try {
+        writeCommit(spark, path, c.version + 1,
+          c.files ++ fresh.map(rel(path, _)),
+          c.boxes ++ freshBoxes,
+          unionDdl(c.schemaDdl, images.schema),
+          c.appliedBatches ++ marker,
+          c.deletes ++ dvAttach)
+        return DvStats(c.version + 1, shadowed.size, nKeys)
+      } catch {
+        case e: CommitConflictException => lastConflict = e
+      }
+    }
+    throw lastConflict
+  }
+
+  /** True iff enough live files are shadowed by deletion vectors to be
+    * worth folding in — the [[materializeDeletes]] trigger (driver-side
+    * manifest arithmetic, no data read).
+    */
+  def shouldMaterialize(
+      spark: SparkSession, path: String, maxShadowedFraction: Double = 0.3): Boolean = {
+    val c = latest(spark, path)
+    c.files.nonEmpty &&
+      c.deletes.map(_._1).distinct.size.toDouble / c.files.size > maxShadowedFraction
+  }
+
+  /** MATERIALIZE the deletion vectors: rewrite ONLY the shadowed files
+    * with their sidecars applied, drop every attachment, publish. The
+    * logical snapshot is unchanged (the spec pins hash-equality), so
+    * applied batchIds carry and a [[readChanges]] span across a
+    * materialization is EMPTY — like [[compact]], this fixes read
+    * amplification, never data. Unshadowed files carry their bytes and
+    * boxes unread. Orphaned sidecars age out via [[vacuum]].
+    */
+  def materializeDeletes(
+      spark: SparkSession, path: String, cols: Seq[String],
+      nFilesNew: Int = 2, bits: Int = 16): ApplyStats = {
+    var lastConflict: CommitConflictException = null
+    (0 to MaxCommitRetries).foreach { _ =>
+      try return materializeOnce(spark, path, cols, nFilesNew, bits)
+      catch { case e: CommitConflictException => lastConflict = e }
+    }
+    throw lastConflict
+  }
+
+  private def materializeOnce(
+      spark: SparkSession, path: String, cols: Seq[String],
+      nFilesNew: Int, bits: Int): ApplyStats = {
+    val c = latest(spark, path)
+    val shadowed = c.deletes.map(_._1).distinct.sorted
+    if (shadowed.isEmpty) return ApplyStats(c.version, 0, c.files.size, 0)
+    val rows = readFilesResolved(spark, path, c, shadowed)
+    val before = LakeSink.listParquet(spark, path).toSet
+    if (!rows.isEmpty) {
+      LakeSink.zorderFrame(rows, cols, bits)
+        .repartitionByRange(nFilesNew, col("zkey"))
+        .sortWithinPartitions(col("zkey"))
+        .drop("zkey")
+        .write.mode(SaveMode.Append).parquet(path)
+    }
+    val fresh = LakeSink.listParquet(spark, path).filterNot(before).sorted
+    val freshBoxes = LakeSink.boxesOf(spark, fresh, cols)
+      .map { case (f, cn, mn, mx) => (rel(path, f), cn, mn, mx) }
+    val shadowedSet = shadowed.toSet
+    val kept = c.files.filterNot(shadowedSet)
+    val committed = writeCommit(spark, path, c.version + 1,
+      kept ++ fresh.map(rel(path, _)),
+      c.boxes.filterNot(b => shadowedSet(b._1)) ++ freshBoxes,
+      c.schemaDdl, c.appliedBatches, deletes = Seq.empty)
+    ApplyStats(committed.version, shadowed.size, kept.size, fresh.size)
   }
 
   // ---- internals ----------------------------------------------------
@@ -545,7 +852,7 @@ object LakeTable {
       spark: SparkSession, path: String, cols: Seq[String], keyCol: String,
       nFilesNew: Int, bits: Int,
       touchKeys: DataFrame, rewrite: DataFrame => DataFrame,
-      appliedBatch: Option[Long] = None): ApplyStats = {
+      appliedBatch: Option[String] = None): ApplyStats = {
     var lastConflict: CommitConflictException = null
     (0 to MaxCommitRetries).foreach { _ =>
       try return mutateOnce(
@@ -560,7 +867,7 @@ object LakeTable {
       spark: SparkSession, path: String, cols: Seq[String], keyCol: String,
       nFilesNew: Int, bits: Int,
       touchKeys: DataFrame, rewrite: DataFrame => DataFrame,
-      appliedBatch: Option[Long]): ApplyStats = {
+      appliedBatch: Option[String]): ApplyStats = {
     import spark.implicits._
     val c = latest(spark, path)
     // re-check the replay marker on the FRESH manifest: the interloper
@@ -583,9 +890,10 @@ object LakeTable {
       .select(col("file")).distinct()
       .as[String].collect().toSeq
     val touched = (touchedBoxed ++ unboxed).distinct.sorted
+    // DV-resolved: a rewrite of a shadowed file must fold its deletion
+    // vectors in, or the rows they hide would resurrect into fresh files
     val base =
-      if (touched.nonEmpty) spark.read.schema(readerSchema(c.schemaDdl))
-        .parquet(touched.map(abs(path, _)): _*)
+      if (touched.nonEmpty) readFilesResolved(spark, path, c, touched)
       else readLive(spark, path).limit(0)
     val next = rewrite(base)
     // a rewrite that REPLACES files must cover every committed column —
@@ -621,7 +929,10 @@ object LakeTable {
       keptFiles ++ fresh.map(rel(path, _)),
       c.boxes.filterNot(b => touchedSet(b._1)) ++ freshBoxes,
       unionDdl(c.schemaDdl, next.schema),
-      c.appliedBatches ++ appliedBatch)
+      c.appliedBatches ++ appliedBatch,
+      // a replaced file's vectors are folded into its rewrite above;
+      // untouched files keep their attachments verbatim
+      deletes = c.deletes.filterNot(d => touchedSet(d._1)))
     // replaced files become invisible at the commit point but stay ON
     // DISK: they back time travel (readAt) until vacuum's retention
     // window drops them — GC is a policy decision, not a correctness one
@@ -678,7 +989,8 @@ object LakeTable {
       files: Seq[String],
       boxes: Seq[(String, String, Double, Double)],
       schemaDdl: String,
-      appliedBatches: Set[Long] = Set.empty): Commit = {
+      appliedBatches: Set[String] = Set.empty,
+      deletes: Seq[(String, String)] = Seq.empty): Commit = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(new Path(s"$path/_commits"))
     val tmp = new Path(s"$path/_commits/.tmp-${java.util.UUID.randomUUID()}")
@@ -693,6 +1005,9 @@ object LakeTable {
         sb.append("B\t").append(f).append('\t').append(cn).append('\t')
           .append(mn).append('\t').append(mx).append('\n')
       }
+      deletes.sorted.foreach { case (f, dv) =>
+        sb.append("D\t").append(f).append('\t').append(dv).append('\n')
+      }
       out.write(sb.toString.getBytes("UTF-8"))
     } finally out.close()
     val dest = new Path(f"$path/_commits/v$version%09d.txt")
@@ -701,7 +1016,7 @@ object LakeTable {
       throw new CommitConflictException(
         s"LakeTable: commit v$version lost the rename race at $path")
     }
-    Commit(version, files, boxes, schemaDdl, appliedBatches)
+    Commit(version, files, boxes, schemaDdl, appliedBatches, deletes)
   }
 
   /** The commit's schema as a READER schema: every field nullable,

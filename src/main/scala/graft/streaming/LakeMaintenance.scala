@@ -94,6 +94,70 @@ object LakeMaintenance {
       .start()
   }
 
+  /** The LOW-LATENCY forget arm: tombstone requests commit as deletion
+    * vectors ([[LakeTable.applyTombstonesDv]]) — O(request) per batch,
+    * no data file read or rewritten, so the attestation lands at
+    * micro-batch cadence even on a table the rewrite arm would take
+    * minutes to touch. Read amplification is bounded in-loop: when
+    * [[LakeTable.shouldMaterialize]]'s manifest-arithmetic trigger
+    * fires, the batch also folds the accumulated vectors in
+    * ([[LakeTable.materializeDeletes]] — shadowed files only). Replays
+    * are marker-skipped AND semantically idempotent.
+    */
+  def attachTombstonesDv(
+      tombstones: DataFrame, path: String, cols: Seq[String],
+      keyCol: String = "key", nFilesNew: Int = 2,
+      materializeAtShadowedFraction: Option[Double] = None): StreamingQuery = {
+    val spark = tombstones.sparkSession
+    tombstones.writeStream
+      .foreachBatch { (b: Dataset[Row], id: Long) =>
+        if (!b.isEmpty) {
+          LakeTable.applyTombstonesDv(
+            spark, path, b.toDF(), keyCol, batchId = Some(id))
+          materializeAtShadowedFraction.foreach { frac =>
+            if (LakeTable.shouldMaterialize(spark, path, frac)) {
+              LakeTable.materializeDeletes(spark, path, cols, nFilesNew)
+              ()
+            }
+          }
+          ()
+        }
+      }
+      .start()
+  }
+
+  /** The MERGE-ON-READ maintenance arm: a full-row-image changelog
+    * stream folds per micro-batch through
+    * [[LakeTable.applyChangelogFullMor]] — each batch commits as one
+    * deletion-vector sidecar + fresh image files, reading ZERO existing
+    * data, so fold latency is O(batch) regardless of table size (the
+    * merge-on-WRITE arm [[attach]] pays box-intersecting rewrites per
+    * fold; pick per table by ingest-latency vs read-amplification).
+    * The in-loop [[LakeTable.materializeDeletes]] trigger is the read
+    * side's guardrail, exactly as compaction is [[attachAppend]]'s.
+    */
+  def attachMor(
+      changelog: DataFrame, path: String, cols: Seq[String],
+      keyCol: String = "key", nFilesNew: Int = 2,
+      materializeAtShadowedFraction: Option[Double] = None): StreamingQuery = {
+    val spark = changelog.sparkSession
+    changelog.writeStream
+      .foreachBatch { (b: Dataset[Row], id: Long) =>
+        if (!b.isEmpty) {
+          LakeTable.applyChangelogFullMor(
+            spark, path, b.toDF(), cols, keyCol, nFilesNew, batchId = Some(id))
+          materializeAtShadowedFraction.foreach { frac =>
+            if (LakeTable.shouldMaterialize(spark, path, frac)) {
+              LakeTable.materializeDeletes(spark, path, cols, nFilesNew)
+              ()
+            }
+          }
+          ()
+        }
+      }
+      .start()
+  }
+
   /** The STREAMING ingest arm: an append-only record stream lands per
     * micro-batch through [[LakeTable.append]] — each batch z-orders into
     * its own tight-boxed files touching NO existing file, so the fold is

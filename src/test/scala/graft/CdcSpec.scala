@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import graft.operators.Cdc
 
 class CdcSpec extends SparkSpec {
@@ -150,5 +151,60 @@ class CdcSpec extends SparkSpec {
       val comp = Cdc.mergeChangelog(base, compacted).collect().map(_.toSeq).toSeq
       assert(full == comp, s"replay divergence on base $b")
     }
+  }
+
+  private def scdLog = Seq(
+    // key 1: two updates -> first closes at 103, second current
+    (1L, 101L, "U", "a1", 1.0), (1L, 103L, "U", "a2", 2.0),
+    // key 2: update then delete -> interval closes at 104, NO current row
+    (2L, 102L, "U", "b1", 3.0), (2L, 104L, "D", null, 0.0),
+    // key 3: delete-then-resurrect: D first (closes nothing), then U
+    (3L, 105L, "D", null, 0.0), (3L, 106L, "U", "c1", 4.0),
+    // key 4: single update, current
+    (4L, 107L, "U", "d1", 5.0)
+  ).toDF("key", "seq", "op", "name", "val")
+
+  test("scdHistory: validity intervals, deletes close without opening, half-open partition") {
+    val h = Cdc.scdHistory(scdLog).collect()
+      .map(r => (r.getAs[Long]("key"), r.getAs[String]("name"),
+        r.getAs[Long]("valid_from"),
+        Option(r.getAs[java.lang.Long]("valid_to")).map(_.toLong),
+        r.getAs[Boolean]("is_current"))).toSeq
+    assert(h == Seq(
+      (1L, "a1", 101L, Some(103L), false),
+      (1L, "a2", 103L, None, true),
+      (2L, "b1", 102L, Some(104L), false), // closed BY the delete
+      (3L, "c1", 106L, None, true),
+      (4L, "d1", 107L, None, true)), s"history: $h")
+    // a deleted key has no current row; current rows == the MERGE snapshot
+    val current = Cdc.scdHistory(scdLog).filter(col("is_current"))
+      .select(col("key"), col("name"), col("val"))
+      .orderBy(col("key")).collect().map(_.toSeq).toSeq
+    val merged = Cdc.mergeChangelogFull(
+        base.limit(0), scdLog).drop("last_seq")
+      .orderBy(col("key")).collect().map(_.toSeq).toSeq
+    assert(current == merged,
+      "is_current slice must equal the latest-image MERGE of the same log")
+  }
+
+  test("scdMerge: fold == refit on every seq-boundary split (monotone-LSN contract)") {
+    val refit = Cdc.scdHistory(scdLog)
+      .orderBy(col("key"), col("valid_from")).collect().map(_.toSeq).toSeq
+    // every split point, including empty-first and empty-second
+    (100L to 108L).foreach { cut =>
+      val folded = Cdc.scdMerge(
+        Cdc.scdHistory(scdLog.filter(col("seq") <= cut)),
+        scdLog.filter(col("seq") > cut))
+        .orderBy(col("key"), col("valid_from")).collect().map(_.toSeq).toSeq
+      assert(folded == refit, s"fold at seq<=$cut diverged from refit")
+    }
+    // three-way fold (re-merging a merged history) also matches
+    val threeWay = Cdc.scdMerge(
+      Cdc.scdMerge(
+        Cdc.scdHistory(scdLog.filter(col("seq") <= 103L)),
+        scdLog.filter(col("seq") > 103L && col("seq") <= 105L)),
+      scdLog.filter(col("seq") > 105L))
+      .orderBy(col("key"), col("valid_from")).collect().map(_.toSeq).toSeq
+    assert(threeWay == refit, "chained folds must equal the one-shot refit")
   }
 }

@@ -212,7 +212,7 @@ class LakeTableSpec extends SparkSpec {
     val s2 = graft.streaming.LakeMaintenance.foldOnce(
       spark, dir, ch2, Seq("key"), batchId = Some(1L))
     assert(s2.version == 3)
-    assert(LakeTable.latest(spark, dir).appliedBatches == Set(0L, 1L))
+    assert(LakeTable.latest(spark, dir).appliedBatches == Set("cdc#0", "cdc#1"))
     // the folded table equals one MERGE of the concatenated changelog
     val got = LakeTable.readLive(spark, dir)
       .select(col("key"), col("name"), col("val"))
@@ -530,7 +530,7 @@ class LakeTableSpec extends SparkSpec {
     // row content unchanged byte-for-byte; replay markers carry; the
     // pre-compact version stays travelable
     assert(LakeTable.readLive(spark, dir).orderBy(col("key")).collect().toSeq == preRows)
-    assert(post.appliedBatches == Set(1L, 2L, 3L))
+    assert(post.appliedBatches == Set("ingest#1", "ingest#2", "ingest#3"))
     assert(LakeTable.readAt(spark, dir, pre.version)
       .orderBy(col("key")).collect().toSeq == preRows)
     // maintenance is invisible to changefeed subscribers
@@ -578,5 +578,216 @@ class LakeTableSpec extends SparkSpec {
       spark, dir, (0L until 10L).toDF("key"), Seq("key"))
     assert(stats.filesRewritten == 1 && stats.filesNew == 0)
     assert(LakeTable.readLive(spark, dir).isEmpty)
+  }
+
+  test("deletion vectors: O(tombstones) delete — no data file read or rewritten, every read path shadowed") {
+    val (dir, base) = mkTable("graft-lakedv")
+    val before = LakeTable.latest(spark, dir)
+    val doomed = Seq(3L, 250L, 251L, 799L, 5000L).toDF("key") // 5000 absent
+    val stats = LakeTable.applyTombstonesDv(spark, dir, doomed)
+    val after = LakeTable.latest(spark, dir)
+    // the commit replaces NOTHING: identical data file set, identical
+    // boxes — the whole delete is one sidecar + one manifest rename
+    assert(after.files == before.files && after.boxes == before.boxes)
+    assert(stats.keysListed == 5L)
+    // ...and only box-intersecting files are shadowed (keys 3 / 250,251 /
+    // 799 live in 3 of the 8 ~100-key spans; 5000 is beyond every box)
+    assert(after.deletes.map(_._1).distinct.size == stats.filesShadowed)
+    assert(stats.filesShadowed <= 3, s"shadow set must be box-pruned: $stats")
+    // equality with the rewrite path's semantics, on every read path
+    val live = LakeTable.readLive(spark, dir)
+    assert(live.join(broadcast(doomed), Seq("key"), "left_semi").isEmpty)
+    assert(live.count() == base.count() - 4)
+    assert(LakeTable.readPrunedLive(spark, dir, Seq(("key", 0.0, 300.0)))
+      .join(broadcast(doomed), Seq("key"), "left_semi").isEmpty)
+    // time travel to v1 still serves the tombstoned rows
+    assert(LakeTable.readAt(spark, dir, 1).count() == base.count())
+    // replay under the same batchId no-ops without burning a version
+    val replay = LakeTable.applyTombstonesDv(
+      spark, dir, Seq(77L).toDF("key"), batchId = Some(9L))
+    val replay2 = LakeTable.applyTombstonesDv(
+      spark, dir, Seq(78L).toDF("key"), batchId = Some(9L))
+    assert(replay2.version == replay.version && replay2.filesShadowed == 0)
+  }
+
+  test("deletion vectors: changefeed emits the deleted slice; round-trip; re-insert is not shadowed") {
+    val (dir, base) = mkTable("graft-lakedvf")
+    LakeTable.applyTombstonesDv(spark, dir, Seq(10L, 20L).toDF("key"))
+    val feed = LakeTable.readChanges(spark, dir, 1, 2)
+    val got = feed.orderBy(col("key")).collect()
+      .map(r => (r.getAs[Long]("key"), r.getAs[String]("op"), r.getAs[String]("name")))
+    assert(got.toSeq == Seq((10L, "D", "name_10"), (20L, "D", "name_20")),
+      s"DV-only span must feed exactly the deleted rows with old images: ${got.toSeq}")
+    // round-trip: v1 + feed == v2
+    val asLog = feed.select(col("key"), lit(1L).as("seq"),
+      when(col("op") === "D", "D").otherwise("U").as("op"),
+      col("name"), col("val"))
+    val rt = Cdc.mergeChangelogFull(LakeTable.readAt(spark, dir, 1), asLog)
+      .drop("last_seq").orderBy(col("key")).collect().map(_.toSeq).toSeq
+    val v2 = LakeTable.readAt(spark, dir, 2)
+      .orderBy(col("key")).collect().map(_.toSeq).toSeq
+    assert(rt == v2, "feed round-trip must reproduce v2")
+    // a re-insert lands in a fresh file with NO attachment: visible,
+    // while the shadowed old row stays deleted — file-granular scoping
+    LakeTable.append(Seq((10L, "back", 1.0)).toDF("key", "name", "val"),
+      dir, Seq("key"))
+    val rows10 = LakeTable.readLive(spark, dir).filter(col("key") === 10L)
+      .collect().map(r => r.getAs[String]("name")).toSeq
+    assert(rows10 == Seq("back"), s"re-insert must serve, old row must stay hidden: $rows10")
+    // and a MERGE touching the shadowed span must not resurrect key 20
+    LakeTable.applyChangelog(spark, dir,
+      Seq((21L, 1L, "U", 9.9)).toDF("key", "seq", "op", "val"), Seq("key"))
+    assert(LakeTable.readLive(spark, dir).filter(col("key") === 20L).isEmpty,
+      "rewriting a shadowed file must fold its vectors in, not resurrect")
+    assert(base.count() > 0) // keep base referenced
+  }
+
+  test("materializeDeletes: logical snapshot unchanged, only shadowed files rewritten, vectors dropped, feed empty") {
+    val (dir, _) = mkTable("graft-lakedvm")
+    LakeTable.applyTombstonesDv(spark, dir, Seq(3L, 250L).toDF("key"))
+    val before = LakeTable.latest(spark, dir)
+    val want = LakeTable.readLive(spark, dir)
+      .orderBy(col("key")).collect().map(_.toSeq).toSeq
+    assert(!LakeTable.shouldMaterialize(spark, dir, maxShadowedFraction = 0.5))
+    assert(LakeTable.shouldMaterialize(spark, dir, maxShadowedFraction = 0.1))
+    val stats = LakeTable.materializeDeletes(spark, dir, Seq("key"))
+    val after = LakeTable.latest(spark, dir)
+    assert(after.deletes.isEmpty, "materialization must drop every attachment")
+    assert(stats.filesRewritten == before.deletes.map(_._1).distinct.size)
+    // unshadowed files carry by name
+    val shadowed = before.deletes.map(_._1).toSet
+    assert(before.files.filterNot(shadowed).forall(after.files.contains))
+    val got = LakeTable.readLive(spark, dir)
+      .orderBy(col("key")).collect().map(_.toSeq).toSeq
+    assert(got == want, "materialization changes bytes, never rows")
+    // maintenance is invisible to subscribers
+    assert(LakeTable.readChanges(spark, dir, before.version, after.version).isEmpty)
+    // idempotent: nothing shadowed -> no-op, no version burned
+    val again = LakeTable.materializeDeletes(spark, dir, Seq("key"))
+    assert(again.version == after.version && again.filesRewritten == 0)
+  }
+
+  test("deletion vectors: vacuum retains referenced sidecars, drops orphaned ones") {
+    val (dir, _) = mkTable("graft-lakedvv")
+    LakeTable.applyTombstonesDv(spark, dir, Seq(3L).toDF("key")) // v2
+    val sidecar = LakeTable.latest(spark, dir).deletes.head._2
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // retention window still covers v2 -> sidecar survives
+    LakeTable.vacuum(spark, dir, keepVersions = 2)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$sidecar")))
+    assert(LakeTable.readLive(spark, dir).filter(col("key") === 3L).isEmpty)
+    // materialize (v3), then retain only v3: the sidecar is orphaned
+    LakeTable.materializeDeletes(spark, dir, Seq("key"))
+    val removed = LakeTable.vacuum(spark, dir, keepVersions = 1)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$sidecar")),
+      s"orphaned sidecar must be vacuumed (removed $removed files)")
+    assert(LakeTable.readLive(spark, dir).filter(col("key") === 3L).isEmpty)
+  }
+
+  test("merge-on-read apply: zero files replaced, snapshot == frame MERGE, chained batches compose") {
+    val (dir, base) = mkTable("graft-lakemor")
+    val log1 = Seq(
+      (5L, 101L, "U", "up5", 50.0),   // update
+      (7L, 102L, "D", null, 0.0),     // delete
+      (900L, 103L, "U", "new900", 9.0) // insert beyond every box
+    ).toDF("key", "seq", "op", "name", "val")
+    val before = LakeTable.latest(spark, dir)
+    val stats = LakeTable.applyChangelogFullMor(spark, dir, log1, Seq("key"))
+    val after = LakeTable.latest(spark, dir)
+    // no pre-existing file replaced: old set ⊂ new set; images land fresh
+    assert(before.files.forall(after.files.contains))
+    assert(after.files.size > before.files.size, "fresh image files must land")
+    // keys 5 and 7 shadow their span files; 900 is beyond every box
+    assert(stats.filesShadowed <= 2 && stats.filesShadowed >= 1, s"$stats")
+    assert(after.deletes.forall(d => before.files.contains(d._1)),
+      "vectors attach to pre-commit files only, never the fresh images")
+    val got = LakeTable.readLive(spark, dir)
+      .orderBy(col("key")).collect().map(_.toSeq).toSeq
+    val want = Cdc.mergeChangelogFull(base, log1).drop("last_seq")
+      .orderBy(col("key")).collect().map(_.toSeq).toSeq
+    assert(got == want, "MoR snapshot must equal the frame MERGE")
+    // chained: batch 2 updates key 5 AGAIN (its image lives in batch 1's
+    // fresh file) and deletes 900 — earlier fresh files shadow like base
+    val log2 = Seq(
+      (5L, 201L, "U", "up5b", 55.0),
+      (900L, 202L, "D", null, 0.0)
+    ).toDF("key", "seq", "op", "name", "val")
+    LakeTable.applyChangelogFullMor(spark, dir, log2, Seq("key"))
+    val got2 = LakeTable.readLive(spark, dir)
+      .orderBy(col("key")).collect().map(_.toSeq).toSeq
+    val want2 = Cdc.mergeChangelogFull(
+        Cdc.mergeChangelogFull(base, log1).drop("last_seq"), log2)
+      .drop("last_seq").orderBy(col("key")).collect().map(_.toSeq).toSeq
+    assert(got2 == want2, "chained MoR must equal sequential frame MERGEs")
+    assert(LakeTable.readLive(spark, dir)
+      .filter(col("key") === 5L).collect().map(_.getString(1)).toSeq == Seq("up5b"),
+      "the superseded image in batch 1's fresh file must be shadowed")
+    // materialization folds it all in, snapshot unchanged
+    LakeTable.materializeDeletes(spark, dir, Seq("key"))
+    assert(LakeTable.latest(spark, dir).deletes.isEmpty)
+    val got3 = LakeTable.readLive(spark, dir)
+      .orderBy(col("key")).collect().map(_.toSeq).toSeq
+    assert(got3 == got2)
+    // replay marker
+    val replay = LakeTable.applyChangelogFullMor(
+      spark, dir, log2, Seq("key"), batchId = Some(3L))
+    val replay2 = LakeTable.applyChangelogFullMor(
+      spark, dir, log2, Seq("key"), batchId = Some(3L))
+    assert(replay2.version == replay.version && replay2.filesShadowed == 0)
+  }
+
+  test("streaming MoR arm: folds equal sequential MERGEs; DV forget arm materializes in-loop") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val (dir, base) = mkTable("graft-lakemors")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, Long, String, String, Double)]
+    val q = graft.streaming.LakeMaintenance.attachMor(
+      input.toDF().toDF("key", "seq", "op", "name", "val"), dir, Seq("key"))
+    val log1 = Seq((5L, 101L, "U", "a", 1.0), (7L, 102L, "D", null.asInstanceOf[String], 0.0))
+    val log2 = Seq((5L, 201L, "U", "b", 2.0))
+    try {
+      input.addData(log1)
+      q.processAllAvailable()
+      input.addData(log2)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = LakeTable.readLive(spark, dir)
+      .orderBy(col("key")).collect().map(_.toSeq).toSeq
+    val want = Cdc.mergeChangelogFull(
+        Cdc.mergeChangelogFull(base, log1.toDF("key", "seq", "op", "name", "val"))
+          .drop("last_seq"),
+        log2.toDF("key", "seq", "op", "name", "val"))
+      .drop("last_seq").orderBy(col("key")).collect().map(_.toSeq).toSeq
+    assert(got == want, "streamed MoR folds must equal sequential MERGEs")
+
+    // DV forget arm with an aggressive in-loop materialize trigger: the
+    // vectors fold in before the stream stops, rows stay deleted
+    val input2 = MemoryStream[Long]
+    val q2 = graft.streaming.LakeMaintenance.attachTombstonesDv(
+      input2.toDF().toDF("key"), dir, Seq("key"),
+      materializeAtShadowedFraction = Some(0.0))
+    try {
+      input2.addData(Seq(3L, 11L))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(LakeTable.latest(spark, dir).deletes.isEmpty,
+      "the in-loop trigger must have materialized the vectors")
+    assert(LakeTable.readLive(spark, dir)
+      .filter(col("key").isin(3L, 11L)).isEmpty)
+  }
+
+  test("deletion vectors: compaction folds a shadowed sliver's vectors in") {
+    val dir = Files.createTempDirectory("graft-lakedvc").toString + "/t"
+    val base = (0L until 100L).map(k => (k, s"n$k", k.toDouble)).toDF("key", "name", "val")
+    LakeTable.init(base, dir, Seq("key"), nFiles = 1)
+    LakeTable.append((100L until 130L).map(k => (k, s"n$k", k.toDouble))
+      .toDF("key", "name", "val"), dir, Seq("key"))
+    LakeTable.applyTombstonesDv(spark, dir, Seq(105L).toDF("key"))
+    LakeTable.compact(spark, dir, Seq("key"), targetFileBytes = 1L << 20)
+    val after = LakeTable.latest(spark, dir)
+    assert(after.deletes.isEmpty, "compacted slivers' vectors must fold in")
+    assert(LakeTable.readLive(spark, dir).count() == 129L)
+    assert(LakeTable.readLive(spark, dir).filter(col("key") === 105L).isEmpty)
   }
 }
