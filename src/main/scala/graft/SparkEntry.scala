@@ -678,6 +678,16 @@ object SparkEntry {
     "q_scd2" -> ((s, d) =>
       operators.Cdc.scdHistory(cdcChangelogFull(s, d))
         .withColumn("is_current", col("is_current").cast("int"))),
+    // ...and the read SCD2 exists for: the dimension AS OF the log's
+    // seq midpoint — a pure half-open-interval filter on the history
+    // (each key serves at most one row; 'D'-closed keys serve none)
+    "q_scd2_asof" -> ((s, d) => {
+      val log = cdcChangelogFull(s, d)
+      val mid = log.agg(((org.apache.spark.sql.functions.min(col("seq")) +
+          org.apache.spark.sql.functions.max(col("seq"))) / 2).as("m"))
+        .first().getDouble(0)
+      operators.Cdc.scdAsOf(operators.Cdc.scdHistory(log), mid)
+    }),
     // the incremental SCD2 fold, checked against the REFIT oracle: fold
     // the first half of the log, merge the second half in — the oracle
     // derives the whole history in one pass, so the hash proves
@@ -3817,6 +3827,20 @@ object SparkEntry {
         |SELECT key, name, val, seq AS valid_from, valid_to,
         |  CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS is_current
         |FROM h WHERE op = 'U' ORDER BY key, valid_from""".stripMargin,
+    // point-in-time: the interval covering the seq midpoint per key
+    // (half-open, so exactly one row per then-existing key)
+    "q_scd2_asof" ->
+      """WITH ch AS (SELECT o_custkey AS key, o_orderkey AS seq,
+        |    CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op,
+        |    o_orderpriority AS name, o_totalprice AS val
+        |  FROM orders WHERE o_orderkey % 3 <> 0 AND o_custkey % 17 <> 3),
+        |h AS (SELECT *, LEAD(seq) OVER (PARTITION BY key ORDER BY seq) AS valid_to
+        |  FROM ch),
+        |t AS (SELECT (MIN(seq) + MAX(seq)) / 2 AS mid FROM ch)
+        |SELECT key, name, val, seq AS valid_from, valid_to
+        |FROM h, t WHERE op = 'U' AND seq <= mid
+        |  AND (valid_to IS NULL OR valid_to > mid)
+        |ORDER BY key""".stripMargin,
     // the incremental fold's oracle is the REFIT: one-pass history of
     // the whole log — identical SQL, so hash-match proves fold == refit
     "q_scd2_merge" ->

@@ -359,6 +359,37 @@ object StreamBench {
       graft.streaming.LakeMaintenance.attach(src, lakeDir, Seq("key"), nFilesNew = 4)
     }
 
+    // --- timed: MERGE-ON-READ lake maintenance (paired with the row
+    // above): the same change stream, full-image-ified, folds through
+    // applyChangelogFullMor — each batch commits one deletion-vector
+    // sidecar + fresh image files, reading ZERO existing data, with the
+    // in-loop materialize trigger folding vectors when a third of the
+    // files are shadowed. The delta vs the MoW row is the
+    // ingest-latency / read-amplification trade, measured.
+    val lakeDirM = s"$root/laketabmor"
+    graft.sources.LakeTable.init(
+      spark.range(100000L).select(
+        org.apache.spark.sql.functions.col("id").as("key"),
+        org.apache.spark.sql.functions.concat(
+          org.apache.spark.sql.functions.lit("n"),
+          org.apache.spark.sql.functions.col("id")).as("name"),
+        (org.apache.spark.sql.functions.col("id") % 997L).cast("double").as("val")),
+      lakeDirM, Seq("key"), nFiles = 8)
+    timeQuery("lake maintenance MERGE-ON-READ (DV sidecar + fresh images per batch)", nChanges) {
+      val src = spark.readStream
+        .schema(org.apache.spark.sql.Encoders.product[
+          graft.streaming.CdcStream.Change].schema)
+        .option("maxFilesPerTrigger", "4")
+        .parquet(s"$root/changes")
+        .withColumnRenamed("value", "val")
+        .withColumn("name", org.apache.spark.sql.functions.concat(
+          org.apache.spark.sql.functions.lit("n"),
+          org.apache.spark.sql.functions.col("key")))
+      graft.streaming.LakeMaintenance.attachMor(
+        src, lakeDirM, Seq("key"), nFilesNew = 4,
+        materializeAtShadowedFraction = Some(0.34))
+    }
+
     // --- timed: LOCKSTEP lake maintenance (table + derived view) ---
     // the end-to-end incremental pipeline: per micro-batch, the changelog
     // folds into the table AND the materialized rollup advances via the

@@ -194,6 +194,23 @@ object Cdc {
       .orderBy(col("key"), col("valid_from"))
   }
 
+  /** POINT-IN-TIME dimension lookup — the read [[scdHistory]] exists to
+    * serve: the snapshot as of LSN `t`, i.e. every interval with
+    * `valid_from <= t < valid_to` (open intervals unbounded above). The
+    * half-open convention makes the probe a partition of history: each
+    * key serves AT MOST one row for any t, exactly one iff the key
+    * existed (a 'D'-closed key serves none). A pure filter — on a
+    * history landed partitioned/clustered by validity this is a pruned
+    * scan, never a window or join.
+    */
+  def scdAsOf(history: DataFrame, t: Double): DataFrame =
+    history
+      .filter(col("valid_from") <= t &&
+        (col("valid_to").isNull || col("valid_to") > t))
+      .select(col("key"), col("name"), col("val"),
+        col("valid_from"), col("valid_to"))
+      .orderBy(col("key"))
+
   /** Incremental SCD2 fold — apply a NEW changelog slice to an existing
     * history WITHOUT re-deriving it, under the monotone-LSN contract
     * (every new seq for a key exceeds every seq already folded for it —

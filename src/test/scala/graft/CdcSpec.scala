@@ -187,6 +187,20 @@ class CdcSpec extends SparkSpec {
       "is_current slice must equal the latest-image MERGE of the same log")
   }
 
+  test("scdAsOf: half-open probe serves at most one row per key, none for deleted keys") {
+    val h = Cdc.scdHistory(scdLog)
+    def asOf(t: Double) = Cdc.scdAsOf(h, t).collect()
+      .map(r => (r.getAs[Long]("key"), r.getAs[String]("name"))).toSeq
+    // t = 103 is key 1's boundary: the HALF-OPEN rule serves the NEW
+    // image a2 (valid [103, ∞)), never both and never the old one
+    assert(asOf(103.0) == Seq((1L, "a2"), (2L, "b1")))
+    // t = 104 is key 2's delete point: the key serves NOTHING from then
+    assert(asOf(104.0) == Seq((1L, "a2")))
+    // before everything: empty; after everything: the current snapshot
+    assert(asOf(100.0).isEmpty)
+    assert(asOf(999.0) == Seq((1L, "a2"), (3L, "c1"), (4L, "d1")))
+  }
+
   test("scdMerge: fold == refit on every seq-boundary split (monotone-LSN contract)") {
     val refit = Cdc.scdHistory(scdLog)
       .orderBy(col("key"), col("valid_from")).collect().map(_.toSeq).toSeq

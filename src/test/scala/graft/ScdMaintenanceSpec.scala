@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.operators.Cdc
+import graft.streaming.ScdMaintainer
+
+class ScdMaintenanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(tag: String) =
+    java.nio.file.Files.createTempDirectory(s"graft-scdm-$tag").toString
+
+  // orders replayed as a full-image changelog (the q_scd2 fixture shape)
+  private def log = Tables.orders(spark, sf)
+    .filter(col("o_orderkey") % 3 =!= 0 && col("o_custkey") % 17 =!= 3)
+    .select(
+      col("o_custkey").as("key"), col("o_orderkey").as("seq"),
+      when(col("o_orderstatus") === "F", lit("D")).otherwise(lit("U")).as("op"),
+      col("o_orderpriority").as("name"), col("o_totalprice").as("val"))
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.select(col("key"), col("name"), col("val"), col("valid_from"),
+      col("valid_to"), col("is_current"))
+      .collect().map(_.toSeq).toSet
+
+  test("chained stream folds equal the one-shot refit; current slice == latest-image MERGE") {
+    val bounds = log.agg(
+      org.apache.spark.sql.functions.min(col("seq")),
+      org.apache.spark.sql.functions.max(col("seq"))).first()
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val cut1 = lo + (hi - lo) / 3
+    val cut2 = lo + 2 * (hi - lo) / 3
+    val m = ScdMaintainer.build(log.filter(col("seq") <= cut1), tmp("chain"))
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, String, String, Double)]
+    val q = m.attach(input.toDF().toDF("key", "seq", "op", "name", "val"))
+    val mid = log.filter(col("seq") > cut1 && col("seq") <= cut2)
+      .as[(Long, Long, String, String, Double)].collect()
+    val late = log.filter(col("seq") > cut2)
+      .as[(Long, Long, String, String, Double)].collect()
+    try {
+      input.addData(mid.toSeq); q.processAllAvailable()
+      input.addData(late.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    assert(rows(m.history) == rows(Cdc.scdHistory(log)),
+      "streamed folds must equal the one-shot refit")
+    val current = m.current.select(col("key"), col("name"), col("val"))
+      .orderBy(col("key")).collect().map(_.toSeq).toSeq
+    val merged = Cdc.mergeChangelogFull(
+        m.history.select(col("key"), col("name"), col("val")).limit(0), log)
+      .drop("last_seq").orderBy(col("key")).collect().map(_.toSeq).toSeq
+    assert(current == merged,
+      "the current slice must equal the latest-image MERGE of the log")
+  }
+
+  test("kill/restart: recovered folds equal uninterrupted; redelivery no-ops; markerless dirs invisible") {
+    val dir = tmp("recover")
+    val mid = log.agg((org.apache.spark.sql.functions.min(col("seq")) +
+      org.apache.spark.sql.functions.max(col("seq"))) / 2).first().getDouble(0)
+    val m1 = ScdMaintainer.build(log.filter(col("seq") <= mid), dir)
+    val slice = log.filter(col("seq") > mid)
+    assert(m1.fold(slice, Some(7L)))
+    // crash: a new process reopens the landed state
+    val m2 = ScdMaintainer.recover(spark, dir)
+    assert(m2.foldedBatches == Set(7L))
+    assert(!m2.fold(slice, Some(7L)), "redelivered batchId must not refold")
+    assert(rows(m2.history) == rows(Cdc.scdHistory(log)),
+      "recovered fold chain must equal the uninterrupted refit")
+    // a fold that died after the parquet write, before the marker
+    Cdc.scdHistory(log.limit(10)).write.partitionBy("is_current")
+      .parquet(s"$dir/history/v000009")
+    assert(rows(ScdMaintainer.recover(spark, dir).history) ==
+      rows(Cdc.scdHistory(log)),
+      "an uncommitted version must be invisible to recovery and reads")
+  }
+
+  test("empty start: a fresh dimension builds from an empty log and folds from nothing") {
+    val dir = tmp("empty")
+    val m = ScdMaintainer.build(log.limit(0), dir)
+    assert(m.history.isEmpty && m.current.isEmpty)
+    val firstRows = Seq((1L, 10L, "U", "a", 1.0), (1L, 20L, "U", "b", 2.0),
+      (2L, 15L, "U", "c", 3.0), (2L, 25L, "D", null, 0.0))
+    assert(m.fold(firstRows.toDF("key", "seq", "op", "name", "val"), Some(0L)))
+    val h = m.history.orderBy(col("key"), col("valid_from")).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        Option(r.getAs[java.lang.Long]("valid_to")).map(_.toLong),
+        r.getBoolean(5))).toSeq
+    assert(h == Seq(
+      (1L, "a", Some(20L), false), (1L, "b", None, true),
+      (2L, "c", Some(25L), false)), s"got $h")
+  }
+}
