@@ -323,6 +323,28 @@ object LakeSink {
       .collect().toSeq
   }
 
+  /** Per-file row counts from the parquet footers — the same
+    * metadata-sized distributed read as [[boxesOf]], collected once at
+    * commit time so `count(*)` never has to open a data file again.
+    */
+  private[sources] def rowCountsOf(
+      spark: org.apache.spark.sql.SparkSession,
+      files: Seq[String]): Seq[(String, Long)] = {
+    if (files.isEmpty) return Nil
+    spark.sparkContext
+      .parallelize(files, math.max(1, math.min(files.size, 32)))
+      .map { f =>
+        import scala.jdk.CollectionConverters._
+        val conf = new org.apache.hadoop.conf.Configuration()
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(f), conf))
+        try (f, reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum)
+        finally reader.close()
+      }
+      .collect().toSeq
+  }
+
   private[sources] def listParquet(
       spark: org.apache.spark.sql.SparkSession, path: String): Seq[String] = {
     val p = new org.apache.hadoop.fs.Path(path)

@@ -63,7 +63,8 @@ object LakeTable {
       boxes: Seq[(String, String, Double, Double)],
       schemaDdl: String,
       appliedBatches: Set[String] = Set.empty,
-      deletes: Seq[(String, String)] = Seq.empty)
+      deletes: Seq[(String, String)] = Seq.empty,
+      rowCounts: Map[String, Long] = Map.empty)
 
   /** What a maintenance pass did — the audit row it publishes. */
   final case class ApplyStats(
@@ -106,7 +107,9 @@ object LakeTable {
     writeCommit(spark, path, 1,
       files.map(rel(path, _)),
       boxes.map { case (f, c, mn, mx) => (rel(path, f), c, mn, mx) },
-      df.schema.toDDL)
+      df.schema.toDDL,
+      rowCounts = LakeSink.rowCountsOf(spark, files)
+        .map { case (f, n) => (rel(path, f), n) }.toMap)
   }
 
   /** Every committed version number, ascending. */
@@ -142,7 +145,9 @@ object LakeTable {
       l.split('\t')(1) }.toSet
     val deletes = lines.collect { case l if l.startsWith("D\t") =>
       val p = l.split('\t'); (p(1), p(2)) }
-    Commit(version, files, boxes, ddl, applied, deletes)
+    val rowCounts = lines.collect { case l if l.startsWith("R\t") =>
+      val p = l.split('\t'); (p(1), p(2).toLong) }.toMap
+    Commit(version, files, boxes, ddl, applied, deletes, rowCounts)
   }
 
   /** The latest committed version — the ONLY thing readers trust. */
@@ -407,7 +412,10 @@ object LakeTable {
       kept ++ fresh.map(rel(path, _)),
       c.boxes.filterNot(b => smallSet(b._1)) ++ freshBoxes,
       c.schemaDdl, c.appliedBatches,
-      deletes = c.deletes.filterNot(d => smallSet(d._1)))
+      deletes = c.deletes.filterNot(d => smallSet(d._1)),
+      rowCounts = c.rowCounts.view.filterKeys(!smallSet(_)).toMap ++
+        LakeSink.rowCountsOf(spark, fresh)
+          .map { case (f, n) => (rel(path, f), n) })
     ApplyStats(committed.version, small.size, kept.size, fresh.size)
   }
 
@@ -658,7 +666,8 @@ object LakeTable {
       try {
         writeCommit(spark, path, c.version + 1, c.files, c.boxes,
           c.schemaDdl, c.appliedBatches ++ marker,
-          c.deletes ++ shadowed.map(f => (f, dvRel)))
+          c.deletes ++ shadowed.map(f => (f, dvRel)),
+          rowCounts = c.rowCounts)
         return DvStats(c.version + 1, shadowed.size, nKeys)
       } catch {
         case e: CommitConflictException =>
@@ -667,6 +676,26 @@ object LakeTable {
       }
     }
     throw lastConflict
+  }
+
+  /** `count(*)` without opening data files — the metadata-only query
+    * every lake format serves from its manifest. Each commit records
+    * per-file footer row counts (`R` lines); a counted file with no
+    * deletion vector contributes its manifest number, and ONLY files
+    * that are shadowed (their count depends on the anti-join) or
+    * predate the R lines (legacy manifests) are actually read. On a
+    * maintained table the answer is pure driver arithmetic over the
+    * manifest — O(files) metadata, zero IO — which is what makes
+    * row-count monitoring of a 100 TB table free.
+    */
+  def countLive(spark: SparkSession, path: String): Long = {
+    val c = latest(spark, path)
+    val shadowed = c.deletes.map(_._1).toSet
+    val (metadata, mustRead) =
+      c.files.partition(f => !shadowed(f) && c.rowCounts.contains(f))
+    metadata.map(c.rowCounts).sum +
+      (if (mustRead.isEmpty) 0L
+       else readFilesResolved(spark, path, c, mustRead).count())
   }
 
   /** Land one equality-delete sidecar under `_deletes/`: one part file,
@@ -770,7 +799,9 @@ object LakeTable {
           c.boxes ++ freshBoxes,
           unionDdl(c.schemaDdl, images.schema),
           c.appliedBatches ++ marker,
-          c.deletes ++ dvAttach)
+          c.deletes ++ dvAttach,
+          rowCounts = c.rowCounts ++ LakeSink.rowCountsOf(spark, fresh)
+            .map { case (f, n) => (rel(path, f), n) })
         return DvStats(c.version + 1, shadowed.size, nKeys)
       } catch {
         case e: CommitConflictException => lastConflict = e
@@ -832,7 +863,10 @@ object LakeTable {
     val committed = writeCommit(spark, path, c.version + 1,
       kept ++ fresh.map(rel(path, _)),
       c.boxes.filterNot(b => shadowedSet(b._1)) ++ freshBoxes,
-      c.schemaDdl, c.appliedBatches, deletes = Seq.empty)
+      c.schemaDdl, c.appliedBatches, deletes = Seq.empty,
+      rowCounts = c.rowCounts.view.filterKeys(!shadowedSet(_)).toMap ++
+        LakeSink.rowCountsOf(spark, fresh)
+          .map { case (f, n) => (rel(path, f), n) })
     ApplyStats(committed.version, shadowed.size, kept.size, fresh.size)
   }
 
@@ -932,7 +966,10 @@ object LakeTable {
       c.appliedBatches ++ appliedBatch,
       // a replaced file's vectors are folded into its rewrite above;
       // untouched files keep their attachments verbatim
-      deletes = c.deletes.filterNot(d => touchedSet(d._1)))
+      deletes = c.deletes.filterNot(d => touchedSet(d._1)),
+      rowCounts = c.rowCounts.view.filterKeys(!touchedSet(_)).toMap ++
+        LakeSink.rowCountsOf(spark, fresh)
+          .map { case (f, n) => (rel(path, f), n) })
     // replaced files become invisible at the commit point but stay ON
     // DISK: they back time travel (readAt) until vacuum's retention
     // window drops them — GC is a policy decision, not a correctness one
@@ -974,7 +1011,9 @@ object LakeTable {
       .map { case (f, cn, mn, mx) => (rel(path, f), cn, mn, mx) }
     val committed = writeCommit(spark, path, c.version + 1,
       fresh.map(rel(path, _)), freshBoxes,
-      unionDdl(c.schemaDdl, rows.schema), c.appliedBatches)
+      unionDdl(c.schemaDdl, rows.schema), c.appliedBatches,
+      rowCounts = LakeSink.rowCountsOf(spark, fresh)
+        .map { case (f, n) => (rel(path, f), n) }.toMap)
     ApplyStats(committed.version, c.files.size, 0, fresh.size)
   }
 
@@ -990,7 +1029,8 @@ object LakeTable {
       boxes: Seq[(String, String, Double, Double)],
       schemaDdl: String,
       appliedBatches: Set[String] = Set.empty,
-      deletes: Seq[(String, String)] = Seq.empty): Commit = {
+      deletes: Seq[(String, String)] = Seq.empty,
+      rowCounts: Map[String, Long] = Map.empty): Commit = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(new Path(s"$path/_commits"))
     val tmp = new Path(s"$path/_commits/.tmp-${java.util.UUID.randomUUID()}")
@@ -1008,6 +1048,9 @@ object LakeTable {
       deletes.sorted.foreach { case (f, dv) =>
         sb.append("D\t").append(f).append('\t').append(dv).append('\n')
       }
+      rowCounts.toSeq.sorted.foreach { case (f, n) =>
+        sb.append("R\t").append(f).append('\t').append(n).append('\n')
+      }
       out.write(sb.toString.getBytes("UTF-8"))
     } finally out.close()
     val dest = new Path(f"$path/_commits/v$version%09d.txt")
@@ -1016,7 +1059,7 @@ object LakeTable {
       throw new CommitConflictException(
         s"LakeTable: commit v$version lost the rename race at $path")
     }
-    Commit(version, files, boxes, schemaDdl, appliedBatches, deletes)
+    Commit(version, files, boxes, schemaDdl, appliedBatches, deletes, rowCounts)
   }
 
   /** The commit's schema as a READER schema: every field nullable,

@@ -777,6 +777,46 @@ class LakeTableSpec extends SparkSpec {
       .filter(col("key").isin(3L, 11L)).isEmpty)
   }
 
+  test("countLive: metadata-only on a clean table, reads only shadowed files under vectors") {
+    val (dir, base) = mkTable("graft-lakecount")
+    assert(LakeTable.countLive(spark, dir) == base.count())
+    // metadata-only PROOF: every data file deleted from disk, the count
+    // still answers from the manifest's R lines alone
+    val c1 = LakeTable.latest(spark, dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stash = java.nio.file.Files.createTempDirectory("graft-stash").toString
+    c1.files.foreach { f =>
+      fs.rename(new org.apache.hadoop.fs.Path(s"$dir/$f"),
+        new org.apache.hadoop.fs.Path(s"$stash/${f.replace('/', '_')}"))
+    }
+    assert(LakeTable.countLive(spark, dir) == base.count(),
+      "a clean table's count must not open any data file")
+    c1.files.foreach { f =>
+      fs.rename(new org.apache.hadoop.fs.Path(s"$stash/${f.replace('/', '_')}"),
+        new org.apache.hadoop.fs.Path(s"$dir/$f"))
+    }
+    // under deletion vectors only the SHADOWED files are read: the count
+    // is exact (sidecar keys that match nothing must not subtract)
+    LakeTable.applyTombstonesDv(spark, dir, Seq(3L, 250L, 5000L).toDF("key"))
+    assert(LakeTable.countLive(spark, dir) == base.count() - 2)
+    assert(LakeTable.countLive(spark, dir) ==
+      LakeTable.readLive(spark, dir).count())
+    // materialization restores the metadata-only answer
+    LakeTable.materializeDeletes(spark, dir, Seq("key"))
+    val c2 = LakeTable.latest(spark, dir)
+    assert(c2.files.forall(c2.rowCounts.contains),
+      "every live file must carry a manifest row count")
+    assert(LakeTable.countLive(spark, dir) == base.count() - 2)
+    // counts survive MERGE / compact / MoR commits too
+    LakeTable.applyChangelog(spark, dir,
+      Seq((20L, 1L, "U", 9.9), (21L, 2L, "D", 0.0), (950L, 3L, "U", 1.0))
+        .toDF("key", "seq", "op", "val"), Seq("key"))
+    assert(LakeTable.countLive(spark, dir) == base.count() - 2) // -21, +950
+    val c3 = LakeTable.latest(spark, dir)
+    assert(c3.files.forall(c3.rowCounts.contains))
+  }
+
   test("deletion vectors: compaction folds a shadowed sliver's vectors in") {
     val dir = Files.createTempDirectory("graft-lakedvc").toString + "/t"
     val base = (0L until 100L).map(k => (k, s"n$k", k.toDouble)).toDF("key", "name", "val")
