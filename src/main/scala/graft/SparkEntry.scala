@@ -64,6 +64,20 @@ object SparkEntry {
     "q_materialize_seqs" -> ((s, d) => operators.Curation.materializeSequences(Tables.documents(s, d))),
     // dataloader assignment: deterministic shuffle/shard + length buckets
     "q_shuffle_shards" -> ((s, d) => operators.Curation.shuffleShards(Tables.documents(s, d))),
+    // GLOBAL row number without the one-partition window: range shuffle +
+    // parallel per-partition windows + broadcast prefix-sum offsets — the
+    // oracle is the window SQL this replaces, so hash-match proves the
+    // distributed ranking exact (ties broken by key: a total order)
+    "q_global_rank" -> ((s, d) =>
+      operators.Relational.globalRowNumber(
+        Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice")),
+        Seq(col("o_totalprice").desc, col("o_orderkey").asc))
+        .orderBy(col("o_orderkey"))),
+    // curriculum staging: global quality rank (1 = best, doc_id ties) +
+    // exact-NTILE stage buckets, easy->hard — rank via the distributed
+    // global sort, stage as a stateless projection on the rank
+    "q_curriculum" -> ((s, d) =>
+      operators.Curation.curriculumStages(Tables.documents(s, d))),
     "q_length_buckets" -> ((s, d) => operators.Curation.lengthBuckets(Tables.documents(s, d))),
     // LLM-pipeline: subword (BPE-style) tokenization — fit the merges table
     // on the corpus, serve as a row-local fold (Subword scaladoc)
@@ -2524,6 +2538,29 @@ object SparkEntry {
         |  CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens,
         |  string_agg(text, '<|endoftext|>' ORDER BY doc_id) AS seq_text
         |FROM p GROUP BY source, seq_id ORDER BY source, seq_id""".stripMargin,
+    // the oracle is exactly the single-window SQL the distributed
+    // ranking replaces — hash-match proves them identical
+    "q_global_rank" ->
+      """SELECT o_orderkey, o_totalprice,
+        |  ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rank
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    // global quality rank + NTILE staging, recomputed as the one-window
+    // form over the same 6-dp quality score
+    "q_curriculum" ->
+      s"""WITH s AS (SELECT doc_id,
+         |  CAST(len(string_split(text,' ')) AS DOUBLE) AS tc,
+         |  CAST(${duckStopHits(enStopList)} AS DOUBLE) AS sw,
+         |  CAST(list_sum(list_transform(string_split(text,' '), t -> CAST(length(t) AS BIGINT))) AS DOUBLE) AS totlen
+         |FROM documents),
+         |q AS (SELECT doc_id,
+         |  round(least(1.0, tc/100.0)*0.5 +
+         |    (CASE WHEN sw/tc BETWEEN 0.01 AND 0.5 THEN 0.3 ELSE 0.0 END) +
+         |    (CASE WHEN totlen/tc BETWEEN 3.0 AND 8.0 THEN 0.2 ELSE 0.0 END), 6) AS quality
+         |FROM s)
+         |SELECT doc_id, quality,
+         |  ROW_NUMBER() OVER (ORDER BY quality DESC, doc_id) AS rank,
+         |  NTILE(4) OVER (ORDER BY quality DESC, doc_id) AS stage
+         |FROM q ORDER BY doc_id""".stripMargin,
     "q_shuffle_shards" ->
       """WITH t AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
         |s AS (SELECT doc_id, h,

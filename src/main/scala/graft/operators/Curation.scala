@@ -658,4 +658,30 @@ object Curation {
         col("rejected_id"), col("chosen_q"), col("rejected_q"), col("margin"))
       .orderBy(col("source"), col("lang"))
   }
+
+  /** CURRICULUM staging — the data-ordering step between curation and
+    * the dataloader when training wants easy→hard progression (Bengio
+    * et al. 2009): every doc gets its GLOBAL quality rank (1 = highest,
+    * ties broken by doc_id so the order is total and engine-exact) and
+    * an equal-size stage bucket 1..nStages, stage 1 served first. Rank
+    * and staging are [[Relational.globalRowNumber]] + [[Relational
+    * .ntileOf]] — the distributed global sort, never the accidental
+    * one-partition `NTILE() OVER (ORDER BY ...)` window; the quality
+    * signal is the SAME 6-dp score the gate and the preference pairs
+    * use, so a corpus curates, stages, and packs under one metric.
+    * Cost: one narrow (doc_id, quality) range shuffle + the barrier;
+    * the text column never moves.
+    */
+  def curriculumStages(docs: DataFrame, nStages: Int = 4): DataFrame = {
+    require(nStages >= 1, "need at least one stage")
+    val scored = Par.spread(docs)
+      .select(col("doc_id"), TextAnalysis.qualityColumn.as("quality"))
+    val total = scored.count()
+    val ranked = Relational.globalRowNumber(
+      scored, Seq(col("quality").desc, col("doc_id").asc), as = "rank")
+    ranked
+      .withColumn("stage", Relational.ntileOf(col("rank"), total, nStages))
+      .select(col("doc_id"), col("quality"), col("rank"), col("stage"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -1058,4 +1058,65 @@ object Relational {
       .agg(count(lit(1)).as("n_users"))
       .orderBy(col("depth"))
   }
+
+  /** GLOBAL row numbering WITHOUT the single-partition window. The naive
+    * `row_number() OVER (ORDER BY ...)` has an empty PARTITION BY, so
+    * Spark plans one exchange to ONE partition and a single task sorts
+    * the world — the canonical accidental scale-killer. This is the
+    * distributed equivalent, exact for a TOTAL ordering (pass a unique
+    * tiebreaker as the last sort column):
+    *
+    *   1. range-repartition + in-partition sort on the sort columns —
+    *      the same machinery a global `orderBy` uses, n-way parallel;
+    *   2. localCheckpoint pins that placement (the barrier every
+    *      two-pass consumer of one shuffle pays here — rank ONLY a
+    *      narrow projection and join back by id if rows are wide);
+    *   3. per-partition row counts (metadata-sized) collect to the
+    *      driver; their prefix sums are each partition's global offset;
+    *   4. rank = per-partition `row_number` (a PARALLEL window keyed by
+    *      the partition id) + the broadcast offset.
+    *
+    * One range shuffle + one barrier, no single-task stage anywhere.
+    */
+  def globalRowNumber(
+      df: DataFrame, sortCols: Seq[Column], as: String = "rank",
+      nPartitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val n =
+      if (nPartitions > 0) nPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val ranged = df.repartitionByRange(n, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint()
+    val counts = ranged.groupBy(col("_pid")).agg(count(lit(1)).as("c"))
+      .as[(Int, Long)].collect().sortBy(_._1)
+    val offsets = counts.map(_._1)
+      .zip(counts.map(_._2).scanLeft(0L)(_ + _).init)
+    val offDf = offsets.toSeq.toDF("_pid", "_off")
+    val w = Window.partitionBy(col("_pid")).orderBy(sortCols: _*)
+    ranged
+      .join(broadcast(offDf), Seq("_pid"))
+      .withColumn(as, row_number().over(w).cast("long") + col("_off"))
+      .drop("_pid", "_off")
+  }
+
+  /** Exact NTILE from a 1-based global rank: the first `total % tiles`
+    * buckets hold `ceil(total/tiles)` rows, the rest `floor` — the SQL
+    * NTILE contract, computed as a stateless projection on
+    * [[globalRowNumber]]'s output instead of another one-partition
+    * window.
+    */
+  def ntileOf(rank: Column, total: Long, tiles: Int): Column = {
+    require(tiles > 0, s"ntileOf: tiles must be positive, got $tiles")
+    val sz = total / tiles
+    val big = total % tiles
+    // Column `/` is DOUBLE division — floor+cast makes both branches the
+    // integer division the NTILE arithmetic needs
+    def idiv(a: Column, b: Long): Column = floor(a / b).cast("long")
+    if (sz == 0) rank // more tiles than rows: each row its own bucket
+    else when(rank <= big * (sz + 1), idiv(rank - 1, sz + 1) + 1)
+      .otherwise(lit(big) + idiv(rank - big * (sz + 1) - 1, sz) + 1)
+  }
 }

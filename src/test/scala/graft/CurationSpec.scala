@@ -400,4 +400,59 @@ class CurationSpec extends SparkSpec {
     assert(got(3L) == ((2L, 2L, 1.0)))
     assert(got(4L) == ((2L, 2L, 1.0)))
   }
+
+  test("globalRowNumber == the one-partition window, across many partitions and tie groups") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    // 1000 rows, only 10 distinct sort values -> heavy ties; id breaks them
+    val df = spark.range(1000L).select(
+      col("id"), (col("id") % 10L).cast("double").as("v"))
+    val sortCols = Seq(col("v").desc, col("id").asc)
+    val got = graft.operators.Relational
+      .globalRowNumber(df, sortCols, as = "rank", nPartitions = 8)
+      .orderBy(col("id")).collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    val want = df.withColumn("rank",
+        row_number().over(Window.orderBy(sortCols: _*)).cast("long"))
+      .orderBy(col("id")).collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(got == want, "distributed rank must equal the single-window rank")
+    // and it really ran range-partitioned: more than one partition held rows
+    val pids = graft.operators.Relational
+      .globalRowNumber(df, sortCols, as = "rank", nPartitions = 8)
+      .select(spark_partition_id()).distinct().count()
+    assert(pids > 1, "rank must not have collapsed to one partition")
+  }
+
+  test("ntileOf matches SQL NTILE semantics on uneven and degenerate splits") {
+    import org.apache.spark.sql.functions._
+    def buckets(total: Long, tiles: Int): Seq[Long] = {
+      val ranks = spark.range(1L, total + 1).select(col("id").as("rank"))
+      ranks.select(graft.operators.Relational
+          .ntileOf(col("rank"), total, tiles).cast("long").as("b"))
+        .orderBy(col("b")).groupBy(col("b")).count()
+        .orderBy(col("b")).collect().map(_.getLong(1)).toSeq
+    }
+    assert(buckets(10, 4) == Seq(3, 3, 2, 2))  // first N%n buckets take ceil
+    assert(buckets(12, 4) == Seq(3, 3, 3, 3))  // even split
+    assert(buckets(3, 5) == Seq(1, 1, 1))      // more tiles than rows
+    assert(buckets(7, 1) == Seq(7))            // single tile
+  }
+
+  test("curriculumStages: stage 1 is the highest-quality slice, stages are NTILE-sized") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf)
+    val staged = Curation.curriculumStages(docs, nStages = 4)
+    val n = docs.count()
+    val sizes = staged.groupBy(col("stage")).count()
+      .orderBy(col("stage")).collect().map(_.getLong(1)).toSeq
+    assert(sizes.sum == n && sizes.size == 4)
+    assert(sizes.max - sizes.min <= 1, s"NTILE buckets differ by at most 1: $sizes")
+    // monotone contract: every stage-1 quality >= every stage-4 quality
+    val s1min = staged.filter(col("stage") === 1)
+      .agg(org.apache.spark.sql.functions.min(col("quality"))).first().getDouble(0)
+    val s4max = staged.filter(col("stage") === 4)
+      .agg(org.apache.spark.sql.functions.max(col("quality"))).first().getDouble(0)
+    assert(s1min >= s4max, s"stage 1 min $s1min must be >= stage 4 max $s4max")
+    // rank is a permutation of 1..n
+    assert(staged.agg(sum(col("rank"))).first().getLong(0) == n * (n + 1) / 2)
+  }
 }
