@@ -702,6 +702,17 @@ object SparkEntry {
         .first().getDouble(0)
       operators.Cdc.scdAsOf(operators.Cdc.scdHistory(log), mid)
     }),
+    // the TEMPORAL dimension join SCD2 exists to serve: the %3≡0 orders
+    // (exactly the ones the changelog EXCLUDES — independent facts) each
+    // join the dimension version valid at their own LSN; facts before a
+    // key's first version or after its delete keep NULL dimensions
+    "q_scd2_join" -> ((s, d) => {
+      val facts = Tables.orders(s, d).filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_custkey").as("key"), col("o_orderkey").as("t"),
+          col("o_totalprice").as("amount"))
+      operators.Cdc.scdJoin(
+        facts, operators.Cdc.scdHistory(cdcChangelogFull(s, d)))
+    }),
     // the incremental SCD2 fold, checked against the REFIT oracle: fold
     // the first half of the log, merge the second half in — the oracle
     // derives the whole history in one pass, so the hash proves
@@ -3878,6 +3889,24 @@ object SparkEntry {
         |FROM h, t WHERE op = 'U' AND seq <= mid
         |  AND (valid_to IS NULL OR valid_to > mid)
         |ORDER BY key""".stripMargin,
+    // temporal join: each fact left-joins the interval containing its t
+    "q_scd2_join" ->
+      """WITH ch AS (SELECT o_custkey AS key, o_orderkey AS seq,
+        |    CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op,
+        |    o_orderpriority AS name, o_totalprice AS val
+        |  FROM orders WHERE o_orderkey % 3 <> 0 AND o_custkey % 17 <> 3),
+        |h AS (SELECT *, LEAD(seq) OVER (PARTITION BY key ORDER BY seq) AS valid_to
+        |  FROM ch),
+        |dim AS (SELECT key, name AS dim_name, val AS dim_val,
+        |    seq AS valid_from, valid_to FROM h WHERE op = 'U'),
+        |facts AS (SELECT o_custkey AS key, o_orderkey AS t,
+        |    o_totalprice AS amount FROM orders WHERE o_orderkey % 3 = 0)
+        |SELECT f.key, f.t, f.amount, d.dim_name, d.dim_val,
+        |  d.valid_from, d.valid_to
+        |FROM facts f LEFT JOIN dim d
+        |  ON f.key = d.key AND f.t >= d.valid_from
+        |  AND (d.valid_to IS NULL OR f.t < d.valid_to)
+        |ORDER BY f.key, f.t""".stripMargin,
     // the incremental fold's oracle is the REFIT: one-pass history of
     // the whole log — identical SQL, so hash-match proves fold == refit
     "q_scd2_merge" ->

@@ -211,6 +211,39 @@ object Cdc {
         col("valid_from"), col("valid_to"))
       .orderBy(col("key"))
 
+  /** TEMPORAL dimension join — the read pattern SCD2 history EXISTS to
+    * serve: each fact row (keyed, stamped `tCol`) joins the dimension
+    * version that was valid AT ITS OWN time, `valid_from <= t <
+    * valid_to`. The half-open partition guarantees at most one match
+    * per fact; facts before the key's first version (or after its
+    * delete) keep NULL dimension columns (left join — losing facts to a
+    * dimension gap is a silent-data bug, not a join semantic).
+    *
+    * Plan shape: the key equality DRIVES the join (hash/broadcast on
+    * `keyCol`); the interval predicate is a residual filter on the
+    * matched pairs — never a BroadcastNestedLoop range join, because
+    * per key the candidate set is that key's history, change-count
+    * sized. This is the as-of join's interval twin:
+    * [[Relational.asOfJoinLatestError]] matches "latest before t" by
+    * windowing, this matches "the interval containing t" by predicate —
+    * with SCD2 both give the same answer, one exchange cheaper here.
+    */
+  def scdJoin(
+      facts: DataFrame, history: DataFrame,
+      keyCol: String = "key", tCol: String = "t"): DataFrame = {
+    val h = history.select(
+      col(keyCol).as("_hkey"), col("name").as("dim_name"),
+      col("val").as("dim_val"), col("valid_from"), col("valid_to"))
+    facts
+      .join(h,
+        facts(keyCol) === h("_hkey") &&
+          facts(tCol) >= h("valid_from") &&
+          (h("valid_to").isNull || facts(tCol) < h("valid_to")),
+        "left")
+      .drop("_hkey")
+      .orderBy(col(keyCol), col(tCol))
+  }
+
   /** Incremental SCD2 fold — apply a NEW changelog slice to an existing
     * history WITHOUT re-deriving it, under the monotone-LSN contract
     * (every new seq for a key exceeds every seq already folded for it —

@@ -201,6 +201,25 @@ class CdcSpec extends SparkSpec {
     assert(asOf(999.0) == Seq((1L, "a2"), (3L, "c1"), (4L, "d1")))
   }
 
+  test("scdJoin: each fact gets the version valid at its own t; gaps keep NULL dims") {
+    val h = Cdc.scdHistory(scdLog)
+    val facts = Seq(
+      (1L, 100L, 9.0),  // before key 1's first version -> NULL dims
+      (1L, 102L, 9.1),  // inside [101, 103) -> a1
+      (1L, 103L, 9.2),  // boundary: half-open -> a2, never a1
+      (2L, 103L, 9.3),  // inside [102, 104) -> b1
+      (2L, 104L, 9.4),  // AT the delete -> NULL dims (key 2 gone)
+      (5L, 999L, 9.5)   // key with no history at all -> NULL dims
+    ).toDF("key", "t", "amount")
+    val got = Cdc.scdJoin(facts, h).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[String]("dim_name"))).toSeq
+    assert(got == Seq(
+      (1L, 100L, null), (1L, 102L, "a1"), (1L, 103L, "a2"),
+      (2L, 103L, "b1"), (2L, 104L, null), (5L, 999L, null)), s"got $got")
+    // at most one match per fact: row count == fact count
+    assert(Cdc.scdJoin(facts, h).count() == facts.count())
+  }
+
   test("scdMerge: fold == refit on every seq-boundary split (monotone-LSN contract)") {
     val refit = Cdc.scdHistory(scdLog)
       .orderBy(col("key"), col("valid_from")).collect().map(_.toSeq).toSeq

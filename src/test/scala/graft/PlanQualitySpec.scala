@@ -113,6 +113,27 @@ class PlanQualitySpec extends SparkSpec {
       s"partition-less Window operators found:\n${offenders.mkString("\n")}")
   }
 
+  test("global rank: range exchange, no SinglePartition, windows keyed by partition id") {
+    // the whole point of globalRowNumber is replacing the one-partition
+    // sort: its plan must contain a RANGE repartition and NO exchange to
+    // a single partition anywhere
+    val p = plan("q_global_rank")
+    assert(p.contains("rangepartitioning") || p.contains("RangePartitioning"),
+      s"expected a range exchange:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"a SinglePartition exchange defeats the operator:\n$p")
+  }
+
+  test("temporal dimension join: key equality drives a hash join, interval is residual") {
+    // the interval predicate must ride a key-equality join (hash or
+    // sort-merge), never a BroadcastNestedLoopJoin range join
+    val p = plan("q_scd2_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"interval predicate must be residual on the key join:\n$p")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"expected a key-driven join:\n$p")
+  }
+
   test("quartile binning matches NTILE(4) exactly, including boundary ties") {
     // planted ties straddling every bucket boundary: 12 rows, 3 distinct
     // prices x 4 — each boundary cuts through a tie run
