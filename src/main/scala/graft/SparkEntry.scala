@@ -702,6 +702,28 @@ object SparkEntry {
         .first().getDouble(0)
       operators.Cdc.scdAsOf(operators.Cdc.scdHistory(log), mid)
     }),
+    // the as-of probe SERVED FROM A VALIDITY-CLUSTERED LAKE: history
+    // lands z-ordered on (key, valid_from), the probe prunes on the
+    // valid_from zone map (files entirely newer than t never open) and
+    // filters the residual — SCALE.md's pruned-scan claim, hash-proven
+    // against the same oracle as the frame probe
+    "q_scd2_lake" -> ((s, d) => {
+      val log = cdcChangelogFull(s, d)
+      val hist = operators.Cdc.scdHistory(log)
+        .withColumn("is_current", col("is_current").cast("int"))
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-scd2lake").toString + "/t"
+      sources.LakeTable.init(hist, dir, Seq("key", "valid_from"), nFiles = 8)
+      val mid = log.agg(((org.apache.spark.sql.functions.min(col("seq")) +
+          org.apache.spark.sql.functions.max(col("seq"))) / 2).as("m"))
+        .first().getDouble(0)
+      sources.LakeTable.readPrunedLive(s, dir,
+          Seq(("valid_from", 0.0, mid)))
+        .filter(col("valid_to").isNull || col("valid_to") > mid)
+        .select(col("key"), col("name"), col("val"),
+          col("valid_from"), col("valid_to"))
+        .orderBy(col("key"))
+    }),
     // the TEMPORAL dimension join SCD2 exists to serve: the %3≡0 orders
     // (exactly the ones the changelog EXCLUDES — independent facts) each
     // join the dimension version valid at their own LSN; facts before a
@@ -3878,6 +3900,19 @@ object SparkEntry {
     // point-in-time: the interval covering the seq midpoint per key
     // (half-open, so exactly one row per then-existing key)
     "q_scd2_asof" ->
+      """WITH ch AS (SELECT o_custkey AS key, o_orderkey AS seq,
+        |    CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op,
+        |    o_orderpriority AS name, o_totalprice AS val
+        |  FROM orders WHERE o_orderkey % 3 <> 0 AND o_custkey % 17 <> 3),
+        |h AS (SELECT *, LEAD(seq) OVER (PARTITION BY key ORDER BY seq) AS valid_to
+        |  FROM ch),
+        |t AS (SELECT (MIN(seq) + MAX(seq)) / 2 AS mid FROM ch)
+        |SELECT key, name, val, seq AS valid_from, valid_to
+        |FROM h, t WHERE op = 'U' AND seq <= mid
+        |  AND (valid_to IS NULL OR valid_to > mid)
+        |ORDER BY key""".stripMargin,
+    // the lake-served probe answers exactly the frame probe's oracle
+    "q_scd2_lake" ->
       """WITH ch AS (SELECT o_custkey AS key, o_orderkey AS seq,
         |    CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op,
         |    o_orderpriority AS name, o_totalprice AS val

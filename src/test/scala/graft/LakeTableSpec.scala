@@ -817,6 +817,37 @@ class LakeTableSpec extends SparkSpec {
     assert(c3.files.forall(c3.rowCounts.contains))
   }
 
+  test("merge-on-read composes with the lockstep view loop (feed-driven retraction over DV commits)") {
+    val dir = Files.createTempDirectory("graft-lakemorv").toString + "/t"
+    val viewDir = Files.createTempDirectory("graft-lakemorvw").toString
+    val base = (0L until 400L).map(k => (k, s"g${k % 8}", k * 1.0))
+      .toDF("key", "name", "val")
+    LakeTable.init(base, dir, Seq("key"), nFiles = 4)
+    val measures = Map(
+      ("sum", "val") -> "sum_val", ("count", "*") -> "cnt",
+      ("count", "val") -> "cnt_val")
+    graft.streaming.LakeMaintenance.refreshView(
+      spark, dir, viewDir, Seq("name"), measures) // v1: full summarize
+    // a MoR fold: updates move mass between groups, deletes shrink one
+    val log = Seq(
+      (5L, 1L, "U", "g7", 500.0),  // group g5 -> g7 migration
+      (16L, 2L, "D", null, 0.0),   // delete from g0
+      (900L, 3L, "U", "g0", 9.0)   // insert into g0
+    ).toDF("key", "seq", "op", "name", "val")
+    LakeTable.applyChangelogFullMor(spark, dir, log, Seq("key"))
+    // the view advances by the CHANGEFEED (retracting applyChanges), not
+    // a re-summarize — across a deletion-vector commit
+    graft.streaming.LakeMaintenance.refreshView(
+      spark, dir, viewDir, Seq("name"), measures)
+    val got = graft.streaming.LakeMaintenance.readView(spark, viewDir)
+      .orderBy(col("name")).collect().map(_.toSeq).toSeq
+    val want = graft.operators.Mv.summarize(
+        LakeTable.readLive(spark, dir), Seq("name"), measures)
+      .orderBy(col("name")).collect().map(_.toSeq).toSeq
+    assert(got == want,
+      "feed-folded view across a MoR (DV) commit must equal the re-summarize")
+  }
+
   test("deletion vectors: compaction folds a shadowed sliver's vectors in") {
     val dir = Files.createTempDirectory("graft-lakedvc").toString + "/t"
     val base = (0L until 100L).map(k => (k, s"n$k", k.toDouble)).toDF("key", "name", "val")
