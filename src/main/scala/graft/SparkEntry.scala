@@ -686,6 +686,17 @@ object SparkEntry {
         .select(col("key"), col("name"), col("val"))
         .orderBy(col("key"))
     }),
+    // metadata-only count(*): after the DV delete the manifest's R lines
+    // answer for every unshadowed file and only shadowed files are read
+    // — the oracle is the plain COUNT over the anti-filtered frame
+    "q_lake_count" -> ((s, d) => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-lakecnt").toString + "/t"
+      sources.LakeTable.init(cdcBase(s, d), dir, Seq("key"), nFiles = 8)
+      sources.LakeTable.applyTombstonesDv(s, dir, dvTombstones(s, d))
+      import s.implicits._
+      Seq(sources.LakeTable.countLive(s, dir)).toDF("cnt")
+    }),
     // SCD TYPE 2: the changelog's full history as validity intervals —
     // every 'U' image opens [its seq, the key's next seq), a 'D' closes
     // without opening, open intervals are current; one window, no join
@@ -3885,6 +3896,10 @@ object SparkEntry {
         |FROM b FULL OUTER JOIN latest l ON b.c_custkey = l.key
         |WHERE l.op IS NULL OR l.op <> 'D'
         |ORDER BY key""".stripMargin,
+    // count(*) over the DV-deleted snapshot, as one row
+    "q_lake_count" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM customer WHERE c_custkey % 13 <> 0 AND c_custkey % 11 <> 5""".stripMargin,
     // SCD2 history: every 'U' image as [seq, next seq per key), 'D'
     // closes without opening, open intervals are current
     "q_scd2" ->

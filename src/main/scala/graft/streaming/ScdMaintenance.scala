@@ -90,6 +90,12 @@ final class ScdMaintainer private (spark: SparkSession, workDir: String) {
     true
   }
 
+  /** Query-time TEMPORAL JOIN served from the maintained artifact: each
+    * fact joins the dimension version valid at its own `t` — the
+    * [[Bm25Maintainer.serveTopK]] shape for the dimension store.
+    */
+  def serveJoin(facts: DataFrame): DataFrame = Cdc.scdJoin(facts, history)
+
   /** Attach to a full-image changelog stream (key, seq, op, name, val):
     * every micro-batch folds via foreachBatch, batchId-idempotent.
     */

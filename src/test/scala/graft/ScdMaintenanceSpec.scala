@@ -45,6 +45,13 @@ class ScdMaintenanceSpec extends SparkSpec {
     } finally q.stop()
     assert(rows(m.history) == rows(Cdc.scdHistory(log)),
       "streamed folds must equal the one-shot refit")
+    // serving the temporal join from the maintained artifact equals the
+    // inline join over the refit history
+    val facts = log.filter(col("seq") % 5 === 0)
+      .select(col("key"), (col("seq") + 1L).as("t"), col("val").as("amount"))
+    assert(m.serveJoin(facts).collect().map(_.toSeq).toSeq ==
+      Cdc.scdJoin(facts, Cdc.scdHistory(log)).collect().map(_.toSeq).toSeq,
+      "served temporal join must equal the inline twin")
     val current = m.current.select(col("key"), col("name"), col("val"))
       .orderBy(col("key")).collect().map(_.toSeq).toSeq
     val merged = Cdc.mergeChangelogFull(
