@@ -686,6 +686,18 @@ object SparkEntry {
         .select(col("key"), col("name"), col("val"))
         .orderBy(col("key"))
     }),
+    // SQL DELETE WHERE as a deletion vector: one prunable scan lists the
+    // matching keys, the delete commits O(matches) with no rewrite — the
+    // oracle is the surviving filter
+    "q_lake_delete_where" -> ((s, d) => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-lakedw").toString + "/t"
+      sources.LakeTable.init(cdcBase(s, d), dir, Seq("key"), nFiles = 8)
+      sources.LakeTable.deleteWhere(s, dir, col("val") < 0.0)
+      sources.LakeTable.readLive(s, dir)
+        .select(col("key"), col("name"), col("val"))
+        .orderBy(col("key"))
+    }),
     // metadata-only count(*): after the DV delete the manifest's R lines
     // answer for every unshadowed file and only shadowed files are read
     // — the oracle is the plain COUNT over the anti-filtered frame
@@ -3895,6 +3907,11 @@ object SparkEntry {
         |  CASE WHEN l.op = 'U' THEN l.new_val ELSE b.c_acctbal END AS val
         |FROM b FULL OUTER JOIN latest l ON b.c_custkey = l.key
         |WHERE l.op IS NULL OR l.op <> 'D'
+        |ORDER BY key""".stripMargin,
+    // DELETE WHERE val < 0: survivors are the non-negative balances
+    "q_lake_delete_where" ->
+      """SELECT c_custkey AS key, c_name AS name, c_acctbal AS val
+        |FROM customer WHERE c_custkey % 13 <> 0 AND c_acctbal >= 0
         |ORDER BY key""".stripMargin,
     // count(*) over the DV-deleted snapshot, as one row
     "q_lake_count" ->

@@ -649,6 +649,9 @@ object LakeTable {
       if (marker.exists(c.appliedBatches.contains))
         return DvStats(c.version, 0, 0L)
       val keys = tombstones.select(col(keyCol)).distinct()
+      // nothing to delete: no sidecar, no version (deleteWhere's
+      // predicate-matched-nothing contract)
+      if (keys.isEmpty) return DvStats(c.version, 0, 0L)
       val keyBoxes = c.boxes.filter(_._2 == keyCol)
       val boxedFiles = keyBoxes.map(_._1).toSet
       val unboxed = c.files.filterNot(boxedFiles)
@@ -808,6 +811,23 @@ object LakeTable {
       }
     }
     throw lastConflict
+  }
+
+  /** SQL `DELETE FROM t WHERE <condition>` on the committed layout —
+    * predicate deletes re-expressed as deletion vectors: one
+    * (zone-map-prunable) scan lists the matching keys, and the delete
+    * itself commits through [[applyTombstonesDv]] — O(matches) landed
+    * bytes, no data file rewritten, same attestation/latency contract.
+    * The table must be key-unique on `keyCol` for key-listing to equal
+    * row-listing (the MERGE contract every maintenance path assumes).
+    * Returns the DV commit's stats; a predicate matching nothing is a
+    * no-op that burns no version.
+    */
+  def deleteWhere(
+      spark: SparkSession, path: String, condition: org.apache.spark.sql.Column,
+      keyCol: String = "key", batchId: Option[Long] = None): DvStats = {
+    val keys = readLive(spark, path).filter(condition).select(col(keyCol))
+    applyTombstonesDv(spark, path, keys, keyCol, batchId, arm = "delete-where")
   }
 
   /** True iff enough live files are shadowed by deletion vectors to be

@@ -848,6 +848,25 @@ class LakeTableSpec extends SparkSpec {
       "feed-folded view across a MoR (DV) commit must equal the re-summarize")
   }
 
+  test("deleteWhere: predicate delete commits as a deletion vector; no-match burns no version") {
+    val (dir, base) = mkTable("graft-lakedw")
+    val before = LakeTable.latest(spark, dir)
+    val stats = LakeTable.deleteWhere(spark, dir, col("val") > 1000.0)
+    val after = LakeTable.latest(spark, dir)
+    assert(after.files == before.files, "a predicate delete rewrites nothing")
+    val wantKept = base.filter(col("val") <= 1000.0).count()
+    assert(LakeTable.readLive(spark, dir).count() == wantKept)
+    assert(LakeTable.readLive(spark, dir).filter(col("val") > 1000.0).isEmpty)
+    assert(stats.keysListed == base.count() - wantKept)
+    // count stays exact through the predicate delete
+    assert(LakeTable.countLive(spark, dir) == wantKept)
+    // a predicate matching nothing is a version-free no-op
+    val v = LakeTable.latest(spark, dir).version
+    val noop = LakeTable.deleteWhere(spark, dir, col("val") > 1e9)
+    assert(noop.version == v && noop.filesShadowed == 0)
+    assert(LakeTable.latest(spark, dir).version == v)
+  }
+
   test("deletion vectors: compaction folds a shadowed sliver's vectors in") {
     val dir = Files.createTempDirectory("graft-lakedvc").toString + "/t"
     val base = (0L until 100L).map(k => (k, s"n$k", k.toDouble)).toDF("key", "name", "val")
