@@ -533,6 +533,89 @@ object LakeTable {
               .otherwise(col(s"_old.$c")).as(c)): _*)
   }
 
+  /** The committed position of a changefeed CURSOR — the last table
+    * version a subscriber has fully processed (None before the first
+    * [[commitCursor]]). One file under `cursorDir`, atomically replaced.
+    */
+  def cursor(spark: SparkSession, cursorDir: String): Option[Int] = {
+    val fs = new Path(cursorDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = new Path(cursorDir)
+    if (!fs.exists(dir)) return None
+    val vs = fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .collect { case n if n.startsWith("cursor-v") && n.endsWith(".txt") =>
+        n.stripPrefix("cursor-v").stripSuffix(".txt").toInt }
+    if (vs.isEmpty) None else Some(vs.max)
+  }
+
+  /** The changes a durable SUBSCRIBER has not yet processed: the net
+    * [[readChanges]] feed from its cursor to the current version, plus
+    * the version to [[commitCursor]] after processing — the external
+    * consumer's form of the contract the lockstep view loop
+    * ([[graft.streaming.LakeMaintenance.refreshView]]) keeps internally.
+    * Returns None when the subscriber is up to date.
+    *
+    * Delivery semantics are AT-LEAST-ONCE with consumer-side
+    * idempotence: process the frame, THEN commit the returned version —
+    * a crash between the two re-delivers the same span (the feed is a
+    * pure function of two manifests), and because a multi-commit span
+    * returns the NET change, a subscriber that fell N versions behind
+    * catches up in ONE change-sized read, never N replays. A fresh
+    * cursor starts at version 1 with `initial = "earliest"` (replay the
+    * table's whole history as a feed) or at the current version with
+    * `"latest"` (changes from now on).
+    *
+    * Retention is the subscriber's contract with [[vacuum]]:
+    * `keepVersions` must cover the slowest cursor's lag, exactly as it
+    * must cover the view loop's.
+    */
+  def pendingChanges(
+      spark: SparkSession, path: String, cursorDir: String,
+      keyCol: String = "key", withPreimage: Boolean = false,
+      initial: String = "earliest"): Option[(DataFrame, Int)] = {
+    val cur = latest(spark, path).version
+    val from = cursor(spark, cursorDir).getOrElse {
+      initial match {
+        case "earliest" => 1
+        case "latest"   => cur
+        case other => throw new IllegalArgumentException(
+          s"LakeTable.pendingChanges: initial must be earliest|latest, got $other")
+      }
+    }
+    if (from >= cur) None
+    else Some((readChanges(spark, path, from, cur, keyCol, withPreimage), cur))
+  }
+
+  /** Advance a subscriber's cursor to `version`. Crash-safe WITHOUT an
+    * overwriting rename: the position lives in the FILENAME
+    * (`cursor-v%09d.txt`, landed by rename-without-overwrite), the
+    * reader takes the max, and older markers are best-effort garbage —
+    * a crash at any point leaves either the old max or both, never no
+    * cursor (losing the cursor would silently re-deliver the whole
+    * history under `initial = "earliest"`).
+    */
+  def commitCursor(spark: SparkSession, cursorDir: String, version: Int): Unit = {
+    val fs = new Path(cursorDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new Path(cursorDir))
+    val tmp = new Path(s"$cursorDir/.tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, false)
+    try out.write(version.toString.getBytes("UTF-8")) finally out.close()
+    val dest = new Path(f"$cursorDir%s/cursor-v$version%09d.txt")
+    if (!fs.rename(tmp, dest)) {
+      // another commit of the same position won the race: equally done
+      fs.delete(tmp, false)
+      require(fs.exists(dest),
+        s"LakeTable.commitCursor: rename lost at $cursorDir")
+    }
+    // sweep superseded markers; failures here are harmless (max wins)
+    fs.listStatus(new Path(cursorDir)).toSeq.map(_.getPath)
+      .filter { p =>
+        val n = p.getName
+        n.startsWith("cursor-v") && n.endsWith(".txt") &&
+          n.stripPrefix("cursor-v").stripSuffix(".txt").toInt < version
+      }
+      .foreach(fs.delete(_, false))
+  }
+
   /** Delete data files outside the retention window — anything not
     * referenced by the newest `keepVersions` manifests: crashed writers'
     * uncommitted garbage, and files replaced long enough ago — plus

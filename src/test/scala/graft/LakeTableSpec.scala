@@ -867,6 +867,60 @@ class LakeTableSpec extends SparkSpec {
     assert(LakeTable.latest(spark, dir).version == v)
   }
 
+  test("changefeed cursor: a subscriber replica stays exact through folds, crash-redelivery, catch-up") {
+    val (dir, base) = mkTable("graft-lakecur")
+    val cursorDir = Files.createTempDirectory("graft-lakecurc").toString
+    // replica maintenance: pull pending, fold into a local copy, commit
+    var replica = base
+    def pump(): Boolean =
+      LakeTable.pendingChanges(spark, dir, cursorDir) match {
+        case None => false
+        case Some((feed, upTo)) =>
+          val asLog = feed.select(col("key"), lit(1L).as("seq"),
+            when(col("op") === "I", "U").otherwise(col("op")).as("op"),
+            col("name"), col("val"))
+          replica = Cdc.mergeChangelogFull(replica, asLog).drop("last_seq")
+            .localCheckpoint()
+          LakeTable.commitCursor(spark, cursorDir, upTo)
+          true
+      }
+    def assertSync(): Unit = {
+      val got = replica.orderBy(col("key")).collect().map(_.toSeq).toSeq
+      val want = LakeTable.readLive(spark, dir)
+        .orderBy(col("key")).collect().map(_.toSeq).toSeq
+      assert(got == want, "replica must equal the table at the cursor")
+    }
+    // fresh cursor, nothing to do (table is at v1 = the initial state)
+    assert(!pump())
+    // one MERGE -> one pending span
+    LakeTable.applyChangelog(spark, dir,
+      Seq((5L, 1L, "U", 50.0), (7L, 2L, "D", 0.0))
+        .toDF("key", "seq", "op", "val"), Seq("key"))
+    assert(pump()); assertSync(); assert(!pump())
+    // crash BETWEEN processing and commit: the same span re-delivers
+    LakeTable.applyChangelog(spark, dir,
+      Seq((9L, 3L, "U", 9.9)).toDF("key", "seq", "op", "val"), Seq("key"))
+    val Some((feed1, upTo1)) = LakeTable.pendingChanges(spark, dir, cursorDir)
+    val seen = feed1.orderBy(col("key")).collect().map(_.toSeq).toSeq
+    // (no commit — the subscriber died here)
+    val Some((feed2, upTo2)) = LakeTable.pendingChanges(spark, dir, cursorDir)
+    assert(upTo2 == upTo1 &&
+      feed2.orderBy(col("key")).collect().map(_.toSeq).toSeq == seen,
+      "an uncommitted span must re-deliver identically")
+    assert(pump()); assertSync()
+    // falling multiple versions behind catches up in ONE net span —
+    // including across a DV delete and an optimize (which nets to zero)
+    LakeTable.applyTombstonesDv(spark, dir, Seq(11L, 12L).toDF("key"))
+    LakeTable.applyChangelog(spark, dir,
+      Seq((11L, 4L, "U", 1.1)).toDF("key", "seq", "op", "val"), Seq("key"))
+    LakeTable.optimize(spark, dir, Seq("key"), nFiles = 4)
+    assert(pump()); assertSync(); assert(!pump())
+    // a late subscriber with initial = "latest" sees only what comes next
+    val lateCursor = Files.createTempDirectory("graft-lakecurl").toString
+    assert(LakeTable.pendingChanges(
+      spark, dir, lateCursor, initial = "latest").isEmpty)
+  }
+
   test("deletion vectors: compaction folds a shadowed sliver's vectors in") {
     val dir = Files.createTempDirectory("graft-lakedvc").toString + "/t"
     val base = (0L until 100L).map(k => (k, s"n$k", k.toDouble)).toDF("key", "name", "val")
