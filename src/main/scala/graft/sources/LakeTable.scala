@@ -26,7 +26,13 @@ import graft.operators.Cdc
   *     file list AND the per-(file, clustered-column) zone-map boxes in
   *     one atomically-published file (boxes live IN the commit, so the
   *     crash window a separately-rewritten `_boxes` table had — old
-  *     manifest, half-written stats — cannot exist).
+  *     manifest, half-written stats — cannot exist). Most versions are
+  *     DELTAS (only the lines that changed, O(change) bytes per commit);
+  *     every [[CheckpointInterval]]-th version is a FULL checkpoint that
+  *     bounds a reader's walk-back — the Delta-Lake log/checkpoint split,
+  *     which is what keeps per-micro-batch streaming commits from
+  *     rewriting (and every read from re-parsing) an O(files) manifest
+  *     on a million-file table.
   *
   * Commit protocol (OPTIMISTIC CONCURRENCY: rename order serializes
   * writers — a lost race retries the whole read→compute→land→commit
@@ -126,7 +132,12 @@ object LakeTable {
     vs
   }
 
-  /** The manifest of one committed version. */
+  /** The manifest of one committed version. A version committed as a
+    * DELTA (`C\tdelta` header — O(changed-files) lines) resolves by
+    * applying its change lines onto the previous version's state, walking
+    * back at most [[CheckpointInterval]] manifests to the nearest FULL
+    * checkpoint; legacy and checkpoint manifests resolve in one read.
+    */
   def commitAt(spark: SparkSession, path: String, version: Int): Commit = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val lines = {
@@ -134,6 +145,12 @@ object LakeTable {
       try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
       finally in.close()
     }
+    if (lines.headOption.exists(_.startsWith("C\tdelta")))
+      applyDelta(commitAt(spark, path, version - 1), lines, version)
+    else parseFull(lines, version)
+  }
+
+  private def parseFull(lines: Vector[String], version: Int): Commit = {
     val files = lines.collect { case l if l.startsWith("F\t") => l.split('\t')(1) }
     val boxes = lines.collect { case l if l.startsWith("B\t") =>
       val p = l.split('\t')
@@ -148,6 +165,44 @@ object LakeTable {
     val rowCounts = lines.collect { case l if l.startsWith("R\t") =>
       val p = l.split('\t'); (p(1), p(2).toLong) }.toMap
     Commit(version, files, boxes, ddl, applied, deletes, rowCounts)
+  }
+
+  /** Fold one delta manifest's change lines onto the previous version's
+    * resolved state. A removed file (`F-`) implicitly drops its box,
+    * deletion-vector and row-count entries; additions arrive as explicit
+    * `F+`/`B`/`D+`/`R` lines, removals that leave the file live as
+    * `D-`/`R-`. Output ordering matches a full manifest's (sorted), so a
+    * snapshot resolved through deltas is indistinguishable from one read
+    * off a checkpoint.
+    */
+  private def applyDelta(base: Commit, lines: Vector[String], version: Int): Commit = {
+    val fAdd = lines.collect { case l if l.startsWith("F+\t") => l.split('\t')(1) }
+    val fDel = lines.collect { case l if l.startsWith("F-\t") =>
+      l.split('\t')(1) }.toSet
+    val bAdd = lines.collect { case l if l.startsWith("B\t") =>
+      val p = l.split('\t')
+      (p(1), p(2), java.lang.Double.parseDouble(p(3)), java.lang.Double.parseDouble(p(4)))
+    }
+    val dAdd = lines.collect { case l if l.startsWith("D+\t") =>
+      val p = l.split('\t'); (p(1), p(2)) }
+    val dDel = lines.collect { case l if l.startsWith("D-\t") =>
+      val p = l.split('\t'); (p(1), p(2)) }.toSet
+    val rSet = lines.collect { case l if l.startsWith("R\t") =>
+      val p = l.split('\t'); (p(1), p(2).toLong) }
+    val rDel = lines.collect { case l if l.startsWith("R-\t") =>
+      l.split('\t')(1) }.toSet
+    val ddl = lines.collectFirst { case l if l.startsWith("S\t") => l.split('\t')(1) }
+      .getOrElse(base.schemaDdl)
+    val applied = base.appliedBatches ++
+      lines.collect { case l if l.startsWith("A\t") => l.split('\t')(1) }
+    Commit(
+      version,
+      (base.files.filterNot(fDel) ++ fAdd).sorted,
+      (base.boxes.filterNot(b => fDel(b._1)) ++ bAdd).sortBy(b => (b._1, b._2)),
+      ddl,
+      applied,
+      (base.deletes.filterNot(d => fDel(d._1) || dDel(d)) ++ dAdd).sorted,
+      (base.rowCounts.view.filterKeys(f => !fDel(f) && !rDel(f)).toMap ++ rSet))
   }
 
   /** The latest committed version — the ONLY thing readers trust. */
@@ -415,7 +470,8 @@ object LakeTable {
       deletes = c.deletes.filterNot(d => smallSet(d._1)),
       rowCounts = c.rowCounts.view.filterKeys(!smallSet(_)).toMap ++
         LakeSink.rowCountsOf(spark, fresh)
-          .map { case (f, n) => (rel(path, f), n) })
+          .map { case (f, n) => (rel(path, f), n) },
+      prev = Some(c))
     ApplyStats(committed.version, small.size, kept.size, fresh.size)
   }
 
@@ -451,8 +507,14 @@ object LakeTable {
     * `readAt(to)` exactly — the round-trip property LakeTableSpec pins.
     *
     * Contract: the table is key-unique on `keyCol` (the MERGE contract —
-    * an append-only duplicate-key table has no per-key diff) and the
-    * schema is stable across the span (fails loud otherwise).
+    * an append-only duplicate-key table has no per-key diff). A span may
+    * cross an append-safe SCHEMA EVOLUTION: the feed is delivered in the
+    * span-END schema, with pre-boundary rows projected to it (columns
+    * added inside the span read NULL for old images — the same NULL those
+    * rows serve in every snapshot read), so a durable subscriber's poll
+    * keeps draining across the boundary instead of wedging forever. A
+    * non-append evolution (dropped column, type change) fails loud — that
+    * feed has no stable row contract.
     *
     * With `withPreimage = true` the feed carries BOTH images — payload
     * columns hold the NEW image (NULL on 'D'), `<col>_pre` columns the
@@ -467,15 +529,24 @@ object LakeTable {
       keyCol: String = "key", withPreimage: Boolean = false): DataFrame = {
     require(fromVersion < toVersion,
       s"LakeTable.readChanges: need fromVersion < toVersion, got $fromVersion >= $toVersion")
-    val cFrom = commitAt(spark, path, fromVersion)
+    val cFrom0 = commitAt(spark, path, fromVersion)
     val cTo = commitAt(spark, path, toVersion)
-    // names + types must agree; nullability legitimately loosens across a
-    // MERGE (an inserted key carries NULL for base-only columns)
-    def shape(ddl: String) = org.apache.spark.sql.types.StructType.fromDDL(ddl)
-      .fields.toSeq.map(f => (f.name, f.dataType))
-    require(shape(cFrom.schemaDdl) == shape(cTo.schemaDdl),
-      s"LakeTable.readChanges: schema changed across the span " +
-        s"(v$fromVersion: ${cFrom.schemaDdl} / v$toVersion: ${cTo.schemaDdl})")
+    // the span-end schema must be an append-safe evolution of the span
+    // start: every start field present, same type (nullability
+    // legitimately loosens across a MERGE — an inserted key carries NULL
+    // for base-only columns). Columns added inside the span are fine:
+    // the whole feed projects to the END schema below.
+    val toFields = org.apache.spark.sql.types.StructType.fromDDL(cTo.schemaDdl)
+      .fields.map(f => f.name -> f.dataType).toMap
+    org.apache.spark.sql.types.StructType.fromDDL(cFrom0.schemaDdl)
+      .fields.foreach { f =>
+        require(toFields.get(f.name).contains(f.dataType),
+          s"LakeTable.readChanges: non-append schema change across the span " +
+            s"(v$fromVersion: ${cFrom0.schemaDdl} / v$toVersion: ${cTo.schemaDdl})")
+      }
+    // both sides read with the END schema: pre-boundary files lack any
+    // column added inside the span and serve NULL — the feed's one shape
+    val cFrom = cFrom0.copy(schemaDdl = cTo.schemaDdl)
     // the diff unit is (file, attached-deletion-vector set): a DV-only
     // commit replaces no file, but a file whose attachment set changed
     // serves different rows — it diffs as removed (old resolution) +
@@ -502,10 +573,10 @@ object LakeTable {
       if (files.isEmpty)
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      // the commit's reader schema, NOT footer inference: a replaced file
-      // may predate a past schema evolution and lack a since-added column
-      // (shapes agree across the span, so either commit's DDL serves);
-      // each side resolves through ITS OWN deletion vectors
+      // the span-END reader schema, NOT footer inference: a replaced file
+      // may predate a schema evolution (before OR inside the span) and
+      // lack a since-added column — its rows serve NULL; each side
+      // resolves through ITS OWN deletion vectors
       else readFilesResolved(spark, path, c, files)
     val payload = schema.fieldNames.toSeq.filterNot(_ == keyCol)
     require(payload.nonEmpty,
@@ -576,7 +647,15 @@ object LakeTable {
     val from = cursor(spark, cursorDir).getOrElse {
       initial match {
         case "earliest" => 1
-        case "latest"   => cur
+        case "latest" =>
+          // ANCHOR the subscription now: "latest" resolves against the
+          // table, not the cursor, so without a committed position every
+          // later poll would re-resolve to the then-current version and
+          // the subscriber would be permanently "up to date" — silently
+          // missing every change. Pinning the anchor as the first cursor
+          // commit makes the next poll deliver from THIS version.
+          commitCursor(spark, cursorDir, cur)
+          cur
         case other => throw new IllegalArgumentException(
           s"LakeTable.pendingChanges: initial must be earliest|latest, got $other")
       }
@@ -729,31 +808,20 @@ object LakeTable {
     var lastConflict: CommitConflictException = null
     (0 to MaxCommitRetries).foreach { _ =>
       val c = latest(spark, path)
-      if (marker.exists(c.appliedBatches.contains))
+      if (marker.exists(batchApplied(c, _)))
         return DvStats(c.version, 0, 0L)
       val keys = tombstones.select(col(keyCol)).distinct()
       // nothing to delete: no sidecar, no version (deleteWhere's
       // predicate-matched-nothing contract)
       if (keys.isEmpty) return DvStats(c.version, 0, 0L)
-      val keyBoxes = c.boxes.filter(_._2 == keyCol)
-      val boxedFiles = keyBoxes.map(_._1).toSet
-      val unboxed = c.files.filterNot(boxedFiles)
-      val boxesDf = keyBoxes.map { case (f, _, mn, mx) => (f, mn, mx) }
-        .toDF("file", "mn", "mx")
-      val shadowedBoxed = keys
-        .join(broadcast(boxesDf),
-          col(keyCol).cast("double") >= col("mn") &&
-            col(keyCol).cast("double") <= col("mx"))
-        .select(col("file")).distinct()
-        .as[String].collect().toSeq
-      val shadowed = (shadowedBoxed ++ unboxed).distinct.sorted
+      val shadowed = shadowedFiles(spark, c, keys, keyCol)
       if (shadowed.isEmpty) return DvStats(c.version, 0, 0L)
       val (dvRel, nKeys) = landSidecar(spark, path, keys)
       try {
         writeCommit(spark, path, c.version + 1, c.files, c.boxes,
           c.schemaDdl, c.appliedBatches ++ marker,
           c.deletes ++ shadowed.map(f => (f, dvRel)),
-          rowCounts = c.rowCounts)
+          rowCounts = c.rowCounts, prev = Some(c))
         return DvStats(c.version + 1, shadowed.size, nKeys)
       } catch {
         case e: CommitConflictException =>
@@ -840,21 +908,10 @@ object LakeTable {
     var lastConflict: CommitConflictException = null
     (0 to MaxCommitRetries).foreach { _ =>
       val c = latest(spark, path)
-      if (marker.exists(c.appliedBatches.contains))
+      if (marker.exists(batchApplied(c, _)))
         return DvStats(c.version, 0, 0L)
       val keys = reduced.select(col("key").as(keyCol)).distinct()
-      val keyBoxes = c.boxes.filter(_._2 == keyCol)
-      val boxedFiles = keyBoxes.map(_._1).toSet
-      val unboxed = c.files.filterNot(boxedFiles)
-      val boxesDf = keyBoxes.map { case (f, _, mn, mx) => (f, mn, mx) }
-        .toDF("file", "mn", "mx")
-      val shadowedBoxed = keys
-        .join(broadcast(boxesDf),
-          col(keyCol).cast("double") >= col("mn") &&
-            col(keyCol).cast("double") <= col("mx"))
-        .select(col("file")).distinct()
-        .as[String].collect().toSeq
-      val shadowed = (shadowedBoxed ++ unboxed).distinct.sorted
+      val shadowed = shadowedFiles(spark, c, keys, keyCol)
       val images = reduced.filter(col("op") === "U")
         .select(col("key"), col("name"), col("val"))
       if (shadowed.isEmpty && images.isEmpty)
@@ -887,7 +944,8 @@ object LakeTable {
           c.appliedBatches ++ marker,
           c.deletes ++ dvAttach,
           rowCounts = c.rowCounts ++ LakeSink.rowCountsOf(spark, fresh)
-            .map { case (f, n) => (rel(path, f), n) })
+            .map { case (f, n) => (rel(path, f), n) },
+          prev = Some(c))
         return DvStats(c.version + 1, shadowed.size, nKeys)
       } catch {
         case e: CommitConflictException => lastConflict = e
@@ -969,11 +1027,64 @@ object LakeTable {
       c.schemaDdl, c.appliedBatches, deletes = Seq.empty,
       rowCounts = c.rowCounts.view.filterKeys(!shadowedSet(_)).toMap ++
         LakeSink.rowCountsOf(spark, fresh)
-          .map { case (f, n) => (rel(path, f), n) })
+          .map { case (f, n) => (rel(path, f), n) },
+      prev = Some(c))
     ApplyStats(committed.version, shadowed.size, kept.size, fresh.size)
   }
 
   // ---- internals ----------------------------------------------------
+
+  /** True iff a replay marker is already recorded in the commit's applied
+    * set. Markers are arm-qualified (`arm#batchId`) since the multi-arm
+    * namespacing change; manifests written BEFORE it carry bare batchIds
+    * (`A\t123`), so the check also matches the marker's bare suffix —
+    * without the fallback a pre-change table would lose replay idempotence
+    * across the format change and a redelivered append batch would
+    * duplicate every row. (A legacy bare id matches ANY arm, exactly the
+    * pre-namespacing behavior those tables were written under; new
+    * manifests only ever record qualified markers.)
+    */
+  private def batchApplied(c: Commit, marker: String): Boolean =
+    c.appliedBatches.contains(marker) ||
+      c.appliedBatches.contains(marker.substring(marker.indexOf('#') + 1))
+
+  /** The live files whose `keyCol` zone-map box COULD hold one of `keys` —
+    * the shared touch/shadow decision of every keyed mutation (changelog
+    * MERGE, tombstone rewrite, DV attach, merge-on-read): one broadcast
+    * join of the key set against the commit's own box table; only file
+    * NAMES reach the driver. A live file with no key box cannot be pruned
+    * and is always included (legacy safety).
+    *
+    * Exactness above 2^53: boxes are stored as doubles, keys are often
+    * 64-bit integers (md5-derived artifact keys). long→double is monotone,
+    * so converting BOTH sides with one rounding rule cannot escape a box —
+    * but the stored bound passes through several independent conversions
+    * (parquet footer stat → doubleValue, manifest text round-trip) and the
+    * probe through another (the Column cast), so the probe must not bet
+    * the deletion guarantee on them agreeing bit-for-bit. Each bound is
+    * therefore widened one ulp outward before the compare: conservative
+    * INCLUSION costs at most one extra file read; false EXCLUSION would
+    * let a tombstoned row silently survive deletion — an attestation
+    * failure (the >2^53 spec pins inclusion).
+    */
+  private def shadowedFiles(
+      spark: SparkSession, c: Commit, keys: DataFrame,
+      keyCol: String): Seq[String] = {
+    import spark.implicits._
+    val keyBoxes = c.boxes.filter(_._2 == keyCol)
+    val boxedFiles = keyBoxes.map(_._1).toSet
+    val unboxed = c.files.filterNot(boxedFiles)
+    val boxesDf = keyBoxes
+      .map { case (f, _, mn, mx) => (f, Math.nextDown(mn), Math.nextUp(mx)) }
+      .toDF("file", "mn", "mx")
+    val hit = keys
+      .join(broadcast(boxesDf),
+        col(keyCol).cast("double") >= col("mn") &&
+          col(keyCol).cast("double") <= col("mx"))
+      .select(col("file")).distinct()
+      .as[String].collect().toSeq
+    (hit ++ unboxed).distinct.sorted
+  }
 
   /** Shared mutation skeleton: decide touched files from the key set ×
     * box table, rewrite = f(touched rows), land, commit, GC. OPTIMISTIC
@@ -1009,24 +1120,12 @@ object LakeTable {
     val c = latest(spark, path)
     // re-check the replay marker on the FRESH manifest: the interloper
     // that beat us may have been a redelivery of this very batch
-    if (appliedBatch.exists(c.appliedBatches.contains))
+    if (appliedBatch.exists(batchApplied(c, _)))
       return ApplyStats(c.version, 0, c.files.size, 0)
-    val keyBoxes = c.boxes.filter(_._2 == keyCol)
-    val boxedFiles = keyBoxes.map(_._1).toSet
-    // legacy safety: a live file with no key box cannot be pruned —
-    // always rewrite it (committed tables always box every file)
-    val unboxed = c.files.filterNot(boxedFiles)
     // one scan of the key set against the broadcast box table; the
     // distinct file list is metadata-sized
-    val boxesDf = keyBoxes.map { case (f, _, mn, mx) => (f, mn, mx) }
-      .toDF("file", "mn", "mx")
-    val touchedBoxed = touchKeys
-      .join(broadcast(boxesDf),
-        col("key").cast("double") >= col("mn") &&
-          col("key").cast("double") <= col("mx"))
-      .select(col("file")).distinct()
-      .as[String].collect().toSeq
-    val touched = (touchedBoxed ++ unboxed).distinct.sorted
+    val touched =
+      shadowedFiles(spark, c, touchKeys.select(col("key").as(keyCol)), keyCol)
     // DV-resolved: a rewrite of a shadowed file must fold its deletion
     // vectors in, or the rows they hide would resurrect into fresh files
     val base =
@@ -1072,7 +1171,8 @@ object LakeTable {
       deletes = c.deletes.filterNot(d => touchedSet(d._1)),
       rowCounts = c.rowCounts.view.filterKeys(!touchedSet(_)).toMap ++
         LakeSink.rowCountsOf(spark, fresh)
-          .map { case (f, n) => (rel(path, f), n) })
+          .map { case (f, n) => (rel(path, f), n) },
+      prev = Some(c))
     // replaced files become invisible at the commit point but stay ON
     // DISK: they back time travel (readAt) until vacuum's retention
     // window drops them — GC is a policy decision, not a correctness one
@@ -1112,6 +1212,9 @@ object LakeTable {
     val fresh = LakeSink.listParquet(spark, path).filterNot(before).sorted
     val freshBoxes = LakeSink.boxesOf(spark, fresh, cols)
       .map { case (f, cn, mn, mx) => (rel(path, f), cn, mn, mx) }
+    // a full rewrite replaces every file — its "delta" would be 2×|files|
+    // lines, so commit it as a checkpoint (prev omitted): an OPTIMIZE is
+    // the natural point to re-anchor the readers' walk-back anyway
     val committed = writeCommit(spark, path, c.version + 1,
       fresh.map(rel(path, _)), freshBoxes,
       unionDdl(c.schemaDdl, rows.schema), c.appliedBatches,
@@ -1120,11 +1223,33 @@ object LakeTable {
     ApplyStats(committed.version, c.files.size, 0, fresh.size)
   }
 
+  /** A full checkpoint manifest lands every this-many versions; in
+    * between, commits are DELTAS (O(changed-files) lines). The rule is a
+    * pure function of the version NUMBER, so concurrent writers racing on
+    * the same version agree on the format without coordination, and a
+    * reader knows its worst-case walk-back without probing.
+    */
+  private val CheckpointInterval = 10
+
   /** Write manifest `version` via tmp + rename-without-overwrite — the
     * atomic commit point. A lost race (version already exists) throws
     * [[CommitConflictException]], which [[mutate]]/[[mutateAll]] catch
     * to retry the whole cycle on the winner's state — rename order IS
     * the serialization order.
+    *
+    * Commit COST is O(change), not O(files): with `prev` supplied (every
+    * mutation has the previous commit in hand) and the version off the
+    * [[CheckpointInterval]] grid, only the lines that CHANGED against
+    * `prev` are written (`C\tdelta` header; `F+`/`F-` file moves, `B`
+    * boxes and `R` counts for added files, `D+`/`D-` attachment flips,
+    * `A` new markers, `S` on evolution). At the 100 TB shape — ~1M live
+    * files, per-micro-batch streaming commits — this is the difference
+    * between renaming a few hundred bytes per fold and rewriting (and
+    * re-parsing, at every read) tens of MB of manifest per mutation: the
+    * Delta-Lake JSON-delta+checkpoint design re-expressed in the
+    * tab-separated log. Periodic checkpoints bound the reader's
+    * walk-back; manifests are never deleted, so every checkpoint chain
+    * stays resolvable for time travel.
     */
   private def writeCommit(
       spark: SparkSession, path: String, version: Int,
@@ -1133,28 +1258,21 @@ object LakeTable {
       schemaDdl: String,
       appliedBatches: Set[String] = Set.empty,
       deletes: Seq[(String, String)] = Seq.empty,
-      rowCounts: Map[String, Long] = Map.empty): Commit = {
+      rowCounts: Map[String, Long] = Map.empty,
+      prev: Option[Commit] = None): Commit = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(new Path(s"$path/_commits"))
     val tmp = new Path(s"$path/_commits/.tmp-${java.util.UUID.randomUUID()}")
     val out = fs.create(tmp, false)
     try {
-      val sb = new StringBuilder
-      sb.append("S\t").append(schemaDdl).append('\n')
-      appliedBatches.toSeq.sorted.foreach(b =>
-        sb.append("A\t").append(b).append('\n'))
-      files.sorted.foreach(f => sb.append("F\t").append(f).append('\n'))
-      boxes.sortBy(b => (b._1, b._2)).foreach { case (f, cn, mn, mx) =>
-        sb.append("B\t").append(f).append('\t').append(cn).append('\t')
-          .append(mn).append('\t').append(mx).append('\n')
+      val body = prev match {
+        case Some(p) if version % CheckpointInterval != 0 &&
+            p.version == version - 1 =>
+          deltaBody(p, files, boxes, schemaDdl, appliedBatches, deletes, rowCounts)
+        case _ => fullBody(
+          files, boxes, schemaDdl, appliedBatches, deletes, rowCounts)
       }
-      deletes.sorted.foreach { case (f, dv) =>
-        sb.append("D\t").append(f).append('\t').append(dv).append('\n')
-      }
-      rowCounts.toSeq.sorted.foreach { case (f, n) =>
-        sb.append("R\t").append(f).append('\t').append(n).append('\n')
-      }
-      out.write(sb.toString.getBytes("UTF-8"))
+      out.write(body.getBytes("UTF-8"))
     } finally out.close()
     val dest = new Path(f"$path/_commits/v$version%09d.txt")
     if (!fs.rename(tmp, dest)) {
@@ -1163,6 +1281,88 @@ object LakeTable {
         s"LakeTable: commit v$version lost the rename race at $path")
     }
     Commit(version, files, boxes, schemaDdl, appliedBatches, deletes, rowCounts)
+  }
+
+  private def fullBody(
+      files: Seq[String],
+      boxes: Seq[(String, String, Double, Double)],
+      schemaDdl: String,
+      appliedBatches: Set[String],
+      deletes: Seq[(String, String)],
+      rowCounts: Map[String, Long]): String = {
+    val sb = new StringBuilder
+    sb.append("S\t").append(schemaDdl).append('\n')
+    appliedBatches.toSeq.sorted.foreach(b =>
+      sb.append("A\t").append(b).append('\n'))
+    files.sorted.foreach(f => sb.append("F\t").append(f).append('\n'))
+    boxes.sortBy(b => (b._1, b._2)).foreach { case (f, cn, mn, mx) =>
+      sb.append("B\t").append(f).append('\t').append(cn).append('\t')
+        .append(mn).append('\t').append(mx).append('\n')
+    }
+    deletes.sorted.foreach { case (f, dv) =>
+      sb.append("D\t").append(f).append('\t').append(dv).append('\n')
+    }
+    rowCounts.toSeq.sorted.foreach { case (f, n) =>
+      sb.append("R\t").append(f).append('\t').append(n).append('\n')
+    }
+    sb.toString
+  }
+
+  /** The change lines of the next state against `p` — what [[applyDelta]]
+    * inverts. Boxes and row counts of KEPT files never change (data files
+    * are immutable; every mutation carries them verbatim), so the diff
+    * only ever names added/removed files, flipped attachments, new
+    * markers, and the schema — O(change) lines by construction. The
+    * invariants are asserted, not assumed: a violated one fails the
+    * commit loudly rather than publishing a delta that resolves wrong.
+    */
+  private def deltaBody(
+      p: Commit,
+      files: Seq[String],
+      boxes: Seq[(String, String, Double, Double)],
+      schemaDdl: String,
+      appliedBatches: Set[String],
+      deletes: Seq[(String, String)],
+      rowCounts: Map[String, Long]): String = {
+    val sb = new StringBuilder
+    sb.append("C\tdelta\n")
+    if (schemaDdl != p.schemaDdl) sb.append("S\t").append(schemaDdl).append('\n')
+    (appliedBatches -- p.appliedBatches).toSeq.sorted.foreach(b =>
+      sb.append("A\t").append(b).append('\n'))
+    val prevF = p.files.toSet
+    val nextF = files.toSet
+    p.files.filterNot(nextF).sorted.foreach(f =>
+      sb.append("F-\t").append(f).append('\n'))
+    files.filterNot(prevF).sorted.foreach(f =>
+      sb.append("F+\t").append(f).append('\n'))
+    val prevB = p.boxes.toSet
+    val nextB = boxes.toSet
+    val addedB = boxes.filterNot(prevB)
+    require(addedB.forall(b => !prevF(b._1)),
+      "LakeTable: a kept file's box changed — boxes are immutable with the file")
+    require(p.boxes.forall(b => !nextF(b._1) || nextB(b)),
+      "LakeTable: a kept file lost its box — boxes are immutable with the file")
+    addedB.sortBy(b => (b._1, b._2)).foreach { case (f, cn, mn, mx) =>
+      sb.append("B\t").append(f).append('\t').append(cn).append('\t')
+        .append(mn).append('\t').append(mx).append('\n')
+    }
+    val prevD = p.deletes.toSet
+    val nextD = deletes.toSet
+    p.deletes.filter(d => nextF(d._1) && !nextD(d)).distinct.sorted.foreach {
+      case (f, dv) => sb.append("D-\t").append(f).append('\t').append(dv).append('\n')
+    }
+    deletes.filterNot(prevD).distinct.sorted.foreach { case (f, dv) =>
+      sb.append("D+\t").append(f).append('\t').append(dv).append('\n')
+    }
+    rowCounts.toSeq.sorted.foreach { case (f, n) =>
+      if (!p.rowCounts.get(f).contains(n))
+        sb.append("R\t").append(f).append('\t').append(n).append('\n')
+    }
+    p.rowCounts.keysIterator.toSeq.sorted.foreach { f =>
+      if (nextF(f) && !rowCounts.contains(f))
+        sb.append("R-\t").append(f).append('\n')
+    }
+    sb.toString
   }
 
   /** The commit's schema as a READER schema: every field nullable,
@@ -1181,9 +1381,9 @@ object LakeTable {
     * never dropped, a rewrite that omits one just leaves it NULL in the
     * rewritten rows). A field becomes nullable the moment any epoch can
     * lack it. Name-based parquet reconciliation does the rest at read
-    * time. [[readChanges]] intentionally rejects spans whose shape
-    * changed — a feed across an evolution boundary has no stable row
-    * contract.
+    * time. [[readChanges]] delivers spans crossing such a boundary in the
+    * span-END schema (pre-boundary images read NULL for added columns);
+    * only a NON-append change (drop / retype) rejects the span.
     */
   private def unionDdl(
       oldDdl: String, next: org.apache.spark.sql.types.StructType): String = {

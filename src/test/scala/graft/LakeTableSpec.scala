@@ -921,6 +921,220 @@ class LakeTableSpec extends SparkSpec {
       spark, dir, lateCursor, initial = "latest").isEmpty)
   }
 
+  test("pendingChanges(initial=latest) anchors the cursor: later changes deliver, none are missed") {
+    val (dir, _) = mkTable("graft-lakelate")
+    LakeTable.applyChangelog(spark, dir,
+      Seq((5L, 1L, "U", 50.0)).toDF("key", "seq", "op", "val"), Seq("key"))
+    val cursorDir = Files.createTempDirectory("graft-lakelatec").toString
+    // first poll: up to date — and the anchor is COMMITTED, not implied
+    assert(LakeTable.pendingChanges(
+      spark, dir, cursorDir, initial = "latest").isEmpty)
+    assert(LakeTable.cursor(spark, cursorDir)
+      .contains(LakeTable.latest(spark, dir).version),
+      "the latest-mode first poll must pin its anchor as a cursor commit")
+    // a change after the anchor MUST deliver (the un-anchored bug: 'from'
+    // re-resolved to the then-current version every poll, so a latest-mode
+    // subscriber was permanently 'up to date' and silently missed all of it)
+    LakeTable.applyChangelog(spark, dir,
+      Seq((6L, 2L, "U", 60.0), (7L, 3L, "D", 0.0))
+        .toDF("key", "seq", "op", "val"), Seq("key"))
+    val Some((feed, upTo)) =
+      LakeTable.pendingChanges(spark, dir, cursorDir, initial = "latest")
+    val rows = feed.orderBy(col("key")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows == Seq((6L, "U"), (7L, "D")),
+      s"the post-anchor span (and ONLY it) must deliver, got $rows")
+    LakeTable.commitCursor(spark, cursorDir, upTo)
+    assert(LakeTable.pendingChanges(
+      spark, dir, cursorDir, initial = "latest").isEmpty)
+  }
+
+  test("legacy bare-batchId markers still dedupe arm-qualified replays") {
+    val (dir, _) = mkTable("graft-lakelegacy")
+    // simulate a manifest written BEFORE markers were arm-qualified:
+    // v2 = v1's full text plus a bare `A\t7` line
+    val v1 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/_commits/v000000001.txt")), "UTF-8")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/_commits/v000000002.txt"),
+      (v1 + "A\t7\n").getBytes("UTF-8"))
+    assert(LakeTable.latest(spark, dir).appliedBatches == Set("7"))
+    // a redelivery of batch 7 under the new arm-qualified marker must
+    // no-op — without the bare fallback it would re-apply and duplicate
+    val stats = LakeTable.applyChangelog(spark, dir,
+      Seq((5L, 1L, "U", 99.0)).toDF("key", "seq", "op", "val"), Seq("key"),
+      batchId = Some(7L))
+    assert(stats.filesRewritten == 0 && stats.filesNew == 0)
+    assert(LakeTable.latest(spark, dir).version == 2,
+      "a legacy-marked replay must burn no version")
+    assert(LakeTable.readLive(spark, dir).filter(col("key") === 5L)
+      .head.getDouble(2) == 5 * 1.5, "the replayed change must not apply")
+    // ...while a genuinely new batchId still applies normally
+    LakeTable.applyChangelog(spark, dir,
+      Seq((5L, 2L, "U", 99.0)).toDF("key", "seq", "op", "val"), Seq("key"),
+      batchId = Some(8L))
+    assert(LakeTable.latest(spark, dir).version == 3)
+    assert(LakeTable.readLive(spark, dir).filter(col("key") === 5L)
+      .head.getDouble(2) == 99.0)
+  }
+
+  test("box probes stay exact for integral keys above 2^53 (forget attestation on hash keys)") {
+    val dir = Files.createTempDirectory("graft-lakebig").toString + "/t"
+    // keys in one 256-wide double ulp at 2^60: every conversion collapses
+    // them onto the same double, so box compares ride entirely on the
+    // conservative widening — false exclusion here would let a tombstoned
+    // row survive deletion
+    val lo = 1L << 60
+    val keys = Seq(lo + 1L, lo + 3L, lo + 5L, lo + 7L, lo + 9L, lo + 11L)
+    LakeTable.init(keys.map(k => (k, s"n$k", 1.0)).toDF("key", "name", "val"),
+      dir, Seq("key"), nFiles = 2)
+    val doomed = Seq(keys.max, keys.min).toDF("key")
+    LakeTable.applyTombstones(spark, dir, doomed, Seq("key"))
+    assert(LakeTable.readLive(spark, dir)
+      .join(broadcast(doomed), Seq("key"), "left_semi").isEmpty,
+      "tombstoned >2^53 keys must be unreadable — the attestation contract")
+    assert(LakeTable.countLive(spark, dir) == keys.size - 2L)
+    // the deletion-vector path must shadow the file too
+    val dv = LakeTable.applyTombstonesDv(spark, dir, Seq(keys(2)).toDF("key"))
+    assert(dv.filesShadowed >= 1, "the edge key's file must enter the shadow set")
+    assert(LakeTable.readLive(spark, dir).filter(col("key") === keys(2)).isEmpty)
+    assert(LakeTable.countLive(spark, dir) == keys.size - 3L)
+  }
+
+  test("changefeed across schema evolution: span delivers in the end schema, durable cursors drain") {
+    val (dir, _) = mkTable("graft-lakeevofeed") // v1
+    val cursorDir = Files.createTempDirectory("graft-lakeevofeedc").toString
+    assert(LakeTable.pendingChanges(spark, dir, cursorDir).isEmpty) // anchor v1
+    LakeTable.applyChangelog(spark, dir,
+      Seq((5L, 1L, "U", 50.0)).toDF("key", "seq", "op", "val"), Seq("key")) // v2
+    // evolution lands INSIDE the subscriber's lag window...
+    LakeTable.append(
+      Seq((900L, "n900", 9.0, "web")).toDF("key", "name", "val", "source"),
+      dir, Seq("key")) // v3 adds `source`
+    LakeTable.applyTombstones(spark, dir, Seq(7L).toDF("key"), Seq("key")) // v4
+    // ...and the poll still drains: ONE net span, span-END schema, old
+    // images serving NULL for the added column (the wedge: readChanges
+    // used to reject the span, so every poll threw forever)
+    val Some((feed, upTo)) = LakeTable.pendingChanges(spark, dir, cursorDir)
+    assert(feed.columns.toSeq == Seq("key", "op", "name", "val", "source"))
+    val rows = feed.orderBy(col("key")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getAs[String]("source"))).toSeq
+    assert(rows == Seq((5L, "U", null), (7L, "D", null), (900L, "I", "web")),
+      s"got $rows")
+    // round-trip still holds with the start snapshot projected to the end
+    // schema: start − touched keys + I/U images == readAt(to)
+    val start = LakeTable.readAt(spark, dir, 1)
+      .withColumn("source", lit(null).cast("string"))
+    val merged = start.join(feed.select(col("key")), Seq("key"), "left_anti")
+      .unionByName(feed.filter(col("op") =!= "D").drop("op"))
+      .orderBy(col("key")).collect().map(_.toSeq).toSeq
+    val want = LakeTable.readAt(spark, dir, upTo)
+      .orderBy(col("key")).collect().map(_.toSeq).toSeq
+    assert(merged == want, "evolved-span feed must still round-trip")
+    LakeTable.commitCursor(spark, cursorDir, upTo)
+    assert(LakeTable.pendingChanges(spark, dir, cursorDir).isEmpty)
+    // a NON-append change still rejects: fake a FULL v5 manifest whose
+    // schema retypes `val` — that feed has no stable row contract
+    val v1txt = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/_commits/v000000001.txt")), "UTF-8")
+    assert(v1txt.contains("val DOUBLE"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/_commits/v000000005.txt"),
+      v1txt.replace("val DOUBLE", "val STRING").getBytes("UTF-8"))
+    intercept[IllegalArgumentException](
+      LakeTable.readChanges(spark, dir, 4, 5))
+  }
+
+  test("manifest log: mutations commit O(change) deltas, checkpoints bound the walk-back, resolution exact") {
+    val (dir, base) = mkTable("graft-lakedelta") // v1: full, 8 files
+    def manifest(v: Int) = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(f"$dir%s/_commits/v$v%09d.txt")), "UTF-8")
+    assert(!manifest(1).startsWith("C\tdelta"), "v1 is a full checkpoint")
+    val fullLines = manifest(1).linesIterator.size
+    // fold nine single-key merges: v2..v9 are DELTAS naming only the
+    // touched files; v10 lands the periodic full checkpoint
+    var expected = base
+    var snapshots = Map(1 -> base.orderBy(col("key")).collect().map(_.toSeq).toSeq)
+    (1 to 9).foreach { i =>
+      val log = Seq((i * 30L, i.toLong, "U", i * 1000.0))
+        .toDF("key", "seq", "op", "val")
+      LakeTable.applyChangelog(spark, dir, log, Seq("key"),
+        batchId = Some(i.toLong))
+      expected = Cdc.mergeChangelog(expected, log).drop("last_seq")
+        .localCheckpoint()
+      snapshots += (i + 1) ->
+        expected.orderBy(col("key")).collect().map(_.toSeq).toSeq
+    }
+    (2 to 9).foreach { v =>
+      val m = manifest(v)
+      assert(m.startsWith("C\tdelta"), s"v$v must be a delta")
+      assert(m.linesIterator.size < fullLines / 2,
+        s"a single-key fold must commit O(change) lines, v$v wrote " +
+          s"${m.linesIterator.size} (full manifest: $fullLines)")
+    }
+    assert(!manifest(10).startsWith("C\tdelta"),
+      "every 10th version is a full checkpoint")
+    // resolution through the delta chain is exact: live state, replay
+    // markers, and TIME TRAVEL to any mid-chain version
+    assert(LakeTable.readLive(spark, dir)
+      .orderBy(col("key")).collect().map(_.toSeq).toSeq == snapshots(10))
+    assert(LakeTable.latest(spark, dir).appliedBatches ==
+      (1 to 9).map(i => s"cdc#$i").toSet)
+    Seq(3, 5, 9).foreach { v =>
+      assert(LakeTable.readAt(spark, dir, v)
+        .orderBy(col("key")).collect().map(_.toSeq).toSeq == snapshots(v),
+        s"time travel to mid-chain delta v$v must be exact")
+    }
+    // a replayed batchId resolved THROUGH deltas still no-ops
+    val stats = LakeTable.applyChangelog(spark, dir,
+      Seq((30L, 1L, "U", -1.0)).toDF("key", "seq", "op", "val"), Seq("key"),
+      batchId = Some(1L))
+    assert(stats.filesRewritten == 0 &&
+      LakeTable.latest(spark, dir).version == 10)
+    // changefeed and metadata count read identically off the delta log
+    assert(LakeTable.countLive(spark, dir) == snapshots(10).size)
+    val feed = LakeTable.readChanges(spark, dir, 1, 10)
+      .orderBy(col("key")).collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(feed == (1 to 9).map(i => (i * 30L, "U")).toSeq, s"got $feed")
+  }
+
+  test("attachWithView with min/max: a streamed delete of a group's min repairs the view") {
+    import graft.streaming.LakeMaintenance
+    import graft.operators.Mv
+    val dir = Files.createTempDirectory("graft-lakemmv").toString + "/t"
+    val viewDir = Files.createTempDirectory("graft-lakemmvv").toString + "/view"
+    val base = (0L until 40L).map(k => (k, s"g${k % 4}", k * 1.0))
+      .toDF("key", "name", "val")
+    LakeTable.init(base, dir, Seq("key"), nFiles = 2)
+    val mm = Map(("min", "val") -> "min_val", ("max", "val") -> "max_val",
+      ("count", "*") -> "cnt")
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, String, Double)]
+    val q = LakeMaintenance.attachWithView(
+      input.toDF().toDF("key", "seq", "op", "val"), dir, Seq("key"),
+      viewDir, Seq("name"), mm)
+    try {
+      // first batch seeds the view (summarize path)...
+      input.addData(Seq((39L, 1L, "D", 0.0))) // g3's max dies
+      q.processAllAvailable()
+      // ...second batch must route min/max through touched-group REPAIR:
+      // key 0 is g0's min — a feed-only retraction cannot recover the
+      // next-smallest member, re-aggregating the touched group can
+      input.addData(Seq((0L, 2L, "D", 0.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    def sorted(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("name")).collect().map(_.toSeq).toSeq
+    assert(sorted(LakeMaintenance.readView(spark, viewDir)) ==
+      sorted(Mv.summarize(LakeTable.readLive(spark, dir), Seq("name"), mm)),
+      "the maintained min/max view must equal re-summarizing the live table")
+    val g0 = LakeMaintenance.readView(spark, viewDir)
+      .filter(col("name") === "g0").head()
+    assert(g0.getDouble(g0.fieldIndex("min_val")) == 4.0,
+      "g0's min must move to the next member after its old min is deleted")
+  }
+
   test("deletion vectors: compaction folds a shadowed sliver's vectors in") {
     val dir = Files.createTempDirectory("graft-lakedvc").toString + "/t"
     val base = (0L until 100L).map(k => (k, s"n$k", k.toDouble)).toDF("key", "name", "val")
