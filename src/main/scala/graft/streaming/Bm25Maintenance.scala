@@ -67,6 +67,11 @@ final class Bm25Maintainer private (spark: SparkSession, workDir: String) {
     val folded = foldedOf(fs, workDir, v)
     if (batchId.exists(folded.contains)) return false
     if (batch.isEmpty) return false
+    // a fold that crashed between the parquet write and the marker left
+    // an unmarked v+1 directory; without clearing it this write would
+    // throw 'path already exists' on EVERY subsequent fold — the orphan
+    // is uncommitted by definition (no marker), so deleting it is safe
+    clearUnmarked(fs, workDir, above = v)
     TextAnalysis.mergeBm25Stats(stats, batch)
       .coalesce(1)
       .write.parquet(statsPath(workDir, v + 1))
@@ -101,6 +106,7 @@ object Bm25Maintainer {
   def build(initialDocs: DataFrame, workDir: String): Bm25Maintainer = {
     val spark = initialDocs.sparkSession
     val fs = new Path(workDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    clearUnmarked(fs, workDir, above = 0) // a crashed build's orphan v1
     TextAnalysis.bm25Stats(initialDocs)
       .coalesce(1)
       .write.parquet(statsPath(workDir, 1))
@@ -135,6 +141,24 @@ object Bm25Maintainer {
       .map(_.getPath.getName)
       .collect { case n if n.startsWith("v") => n.stripPrefix("v").toInt }
       .filter(v => fs.exists(markerPath(workDir, v)))
+  }
+
+  /** Delete UNMARKED version directories above the committed maximum —
+    * debris of folds (or builds) that crashed after the parquet write but
+    * before the marker. They are invisible to readers already; clearing
+    * them keeps the next fold's write from colliding with the dead path.
+    */
+  private def clearUnmarked(
+      fs: org.apache.hadoop.fs.FileSystem, workDir: String, above: Int): Unit = {
+    val dir = new Path(s"$workDir/stats")
+    if (!fs.exists(dir)) return
+    fs.listStatus(dir).toSeq.map(_.getPath)
+      .filter { p =>
+        p.getName.startsWith("v") &&
+          p.getName.stripPrefix("v").toIntOption.exists(_ > above) &&
+          !fs.exists(new Path(p, "_folded.txt"))
+      }
+      .foreach(fs.delete(_, true))
   }
 
   private def foldedOf(

@@ -41,15 +41,22 @@ class Bm25MaintenanceSpec extends SparkSpec {
       "recovered fold chain must equal the uninterrupted refit")
   }
 
-  test("a markerless (crash-interrupted) version directory is ignored") {
+  test("a markerless (crash-interrupted) version directory is ignored AND does not block later folds") {
     val dir = tmp("marker")
     val m = Bm25Maintainer.build(docs.filter(col("doc_id") % 2 === 0), dir)
     val before = statsSet(m.stats)
     // simulate a fold that died after the parquet write, before the
-    // marker: a v000002 directory with data but no _folded.txt
+    // marker: the orphan sits at EXACTLY v+1 = v000002, the path the next
+    // fold will want to write
     TextAnalysis.bm25Stats(docs).coalesce(1).write.parquet(s"$dir/stats/v000002")
-    assert(statsSet(Bm25Maintainer.recover(spark, dir).stats) == before,
+    val m2 = Bm25Maintainer.recover(spark, dir)
+    assert(statsSet(m2.stats) == before,
       "an uncommitted version must be invisible to recovery and reads")
+    // the recovered maintainer's next fold lands AT the orphan's path —
+    // it must clear the debris and commit, not throw 'path already exists'
+    assert(m2.fold(docs.filter(col("doc_id") % 2 =!= 0), Some(3L)))
+    assert(statsSet(m2.stats) == statsSet(TextAnalysis.bm25Stats(docs)),
+      "the recovered fold must equal the uninterrupted one's result")
   }
 
   test("attached to a MemoryStream, serving equals the inline ranking over the whole corpus") {
