@@ -455,6 +455,52 @@ object StreamBench {
       s"${graft.sources.LakeTable.latest(spark, lakeDir3).files.size} " +
       s"(rows ${graft.sources.LakeTable.readLive(spark, lakeDir3).count()})")
 
+    // --- timed: SCD2 dimension maintainer (lake-homed validity history) ---
+    // build derives a DEEP history untimed (the epoch refit); the timed
+    // loop folds full-image change batches — each fold APPENDS its newly-
+    // closed intervals and rewrites only touched current-slice files, so
+    // per-fold seconds stay FLAT while the closed bulk grows every batch
+    // (the predecessor design re-serialized the whole accumulated history
+    // parquet per fold — O(history) writes). Feed files are seq-range-
+    // partitioned so micro-batches respect the monotone-LSN contract.
+    val nScdKeys = 20000L
+    val scdSeed = spark.range(nScdKeys * 5).select(
+      (f.col("id") % nScdKeys).as("key"),
+      f.col("id").as("seq"),
+      f.when(f.col("id") % 13L === 0L, f.lit("D"))
+        .otherwise(f.lit("U")).as("op"),
+      f.concat(f.lit("n"), f.col("id") % 97).as("name"),
+      (f.col("id") % 9973L).cast("double").as("val"))
+    val scdm = graft.streaming.ScdMaintainer.build(scdSeed, s"$root/scdm")
+    val nScdChanges = nScdKeys * 2
+    val scdFeed = spark.range(nScdChanges).select(
+      (f.col("id") * 7L % nScdKeys).as("key"),
+      (f.col("id") + nScdKeys * 10L).as("seq"),
+      f.when(f.col("id") % 13L === 0L, f.lit("D"))
+        .otherwise(f.lit("U")).as("op"),
+      f.concat(f.lit("m"), f.col("id") % 97).as("name"),
+      (f.col("id") % 997L).cast("double").as("val"))
+    scdFeed.repartitionByRange(8, f.col("seq")).write.parquet(s"$root/scdfeed")
+    val scdFoldTimes = scala.collection.mutable.ArrayBuffer.empty[Double]
+    timeQuery("scd2 maintainer (closed append + touched current rewrite per fold)", nScdChanges) {
+      val src = spark.readStream
+        .schema(scdFeed.schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(s"$root/scdfeed")
+      src.writeStream
+        .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+          if (!b.isEmpty) {
+            val t0 = System.nanoTime()
+            scdm.fold(b.toDF(), Some(id))
+            scdFoldTimes += (System.nanoTime() - t0) / 1e9
+            ()
+          }
+        }
+        .start()
+    }
+    println(f"[stream-bench] scd2 per-fold seconds (closed bulk grows every fold): ${
+      scdFoldTimes.map(t => f"$t%.2f").mkString(", ")}")
+
     timeQuery("cdc changelog reduction (transformWithState)", nChanges) {
       val src = spark.readStream
         .schema(org.apache.spark.sql.Encoders.product[

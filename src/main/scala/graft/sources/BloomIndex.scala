@@ -144,18 +144,27 @@ object BloomIndex {
     * files not yet indexed; then apply the exact residual filter. Result
     * rows are identical to `readLive.filter(column IN values)` — the
     * index changes which files open, never the answer.
+    *
+    * Concurrency: the lookup resolves the manifest ONCE and uses that
+    * pinned commit for both the prune and the read — concurrent
+    * mutations/vacuums between the two steps cannot swap the file set
+    * under it. The pinned snapshot's files stay on disk as long as
+    * retention covers them (the standard lake-reader contract:
+    * `vacuum(keepVersions)` must exceed the longest in-flight read's
+    * lag, exactly as it must cover a changefeed cursor's); a vacuum
+    * outside that contract fails the read loud, never silently wrong.
     */
   def lookup(
       spark: SparkSession, tablePath: String, column: String,
       values: Seq[String]): DataFrame = {
-    val (kept, unindexed) = prunedFiles(spark, tablePath, column, values)
+    val c = LakeTable.latest(spark, tablePath)
+    val (kept, unindexed) = prunedFilesOf(spark, c, tablePath, column, values)
     val files = kept ++ unindexed
     val base =
       if (files.isEmpty) LakeTable.readLive(spark, tablePath).filter(lit(false))
       // through the table's shared resolver, so deletion vectors apply —
       // a raw read here would resurrect shadowed rows into lookups
-      else LakeTable.readFilesResolved(
-        spark, tablePath, LakeTable.latest(spark, tablePath), files)
+      else LakeTable.readFilesResolved(spark, tablePath, c, files)
     base.filter(col(column).isin(values: _*))
   }
 
@@ -165,10 +174,19 @@ object BloomIndex {
     */
   def prunedFiles(
       spark: SparkSession, tablePath: String, column: String,
-      values: Seq[String]): (Seq[String], Seq[String]) = {
+      values: Seq[String]): (Seq[String], Seq[String]) =
+    prunedFilesOf(
+      spark, LakeTable.latest(spark, tablePath), tablePath, column, values)
+
+  /** [[prunedFiles]] against a caller-pinned commit — the form [[lookup]]
+    * uses so its prune and its read share one manifest resolution.
+    */
+  def prunedFilesOf(
+      spark: SparkSession, c: LakeTable.Commit, tablePath: String,
+      column: String, values: Seq[String]): (Seq[String], Seq[String]) = {
     import spark.implicits._
     require(values.nonEmpty, "BloomIndex.lookup: empty needle set")
-    val live = LakeTable.latest(spark, tablePath).files
+    val live = c.files
     val idx = indexedOrEmpty(spark, tablePath, column) match {
       case None      => return (Seq.empty, live) // no index yet: all conservative
       case Some(idx) => idx.dropDuplicates("file")

@@ -304,7 +304,11 @@ object LakeSink {
             new org.apache.hadoop.fs.Path(f), conf))
         try {
           val blocks = reader.getFooter.getBlocks.asScala.toSeq
-          cols.map { c =>
+          // a ZERO-ROW part file (an empty frame's schema-bearing write)
+          // has no stats to box; emitting no box row is exact — the file
+          // holds nothing, and readers treat unboxed files conservatively
+          if (blocks.map(_.getRowCount).sum == 0L) Nil
+          else cols.map { c =>
             val stats = blocks.flatMap(
               _.getColumns.asScala.find(_.getPath.toDotString == c))
               .map(_.getStatistics)

@@ -276,6 +276,24 @@ object LakeTable {
     }
   }
 
+  /** The live rows whose `keyCol` is one of `keys`, opening ONLY the
+    * box-intersecting files — the point-read companion of
+    * [[readPrunedLive]] for an arbitrary key set (the SCD maintainer's
+    * per-fold current-slice probe). Exact: the box prune is conservative
+    * ([[shadowedFiles]]'s contract), the broadcast semi-join is the
+    * residual filter. Cost is O(files holding the keys), never O(table).
+    */
+  def readKeyed(
+      spark: SparkSession, path: String, keys: DataFrame,
+      keyCol: String = "key"): DataFrame = {
+    val c = latest(spark, path)
+    val ks = keys.select(col(keyCol)).distinct()
+    val files = shadowedFiles(spark, c, ks, keyCol)
+    if (files.isEmpty) readLive(spark, path).limit(0)
+    else readFilesResolved(spark, path, c, files)
+      .join(broadcast(ks), Seq(keyCol), "left_semi")
+  }
+
   /** MERGE a CDC changelog into the table — the continuous
     * changelog-table semantics of the reference's consumers
     * (consumers/faust_stream.py:87-92 upserts the station table;

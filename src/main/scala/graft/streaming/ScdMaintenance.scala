@@ -5,32 +5,54 @@ import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 import graft.operators.Cdc
+import graft.sources.LakeTable
 
 /** Continuously maintained SCD-TYPE-2 dimension history — the streaming
-  * arm of [[Cdc.scdMerge]] and the dimension twin of [[Bm25Maintainer]]:
-  * an always-on CDC stream folds every micro-batch of full-row-image
-  * changes into the stored validity-interval artifact, so "what did
-  * this row say at time t" is answerable one micro-batch behind the
-  * source instead of one nightly rebuild behind. Exactness per fold is
-  * the fold==refit invariant (`scdMerge(scdHistory(a), b) ==
-  * scdHistory(a ∪ b)` under monotone LSNs — q_scd2_merge's oracle IS
-  * the refit), so chained folds equal one derivation.
+  * arm of [[Cdc.scdMerge]], RE-HOMED on [[LakeTable]] so per-fold write
+  * cost tracks the CHANGE, never the accumulated history (the reference's
+  * continuously-maintained dimension table, consumers/faust_stream.py:
+  * 87-92, at the 100 TB shape).
   *
-  * State model: derived-artifact versioning, the [[Bm25Maintainer]]
-  * protocol verbatim — `workDir/history/v%06d/` snapshots, each
-  * committed by a `_folded.txt` marker carrying every folded batchId,
-  * written AFTER the parquet lands; recovery resolves the highest
-  * MARKED version, redelivered batchIds short-circuit against the
-  * marker the version itself carries (the atomic check-and-publish).
+  * Why two lake tables: [[Cdc.scdMerge]]'s contract splits the artifact
+  * by mutability. CLOSED intervals are immutable forever — they belong
+  * in an APPEND-ONLY table (`workDir/closed/t`, clustered on
+  * (key, valid_from) so both the temporal join's key probe and the as-of
+  * read's validity range prune); the CURRENT slice is a key-unique keyed
+  * snapshot that mutates per fold — a merge-on-write table
+  * (`workDir/current/t`, clustered on key) where a fold rewrites ONLY the
+  * box-intersecting current-slice files. A years-deep dimension never
+  * re-serializes: the fold appends its newly-closed intervals
+  * (batch-sized), rewrites the touched current files (touched-key-sized),
+  * and the untouched closed bulk carries by manifest NAME — the
+  * predecessor design re-landed the FULL scdMerge output as a fresh
+  * parquet snapshot every micro-batch, an O(history) write per fold.
   *
-  * Scale shape: the artifact lands PARTITIONED BY `is_current`, because
-  * [[Cdc.scdMerge]]'s contract is that CLOSED intervals are immutable —
-  * a fold semi/anti-joins history against the batch's touched keys, and
-  * with the partition split the closed slice (the years-deep bulk of a
-  * dimension) passes through as a partition-pruned pass-through while
-  * only the current slice (key-count-sized) joins the batch. Per-fold
-  * cost tracks the batch and the CURRENT slice, never accumulated
-  * history.
+  * Consistency across the two tables: each committed fold publishes a
+  * PAIR MARKER `workDir/fold/v%06d.txt` pinning (closed version, current
+  * version, folded batchIds); readers resolve the latest marker and
+  * [[LakeTable.readAt]] each table at its pinned version, so a reader
+  * never observes one table's fold without the other's. The marker file
+  * is created atomically (create-without-overwrite), and each lake
+  * commit is itself atomic, which leaves exactly three crash windows —
+  * all healed by replaying the batch:
+  *   - after the closed append, before the current merge: the replay's
+  *     closed append no-ops on its lake batch marker (`scd-closed#id`),
+  *     the current merge applies;
+  *   - after both lake commits, before the marker: both lake ops no-op
+  *     on their markers, the pair marker lands pointing at the latest
+  *     versions (which hold exactly the fold);
+  *   - a redelivered already-marked batch: the pair marker's folded set
+  *     short-circuits before any work.
+  * Exactness per fold is the fold==refit invariant (`scdMerge(
+  * scdHistory(a), b) == scdHistory(a ∪ b)` under monotone LSNs —
+  * q_scd2_merge's oracle IS the refit), so chained folds equal one
+  * derivation; the fold only ever hands [[Cdc.scdMerge]] the touched
+  * keys' current rows, which is all it reads by contract.
+  *
+  * Retention: lake versions accumulate one per fold per table;
+  * [[vacuumHistory]] applies [[LakeTable.vacuum]] to both tables —
+  * `keepVersions` must cover the slowest reader's marker lag, the same
+  * contract every lake subscriber carries.
   */
 final class ScdMaintainer private (spark: SparkSession, workDir: String) {
   import ScdMaintainer._
@@ -38,61 +60,87 @@ final class ScdMaintainer private (spark: SparkSession, workDir: String) {
   private val fs =
     new Path(workDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** The served history — always the latest COMMITTED version. Column
-    * order is normalized back to [[Cdc.scdHistory]]'s (partitionBy moves
-    * the partition column last on disk).
+  /** The append-only closed-interval lake table (exposed for manifest
+    * audits and external vacuum policy).
+    */
+  def closedTablePath: String = ScdMaintainer.closedPath(workDir)
+
+  /** The merge-on-write current-slice lake table. */
+  def currentTablePath: String = ScdMaintainer.currentPath(workDir)
+
+  /** The served history — the latest committed PAIR: closed intervals ∪
+    * the current slice, each read at its marker-pinned table version
+    * ([[Cdc.scdHistory]]'s shape).
     */
   def history: DataFrame = {
-    val p = historyPath(workDir, currentVersion)
-    // an empty history (fresh dimension, or a log of only absent-key
-    // deletes) writes no partition dir — parquet cannot infer a schema
-    // from nothing, so serve the canonical empty frame instead
-    val hasData = fs.listStatus(new Path(p)).exists(s =>
-      s.isDirectory && s.getPath.getName.startsWith("is_current="))
-    if (!hasData)
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[Row],
-        org.apache.spark.sql.types.StructType.fromDDL(
-          "key BIGINT, name STRING, val DOUBLE, " +
-            "valid_from BIGINT, valid_to BIGINT, is_current BOOLEAN"))
-    else spark.read.parquet(p)
+    val m = markerOf(fs, workDir, currentVersion)
+    val closed = LakeTable.readAt(spark, closedTablePath, m.closedV)
       .select(col("key"), col("name"), col("val"),
-        col("valid_from"), col("valid_to"),
-        col("is_current").cast("boolean").as("is_current"))
+        col("valid_from"), col("valid_to"), lit(false).as("is_current"))
+    val cur = LakeTable.readAt(spark, currentTablePath, m.currentV)
+      .select(col("key"), col("name"), col("val"), col("valid_from"),
+        lit(null).cast("bigint").as("valid_to"), lit(true).as("is_current"))
+    closed.unionByName(cur)
   }
 
-  /** The current-rows slice — a partition-pruned read, equal to the
-    * latest-image MERGE of the same changelog (CdcSpec pins it).
+  /** The current-rows slice — a read of the current table alone (never
+    * the closed bulk), equal to the latest-image MERGE of the same
+    * changelog (CdcSpec pins it).
     */
   def current: DataFrame = history.filter(col("is_current"))
 
   /** Streaming batchIds already folded in (empty right after build). */
-  def foldedBatches: Set[Long] = foldedOf(fs, workDir, currentVersion)
+  def foldedBatches: Set[Long] =
+    markerOf(fs, workDir, currentVersion).folded
 
   private def currentVersion: Int = committedVersions(fs, workDir).max
 
   /** Fold one micro-batch of changes; returns false for an
     * already-folded (redelivered) batchId, true when a new version
-    * committed.
+    * committed. Per-fold cost: one [[LakeTable.readKeyed]] of the
+    * touched keys' current rows, one batch-sized closed APPEND, one
+    * touched-file current-table rewrite, three metadata renames.
     */
   def fold(batch: DataFrame, batchId: Option[Long] = None): Boolean = synchronized {
     val v = currentVersion
-    val folded = foldedOf(fs, workDir, v)
-    if (batchId.exists(folded.contains)) return false
+    val m = markerOf(fs, workDir, v)
+    if (batchId.exists(m.folded.contains)) return false
     if (batch.isEmpty) return false
-    Cdc.scdMerge(history, batch)
-      .write.partitionBy("is_current")
-      .parquet(historyPath(workDir, v + 1))
-    commitMarker(fs, workDir, v + 1, folded ++ batchId.toSet)
-    committedVersions(fs, workDir).filter(_ < v).foreach { old =>
-      fs.delete(new Path(historyPath(workDir, old)), true)
-    }
+    val touched = batch.select(col("key")).distinct()
+    // the touched keys' current rows, box-pruned — the ONLY history the
+    // incremental derivation needs (closed intervals are immutable)
+    val curTouched = LakeTable.readKeyed(spark, currentTablePath, touched)
+      .withColumn("valid_to", lit(null).cast("bigint"))
+      .withColumn("is_current", lit(true))
+    val merged = Cdc.scdMerge(curTouched, batch.select(
+      col("key"), col("seq"), col("op"), col("name"), col("val")))
+      .localCheckpoint() // one derivation feeds two commits
+    val newClosed = merged.filter(!col("is_current"))
+      .select(col("key"), col("name"), col("val"),
+        col("valid_from"), col("valid_to"))
+    val newCur = merged.filter(col("is_current"))
+      .select(col("key"), col("name"), col("val"), col("valid_from"))
+    // 1. closed intervals append immutably (empty appends still commit,
+    //    carrying the replay marker)
+    LakeTable.append(newClosed, closedTablePath, Seq("key", "valid_from"),
+      nFilesNew = 1, batchId = batchId, arm = "scd-closed")
+    // 2. the current slice rewrites ONLY its touched files
+    LakeTable.mutate(spark, currentTablePath, Seq("key"), keyCol = "key",
+      nFilesNew = 1, bits = 16,
+      touchKeys = touched,
+      rewrite = base =>
+        base.join(broadcast(touched), Seq("key"), "left_anti")
+          .unionByName(newCur),
+      appliedBatch = batchId.map(b => s"scd-current#$b"))
+    // 3. the pair marker pins the fold for readers
+    val cv = LakeTable.latest(spark, closedTablePath).version
+    val kv = LakeTable.latest(spark, currentTablePath).version
+    commitMarker(fs, workDir, v + 1, Marker(cv, kv, m.folded ++ batchId))
     true
   }
 
   /** Query-time TEMPORAL JOIN served from the maintained artifact: each
-    * fact joins the dimension version valid at its own `t` — the
-    * [[Bm25Maintainer.serveTopK]] shape for the dimension store.
+    * fact joins the dimension version valid at its own `t`.
     */
   def serveJoin(facts: DataFrame): DataFrame = Cdc.scdJoin(facts, history)
 
@@ -105,26 +153,51 @@ final class ScdMaintainer private (spark: SparkSession, workDir: String) {
         fold(b.toDF(), Some(id)); ()
       }
       .start()
+
+  /** Apply lake retention to both tables. `keepVersions` must cover the
+    * slowest reader's pair-marker lag (the standard lake subscriber
+    * contract); markers themselves are metadata-sized and kept.
+    */
+  def vacuumHistory(keepVersions: Int = 2, graceMs: Long = 0L): Int =
+    LakeTable.vacuum(spark, closedTablePath, keepVersions, graceMs) +
+      LakeTable.vacuum(spark, currentTablePath, keepVersions, graceMs)
 }
 
 object ScdMaintainer {
 
+  private final case class Marker(closedV: Int, currentV: Int, folded: Set[Long])
+
   /** Derive the epoch's history from the accumulated changelog and start
-    * maintaining. An empty-history start is `build(emptyLog)`.
+    * maintaining. An empty-history start is `build(emptyLog)`. Debris of
+    * a build that crashed before its first marker is cleared and
+    * re-derived (nothing uncommitted is ever served).
     */
   def build(initialLog: DataFrame, workDir: String): ScdMaintainer = {
     val spark = initialLog.sparkSession
     val fs = new Path(workDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    Cdc.scdHistory(initialLog)
-      .write.partitionBy("is_current")
-      .parquet(historyPath(workDir, 1))
-    commitMarker(fs, workDir, 1, Set.empty)
+    require(committedVersions(fs, workDir).isEmpty,
+      s"ScdMaintainer: $workDir already holds a committed history — recover() it")
+    fs.delete(new Path(closedPath(workDir)), true)
+    fs.delete(new Path(currentPath(workDir)), true)
+    val hist = Cdc.scdHistory(initialLog).localCheckpoint()
+    LakeTable.init(
+      hist.filter(!col("is_current"))
+        .select(col("key"), col("name"), col("val"),
+          col("valid_from"), col("valid_to")),
+      closedPath(workDir), Seq("key", "valid_from"), nFiles = 2)
+    LakeTable.init(
+      hist.filter(col("is_current"))
+        .select(col("key"), col("name"), col("val"), col("valid_from")),
+      currentPath(workDir), Seq("key"), nFiles = 2)
+    commitMarker(fs, workDir, 1, Marker(1, 1, Set.empty))
     new ScdMaintainer(spark, workDir)
   }
 
-  /** Reopen `workDir` after a restart: the latest committed version is
-    * the whole state — the recovered maintainer's next fold equals the
-    * uninterrupted one's and redelivered batchIds stay no-ops.
+  /** Reopen `workDir` after a restart: the latest committed pair marker
+    * is the whole state — the recovered maintainer's next fold equals
+    * the uninterrupted one's, redelivered batchIds stay no-ops, and a
+    * fold that crashed between its lake commits and its marker heals on
+    * the batch's replay (each lake commit carries its own replay marker).
     */
   def recover(spark: SparkSession, workDir: String): ScdMaintainer = {
     val fs = new Path(workDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -133,35 +206,40 @@ object ScdMaintainer {
     new ScdMaintainer(spark, workDir)
   }
 
-  private def historyPath(workDir: String, v: Int): String =
-    f"$workDir%s/history/v$v%06d"
+  private def closedPath(workDir: String): String = s"$workDir/closed/t"
+  private def currentPath(workDir: String): String = s"$workDir/current/t"
 
   private def markerPath(workDir: String, v: Int): Path =
-    new Path(s"${historyPath(workDir, v)}/_folded.txt")
+    new Path(f"$workDir%s/fold/v$v%06d.txt")
 
   private def committedVersions(
       fs: org.apache.hadoop.fs.FileSystem, workDir: String): Seq[Int] = {
-    val dir = new Path(s"$workDir/history")
+    val dir = new Path(s"$workDir/fold")
     if (!fs.exists(dir)) return Nil
     fs.listStatus(dir).toSeq
       .map(_.getPath.getName)
-      .collect { case n if n.startsWith("v") => n.stripPrefix("v").toInt }
-      .filter(v => fs.exists(markerPath(workDir, v)))
+      .collect { case n if n.startsWith("v") && n.endsWith(".txt") =>
+        n.stripPrefix("v").stripSuffix(".txt").toInt }
   }
 
-  private def foldedOf(
-      fs: org.apache.hadoop.fs.FileSystem, workDir: String, v: Int): Set[Long] = {
+  private def markerOf(
+      fs: org.apache.hadoop.fs.FileSystem, workDir: String, v: Int): Marker = {
     val in = fs.open(markerPath(workDir, v))
-    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-    text.split('\n').filter(_.nonEmpty).map(_.toLong).toSet
+    val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().toVector finally in.close()
+    Marker(
+      lines(0).toInt, lines(1).toInt,
+      lines.drop(2).filter(_.nonEmpty).map(_.toLong).toSet)
   }
 
   private def commitMarker(
       fs: org.apache.hadoop.fs.FileSystem, workDir: String, v: Int,
-      folded: Set[Long]): Unit = {
+      m: Marker): Unit = {
+    fs.mkdirs(new Path(s"$workDir/fold"))
     val out = fs.create(markerPath(workDir, v), false)
-    try out.write(folded.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
+    try out.write(
+      (Seq(m.closedV.toString, m.currentV.toString) ++
+        m.folded.toSeq.sorted.map(_.toString)).mkString("\n").getBytes("UTF-8"))
     finally out.close()
   }
 }

@@ -103,4 +103,39 @@ class BloomIndexSpec extends SparkSpec {
     // lookups after vacuum are still exact
     assert(BloomIndex.lookup(spark, dir2, "name", Seq("name_43")).count() == 1)
   }
+
+  test("a vacuum racing between prune and read stays exact inside the retention window") {
+    val (dir, base) = mkTable("graft-bloomrace")
+    BloomIndex.refresh(spark, dir, "name")
+    // an in-flight reader pins the manifest, then decides its file set
+    val pinned = LakeTable.latest(spark, dir)
+    val (kept, unindexed) = BloomIndex.prunedFilesOf(
+      spark, pinned, dir, "name", Seq("name_42"))
+    assert(unindexed.isEmpty && kept.nonEmpty)
+    // maintenance races in BETWEEN the prune and the read: an OPTIMIZE
+    // replaces every file, then vacuum runs with retention that still
+    // covers the pinned version (keepVersions=2 = the pre- and
+    // post-optimize manifests)
+    LakeTable.optimize(spark, dir, Seq("key"), nFiles = 4)
+    assert(LakeTable.vacuum(spark, dir, keepVersions = 2) == 0,
+      "inside the retention window the pinned version loses no file")
+    // the in-flight read finishes exactly off its pinned snapshot
+    val inflight = LakeTable.readFilesResolved(spark, dir, pinned, kept)
+      .filter(col("name") === "name_42")
+      .collect().map(_.getAs[Long]("key")).toSeq
+    assert(inflight == Seq(42L),
+      "an in-flight lookup must stay exact through a covered vacuum")
+    // a FRESH lookup re-pins the post-optimize manifest: the new files
+    // have no bloom rows yet, so it reads conservatively — exact answers,
+    // degraded pruning until the next refresh
+    assert(BloomIndex.lookup(spark, dir, "name", Seq("name_42"))
+      .collect().map(_.getAs[Long]("key")).toSeq == Seq(42L))
+    // retention VIOLATED (keepVersions=1 drops the pre-optimize files):
+    // a reader still holding the old pin fails LOUD, never silently wrong
+    assert(LakeTable.vacuum(spark, dir, keepVersions = 1) > 0)
+    intercept[Exception] {
+      LakeTable.readFilesResolved(spark, dir, pinned, kept)
+        .filter(col("name") === "name_42").collect()
+    }
+  }
 }

@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import graft.operators.Cdc
+import graft.sources.LakeTable
 import graft.streaming.ScdMaintainer
 
 class ScdMaintenanceSpec extends SparkSpec {
@@ -61,7 +62,7 @@ class ScdMaintenanceSpec extends SparkSpec {
       "the current slice must equal the latest-image MERGE of the log")
   }
 
-  test("kill/restart: recovered folds equal uninterrupted; redelivery no-ops; markerless dirs invisible") {
+  test("kill/restart: recovered folds equal uninterrupted; redelivery no-ops; crashed fold heals on replay") {
     val dir = tmp("recover")
     val mid = log.agg((org.apache.spark.sql.functions.min(col("seq")) +
       org.apache.spark.sql.functions.max(col("seq"))) / 2).first().getDouble(0)
@@ -74,12 +75,31 @@ class ScdMaintenanceSpec extends SparkSpec {
     assert(!m2.fold(slice, Some(7L)), "redelivered batchId must not refold")
     assert(rows(m2.history) == rows(Cdc.scdHistory(log)),
       "recovered fold chain must equal the uninterrupted refit")
-    // a fold that died after the parquet write, before the marker
-    Cdc.scdHistory(log.limit(10)).write.partitionBy("is_current")
-      .parquet(s"$dir/history/v000009")
-    assert(rows(ScdMaintainer.recover(spark, dir).history) ==
-      rows(Cdc.scdHistory(log)),
-      "an uncommitted version must be invisible to recovery and reads")
+    // a fold that died AFTER its closed-table lake commit, BEFORE the
+    // current merge and the pair marker: simulate by pre-applying exactly
+    // the closed append the fold would make (same arm#batchId marker,
+    // same deterministic derivation from the same pre-state) — replaying
+    // the batch must converge, not double-close intervals
+    val next = Seq((1L, 9_000_000_000L, "U", "late", 1.0),
+      (1L, 9_000_000_001L, "U", "later", 2.0))
+      .toDF("key", "seq", "op", "name", "val")
+    val touched = next.select(col("key")).distinct()
+    val curTouched = m2.current.join(touched, Seq("key"), "left_semi")
+    val merged = Cdc.scdMerge(curTouched, next)
+    LakeTable.append(
+      merged.filter(!col("is_current"))
+        .select(col("key"), col("name"), col("val"),
+          col("valid_from"), col("valid_to")),
+      m2.closedTablePath, Seq("key", "valid_from"),
+      nFilesNew = 1, batchId = Some(9L), arm = "scd-closed")
+    // (crash here — no current merge, no pair marker; the source replays)
+    val m3 = ScdMaintainer.recover(spark, dir)
+    assert(m3.foldedBatches == Set(7L), "the crashed fold must not be marked")
+    assert(m3.fold(next, Some(9L)), "the replay must complete the fold")
+    assert(rows(m3.history) ==
+      rows(Cdc.scdMerge(Cdc.scdHistory(log), next)),
+      "the healed fold must equal the uninterrupted one — no double-close")
+    assert(!m3.fold(next, Some(9L)))
   }
 
   test("empty start: a fresh dimension builds from an empty log and folds from nothing") {
@@ -96,5 +116,32 @@ class ScdMaintenanceSpec extends SparkSpec {
     assert(h == Seq(
       (1L, "a", Some(20L), false), (1L, "b", None, true),
       (2L, "c", Some(25L), false)), s"got $h")
+  }
+
+  test("scale shape: a fold appends closed intervals and rewrites ONLY touched current files — never history") {
+    val dir = tmp("scale")
+    val m = ScdMaintainer.build(log, dir) // a deep accumulated history
+    val closedBefore = LakeTable.latest(spark, m.closedTablePath)
+    val curBefore = LakeTable.latest(spark, m.currentTablePath)
+    assert(curBefore.files.size >= 2, "fixture needs a multi-file current slice")
+    // touch ONE existing key with an update (closes its interval, opens a new one)
+    val k = m.current.select(col("key")).orderBy(col("key")).head().getLong(0)
+    val batch = Seq((k, 9_000_000_000L, "U", "zz", 1.0))
+      .toDF("key", "seq", "op", "name", "val")
+    assert(m.fold(batch, Some(1L)))
+    // the closed table is APPEND-ONLY: every pre-fold file carries by name
+    val closedAfter = LakeTable.latest(spark, m.closedTablePath)
+    assert(closedBefore.files.toSet.subsetOf(closedAfter.files.toSet),
+      "a fold must never remove a committed closed-interval file — " +
+        "the years-deep bulk is immutable")
+    // the current table rewrote only the key's box-intersecting file(s)
+    val curAfter = LakeTable.latest(spark, m.currentTablePath)
+    val kept = curBefore.files.toSet.intersect(curAfter.files.toSet)
+    assert(kept.nonEmpty && kept.size < curBefore.files.size,
+      s"a one-key fold must rewrite a strict subset of current files: " +
+        s"kept ${kept.size} of ${curBefore.files.size}")
+    // and the result is still exactly the refit
+    assert(rows(m.history) == rows(Cdc.scdMerge(Cdc.scdHistory(log), batch)),
+      "the change-sized fold must equal the refit")
   }
 }
