@@ -647,6 +647,24 @@ object SparkEntry {
       sources.LakeTable.append(batch, dir, Seq("key"))
       sources.LakeTable.readLive(s, dir).orderBy(col("key"))
     }),
+    // CHANGEFEED ACROSS A SCHEMA EVOLUTION: the subscriber's lag window
+    // spans a MERGE (v2), an evolution append adding `source` (v3), and a
+    // DV delete (v4) — one net span, delivered in the span-END schema
+    // with pre-boundary images serving NULL for the added column; the
+    // oracle recomputes the two-snapshot diff from raw frames
+    "q_lake_evolve_feed" -> ((s, d) => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-lakeevofq").toString + "/t"
+      sources.LakeTable.init(cdcBase(s, d), dir, Seq("key"), nFiles = 8)
+      sources.LakeTable.applyChangelog(s, dir, cdcChangelog(s, d), Seq("key"))
+      val batch = Tables.orders(s, d).filter(col("o_orderkey") % 7 === 0)
+        .select((col("o_orderkey") + 10000000L).as("key"),
+          col("o_orderpriority").as("name"), col("o_totalprice").as("val"),
+          col("o_orderstatus").as("source"))
+      sources.LakeTable.append(batch, dir, Seq("key"))
+      sources.LakeTable.applyTombstonesDv(s, dir, dvTombstones(s, d))
+      sources.LakeTable.readChanges(s, dir, 1, 4).orderBy(col("key"))
+    }),
     // DELETION VECTORS: the tombstones land as one equality-delete
     // sidecar + a manifest rename — NO data file is read or rewritten
     // (the spec pins that), yet every read path serves the table minus
@@ -771,6 +789,24 @@ object SparkEntry {
         operators.Cdc.scdHistory(log.filter(col("seq") <= mid)),
         log.filter(col("seq") > mid))
         .withColumn("is_current", col("is_current").cast("int"))
+    }),
+    // the STREAMING maintainer's lake-homed artifact, end-to-end: build
+    // derives the first half of the log into (closed append-only table,
+    // current merge-on-write table), fold() lands the second half as one
+    // micro-batch — closed intervals append, only touched current files
+    // rewrite — and the served history must STILL hash-match the one-pass
+    // refit oracle (the same SQL as q_scd2_merge)
+    "q_scd2_maintained" -> ((s, d) => {
+      val log = cdcChangelogFull(s, d)
+      val mid = log.agg(((org.apache.spark.sql.functions.min(col("seq")) +
+          org.apache.spark.sql.functions.max(col("seq"))) / 2).as("m"))
+        .first().getDouble(0)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-scdmq").toString
+      val m = streaming.ScdMaintainer.build(log.filter(col("seq") <= mid), dir)
+      m.fold(log.filter(col("seq") > mid), Some(0L))
+      m.history.withColumn("is_current", col("is_current").cast("int"))
+        .orderBy(col("key"), col("valid_from"))
     }),
     // ...and the MERGE audit row: inserted/updated/deleted/carried key
     // counts + replay depth (changes per touched key)
@@ -3986,6 +4022,55 @@ object SparkEntry {
         |SELECT key, name, val, seq AS valid_from, valid_to,
         |  CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS is_current
         |FROM h WHERE op = 'U' ORDER BY key, valid_from""".stripMargin,
+    // the lake-homed streaming maintainer serves the SAME refit history —
+    // identical SQL to q_scd2_merge, so hash-match proves the two-table
+    // (closed append + current rewrite) fold == the one-pass derivation
+    "q_scd2_maintained" ->
+      """WITH ch AS (SELECT o_custkey AS key, o_orderkey AS seq,
+        |    CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op,
+        |    o_orderpriority AS name, o_totalprice AS val
+        |  FROM orders WHERE o_orderkey % 3 <> 0 AND o_custkey % 17 <> 3),
+        |h AS (SELECT *, LEAD(seq) OVER (PARTITION BY key ORDER BY seq) AS valid_to
+        |  FROM ch)
+        |SELECT key, name, val, seq AS valid_from, valid_to,
+        |  CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS is_current
+        |FROM h WHERE op = 'U' ORDER BY key, valid_from""".stripMargin,
+    // net feed across (MERGE, evolution append, DV delete) = the plain
+    // two-snapshot diff in the end schema: old side rebuilt from the
+    // base, new side = merged minus tombstoned keys plus the appended
+    // epoch (whose rows alone carry `source`)
+    "q_lake_evolve_feed" ->
+      """WITH ch AS (SELECT o_custkey AS key, o_orderkey AS seq,
+        |    CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op,
+        |    o_totalprice AS val FROM orders WHERE o_orderkey % 3 <> 0 AND o_custkey % 17 <> 3),
+        |b AS (SELECT * FROM customer WHERE c_custkey % 13 <> 0),
+        |latest AS (SELECT key, op, val AS new_val FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
+        |    FROM ch) WHERE rn = 1),
+        |merged AS (SELECT COALESCE(b.c_custkey, l.key) AS key, b.c_name AS name,
+        |    CASE WHEN l.op = 'U' THEN l.new_val ELSE b.c_acctbal END AS val,
+        |    CAST(NULL AS VARCHAR) AS source
+        |  FROM b FULL OUTER JOIN latest l ON b.c_custkey = l.key
+        |  WHERE l.op IS NULL OR l.op <> 'D'),
+        |newsnap AS (
+        |  SELECT * FROM merged WHERE key % 11 <> 5
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000 AS key, o_orderpriority AS name,
+        |    o_totalprice AS val, o_orderstatus AS source
+        |  FROM orders WHERE o_orderkey % 7 = 0),
+        |old AS (SELECT c_custkey AS key, c_name AS name, c_acctbal AS val,
+        |  CAST(NULL AS VARCHAR) AS source FROM b)
+        |SELECT COALESCE(o.key, n.key) AS key,
+        |  CASE WHEN o.key IS NULL THEN 'I' WHEN n.key IS NULL THEN 'D'
+        |    ELSE 'U' END AS op,
+        |  CASE WHEN n.key IS NULL THEN o.name ELSE n.name END AS name,
+        |  CASE WHEN n.key IS NULL THEN o.val ELSE n.val END AS val,
+        |  CASE WHEN n.key IS NULL THEN o.source ELSE n.source END AS source
+        |FROM old o FULL OUTER JOIN newsnap n ON o.key = n.key
+        |WHERE o.key IS NULL OR n.key IS NULL
+        |  OR o.name IS DISTINCT FROM n.name OR o.val IS DISTINCT FROM n.val
+        |  OR o.source IS DISTINCT FROM n.source
+        |ORDER BY key""".stripMargin,
     // pre-evolution rows carry NULL in the added column; the epoch's own
     // rows carry their values — the union of both shapes
     "q_lake_evolve" ->
