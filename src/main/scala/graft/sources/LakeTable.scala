@@ -209,9 +209,32 @@ object LakeTable {
   def latest(spark: SparkSession, path: String): Commit =
     commitAt(spark, path, versions(spark, path).max)
 
-  /** Every manifest, ascending — the table's audit trail. */
-  def history(spark: SparkSession, path: String): Seq[Commit] =
-    versions(spark, path).map(commitAt(spark, path, _))
+  /** Every manifest, ascending — the table's audit trail. Resolved in
+    * ONE forward pass: each delta folds onto the previous version's
+    * already-resolved state, so the full history of a table with V
+    * versions costs V manifest reads — not V × walk-back, which matters
+    * once streaming folds have accumulated thousands of delta commits.
+    */
+  def history(spark: SparkSession, path: String): Seq[Commit] = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = Seq.newBuilder[Commit]
+    var prev: Commit = null
+    versions(spark, path).foreach { v =>
+      val lines = {
+        val in = fs.open(new Path(f"$path%s/_commits/v$v%09d.txt"))
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
+        finally in.close()
+      }
+      prev =
+        if (lines.headOption.exists(_.startsWith("C\tdelta"))) {
+          require(prev != null && prev.version == v - 1,
+            s"LakeTable.history: delta v$v without resolved v${v - 1}")
+          applyDelta(prev, lines, v)
+        } else parseFull(lines, v)
+      out += prev
+    }
+    out.result()
+  }
 
   /** TIME TRAVEL: the snapshot exactly as version `version` committed it.
     * Replaced files are RETAINED on disk until [[vacuum]] drops them, so
