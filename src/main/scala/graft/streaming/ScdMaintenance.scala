@@ -100,8 +100,20 @@ final class ScdMaintainer private (spark: SparkSession, workDir: String) {
     * committed. Per-fold cost: one [[LakeTable.readKeyed]] of the
     * touched keys' current rows, one batch-sized closed APPEND, one
     * touched-file current-table rewrite, three metadata renames.
+    *
+    * Every fold appends one closed-interval sliver and one current
+    * file; with `compactTargetBytes` set, [[LakeTable.shouldCompact]]'s
+    * half-target trigger bin-packs either table's undersized files
+    * in-loop (content-preserving, changefeed-invisible, never re-picks
+    * its own outputs), so ten thousand folds leave a bounded live file
+    * count instead of ten thousand slivers — the same response
+    * [[LakeMaintenance.attachAppend]] wires for the ingest arm. The
+    * compaction runs BEFORE the pair marker, so the marker pins the
+    * packed versions.
     */
-  def fold(batch: DataFrame, batchId: Option[Long] = None): Boolean = synchronized {
+  def fold(
+      batch: DataFrame, batchId: Option[Long] = None,
+      compactTargetBytes: Option[Long] = None): Boolean = synchronized {
     val v = currentVersion
     val m = markerOf(fs, workDir, v)
     if (batchId.exists(m.folded.contains)) return false
@@ -132,7 +144,14 @@ final class ScdMaintainer private (spark: SparkSession, workDir: String) {
         base.join(broadcast(touched), Seq("key"), "left_anti")
           .unionByName(newCur),
       appliedBatch = batchId.map(b => s"scd-current#$b"))
-    // 3. the pair marker pins the fold for readers
+    // 3. bounded file counts: bin-pack either table's slivers in-loop
+    compactTargetBytes.foreach { t =>
+      if (LakeTable.shouldCompact(spark, closedTablePath, t))
+        LakeTable.compact(spark, closedTablePath, Seq("key", "valid_from"), t)
+      if (LakeTable.shouldCompact(spark, currentTablePath, t))
+        LakeTable.compact(spark, currentTablePath, Seq("key"), t)
+    }
+    // 4. the pair marker pins the fold for readers
     val cv = LakeTable.latest(spark, closedTablePath).version
     val kv = LakeTable.latest(spark, currentTablePath).version
     commitMarker(fs, workDir, v + 1, Marker(cv, kv, m.folded ++ batchId))
@@ -145,12 +164,15 @@ final class ScdMaintainer private (spark: SparkSession, workDir: String) {
   def serveJoin(facts: DataFrame): DataFrame = Cdc.scdJoin(facts, history)
 
   /** Attach to a full-image changelog stream (key, seq, op, name, val):
-    * every micro-batch folds via foreachBatch, batchId-idempotent.
+    * every micro-batch folds via foreachBatch, batchId-idempotent;
+    * `compactTargetBytes` bounds the live file count in-loop.
     */
-  def attach(changes: DataFrame): StreamingQuery =
+  def attach(
+      changes: DataFrame,
+      compactTargetBytes: Option[Long] = None): StreamingQuery =
     changes.writeStream
       .foreachBatch { (b: Dataset[Row], id: Long) =>
-        fold(b.toDF(), Some(id)); ()
+        fold(b.toDF(), Some(id), compactTargetBytes); ()
       }
       .start()
 

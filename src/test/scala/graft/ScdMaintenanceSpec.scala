@@ -118,6 +118,27 @@ class ScdMaintenanceSpec extends SparkSpec {
       (2L, "c", Some(25L), false)), s"got $h")
   }
 
+  test("in-loop compaction bounds the live file count across many folds; history stays exact") {
+    val dir = tmp("compact")
+    val m = ScdMaintainer.build(log.limit(0), dir)
+    // eight folds, each appending a closed-interval sliver: without the
+    // compaction trigger the closed table would hold one file per fold
+    val batches = (0 until 8).map { i =>
+      Seq((i % 3 + 1L, 100L * (i + 1), "U", s"v$i", i * 1.0),
+          (10L + i, 100L * (i + 1) + 1L, "U", s"w$i", i * 2.0))
+        .toDF("key", "seq", "op", "name", "val")
+    }
+    batches.zipWithIndex.foreach { case (b, i) =>
+      assert(m.fold(b, Some(i.toLong), compactTargetBytes = Some(1L << 20)))
+    }
+    val closedFiles = LakeTable.latest(spark, m.closedTablePath).files.size
+    val curFiles = LakeTable.latest(spark, m.currentTablePath).files.size
+    assert(closedFiles <= 3 && curFiles <= 3,
+      s"in-loop compaction must bound live files: closed=$closedFiles current=$curFiles")
+    assert(rows(m.history) == rows(Cdc.scdHistory(batches.reduce(_ unionByName _))),
+      "compaction must not change the served history")
+  }
+
   test("scale shape: a fold appends closed intervals and rewrites ONLY touched current files — never history") {
     val dir = tmp("scale")
     val m = ScdMaintainer.build(log, dir) // a deep accumulated history
