@@ -70,7 +70,8 @@ object LakeTable {
       schemaDdl: String,
       appliedBatches: Set[String] = Set.empty,
       deletes: Seq[(String, String)] = Seq.empty,
-      rowCounts: Map[String, Long] = Map.empty)
+      rowCounts: Map[String, Long] = Map.empty,
+      sizes: Map[String, Long] = Map.empty)
 
   /** What a maintenance pass did — the audit row it publishes. */
   final case class ApplyStats(
@@ -115,7 +116,8 @@ object LakeTable {
       boxes.map { case (f, c, mn, mx) => (rel(path, f), c, mn, mx) },
       df.schema.toDDL,
       rowCounts = LakeSink.rowCountsOf(spark, files)
-        .map { case (f, n) => (rel(path, f), n) }.toMap)
+        .map { case (f, n) => (rel(path, f), n) }.toMap,
+      sizes = sizesOf(fs, path, files))
   }
 
   /** Every committed version number, ascending. */
@@ -164,7 +166,9 @@ object LakeTable {
       val p = l.split('\t'); (p(1), p(2)) }
     val rowCounts = lines.collect { case l if l.startsWith("R\t") =>
       val p = l.split('\t'); (p(1), p(2).toLong) }.toMap
-    Commit(version, files, boxes, ddl, applied, deletes, rowCounts)
+    val sizes = lines.collect { case l if l.startsWith("Z\t") =>
+      val p = l.split('\t'); (p(1), p(2).toLong) }.toMap
+    Commit(version, files, boxes, ddl, applied, deletes, rowCounts, sizes)
   }
 
   /** Fold one delta manifest's change lines onto the previous version's
@@ -191,9 +195,15 @@ object LakeTable {
       val p = l.split('\t'); (p(1), p(2).toLong) }
     val rDel = lines.collect { case l if l.startsWith("R-\t") =>
       l.split('\t')(1) }.toSet
+    val zSet = lines.collect { case l if l.startsWith("Z\t") =>
+      val p = l.split('\t'); (p(1), p(2).toLong) }
+    val zDel = lines.collect { case l if l.startsWith("Z-\t") =>
+      l.split('\t')(1) }.toSet
     val ddl = lines.collectFirst { case l if l.startsWith("S\t") => l.split('\t')(1) }
       .getOrElse(base.schemaDdl)
-    val applied = base.appliedBatches ++
+    val aDel = lines.collect { case l if l.startsWith("A-\t") =>
+      l.split('\t')(1) }.toSet
+    val applied = (base.appliedBatches -- aDel) ++
       lines.collect { case l if l.startsWith("A\t") => l.split('\t')(1) }
     Commit(
       version,
@@ -202,7 +212,8 @@ object LakeTable {
       ddl,
       applied,
       (base.deletes.filterNot(d => fDel(d._1) || dDel(d)) ++ dAdd).sorted,
-      (base.rowCounts.view.filterKeys(f => !fDel(f) && !rDel(f)).toMap ++ rSet))
+      (base.rowCounts.view.filterKeys(f => !fDel(f) && !rDel(f)).toMap ++ rSet),
+      (base.sizes.view.filterKeys(f => !fDel(f) && !zDel(f)).toMap ++ zSet))
   }
 
   /** The latest committed version — the ONLY thing readers trust. */
@@ -410,10 +421,15 @@ object LakeTable {
       bits: Int = 16, batchId: Option[Long] = None,
       arm: String = "ingest"): ApplyStats = {
     val spark = df.sparkSession
+    // appendOnly, NOT an empty touch-key probe: the probe conservatively
+    // marks box-less files touched (they cannot be pruned), and append's
+    // rewrite ignores its base — a keyed probe here would silently DROP
+    // a legacy unboxed file's rows from the manifest
     mutate(spark, path, cols, keyCol = cols.head, nFilesNew, bits,
-      touchKeys = df.select(col(cols.head).as("key")).limit(0), // touch nothing
+      touchKeys = df.select(col(cols.head).as("key")).limit(0),
       rewrite = _ => df,
-      appliedBatch = batchId.map(b => s"$arm#$b"))
+      appliedBatch = batchId.map(b => s"$arm#$b"),
+      appendOnly = true)
   }
 
   /** Re-OPTIMIZE the table in place: rewrite EVERY live row as one fresh
@@ -469,15 +485,18 @@ object LakeTable {
 
   /** True iff [[compact]] would do work: at least two live files are
     * under the half-target selection bound — the cheap trigger a
-    * maintenance loop polls (driver-side metadata arithmetic over the
-    * manifest's own file list, no data read).
+    * maintenance loop polls. Sizes come from the manifest's own `Z`
+    * lines (recorded at every commit from O(fresh) stats), so the poll
+    * is pure driver arithmetic — no per-file RPC; only legacy pre-Z
+    * manifests fall back to stat-ing.
     */
   def shouldCompact(
       spark: SparkSession, path: String, targetFileBytes: Long): Boolean = {
     val c = latest(spark, path)
-    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    lazy val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     c.files.count(f =>
-      fs.getFileStatus(new Path(abs(path, f))).getLen < targetFileBytes / 2) >= 2
+      c.sizes.getOrElse(f,
+        fs.getFileStatus(new Path(abs(path, f))).getLen) < targetFileBytes / 2) >= 2
   }
 
   private def compactOnce(
@@ -486,7 +505,8 @@ object LakeTable {
     val c = latest(spark, path)
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val sized = c.files.map(f =>
-      f -> fs.getFileStatus(new Path(abs(path, f))).getLen)
+      f -> c.sizes.getOrElse(f,
+        fs.getFileStatus(new Path(abs(path, f))).getLen))
     val small = sized.filter(_._2 < targetFileBytes / 2).map(_._1)
     if (small.size < 2) return ApplyStats(c.version, 0, c.files.size, 0)
     val packed = sized.collect { case (f, len) if small.contains(f) => len }.sum
@@ -512,7 +532,9 @@ object LakeTable {
       rowCounts = c.rowCounts.view.filterKeys(!smallSet(_)).toMap ++
         LakeSink.rowCountsOf(spark, fresh)
           .map { case (f, n) => (rel(path, f), n) },
-      prev = Some(c))
+      prev = Some(c),
+      sizes = c.sizes.view.filterKeys(!smallSet(_)).toMap ++
+        sizesOf(fs, path, fresh))
     ApplyStats(committed.version, small.size, kept.size, fresh.size)
   }
 
@@ -786,6 +808,71 @@ object LakeTable {
     stale.size + tmp.size + dvTmp.size
   }
 
+  /** ROLL BACK to a known-good version: publish, as the NEXT version, a
+    * commit carrying exactly `toVersion`'s state (files, boxes, schema,
+    * deletion vectors, row counts AND replay markers). Data files are
+    * never touched — versions between `toVersion` and the restore become
+    * invisible history, their files vacuum garbage once out of
+    * retention. This is the heal primitive for a MULTI-TABLE maintainer
+    * ([[graft.streaming.ScdMaintainer]]): a fold that crashed after
+    * committing to one table but not the other restores each table to
+    * the last cross-table marker's pinned version on the next fold, so
+    * the half-applied work — including its replay marker, which must
+    * not survive or a redelivery of the same batch would wrongly no-op —
+    * is atomically discarded. Restoring to the current version is a
+    * no-op that burns nothing. Requires `toVersion`'s files inside the
+    * retention window (fails loud otherwise, like any stale read).
+    */
+  private[graft] def restoreTo(
+      spark: SparkSession, path: String, toVersion: Int): Commit = {
+    var lastConflict: CommitConflictException = null
+    (0 to MaxCommitRetries).foreach { _ =>
+      val cur = latest(spark, path)
+      if (cur.version == toVersion) return cur
+      require(cur.version > toVersion,
+        s"LakeTable.restoreTo: $toVersion is ahead of current ${cur.version}")
+      val c = commitAt(spark, path, toVersion)
+      val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val missing = (c.files ++ c.deletes.map(_._2).distinct)
+        .filterNot(f => fs.exists(new Path(s"$path/$f")))
+      require(missing.isEmpty,
+        s"LakeTable.restoreTo: version $toVersion references vacuumed files " +
+          s"(e.g. ${missing.take(3).mkString(", ")}) — outside the retention window")
+      try {
+        return writeCommit(spark, path, cur.version + 1, c.files, c.boxes,
+          c.schemaDdl, c.appliedBatches, c.deletes, c.rowCounts,
+          prev = Some(cur), sizes = c.sizes)
+      } catch { case e: CommitConflictException => lastConflict = e }
+    }
+    throw lastConflict
+  }
+
+  /** Rewrite LEGACY bare replay markers (`A\t123`, written before markers
+    * were arm-qualified) to `arm#123` in one metadata-only commit. Run
+    * this ONCE before attaching any NEW stream to a pre-namespacing
+    * table: the bare-marker fallback in the replay check — required so a
+    * legacy table keeps its idempotence — would otherwise also swallow a
+    * NEW stream's low batchIds (every fresh checkpoint restarts at 0).
+    * After migration no bare marker exists, so the fallback never fires.
+    * Tables that already carry only qualified markers are a no-op that
+    * burns no version.
+    */
+  def migrateLegacyMarkers(
+      spark: SparkSession, path: String, arm: String = "cdc"): Commit = {
+    var lastConflict: CommitConflictException = null
+    (0 to MaxCommitRetries).foreach { _ =>
+      val c = latest(spark, path)
+      val (bare, qualified) = c.appliedBatches.partition(!_.contains("#"))
+      if (bare.isEmpty) return c
+      try {
+        return writeCommit(spark, path, c.version + 1, c.files, c.boxes,
+          c.schemaDdl, qualified ++ bare.map(b => s"$arm#$b"),
+          c.deletes, c.rowCounts, prev = Some(c), sizes = c.sizes)
+      } catch { case e: CommitConflictException => lastConflict = e }
+    }
+    throw lastConflict
+  }
+
   /** Read a subset of a commit's data files with that commit's DELETION
     * VECTORS applied — the one read primitive every snapshot/changefeed/
     * maintenance path shares (and the hook an external index like
@@ -862,7 +949,7 @@ object LakeTable {
         writeCommit(spark, path, c.version + 1, c.files, c.boxes,
           c.schemaDdl, c.appliedBatches ++ marker,
           c.deletes ++ shadowed.map(f => (f, dvRel)),
-          rowCounts = c.rowCounts, prev = Some(c))
+          rowCounts = c.rowCounts, prev = Some(c), sizes = c.sizes)
         return DvStats(c.version + 1, shadowed.size, nKeys)
       } catch {
         case e: CommitConflictException =>
@@ -986,7 +1073,10 @@ object LakeTable {
           c.deletes ++ dvAttach,
           rowCounts = c.rowCounts ++ LakeSink.rowCountsOf(spark, fresh)
             .map { case (f, n) => (rel(path, f), n) },
-          prev = Some(c))
+          prev = Some(c),
+          sizes = c.sizes ++ sizesOf(
+            new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration),
+            path, fresh))
         return DvStats(c.version + 1, shadowed.size, nKeys)
       } catch {
         case e: CommitConflictException => lastConflict = e
@@ -1069,7 +1159,11 @@ object LakeTable {
       rowCounts = c.rowCounts.view.filterKeys(!shadowedSet(_)).toMap ++
         LakeSink.rowCountsOf(spark, fresh)
           .map { case (f, n) => (rel(path, f), n) },
-      prev = Some(c))
+      prev = Some(c),
+      sizes = c.sizes.view.filterKeys(!shadowedSet(_)).toMap ++
+        sizesOf(
+          new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration),
+          path, fresh))
     ApplyStats(committed.version, shadowed.size, kept.size, fresh.size)
   }
 
@@ -1083,7 +1177,11 @@ object LakeTable {
     * across the format change and a redelivered append batch would
     * duplicate every row. (A legacy bare id matches ANY arm, exactly the
     * pre-namespacing behavior those tables were written under; new
-    * manifests only ever record qualified markers.)
+    * manifests only ever record qualified markers.) The flip side: a
+    * NEW stream attached to a legacy table restarts its batchIds at 0,
+    * and a lingering bare `0` would wrongly swallow its first batches —
+    * run [[migrateLegacyMarkers]] once before attaching new streams so
+    * no bare marker remains for the fallback to fire on.
     */
   private def batchApplied(c: Commit, marker: String): Boolean =
     c.appliedBatches.contains(marker) ||
@@ -1141,12 +1239,13 @@ object LakeTable {
       spark: SparkSession, path: String, cols: Seq[String], keyCol: String,
       nFilesNew: Int, bits: Int,
       touchKeys: DataFrame, rewrite: DataFrame => DataFrame,
-      appliedBatch: Option[String] = None): ApplyStats = {
+      appliedBatch: Option[String] = None,
+      appendOnly: Boolean = false): ApplyStats = {
     var lastConflict: CommitConflictException = null
     (0 to MaxCommitRetries).foreach { _ =>
       try return mutateOnce(
         spark, path, cols, keyCol, nFilesNew, bits, touchKeys, rewrite,
-        appliedBatch)
+        appliedBatch, appendOnly)
       catch { case e: CommitConflictException => lastConflict = e }
     }
     throw lastConflict
@@ -1156,7 +1255,8 @@ object LakeTable {
       spark: SparkSession, path: String, cols: Seq[String], keyCol: String,
       nFilesNew: Int, bits: Int,
       touchKeys: DataFrame, rewrite: DataFrame => DataFrame,
-      appliedBatch: Option[String]): ApplyStats = {
+      appliedBatch: Option[String],
+      appendOnly: Boolean = false): ApplyStats = {
     import spark.implicits._
     val c = latest(spark, path)
     // re-check the replay marker on the FRESH manifest: the interloper
@@ -1164,9 +1264,14 @@ object LakeTable {
     if (appliedBatch.exists(batchApplied(c, _)))
       return ApplyStats(c.version, 0, c.files.size, 0)
     // one scan of the key set against the broadcast box table; the
-    // distinct file list is metadata-sized
+    // distinct file list is metadata-sized. An append touches NOTHING by
+    // contract — the probe's conservative unboxed-files-always-touched
+    // rule is for KEYED rewrites, whose callback carries the base rows;
+    // append's callback ignores its base, so probing here would drop an
+    // unboxed file's rows from the manifest
     val touched =
-      shadowedFiles(spark, c, touchKeys.select(col("key").as(keyCol)), keyCol)
+      if (appendOnly) Seq.empty[String]
+      else shadowedFiles(spark, c, touchKeys.select(col("key").as(keyCol)), keyCol)
     // DV-resolved: a rewrite of a shadowed file must fold its deletion
     // vectors in, or the rows they hide would resurrect into fresh files
     val base =
@@ -1213,7 +1318,11 @@ object LakeTable {
       rowCounts = c.rowCounts.view.filterKeys(!touchedSet(_)).toMap ++
         LakeSink.rowCountsOf(spark, fresh)
           .map { case (f, n) => (rel(path, f), n) },
-      prev = Some(c))
+      prev = Some(c),
+      sizes = c.sizes.view.filterKeys(!touchedSet(_)).toMap ++
+        sizesOf(
+          new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration),
+          path, fresh))
     // replaced files become invisible at the commit point but stay ON
     // DISK: they back time travel (readAt) until vacuum's retention
     // window drops them — GC is a policy decision, not a correctness one
@@ -1260,7 +1369,10 @@ object LakeTable {
       fresh.map(rel(path, _)), freshBoxes,
       unionDdl(c.schemaDdl, rows.schema), c.appliedBatches,
       rowCounts = LakeSink.rowCountsOf(spark, fresh)
-        .map { case (f, n) => (rel(path, f), n) }.toMap)
+        .map { case (f, n) => (rel(path, f), n) }.toMap,
+      sizes = sizesOf(
+        new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration),
+        path, fresh))
     ApplyStats(committed.version, c.files.size, 0, fresh.size)
   }
 
@@ -1300,7 +1412,8 @@ object LakeTable {
       appliedBatches: Set[String] = Set.empty,
       deletes: Seq[(String, String)] = Seq.empty,
       rowCounts: Map[String, Long] = Map.empty,
-      prev: Option[Commit] = None): Commit = {
+      prev: Option[Commit] = None,
+      sizes: Map[String, Long] = Map.empty): Commit = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(new Path(s"$path/_commits"))
     val tmp = new Path(s"$path/_commits/.tmp-${java.util.UUID.randomUUID()}")
@@ -1309,9 +1422,10 @@ object LakeTable {
       val body = prev match {
         case Some(p) if version % CheckpointInterval != 0 &&
             p.version == version - 1 =>
-          deltaBody(p, files, boxes, schemaDdl, appliedBatches, deletes, rowCounts)
+          deltaBody(p, files, boxes, schemaDdl, appliedBatches, deletes,
+            rowCounts, sizes)
         case _ => fullBody(
-          files, boxes, schemaDdl, appliedBatches, deletes, rowCounts)
+          files, boxes, schemaDdl, appliedBatches, deletes, rowCounts, sizes)
       }
       out.write(body.getBytes("UTF-8"))
     } finally out.close()
@@ -1321,7 +1435,8 @@ object LakeTable {
       throw new CommitConflictException(
         s"LakeTable: commit v$version lost the rename race at $path")
     }
-    Commit(version, files, boxes, schemaDdl, appliedBatches, deletes, rowCounts)
+    Commit(version, files, boxes, schemaDdl, appliedBatches, deletes,
+      rowCounts, sizes)
   }
 
   private def fullBody(
@@ -1330,7 +1445,8 @@ object LakeTable {
       schemaDdl: String,
       appliedBatches: Set[String],
       deletes: Seq[(String, String)],
-      rowCounts: Map[String, Long]): String = {
+      rowCounts: Map[String, Long],
+      sizes: Map[String, Long]): String = {
     val sb = new StringBuilder
     sb.append("S\t").append(schemaDdl).append('\n')
     appliedBatches.toSeq.sorted.foreach(b =>
@@ -1345,6 +1461,9 @@ object LakeTable {
     }
     rowCounts.toSeq.sorted.foreach { case (f, n) =>
       sb.append("R\t").append(f).append('\t').append(n).append('\n')
+    }
+    sizes.toSeq.sorted.foreach { case (f, n) =>
+      sb.append("Z\t").append(f).append('\t').append(n).append('\n')
     }
     sb.toString
   }
@@ -1364,10 +1483,16 @@ object LakeTable {
       schemaDdl: String,
       appliedBatches: Set[String],
       deletes: Seq[(String, String)],
-      rowCounts: Map[String, Long]): String = {
+      rowCounts: Map[String, Long],
+      sizes: Map[String, Long]): String = {
     val sb = new StringBuilder
     sb.append("C\tdelta\n")
     if (schemaDdl != p.schemaDdl) sb.append("S\t").append(schemaDdl).append('\n')
+    // marker REMOVALS only ever come from restoreTo (discarding a crashed
+    // fold's half-applied marker) and migrateLegacyMarkers — mutations
+    // themselves only grow the set
+    (p.appliedBatches -- appliedBatches).toSeq.sorted.foreach(b =>
+      sb.append("A-\t").append(b).append('\n'))
     (appliedBatches -- p.appliedBatches).toSeq.sorted.foreach(b =>
       sb.append("A\t").append(b).append('\n'))
     val prevF = p.files.toSet
@@ -1402,6 +1527,14 @@ object LakeTable {
     p.rowCounts.keysIterator.toSeq.sorted.foreach { f =>
       if (nextF(f) && !rowCounts.contains(f))
         sb.append("R-\t").append(f).append('\n')
+    }
+    sizes.toSeq.sorted.foreach { case (f, n) =>
+      if (!p.sizes.get(f).contains(n))
+        sb.append("Z\t").append(f).append('\t').append(n).append('\n')
+    }
+    p.sizes.keysIterator.toSeq.sorted.foreach { f =>
+      if (nextF(f) && !sizes.contains(f))
+        sb.append("Z-\t").append(f).append('\n')
     }
     sb.toString
   }
@@ -1445,6 +1578,19 @@ object LakeTable {
     }
     org.apache.spark.sql.types.StructType(merged).toDDL
   }
+
+  /** Driver-side byte sizes of just-landed files (manifest-relative
+    * keys) — recorded at commit time, O(fresh files) stats, so
+    * [[shouldCompact]]/[[compact]] decide from manifest arithmetic
+    * instead of stat-ing every live file per maintenance poll (at the
+    * million-file shape that poll would be millions of namenode RPCs
+    * per micro-batch).
+    */
+  private def sizesOf(
+      fs: org.apache.hadoop.fs.FileSystem, path: String,
+      absFiles: Seq[String]): Map[String, Long] =
+    absFiles.map(f =>
+      rel(path, f) -> fs.getFileStatus(new Path(f)).getLen).toMap
 
   private def rel(path: String, f: String): String = {
     val p = new Path(path).toUri.getPath

@@ -33,16 +33,16 @@ import graft.sources.LakeTable
   * [[LakeTable.readAt]] each table at its pinned version, so a reader
   * never observes one table's fold without the other's. The marker file
   * is created atomically (create-without-overwrite), and each lake
-  * commit is itself atomic, which leaves exactly three crash windows —
-  * all healed by replaying the batch:
-  *   - after the closed append, before the current merge: the replay's
-  *     closed append no-ops on its lake batch marker (`scd-closed#id`),
-  *     the current merge applies;
-  *   - after both lake commits, before the marker: both lake ops no-op
-  *     on their markers, the pair marker lands pointing at the latest
-  *     versions (which hold exactly the fold);
-  *   - a redelivered already-marked batch: the pair marker's folded set
-  *     short-circuits before any work.
+  * commit is itself atomic; crash windows between the three are closed
+  * by HEAL-ON-ENTRY: every fold first rolls each table back to the pair
+  * marker's pinned version ([[LakeTable.restoreTo]] — a metadata commit
+  * that also discards the crashed fold's replay markers), because under
+  * a single maintainer any lake version beyond the pin IS half-applied
+  * work. A crashed batch therefore either replays in full (batchId set,
+  * at-least-once source) or is discarded atomically (fold(batch) with
+  * no batchId and no redelivery) — no partial closed-without-current
+  * state can ever reach a marker; a redelivered already-marked batch
+  * short-circuits on the pair marker's folded set before any work.
   * Exactness per fold is the fold==refit invariant (`scdMerge(
   * scdHistory(a), b) == scdHistory(a ∪ b)` under monotone LSNs —
   * q_scd2_merge's oracle IS the refit), so chained folds equal one
@@ -83,11 +83,16 @@ final class ScdMaintainer private (spark: SparkSession, workDir: String) {
     closed.unionByName(cur)
   }
 
-  /** The current-rows slice — a read of the current table alone (never
-    * the closed bulk), equal to the latest-image MERGE of the same
-    * changelog (CdcSpec pins it).
+  /** The current-rows slice — a read of the current table ALONE (the
+    * closed bulk is neither opened nor even stat-ed), equal to the
+    * latest-image MERGE of the same changelog (CdcSpec pins it).
     */
-  def current: DataFrame = history.filter(col("is_current"))
+  def current: DataFrame = {
+    val m = markerOf(fs, workDir, currentVersion)
+    LakeTable.readAt(spark, currentTablePath, m.currentV)
+      .select(col("key"), col("name"), col("val"), col("valid_from"),
+        lit(null).cast("bigint").as("valid_to"), lit(true).as("is_current"))
+  }
 
   /** Streaming batchIds already folded in (empty right after build). */
   def foldedBatches: Set[Long] =
@@ -118,6 +123,19 @@ final class ScdMaintainer private (spark: SparkSession, workDir: String) {
     val m = markerOf(fs, workDir, v)
     if (batchId.exists(m.folded.contains)) return false
     if (batch.isEmpty) return false
+    // HEAL first: any lake version beyond the pair marker's pin is a
+    // crashed fold's half-applied work (single maintainer; compaction
+    // commits BEFORE the marker, so a healthy fold always leaves
+    // latest == pinned). Rolling both tables back to the pin — replay
+    // markers included, so a redelivery of the crashed batch re-applies
+    // instead of wrongly no-opping — makes every fold start from a
+    // consistent cross-table cut: a crashed batch either replays in
+    // full (batchId set, source redelivers) or is discarded ATOMICALLY
+    // (no partial closed-without-current state can ever reach a marker).
+    if (LakeTable.latest(spark, closedTablePath).version != m.closedV)
+      LakeTable.restoreTo(spark, closedTablePath, m.closedV)
+    if (LakeTable.latest(spark, currentTablePath).version != m.currentV)
+      LakeTable.restoreTo(spark, currentTablePath, m.currentV)
     val touched = batch.select(col("key")).distinct()
     // the touched keys' current rows, box-pruned — the ONLY history the
     // incremental derivation needs (closed intervals are immutable)
@@ -134,10 +152,12 @@ final class ScdMaintainer private (spark: SparkSession, workDir: String) {
       .select(col("key"), col("name"), col("val"), col("valid_from"))
     // 1. closed intervals append immutably (empty appends still commit,
     //    carrying the replay marker)
-    LakeTable.append(newClosed, closedTablePath, Seq("key", "valid_from"),
+    val closedStats = LakeTable.append(
+      newClosed, closedTablePath, Seq("key", "valid_from"),
       nFilesNew = 1, batchId = batchId, arm = "scd-closed")
     // 2. the current slice rewrites ONLY its touched files
-    LakeTable.mutate(spark, currentTablePath, Seq("key"), keyCol = "key",
+    val curStats = LakeTable.mutate(
+      spark, currentTablePath, Seq("key"), keyCol = "key",
       nFilesNew = 1, bits = 16,
       touchKeys = touched,
       rewrite = base =>
@@ -145,15 +165,16 @@ final class ScdMaintainer private (spark: SparkSession, workDir: String) {
           .unionByName(newCur),
       appliedBatch = batchId.map(b => s"scd-current#$b"))
     // 3. bounded file counts: bin-pack either table's slivers in-loop
+    var (cv, kv) = (closedStats.version, curStats.version)
     compactTargetBytes.foreach { t =>
       if (LakeTable.shouldCompact(spark, closedTablePath, t))
-        LakeTable.compact(spark, closedTablePath, Seq("key", "valid_from"), t)
+        cv = LakeTable.compact(
+          spark, closedTablePath, Seq("key", "valid_from"), t).version
       if (LakeTable.shouldCompact(spark, currentTablePath, t))
-        LakeTable.compact(spark, currentTablePath, Seq("key"), t)
+        kv = LakeTable.compact(spark, currentTablePath, Seq("key"), t).version
     }
-    // 4. the pair marker pins the fold for readers
-    val cv = LakeTable.latest(spark, closedTablePath).version
-    val kv = LakeTable.latest(spark, currentTablePath).version
+    // 4. the pair marker pins the fold for readers — the versions the
+    //    commits above RETURNED, no re-resolution
     commitMarker(fs, workDir, v + 1, Marker(cv, kv, m.folded ++ batchId))
     true
   }
@@ -218,11 +239,18 @@ object ScdMaintainer {
   /** Reopen `workDir` after a restart: the latest committed pair marker
     * is the whole state — the recovered maintainer's next fold equals
     * the uninterrupted one's, redelivered batchIds stay no-ops, and a
-    * fold that crashed between its lake commits and its marker heals on
-    * the batch's replay (each lake commit carries its own replay marker).
+    * fold that crashed mid-way is rolled back to the marker's pin by the
+    * next fold's heal-on-entry (see the class doc).
     */
   def recover(spark: SparkSession, workDir: String): ScdMaintainer = {
     val fs = new Path(workDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!fs.exists(new Path(s"$workDir/history")) ||
+        fs.exists(new Path(s"$workDir/fold")),
+      s"ScdMaintainer: $workDir holds a PRE-lake-homed layout " +
+        "(history/v*/_folded.txt snapshots) — this release stores the " +
+        "artifact as two LakeTables under closed/ and current/ with " +
+        "fold/v*.txt pair markers; rebuild from the changelog with " +
+        "build() at a fresh workDir (the old state is intact, not lost)")
     require(committedVersions(fs, workDir).nonEmpty,
       s"ScdMaintainer: no committed history under $workDir")
     new ScdMaintainer(spark, workDir)

@@ -1135,6 +1135,118 @@ class LakeTableSpec extends SparkSpec {
       "g0's min must move to the next member after its old min is deleted")
   }
 
+  test("a legacy unboxed file's rows survive appends AND keyed mutations") {
+    val (dir, base) = mkTable("graft-lakeunbox")
+    // simulate a legacy manifest whose first file never got box rows:
+    // strip that file's B lines (and, being legacy, its Z/R lines too)
+    val victim = LakeTable.latest(spark, dir).files.head
+    val mPath = java.nio.file.Paths.get(s"$dir/_commits/v000000001.txt")
+    val stripped = new String(java.nio.file.Files.readAllBytes(mPath), "UTF-8")
+      .linesIterator.filterNot(l =>
+        (l.startsWith("B\t") || l.startsWith("Z\t") || l.startsWith("R\t")) &&
+          l.split('\t')(1) == victim)
+      .mkString("\n") + "\n"
+    java.nio.file.Files.write(mPath, stripped.getBytes("UTF-8"))
+    // the in-place edit invalidates Hadoop's local checksum sidecar
+    new java.io.File(s"$dir/_commits/.v000000001.txt.crc").delete()
+    assert(!LakeTable.latest(spark, dir).boxes.exists(_._1 == victim))
+    val total = base.count()
+    // an APPEND must not touch the unboxed file — its rewrite ignores the
+    // base, so probing it in would silently drop the file's rows
+    LakeTable.append(Seq((900L, "n900", 9.0)).toDF("key", "name", "val"),
+      dir, Seq("key"))
+    assert(LakeTable.latest(spark, dir).files.contains(victim),
+      "append must carry an unboxed file by name, never replace it")
+    assert(LakeTable.readLive(spark, dir).count() == total + 1)
+    // a KEYED mutation conservatively REWRITES it — base rows carried
+    LakeTable.applyChangelog(spark, dir,
+      Seq((500L, 1L, "U", 5.0)).toDF("key", "seq", "op", "val"), Seq("key"))
+    assert(LakeTable.readLive(spark, dir).count() == total + 1)
+    assert(LakeTable.readLive(spark, dir).filter(col("key") === 0L).count() == 1,
+      "the unboxed file's rows must survive the conservative rewrite")
+  }
+
+  test("restoreTo rolls back to a pinned version and discards later replay markers") {
+    val (dir, base) = mkTable("graft-lakerestore")
+    def snap() = LakeTable.readLive(spark, dir)
+      .orderBy(col("key")).collect().map(_.toSeq).toSeq
+    val v1rows = snap()
+    LakeTable.applyChangelog(spark, dir,
+      Seq((5L, 1L, "U", 99.0)).toDF("key", "seq", "op", "val"), Seq("key"),
+      batchId = Some(3L))
+    assert(LakeTable.latest(spark, dir).appliedBatches == Set("cdc#3"))
+    val restored = LakeTable.restoreTo(spark, dir, 1)
+    assert(restored.version == 3, "a rollback is a NEW version, not a rewind")
+    assert(snap() == v1rows, "restored state must equal the pinned version")
+    assert(LakeTable.latest(spark, dir).appliedBatches.isEmpty,
+      "the rolled-back commit's replay marker must not survive — a " +
+        "redelivery of that batch must re-apply")
+    // the discarded batch redelivers and applies cleanly
+    LakeTable.applyChangelog(spark, dir,
+      Seq((5L, 1L, "U", 99.0)).toDF("key", "seq", "op", "val"), Seq("key"),
+      batchId = Some(3L))
+    assert(LakeTable.readLive(spark, dir).filter(col("key") === 5L)
+      .head.getDouble(2) == 99.0)
+    // restoring to the current version burns nothing
+    val v = LakeTable.latest(spark, dir).version
+    assert(LakeTable.restoreTo(spark, dir, v).version == v)
+  }
+
+  test("migrateLegacyMarkers qualifies bare markers so new arms' low batchIds are not swallowed") {
+    val (dir, _) = mkTable("graft-lakemigrate")
+    val v1 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/_commits/v000000001.txt")), "UTF-8")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/_commits/v000000002.txt"),
+      (v1 + "A\t0\nA\t1\n").getBytes("UTF-8"))
+    // pre-migration: the bare fallback swallows a NEW arm's batch 0
+    val swallowed = LakeTable.applyTombstonesDv(
+      spark, dir, Seq(5L).toDF("key"), batchId = Some(0L))
+    assert(swallowed.filesShadowed == 0 &&
+      LakeTable.readLive(spark, dir).filter(col("key") === 5L).count() == 1,
+      "this is the hazard migrate exists for")
+    val migrated = LakeTable.migrateLegacyMarkers(spark, dir, arm = "cdc")
+    assert(migrated.appliedBatches == Set("cdc#0", "cdc#1"))
+    // post-migration: no bare marker remains, the new arm's batch applies
+    LakeTable.applyTombstonesDv(spark, dir, Seq(5L).toDF("key"),
+      batchId = Some(0L))
+    assert(LakeTable.readLive(spark, dir).filter(col("key") === 5L).isEmpty,
+      "after migration a new arm's batch 0 must apply")
+    // ...while the legacy cdc batch stays deduped under its own arm
+    val stats = LakeTable.applyChangelog(spark, dir,
+      Seq((7L, 1L, "U", 1.0)).toDF("key", "seq", "op", "val"), Seq("key"),
+      batchId = Some(0L))
+    assert(stats.filesRewritten == 0 && stats.filesNew == 0)
+    // idempotent: a second migrate burns no version
+    val v = LakeTable.latest(spark, dir).version
+    assert(LakeTable.migrateLegacyMarkers(spark, dir).version == v)
+  }
+
+  test("manifest sizes: commits carry Z lines, the compaction trigger is pure metadata") {
+    val (dir, _) = mkTable("graft-lakesizes")
+    val c = LakeTable.latest(spark, dir)
+    assert(c.sizes.keySet == c.files.toSet, "every live file carries a size")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    c.files.foreach { f =>
+      assert(c.sizes(f) == fs.getFileStatus(
+        new org.apache.hadoop.fs.Path(s"$dir/$f")).getLen,
+        s"manifest size must match the filesystem for $f")
+    }
+    // sizes survive mutations (carried for kept files, stat-ed for fresh)
+    LakeTable.applyChangelog(spark, dir,
+      Seq((5L, 1L, "U", 9.0)).toDF("key", "seq", "op", "val"), Seq("key"))
+    val c2 = LakeTable.latest(spark, dir)
+    assert(c2.sizes.keySet == c2.files.toSet)
+    // the trigger answers without stat-ing: physically delete a KEPT
+    // file — shouldCompact still answers from the manifest
+    val kept = c.files.toSet.intersect(c2.files.toSet)
+    assert(kept.nonEmpty)
+    assert(new java.io.File(s"$dir/_probe_marker").createNewFile())
+    assert(LakeTable.shouldCompact(spark, dir, targetFileBytes = 1L << 30),
+      "tiny fixture files are all under half a 1GB target")
+  }
+
   test("deletion vectors: compaction folds a shadowed sliver's vectors in") {
     val dir = Files.createTempDirectory("graft-lakedvc").toString + "/t"
     val base = (0L until 100L).map(k => (k, s"n$k", k.toDouble)).toDF("key", "name", "val")

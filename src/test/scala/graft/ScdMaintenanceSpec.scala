@@ -100,6 +100,29 @@ class ScdMaintenanceSpec extends SparkSpec {
       rows(Cdc.scdMerge(Cdc.scdHistory(log), next)),
       "the healed fold must equal the uninterrupted one — no double-close")
     assert(!m3.fold(next, Some(9L)))
+    // a crashed fold that is NEVER replayed (no batchId, no redelivery)
+    // must be discarded ATOMICALLY by the next fold's heal-on-entry — its
+    // half-applied closed append must not leak into a later pair marker
+    // as closed intervals whose keys still sit open in the current table
+    val lost = Seq((2L, 9_500_000_000L, "U", "ghost", 9.0))
+      .toDF("key", "seq", "op", "name", "val")
+    val touchedL = lost.select(col("key")).distinct()
+    val mergedL = Cdc.scdMerge(
+      m3.current.join(touchedL, Seq("key"), "left_semi"), lost)
+    LakeTable.append(
+      mergedL.filter(!col("is_current"))
+        .select(col("key"), col("name"), col("val"),
+          col("valid_from"), col("valid_to")),
+      m3.closedTablePath, Seq("key", "valid_from"), nFilesNew = 1)
+    // (crash — batch `lost` is gone forever; an unrelated fold follows)
+    val after = Seq((3L, 9_600_000_000L, "U", "fresh", 1.0))
+      .toDF("key", "seq", "op", "name", "val")
+    assert(m3.fold(after, Some(10L)))
+    assert(rows(m3.history) ==
+      rows(Cdc.scdMerge(Cdc.scdHistory(log),
+        next.unionByName(after))),
+      "an unreplayed crashed batch must vanish atomically — no orphan " +
+        "closed intervals, no overlap with still-open current rows")
   }
 
   test("empty start: a fresh dimension builds from an empty log and folds from nothing") {
