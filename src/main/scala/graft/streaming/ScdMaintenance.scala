@@ -199,11 +199,21 @@ final class ScdMaintainer private (spark: SparkSession, workDir: String) {
 
   /** Apply lake retention to both tables. `keepVersions` must cover the
     * slowest reader's pair-marker lag (the standard lake subscriber
-    * contract); markers themselves are metadata-sized and kept.
+    * contract); markers themselves are metadata-sized and kept. The
+    * effective depth always additionally covers the CURRENT pair pin:
+    * after a crashed fold the lake tables sit ahead of the marker, and
+    * vacuuming the pinned version's files out would strand both the
+    * serving reads and heal-on-entry's rollback.
     */
-  def vacuumHistory(keepVersions: Int = 2, graceMs: Long = 0L): Int =
-    LakeTable.vacuum(spark, closedTablePath, keepVersions, graceMs) +
-      LakeTable.vacuum(spark, currentTablePath, keepVersions, graceMs)
+  def vacuumHistory(keepVersions: Int = 2, graceMs: Long = 0L): Int = {
+    val m = markerOf(fs, workDir, currentVersion)
+    val keepClosed = math.max(keepVersions,
+      LakeTable.latest(spark, closedTablePath).version - m.closedV + 1)
+    val keepCurrent = math.max(keepVersions,
+      LakeTable.latest(spark, currentTablePath).version - m.currentV + 1)
+    LakeTable.vacuum(spark, closedTablePath, keepClosed, graceMs) +
+      LakeTable.vacuum(spark, currentTablePath, keepCurrent, graceMs)
+  }
 }
 
 object ScdMaintainer {
