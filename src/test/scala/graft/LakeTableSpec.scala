@@ -1247,6 +1247,82 @@ class LakeTableSpec extends SparkSpec {
       "tiny fixture files are all under half a 1GB target")
   }
 
+  test("property: a seeded random mutation walk resolves exactly through the delta log at every version") {
+    val dir = Files.createTempDirectory("graft-lakewalk").toString + "/t"
+    val rnd = new scala.util.Random(20260815L)
+    // expected state, tracked independently: key -> (name, val)
+    var expected: Map[Long, (Option[String], Double)] =
+      (0L until 200L).map(k => k -> (Some(s"n$k"): Option[String], k * 2.0)).toMap
+    LakeTable.init(
+      expected.toSeq.map { case (k, (n, v)) => (k, n.orNull, v) }
+        .toDF("key", "name", "val"),
+      dir, Seq("key"), nFiles = 4)
+    var seq = 0L
+    var nextNew = 1000L
+    var snapshots = Vector(
+      LakeTable.latest(spark, dir).version -> expected)
+    def liveKeys: Seq[Long] = expected.keys.toSeq.sorted
+    (1 to 25).foreach { step =>
+      rnd.nextInt(6) match {
+        case 0 => // slim changelog MERGE: updates, deletes, an insert
+          val ks = rnd.shuffle(liveKeys).take(3)
+          val ins = nextNew; nextNew += 1
+          val changes = (ks.map { k =>
+            seq += 1
+            if (rnd.nextBoolean()) { expected += k -> (expected(k)._1, seq * 1.5); (k, seq, "U", seq * 1.5) }
+            else { expected -= k; (k, seq, "D", 0.0) }
+          } :+ { seq += 1; expected += ins -> (None, 9.9); (ins, seq, "U", 9.9) })
+          LakeTable.applyChangelog(spark, dir,
+            changes.toDF("key", "seq", "op", "val"), Seq("key"))
+        case 1 => // deletion-vector tombstones (some keys absent: no-op)
+          val doomed = rnd.shuffle(liveKeys).take(2) :+ 999999L
+          doomed.foreach(expected -= _)
+          LakeTable.applyTombstonesDv(spark, dir, doomed.toDF("key"))
+        case 2 => // append epoch of fresh keys
+          val ks = (nextNew until nextNew + 3L); nextNew += 3
+          ks.foreach(k => expected += k -> (Some(s"a$k"), k * 0.5))
+          LakeTable.append(
+            ks.map(k => (k, s"a$k", k * 0.5)).toDF("key", "name", "val"),
+            dir, Seq("key"))
+        case 3 => LakeTable.optimize(spark, dir, Seq("key"), nFiles = 3)
+        case 4 => LakeTable.compact(spark, dir, Seq("key"), 1L << 20)
+        case 5 => LakeTable.materializeDeletes(spark, dir, Seq("key"))
+      }
+      snapshots :+= LakeTable.latest(spark, dir).version -> expected
+      if (step % 5 == 0) {
+        val got = LakeTable.readLive(spark, dir)
+          .select(col("key"), col("name"), col("val")).orderBy(col("key"))
+          .collect()
+          .map(r => (r.getLong(0), Option(r.getString(1)), r.getDouble(2))).toSeq
+        val want = expected.toSeq.map { case (k, (n, v)) => (k, n, v) }.sortBy(_._1)
+        assert(got == want, s"live state diverged at step $step")
+        assert(LakeTable.countLive(spark, dir) == expected.size.toLong)
+      }
+    }
+    // TIME TRAVEL: every recorded version — resolved through whatever mix
+    // of deltas and checkpoints the walk produced — reads back exactly
+    snapshots.foreach { case (v, snap) =>
+      val got = LakeTable.readAt(spark, dir, v)
+        .select(col("key"), col("name"), col("val")).orderBy(col("key"))
+        .collect()
+        .map(r => (r.getLong(0), Option(r.getString(1)), r.getDouble(2))).toSeq
+      assert(got == snap.toSeq.map { case (k, (n, x)) => (k, n, x) }.sortBy(_._1),
+        s"time travel to v$v diverged")
+    }
+    // ROLLBACK: restore to the walk's midpoint and continue mutating
+    val (midV, midSnap) = snapshots(snapshots.size / 2)
+    LakeTable.restoreTo(spark, dir, midV)
+    assert(LakeTable.readLive(spark, dir)
+      .select(col("key"), col("val")).orderBy(col("key"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      midSnap.toSeq.map { case (k, (_, x)) => (k, x) }.sortBy(_._1))
+    LakeTable.applyChangelog(spark, dir,
+      Seq((0L, seq + 1, "U", -1.0)).toDF("key", "seq", "op", "val"), Seq("key"))
+    val after = LakeTable.readLive(spark, dir).filter(col("key") === 0L)
+    if (midSnap.contains(0L))
+      assert(after.head.getDouble(2) == -1.0, "post-rollback mutation applies")
+  }
+
   test("deletion vectors: compaction folds a shadowed sliver's vectors in") {
     val dir = Files.createTempDirectory("graft-lakedvc").toString + "/t"
     val base = (0L until 100L).map(k => (k, s"n$k", k.toDouble)).toDF("key", "name", "val")
