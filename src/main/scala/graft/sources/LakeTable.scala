@@ -220,6 +220,13 @@ object LakeTable {
   def latest(spark: SparkSession, path: String): Commit =
     commitAt(spark, path, versions(spark, path).max)
 
+  /** The latest committed version NUMBER alone — one directory listing,
+    * no manifest parse or delta walk-back; the cheap form for pin/lag
+    * checks that never look inside the commit.
+    */
+  def latestVersion(spark: SparkSession, path: String): Int =
+    versions(spark, path).max
+
   /** Every manifest, ascending — the table's audit trail. Resolved in
     * ONE forward pass: each delta folds onto the previous version's
     * already-resolved state, so the full history of a table with V
@@ -848,17 +855,26 @@ object LakeTable {
   }
 
   /** Rewrite LEGACY bare replay markers (`A\t123`, written before markers
-    * were arm-qualified) to `arm#123` in one metadata-only commit. Run
-    * this ONCE before attaching any NEW stream to a pre-namespacing
-    * table: the bare-marker fallback in the replay check — required so a
-    * legacy table keeps its idempotence — would otherwise also swallow a
-    * NEW stream's low batchIds (every fresh checkpoint restarts at 0).
-    * After migration no bare marker exists, so the fallback never fires.
-    * Tables that already carry only qualified markers are a no-op that
-    * burns no version.
+    * were arm-qualified) to `arm#123` — under EVERY arm in `arms` — in
+    * one metadata-only commit. Run this ONCE before attaching any NEW
+    * stream to a pre-namespacing table: the bare-marker fallback in the
+    * replay check — required so a legacy table keeps its idempotence —
+    * would otherwise also swallow a NEW stream's low batchIds (every
+    * fresh checkpoint restarts at 0). After migration no bare marker
+    * exists, so the fallback never fires.
+    *
+    * `arms` must name EVERY arm that ever committed bare markers to this
+    * table (a bare marker carries no arm attribution, so the mapping is
+    * operator knowledge): qualifying under each keeps every named legacy
+    * stream's redeliveries deduped, while migrating under one arm alone
+    * would strip an unnamed arm's idempotence — its crashed batch would
+    * re-apply and duplicate rows. Tables that already carry only
+    * qualified markers are a no-op that burns no version.
     */
   def migrateLegacyMarkers(
-      spark: SparkSession, path: String, arm: String = "cdc"): Commit = {
+      spark: SparkSession, path: String,
+      arms: Seq[String] = Seq("cdc")): Commit = {
+    require(arms.nonEmpty, "LakeTable.migrateLegacyMarkers: empty arm list")
     var lastConflict: CommitConflictException = null
     (0 to MaxCommitRetries).foreach { _ =>
       val c = latest(spark, path)
@@ -866,7 +882,8 @@ object LakeTable {
       if (bare.isEmpty) return c
       try {
         return writeCommit(spark, path, c.version + 1, c.files, c.boxes,
-          c.schemaDdl, qualified ++ bare.map(b => s"$arm#$b"),
+          c.schemaDdl,
+          qualified ++ bare.flatMap(b => arms.map(a => s"$a#$b")),
           c.deletes, c.rowCounts, prev = Some(c), sizes = c.sizes)
       } catch { case e: CommitConflictException => lastConflict = e }
     }
@@ -1520,22 +1537,31 @@ object LakeTable {
     deletes.filterNot(prevD).distinct.sorted.foreach { case (f, dv) =>
       sb.append("D+\t").append(f).append('\t').append(dv).append('\n')
     }
-    rowCounts.toSeq.sorted.foreach { case (f, n) =>
-      if (!p.rowCounts.get(f).contains(n))
-        sb.append("R\t").append(f).append('\t').append(n).append('\n')
+    // R/Z additions can only name ADDED files (a kept file's footer stats
+    // are immutable with its bytes — asserted below like the boxes), so
+    // emission is O(change): iterate the added-file list, never a sorted
+    // materialization of the full per-file maps. Removals on kept files
+    // never arise from any current mutation; the cheap set difference
+    // keeps the format able to express them.
+    val fAdded = files.filterNot(prevF).sorted
+    require(rowCounts.forall { case (f, n) =>
+      !prevF(f) || !nextF(f) || p.rowCounts.get(f).forall(_ == n) },
+      "LakeTable: a kept file's row count changed — counts are immutable with the file")
+    require(sizes.forall { case (f, n) =>
+      !prevF(f) || !nextF(f) || p.sizes.get(f).forall(_ == n) },
+      "LakeTable: a kept file's size changed — sizes are immutable with the file")
+    fAdded.foreach { f =>
+      rowCounts.get(f).foreach(n =>
+        sb.append("R\t").append(f).append('\t').append(n).append('\n'))
     }
-    p.rowCounts.keysIterator.toSeq.sorted.foreach { f =>
-      if (nextF(f) && !rowCounts.contains(f))
-        sb.append("R-\t").append(f).append('\n')
+    ((p.rowCounts.keySet & nextF) -- rowCounts.keySet).toSeq.sorted.foreach(f =>
+      sb.append("R-\t").append(f).append('\n'))
+    fAdded.foreach { f =>
+      sizes.get(f).foreach(n =>
+        sb.append("Z\t").append(f).append('\t').append(n).append('\n'))
     }
-    sizes.toSeq.sorted.foreach { case (f, n) =>
-      if (!p.sizes.get(f).contains(n))
-        sb.append("Z\t").append(f).append('\t').append(n).append('\n')
-    }
-    p.sizes.keysIterator.toSeq.sorted.foreach { f =>
-      if (nextF(f) && !sizes.contains(f))
-        sb.append("Z-\t").append(f).append('\n')
-    }
+    ((p.sizes.keySet & nextF) -- sizes.keySet).toSeq.sorted.foreach(f =>
+      sb.append("Z-\t").append(f).append('\n'))
     sb.toString
   }
 

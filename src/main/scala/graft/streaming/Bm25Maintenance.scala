@@ -169,11 +169,20 @@ object Bm25Maintainer {
     text.split('\n').filter(_.nonEmpty).map(_.toLong).toSet
   }
 
+  /** Atomic: content to a tmp name, rename-without-overwrite — a crash
+    * mid-write leaves dot-prefixed garbage (invisible to parquet listing
+    * AND to the marker check), never a truncated `_folded.txt` whose
+    * partial content would mis-parse the folded set.
+    */
   private def commitMarker(
       fs: org.apache.hadoop.fs.FileSystem, workDir: String, v: Int,
       folded: Set[Long]): Unit = {
-    val out = fs.create(markerPath(workDir, v), false)
+    val tmp = new Path(
+      s"${statsPath(workDir, v)}/.tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, false)
     try out.write(folded.toSeq.sorted.mkString("\n").getBytes("UTF-8"))
     finally out.close()
+    require(fs.rename(tmp, markerPath(workDir, v)),
+      s"Bm25Maintainer: marker rename lost at ${statsPath(workDir, v)}")
   }
 }

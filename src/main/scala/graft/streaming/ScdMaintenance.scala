@@ -94,9 +94,21 @@ final class ScdMaintainer private (spark: SparkSession, workDir: String) {
         lit(null).cast("bigint").as("valid_to"), lit(true).as("is_current"))
   }
 
-  /** Streaming batchIds already folded in (empty right after build). */
+  /** Streaming batchIds already folded in (empty right after build).
+    * The pair marker namespaces ids PER ARM (`fold#id` / `forget#id`):
+    * the changelog stream and a forget stream each restart their
+    * batchIds at zero, so un-namespaced ids would collide across arms.
+    */
   def foldedBatches: Set[Long] =
     markerOf(fs, workDir, currentVersion).folded
+      .collect { case s if s.startsWith("fold#") =>
+        s.stripPrefix("fold#").toLong }
+
+  /** Streaming batchIds already applied by the FORGET arm. */
+  def forgottenBatches: Set[Long] =
+    markerOf(fs, workDir, currentVersion).folded
+      .collect { case s if s.startsWith("forget#") =>
+        s.stripPrefix("forget#").toLong }
 
   private def currentVersion: Int = committedVersions(fs, workDir).max
 
@@ -121,7 +133,7 @@ final class ScdMaintainer private (spark: SparkSession, workDir: String) {
       compactTargetBytes: Option[Long] = None): Boolean = synchronized {
     val v = currentVersion
     val m = markerOf(fs, workDir, v)
-    if (batchId.exists(m.folded.contains)) return false
+    if (batchId.exists(b => m.folded.contains(s"fold#$b"))) return false
     if (batch.isEmpty) return false
     // HEAL first: any lake version beyond the pair marker's pin is a
     // crashed fold's half-applied work (single maintainer; compaction
@@ -132,10 +144,7 @@ final class ScdMaintainer private (spark: SparkSession, workDir: String) {
     // consistent cross-table cut: a crashed batch either replays in
     // full (batchId set, source redelivers) or is discarded ATOMICALLY
     // (no partial closed-without-current state can ever reach a marker).
-    if (LakeTable.latest(spark, closedTablePath).version != m.closedV)
-      LakeTable.restoreTo(spark, closedTablePath, m.closedV)
-    if (LakeTable.latest(spark, currentTablePath).version != m.currentV)
-      LakeTable.restoreTo(spark, currentTablePath, m.currentV)
+    heal(m)
     val touched = batch.select(col("key")).distinct()
     // the touched keys' current rows, box-pruned — the ONLY history the
     // incremental derivation needs (closed intervals are immutable)
@@ -164,19 +173,75 @@ final class ScdMaintainer private (spark: SparkSession, workDir: String) {
         base.join(broadcast(touched), Seq("key"), "left_anti")
           .unionByName(newCur),
       appliedBatch = batchId.map(b => s"scd-current#$b"))
-    // 3. bounded file counts: bin-pack either table's slivers in-loop
+    // 3. bounded file counts: bin-pack either table's slivers in-loop —
+    //    compact directly: its own <2-undersized check is the trigger
+    //    (no-ops burn no version), so a separate shouldCompact poll would
+    //    just resolve each manifest twice
     var (cv, kv) = (closedStats.version, curStats.version)
     compactTargetBytes.foreach { t =>
-      if (LakeTable.shouldCompact(spark, closedTablePath, t))
-        cv = LakeTable.compact(
-          spark, closedTablePath, Seq("key", "valid_from"), t).version
-      if (LakeTable.shouldCompact(spark, currentTablePath, t))
-        kv = LakeTable.compact(spark, currentTablePath, Seq("key"), t).version
+      cv = LakeTable.compact(
+        spark, closedTablePath, Seq("key", "valid_from"), t).version
+      kv = LakeTable.compact(spark, currentTablePath, Seq("key"), t).version
     }
     // 4. the pair marker pins the fold for readers — the versions the
     //    commits above RETURNED, no re-resolution
-    commitMarker(fs, workDir, v + 1, Marker(cv, kv, m.folded ++ batchId))
+    commitMarker(fs, workDir, v + 1,
+      Marker(cv, kv, m.folded ++ batchId.map(b => s"fold#$b")))
     true
+  }
+
+  /** Right-to-be-forgotten for the DIMENSION artifact: erase every trace
+    * of the tombstoned keys — closed intervals AND current rows — as one
+    * pair-marked maintenance step (box-pruned file rewrites on both
+    * tables, batchId-idempotent under the `forget#` arm). This is THE
+    * supported way to delete from the maintainer's tables: the two lake
+    * paths are exposed for AUDIT (manifest diffs, retention telemetry),
+    * never for out-of-band mutation — heal-on-entry rolls back any
+    * commit the pair marker did not pin, so a tombstone landed directly
+    * on `closedTablePath` would be silently undone by the next fold.
+    * Routed through here it commits under the same heal/replay contract
+    * as folds. Returns false for a redelivered batchId or an empty
+    * tombstone set.
+    */
+  def forget(tombstones: DataFrame, batchId: Option[Long] = None): Boolean =
+    synchronized {
+      val v = currentVersion
+      val m = markerOf(fs, workDir, v)
+      if (batchId.exists(b => m.folded.contains(s"forget#$b"))) return false
+      if (tombstones.isEmpty) return false
+      heal(m)
+      val keys = tombstones.select(col("key")).distinct()
+      val cStats = LakeTable.applyTombstones(
+        spark, closedTablePath, keys, Seq("key", "valid_from"),
+        keyCol = "key", nFilesNew = 1, batchId = batchId,
+        arm = "scd-forget-closed")
+      val kStats = LakeTable.applyTombstones(
+        spark, currentTablePath, keys, Seq("key"),
+        keyCol = "key", nFilesNew = 1, batchId = batchId,
+        arm = "scd-forget-current")
+      commitMarker(fs, workDir, v + 1,
+        Marker(cStats.version, kStats.version,
+          m.folded ++ batchId.map(b => s"forget#$b")))
+      true
+    }
+
+  /** The streaming forget arm: a tombstone stream (one `key` column)
+    * erases per micro-batch — the dimension-artifact twin of
+    * [[LakeMaintenance.attachTombstones]].
+    */
+  def attachForget(tombstones: DataFrame): StreamingQuery =
+    tombstones.writeStream
+      .foreachBatch { (b: Dataset[Row], id: Long) =>
+        forget(b.toDF(), Some(id)); ()
+      }
+      .start()
+
+  /** Roll both tables back to the pair marker's pin — see the class doc. */
+  private def heal(m: Marker): Unit = {
+    if (LakeTable.latestVersion(spark, closedTablePath) != m.closedV)
+      LakeTable.restoreTo(spark, closedTablePath, m.closedV)
+    if (LakeTable.latestVersion(spark, currentTablePath) != m.currentV)
+      LakeTable.restoreTo(spark, currentTablePath, m.currentV)
   }
 
   /** Query-time TEMPORAL JOIN served from the maintained artifact: each
@@ -208,9 +273,9 @@ final class ScdMaintainer private (spark: SparkSession, workDir: String) {
   def vacuumHistory(keepVersions: Int = 2, graceMs: Long = 0L): Int = {
     val m = markerOf(fs, workDir, currentVersion)
     val keepClosed = math.max(keepVersions,
-      LakeTable.latest(spark, closedTablePath).version - m.closedV + 1)
+      LakeTable.latestVersion(spark, closedTablePath) - m.closedV + 1)
     val keepCurrent = math.max(keepVersions,
-      LakeTable.latest(spark, currentTablePath).version - m.currentV + 1)
+      LakeTable.latestVersion(spark, currentTablePath) - m.currentV + 1)
     LakeTable.vacuum(spark, closedTablePath, keepClosed, graceMs) +
       LakeTable.vacuum(spark, currentTablePath, keepCurrent, graceMs)
   }
@@ -218,7 +283,7 @@ final class ScdMaintainer private (spark: SparkSession, workDir: String) {
 
 object ScdMaintainer {
 
-  private final case class Marker(closedV: Int, currentV: Int, folded: Set[Long])
+  private final case class Marker(closedV: Int, currentV: Int, folded: Set[String])
 
   /** Derive the epoch's history from the accumulated changelog and start
     * maintaining. An empty-history start is `build(emptyLog)`. Debris of
@@ -289,17 +354,25 @@ object ScdMaintainer {
       .getLines().toVector finally in.close()
     Marker(
       lines(0).toInt, lines(1).toInt,
-      lines.drop(2).filter(_.nonEmpty).map(_.toLong).toSet)
+      lines.drop(2).filter(_.nonEmpty).toSet)
   }
 
+  /** Atomic marker publication: full content to a tmp name, then
+    * rename-without-overwrite — a crash mid-write leaves tmp garbage,
+    * never a truncated marker at the committed name (which would wedge
+    * every later read on a parse error).
+    */
   private def commitMarker(
       fs: org.apache.hadoop.fs.FileSystem, workDir: String, v: Int,
       m: Marker): Unit = {
     fs.mkdirs(new Path(s"$workDir/fold"))
-    val out = fs.create(markerPath(workDir, v), false)
+    val tmp = new Path(s"$workDir/fold/.tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, false)
     try out.write(
       (Seq(m.closedV.toString, m.currentV.toString) ++
-        m.folded.toSeq.sorted.map(_.toString)).mkString("\n").getBytes("UTF-8"))
+        m.folded.toSeq.sorted).mkString("\n").getBytes("UTF-8"))
     finally out.close()
+    require(fs.rename(tmp, markerPath(workDir, v)),
+      s"ScdMaintainer: marker rename lost at $workDir fold v$v")
   }
 }

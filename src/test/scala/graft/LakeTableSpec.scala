@@ -1205,18 +1205,28 @@ class LakeTableSpec extends SparkSpec {
     assert(swallowed.filesShadowed == 0 &&
       LakeTable.readLive(spark, dir).filter(col("key") === 5L).count() == 1,
       "this is the hazard migrate exists for")
-    val migrated = LakeTable.migrateLegacyMarkers(spark, dir, arm = "cdc")
-    assert(migrated.appliedBatches == Set("cdc#0", "cdc#1"))
-    // post-migration: no bare marker remains, the new arm's batch applies
+    // migrate under EVERY arm that ever wrote bare markers (operator
+    // knowledge — a bare marker carries no attribution): both named
+    // legacy arms keep their idempotence
+    val migrated = LakeTable.migrateLegacyMarkers(
+      spark, dir, arms = Seq("cdc", "ingest"))
+    assert(migrated.appliedBatches ==
+      Set("cdc#0", "cdc#1", "ingest#0", "ingest#1"))
+    // post-migration: no bare marker remains, an UNNAMED new arm's batch
+    // applies
     LakeTable.applyTombstonesDv(spark, dir, Seq(5L).toDF("key"),
       batchId = Some(0L))
     assert(LakeTable.readLive(spark, dir).filter(col("key") === 5L).isEmpty,
       "after migration a new arm's batch 0 must apply")
-    // ...while the legacy cdc batch stays deduped under its own arm
+    // ...while BOTH named legacy arms stay deduped
     val stats = LakeTable.applyChangelog(spark, dir,
       Seq((7L, 1L, "U", 1.0)).toDF("key", "seq", "op", "val"), Seq("key"),
       batchId = Some(0L))
     assert(stats.filesRewritten == 0 && stats.filesNew == 0)
+    val stats2 = LakeTable.append(
+      Seq((901L, "dup", 1.0)).toDF("key", "name", "val"), dir, Seq("key"),
+      batchId = Some(1L))
+    assert(stats2.filesNew == 0, "the legacy ingest arm's batch 1 must dedupe")
     // idempotent: a second migrate burns no version
     val v = LakeTable.latest(spark, dir).version
     assert(LakeTable.migrateLegacyMarkers(spark, dir).version == v)
@@ -1238,13 +1248,15 @@ class LakeTableSpec extends SparkSpec {
       Seq((5L, 1L, "U", 9.0)).toDF("key", "seq", "op", "val"), Seq("key"))
     val c2 = LakeTable.latest(spark, dir)
     assert(c2.sizes.keySet == c2.files.toSet)
-    // the trigger answers without stat-ing: physically delete a KEPT
-    // file — shouldCompact still answers from the manifest
+    // the trigger answers WITHOUT stat-ing: physically delete a kept
+    // live file — a shouldCompact that still stat-ed every file would
+    // throw FileNotFoundException; the manifest-sized answer does not
     val kept = c.files.toSet.intersect(c2.files.toSet)
     assert(kept.nonEmpty)
-    assert(new java.io.File(s"$dir/_probe_marker").createNewFile())
+    assert(new java.io.File(s"$dir/${kept.head}").delete())
     assert(LakeTable.shouldCompact(spark, dir, targetFileBytes = 1L << 30),
-      "tiny fixture files are all under half a 1GB target")
+      "tiny fixture files are all under half a 1GB target — answered " +
+        "from Z lines with a live file physically gone")
   }
 
   test("property: a seeded random mutation walk resolves exactly through the delta log at every version") {

@@ -162,6 +162,38 @@ class ScdMaintenanceSpec extends SparkSpec {
       "compaction must not change the served history")
   }
 
+  test("forget erases a key's whole record atomically; out-of-band commits are rolled back by design") {
+    val dir = tmp("forget")
+    val m = ScdMaintainer.build(log, dir)
+    val doomed = m.history.select(col("key")).distinct()
+      .orderBy(col("key")).limit(2).as[Long].collect().toSeq
+    assert(m.forget(doomed.toDF("key"), Some(0L)))
+    assert(m.history.filter(col("key").isin(doomed: _*)).isEmpty,
+      "no closed interval, no current row — the attestation contract")
+    assert(!m.forget(doomed.toDF("key"), Some(0L)),
+      "a redelivered forget batch must no-op")
+    assert(m.forgottenBatches == Set(0L) && m.foldedBatches.isEmpty,
+      "fold and forget ids live in separate arm namespaces")
+    // a fold with the SAME batchId as the forget is a different arm's
+    // batch and must still apply
+    assert(m.fold(Seq((doomed.head, 9_000_000_000L, "U", "back", 1.0))
+      .toDF("key", "seq", "op", "name", "val"), Some(0L)))
+    assert(m.current.filter(col("key") === doomed.head).count() == 1)
+    // OWNERSHIP: the exposed table paths are audit-only — an out-of-band
+    // tombstone landed directly on the closed table is exactly a commit
+    // the pair marker never pinned, and the next fold's heal discards it
+    // (the documented contract; route deletes through forget())
+    val target = m.history.filter(!col("is_current"))
+      .select(col("key")).head().getLong(0)
+    LakeTable.applyTombstones(spark, m.closedTablePath,
+      Seq(target).toDF("key"), Seq("key", "valid_from"))
+    assert(m.fold(Seq((999L, 9_100_000_000L, "U", "x", 1.0))
+      .toDF("key", "seq", "op", "name", "val"), Some(1L)))
+    assert(m.history.filter(col("key") === target && !col("is_current"))
+      .count() > 0,
+      "heal-on-entry must discard out-of-band commits — by contract")
+  }
+
   test("scale shape: a fold appends closed intervals and rewrites ONLY touched current files — never history") {
     val dir = tmp("scale")
     val m = ScdMaintainer.build(log, dir) // a deep accumulated history
