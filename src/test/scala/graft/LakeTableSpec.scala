@@ -1335,6 +1335,24 @@ class LakeTableSpec extends SparkSpec {
       assert(after.head.getDouble(2) == -1.0, "post-rollback mutation applies")
   }
 
+  test("readKeyed opens only box-intersecting files and filters exactly") {
+    val (dir, _) = mkTable("graft-lakekeyed")
+    // two keys in one ~100-key file span: the point read must open a
+    // strict subset of the 8 live files
+    val got = LakeTable.readKeyed(spark, dir, Seq(20L, 21L).toDF("key"))
+    assert(got.inputFiles.nonEmpty && got.inputFiles.length < 8,
+      s"expected a pruned scan, opened ${got.inputFiles.length} files")
+    assert(got.orderBy(col("key")).collect().map(_.getLong(0)).toSeq ==
+      Seq(20L, 21L))
+    // absent keys: no file opens, empty exact result
+    assert(LakeTable.readKeyed(spark, dir, Seq(5000L).toDF("key")).isEmpty)
+    // deletion vectors apply inside the point read too
+    LakeTable.applyTombstonesDv(spark, dir, Seq(20L).toDF("key"))
+    assert(LakeTable.readKeyed(spark, dir, Seq(20L, 21L).toDF("key"))
+      .collect().map(_.getLong(0)).toSeq == Seq(21L),
+      "a shadowed row must not resurrect into a keyed point read")
+  }
+
   test("deletion vectors: compaction folds a shadowed sliver's vectors in") {
     val dir = Files.createTempDirectory("graft-lakedvc").toString + "/t"
     val base = (0L until 100L).map(k => (k, s"n$k", k.toDouble)).toDF("key", "name", "val")
