@@ -863,13 +863,16 @@ object LakeTable {
     * fresh checkpoint restarts at 0). After migration no bare marker
     * exists, so the fallback never fires.
     *
-    * `arms` must name EVERY arm that ever committed bare markers to this
-    * table (a bare marker carries no arm attribution, so the mapping is
-    * operator knowledge): qualifying under each keeps every named legacy
-    * stream's redeliveries deduped, while migrating under one arm alone
-    * would strip an unnamed arm's idempotence — its crashed batch would
-    * re-apply and duplicate rows. Tables that already carry only
-    * qualified markers are a no-op that burns no version.
+    * `arms` must name EXACTLY the arms that ever committed bare markers
+    * to this table (a bare marker carries no arm attribution, so the
+    * mapping is operator knowledge), in both directions: OMITTING a
+    * legacy arm strips its idempotence — its crashed batch would
+    * re-apply and duplicate rows — while NAMING an arm that never wrote
+    * bare markers fabricates dedup records for it, and a fresh stream
+    * later attached under that name would silently skip its first
+    * batches (the very hazard migration exists to close). Tables that
+    * already carry only qualified markers are a no-op that burns no
+    * version.
     */
   def migrateLegacyMarkers(
       spark: SparkSession, path: String,
@@ -1537,31 +1540,31 @@ object LakeTable {
     deletes.filterNot(prevD).distinct.sorted.foreach { case (f, dv) =>
       sb.append("D+\t").append(f).append('\t').append(dv).append('\n')
     }
-    // R/Z additions can only name ADDED files (a kept file's footer stats
-    // are immutable with its bytes — asserted below like the boxes), so
-    // emission is O(change): iterate the added-file list, never a sorted
-    // materialization of the full per-file maps. Removals on kept files
-    // never arise from any current mutation; the cheap set difference
-    // keeps the format able to express them.
-    val fAdded = files.filterNot(prevF).sorted
-    require(rowCounts.forall { case (f, n) =>
-      !prevF(f) || !nextF(f) || p.rowCounts.get(f).forall(_ == n) },
-      "LakeTable: a kept file's row count changed — counts are immutable with the file")
-    require(sizes.forall { case (f, n) =>
-      !prevF(f) || !nextF(f) || p.sizes.get(f).forall(_ == n) },
-      "LakeTable: a kept file's size changed — sizes are immutable with the file")
-    fAdded.foreach { f =>
-      rowCounts.get(f).foreach(n =>
-        sb.append("R\t").append(f).append('\t').append(n).append('\n'))
+    // R/Z lines: one UNSORTED pass over the next maps keeps the scan
+    // O(map) with no full-map sort/materialization; only the CHANGED
+    // entries (added files' stats, plus a stat newly backfilled onto a
+    // kept file — e.g. a sizes backfill on a legacy pre-Z table) sort
+    // and emit, O(change log change). A kept file's EXISTING stat can
+    // never change value (footer stats are immutable with the bytes) —
+    // that fails the commit loudly rather than publishing a delta that
+    // resolves wrong. Removals on kept files never arise from any
+    // current mutation; the cheap set difference keeps the format able
+    // to express them.
+    def statLines(
+        tag: String, next: Map[String, Long], prev: Map[String, Long]): Unit = {
+      val changed = next.iterator
+        .filter { case (f, n) => !prev.get(f).contains(n) }.toSeq.sorted
+      changed.foreach { case (f, n) =>
+        require(!prevF(f) || !prev.contains(f),
+          s"LakeTable: kept file $f changed its $tag stat — footer stats " +
+            "are immutable with the file")
+        sb.append(tag).append('\t').append(f).append('\t').append(n).append('\n')
+      }
+      ((prev.keySet & nextF) -- next.keySet).toSeq.sorted.foreach(f =>
+        sb.append(tag).append("-\t").append(f).append('\n'))
     }
-    ((p.rowCounts.keySet & nextF) -- rowCounts.keySet).toSeq.sorted.foreach(f =>
-      sb.append("R-\t").append(f).append('\n'))
-    fAdded.foreach { f =>
-      sizes.get(f).foreach(n =>
-        sb.append("Z\t").append(f).append('\t').append(n).append('\n'))
-    }
-    ((p.sizes.keySet & nextF) -- sizes.keySet).toSeq.sorted.foreach(f =>
-      sb.append("Z-\t").append(f).append('\n'))
+    statLines("R", rowCounts, p.rowCounts)
+    statLines("Z", sizes, p.sizes)
     sb.toString
   }
 

@@ -31,9 +31,10 @@ import graft.sources.LakeTable
   * PAIR MARKER `workDir/fold/v%06d.txt` pinning (closed version, current
   * version, folded batchIds); readers resolve the latest marker and
   * [[LakeTable.readAt]] each table at its pinned version, so a reader
-  * never observes one table's fold without the other's. The marker file
-  * is created atomically (create-without-overwrite), and each lake
-  * commit is itself atomic; crash windows between the three are closed
+  * never observes one table's fold without the other's. The marker
+  * publishes atomically by rename-without-overwrite (the same contract
+  * as every lake commit — a duplicate version loses the rename and
+  * fails loud), and each lake commit is itself atomic; crash windows between the three are closed
   * by HEAL-ON-ENTRY: every fold first rolls each table back to the pair
   * marker's pinned version ([[LakeTable.restoreTo]] — a metadata commit
   * that also discards the crashed fold's replay markers), because under
@@ -211,13 +212,17 @@ final class ScdMaintainer private (spark: SparkSession, workDir: String) {
       if (tombstones.isEmpty) return false
       heal(m)
       val keys = tombstones.select(col("key")).distinct()
+      // unlike a fold (whose rewrite is batch-sized), a forget rewrite
+      // carries every KEPT row of the box-intersecting files — on a
+      // years-deep closed table that is touched-files-sized, so use the
+      // tombstone arms' default output width rather than one file/task
       val cStats = LakeTable.applyTombstones(
         spark, closedTablePath, keys, Seq("key", "valid_from"),
-        keyCol = "key", nFilesNew = 1, batchId = batchId,
+        keyCol = "key", batchId = batchId,
         arm = "scd-forget-closed")
       val kStats = LakeTable.applyTombstones(
         spark, currentTablePath, keys, Seq("key"),
-        keyCol = "key", nFilesNew = 1, batchId = batchId,
+        keyCol = "key", batchId = batchId,
         arm = "scd-forget-current")
       commitMarker(fs, workDir, v + 1,
         Marker(cStats.version, kStats.version,
@@ -354,7 +359,11 @@ object ScdMaintainer {
       .getLines().toVector finally in.close()
     Marker(
       lines(0).toInt, lines(1).toInt,
-      lines.drop(2).filter(_.nonEmpty).toSet)
+      lines.drop(2).filter(_.nonEmpty)
+        // bare ids are the pre-namespacing pair-marker format (only the
+        // fold arm existed then): read them as fold-arm ids so a marker
+        // written before the forget arm landed keeps its dedup records
+        .map(l => if (l.forall(_.isDigit)) s"fold#$l" else l).toSet)
   }
 
   /** Atomic marker publication: full content to a tmp name, then
