@@ -218,14 +218,61 @@ object LakeTable {
 
   /** The latest committed version — the ONLY thing readers trust. */
   def latest(spark: SparkSession, path: String): Commit =
-    commitAt(spark, path, versions(spark, path).max)
+    commitAt(spark, path, latestVersion(spark, path))
 
-  /** The latest committed version NUMBER alone — one directory listing,
-    * no manifest parse or delta walk-back; the cheap form for pin/lag
-    * checks that never look inside the commit.
+  /** The latest committed version NUMBER. Resolution is O(1) in the
+    * table's commit count, NOT a directory listing: every commit
+    * best-effort-updates a `_commits/_latest.txt` pointer (Delta's
+    * `_last_checkpoint` design), and the reader verifies the pointed
+    * version exists then probes FORWARD one `exists` at a time — a
+    * pointer gone stale in the write→pointer crash window (or under a
+    * racing writer) costs O(lag) probes, never a wrong answer, because
+    * the pointer is only ever written AFTER its version's rename and so
+    * can only lag, never lead. A missing or unparsable pointer (legacy
+    * table, torn write) falls back to the full listing — which, at
+    * per-micro-batch commit frequency on a never-pruned `_commits`
+    * directory, is exactly the O(total-versions-ever) namenode load per
+    * operation the pointer exists to avoid.
     */
-  def latestVersion(spark: SparkSession, path: String): Int =
-    versions(spark, path).max
+  def latestVersion(spark: SparkSession, path: String): Int = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hinted =
+      try {
+        val in = fs.open(new Path(s"$path/_commits/_latest.txt"))
+        val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+        val v = s.toInt
+        if (v >= 1 && fs.exists(commitFile(path, v))) Some(v) else None
+      } catch { case scala.util.control.NonFatal(_) => None }
+    hinted match {
+      case Some(v0) =>
+        var v = v0
+        while (fs.exists(commitFile(path, v + 1))) v += 1
+        v
+      case None => versions(spark, path).max
+    }
+  }
+
+  private def commitFile(path: String, version: Int): Path =
+    new Path(f"$path%s/_commits/v$version%09d.txt")
+
+  /** Best-effort pointer refresh after a commit rename. Failure modes are
+    * all benign: a crash or lost swap leaves the pointer stale-BEHIND
+    * (probe-forward heals it on the next read, and the next commit
+    * rewrites it), and the delete+rename window leaves NO pointer (full
+    * listing fallback). It is never ahead: it is only written after the
+    * version it names committed.
+    */
+  private def writeLatestHint(
+      fs: org.apache.hadoop.fs.FileSystem, path: String, version: Int): Unit =
+    try {
+      val tmp = new Path(s"$path/_commits/.tmp-${java.util.UUID.randomUUID()}")
+      val out = fs.create(tmp, false)
+      try out.write(version.toString.getBytes("UTF-8")) finally out.close()
+      val dest = new Path(s"$path/_commits/_latest.txt")
+      fs.delete(dest, false) // local FS rename won't overwrite a file
+      if (!fs.rename(tmp, dest)) fs.delete(tmp, false)
+    } catch { case scala.util.control.NonFatal(_) => () }
 
   /** Every manifest, ascending — the table's audit trail. Resolved in
     * ONE forward pass: each delta folds onto the previous version's
@@ -516,20 +563,19 @@ object LakeTable {
         fs.getFileStatus(new Path(abs(path, f))).getLen))
     val small = sized.filter(_._2 < targetFileBytes / 2).map(_._1)
     if (small.size < 2) return ApplyStats(c.version, 0, c.files.size, 0)
-    val packed = sized.collect { case (f, len) if small.contains(f) => len }.sum
+    val smallSet = small.toSet
+    val packed = sized.collect { case (f, len) if smallSet(f) => len }.sum
     val nFiles = math.max(1, math.ceil(packed.toDouble / targetFileBytes).toInt)
-    // DV-resolved: compacting a shadowed sliver folds its vectors in
+    // DV-resolved: compacting a shadowed sliver folds its vectors in —
+    // a fully-shadowed sliver set resolves to NO rows, and landZOrdered
+    // then lands nothing: the commit just drops the slivers (writing a
+    // zero-row box-less file here would make every later keyed mutation
+    // conservatively rewrite it forever)
     val rows = readFilesResolved(spark, path, c, small)
-    val before = LakeSink.listParquet(spark, path).toSet
-    LakeSink.zorderFrame(rows, cols, bits)
-      .repartitionByRange(nFiles, col("zkey"))
-      .sortWithinPartitions(col("zkey"))
-      .drop("zkey")
-      .write.mode(SaveMode.Append).parquet(path)
-    val fresh = LakeSink.listParquet(spark, path).filterNot(before).sorted
+    val landed = landZOrdered(spark, path, rows, cols, nFiles, bits)
+    val fresh = landed.map(_._1)
     val freshBoxes = LakeSink.boxesOf(spark, fresh, cols)
       .map { case (f, cn, mn, mx) => (rel(path, f), cn, mn, mx) }
-    val smallSet = small.toSet
     val kept = c.files.filterNot(smallSet)
     val committed = writeCommit(spark, path, c.version + 1,
       kept ++ fresh.map(rel(path, _)),
@@ -537,8 +583,7 @@ object LakeTable {
       c.schemaDdl, c.appliedBatches,
       deletes = c.deletes.filterNot(d => smallSet(d._1)),
       rowCounts = c.rowCounts.view.filterKeys(!smallSet(_)).toMap ++
-        LakeSink.rowCountsOf(spark, fresh)
-          .map { case (f, n) => (rel(path, f), n) },
+        landed.map { case (f, n) => (rel(path, f), n) },
       prev = Some(c),
       sizes = c.sizes.view.filterKeys(!smallSet(_)).toMap ++
         sizesOf(fs, path, fresh))
@@ -812,7 +857,50 @@ object LakeTable {
         .filter(p => p.getName.startsWith(".tmp-") &&
           fs.getFileStatus(p).getModificationTime <= cutoff)
     dvTmp.foreach(fs.delete(_, true))
-    stale.size + tmp.size + dvTmp.size
+    // crashed mutations leave hidden .stage-<uuid> DIRS at the table root
+    val stageTmp = fs.listStatus(new Path(path)).toSeq.map(_.getPath)
+      .filter(p => p.getName.startsWith(".stage-") &&
+        fs.getFileStatus(p).getModificationTime <= cutoff)
+    stageTmp.foreach(fs.delete(_, true))
+    stale.size + tmp.size + dvTmp.size + stageTmp.size
+  }
+
+  /** Prune the MANIFEST log itself — the opt-in companion of [[vacuum]]
+    * for tables whose `_commits` directory has accumulated months of
+    * per-micro-batch versions ([[latestVersion]]'s pointer makes READS
+    * O(1) regardless; this bounds the listing-based paths — [[history]],
+    * [[vacuum]]'s retained-set walk — and the namenode's file count).
+    * Keeps the newest `keepManifests` versions AND everything back to
+    * the nearest FULL checkpoint at or below that horizon, so every
+    * retained delta still resolves (a delta needs its checkpoint chain).
+    * Time travel and changefeed spans below the horizon fail loud
+    * afterwards — the same retention contract as data-file vacuum, and
+    * `keepManifests` must therefore cover the slowest subscriber's lag.
+    * Returns the number of manifests dropped.
+    */
+  def vacuumManifests(
+      spark: SparkSession, path: String, keepManifests: Int): Int = {
+    require(keepManifests >= 1, "LakeTable.vacuumManifests: keep >= 1")
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vs = versions(spark, path)
+    val horizon = vs.takeRight(keepManifests).head
+    def isFull(v: Int): Boolean = {
+      val in = fs.open(commitFile(path, v))
+      val head = try {
+        val b = new java.io.BufferedReader(
+          new java.io.InputStreamReader(in, "UTF-8"))
+        Option(b.readLine()).getOrElse("")
+      } finally in.close()
+      !head.startsWith("C\tdelta")
+    }
+    // the resolution anchor: the newest full checkpoint at/below horizon
+    val anchor = vs.filter(_ <= horizon).reverse.find(isFull).getOrElse(
+      throw new IllegalStateException(
+        s"LakeTable.vacuumManifests: no full checkpoint at or below " +
+          s"v$horizon at $path — log is unresolvable"))
+    val dropped = vs.filter(_ < anchor)
+    dropped.foreach(v => fs.delete(commitFile(path, v), false))
+    dropped.size
   }
 
   /** ROLL BACK to a known-good version: publish, as the NEXT version, a
@@ -884,9 +972,12 @@ object LakeTable {
       val (bare, qualified) = c.appliedBatches.partition(!_.contains("#"))
       if (bare.isEmpty) return c
       try {
+        // qualified markers fold through addMarker so each arm keeps only
+        // its max id — numeric bares collapse to one `arm#max` per arm
         return writeCommit(spark, path, c.version + 1, c.files, c.boxes,
           c.schemaDdl,
-          qualified ++ bare.flatMap(b => arms.map(a => s"$a#$b")),
+          bare.flatMap(b => arms.map(a => s"$a#$b"))
+            .foldLeft(qualified)(addMarker),
           c.deletes, c.rowCounts, prev = Some(c), sizes = c.sizes)
       } catch { case e: CommitConflictException => lastConflict = e }
     }
@@ -950,15 +1041,26 @@ object LakeTable {
   def applyTombstonesDv(
       spark: SparkSession, path: String, tombstones: DataFrame,
       keyCol: String = "key", batchId: Option[Long] = None,
-      arm: String = "forget-dv"): DvStats = {
-    import spark.implicits._
-    val marker = batchId.map(b => s"$arm#$b")
+      arm: String = "forget-dv"): DvStats =
+    applyTombstonesDvWith(spark, path, _ => tombstones, keyCol,
+      batchId.map(b => s"$arm#$b"))
+
+  /** The DV-delete retry skeleton: each attempt resolves the FRESH latest
+    * commit and derives the tombstone keys FROM IT via `keysOf` — so a
+    * caller whose key set is itself a function of table state
+    * ([[deleteWhere]]'s predicate scan) re-lists against the interloper's
+    * snapshot on a lost commit race, instead of deleting a stale set that
+    * would let concurrently-inserted matching rows survive.
+    */
+  private def applyTombstonesDvWith(
+      spark: SparkSession, path: String, keysOf: Commit => DataFrame,
+      keyCol: String, marker: Option[String]): DvStats = {
     var lastConflict: CommitConflictException = null
     (0 to MaxCommitRetries).foreach { _ =>
       val c = latest(spark, path)
       if (marker.exists(batchApplied(c, _)))
         return DvStats(c.version, 0, 0L)
-      val keys = tombstones.select(col(keyCol)).distinct()
+      val keys = keysOf(c).select(col(keyCol)).distinct()
       // nothing to delete: no sidecar, no version (deleteWhere's
       // predicate-matched-nothing contract)
       if (keys.isEmpty) return DvStats(c.version, 0, 0L)
@@ -967,7 +1069,7 @@ object LakeTable {
       val (dvRel, nKeys) = landSidecar(spark, path, keys)
       try {
         writeCommit(spark, path, c.version + 1, c.files, c.boxes,
-          c.schemaDdl, c.appliedBatches ++ marker,
+          c.schemaDdl, marker.foldLeft(c.appliedBatches)(addMarker),
           c.deletes ++ shadowed.map(f => (f, dvRel)),
           rowCounts = c.rowCounts, prev = Some(c), sizes = c.sizes)
         return DvStats(c.version + 1, shadowed.size, nKeys)
@@ -1015,11 +1117,14 @@ object LakeTable {
       .map(_.getPath).find(_.getName.endsWith(".parquet"))
       .getOrElse(throw new IllegalStateException(
         s"LakeTable: no sidecar part file under $tmp"))
-    val nKeys = keys.count()
     val dvRel = s"_deletes/dv-${java.util.UUID.randomUUID()}.parquet"
     require(fs.rename(part, new Path(s"$path/$dvRel")),
       s"LakeTable: sidecar rename failed at $path")
     fs.delete(new Path(tmp), true)
+    // the count comes off the landed file's own footer — one metadata
+    // read, not a second evaluation of the (possibly scan-derived) frame
+    val nKeys = LakeSink.rowCountsOf(spark, Seq(s"$path/$dvRel"))
+      .headOption.map(_._2).getOrElse(0L)
     (dvRel, nKeys)
   }
 
@@ -1065,15 +1170,8 @@ object LakeTable {
       if (shadowed.isEmpty && images.isEmpty)
         return DvStats(c.version, 0, 0L)
       // land the fresh image files first (uncommitted = invisible) ...
-      val before = LakeSink.listParquet(spark, path).toSet
-      if (!images.isEmpty) {
-        LakeSink.zorderFrame(images, cols, bits)
-          .repartitionByRange(nFilesNew, col("zkey"))
-          .sortWithinPartitions(col("zkey"))
-          .drop("zkey")
-          .write.mode(SaveMode.Append).parquet(path)
-      }
-      val fresh = LakeSink.listParquet(spark, path).filterNot(before).sorted
+      val landed = landZOrdered(spark, path, images, cols, nFilesNew, bits)
+      val fresh = landed.map(_._1)
       val freshBoxes = LakeSink.boxesOf(spark, fresh, cols)
         .map { case (f, cn, mn, mx) => (rel(path, f), cn, mn, mx) }
       // ... then the sidecar, attached to PRE-COMMIT files only — the
@@ -1089,9 +1187,74 @@ object LakeTable {
           c.files ++ fresh.map(rel(path, _)),
           c.boxes ++ freshBoxes,
           unionDdl(c.schemaDdl, images.schema),
-          c.appliedBatches ++ marker,
+          marker.foldLeft(c.appliedBatches)(addMarker),
           c.deletes ++ dvAttach,
-          rowCounts = c.rowCounts ++ LakeSink.rowCountsOf(spark, fresh)
+          rowCounts = c.rowCounts ++ landed
+            .map { case (f, n) => (rel(path, f), n) },
+          prev = Some(c),
+          sizes = c.sizes ++ sizesOf(
+            new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration),
+            path, fresh))
+        return DvStats(c.version + 1, shadowed.size, nKeys)
+      } catch {
+        case e: CommitConflictException => lastConflict = e
+      }
+    }
+    throw lastConflict
+  }
+
+  /** Keyed REPLACE, merge-on-read — the generic storage primitive under
+    * [[applyChangelogFullMor]], for callers that already HOLD the new
+    * row images (the SCD maintainer's current-slice fold): every live
+    * row whose `keyCol` ∈ `keys` is logically deleted by ONE
+    * deletion-vector sidecar attached to the box-intersecting files, and
+    * `rows` (which must cover exactly the keys that remain — a key in
+    * `keys` with no row in `rows` is a pure delete) land as fresh
+    * z-ordered files. ZERO existing data files are read or written, so
+    * the replace costs O(batch) regardless of how wide the touched
+    * files are — the merge-on-read trade, for the fold whose touched
+    * current files have grown past the rewrite budget. Readers pay the
+    * anti-join until [[materializeDeletes]]/[[compact]]/a later
+    * merge-on-write folds the vectors in. The table must be key-unique
+    * on `keyCol` and stay so: `rows` must not duplicate a key it
+    * shadows. BatchId replay no-ops under `arm`.
+    */
+  def replaceKeyedMor(
+      spark: SparkSession, path: String, keys: DataFrame, rows: DataFrame,
+      cols: Seq[String], keyCol: String = "key", nFilesNew: Int = 2,
+      bits: Int = 16, batchId: Option[Long] = None,
+      arm: String = "replace-mor"): DvStats = {
+    val marker = batchId.map(b => s"$arm#$b")
+    var lastConflict: CommitConflictException = null
+    (0 to MaxCommitRetries).foreach { _ =>
+      val c = latest(spark, path)
+      if (marker.exists(batchApplied(c, _)))
+        return DvStats(c.version, 0, 0L)
+      val ks = keys.select(col(keyCol)).distinct()
+      val shadowed = shadowedFiles(spark, c, ks, keyCol)
+      // land the fresh replacement files first (uncommitted = invisible);
+      // the sidecar attaches to PRE-COMMIT files only — fresh files hold
+      // the new images and must not be shadowed
+      val landed = landZOrdered(spark, path, rows, cols, nFilesNew, bits)
+      if (shadowed.isEmpty && landed.isEmpty)
+        return DvStats(c.version, 0, 0L)
+      val fresh = landed.map(_._1)
+      val freshBoxes = LakeSink.boxesOf(spark, fresh, cols)
+        .map { case (f, cn, mn, mx) => (rel(path, f), cn, mn, mx) }
+      val (dvAttach, nKeys) =
+        if (shadowed.isEmpty) (Seq.empty[(String, String)], 0L)
+        else {
+          val (dvRel, n) = landSidecar(spark, path, ks)
+          (shadowed.map(f => (f, dvRel)), n)
+        }
+      try {
+        writeCommit(spark, path, c.version + 1,
+          c.files ++ fresh.map(rel(path, _)),
+          c.boxes ++ freshBoxes,
+          unionDdl(c.schemaDdl, rows.schema),
+          marker.foldLeft(c.appliedBatches)(addMarker),
+          c.deletes ++ dvAttach,
+          rowCounts = c.rowCounts ++ landed
             .map { case (f, n) => (rel(path, f), n) },
           prev = Some(c),
           sizes = c.sizes ++ sizesOf(
@@ -1117,10 +1280,16 @@ object LakeTable {
     */
   def deleteWhere(
       spark: SparkSession, path: String, condition: org.apache.spark.sql.Column,
-      keyCol: String = "key", batchId: Option[Long] = None): DvStats = {
-    val keys = readLive(spark, path).filter(condition).select(col(keyCol))
-    applyTombstonesDv(spark, path, keys, keyCol, batchId, arm = "delete-where")
-  }
+      keyCol: String = "key", batchId: Option[Long] = None): DvStats =
+    // the key listing is re-derived from the FRESH snapshot inside each
+    // commit-conflict retry: rows matching the predicate that a
+    // concurrent mutation inserted between attempts are caught, not
+    // leaked past the delete
+    applyTombstonesDvWith(spark, path,
+      c => (if (c.files.isEmpty) readLive(spark, path).limit(0)
+            else readFilesResolved(spark, path, c, c.files))
+        .filter(condition).select(col(keyCol)),
+      keyCol, batchId.map(b => s"delete-where#$b"))
 
   /** True iff enough live files are shadowed by deletion vectors to be
     * worth folding in — the [[materializeDeletes]] trigger (driver-side
@@ -1159,15 +1328,8 @@ object LakeTable {
     val shadowed = c.deletes.map(_._1).distinct.sorted
     if (shadowed.isEmpty) return ApplyStats(c.version, 0, c.files.size, 0)
     val rows = readFilesResolved(spark, path, c, shadowed)
-    val before = LakeSink.listParquet(spark, path).toSet
-    if (!rows.isEmpty) {
-      LakeSink.zorderFrame(rows, cols, bits)
-        .repartitionByRange(nFilesNew, col("zkey"))
-        .sortWithinPartitions(col("zkey"))
-        .drop("zkey")
-        .write.mode(SaveMode.Append).parquet(path)
-    }
-    val fresh = LakeSink.listParquet(spark, path).filterNot(before).sorted
+    val landed = landZOrdered(spark, path, rows, cols, nFilesNew, bits)
+    val fresh = landed.map(_._1)
     val freshBoxes = LakeSink.boxesOf(spark, fresh, cols)
       .map { case (f, cn, mn, mx) => (rel(path, f), cn, mn, mx) }
     val shadowedSet = shadowed.toSet
@@ -1177,8 +1339,7 @@ object LakeTable {
       c.boxes.filterNot(b => shadowedSet(b._1)) ++ freshBoxes,
       c.schemaDdl, c.appliedBatches, deletes = Seq.empty,
       rowCounts = c.rowCounts.view.filterKeys(!shadowedSet(_)).toMap ++
-        LakeSink.rowCountsOf(spark, fresh)
-          .map { case (f, n) => (rel(path, f), n) },
+        landed.map { case (f, n) => (rel(path, f), n) },
       prev = Some(c),
       sizes = c.sizes.view.filterKeys(!shadowedSet(_)).toMap ++
         sizesOf(
@@ -1189,10 +1350,59 @@ object LakeTable {
 
   // ---- internals ----------------------------------------------------
 
+  /** Land `rows` z-order-clustered as fresh data files, returning EXACTLY
+    * the (absolute path, footer row count) pairs this call landed. The
+    * write stages into a per-attempt `.stage-<uuid>/` subdirectory
+    * (hidden — invisible to every data listing) and renames each part
+    * file into the table root, so the landed set is tracked EXPLICITLY:
+    * the previous before/after directory-listing diff could sweep a
+    * CONCURRENT writer's landed-but-uncommitted files into this writer's
+    * manifest — when the loser then retried, its rows committed twice.
+    * Zero-row part files (an empty range partition) are dropped and
+    * deleted here: they carry no footer stats, so they would enter the
+    * manifest unboxed and be conservatively rewritten by every later
+    * keyed mutation forever. An empty frame lands nothing. A crash
+    * mid-stage leaves only the hidden stage dir ([[vacuum]] garbage);
+    * a crash mid-rename leaves renamed-but-uncommitted files (also
+    * vacuum garbage, exactly like the pre-staging protocol).
+    */
+  private def landZOrdered(
+      spark: SparkSession, path: String, rows: DataFrame, cols: Seq[String],
+      nFiles: Int, bits: Int): Seq[(String, Long)] = {
+    if (rows.isEmpty) return Nil
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stage = s"$path/.stage-${java.util.UUID.randomUUID()}"
+    LakeSink.zorderFrame(rows, cols, bits)
+      .repartitionByRange(nFiles, col("zkey"))
+      .sortWithinPartitions(col("zkey"))
+      .drop("zkey")
+      .write.parquet(stage)
+    val parts = fs.listStatus(new Path(stage)).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath).sortBy(_.getName)
+    val counted = LakeSink.rowCountsOf(spark, parts.map(_.toString)).toMap
+    val landed = parts.flatMap { p =>
+      if (counted.getOrElse(p.toString, 0L) == 0L) None
+      else {
+        val dest = new Path(s"$path/${p.getName}")
+        require(fs.rename(p, dest),
+          s"LakeTable: fresh-file rename collision at $dest — part names " +
+            "carry the write job's uuid and must be unique")
+        Some((dest.toString, counted(p.toString)))
+      }
+    }
+    fs.delete(new Path(stage), true)
+    landed
+  }
+
   /** True iff a replay marker is already recorded in the commit's applied
     * set. Markers are arm-qualified (`arm#batchId`) since the multi-arm
-    * namespacing change; manifests written BEFORE it carry bare batchIds
-    * (`A\t123`), so the check also matches the marker's bare suffix —
+    * namespacing change, and the applied set holds ONLY the max batchId
+    * per arm (see [[addMarker]]) — Spark's checkpointed batchIds are
+    * monotone per stream, and one arm is one stream by contract, so
+    * `id <= armMax` IS "already applied" (the Delta-Lake txn/appId
+    * design). Manifests written BEFORE namespacing carry bare batchIds
+    * (`A\t123`); the check also matches the marker's bare suffix exactly —
     * without the fallback a pre-change table would lose replay idempotence
     * across the format change and a redelivered append batch would
     * duplicate every row. (A legacy bare id matches ANY arm, exactly the
@@ -1203,9 +1413,53 @@ object LakeTable {
     * run [[migrateLegacyMarkers]] once before attaching new streams so
     * no bare marker remains for the fallback to fire on.
     */
-  private def batchApplied(c: Commit, marker: String): Boolean =
-    c.appliedBatches.contains(marker) ||
-      c.appliedBatches.contains(marker.substring(marker.indexOf('#') + 1))
+  private def batchApplied(c: Commit, marker: String): Boolean = {
+    if (c.appliedBatches.contains(marker)) return true
+    val cut = marker.indexOf('#')
+    if (cut < 0) return false
+    val (arm, idStr) = (marker.substring(0, cut), marker.substring(cut + 1))
+    c.appliedBatches.contains(idStr) || // legacy bare marker, exact match
+      (idStr.nonEmpty && idStr.forall(_.isDigit) &&
+        armMaxId(c.appliedBatches, arm).exists(_ >= idStr.toLong))
+  }
+
+  /** The max recorded batchId of `arm`'s qualified numeric markers. */
+  private def armMaxId(applied: Set[String], arm: String): Option[Long] = {
+    val prefix = arm + "#"
+    val ids = applied.collect {
+      case e if e.startsWith(prefix) &&
+          e.length > prefix.length &&
+          e.substring(prefix.length).forall(_.isDigit) =>
+        e.substring(prefix.length).toLong
+    }
+    if (ids.isEmpty) None else Some(ids.max)
+  }
+
+  /** Fold a new replay marker into the applied set keeping O(arms)
+    * state: batchIds per arm are monotone (one arm = one checkpointed
+    * stream), so only the MAX id per arm is retained — a same-arm entry
+    * with a smaller id is superseded and dropped. This is what bounds
+    * both the pair-marker/manifest `A`-line count and the driver-resident
+    * applied set to the number of ARMS, not the number of micro-batches
+    * ever folded (a month of 1 s batches would otherwise accumulate
+    * ~2.6M entries, written whole into every checkpoint manifest).
+    * Legacy manifests holding a full per-batch set self-heal: the first
+    * post-upgrade commit for an arm collapses that arm's entries to one.
+    * Non-numeric or bare entries pass through verbatim (defensive —
+    * mutations only ever construct `arm#<long>`).
+    */
+  private def addMarker(applied: Set[String], marker: String): Set[String] = {
+    val cut = marker.indexOf('#')
+    if (cut < 0) return applied + marker
+    val (arm, idStr) = (marker.substring(0, cut), marker.substring(cut + 1))
+    if (idStr.isEmpty || !idStr.forall(_.isDigit)) return applied + marker
+    val prefix = arm + "#"
+    val keepId = math.max(
+      idStr.toLong, armMaxId(applied, arm).getOrElse(Long.MinValue))
+    applied.filterNot(e => e.startsWith(prefix) &&
+      e.length > prefix.length &&
+      e.substring(prefix.length).forall(_.isDigit)) + s"$arm#$keepId"
+  }
 
   /** The live files whose `keyCol` zone-map box COULD hold one of `keys` —
     * the shared touch/shadow decision of every keyed mutation (changelog
@@ -1226,7 +1480,7 @@ object LakeTable {
     * let a tombstoned row silently survive deletion — an attestation
     * failure (the >2^53 spec pins inclusion).
     */
-  private def shadowedFiles(
+  private[graft] def shadowedFiles(
       spark: SparkSession, c: Commit, keys: DataFrame,
       keyCol: String): Seq[String] = {
     import spark.implicits._
@@ -1313,15 +1567,8 @@ object LakeTable {
           "— carried rows in touched files would silently lose their values")
     }
 
-    val before = LakeSink.listParquet(spark, path).toSet
-    if (!next.isEmpty) {
-      LakeSink.zorderFrame(next, cols, bits)
-        .repartitionByRange(nFilesNew, col("zkey"))
-        .sortWithinPartitions(col("zkey"))
-        .drop("zkey")
-        .write.mode(SaveMode.Append).parquet(path)
-    }
-    val fresh = LakeSink.listParquet(spark, path).filterNot(before).sorted
+    val landed = landZOrdered(spark, path, next, cols, nFilesNew, bits)
+    val fresh = landed.map(_._1)
     val freshBoxes = LakeSink.boxesOf(spark, fresh, cols)
       .map { case (f, cn, mn, mx) => (rel(path, f), cn, mn, mx) }
 
@@ -1331,13 +1578,12 @@ object LakeTable {
       keptFiles ++ fresh.map(rel(path, _)),
       c.boxes.filterNot(b => touchedSet(b._1)) ++ freshBoxes,
       unionDdl(c.schemaDdl, next.schema),
-      c.appliedBatches ++ appliedBatch,
+      appliedBatch.foldLeft(c.appliedBatches)(addMarker),
       // a replaced file's vectors are folded into its rewrite above;
       // untouched files keep their attachments verbatim
       deletes = c.deletes.filterNot(d => touchedSet(d._1)),
       rowCounts = c.rowCounts.view.filterKeys(!touchedSet(_)).toMap ++
-        LakeSink.rowCountsOf(spark, fresh)
-          .map { case (f, n) => (rel(path, f), n) },
+        landed.map { case (f, n) => (rel(path, f), n) },
       prev = Some(c),
       sizes = c.sizes.view.filterKeys(!touchedSet(_)).toMap ++
         sizesOf(
@@ -1371,15 +1617,8 @@ object LakeTable {
   private def mutateAllOnce(
       spark: SparkSession, path: String, cols: Seq[String], nFiles: Int,
       bits: Int, c: Commit, rows: DataFrame): ApplyStats = {
-    val before = LakeSink.listParquet(spark, path).toSet
-    if (!rows.isEmpty) {
-      LakeSink.zorderFrame(rows, cols, bits)
-        .repartitionByRange(nFiles, col("zkey"))
-        .sortWithinPartitions(col("zkey"))
-        .drop("zkey")
-        .write.mode(SaveMode.Append).parquet(path)
-    }
-    val fresh = LakeSink.listParquet(spark, path).filterNot(before).sorted
+    val landed = landZOrdered(spark, path, rows, cols, nFiles, bits)
+    val fresh = landed.map(_._1)
     val freshBoxes = LakeSink.boxesOf(spark, fresh, cols)
       .map { case (f, cn, mn, mx) => (rel(path, f), cn, mn, mx) }
     // a full rewrite replaces every file — its "delta" would be 2×|files|
@@ -1388,8 +1627,7 @@ object LakeTable {
     val committed = writeCommit(spark, path, c.version + 1,
       fresh.map(rel(path, _)), freshBoxes,
       unionDdl(c.schemaDdl, rows.schema), c.appliedBatches,
-      rowCounts = LakeSink.rowCountsOf(spark, fresh)
-        .map { case (f, n) => (rel(path, f), n) }.toMap,
+      rowCounts = landed.map { case (f, n) => (rel(path, f), n) }.toMap,
       sizes = sizesOf(
         new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration),
         path, fresh))
@@ -1455,6 +1693,7 @@ object LakeTable {
       throw new CommitConflictException(
         s"LakeTable: commit v$version lost the rename race at $path")
     }
+    writeLatestHint(fs, path, version)
     Commit(version, files, boxes, schemaDdl, appliedBatches, deletes,
       rowCounts, sizes)
   }
@@ -1508,9 +1747,10 @@ object LakeTable {
     val sb = new StringBuilder
     sb.append("C\tdelta\n")
     if (schemaDdl != p.schemaDdl) sb.append("S\t").append(schemaDdl).append('\n')
-    // marker REMOVALS only ever come from restoreTo (discarding a crashed
-    // fold's half-applied marker) and migrateLegacyMarkers — mutations
-    // themselves only grow the set
+    // marker REMOVALS come from restoreTo (discarding a crashed fold's
+    // half-applied marker), migrateLegacyMarkers, and every mutation's
+    // addMarker superseding the same arm's previous max batchId — the
+    // O(arms) bound means a fold's delta is one A-/A pair, constant-size
     (p.appliedBatches -- appliedBatches).toSeq.sorted.foreach(b =>
       sb.append("A-\t").append(b).append('\n'))
     (appliedBatches -- p.appliedBatches).toSeq.sorted.foreach(b =>

@@ -20,42 +20,76 @@ import graft.sources.LakeTable
   * read's validity range prune); the CURRENT slice is a key-unique keyed
   * snapshot that mutates per fold — a merge-on-write table
   * (`workDir/current/t`, clustered on key) where a fold rewrites ONLY the
-  * box-intersecting current-slice files. A years-deep dimension never
+  * box-intersecting current-slice files, or — when those files have grown
+  * past `morThresholdBytes` — commits MERGE-ON-READ (one deletion-vector
+  * sidecar + the batch's fresh current rows, zero existing files read or
+  * written), with [[LakeTable.shouldMaterialize]] folding the vectors in
+  * once a third of the files are shadowed. A years-deep dimension never
   * re-serializes: the fold appends its newly-closed intervals
-  * (batch-sized), rewrites the touched current files (touched-key-sized),
-  * and the untouched closed bulk carries by manifest NAME — the
-  * predecessor design re-landed the FULL scdMerge output as a fresh
-  * parquet snapshot every micro-batch, an O(history) write per fold.
+  * (batch-sized), touches current-slice state by at most
+  * min(touched-file bytes, batch + sidecar), and the untouched closed
+  * bulk carries by manifest NAME — the predecessor design re-landed the
+  * FULL scdMerge output as a fresh parquet snapshot every micro-batch,
+  * an O(history) write per fold.
   *
   * Consistency across the two tables: each committed fold publishes a
   * PAIR MARKER `workDir/fold/v%06d.txt` pinning (closed version, current
-  * version, folded batchIds); readers resolve the latest marker and
-  * [[LakeTable.readAt]] each table at its pinned version, so a reader
-  * never observes one table's fold without the other's. The marker
+  * version, per-arm replay high-water marks); readers resolve the latest
+  * marker and [[LakeTable.readAt]] each table at its pinned version, so a
+  * reader never observes one table's fold without the other's. The marker
   * publishes atomically by rename-without-overwrite (the same contract
   * as every lake commit — a duplicate version loses the rename and
-  * fails loud), and each lake commit is itself atomic; crash windows between the three are closed
-  * by HEAL-ON-ENTRY: every fold first rolls each table back to the pair
-  * marker's pinned version ([[LakeTable.restoreTo]] — a metadata commit
-  * that also discards the crashed fold's replay markers), because under
-  * a single maintainer any lake version beyond the pin IS half-applied
-  * work. A crashed batch therefore either replays in full (batchId set,
-  * at-least-once source) or is discarded atomically (fold(batch) with
-  * no batchId and no redelivery) — no partial closed-without-current
-  * state can ever reach a marker; a redelivered already-marked batch
-  * short-circuits on the pair marker's folded set before any work.
-  * Exactness per fold is the fold==refit invariant (`scdMerge(
-  * scdHistory(a), b) == scdHistory(a ∪ b)` under monotone LSNs —
-  * q_scd2_merge's oracle IS the refit), so chained folds equal one
-  * derivation; the fold only ever hands [[Cdc.scdMerge]] the touched
-  * keys' current rows, which is all it reads by contract.
+  * fails loud), and each lake commit is itself atomic; crash windows
+  * between the three are closed by HEAL-ON-ENTRY: every fold first rolls
+  * each table back to the pair marker's pinned version
+  * ([[LakeTable.restoreTo]] — a metadata commit that also discards the
+  * crashed fold's replay markers), because under a single maintainer any
+  * lake version beyond the pin IS half-applied work. A crashed batch
+  * therefore either replays in full (batchId set, at-least-once source)
+  * or is discarded atomically (fold(batch) with no batchId and no
+  * redelivery) — no partial closed-without-current state can ever reach
+  * a marker; a redelivered already-marked batch short-circuits on the
+  * pair marker's per-arm high-water mark before any work. Exactness per
+  * fold is the fold==refit invariant (`scdMerge(scdHistory(a), b) ==
+  * scdHistory(a ∪ b)` under monotone LSNs — q_scd2_merge's oracle IS the
+  * refit), so chained folds equal one derivation; the fold only ever
+  * hands [[Cdc.scdMerge]] the touched keys' current rows, which is all
+  * it reads by contract.
+  *
+  * Replay state is O(arms), not O(batches): the marker records ONE
+  * high-water batchId per arm (`fold#maxId` / `forget#maxId`) — Spark's
+  * checkpointed batchIds are monotone per stream and each arm is one
+  * stream, so `id <= highWater` IS "already folded" (the same
+  * txn/appId bound [[LakeTable]] keeps in its manifests). Markers
+  * written before this bound carried the full folded-id set; they read
+  * back collapsed, and the first post-upgrade fold commits the bounded
+  * form — without the bound, a month of 1 s micro-batches would rewrite
+  * and re-parse ~2.6M marker lines per fold, a quadratic cumulative
+  * metadata cost on a loop whose DATA cost is O(batch).
+  *
+  * SINGLE-OWNER FENCING: exactly one live maintainer may own a workDir.
+  * `synchronized` serializes folds inside one JVM; across JVMs the
+  * owner directory (`workDir/owner/e%06d.txt`) carries a monotone epoch
+  * — [[ScdMaintainer.recover]] TAKES OVER by landing the next epoch, and
+  * every fold/forget checks (at entry and again immediately before its
+  * pair-marker commit) that its own epoch is still the max, failing loud
+  * as FENCED otherwise. A fenced maintainer's in-flight lake commits are
+  * exactly versions beyond the pin — the new owner's next heal-on-entry
+  * discards them, and the fenced batch redelivers to the new owner
+  * (at-least-once source), so the loser's work is rolled back whole, not
+  * interleaved. The residual window (fence check → marker rename) is
+  * backstopped by the marker's own rename-without-overwrite: two
+  * maintainers racing the same marker version cannot both win.
   *
   * Retention: lake versions accumulate one per fold per table;
-  * [[vacuumHistory]] applies [[LakeTable.vacuum]] to both tables —
-  * `keepVersions` must cover the slowest reader's marker lag, the same
-  * contract every lake subscriber carries.
+  * [[vacuumHistory]] applies [[LakeTable.vacuum]] to both tables AND
+  * prunes pair markers beyond the same window (keeping superseded owner
+  * epochs' files is pointless — only the max fences) — `keepVersions`
+  * must cover the slowest reader's marker lag, the same contract every
+  * lake subscriber carries.
   */
-final class ScdMaintainer private (spark: SparkSession, workDir: String) {
+final class ScdMaintainer private (
+    spark: SparkSession, workDir: String, epoch: Int) {
   import ScdMaintainer._
 
   private val fs =
@@ -95,46 +129,64 @@ final class ScdMaintainer private (spark: SparkSession, workDir: String) {
         lit(null).cast("bigint").as("valid_to"), lit(true).as("is_current"))
   }
 
-  /** Streaming batchIds already folded in (empty right after build).
-    * The pair marker namespaces ids PER ARM (`fold#id` / `forget#id`):
-    * the changelog stream and a forget stream each restart their
-    * batchIds at zero, so un-namespaced ids would collide across arms.
+  /** Streaming batchIds the FOLD arm dedupes on. Markers keep one
+    * high-water id per arm, so after any fold this is the singleton
+    * {maxFoldedId} (a legacy full-set marker reads back collapsed the
+    * same way); empty right after build.
     */
   def foldedBatches: Set[Long] =
-    markerOf(fs, workDir, currentVersion).folded
-      .collect { case s if s.startsWith("fold#") =>
-        s.stripPrefix("fold#").toLong }
+    armHighWater(markerOf(fs, workDir, currentVersion).folded, "fold")
+      .map(Set(_)).getOrElse(Set.empty)
 
-  /** Streaming batchIds already applied by the FORGET arm. */
+  /** The FORGET arm's high-water batchId, as [[foldedBatches]]. */
   def forgottenBatches: Set[Long] =
-    markerOf(fs, workDir, currentVersion).folded
-      .collect { case s if s.startsWith("forget#") =>
-        s.stripPrefix("forget#").toLong }
+    armHighWater(markerOf(fs, workDir, currentVersion).folded, "forget")
+      .map(Set(_)).getOrElse(Set.empty)
 
   private def currentVersion: Int = committedVersions(fs, workDir).max
 
+  /** Fail loud if another maintainer has taken ownership of `workDir`
+    * since this one was constructed — see the class doc's fencing
+    * contract. One tiny-directory listing (owner epochs are GC'd to the
+    * max by [[vacuumHistory]]).
+    */
+  private def assertOwner(): Unit = {
+    val mx = ownerEpochs(fs, workDir).maxOption.getOrElse(epoch)
+    require(mx == epoch,
+      s"ScdMaintainer: FENCED — this maintainer's epoch $epoch was " +
+        s"superseded by $mx (another maintainer recovered $workDir); " +
+        "its in-flight work will be healed by the new owner")
+  }
+
   /** Fold one micro-batch of changes; returns false for an
     * already-folded (redelivered) batchId, true when a new version
-    * committed. Per-fold cost: one [[LakeTable.readKeyed]] of the
-    * touched keys' current rows, one batch-sized closed APPEND, one
-    * touched-file current-table rewrite, three metadata renames.
+    * committed. Per-fold cost: one [[LakeTable.readKeyed]]-shaped probe
+    * of the touched keys' current rows, one batch-sized closed APPEND,
+    * and a current-slice update that is merge-on-WRITE (touched files
+    * rewritten) below `morThresholdBytes` of touched bytes and
+    * merge-on-READ (one DV sidecar + batch-sized fresh files, zero
+    * existing files opened) above it, plus three metadata renames.
     *
     * Every fold appends one closed-interval sliver and one current
     * file; with `compactTargetBytes` set, [[LakeTable.shouldCompact]]'s
     * half-target trigger bin-packs either table's undersized files
     * in-loop (content-preserving, changefeed-invisible, never re-picks
-    * its own outputs), so ten thousand folds leave a bounded live file
-    * count instead of ten thousand slivers — the same response
-    * [[LakeMaintenance.attachAppend]] wires for the ingest arm. The
-    * compaction runs BEFORE the pair marker, so the marker pins the
-    * packed versions.
+    * its own outputs), and under MoR folds the in-loop
+    * [[LakeTable.shouldMaterialize]] check folds accumulated deletion
+    * vectors back in — so ten thousand folds leave a bounded live file
+    * count and bounded read amplification. Maintenance commits run
+    * BEFORE the pair marker, so the marker pins the packed versions.
     */
   def fold(
       batch: DataFrame, batchId: Option[Long] = None,
-      compactTargetBytes: Option[Long] = None): Boolean = synchronized {
+      compactTargetBytes: Option[Long] = None,
+      morThresholdBytes: Option[Long] = None,
+      materializeAtShadowedFraction: Option[Double] = None): Boolean =
+    synchronized {
+    assertOwner()
     val v = currentVersion
     val m = markerOf(fs, workDir, v)
-    if (batchId.exists(b => m.folded.contains(s"fold#$b"))) return false
+    if (batchId.exists(applied(m.folded, "fold", _))) return false
     if (batch.isEmpty) return false
     // HEAL first: any lake version beyond the pair marker's pin is a
     // crashed fold's half-applied work (single maintainer; compaction
@@ -148,10 +200,19 @@ final class ScdMaintainer private (spark: SparkSession, workDir: String) {
     heal(m)
     val touched = batch.select(col("key")).distinct()
     // the touched keys' current rows, box-pruned — the ONLY history the
-    // incremental derivation needs (closed intervals are immutable)
-    val curTouched = LakeTable.readKeyed(spark, currentTablePath, touched)
-      .withColumn("valid_to", lit(null).cast("bigint"))
-      .withColumn("is_current", lit(true))
+    // incremental derivation needs (closed intervals are immutable).
+    // Resolved ONCE: the same manifest answers the touch probe, the
+    // slice read, and the MoW/MoR routing decision.
+    val cCur = LakeTable.latest(spark, currentTablePath)
+    val touchedFiles = LakeTable.shadowedFiles(spark, cCur, touched, "key")
+    val curTouched =
+      (if (touchedFiles.isEmpty)
+         LakeTable.readFilesResolved(spark, currentTablePath, cCur, Seq.empty)
+       else LakeTable.readFilesResolved(
+         spark, currentTablePath, cCur, touchedFiles)
+         .join(broadcast(touched), Seq("key"), "left_semi"))
+        .withColumn("valid_to", lit(null).cast("bigint"))
+        .withColumn("is_current", lit(true))
     val merged = Cdc.scdMerge(curTouched, batch.select(
       col("key"), col("seq"), col("op"), col("name"), col("val")))
       .localCheckpoint() // one derivation feeds two commits
@@ -165,29 +226,54 @@ final class ScdMaintainer private (spark: SparkSession, workDir: String) {
     val closedStats = LakeTable.append(
       newClosed, closedTablePath, Seq("key", "valid_from"),
       nFilesNew = 1, batchId = batchId, arm = "scd-closed")
-    // 2. the current slice rewrites ONLY its touched files
-    val curStats = LakeTable.mutate(
-      spark, currentTablePath, Seq("key"), keyCol = "key",
-      nFilesNew = 1, bits = 16,
-      touchKeys = touched,
-      rewrite = base =>
-        base.join(broadcast(touched), Seq("key"), "left_anti")
-          .unionByName(newCur),
-      appliedBatch = batchId.map(b => s"scd-current#$b"))
-    // 3. bounded file counts: bin-pack either table's slivers in-loop —
-    //    compact directly: its own <2-undersized check is the trigger
-    //    (no-ops burn no version), so a separate shouldCompact poll would
-    //    just resolve each manifest twice
-    var (cv, kv) = (closedStats.version, curStats.version)
+    // 2. the current slice: rewrite its touched files (merge-on-write)
+    //    while they are small; once the touched footprint outgrows the
+    //    threshold, commit merge-on-read instead — O(batch) landed bytes
+    //    no matter how wide the current table's files have grown
+    val touchedBytes = touchedFiles.map(f => cCur.sizes.getOrElse(f, 0L)).sum
+    val useMor = morThresholdBytes.exists(touchedBytes > _)
+    var kv =
+      if (useMor)
+        LakeTable.replaceKeyedMor(
+          spark, currentTablePath, touched, newCur, Seq("key"),
+          keyCol = "key", nFilesNew = 1, batchId = batchId,
+          arm = "scd-current").version
+      else
+        LakeTable.mutate(
+          spark, currentTablePath, Seq("key"), keyCol = "key",
+          nFilesNew = 1, bits = 16,
+          touchKeys = touched,
+          rewrite = base =>
+            base.join(broadcast(touched), Seq("key"), "left_anti")
+              .unionByName(newCur),
+          appliedBatch = batchId.map(b => s"scd-current#$b")).version
+    // 3. bounded read amplification: MoR folds accumulate deletion
+    //    vectors — with the fraction set, fold them back in once that
+    //    share of the files is shadowed (manifest arithmetic via
+    //    shouldMaterialize, no-op otherwise) ...
+    materializeAtShadowedFraction.foreach { frac =>
+      if (LakeTable.shouldMaterialize(spark, currentTablePath, frac))
+        kv = LakeTable.materializeDeletes(
+          spark, currentTablePath, Seq("key"), nFilesNew = 1).version
+    }
+    // 4. ... and bounded file counts: bin-pack either table's slivers
+    //    in-loop — compact directly: its own <2-undersized check is the
+    //    trigger (no-ops burn no version), so a separate shouldCompact
+    //    poll would just resolve each manifest twice
+    var cv = closedStats.version
     compactTargetBytes.foreach { t =>
       cv = LakeTable.compact(
         spark, closedTablePath, Seq("key", "valid_from"), t).version
       kv = LakeTable.compact(spark, currentTablePath, Seq("key"), t).version
     }
-    // 4. the pair marker pins the fold for readers — the versions the
-    //    commits above RETURNED, no re-resolution
+    // 5. the pair marker pins the fold for readers — the versions the
+    //    commits above RETURNED, no re-resolution; the fence re-check
+    //    right before the rename narrows the takeover window to the
+    //    rename itself (which a racing marker then loses loudly)
+    assertOwner()
     commitMarker(fs, workDir, v + 1,
-      Marker(cv, kv, m.folded ++ batchId.map(b => s"fold#$b")))
+      Marker(cv, kv,
+        batchId.foldLeft(m.folded)((f, b) => record(f, "fold", b))))
     true
   }
 
@@ -206,9 +292,10 @@ final class ScdMaintainer private (spark: SparkSession, workDir: String) {
     */
   def forget(tombstones: DataFrame, batchId: Option[Long] = None): Boolean =
     synchronized {
+      assertOwner()
       val v = currentVersion
       val m = markerOf(fs, workDir, v)
-      if (batchId.exists(b => m.folded.contains(s"forget#$b"))) return false
+      if (batchId.exists(applied(m.folded, "forget", _))) return false
       if (tombstones.isEmpty) return false
       heal(m)
       val keys = tombstones.select(col("key")).distinct()
@@ -224,9 +311,10 @@ final class ScdMaintainer private (spark: SparkSession, workDir: String) {
         spark, currentTablePath, keys, Seq("key"),
         keyCol = "key", batchId = batchId,
         arm = "scd-forget-current")
+      assertOwner()
       commitMarker(fs, workDir, v + 1,
         Marker(cStats.version, kStats.version,
-          m.folded ++ batchId.map(b => s"forget#$b")))
+          batchId.foldLeft(m.folded)((f, b) => record(f, "forget", b))))
       true
     }
 
@@ -256,33 +344,58 @@ final class ScdMaintainer private (spark: SparkSession, workDir: String) {
 
   /** Attach to a full-image changelog stream (key, seq, op, name, val):
     * every micro-batch folds via foreachBatch, batchId-idempotent;
-    * `compactTargetBytes` bounds the live file count in-loop.
+    * `compactTargetBytes` bounds the live file count in-loop,
+    * `morThresholdBytes` routes wide-touched-file folds through
+    * merge-on-read.
     */
   def attach(
       changes: DataFrame,
-      compactTargetBytes: Option[Long] = None): StreamingQuery =
+      compactTargetBytes: Option[Long] = None,
+      morThresholdBytes: Option[Long] = None,
+      materializeAtShadowedFraction: Option[Double] = None): StreamingQuery =
     changes.writeStream
       .foreachBatch { (b: Dataset[Row], id: Long) =>
-        fold(b.toDF(), Some(id), compactTargetBytes); ()
+        fold(b.toDF(), Some(id), compactTargetBytes, morThresholdBytes,
+          materializeAtShadowedFraction); ()
       }
       .start()
 
-  /** Apply lake retention to both tables. `keepVersions` must cover the
+  /** Apply lake retention to both tables AND to the maintainer's own
+    * metadata: pair markers older than the newest `keepVersions` are
+    * dropped (their file count otherwise grows one per fold forever —
+    * the directory listing behind every [[currentVersion]] call),
+    * superseded owner-epoch files are GC'd (only the max fences), and
+    * crashed marker tmp files age out. `keepVersions` must cover the
     * slowest reader's pair-marker lag (the standard lake subscriber
-    * contract); markers themselves are metadata-sized and kept. The
-    * effective depth always additionally covers the CURRENT pair pin:
-    * after a crashed fold the lake tables sit ahead of the marker, and
-    * vacuuming the pinned version's files out would strand both the
-    * serving reads and heal-on-entry's rollback.
+    * contract). The effective lake depth always additionally covers the
+    * CURRENT pair pin: after a crashed fold the lake tables sit ahead of
+    * the marker, and vacuuming the pinned version's files out would
+    * strand both the serving reads and heal-on-entry's rollback.
     */
   def vacuumHistory(keepVersions: Int = 2, graceMs: Long = 0L): Int = {
-    val m = markerOf(fs, workDir, currentVersion)
+    val vCur = currentVersion
+    val m = markerOf(fs, workDir, vCur)
     val keepClosed = math.max(keepVersions,
       LakeTable.latestVersion(spark, closedTablePath) - m.closedV + 1)
     val keepCurrent = math.max(keepVersions,
       LakeTable.latestVersion(spark, currentTablePath) - m.currentV + 1)
-    LakeTable.vacuum(spark, closedTablePath, keepClosed, graceMs) +
+    val nData = LakeTable.vacuum(spark, closedTablePath, keepClosed, graceMs) +
       LakeTable.vacuum(spark, currentTablePath, keepCurrent, graceMs)
+    val cutoff = System.currentTimeMillis() - graceMs
+    // pair markers beyond the retention window (never the newest)
+    val oldMarkers = committedVersions(fs, workDir)
+      .filter(_ <= vCur - math.max(1, keepVersions))
+    oldMarkers.foreach(v => fs.delete(markerPath(workDir, v), false))
+    // crashed commitMarker attempts leave .tmp-<uuid> files
+    val tmp = fs.listStatus(new Path(s"$workDir/fold")).toSeq.map(_.getPath)
+      .filter(p => p.getName.startsWith(".tmp-") &&
+        fs.getFileStatus(p).getModificationTime <= cutoff)
+    tmp.foreach(fs.delete(_, false))
+    // superseded owner epochs: only the max carries fencing authority
+    val eMax = ownerEpochs(fs, workDir).maxOption.getOrElse(0)
+    val oldEpochs = ownerEpochs(fs, workDir).filter(_ < eMax)
+    oldEpochs.foreach(e => fs.delete(epochPath(workDir, e), false))
+    nData + oldMarkers.size + tmp.size + oldEpochs.size
   }
 }
 
@@ -313,14 +426,17 @@ object ScdMaintainer {
         .select(col("key"), col("name"), col("val"), col("valid_from")),
       currentPath(workDir), Seq("key"), nFiles = 2)
     commitMarker(fs, workDir, 1, Marker(1, 1, Set.empty))
-    new ScdMaintainer(spark, workDir)
+    new ScdMaintainer(spark, workDir, acquireEpoch(fs, workDir))
   }
 
   /** Reopen `workDir` after a restart: the latest committed pair marker
     * is the whole state — the recovered maintainer's next fold equals
     * the uninterrupted one's, redelivered batchIds stay no-ops, and a
     * fold that crashed mid-way is rolled back to the marker's pin by the
-    * next fold's heal-on-entry (see the class doc).
+    * next fold's heal-on-entry (see the class doc). Recovery TAKES
+    * OWNERSHIP: it lands the next owner epoch, so a still-live prior
+    * maintainer on the same workDir is fenced at its next fold/forget —
+    * fail-loud single-writer exclusion across JVMs.
     */
   def recover(spark: SparkSession, workDir: String): ScdMaintainer = {
     val fs = new Path(workDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -333,7 +449,7 @@ object ScdMaintainer {
         "build() at a fresh workDir (the old state is intact, not lost)")
     require(committedVersions(fs, workDir).nonEmpty,
       s"ScdMaintainer: no committed history under $workDir")
-    new ScdMaintainer(spark, workDir)
+    new ScdMaintainer(spark, workDir, acquireEpoch(fs, workDir))
   }
 
   private def closedPath(workDir: String): String = s"$workDir/closed/t"
@@ -350,6 +466,70 @@ object ScdMaintainer {
       .map(_.getPath.getName)
       .collect { case n if n.startsWith("v") && n.endsWith(".txt") =>
         n.stripPrefix("v").stripSuffix(".txt").toInt }
+  }
+
+  // ---- owner epochs (single-writer fencing) --------------------------
+
+  private def epochPath(workDir: String, e: Int): Path =
+    new Path(f"$workDir%s/owner/e$e%06d.txt")
+
+  private def ownerEpochs(
+      fs: org.apache.hadoop.fs.FileSystem, workDir: String): Seq[Int] = {
+    val dir = new Path(s"$workDir/owner")
+    if (!fs.exists(dir)) return Nil
+    fs.listStatus(dir).toSeq
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("e") && n.endsWith(".txt") =>
+        n.stripPrefix("e").stripSuffix(".txt").toInt }
+  }
+
+  /** Land the next owner epoch by rename-without-overwrite; a lost race
+    * (two recoveries at once) bumps and retries — both get DISTINCT
+    * epochs, and whichever holds the max after the dust settles owns the
+    * table (the other is fenced at its first fold).
+    */
+  private def acquireEpoch(
+      fs: org.apache.hadoop.fs.FileSystem, workDir: String): Int = {
+    fs.mkdirs(new Path(s"$workDir/owner"))
+    var e = ownerEpochs(fs, workDir).maxOption.getOrElse(0) + 1
+    while (true) {
+      val tmp = new Path(s"$workDir/owner/.tmp-${java.util.UUID.randomUUID()}")
+      val out = fs.create(tmp, false)
+      try out.write(e.toString.getBytes("UTF-8")) finally out.close()
+      if (fs.rename(tmp, epochPath(workDir, e))) return e
+      fs.delete(tmp, false)
+      e += 1
+    }
+    -1 // unreachable
+  }
+
+  // ---- per-arm replay high-water marks --------------------------------
+
+  /** The arm's recorded high-water batchId (None before its first
+    * commit). Entries are `arm#<long>`; a legacy marker may hold many —
+    * the max IS the high-water under the monotone-batchId contract.
+    */
+  private def armHighWater(folded: Set[String], arm: String): Option[Long] = {
+    val prefix = arm + "#"
+    val ids = folded.collect {
+      case e if e.startsWith(prefix) && e.length > prefix.length &&
+          e.substring(prefix.length).forall(_.isDigit) =>
+        e.substring(prefix.length).toLong
+    }
+    if (ids.isEmpty) None else Some(ids.max)
+  }
+
+  private def applied(folded: Set[String], arm: String, b: Long): Boolean =
+    armHighWater(folded, arm).exists(_ >= b)
+
+  /** Record `arm`'s batch `b`, keeping ONLY the per-arm max — one line
+    * per arm in the marker file, forever, however many batches fold.
+    */
+  private def record(folded: Set[String], arm: String, b: Long): Set[String] = {
+    val prefix = arm + "#"
+    val keep = math.max(b, armHighWater(folded, arm).getOrElse(Long.MinValue))
+    folded.filterNot(e => e.startsWith(prefix) && e.length > prefix.length &&
+      e.substring(prefix.length).forall(_.isDigit)) + s"$arm#$keep"
   }
 
   private def markerOf(

@@ -212,7 +212,8 @@ class LakeTableSpec extends SparkSpec {
     val s2 = graft.streaming.LakeMaintenance.foldOnce(
       spark, dir, ch2, Seq("key"), batchId = Some(1L))
     assert(s2.version == 3)
-    assert(LakeTable.latest(spark, dir).appliedBatches == Set("cdc#0", "cdc#1"))
+    // O(arms) replay state: only the arm's high-water batchId is kept
+    assert(LakeTable.latest(spark, dir).appliedBatches == Set("cdc#1"))
     // the folded table equals one MERGE of the concatenated changelog
     val got = LakeTable.readLive(spark, dir)
       .select(col("key"), col("name"), col("val"))
@@ -530,7 +531,8 @@ class LakeTableSpec extends SparkSpec {
     // row content unchanged byte-for-byte; replay markers carry; the
     // pre-compact version stays travelable
     assert(LakeTable.readLive(spark, dir).orderBy(col("key")).collect().toSeq == preRows)
-    assert(post.appliedBatches == Set("ingest#1", "ingest#2", "ingest#3"))
+    assert(post.appliedBatches == Set("ingest#3"),
+      "the arm's high-water marker carries through compaction")
     assert(LakeTable.readAt(spark, dir, pre.version)
       .orderBy(col("key")).collect().toSeq == preRows)
     // maintenance is invisible to changefeed subscribers
@@ -1078,8 +1080,8 @@ class LakeTableSpec extends SparkSpec {
     // markers, and TIME TRAVEL to any mid-chain version
     assert(LakeTable.readLive(spark, dir)
       .orderBy(col("key")).collect().map(_.toSeq).toSeq == snapshots(10))
-    assert(LakeTable.latest(spark, dir).appliedBatches ==
-      (1 to 9).map(i => s"cdc#$i").toSet)
+    assert(LakeTable.latest(spark, dir).appliedBatches == Set("cdc#9"),
+      "nine folds leave ONE high-water marker, resolved through deltas")
     Seq(3, 5, 9).foreach { v =>
       assert(LakeTable.readAt(spark, dir, v)
         .orderBy(col("key")).collect().map(_.toSeq).toSeq == snapshots(v),
@@ -1210,8 +1212,8 @@ class LakeTableSpec extends SparkSpec {
     // legacy arms keep their idempotence
     val migrated = LakeTable.migrateLegacyMarkers(
       spark, dir, arms = Seq("cdc", "ingest"))
-    assert(migrated.appliedBatches ==
-      Set("cdc#0", "cdc#1", "ingest#0", "ingest#1"))
+    assert(migrated.appliedBatches == Set("cdc#1", "ingest#1"),
+      "numeric bares collapse to one high-water marker per named arm")
     // post-migration: no bare marker remains, an UNNAMED new arm's batch
     // applies
     LakeTable.applyTombstonesDv(spark, dir, Seq(5L).toDF("key"),
@@ -1365,5 +1367,160 @@ class LakeTableSpec extends SparkSpec {
     assert(after.deletes.isEmpty, "compacted slivers' vectors must fold in")
     assert(LakeTable.readLive(spark, dir).count() == 129L)
     assert(LakeTable.readLive(spark, dir).filter(col("key") === 105L).isEmpty)
+  }
+
+  test("replay metadata stays O(arms): 50 folds leave one marker line, redelivery still no-ops, heal still re-arms") {
+    val dir = Files.createTempDirectory("graft-lakearms").toString + "/t"
+    LakeTable.init((0L until 100L).map(k => (k, s"n$k", k * 1.0))
+      .toDF("key", "name", "val"), dir, Seq("key"), nFiles = 2)
+    (1 to 50).foreach { i =>
+      LakeTable.applyChangelog(spark, dir,
+        Seq((i % 40L, i.toLong, "U", i * 10.0)).toDF("key", "seq", "op", "val"),
+        Seq("key"), batchId = Some(i.toLong))
+    }
+    val c = LakeTable.latest(spark, dir)
+    assert(c.appliedBatches == Set("cdc#50"),
+      "fifty folds must leave exactly ONE applied entry — the high-water")
+    // the on-disk CHECKPOINT manifest carries one A line, not fifty —
+    // the bound that keeps per-micro-batch commits O(change) forever
+    val cp = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(f"$dir%s/_commits/v${50}%09d.txt")), "UTF-8")
+    assert(!cp.startsWith("C\tdelta"), "v50 is a periodic full checkpoint")
+    assert(cp.linesIterator.count(_.startsWith("A\t")) == 1,
+      "the checkpoint serializes O(arms) markers, not O(batches)")
+    // redelivery of ANY superseded batchId no-ops under the high-water
+    Seq(1L, 25L, 50L).foreach { b =>
+      val replay = LakeTable.applyChangelog(spark, dir,
+        Seq((0L, b, "U", -1.0)).toDF("key", "seq", "op", "val"),
+        Seq("key"), batchId = Some(b))
+      assert(replay.filesRewritten == 0 && replay.filesNew == 0,
+        s"batch $b must dedupe against the high-water marker")
+    }
+    assert(LakeTable.latest(spark, dir).version == 51,
+      "replays must burn no version")
+    // rollback discards the high-water with the fold; the batch re-arms
+    LakeTable.restoreTo(spark, dir, 49) // pre-batch-50 state
+    val again = LakeTable.applyChangelog(spark, dir,
+      Seq((10L, 50L, "U", 777.0)).toDF("key", "seq", "op", "val"),
+      Seq("key"), batchId = Some(50L))
+    assert(again.version > 0 && LakeTable.readLive(spark, dir)
+      .filter(col("key") === 10L).head.getDouble(2) == 777.0,
+      "after restoreTo the discarded batch must re-apply, not no-op")
+    assert(LakeTable.latest(spark, dir).appliedBatches == Set("cdc#50"))
+  }
+
+  test("latest() resolves from the _latest pointer; stale, missing and torn pointers heal") {
+    val (dir, _) = mkTable("graft-lakeptr")
+    LakeTable.append(Seq((900L, "n900", 9.0)).toDF("key", "name", "val"),
+      dir, Seq("key")) // v2
+    val ptr = java.nio.file.Paths.get(s"$dir/_commits/_latest.txt")
+    assert(java.nio.file.Files.exists(ptr), "every commit refreshes the pointer")
+    assert(new String(java.nio.file.Files.readAllBytes(ptr), "UTF-8").trim == "2")
+    assert(LakeTable.latestVersion(spark, dir) == 2)
+    // STALE-BEHIND pointer (crash between commit rename and pointer
+    // write): probe-forward must find the newer committed version
+    java.nio.file.Files.write(ptr, "1".getBytes("UTF-8"))
+    new java.io.File(s"$dir/_commits/._latest.txt.crc").delete()
+    assert(LakeTable.latestVersion(spark, dir) == 2,
+      "a lagging pointer must heal by probing forward")
+    // MISSING pointer (legacy table): full-listing fallback
+    java.nio.file.Files.delete(ptr)
+    new java.io.File(s"$dir/_commits/._latest.txt.crc").delete()
+    assert(LakeTable.latestVersion(spark, dir) == 2)
+    assert(LakeTable.latest(spark, dir).version == 2)
+    // TORN pointer (garbage content): fallback, not a crash
+    java.nio.file.Files.write(ptr, "garbage".getBytes("UTF-8"))
+    assert(LakeTable.latestVersion(spark, dir) == 2)
+    // the next commit rewrites it
+    LakeTable.append(Seq((901L, "n901", 9.1)).toDF("key", "name", "val"),
+      dir, Seq("key"))
+    assert(new String(java.nio.file.Files.readAllBytes(ptr), "UTF-8").trim == "3")
+  }
+
+  test("vacuumManifests prunes the log to the checkpoint anchor; retained versions still resolve") {
+    val dir = Files.createTempDirectory("graft-lakemgc").toString + "/t"
+    LakeTable.init((0L until 100L).map(k => (k, s"n$k", k * 1.0))
+      .toDF("key", "name", "val"), dir, Seq("key"), nFiles = 2)
+    (1 to 24).foreach { i =>
+      LakeTable.applyChangelog(spark, dir,
+        Seq((i % 40L, i.toLong, "U", i * 10.0)).toDF("key", "seq", "op", "val"),
+        Seq("key"))
+    } // v1..v25: checkpoints at v10, v20
+    val liveRows = LakeTable.readLive(spark, dir)
+      .orderBy(col("key")).collect().map(_.toSeq).toSeq
+    val dropped = LakeTable.vacuumManifests(spark, dir, keepManifests = 3)
+    // keep v23..v25 plus the chain back to their checkpoint anchor v20
+    assert(dropped == 19, s"v1..v19 drop, v20 anchors: dropped $dropped")
+    assert(LakeTable.versions(spark, dir) == (20 to 25),
+      s"got ${LakeTable.versions(spark, dir)}")
+    // everything above the anchor still resolves exactly
+    assert(LakeTable.latest(spark, dir).version == 25)
+    assert(LakeTable.readLive(spark, dir)
+      .orderBy(col("key")).collect().map(_.toSeq).toSeq == liveRows)
+    assert(LakeTable.history(spark, dir).map(_.version) == (20 to 25))
+    // below the horizon: fails loud, like any retention miss
+    intercept[Exception](LakeTable.commitAt(spark, dir, 5))
+    // and the table keeps working
+    LakeTable.applyChangelog(spark, dir,
+      Seq((1L, 99L, "U", -5.0)).toDF("key", "seq", "op", "val"), Seq("key"))
+    assert(LakeTable.readLive(spark, dir).filter(col("key") === 1L)
+      .head.getDouble(2) == -5.0)
+  }
+
+  test("replaceKeyedMor: keyed replace lands O(batch), reads equal the rewrite twin, replay no-ops") {
+    val (dir, base) = mkTable("graft-lakerkm")
+    val pre = LakeTable.latest(spark, dir)
+    val keys = Seq(20L, 21L, 500L).toDF("key")
+    // 20 updates, 21 is a pure delete (no replacement row), 900 inserts
+    val rows = Seq((20L, "upd", 2.2), (500L, "upd2", 5.5), (900L, "ins", 9.9))
+      .toDF("key", "name", "val")
+    val st = LakeTable.replaceKeyedMor(spark, dir,
+      Seq(20L, 21L, 500L, 900L).toDF("key"), rows, Seq("key"),
+      batchId = Some(0L))
+    assert(st.filesShadowed >= 1 && st.filesShadowed < pre.files.size,
+      s"only box-intersecting files shadow: $st")
+    val post = LakeTable.latest(spark, dir)
+    // ZERO existing files replaced — merge-on-read's defining property
+    assert(pre.files.toSet.subsetOf(post.files.toSet),
+      "MoR must not rewrite or drop any existing data file")
+    assert(post.deletes.nonEmpty, "the shadow set rides a DV sidecar")
+    val got = LakeTable.readLive(spark, dir)
+      .select(col("key"), col("name"), col("val"))
+      .orderBy(col("key")).collect().map(_.toSeq).toSeq
+    val want = base
+      .join(Seq(20L, 21L, 500L, 900L).toDF("key"), Seq("key"), "left_anti")
+      .unionByName(rows)
+      .orderBy(col("key")).collect().map(_.toSeq).toSeq
+    assert(got == want, "MoR replace must equal the anti-join ∪ images twin")
+    // replay no-ops under the arm marker
+    val replay = LakeTable.replaceKeyedMor(spark, dir,
+      Seq(20L).toDF("key"), rows.limit(1), Seq("key"), batchId = Some(0L))
+    assert(replay.filesShadowed == 0 &&
+      LakeTable.latest(spark, dir).version == post.version)
+  }
+
+  test("a concurrent writer's landed-but-uncommitted file is never swept into another writer's commit") {
+    val (dir, _) = mkTable("graft-lakesweep")
+    // simulate writer B mid-mutation: its data file has LANDED in the
+    // table root (unique name, not yet committed) exactly when writer A
+    // runs a mutation — the old before/after listing diff would adopt
+    // it into A's manifest and duplicate B's rows after B's retry
+    val donor = LakeTable.latest(spark, dir).files.head
+    val foreign = s"part-foreign-${java.util.UUID.randomUUID()}.parquet"
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/$donor"),
+      java.nio.file.Paths.get(s"$dir/$foreign"))
+    val preCount = LakeTable.readLive(spark, dir).count()
+    LakeTable.applyChangelog(spark, dir,
+      Seq((5L, 1L, "U", 50.0)).toDF("key", "seq", "op", "val"), Seq("key"))
+    val c = LakeTable.latest(spark, dir)
+    assert(!c.files.contains(foreign),
+      "staged landing must track exactly its own files — the foreign " +
+        "uncommitted file stays invisible")
+    assert(LakeTable.readLive(spark, dir).count() == preCount,
+      "no duplicate rows from the swept file")
+    // the foreign file is vacuum garbage, exactly like crash debris
+    LakeTable.vacuum(spark, dir, keepVersions = 1)
+    assert(!new java.io.File(s"$dir/$foreign").exists())
   }
 }

@@ -220,4 +220,135 @@ class ScdMaintenanceSpec extends SparkSpec {
     assert(rows(m.history) == rows(Cdc.scdMerge(Cdc.scdHistory(log), batch)),
       "the change-sized fold must equal the refit")
   }
+
+  test("merge-on-read folds: fold==refit through a MoR chain, zero current files rewritten per fold") {
+    val dir = tmp("mor")
+    val bounds = log.agg(
+      org.apache.spark.sql.functions.min(col("seq")),
+      org.apache.spark.sql.functions.max(col("seq"))).first()
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val cut1 = lo + (hi - lo) / 3
+    val cut2 = lo + 2 * (hi - lo) / 3
+    val m = ScdMaintainer.build(log.filter(col("seq") <= cut1), dir)
+    // threshold 0: every fold whose touched current files exist routes
+    // merge-on-read — one DV sidecar + fresh images, no rewrite
+    val preFiles = LakeTable.latest(spark, m.currentTablePath).files.toSet
+    assert(m.fold(log.filter(col("seq") > cut1 && col("seq") <= cut2),
+      Some(0L), morThresholdBytes = Some(0L)))
+    val mid = LakeTable.latest(spark, m.currentTablePath)
+    assert(preFiles.subsetOf(mid.files.toSet),
+      "a MoR fold must not rewrite or drop any pre-fold current file")
+    assert(mid.deletes.nonEmpty,
+      "the touched keys' old rows ride a deletion-vector sidecar")
+    assert(m.fold(log.filter(col("seq") > cut2),
+      Some(1L), morThresholdBytes = Some(0L)))
+    assert(rows(m.history) == rows(Cdc.scdHistory(log)),
+      "chained MoR folds must equal the one-shot refit")
+    assert(!m.fold(log.filter(col("seq") > cut2),
+      Some(1L), morThresholdBytes = Some(0L)),
+      "a redelivered batchId must no-op in MoR mode too")
+    // a huge threshold routes the same fold merge-on-WRITE — the modes
+    // are interchangeable per fold and the artifact stays exact
+    val extra = Seq((1L, 9_000_000_000L, "U", "late", 1.0))
+      .toDF("key", "seq", "op", "name", "val")
+    assert(m.fold(extra, Some(2L), morThresholdBytes = Some(Long.MaxValue)))
+    assert(rows(m.history) ==
+      rows(Cdc.scdMerge(Cdc.scdHistory(log), extra)),
+      "MoW after MoR must fold the accumulated vectors' semantics in")
+    // the in-loop materialize trigger: a MoR fold with the fraction set
+    // folds accumulated vectors back into data files before the marker
+    val extra2 = Seq((3L, 9_100_000_000L, "U", "later", 2.0))
+      .toDF("key", "seq", "op", "name", "val")
+    assert(m.fold(extra2, Some(3L), morThresholdBytes = Some(0L),
+      materializeAtShadowedFraction = Some(0.0)))
+    assert(LakeTable.latest(spark, m.currentTablePath).deletes.isEmpty,
+      "the materialize trigger must clear every attachment in-loop")
+    assert(rows(m.history) ==
+      rows(Cdc.scdMerge(Cdc.scdHistory(log),
+        extra.unionByName(extra2))),
+      "materialization is content-preserving — history still == refit")
+  }
+
+  test("pair markers stay O(arms) and vacuumHistory bounds marker, epoch and lake metadata") {
+    val dir = tmp("meta")
+    val m = ScdMaintainer.build(log.limit(0), dir)
+    (0 until 12).foreach { i =>
+      assert(m.fold(Seq((i % 5 + 1L, 100L * (i + 1), "U", s"v$i", i * 1.0))
+        .toDF("key", "seq", "op", "name", "val"), Some(i.toLong)))
+    }
+    assert(m.forget(Seq(2L).toDF("key"), Some(0L)))
+    // the CURRENT pair marker holds exactly one high-water line per arm
+    // — twelve folds and a forget never grow it past (2 pins + 2 arms)
+    val markerFiles = new java.io.File(s"$dir/fold").listFiles()
+      .filter(_.getName.endsWith(".txt")).sortBy(_.getName)
+    val lastMarker = new String(java.nio.file.Files.readAllBytes(
+      markerFiles.last.toPath), "UTF-8").linesIterator.toSeq
+    assert(lastMarker.size == 4 &&
+      lastMarker.contains("fold#11") && lastMarker.contains("forget#0"),
+      s"marker must hold per-arm high-waters only, got $lastMarker")
+    assert(m.foldedBatches == Set(11L) && m.forgottenBatches == Set(0L))
+    // redelivery of any superseded fold id no-ops against the high-water
+    assert(!m.fold(Seq((1L, 100L, "U", "old", 0.0))
+      .toDF("key", "seq", "op", "name", "val"), Some(3L)))
+    // retention: markers beyond the window drop, the newest pair stays,
+    // superseded owner epochs GC — the listings behind every fold stop
+    // growing one file per micro-batch forever
+    assert(markerFiles.length == 14, "fixture: one marker per commit so far")
+    m.vacuumHistory(keepVersions = 2)
+    val afterGc = new java.io.File(s"$dir/fold").listFiles()
+      .filter(_.getName.endsWith(".txt"))
+    assert(afterGc.length == 2,
+      s"marker GC must keep the retention window only, got ${afterGc.length}")
+    assert(new java.io.File(s"$dir/owner").listFiles()
+      .count(_.getName.endsWith(".txt")) == 1,
+      "only the max owner epoch carries fencing authority")
+    // the maintainer still serves and folds after GC, exactly
+    val post = Seq((9L, 5000L, "U", "post-gc", 1.0))
+      .toDF("key", "seq", "op", "name", "val")
+    assert(m.fold(post, Some(12L)))
+    val allChanges = (0 until 12)
+      .map(i => (i % 5 + 1L, 100L * (i + 1), "U", s"v$i", i * 1.0))
+      .toDF("key", "seq", "op", "name", "val")
+      .unionByName(post)
+    val want = Cdc.scdHistory(allChanges)
+    // minus the forgotten key's whole record (closed AND current)
+    assert(rows(m.history) ==
+      rows(want.filter(col("key") =!= 2L)),
+      "post-GC folds must still equal the refit (with key 2 forgotten)")
+  }
+
+  test("two maintainers on one workDir: the newer epoch fences the older, whose debris heals cleanly") {
+    val dir = tmp("fence")
+    val mid = log.agg((org.apache.spark.sql.functions.min(col("seq")) +
+      org.apache.spark.sql.functions.max(col("seq"))) / 2).first().getDouble(0)
+    val m1 = ScdMaintainer.build(log.filter(col("seq") <= mid), dir)
+    assert(m1.fold(log.filter(col("seq") > mid), Some(0L)))
+    // a second maintainer process recovers the same workDir: TAKEOVER
+    val m2 = ScdMaintainer.recover(spark, dir)
+    val batch = Seq((1L, 9_000_000_000L, "U", "late", 1.0))
+      .toDF("key", "seq", "op", "name", "val")
+    // the fenced loser fails LOUD at entry — it can no longer commit
+    val e = intercept[IllegalArgumentException](m1.fold(batch, Some(1L)))
+    assert(e.getMessage.contains("FENCED"), s"got: ${e.getMessage}")
+    intercept[IllegalArgumentException](
+      m1.forget(Seq(1L).toDF("key"), Some(0L)))
+    // simulate the loser's mid-flight debris: a lake commit it landed
+    // JUST before being fenced (beyond the pair marker's pin, unmarked)
+    val touched = batch.select(col("key")).distinct()
+    val mergedL = Cdc.scdMerge(
+      m2.current.join(touched, Seq("key"), "left_semi"), batch)
+    LakeTable.append(
+      mergedL.filter(!col("is_current"))
+        .select(col("key"), col("name"), col("val"),
+          col("valid_from"), col("valid_to")),
+      m2.closedTablePath, Seq("key", "valid_from"), nFilesNew = 1)
+    // the new owner's next fold heals the orphan away and applies its own
+    assert(m2.fold(batch, Some(1L)))
+    assert(rows(m2.history) ==
+      rows(Cdc.scdMerge(Cdc.scdHistory(log), batch)),
+      "the loser's debris must vanish; the winner's fold chain == refit")
+    // the winner keeps working; the loser stays fenced forever
+    assert(!m2.fold(batch, Some(1L)), "redelivery still no-ops for the owner")
+    intercept[IllegalArgumentException](m1.fold(batch, Some(2L)))
+  }
 }
