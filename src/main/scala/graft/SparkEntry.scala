@@ -808,6 +808,32 @@ object SparkEntry {
       m.history.withColumn("is_current", col("is_current").cast("int"))
         .orderBy(col("key"), col("valid_from"))
     }),
+    // ...the same maintainer with the fold routed MERGE-ON-READ
+    // (morThresholdBytes = 0): the current-slice update commits as one
+    // deletion-vector sidecar + fresh image files — zero existing
+    // current files read or rewritten — and the served history must
+    // STILL hash the refit oracle; the materialize trigger then folds
+    // the vectors in before serving, so the read path is exercised both
+    // shadowed (inside fold) and materialized (at history)
+    "q_scd2_mor" -> ((s, d) => {
+      val log = cdcChangelogFull(s, d)
+      val bounds = log.agg(
+        org.apache.spark.sql.functions.min(col("seq")),
+        org.apache.spark.sql.functions.max(col("seq"))).first()
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      val cut1 = lo + (hi - lo) / 3
+      val cut2 = lo + 2 * (hi - lo) / 3
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-scdmor").toString
+      val m = streaming.ScdMaintainer.build(log.filter(col("seq") <= cut1), dir)
+      m.fold(log.filter(col("seq") > cut1 && col("seq") <= cut2), Some(0L),
+        morThresholdBytes = Some(0L))
+      m.fold(log.filter(col("seq") > cut2), Some(1L),
+        morThresholdBytes = Some(0L),
+        materializeAtShadowedFraction = Some(0.0))
+      m.history.withColumn("is_current", col("is_current").cast("int"))
+        .orderBy(col("key"), col("valid_from"))
+    }),
     // ...and the MERGE audit row: inserted/updated/deleted/carried key
     // counts + replay depth (changes per touched key)
     "q_cdc_audit" -> ((s, d) =>
@@ -4026,6 +4052,17 @@ object SparkEntry {
     // identical SQL to q_scd2_merge, so hash-match proves the two-table
     // (closed append + current rewrite) fold == the one-pass derivation
     "q_scd2_maintained" ->
+      """WITH ch AS (SELECT o_custkey AS key, o_orderkey AS seq,
+        |    CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op,
+        |    o_orderpriority AS name, o_totalprice AS val
+        |  FROM orders WHERE o_orderkey % 3 <> 0 AND o_custkey % 17 <> 3),
+        |h AS (SELECT *, LEAD(seq) OVER (PARTITION BY key ORDER BY seq) AS valid_to
+        |  FROM ch)
+        |SELECT key, name, val, seq AS valid_from, valid_to,
+        |  CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS is_current
+        |FROM h WHERE op = 'U' ORDER BY key, valid_from""".stripMargin,
+    // the merge-on-read fold chain serves the SAME refit history
+    "q_scd2_mor" ->
       """WITH ch AS (SELECT o_custkey AS key, o_orderkey AS seq,
         |    CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op,
         |    o_orderpriority AS name, o_totalprice AS val

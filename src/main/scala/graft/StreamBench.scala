@@ -481,6 +481,22 @@ object StreamBench {
       f.concat(f.lit("m"), f.col("id") % 97).as("name"),
       (f.col("id") % 997L).cast("double").as("val"))
     scdFeed.repartitionByRange(8, f.col("seq")).write.parquet(s"$root/scdfeed")
+    // the fold==refit invariant needs micro-batches in seq-RANGE order;
+    // the file stream source orders new files by modification time, which
+    // a parallel write does NOT guarantee matches the part numbering —
+    // stamp mtimes explicitly ascending in part order (ranges ascend with
+    // part number under repartitionByRange) so pickup order is pinned
+    def pinFeedOrder(dir: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val hfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val t0 = System.currentTimeMillis() - 1000000L
+      hfs.listStatus(p).toSeq
+        .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+        .sortBy(_.getPath.getName)
+        .zipWithIndex
+        .foreach { case (s, i) => hfs.setTimes(s.getPath, t0 + i * 1000L, -1) }
+    }
+    pinFeedOrder(s"$root/scdfeed")
     val scdFoldTimes = scala.collection.mutable.ArrayBuffer.empty[Double]
     timeQuery("scd2 maintainer (closed append + touched current rewrite per fold)", nScdChanges) {
       val src = spark.readStream
@@ -500,6 +516,72 @@ object StreamBench {
     }
     println(f"[stream-bench] scd2 per-fold seconds (closed bulk grows every fold): ${
       scdFoldTimes.map(t => f"$t%.2f").mkString(", ")}")
+    // the pair marker must stay O(arms) — flat bytes per fold, however
+    // many batches ever folded (the metadata twin of the flat fold times)
+    locally {
+      val foldDir = new java.io.File(s"$root/scdm/fold")
+      val markers = foldDir.listFiles().filter(_.getName.endsWith(".txt"))
+        .sortBy(_.getName)
+      println(s"[stream-bench] scd2 pair-marker bytes by fold: " +
+        markers.map(_.length).mkString(", ") + " (flat = O(arms) replay state)")
+    }
+
+    // --- timed: the SAME fold chain, current slice routed MERGE-ON-READ ---
+    // (morThresholdBytes=0: every fold commits one DV sidecar + fresh
+    // image files, zero existing current files opened; the materialize
+    // trigger folds vectors in once a third of the files are shadowed).
+    // The delta vs the MoW row above is the ingest-latency /
+    // read-amplification trade at the dimension artifact.
+    val scdmMor = graft.streaming.ScdMaintainer.build(scdSeed, s"$root/scdmmor")
+    val scdMorTimes = scala.collection.mutable.ArrayBuffer.empty[Double]
+    timeQuery("scd2 maintainer MERGE-ON-READ (DV sidecar + fresh images per fold)", nScdChanges) {
+      val src = spark.readStream
+        .schema(scdFeed.schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(s"$root/scdfeed")
+      src.writeStream
+        .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+          if (!b.isEmpty) {
+            val t0 = System.nanoTime()
+            scdmMor.fold(b.toDF(), Some(id),
+              morThresholdBytes = Some(0L),
+              materializeAtShadowedFraction = Some(0.34))
+            scdMorTimes += (System.nanoTime() - t0) / 1e9
+            ()
+          }
+        }
+        .start()
+    }
+    println(f"[stream-bench] scd2 MoR per-fold seconds: ${
+      scdMorTimes.map(t => f"$t%.2f").mkString(", ")}")
+
+    // --- timed: SCD2 FORGET arm (right-to-be-forgotten SLA on the dim) ---
+    // a tombstone stream erases keys' whole records — closed intervals
+    // AND current rows — per micro-batch; per-forget seconds are the SLA
+    // number (cost is touched-files-sized on the closed table, the one
+    // rewrite the fold path never pays)
+    val nForget = 512L
+    spark.range(nForget).select((f.col("id") * 39L % nScdKeys).as("key"))
+      .repartition(4).write.parquet(s"$root/scdforget")
+    val scdForgetTimes = scala.collection.mutable.ArrayBuffer.empty[Double]
+    timeQuery("scd2 forget arm (tombstone stream, both tables erased per batch)", nForget) {
+      val src = spark.readStream
+        .schema(org.apache.spark.sql.types.StructType.fromDDL("key BIGINT"))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$root/scdforget")
+      src.writeStream
+        .foreachBatch { (b: Dataset[org.apache.spark.sql.Row], id: Long) =>
+          if (!b.isEmpty) {
+            val t0 = System.nanoTime()
+            scdm.forget(b.toDF(), Some(id))
+            scdForgetTimes += (System.nanoTime() - t0) / 1e9
+            ()
+          }
+        }
+        .start()
+    }
+    println(f"[stream-bench] scd2 per-forget seconds (box-pruned rewrite on both tables): ${
+      scdForgetTimes.map(t => f"$t%.2f").mkString(", ")}")
 
     timeQuery("cdc changelog reduction (transformWithState)", nChanges) {
       val src = spark.readStream

@@ -19,9 +19,10 @@ import graft.operators.TextAnalysis
   * artifact on reliable storage, not streaming state. `workDir` holds
   * versioned snapshots `stats/v%06d/`, each containing
   *   - the stats parquet (vocab-sized — ONE coalesced file),
-  *   - `_folded.txt`: every streaming batchId folded into this version,
-  *     written AFTER the parquet lands — its presence IS the version's
-  *     commit marker.
+  *   - `_folded.txt`: the replay HIGH-WATER batchId (monotone ids make
+  *     `id <= max` the replay test, so one line suffices forever — a
+  *     legacy full-set marker reads as its max), written AFTER the
+  *     parquet lands — its presence IS the version's commit marker.
   * Readers and recovery resolve the highest version WITH a marker; a
   * crash mid-write leaves a markerless directory that is simply ignored.
   *
@@ -53,8 +54,14 @@ final class Bm25Maintainer private (spark: SparkSession, workDir: String) {
     */
   def stats: DataFrame = spark.read.parquet(statsPath(workDir, currentVersion))
 
-  /** Streaming batchIds already folded in (empty right after build). */
-  def foldedBatches: Set[Long] = foldedOf(fs, workDir, currentVersion)
+  /** The replay HIGH-WATER batchId, as a set (empty right after build;
+    * a singleton after any fold — the marker keeps only the max id under
+    * the monotone-batchId contract; a legacy full-set marker reads back
+    * as its max).
+    */
+  def foldedBatches: Set[Long] =
+    foldedOf(fs, workDir, currentVersion).maxOption
+      .map(Set(_)).getOrElse(Set.empty)
 
   private def currentVersion: Int = committedVersions(fs, workDir).max
 
@@ -65,7 +72,11 @@ final class Bm25Maintainer private (spark: SparkSession, workDir: String) {
   def fold(batch: DataFrame, batchId: Option[Long] = None): Boolean = synchronized {
     val v = currentVersion
     val folded = foldedOf(fs, workDir, v)
-    if (batchId.exists(folded.contains)) return false
+    // checkpointed batchIds are monotone, so id <= high-water IS
+    // "already folded" — and the marker need only CARRY the high-water,
+    // keeping marker bytes O(1) per fold where the full accumulated set
+    // would be written and re-parsed per fold forever (O(batches-ever))
+    if (batchId.exists(b => folded.maxOption.exists(_ >= b))) return false
     if (batch.isEmpty) return false
     // a fold that crashed between the parquet write and the marker left
     // an unmarked v+1 directory; without clearing it this write would
@@ -75,7 +86,8 @@ final class Bm25Maintainer private (spark: SparkSession, workDir: String) {
     TextAnalysis.mergeBm25Stats(stats, batch)
       .coalesce(1)
       .write.parquet(statsPath(workDir, v + 1))
-    commitMarker(fs, workDir, v + 1, folded ++ batchId.toSet)
+    commitMarker(fs, workDir, v + 1,
+      (folded ++ batchId.toSet).maxOption.map(Set(_)).getOrElse(Set.empty))
     // keep the previous version for readers in flight; older ones are
     // garbage (vocab-sized dirs — cheap, but unbounded without this)
     committedVersions(fs, workDir).filter(_ < v).foreach { old =>

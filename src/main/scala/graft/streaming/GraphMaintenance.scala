@@ -22,7 +22,9 @@ import graft.operators.SimilaritySearch
   *   - `centroids/`   the frozen coarse quantizer (written once per epoch),
   *   - `routing/`     (vec_id, embedding, cell), parquet PARTITIONED BY cell,
   *   - `graph/`       (vec_id, neighbor_id, rank, cos, cell), partitioned by cell,
-  *   - `folded/`      one marker file per applied streaming batchId.
+  *   - `folded/`      the replay HIGH-WATER marker (`hw-<maxBatchId>`,
+  *                    swept — O(1) files however many batches ever fold;
+  *                    monotone batchIds make `id <= max` the replay test).
   * Restart semantics are therefore the artifact's: [[GraphMaintainer.recover]]
   * reopens `workDir` and continues folding — an executor or driver loss
   * never costs the epoch (the failure mode `localCheckpoint`, documented
@@ -38,7 +40,7 @@ import graft.operators.SimilaritySearch
   * accumulated corpus.
   *
   * Idempotence / at-least-once: folds are replay-safe three ways —
-  * (1) an applied batchId short-circuits on its `folded/` marker;
+  * (1) an applied batchId short-circuits on the `folded/` high-water;
   * (2) a batch vector whose vec_id is already stored WITH THE SAME
   * embedding is a replayed row (crash between the routing write and the
   * marker) and is dropped; a same-id DIFFERENT-embedding row is a true
@@ -82,7 +84,12 @@ final class GraphMaintainer private (
   def fold(batch: DataFrame, batchId: Option[Long] = None): DataFrame = synchronized {
     import spark.implicits._
     def noneTouched = spark.emptyDataset[Long].toDF("vec_id")
-    if (batchId.exists(id => fs.exists(new Path(s"$workDir/folded/$id"))))
+    // checkpointed batchIds are monotone: id <= the high-water marker IS
+    // "already folded" — one swept marker file carries it, where the old
+    // one-empty-file-per-batchId protocol grew the folded/ directory one
+    // inode per micro-batch forever (2.6M files after a month of 1 s
+    // batches); legacy per-batch markers read as their max and sweep out
+    if (batchId.exists(id => foldedHighWater.exists(_ >= id)))
       return noneTouched
     val b0 = narrow(batch).localCheckpoint()
     if (b0.isEmpty) return noneTouched
@@ -110,11 +117,44 @@ final class GraphMaintainer private (
     val touched =
       if (replayIds.size < ids.length) applyFold(b) else noneTouched
     ids.foreach(idFilter.putLong)
-    batchId.foreach { id =>
-      fs.mkdirs(new Path(s"$workDir/folded"))
-      fs.create(new Path(s"$workDir/folded/$id"), true).close()
-    }
+    batchId.foreach(commitFoldedHighWater)
     touched
+  }
+
+  /** The replay high-water: the max over `folded/`'s swept `hw-` markers
+    * and any legacy one-file-per-batchId names (pre-high-water dirs).
+    * The directory is sweep-bounded, so this listing is O(1).
+    */
+  private def foldedHighWater: Option[Long] = {
+    val dir = new Path(s"$workDir/folded")
+    if (!fs.exists(dir)) return None
+    fs.listStatus(dir).toSeq.map(_.getPath.getName).collect {
+      case n if n.startsWith("hw-") &&
+          n.stripPrefix("hw-").forall(_.isDigit) =>
+        n.stripPrefix("hw-").toLong
+      case n if n.nonEmpty && n.forall(_.isDigit) => n.toLong // legacy
+    }.maxOption
+  }
+
+  /** Advance the high-water: land `hw-<id>` (the value lives in the
+    * NAME — max wins, so a crash at any point leaves either the old
+    * marker or both, never none), then sweep superseded markers
+    * including legacy per-batch files. Failures in the sweep are
+    * harmless (max still wins); the sweep is what keeps the directory
+    * O(1) instead of one file per micro-batch forever.
+    */
+  private def commitFoldedHighWater(id: Long): Unit = {
+    val dir = new Path(s"$workDir/folded")
+    fs.mkdirs(dir)
+    fs.create(new Path(dir, f"hw-$id%019d"), true).close()
+    fs.listStatus(dir).toSeq.map(_.getPath)
+      .filter { p =>
+        val n = p.getName
+        (n.startsWith("hw-") && n.stripPrefix("hw-").forall(_.isDigit) &&
+          n.stripPrefix("hw-").toLong < id) ||
+          (n.nonEmpty && n.forall(_.isDigit) && n.toLong < id)
+      }
+      .foreach(fs.delete(_, false))
   }
 
   private def applyFold(b: DataFrame): DataFrame = {

@@ -288,6 +288,14 @@ object LakeMaintenance {
     try out.write(cur.toString.getBytes("UTF-8")) finally out.close()
     require(fs.rename(tmp, new Path(s"$dest/_applied.txt")),
       s"refreshView: marker rename lost at $dest")
+    // keep the just-superseded view for readers in flight; everything
+    // older is garbage — without this the view directory grows one
+    // summary-sized dir per micro-batch forever, and committedViews'
+    // per-refresh resolution (a marker OPEN per version dir) becomes
+    // O(refreshes-ever) namenode reads on a week-old streaming view
+    committed.map(_._1).filter(_ < nextViewV - 1).foreach { old =>
+      fs.delete(new Path(f"$viewDir%s/v$old%09d"), true)
+    }
     cur
   }
 

@@ -181,7 +181,8 @@ final class ScdMaintainer private (
       batch: DataFrame, batchId: Option[Long] = None,
       compactTargetBytes: Option[Long] = None,
       morThresholdBytes: Option[Long] = None,
-      materializeAtShadowedFraction: Option[Double] = None): Boolean =
+      materializeAtShadowedFraction: Option[Double] = None,
+      keepMarkers: Option[Int] = None): Boolean =
     synchronized {
     assertOwner()
     val v = currentVersion
@@ -274,8 +275,20 @@ final class ScdMaintainer private (
     commitMarker(fs, workDir, v + 1,
       Marker(cv, kv,
         batchId.foldLeft(m.folded)((f, b) => record(f, "fold", b))))
+    // 6. optional IN-LOOP marker retention: with keepMarkers set, pair
+    //    markers beyond the window drop right here, so an always-on fold
+    //    loop holds the marker directory at O(keep) files without ever
+    //    needing an external vacuumHistory pass (same reader-lag
+    //    contract: keep must cover the slowest marker subscriber)
+    keepMarkers.foreach(pruneMarkers(_, v + 1))
     true
   }
+
+  /** Drop pair markers at or below `vNow - keep` (never the newest). */
+  private def pruneMarkers(keep: Int, vNow: Int): Unit =
+    committedVersions(fs, workDir)
+      .filter(_ <= vNow - math.max(1, keep))
+      .foreach(v => fs.delete(markerPath(workDir, v), false))
 
   /** Right-to-be-forgotten for the DIMENSION artifact: erase every trace
     * of the tombstoned keys — closed intervals AND current rows — as one
@@ -352,11 +365,12 @@ final class ScdMaintainer private (
       changes: DataFrame,
       compactTargetBytes: Option[Long] = None,
       morThresholdBytes: Option[Long] = None,
-      materializeAtShadowedFraction: Option[Double] = None): StreamingQuery =
+      materializeAtShadowedFraction: Option[Double] = None,
+      keepMarkers: Option[Int] = None): StreamingQuery =
     changes.writeStream
       .foreachBatch { (b: Dataset[Row], id: Long) =>
         fold(b.toDF(), Some(id), compactTargetBytes, morThresholdBytes,
-          materializeAtShadowedFraction); ()
+          materializeAtShadowedFraction, keepMarkers); ()
       }
       .start()
 
@@ -385,7 +399,7 @@ final class ScdMaintainer private (
     // pair markers beyond the retention window (never the newest)
     val oldMarkers = committedVersions(fs, workDir)
       .filter(_ <= vCur - math.max(1, keepVersions))
-    oldMarkers.foreach(v => fs.delete(markerPath(workDir, v), false))
+    pruneMarkers(keepVersions, vCur)
     // crashed commitMarker attempts leave .tmp-<uuid> files
     val tmp = fs.listStatus(new Path(s"$workDir/fold")).toSeq.map(_.getPath)
       .filter(p => p.getName.startsWith(".tmp-") &&

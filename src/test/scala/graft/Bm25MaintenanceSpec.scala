@@ -17,11 +17,26 @@ class Bm25MaintenanceSpec extends SparkSpec {
       r.getAs[Long]("df"), Option(r.get(r.fieldIndex("dl_sum"))))).toSet
 
   test("chained folds equal the one-shot refit (merge == refit, twice over)") {
-    val m = Bm25Maintainer.build(docs.filter(col("doc_id") % 3 === 0), tmp("chain"))
+    val dir = tmp("chain")
+    val m = Bm25Maintainer.build(docs.filter(col("doc_id") % 3 === 0), dir)
     m.fold(docs.filter(col("doc_id") % 3 === 1), Some(0L))
     m.fold(docs.filter(col("doc_id") % 3 === 2), Some(1L))
     assert(statsSet(m.stats) == statsSet(TextAnalysis.bm25Stats(docs)),
       "two chained folds must equal a full refit of the union")
+    // the replay marker carries ONE high-water line, not the full set —
+    // marker bytes are O(1) per fold however many batches ever fold
+    val markers = new java.io.File(s"$dir/stats").listFiles()
+      .filter(_.isDirectory).map(d => new java.io.File(d, "_folded.txt"))
+      .filter(_.exists())
+    assert(markers.nonEmpty)
+    markers.foreach { f =>
+      val lines = new String(java.nio.file.Files.readAllBytes(f.toPath),
+        "UTF-8").linesIterator.count(_.nonEmpty)
+      assert(lines <= 1, s"marker must stay O(1) lines, ${f.getPath} has $lines")
+    }
+    assert(m.foldedBatches == Set(1L), "the high-water is the max folded id")
+    // superseded ids still dedupe against the high-water
+    assert(!m.fold(docs.filter(col("doc_id") % 3 === 1), Some(0L)))
   }
 
   test("kill/restart: the recovered maintainer's folds equal the uninterrupted ones") {

@@ -124,6 +124,31 @@ class GraphMaintenanceSpec extends SparkSpec {
     assert(m2.corpus.count() == emb.count())
   }
 
+  test("the folded/ marker directory stays O(1) files across many batchId folds; legacy markers sweep out") {
+    val emb = Tables.embeddings(spark, sf)
+    val dir = tmp("hw")
+    val m = GraphMaintainer.build(emb.filter(col("vec_id") % 5 =!= 0), dir)
+    // a legacy per-batch marker left by a pre-high-water deployment
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/folded"))
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(s"$dir/folded/2"))
+    // its id must still dedupe (max semantics under monotone batchIds)...
+    assert(m.fold(emb.filter(col("vec_id") % 5 === 0).limit(1), Some(1L))
+      .isEmpty, "batch 1 <= legacy high-water 2 must be recognized as folded")
+    val fresh = emb.filter(col("vec_id") % 5 === 0)
+    (3L to 8L).foreach { id =>
+      m.fold(fresh.filter(col("vec_id") % 7 === id - 3), Some(id))
+    }
+    val markerFiles = new java.io.File(s"$dir/folded").listFiles()
+      .filterNot(_.getName.startsWith(".")) // Hadoop .crc sidecars
+    assert(markerFiles.length == 1,
+      s"six folds must leave ONE swept high-water marker, got " +
+        markerFiles.map(_.getName).mkString(", "))
+    assert(markerFiles.head.getName == f"hw-${8L}%019d",
+      "the marker name carries the max id; the legacy file swept out")
+    assert(m.fold(fresh.limit(1), Some(5L)).isEmpty,
+      "a superseded batchId must no-op against the high-water")
+  }
+
   test("replayed batches are no-ops; a true re-embed fails loud") {
     val emb = Tables.embeddings(spark, sf)
     val old = emb.filter(col("vec_id") % 5 =!= 0)

@@ -1137,6 +1137,36 @@ class LakeTableSpec extends SparkSpec {
       "g0's min must move to the next member after its old min is deleted")
   }
 
+  test("refreshView GCs superseded view versions; the serving view stays exact") {
+    import graft.streaming.LakeMaintenance
+    import graft.operators.Mv
+    val dir = Files.createTempDirectory("graft-lakevgc").toString + "/t"
+    val viewDir = Files.createTempDirectory("graft-lakevgcv").toString + "/view"
+    LakeTable.init((0L until 40L).map(k => (k, s"g${k % 4}", k * 1.0))
+      .toDF("key", "name", "val"), dir, Seq("key"), nFiles = 2)
+    val mm = Map(("sum", "val") -> "sum_val", ("count", "*") -> "cnt",
+      ("count", "val") -> "cnt_val")
+    (1 to 5).foreach { i =>
+      LakeMaintenance.foldOnce(spark, dir,
+        Seq((i.toLong, i.toLong, "U", i * 100.0)).toDF("key", "seq", "op", "val"),
+        Seq("key"), batchId = Some(i.toLong))
+      LakeMaintenance.refreshView(spark, dir, viewDir, Seq("name"), mm)
+    }
+    // five refreshes leave the serving view + its predecessor, not five
+    // summary dirs (a streaming view would otherwise grow one dir — and
+    // one marker open per committedViews resolution — per micro-batch)
+    val dirs = new java.io.File(viewDir).listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("v"))
+      .map(_.getName).sorted
+    assert(dirs.toSeq == Seq("v000000004", "v000000005"),
+      s"view GC must keep current+previous only, got ${dirs.mkString(", ")}")
+    def sorted(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("name")).collect().map(_.toSeq).toSeq
+    assert(sorted(LakeMaintenance.readView(spark, viewDir)) ==
+      sorted(Mv.summarize(LakeTable.readLive(spark, dir), Seq("name"), mm)),
+      "the GC'd view must still equal re-summarizing the live table")
+  }
+
   test("a legacy unboxed file's rows survive appends AND keyed mutations") {
     val (dir, base) = mkTable("graft-lakeunbox")
     // simulate a legacy manifest whose first file never got box rows:

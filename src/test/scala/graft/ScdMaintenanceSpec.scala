@@ -302,14 +302,24 @@ class ScdMaintenanceSpec extends SparkSpec {
     assert(new java.io.File(s"$dir/owner").listFiles()
       .count(_.getName.endsWith(".txt")) == 1,
       "only the max owner epoch carries fencing authority")
-    // the maintainer still serves and folds after GC, exactly
-    val post = Seq((9L, 5000L, "U", "post-gc", 1.0))
-      .toDF("key", "seq", "op", "name", "val")
-    assert(m.fold(post, Some(12L)))
+    // an always-on loop bounds itself: keepMarkers prunes IN-LOOP, so
+    // the marker directory never needs an external vacuum pass
+    val post = Seq(
+      (9L, 5000L, "U", "post-gc", 1.0),
+      (8L, 5001L, "U", "post-gc2", 2.0),
+      (7L, 5002L, "U", "post-gc3", 3.0))
+    post.zipWithIndex.foreach { case (r, i) =>
+      assert(m.fold(Seq(r).toDF("key", "seq", "op", "name", "val"),
+        Some(12L + i), keepMarkers = Some(2)))
+      val n = new java.io.File(s"$dir/fold").listFiles()
+        .count(_.getName.endsWith(".txt"))
+      assert(n <= 2, s"in-loop marker retention must hold the dir at " +
+        s"O(keep) files during the loop, got $n")
+    }
     val allChanges = (0 until 12)
       .map(i => (i % 5 + 1L, 100L * (i + 1), "U", s"v$i", i * 1.0))
       .toDF("key", "seq", "op", "name", "val")
-      .unionByName(post)
+      .unionByName(post.toDF("key", "seq", "op", "name", "val"))
     val want = Cdc.scdHistory(allChanges)
     // minus the forgotten key's whole record (closed AND current)
     assert(rows(m.history) ==
