@@ -811,26 +811,20 @@ object SparkEntry {
     // ...the same maintainer with the fold routed MERGE-ON-READ
     // (morThresholdBytes = 0): the current-slice update commits as one
     // deletion-vector sidecar + fresh image files — zero existing
-    // current files read or rewritten — and the served history must
-    // STILL hash the refit oracle; the materialize trigger then folds
-    // the vectors in before serving, so the read path is exercised both
-    // shadowed (inside fold) and materialized (at history)
+    // current files read or rewritten — and the history is served
+    // THROUGH the shadow (the DV anti-join at read time, vectors never
+    // materialized), so the hash proves the MoR read path end-to-end
+    // against the same refit oracle
     "q_scd2_mor" -> ((s, d) => {
       val log = cdcChangelogFull(s, d)
-      val bounds = log.agg(
-        org.apache.spark.sql.functions.min(col("seq")),
-        org.apache.spark.sql.functions.max(col("seq"))).first()
-      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
-      val cut1 = lo + (hi - lo) / 3
-      val cut2 = lo + 2 * (hi - lo) / 3
+      val mid = log.agg(((org.apache.spark.sql.functions.min(col("seq")) +
+          org.apache.spark.sql.functions.max(col("seq"))) / 2).as("m"))
+        .first().getDouble(0)
       val dir = java.nio.file.Files
         .createTempDirectory("graft-scdmor").toString
-      val m = streaming.ScdMaintainer.build(log.filter(col("seq") <= cut1), dir)
-      m.fold(log.filter(col("seq") > cut1 && col("seq") <= cut2), Some(0L),
+      val m = streaming.ScdMaintainer.build(log.filter(col("seq") <= mid), dir)
+      m.fold(log.filter(col("seq") > mid), Some(0L),
         morThresholdBytes = Some(0L))
-      m.fold(log.filter(col("seq") > cut2), Some(1L),
-        morThresholdBytes = Some(0L),
-        materializeAtShadowedFraction = Some(0.0))
       m.history.withColumn("is_current", col("is_current").cast("int"))
         .orderBy(col("key"), col("valid_from"))
     }),
