@@ -377,7 +377,7 @@ object LakeTable {
     val c = latest(spark, path)
     val ks = keys.select(col(keyCol)).distinct()
     val files = shadowedFiles(spark, c, ks, keyCol)
-    if (files.isEmpty) readLive(spark, path).limit(0)
+    if (files.isEmpty) readFilesResolved(spark, path, c, Seq.empty)
     else readFilesResolved(spark, path, c, files)
       .join(broadcast(ks), Seq(keyCol), "left_semi")
   }
@@ -1286,8 +1286,7 @@ object LakeTable {
     // concurrent mutation inserted between attempts are caught, not
     // leaked past the delete
     applyTombstonesDvWith(spark, path,
-      c => (if (c.files.isEmpty) readLive(spark, path).limit(0)
-            else readFilesResolved(spark, path, c, c.files))
+      c => readFilesResolved(spark, path, c, c.files)
         .filter(condition).select(col(keyCol)),
       keyCol, batchId.map(b => s"delete-where#$b"))
 
@@ -1550,7 +1549,8 @@ object LakeTable {
     // vectors in, or the rows they hide would resurrect into fresh files
     val base =
       if (touched.nonEmpty) readFilesResolved(spark, path, c, touched)
-      else readLive(spark, path).limit(0)
+      // the commit in hand carries the schema — no second latest() walk
+      else readFilesResolved(spark, path, c, Seq.empty)
     val next = rewrite(base)
     // a rewrite that REPLACES files must cover every committed column —
     // otherwise carried rows in touched files silently lose the dropped

@@ -65,6 +65,33 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("Exchange hashpartitioning"), p)
   }
 
+  test("lake keyed point-read: key probe and DV resolution both broadcast, never sort-merge") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.sources.LakeTable
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-planlake").toString + "/t"
+    LakeTable.init((0L until 400L).map(k => (k, s"n$k", k * 1.0))
+      .toDF("key", "name", "val"), dir, Seq("key"), nFiles = 4)
+    // shadow one file so the point read resolves through a DV sidecar
+    LakeTable.applyTombstonesDv(spark, dir, Seq(10L).toDF("key"))
+    val read = LakeTable.readKeyed(spark, dir, Seq(11L, 12L).toDF("key"))
+    val p = read.queryExecution.executedPlan.toString
+    // the semi probe AND the DV anti-join are broadcast joins — neither
+    // the keys nor a tombstone sidecar is ever data-sized, so the 100 TB
+    // point read never shuffles the fact side (the only exchanges left
+    // are the key-set-sized distincts on the BUILD sides)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the fact scan feeds its joins directly: no exchange between the
+    // data-file FileScan and the first join (fact-side shuffle = failure)
+    val factSubtree = p.linesIterator
+      .dropWhile(!_.contains("BroadcastHashJoin"))
+      .takeWhile(!_.contains("BroadcastExchange")).mkString("\n")
+    assert(!factSubtree.contains("Exchange hashpartitioning"),
+      s"a keyed point read must not shuffle the fact side:\n$p")
+  }
+
   test("runtime bloom filter prunes the fact scan when the dim can't broadcast") {
     // The 100 TB shape: dims too big to broadcast -> shuffle join; Spark then
     // converts a selective dim predicate into a bloom runtime filter applied
