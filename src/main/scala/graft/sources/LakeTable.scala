@@ -1311,10 +1311,12 @@ object LakeTable {
     */
   def materializeDeletes(
       spark: SparkSession, path: String, cols: Seq[String],
-      nFilesNew: Int = 2, bits: Int = 16): ApplyStats = {
+      nFilesNew: Int = 2, bits: Int = 16,
+      targetFileBytes: Option[Long] = None): ApplyStats = {
     var lastConflict: CommitConflictException = null
     (0 to MaxCommitRetries).foreach { _ =>
-      try return materializeOnce(spark, path, cols, nFilesNew, bits)
+      try return materializeOnce(
+        spark, path, cols, nFilesNew, bits, targetFileBytes)
       catch { case e: CommitConflictException => lastConflict = e }
     }
     throw lastConflict
@@ -1322,12 +1324,27 @@ object LakeTable {
 
   private def materializeOnce(
       spark: SparkSession, path: String, cols: Seq[String],
-      nFilesNew: Int, bits: Int): ApplyStats = {
+      nFilesNew: Int, bits: Int,
+      targetFileBytes: Option[Long]): ApplyStats = {
     val c = latest(spark, path)
     val shadowed = c.deletes.map(_._1).distinct.sorted
     if (shadowed.isEmpty) return ApplyStats(c.version, 0, c.files.size, 0)
     val rows = readFilesResolved(spark, path, c, shadowed)
-    val landed = landZOrdered(spark, path, rows, cols, nFilesNew, bits)
+    // output width: with a byte target, pack into ceil(shadowed bytes /
+    // target) files — a materialize that rewrote a third of a wide table
+    // into nFilesNew fixed files would land arbitrarily oversized parts
+    // that no later compaction could ever split (compact only packs
+    // UNDERSIZED files); sizes come from the manifest's own Z lines
+    lazy val fs = new Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val nOut = targetFileBytes match {
+      case Some(t) if t > 0 =>
+        val bytes = shadowed.map(f => c.sizes.getOrElse(f,
+          fs.getFileStatus(new Path(abs(path, f))).getLen)).sum
+        math.max(1, math.ceil(bytes.toDouble / t).toInt)
+      case _ => nFilesNew
+    }
+    val landed = landZOrdered(spark, path, rows, cols, nOut, bits)
     val fresh = landed.map(_._1)
     val freshBoxes = LakeSink.boxesOf(spark, fresh, cols)
       .map { case (f, cn, mn, mx) => (rel(path, f), cn, mn, mx) }

@@ -107,7 +107,8 @@ object LakeMaintenance {
   def attachTombstonesDv(
       tombstones: DataFrame, path: String, cols: Seq[String],
       keyCol: String = "key", nFilesNew: Int = 2,
-      materializeAtShadowedFraction: Option[Double] = None): StreamingQuery = {
+      materializeAtShadowedFraction: Option[Double] = None,
+      targetFileBytes: Option[Long] = None): StreamingQuery = {
     val spark = tombstones.sparkSession
     tombstones.writeStream
       .foreachBatch { (b: Dataset[Row], id: Long) =>
@@ -116,7 +117,10 @@ object LakeMaintenance {
             spark, path, b.toDF(), keyCol, batchId = Some(id))
           materializeAtShadowedFraction.foreach { frac =>
             if (LakeTable.shouldMaterialize(spark, path, frac)) {
-              LakeTable.materializeDeletes(spark, path, cols, nFilesNew)
+              // byte-targeted output width: the shadowed third of a wide
+              // table must not pack into nFilesNew fixed (oversizable) files
+              LakeTable.materializeDeletes(spark, path, cols, nFilesNew,
+                targetFileBytes = targetFileBytes)
               ()
             }
           }
@@ -139,7 +143,8 @@ object LakeMaintenance {
   def attachMor(
       changelog: DataFrame, path: String, cols: Seq[String],
       keyCol: String = "key", nFilesNew: Int = 2,
-      materializeAtShadowedFraction: Option[Double] = None): StreamingQuery = {
+      materializeAtShadowedFraction: Option[Double] = None,
+      targetFileBytes: Option[Long] = None): StreamingQuery = {
     val spark = changelog.sparkSession
     changelog.writeStream
       .foreachBatch { (b: Dataset[Row], id: Long) =>
@@ -148,7 +153,8 @@ object LakeMaintenance {
             spark, path, b.toDF(), cols, keyCol, nFilesNew, batchId = Some(id))
           materializeAtShadowedFraction.foreach { frac =>
             if (LakeTable.shouldMaterialize(spark, path, frac)) {
-              LakeTable.materializeDeletes(spark, path, cols, nFilesNew)
+              LakeTable.materializeDeletes(spark, path, cols, nFilesNew,
+                targetFileBytes = targetFileBytes)
               ()
             }
           }

@@ -255,7 +255,8 @@ final class ScdMaintainer private (
     materializeAtShadowedFraction.foreach { frac =>
       if (LakeTable.shouldMaterialize(spark, currentTablePath, frac))
         kv = LakeTable.materializeDeletes(
-          spark, currentTablePath, Seq("key"), nFilesNew = 1).version
+          spark, currentTablePath, Seq("key"), nFilesNew = 1,
+          targetFileBytes = compactTargetBytes).version
     }
     // 4. ... and bounded file counts: bin-pack either table's slivers
     //    in-loop — compact directly: its own <2-undersized check is the

@@ -667,6 +667,22 @@ class LakeTableSpec extends SparkSpec {
     // idempotent: nothing shadowed -> no-op, no version burned
     val again = LakeTable.materializeDeletes(spark, dir, Seq("key"))
     assert(again.version == after.version && again.filesRewritten == 0)
+    // BYTE-TARGETED output width: shadow two files again and materialize
+    // with a target far below their summed bytes — the rewrite must pack
+    // into ceil(bytes/target) files, never one arbitrarily oversized
+    // part that later compaction (undersized-only) could never split
+    LakeTable.applyTombstonesDv(spark, dir, Seq(7L, 251L).toDF("key"))
+    val c2 = LakeTable.latest(spark, dir)
+    val shadowedBytes = c2.deletes.map(_._1).distinct.map(c2.sizes).sum
+    val target = math.max(1L, shadowedBytes / 3)
+    val want2 = LakeTable.readLive(spark, dir)
+      .orderBy(col("key")).collect().map(_.toSeq).toSeq
+    val sized = LakeTable.materializeDeletes(spark, dir, Seq("key"),
+      targetFileBytes = Some(target))
+    assert(sized.filesNew >= 3,
+      s"a byte target a third of the shadowed bytes must land >= 3 files, got $sized")
+    assert(LakeTable.readLive(spark, dir)
+      .orderBy(col("key")).collect().map(_.toSeq).toSeq == want2)
   }
 
   test("deletion vectors: vacuum retains referenced sidecars, drops orphaned ones") {
