@@ -43,11 +43,20 @@ import graft.operators.TextAnalysis
   * corpus re-scan; at 100 TB the corpus is only ever touched by the
   * initial [[Bm25Maintainer.build]] refit.
   */
-final class Bm25Maintainer private (spark: SparkSession, workDir: String) {
+final class Bm25Maintainer private (
+    spark: SparkSession, workDir: String, epoch: Int) {
   import Bm25Maintainer._
 
   private val fs =
     new Path(workDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Cross-JVM single-ownership ([[OwnerFence]]): two live maintainers
+    * racing the version-dir protocol could clearUnmarked each other's
+    * in-flight writes; recover() takes over by landing the next owner
+    * epoch and a superseded maintainer fails loud at its next fold.
+    */
+  private def assertOwner(): Unit =
+    OwnerFence.assertOwner(fs, s"$workDir/owner", epoch, "Bm25Maintainer")
 
   /** The served artifact — always the latest COMMITTED version, so a
     * recovered maintainer serves the same frame a crash interrupted.
@@ -70,6 +79,7 @@ final class Bm25Maintainer private (spark: SparkSession, workDir: String) {
     * committed.
     */
   def fold(batch: DataFrame, batchId: Option[Long] = None): Boolean = synchronized {
+    assertOwner()
     val v = currentVersion
     val folded = foldedOf(fs, workDir, v)
     // checkpointed batchIds are monotone, so id <= high-water IS
@@ -123,7 +133,7 @@ object Bm25Maintainer {
       .coalesce(1)
       .write.parquet(statsPath(workDir, 1))
     commitMarker(fs, workDir, 1, Set.empty)
-    new Bm25Maintainer(spark, workDir)
+    new Bm25Maintainer(spark, workDir, OwnerFence.acquire(fs, s"$workDir/owner"))
   }
 
   /** Reopen `workDir` after a restart: the latest committed version is
@@ -134,7 +144,7 @@ object Bm25Maintainer {
     val fs = new Path(workDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(committedVersions(fs, workDir).nonEmpty,
       s"Bm25Maintainer: no committed stats under $workDir")
-    new Bm25Maintainer(spark, workDir)
+    new Bm25Maintainer(spark, workDir, OwnerFence.acquire(fs, s"$workDir/owner"))
   }
 
   private def statsPath(workDir: String, v: Int): String =

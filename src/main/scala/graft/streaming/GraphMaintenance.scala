@@ -55,8 +55,17 @@ import graft.operators.SimilaritySearch
 final class GraphMaintainer private (
     spark: SparkSession, workDir: String, val k: Int,
     centroids: Broadcast[Array[(Long, Array[Double], Double)]],
-    idFilter: BloomFilter) {
+    idFilter: BloomFilter, epoch: Int) {
   import GraphMaintainer._
+
+  /** Cross-JVM single-ownership ([[OwnerFence]]): the fold/retire writes
+    * are dynamic partition OVERWRITES — two live maintainers interleaving
+    * them would corrupt cell partitions non-transactionally, so recover()
+    * takes over by landing the next owner epoch and a superseded
+    * maintainer fails loud at its next mutation entry.
+    */
+  private def assertOwner(): Unit =
+    OwnerFence.assertOwner(fs, s"$workDir/owner", epoch, "GraphMaintainer")
 
   private val fs = new Path(workDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -83,6 +92,7 @@ final class GraphMaintainer private (
     */
   def fold(batch: DataFrame, batchId: Option[Long] = None): DataFrame = synchronized {
     import spark.implicits._
+    assertOwner()
     def noneTouched = spark.emptyDataset[Long].toDF("vec_id")
     // checkpointed batchIds are monotone: id <= the high-water marker IS
     // "already folded" — one swept marker file carries it, where the old
@@ -218,6 +228,7 @@ final class GraphMaintainer private (
     * re-insert of a retired id folds as a NEW vector.
     */
   def retire(tombstones: DataFrame): DataFrame = synchronized {
+    assertOwner()
     import spark.implicits._
     graft.plans.GraftFunctions.register(spark)
     val doomed = tombstones.select(col("vec_id")).localCheckpoint()
@@ -320,7 +331,8 @@ object GraphMaintainer {
     val fs = new Path(workDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(new Path(s"$workDir/meta.json"), true)
     out.write(s"""{"k":$k}""".getBytes("UTF-8")); out.close()
-    new GraphMaintainer(spark, workDir, k, bcast, bloomOf(spark, workDir))
+    new GraphMaintainer(spark, workDir, k, bcast, bloomOf(spark, workDir),
+      OwnerFence.acquire(fs, s"$workDir/owner"))
   }
 
   /** Reopen `workDir` after a restart: the frozen quantizer, routing, and
@@ -338,7 +350,8 @@ object GraphMaintainer {
     val cs = spark.read.parquet(s"$workDir/centroids")
       .as[(Long, Array[Double], Double)].collect().sortBy(_._1)
     new GraphMaintainer(spark, workDir, k,
-      spark.sparkContext.broadcast(cs), bloomOf(spark, workDir))
+      spark.sparkContext.broadcast(cs), bloomOf(spark, workDir),
+      OwnerFence.acquire(fs, s"$workDir/owner"))
   }
 
   /** Driver-held Bloom over every stored id — the O(1) prescreen that

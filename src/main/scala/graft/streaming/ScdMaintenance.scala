@@ -150,13 +150,8 @@ final class ScdMaintainer private (
     * contract. One tiny-directory listing (owner epochs are GC'd to the
     * max by [[vacuumHistory]]).
     */
-  private def assertOwner(): Unit = {
-    val mx = ownerEpochs(fs, workDir).maxOption.getOrElse(epoch)
-    require(mx == epoch,
-      s"ScdMaintainer: FENCED — this maintainer's epoch $epoch was " +
-        s"superseded by $mx (another maintainer recovered $workDir); " +
-        "its in-flight work will be healed by the new owner")
-  }
+  private def assertOwner(): Unit =
+    OwnerFence.assertOwner(fs, s"$workDir/owner", epoch, "ScdMaintainer")
 
   /** Fold one micro-batch of changes; returns false for an
     * already-folded (redelivered) batchId, true when a new version
@@ -407,10 +402,8 @@ final class ScdMaintainer private (
         fs.getFileStatus(p).getModificationTime <= cutoff)
     tmp.foreach(fs.delete(_, false))
     // superseded owner epochs: only the max carries fencing authority
-    val eMax = ownerEpochs(fs, workDir).maxOption.getOrElse(0)
-    val oldEpochs = ownerEpochs(fs, workDir).filter(_ < eMax)
-    oldEpochs.foreach(e => fs.delete(epochPath(workDir, e), false))
-    nData + oldMarkers.size + tmp.size + oldEpochs.size
+    val nEpochs = OwnerFence.gcSuperseded(fs, s"$workDir/owner")
+    nData + oldMarkers.size + tmp.size + nEpochs
   }
 }
 
@@ -483,40 +476,9 @@ object ScdMaintainer {
         n.stripPrefix("v").stripSuffix(".txt").toInt }
   }
 
-  // ---- owner epochs (single-writer fencing) --------------------------
-
-  private def epochPath(workDir: String, e: Int): Path =
-    new Path(f"$workDir%s/owner/e$e%06d.txt")
-
-  private def ownerEpochs(
-      fs: org.apache.hadoop.fs.FileSystem, workDir: String): Seq[Int] = {
-    val dir = new Path(s"$workDir/owner")
-    if (!fs.exists(dir)) return Nil
-    fs.listStatus(dir).toSeq
-      .map(_.getPath.getName)
-      .collect { case n if n.startsWith("e") && n.endsWith(".txt") =>
-        n.stripPrefix("e").stripSuffix(".txt").toInt }
-  }
-
-  /** Land the next owner epoch by rename-without-overwrite; a lost race
-    * (two recoveries at once) bumps and retries — both get DISTINCT
-    * epochs, and whichever holds the max after the dust settles owns the
-    * table (the other is fenced at its first fold).
-    */
   private def acquireEpoch(
-      fs: org.apache.hadoop.fs.FileSystem, workDir: String): Int = {
-    fs.mkdirs(new Path(s"$workDir/owner"))
-    var e = ownerEpochs(fs, workDir).maxOption.getOrElse(0) + 1
-    while (true) {
-      val tmp = new Path(s"$workDir/owner/.tmp-${java.util.UUID.randomUUID()}")
-      val out = fs.create(tmp, false)
-      try out.write(e.toString.getBytes("UTF-8")) finally out.close()
-      if (fs.rename(tmp, epochPath(workDir, e))) return e
-      fs.delete(tmp, false)
-      e += 1
-    }
-    -1 // unreachable
-  }
+      fs: org.apache.hadoop.fs.FileSystem, workDir: String): Int =
+    OwnerFence.acquire(fs, s"$workDir/owner")
 
   // ---- per-arm replay high-water marks --------------------------------
 

@@ -54,6 +54,10 @@ class Bm25MaintenanceSpec extends SparkSpec {
     assert(m2.fold(b2, Some(8L)))
     assert(statsSet(m2.stats) == statsSet(TextAnalysis.bm25Stats(docs)),
       "recovered fold chain must equal the uninterrupted refit")
+    // recovery TOOK OWNERSHIP: the zombie m1 is fenced before it can
+    // race the version-dir protocol (clearUnmarked vs in-flight writes)
+    val e = intercept[IllegalArgumentException](m1.fold(b1, Some(9L)))
+    assert(e.getMessage.contains("FENCED"), e.getMessage)
   }
 
   test("a markerless (crash-interrupted) version directory is ignored AND does not block later folds") {

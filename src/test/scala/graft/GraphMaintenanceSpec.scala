@@ -122,6 +122,10 @@ class GraphMaintenanceSpec extends SparkSpec {
     assert(m2.graph.collect().map(_.toSeq).toSet == rebuildWant,
       "recovered maintainer must produce the uninterrupted epoch's graph")
     assert(m2.corpus.count() == emb.count())
+    // recovery TOOK OWNERSHIP: the zombie m1 is fenced — two maintainers
+    // interleaving dynamic partition overwrites would corrupt cells
+    val e = intercept[IllegalArgumentException](m1.fold(b2, Some(99L)))
+    assert(e.getMessage.contains("FENCED"), e.getMessage)
   }
 
   test("the folded/ marker directory stays O(1) files across many batchId folds; legacy markers sweep out") {
