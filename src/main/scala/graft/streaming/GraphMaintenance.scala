@@ -124,6 +124,10 @@ final class GraphMaintainer private (
     }
     val b = if (replayIds.isEmpty) b0
       else b0.join(broadcast(replayIds.toSeq.toDF("vec_id")), Seq("vec_id"), "left_anti")
+    // re-check the fence at the write boundary: unlike the lake/Bm25
+    // maintainers, the partition-overwrite commit has no atomic rename
+    // backstop, so the check belongs as close to the writes as possible
+    assertOwner()
     val touched =
       if (replayIds.size < ids.length) applyFold(b) else noneTouched
     ids.foreach(idFilter.putLong)
