@@ -143,7 +143,16 @@ object LakeTable {
   def commitAt(spark: SparkSession, path: String, version: Int): Commit = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val lines = {
-      val in = fs.open(new Path(f"$path%s/_commits/v$version%09d.txt"))
+      val in =
+        try fs.open(commitFile(path, version))
+        catch {
+          case e: java.io.FileNotFoundException =>
+            // same loud retention contract as a vacuumed data file
+            throw new IllegalArgumentException(
+              s"LakeTable: version $version's manifest is absent at $path — " +
+                "pruned by vacuumManifests (outside the log retention " +
+                "window) or never committed", e)
+        }
       try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
       finally in.close()
     }
