@@ -1046,6 +1046,14 @@ object LakeTable {
     * in a fresh file with no attachment, so it is NOT shadowed —
     * attachments scope file-granular, the property that makes equality
     * deletes sound without Iceberg-style sequence numbers.
+    *
+    * `arm` names ONE checkpointed stream: replay dedup is a per-arm
+    * high-water batchId, so a second producer reusing this default arm
+    * against the same table would have its lower batchIds silently
+    * no-op'd — an unattested non-delete. An ad-hoc job alongside a
+    * tombstone stream should pass its own arm, or `batchId = None`
+    * (a tombstone apply is semantically idempotent; the marker only
+    * saves the redundant probe).
     */
   def applyTombstonesDv(
       spark: SparkSession, path: String, tombstones: DataFrame,
@@ -1448,8 +1456,11 @@ object LakeTable {
         armMaxId(c.appliedBatches, arm).exists(_ >= idStr.toLong))
   }
 
-  /** The max recorded batchId of `arm`'s qualified numeric markers. */
-  private def armMaxId(applied: Set[String], arm: String): Option[Long] = {
+  /** The max recorded batchId of `arm`'s qualified numeric markers.
+    * Shared with [[graft.streaming.ScdMaintainer]]'s pair markers — one
+    * implementation of the high-water rule, not two drifting copies.
+    */
+  private[graft] def armMaxId(applied: Set[String], arm: String): Option[Long] = {
     val prefix = arm + "#"
     val ids = applied.collect {
       case e if e.startsWith(prefix) &&
@@ -1472,8 +1483,17 @@ object LakeTable {
     * post-upgrade commit for an arm collapses that arm's entries to one.
     * Non-numeric or bare entries pass through verbatim (defensive —
     * mutations only ever construct `arm#<long>`).
+    *
+    * THE CONTRACT THIS RESTS ON: one arm name = one checkpointed stream.
+    * Two independent producers sharing an arm (e.g. both left on a
+    * method's default) would silently swallow whichever one's ids run
+    * lower — under the high-water rule that is every batch below the
+    * other producer's counter, where exact set-membership only swallowed
+    * exact collisions. An out-of-band one-shot job against a streamed
+    * table must pass a DISTINCT arm, or batchId = None when its
+    * operation is semantically idempotent anyway (tombstones).
     */
-  private def addMarker(applied: Set[String], marker: String): Set[String] = {
+  private[graft] def addMarker(applied: Set[String], marker: String): Set[String] = {
     val cut = marker.indexOf('#')
     if (cut < 0) return applied + marker
     val (arm, idStr) = (marker.substring(0, cut), marker.substring(cut + 1))

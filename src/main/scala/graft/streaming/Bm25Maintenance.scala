@@ -88,6 +88,12 @@ final class Bm25Maintainer private (
     // would be written and re-parsed per fold forever (O(batches-ever))
     if (batchId.exists(b => folded.maxOption.exists(_ >= b))) return false
     if (batch.isEmpty) return false
+    // re-check the fence at the write boundary: the isEmpty probe above
+    // is a Spark job a zombie can stall in while a takeover lands, and
+    // clearUnmarked would then sweep the NEW owner's in-flight (still
+    // unmarked) version dir out from under its marker rename — wedging
+    // the artifact with a committed version whose parquet is gone
+    assertOwner()
     // a fold that crashed between the parquet write and the marker left
     // an unmarked v+1 directory; without clearing it this write would
     // throw 'path already exists' on EVERY subsequent fold — the orphan

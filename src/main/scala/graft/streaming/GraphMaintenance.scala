@@ -272,6 +272,10 @@ final class GraphMaintainer private (
       .filter(col("rank") <= k)
       .select(col("vec_id"), col("neighbor_id"), col("rank"), col("cos"), col("cell"))
       .localCheckpoint()
+    // re-check the fence at the write boundary (same rationale as fold:
+    // the partition overwrite has no atomic rename backstop, and the
+    // derivation above can take long enough for a takeover to land)
+    assertOwner()
     survivors.repartition(col("cell")).write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("cell").parquet(s"$workDir/routing")

@@ -68,13 +68,23 @@ private[streaming] object OwnerFence {
         "in-flight work is discarded by the artifact's own recovery")
   }
 
-  /** Drop superseded epoch files (only the max fences); returns count. */
+  /** Drop superseded epoch files (only the max fences) and crashed
+    * acquires' `.tmp-*` debris; returns count. Deleting a tmp a
+    * CONCURRENT acquire is mid-rename on is harmless: that rename
+    * returns false and the acquire loop retries with the next epoch.
+    */
   def gcSuperseded(
       fs: org.apache.hadoop.fs.FileSystem, dir: String): Int = {
     val all = epochs(fs, dir)
     val mx = all.maxOption.getOrElse(0)
     val old = all.filter(_ < mx)
     old.foreach(e => fs.delete(epochPath(dir, e), false))
-    old.size
+    val p = new Path(dir)
+    val tmps =
+      if (!fs.exists(p)) Seq.empty[Path]
+      else fs.listStatus(p).toSeq.map(_.getPath)
+        .filter(_.getName.startsWith(".tmp-"))
+    tmps.foreach(fs.delete(_, false))
+    old.size + tmps.size
   }
 }

@@ -251,7 +251,12 @@ final class ScdMaintainer private (
       if (LakeTable.shouldMaterialize(spark, currentTablePath, frac))
         kv = LakeTable.materializeDeletes(
           spark, currentTablePath, Seq("key"), nFilesNew = 1,
-          targetFileBytes = compactTargetBytes).version
+          // always byte-targeted: without a compact target the rewrite
+          // would pack the WHOLE shadowed set into one monotonically
+          // growing file that every later materialize rewrites whole
+          // and no compaction (undersized-only) could ever split
+          targetFileBytes = compactTargetBytes
+            .orElse(Some(DefaultMaterializeTargetBytes))).version
     }
     // 4. ... and bounded file counts: bin-pack either table's slivers
     //    in-loop — compact directly: its own <2-undersized check is the
@@ -392,10 +397,11 @@ final class ScdMaintainer private (
     val nData = LakeTable.vacuum(spark, closedTablePath, keepClosed, graceMs) +
       LakeTable.vacuum(spark, currentTablePath, keepCurrent, graceMs)
     val cutoff = System.currentTimeMillis() - graceMs
-    // pair markers beyond the retention window (never the newest)
+    // pair markers beyond the retention window (never the newest) —
+    // listed once, deleted from that list (an honest count, no re-list)
     val oldMarkers = committedVersions(fs, workDir)
       .filter(_ <= vCur - math.max(1, keepVersions))
-    pruneMarkers(keepVersions, vCur)
+    oldMarkers.foreach(v => fs.delete(markerPath(workDir, v), false))
     // crashed commitMarker attempts leave .tmp-<uuid> files
     val tmp = fs.listStatus(new Path(s"$workDir/fold")).toSeq.map(_.getPath)
       .filter(p => p.getName.startsWith(".tmp-") &&
@@ -408,6 +414,12 @@ final class ScdMaintainer private (
 }
 
 object ScdMaintainer {
+
+  /** Materialize output width when no compactTargetBytes is configured —
+    * Spark's default scan-split size, so materialized parts stay
+    * splittable and re-compactable.
+    */
+  private val DefaultMaterializeTargetBytes: Long = 128L << 20
 
   private final case class Marker(closedV: Int, currentV: Int, folded: Set[String])
 
@@ -481,20 +493,15 @@ object ScdMaintainer {
     OwnerFence.acquire(fs, s"$workDir/owner")
 
   // ---- per-arm replay high-water marks --------------------------------
+  // the prefix-scan / max / collapse logic is LakeTable's — ONE
+  // implementation serves both the manifest A-lines and the pair markers
 
   /** The arm's recorded high-water batchId (None before its first
     * commit). Entries are `arm#<long>`; a legacy marker may hold many —
     * the max IS the high-water under the monotone-batchId contract.
     */
-  private def armHighWater(folded: Set[String], arm: String): Option[Long] = {
-    val prefix = arm + "#"
-    val ids = folded.collect {
-      case e if e.startsWith(prefix) && e.length > prefix.length &&
-          e.substring(prefix.length).forall(_.isDigit) =>
-        e.substring(prefix.length).toLong
-    }
-    if (ids.isEmpty) None else Some(ids.max)
-  }
+  private def armHighWater(folded: Set[String], arm: String): Option[Long] =
+    LakeTable.armMaxId(folded, arm)
 
   private def applied(folded: Set[String], arm: String, b: Long): Boolean =
     armHighWater(folded, arm).exists(_ >= b)
@@ -502,12 +509,8 @@ object ScdMaintainer {
   /** Record `arm`'s batch `b`, keeping ONLY the per-arm max — one line
     * per arm in the marker file, forever, however many batches fold.
     */
-  private def record(folded: Set[String], arm: String, b: Long): Set[String] = {
-    val prefix = arm + "#"
-    val keep = math.max(b, armHighWater(folded, arm).getOrElse(Long.MinValue))
-    folded.filterNot(e => e.startsWith(prefix) && e.length > prefix.length &&
-      e.substring(prefix.length).forall(_.isDigit)) + s"$arm#$keep"
-  }
+  private def record(folded: Set[String], arm: String, b: Long): Set[String] =
+    LakeTable.addMarker(folded, s"$arm#$b")
 
   private def markerOf(
       fs: org.apache.hadoop.fs.FileSystem, workDir: String, v: Int): Marker = {
