@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -20,8 +20,9 @@ import graft.operators.SimilaritySearch
   * stream state — and it lives on RELIABLE storage, not in the streaming
   * checkpoint and not in `localCheckpoint` lineage: `workDir` holds
   *   - `centroids/`   the frozen coarse quantizer (written once per epoch),
-  *   - `routing/`     (vec_id, embedding, cell), parquet PARTITIONED BY cell,
-  *   - `graph/`       (vec_id, neighbor_id, rank, cos, cell), partitioned by cell,
+  *   - `data/routing/fold=<token>/cell=<c>/`  (vec_id, embedding) cell slices,
+  *   - `data/graph/fold=<token>/cell=<c>/`    (vec_id, neighbor_id, rank, cos),
+  *   - `_commits/`    the MANIFEST LOG (see below) — the only thing readers trust,
   *   - `folded/`      the replay HIGH-WATER marker (`hw-<maxBatchId>`,
   *                    swept — O(1) files however many batches ever fold;
   *                    monotone batchIds make `id <= max` the replay test).
@@ -30,24 +31,50 @@ import graft.operators.SimilaritySearch
   * never costs the epoch (the failure mode `localCheckpoint`, documented
   * non-fault-tolerant, could not survive).
   *
+  * ATOMIC VERSIONED COMMIT: every fold/retire lands its touched cells'
+  * rows as IMMUTABLE files under a fresh `fold=<token>/` directory (never
+  * overwriting a live file), then publishes ONE manifest —
+  * `_commits/m<ownerEpoch>-<seq>.txt`, a line per live (artifact, cell)
+  * naming its token — by rename-without-overwrite. The rename is the
+  * commit point: a crash anywhere before it publishes NOTHING (the landed
+  * token dirs are invisible orphans [[vacuum]] sweeps), and both
+  * artifacts move in the SAME commit, so the routing-clean/graph-stale
+  * half-states the pre-manifest design could leave can no longer exist.
+  * Readers resolve the lexicographically newest manifest; the owner
+  * epoch LEADS the name, so a fenced zombie's late commit (acquired a
+  * lower [[OwnerFence]] epoch, stalled past its fence check) sorts below
+  * everything the new owner publishes and is never served once the new
+  * owner commits — the fencing-token construction: writes are stamped
+  * with the token and only the max-token writer's are honored. The
+  * zombie additionally re-checks the fence AFTER its rename and BEFORE
+  * advancing the replay marker, so a batch whose commit lost the race
+  * can never be marked applied — redelivery re-folds it (the
+  * embedding-equality probe makes the replay a no-op if the commit did
+  * land visibly). This is the same backstop contract as the lake's
+  * versioned rename and Bm25's marker rename; the design cites Delta's
+  * commit-protocol ideas (public knowledge), the implementation is a
+  * bespoke tab-separated format.
+  *
   * Per-fold cost is genuinely incremental: the batch alone is assigned to
   * cells (O(|batch| · nCentroids) kernel work); the stored corpus
-  * contributes ONLY its touched-cell slice — both `routing/` and `graph/`
-  * are partitioned by cell, so the reads partition-prune to the batch's
-  * cells — and the writes are dynamic partition overwrites of those same
-  * cells. Untouched cells are never read, re-ranked, or rewritten, so
+  * contributes ONLY its touched-cell slice — the manifest maps every
+  * cell to its live files, so reads open exactly the touched cells'
+  * directories (manifest-level pruning: untouched cells are never even
+  * LISTED, which beats catalog partition pruning at 100 TB scale) — and
+  * the commit replaces only the touched cells' manifest entries.
+  * Untouched cells are never read, re-ranked, or rewritten, so
   * steady-state work tracks the ingest rate × mean cell size, never the
   * accumulated corpus.
   *
   * Idempotence / at-least-once: folds are replay-safe three ways —
   * (1) an applied batchId short-circuits on the `folded/` high-water;
   * (2) a batch vector whose vec_id is already stored WITH THE SAME
-  * embedding is a replayed row (crash between the routing write and the
+  * embedding is a replayed row (crash between the manifest commit and the
   * marker) and is dropped; a same-id DIFFERENT-embedding row is a true
   * update/re-embed and throws — the fail-loud append-only contract
   * [[SimilaritySearch.knnGraphIncrement]] pins; (3) the re-rank dedups
-  * (vec_id, neighbor_id) before the window, so re-merging edges a
-  * half-applied fold already wrote cannot double-count a neighbor.
+  * (vec_id, neighbor_id) before the window, so re-merging edges an
+  * earlier commit already published cannot double-count a neighbor.
   * The id-overlap probe is Bloom-prescreened (driver-held filter over all
   * stored ids, fed per fold), so the common no-collision fold never scans
   * stored ids at all.
@@ -58,11 +85,10 @@ final class GraphMaintainer private (
     idFilter: BloomFilter, epoch: Int) {
   import GraphMaintainer._
 
-  /** Cross-JVM single-ownership ([[OwnerFence]]): the fold/retire writes
-    * are dynamic partition OVERWRITES — two live maintainers interleaving
-    * them would corrupt cell partitions non-transactionally, so recover()
-    * takes over by landing the next owner epoch and a superseded
-    * maintainer fails loud at its next mutation entry.
+  /** Cross-JVM single-ownership ([[OwnerFence]]): recover() takes over by
+    * landing the next owner epoch and a superseded maintainer fails loud
+    * at its next mutation entry; the manifest rename (epoch-prefixed,
+    * never-overwriting) backstops the residual check→commit window.
     */
   private def assertOwner(): Unit =
     OwnerFence.assertOwner(fs, s"$workDir/owner", epoch, "GraphMaintainer")
@@ -71,14 +97,17 @@ final class GraphMaintainer private (
 
   /** The maintained artifact — what [[SimilaritySearch.graphSearchTopK]]
     * walks and the recall audit measures at the next refresh. Always the
-    * on-disk state, so a recovered maintainer serves the same frame.
+    * latest MANIFEST's state, so a recovered maintainer serves the same
+    * frame and a torn or orphaned write is never visible.
     */
-  def graph: DataFrame = spark.read.parquet(s"$workDir/graph")
-    .select(col("vec_id"), col("neighbor_id"), col("rank"), col("cos"))
+  def graph: DataFrame =
+    readArtifact(spark, workDir, GraphArt, latestEntries(fs, workDir), None)
+      .select(col("vec_id"), col("neighbor_id"), col("rank"), col("cos"))
 
   /** Vectors folded so far (refresh corpus + every batch). */
-  def corpus: DataFrame = spark.read.parquet(s"$workDir/routing")
-    .select(col("vec_id"), col("embedding"))
+  def corpus: DataFrame =
+    readArtifact(spark, workDir, RoutingArt, latestEntries(fs, workDir), None)
+      .select(col("vec_id"), col("embedding"))
 
   /** Fold one batch of vectors in — exact per the merge==rebuild
     * invariant (SimilaritySpec pins it); chained folds stay exact because
@@ -108,9 +137,10 @@ final class GraphMaintainer private (
     val ids = b0.select(col("vec_id")).as[Long].collect()
     val suspects = ids.filter(idFilter.mightContainLong)
     val replayIds: Set[Long] = if (suspects.isEmpty) Set.empty else {
-      val stored = spark.read.parquet(s"$workDir/routing")
-        .join(broadcast(suspects.toSeq.toDF("vec_id")), Seq("vec_id"), "left_semi")
-        .select(col("vec_id"), col("embedding").as("stored_emb"))
+      val stored =
+        readArtifact(spark, workDir, RoutingArt, latestEntries(fs, workDir), None)
+          .join(broadcast(suspects.toSeq.toDF("vec_id")), Seq("vec_id"), "left_semi")
+          .select(col("vec_id"), col("embedding").as("stored_emb"))
       val overlap = b0.join(broadcast(stored), Seq("vec_id"))
         .select(col("vec_id"),
           (col("embedding") === col("stored_emb")).as("same"))
@@ -124,14 +154,15 @@ final class GraphMaintainer private (
     }
     val b = if (replayIds.isEmpty) b0
       else b0.join(broadcast(replayIds.toSeq.toDF("vec_id")), Seq("vec_id"), "left_anti")
-    // re-check the fence at the write boundary: unlike the lake/Bm25
-    // maintainers, the partition-overwrite commit has no atomic rename
-    // backstop, so the check belongs as close to the writes as possible
-    assertOwner()
     val touched =
       if (replayIds.size < ids.length) applyFold(b) else noneTouched
     ids.foreach(idFilter.putLong)
-    batchId.foreach(commitFoldedHighWater)
+    // the marker advances only while STILL owner: a commit that raced a
+    // takeover (landed its manifest after the new epoch — invisible the
+    // moment the new owner publishes) must stay UNMARKED so the source
+    // redelivers it; the replay probe then makes the redelivery exact
+    // whether or not the racing commit ended up visible
+    batchId.foreach { id => assertOwner(); commitFoldedHighWater(id) }
     touched
   }
 
@@ -173,63 +204,75 @@ final class GraphMaintainer private (
 
   private def applyFold(b: DataFrame): DataFrame = {
     graft.plans.GraftFunctions.register(spark)
+    // the commit base, resolved ONCE: the same manifest answers the
+    // touched-cell reads below and seeds the entries the commit replaces
+    val base = latestEntries(fs, workDir)
     val batchCells = SimilaritySearch.cellAssign(b, centroids).localCheckpoint()
     val touched = batchCells.select(col("cell")).distinct()
-      .collect().map(_.getLong(0))
-    // partition-pruned reads: only the batch's cells are scanned
-    val oldTouched = spark.read.parquet(s"$workDir/routing")
-      .filter(col("cell").isin(touched: _*))
-      .select(col("vec_id"), col("embedding"), col("cell").cast("long").as("cell"))
-      .localCheckpoint()
+      .collect().map(_.getLong(0)).toSeq
+    // manifest-pruned reads: only the batch's cells' directories open
+    val oldTouched =
+      readArtifact(spark, workDir, RoutingArt, base, Some(touched.toSet))
+        .select(col("vec_id"), col("embedding"), col("cell"))
+        .localCheckpoint()
     val fresh = SimilaritySearch
       .cellEdgesWithCell(oldTouched.unionByName(batchCells), broadcast(batchCells))
       .unionByName(SimilaritySearch.cellEdgesWithCell(broadcast(batchCells), oldTouched))
-    val oldEdges = spark.read.parquet(s"$workDir/graph")
-      .filter(col("cell").isin(touched: _*))
-      .select(col("vec_id"), col("neighbor_id"), col("cell").cast("long").as("cell"),
-        col("cos"))
+    val oldEdges =
+      readArtifact(spark, workDir, GraphArt, base, Some(touched.toSet))
+        .select(col("vec_id"), col("neighbor_id"), col("cell"), col("cos"))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     val reranked = oldEdges.unionByName(fresh)
-      // replay safety: a half-applied fold's edges re-merge as duplicates
+      // replay safety: a visible racing commit's edges re-merge as duplicates
       .dropDuplicates("vec_id", "neighbor_id")
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("vec_id"), col("neighbor_id"), col("rank"), col("cos"), col("cell"))
-    // dynamic partition overwrite: only the touched cells' files change.
-    // The pre-write repartition on cell puts each cell's rows in ONE task,
-    // so every overwritten partition dir holds one file — without it, every
-    // shuffle task that owns a few rows of a cell commits its own small
-    // file and the per-fold commit cost scales with tasks × cells
-    reranked.repartition(col("cell")).write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("cell").parquet(s"$workDir/graph")
-    oldTouched.unionByName(batchCells)
-      .repartition(col("cell")).write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("cell").parquet(s"$workDir/routing")
+    publish(base, touched, reranked, oldTouched.unionByName(batchCells))
     oldTouched.select(col("vec_id"))
       .unionByName(batchCells.select(col("vec_id"))).localCheckpoint()
+  }
+
+  /** Land both artifacts' touched-cell rows as immutable token dirs, then
+    * publish ONE manifest replacing the touched cells' entries — cells
+    * the new frames left empty simply drop out (no explicit directory
+    * deletes; their old files become vacuum garbage). The fence re-check
+    * sits immediately before the rename, narrowing the zombie window to
+    * the rename itself, which the epoch-prefixed name then loses silently
+    * (never served once the new owner commits) instead of corrupting.
+    */
+  private def publish(
+      base: Map[(String, Long), String], touched: Seq[Long],
+      graphDf: DataFrame, routingDf: DataFrame): Unit = {
+    val (gTok, gCells) = landCells(fs, workDir, graphDf, GraphArt)
+    val (rTok, rCells) = landCells(fs, workDir, routingDf, RoutingArt)
+    val next = base --
+      touched.map(c => (GraphArt, c)) -- touched.map(c => (RoutingArt, c)) ++
+      gCells.map(c => (GraphArt, c) -> gTok) ++
+      rCells.map(c => (RoutingArt, c) -> rTok)
+    assertOwner()
+    commitManifest(fs, workDir, epoch, next)
+    ()
   }
 
   /** RETIRE stored vectors from the landed artifact —
     * [[SimilaritySearch.knnGraphRetire]] at the maintainer: the frozen
     * quantizer makes every edge same-cell, so only the doomed ids' cells
-    * are read (partition-pruned), their survivors re-score, and ONLY
-    * those cell partitions of `graph/` and `routing/` rewrite. Returns
-    * the influence set (the touched cells' surviving vertices — the
-    * re-vote input, like [[fold]]'s).
+    * are read (manifest-pruned), their survivors re-score, and ONLY
+    * those cells' manifest entries move — in the same single atomic
+    * commit as a fold, so no crash can strand stale edges behind an
+    * already-clean routing (both artifacts publish together or not at
+    * all). Returns the influence set (the touched cells' surviving
+    * vertices — the re-vote input, like [[fold]]'s).
     *
     * Idempotent by re-run: touched cells are found via the doomed ids in
-    * `routing/` OR as a vertex/neighbor in `graph/` (both column-pruned
-    * id scans), so a crash between the partition rewrites converges on
-    * the next call instead of stranding stale edges behind an
-    * already-cleaned routing. Cell partitions left without survivors (or
-    * without edges — one survivor makes no pair) are deleted explicitly:
-    * dynamic overwrite only touches partitions present in the written
-    * frame. Retired ids stay in the Bloom prescreen (additive-only) —
-    * harmless: the exact confirm consults `routing/`, so a later
-    * re-insert of a retired id folds as a NEW vector.
+    * routing OR as a vertex/neighbor in the graph (both column-pruned
+    * id scans), so re-running a completed retire is a no-op. Cells left
+    * without survivors (or without edges — one survivor makes no pair)
+    * drop out of the manifest. Retired ids stay in the Bloom prescreen
+    * (additive-only) — harmless: the exact confirm consults routing, so
+    * a later re-insert of a retired id folds as a NEW vector.
     */
   def retire(tombstones: DataFrame): DataFrame = synchronized {
     assertOwner()
@@ -247,24 +290,25 @@ final class GraphMaintainer private (
         "are quantizer centroids — their raw embeddings live in centroids/ " +
         "and route every fold; forgetting them requires rebuilding the " +
         "epoch (GraphMaintainer.build over the surviving corpus)")
-    val routingCells = spark.read.parquet(s"$workDir/routing")
+    val base = latestEntries(fs, workDir)
+    val routingCells = readArtifact(spark, workDir, RoutingArt, base, None)
       .join(broadcast(doomed), Seq("vec_id"), "left_semi")
-      .select(col("cell").cast("long").as("cell"))
-    val g = spark.read.parquet(s"$workDir/graph")
+      .select(col("cell"))
+    val g = readArtifact(spark, workDir, GraphArt, base, None)
     val graphCells = g
       .join(broadcast(doomed), Seq("vec_id"), "left_semi")
-      .select(col("cell").cast("long").as("cell"))
+      .select(col("cell"))
       .unionByName(g
         .join(broadcast(doomed), g("neighbor_id") === doomed("vec_id"), "left_semi")
-        .select(col("cell").cast("long").as("cell")))
+        .select(col("cell")))
     val touched = routingCells.unionByName(graphCells)
-      .distinct().as[Long].collect()
+      .distinct().as[Long].collect().toSeq
     if (touched.isEmpty) return spark.emptyDataset[Long].toDF("vec_id")
-    val survivors = spark.read.parquet(s"$workDir/routing")
-      .filter(col("cell").isin(touched: _*))
-      .select(col("vec_id"), col("embedding"), col("cell").cast("long").as("cell"))
-      .join(broadcast(doomed), Seq("vec_id"), "left_anti")
-      .localCheckpoint()
+    val survivors =
+      readArtifact(spark, workDir, RoutingArt, base, Some(touched.toSet))
+        .select(col("vec_id"), col("embedding"), col("cell"))
+        .join(broadcast(doomed), Seq("vec_id"), "left_anti")
+        .localCheckpoint()
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     val repaired = SimilaritySearch.cellEdgesWithCell(survivors, survivors)
@@ -272,25 +316,64 @@ final class GraphMaintainer private (
       .filter(col("rank") <= k)
       .select(col("vec_id"), col("neighbor_id"), col("rank"), col("cos"), col("cell"))
       .localCheckpoint()
-    // re-check the fence at the write boundary (same rationale as fold:
-    // the partition overwrite has no atomic rename backstop, and the
-    // derivation above can take long enough for a takeover to land)
-    assertOwner()
-    survivors.repartition(col("cell")).write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("cell").parquet(s"$workDir/routing")
-    repaired.repartition(col("cell")).write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("cell").parquet(s"$workDir/graph")
-    // partitions the writes above could not empty: no survivors → no
-    // routing rows; <2 survivors → no edges
-    val survivedCells = survivors.select(col("cell")).distinct().as[Long].collect().toSet
-    val edgedCells = repaired.select(col("cell")).distinct().as[Long].collect().toSet
-    touched.filterNot(survivedCells).foreach(c =>
-      fs.delete(new Path(s"$workDir/routing/cell=$c"), true))
-    touched.filterNot(edgedCells).foreach(c =>
-      fs.delete(new Path(s"$workDir/graph/cell=$c"), true))
+    publish(base, touched, repaired, survivors)
     survivors.select(col("vec_id"))
+  }
+
+  /** Sweep commit garbage: manifests beyond the newest `keepManifests`
+    * (≥ 2 recommended — a reader that resolved "latest" a moment ago must
+    * still be able to open it), token cell-directories no retained
+    * manifest references (crashed commits' orphans, replaced cell
+    * slices), `.tmp-` debris, and superseded owner epochs. `graceMs`
+    * shields a concurrent commit's just-landed-but-not-yet-published
+    * files from the sweep — on a deployment where a fenced zombie could
+    * be mid-commit, set it longer than the longest conceivable
+    * land→rename gap (the same convention as the lake's data-file
+    * vacuum). Returns the number of paths dropped.
+    */
+  def vacuum(keepManifests: Int = 2, graceMs: Long = 0L): Int = synchronized {
+    assertOwner()
+    require(keepManifests >= 1, "GraphMaintainer.vacuum: keepManifests >= 1")
+    val names = manifestNames(fs, workDir)
+    val keep = names.takeRight(keepManifests).toSet
+    val referenced: Set[String] = names.filter(keep).flatMap { n =>
+      readManifest(fs, workDir, n).map { case ((a, c), t) =>
+        s"data/$a/fold=$t/cell=$c"
+      }
+    }.toSet
+    val now = System.currentTimeMillis()
+    var dropped = 0
+    Seq(GraphArt, RoutingArt).foreach { a =>
+      val root = new Path(s"$workDir/data/$a")
+      if (fs.exists(root)) {
+        fs.listStatus(root).filter(_.getPath.getName.startsWith("fold=")).foreach { fd =>
+          fs.listStatus(fd.getPath)
+            .filter(_.getPath.getName.startsWith("cell=")).foreach { cd =>
+              val rel = s"data/$a/${fd.getPath.getName}/${cd.getPath.getName}"
+              if (!referenced(rel) && now - cd.getModificationTime >= graceMs) {
+                fs.delete(cd.getPath, true)
+                dropped += 1
+              }
+            }
+          if (!fs.listStatus(fd.getPath)
+              .exists(_.getPath.getName.startsWith("cell="))) {
+            fs.delete(fd.getPath, true)
+            ()
+          }
+        }
+      }
+    }
+    (names.toSet -- keep).foreach { n =>
+      fs.delete(new Path(s"$workDir/_commits/$n"), false)
+      dropped += 1
+    }
+    val cDir = new Path(s"$workDir/_commits")
+    if (fs.exists(cDir))
+      fs.listStatus(cDir).map(_.getPath)
+        .filter(p => p.getName.startsWith(".tmp-") &&
+          now - fs.getFileStatus(p).getModificationTime >= graceMs)
+        .foreach { p => fs.delete(p, false); dropped += 1 }
+    dropped + OwnerFence.gcSuperseded(fs, s"$workDir/owner")
   }
 
   /** Attach to a vector stream: every micro-batch folds into the graph
@@ -308,17 +391,132 @@ final class GraphMaintainer private (
 
 object GraphMaintainer {
 
+  private[graft] val GraphArt = "graph"
+  private[graft] val RoutingArt = "routing"
+  private val GraphDdl =
+    "vec_id BIGINT, neighbor_id BIGINT, rank INT, cos DOUBLE, cell BIGINT"
+  private val RoutingDdl = "vec_id BIGINT, embedding ARRAY<FLOAT>, cell BIGINT"
+  private val ManifestRe = """m(\d{6})-(\d{9})\.txt""".r
+
   private def narrow(df: DataFrame): DataFrame =
     df.select(col("vec_id"), col("embedding"))
 
-  /** Build the epoch's artifacts in `workDir` (quantizer, routing, graph)
-    * from the refresh-time corpus, then maintain from there.
+  /** Committed manifests, ascending — the epoch field leads the name, so
+    * lexicographic order IS fencing order: everything a newer owner
+    * publishes sorts above everything any superseded owner ever can.
+    */
+  private[graft] def manifestNames(fs: FileSystem, workDir: String): Seq[String] = {
+    val p = new Path(s"$workDir/_commits")
+    if (!fs.exists(p)) return Nil
+    fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(ManifestRe.matches(_)).sorted
+  }
+
+  /** One manifest's (artifact, cell) → token map. */
+  private[graft] def readManifest(
+      fs: FileSystem, workDir: String, name: String): Map[(String, Long), String] = {
+    val in = fs.open(new Path(s"$workDir/_commits/$name"))
+    val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
+      finally in.close()
+    lines.filter(_.nonEmpty).map { l =>
+      val Array(a, c, t) = l.split('\t')
+      (a, c.toLong) -> t
+    }.toMap
+  }
+
+  /** The latest committed state (empty before the first commit). */
+  private[graft] def latestEntries(
+      fs: FileSystem, workDir: String): Map[(String, Long), String] =
+    manifestNames(fs, workDir).lastOption
+      .map(readManifest(fs, workDir, _)).getOrElse(Map.empty)
+
+  /** Publish `entries` as the next manifest by rename-without-overwrite
+    * — THE commit point. The sequence number is monotone across epochs
+    * (max over every committed name + 1), the epoch prefix puts every
+    * commit of a superseded owner below the new owner's first, and a
+    * lost rename (same name landed twice — impossible under distinct
+    * acquired epochs) fails loud rather than retrying blind.
+    */
+  private[graft] def commitManifest(
+      fs: FileSystem, workDir: String, epoch: Int,
+      entries: Map[(String, Long), String]): String = {
+    val dir = new Path(s"$workDir/_commits")
+    fs.mkdirs(dir)
+    val seq = manifestNames(fs, workDir)
+      .collect { case ManifestRe(_, s) => s.toLong }.maxOption.getOrElse(0L) + 1
+    val name = f"m$epoch%06d-$seq%09d.txt"
+    val body = entries.toSeq.sortBy { case ((a, c), _) => (a, c) }
+      .map { case ((a, c), t) => s"$a\t$c\t$t" }.mkString("\n")
+    val tmp = new Path(dir, s".tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, false)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    if (!fs.rename(tmp, new Path(dir, name))) {
+      fs.delete(tmp, false)
+      throw new IllegalStateException(
+        s"GraphMaintainer: manifest $name already exists — a concurrent " +
+          "commit under the same owner epoch violates the single-owner " +
+          "contract (OwnerFence.acquire hands out distinct epochs)")
+    }
+    name
+  }
+
+  /** Land one artifact's rows as an immutable `fold=<token>/cell=<c>/`
+    * tree (the pre-write repartition on cell puts each cell's rows in ONE
+    * task, so every cell directory holds one file — without it, every
+    * shuffle task that owns a few rows of a cell commits its own small
+    * file and per-commit file counts scale with tasks × cells). Returns
+    * the token and the cells that actually received rows — nothing is
+    * visible until a manifest references them.
+    */
+  private def landCells(
+      fs: FileSystem, workDir: String, df: DataFrame,
+      artifact: String): (String, Seq[Long]) = {
+    val token = "t" + java.util.UUID.randomUUID().toString.replace("-", "").take(16)
+    val dir = s"$workDir/data/$artifact/fold=$token"
+    df.repartition(col("cell")).write.partitionBy("cell").parquet(dir)
+    val cells = fs.listStatus(new Path(dir)).toSeq.map(_.getPath.getName)
+      .collect { case n if n.startsWith("cell=") => n.stripPrefix("cell=").toLong }
+    (token, cells)
+  }
+
+  /** Read one artifact at a manifest's state, optionally pruned to a cell
+    * set: exactly the chosen cells' directories are passed to the scan
+    * (with `basePath` so the fold/cell partition values resolve), so
+    * pruning happens at the MANIFEST — untouched cells are never listed.
+    */
+  private[graft] def readArtifact(
+      spark: SparkSession, workDir: String, artifact: String,
+      entries: Map[(String, Long), String],
+      cells: Option[Set[Long]]): DataFrame = {
+    val chosen = entries.collect {
+      case ((a, c), t) if a == artifact && cells.forall(_.contains(c)) => (c, t)
+    }.toSeq
+    if (chosen.isEmpty) {
+      val ddl = if (artifact == GraphArt) GraphDdl else RoutingDdl
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row],
+        org.apache.spark.sql.types.StructType.fromDDL(ddl))
+    }
+    val paths = chosen.map { case (c, t) =>
+      s"$workDir/data/$artifact/fold=$t/cell=$c"
+    }
+    spark.read.option("basePath", s"$workDir/data/$artifact")
+      .parquet(paths: _*)
+      .withColumn("cell", col("cell").cast("long"))
+      .drop("fold")
+  }
+
+  /** Build the epoch's artifacts in `workDir` (quantizer, routing, graph,
+    * first manifest) from the refresh-time corpus, then maintain from
+    * there.
     */
   def build(initialCorpus: DataFrame, workDir: String,
       k: Int = 5, nCentroids: Int = 16): GraphMaintainer = {
     val spark = initialCorpus.sparkSession
     import spark.implicits._
     graft.plans.GraftFunctions.register(spark)
+    val fs = new Path(workDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val epoch = OwnerFence.acquire(fs, s"$workDir/owner")
     val corpus = narrow(initialCorpus)
     val cs = SimilaritySearch.ivfCentroids(corpus, nCentroids)
     cs.toSeq.map { case (cid, emb, norm) => (cid, emb, norm) }
@@ -326,30 +524,35 @@ object GraphMaintainer {
       .coalesce(1).write.mode("overwrite").parquet(s"$workDir/centroids")
     val bcast = spark.sparkContext.broadcast(cs)
     val cells = SimilaritySearch.cellAssign(corpus, bcast).localCheckpoint()
-    cells.repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$workDir/routing")
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
-    SimilaritySearch.cellEdgesWithCell(cells, cells)
+    val edges = SimilaritySearch.cellEdgesWithCell(cells, cells)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("vec_id"), col("neighbor_id"), col("rank"), col("cos"), col("cell"))
-      .repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$workDir/graph")
-    val fs = new Path(workDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (rTok, rCells) = landCells(fs, workDir, cells, RoutingArt)
+    val (gTok, gCells) = landCells(fs, workDir, edges, GraphArt)
+    commitManifest(fs, workDir, epoch,
+      (rCells.map(c => (RoutingArt, c) -> rTok) ++
+        gCells.map(c => (GraphArt, c) -> gTok)).toMap)
     val out = fs.create(new Path(s"$workDir/meta.json"), true)
     out.write(s"""{"k":$k}""".getBytes("UTF-8")); out.close()
-    new GraphMaintainer(spark, workDir, k, bcast, bloomOf(spark, workDir),
-      OwnerFence.acquire(fs, s"$workDir/owner"))
+    new GraphMaintainer(spark, workDir, k, bcast, bloomOf(spark, workDir), epoch)
   }
 
-  /** Reopen `workDir` after a restart: the frozen quantizer, routing, and
-    * graph are the landed artifacts, so the recovered maintainer's next
-    * fold equals the uninterrupted one's (GraphMaintenanceSpec pins it).
+  /** Reopen `workDir` after a restart: the frozen quantizer and the
+    * latest manifest's routing/graph are the landed artifacts, so the
+    * recovered maintainer's next fold equals the uninterrupted one's
+    * (GraphMaintenanceSpec pins it). A pre-manifest workDir (the
+    * partition-overwrite layout this format replaced) migrates in place:
+    * its cell directories rename under a `legacy` token and the first
+    * manifest pins them.
     */
   def recover(spark: SparkSession, workDir: String): GraphMaintainer = {
     import spark.implicits._
     val fs = new Path(workDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val epoch = OwnerFence.acquire(fs, s"$workDir/owner")
+    if (manifestNames(fs, workDir).isEmpty) migrateLegacy(fs, workDir, epoch)
     val in = fs.open(new Path(s"$workDir/meta.json"))
     val meta = try scala.io.Source.fromInputStream(in).mkString finally in.close()
     val k = """"k":(\d+)""".r.findFirstMatchIn(meta)
@@ -358,15 +561,45 @@ object GraphMaintainer {
     val cs = spark.read.parquet(s"$workDir/centroids")
       .as[(Long, Array[Double], Double)].collect().sortBy(_._1)
     new GraphMaintainer(spark, workDir, k,
-      spark.sparkContext.broadcast(cs), bloomOf(spark, workDir),
-      OwnerFence.acquire(fs, s"$workDir/owner"))
+      spark.sparkContext.broadcast(cs), bloomOf(spark, workDir), epoch)
+  }
+
+  /** One-time in-place migration from the pre-manifest layout
+    * (`<workDir>/{routing,graph}/cell=<c>/` rewritten by dynamic
+    * partition overwrite): each cell directory RENAMES under
+    * `data/<artifact>/fold=legacy/` — a metadata move, no data copied —
+    * and the first manifest pins them, after which every commit is
+    * atomic. Runs under the just-acquired epoch, so a still-live old
+    * maintainer is already fenced before the move.
+    */
+  private def migrateLegacy(fs: FileSystem, workDir: String, epoch: Int): Unit = {
+    val entries = Seq(RoutingArt, GraphArt).flatMap { a =>
+      val old = new Path(s"$workDir/$a")
+      if (!fs.exists(old)) Nil
+      else {
+        val dest = new Path(s"$workDir/data/$a/fold=legacy")
+        fs.mkdirs(dest)
+        val cellDirs = fs.listStatus(old).toSeq.map(_.getPath)
+          .filter(_.getName.startsWith("cell="))
+        cellDirs.foreach { c =>
+          require(fs.rename(c, new Path(dest, c.getName)),
+            s"GraphMaintainer: legacy migration could not move $c")
+        }
+        fs.delete(old, true) // _SUCCESS / crc debris
+        cellDirs.map(c => (a, c.getName.stripPrefix("cell=").toLong) -> "legacy")
+      }
+    }.toMap
+    commitManifest(fs, workDir, epoch, entries)
+    ()
   }
 
   /** Driver-held Bloom over every stored id — the O(1) prescreen that
     * keeps the common no-collision fold from scanning stored ids.
     */
   private def bloomOf(spark: SparkSession, workDir: String): BloomFilter = {
-    val ids = spark.read.parquet(s"$workDir/routing").select(col("vec_id"))
+    val fs = new Path(workDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ids = readArtifact(spark, workDir, RoutingArt,
+      latestEntries(fs, workDir), None).select(col("vec_id"))
     val n = ids.count()
     ids.stat.bloomFilter("vec_id", math.max(1000000L, 8 * n), 0.001)
   }

@@ -57,11 +57,24 @@ private[streaming] object OwnerFence {
     -1 // unreachable
   }
 
-  /** Fail loud if a newer epoch has landed since `epoch` was acquired. */
+  /** Fail loud if a newer epoch has landed since `epoch` was acquired —
+    * or if NO epoch file is listable at all: the caller acquired one, so
+    * an empty listing means the owner directory was deleted out-of-band
+    * or the store returned an inconsistent listing, and defaulting to
+    * "still owner" would silently un-fence EVERY maintainer at once
+    * (the vacuous-pass hole). Ownership is only ever asserted against
+    * evidence on disk.
+    */
   def assertOwner(
       fs: org.apache.hadoop.fs.FileSystem, dir: String, epoch: Int,
       what: String): Unit = {
-    val mx = epochs(fs, dir).maxOption.getOrElse(epoch)
+    val all = epochs(fs, dir)
+    require(all.nonEmpty,
+      s"$what: FENCED — owner directory $dir lists no epoch files at all " +
+        s"(this maintainer acquired epoch $epoch, so its file should " +
+        "exist); the directory was deleted out-of-band or the listing is " +
+        "inconsistent — refusing to mutate without ownership evidence")
+    val mx = all.max
     require(mx == epoch,
       s"$what: FENCED — this maintainer's epoch $epoch was superseded " +
         s"by $mx (another maintainer recovered the workDir); its " +

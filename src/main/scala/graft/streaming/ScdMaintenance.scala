@@ -285,10 +285,16 @@ final class ScdMaintainer private (
     true
   }
 
-  /** Drop pair markers at or below `vNow - keep` (never the newest). */
+  /** Drop pair markers at or below `vNow - keep`. Retention is clamped
+    * to TWO (current + previous) however small `keep` is: a reader that
+    * listed committedVersions a moment before the in-loop prune must
+    * still be able to open the marker it chose — the same in-flight-
+    * reader window [[Bm25Maintainer.fold]] and
+    * [[LakeMaintenance.refreshView]] keep current+previous for.
+    */
   private def pruneMarkers(keep: Int, vNow: Int): Unit =
     committedVersions(fs, workDir)
-      .filter(_ <= vNow - math.max(1, keep))
+      .filter(_ <= vNow - math.max(2, keep))
       .foreach(v => fs.delete(markerPath(workDir, v), false))
 
   /** Right-to-be-forgotten for the DIMENSION artifact: erase every trace

@@ -46,12 +46,11 @@ class GraphMaintenanceSpec extends SparkSpec {
     intercept[IllegalArgumentException](m.retire(centroidIds.limit(1)))
     val doomed = emb.filter(col("vec_id") % 7 === 0).select(col("vec_id"))
       .join(centroidIds, Seq("vec_id"), "left_anti")
-    // capture one doomed vertex's stale edges for the crash simulation
-    val staleProbe = m.graph
+    // capture some doomed edges WITH their cell: the crash simulation
+    // below re-lands them as an ORPHAN token (data written, no manifest)
+    val stale = spark.read.option("basePath", s"$dir/data/graph")
+      .parquet(s"$dir/data/graph").drop("fold")
       .join(doomed, Seq("vec_id"), "left_semi").limit(3)
-    val stale = spark.read.parquet(s"$dir/graph")
-      .join(staleProbe.select(col("vec_id"), col("neighbor_id")),
-        Seq("vec_id", "neighbor_id"), "left_semi")
       .localCheckpoint()
     assert(stale.count() > 0)
     m.retire(doomed)
@@ -69,14 +68,25 @@ class GraphMaintenanceSpec extends SparkSpec {
     // re-running the same retire is a no-op that still serves `want`
     m.retire(doomed)
     assert(m.graph.collect().map(_.toSeq).toSet == want)
-    // crash convergence: a retire that rewrote routing/ but died before
-    // graph/ leaves stale doomed edges behind an already-clean routing —
-    // the re-run must find their cells through the GRAPH references
-    stale.write.mode("append").partitionBy("cell").parquet(s"$dir/graph")
-    assert(m.graph.collect().map(_.toSeq).toSet != want, "stale edges planted")
+    // crash ATOMICITY: a retire (or fold) that landed its data files but
+    // died before the manifest rename publishes NOTHING — the stale
+    // doomed edges sit in an orphan token no manifest references, so the
+    // served graph is unchanged and a re-run stays converged (under the
+    // old partition-overwrite commit this exact crash left stale edges
+    // behind an already-clean routing)
+    stale.write.partitionBy("cell")
+      .parquet(s"$dir/data/graph/fold=torphancrash")
+    assert(m.graph.collect().map(_.toSeq).toSet == want,
+      "an unpublished token must be invisible to readers")
     m.retire(doomed)
     assert(m.graph.collect().map(_.toSeq).toSet == want,
-      "re-run must purge stale graph references after a simulated crash")
+      "re-run over the orphan stays converged")
+    // vacuum sweeps the orphan (and superseded manifests/epochs)
+    assert(m.vacuum(keepManifests = 2) > 0)
+    assert(!new java.io.File(s"$dir/data/graph/fold=torphancrash").exists(),
+      "vacuum must sweep the crashed commit's orphan token")
+    assert(m.graph.collect().map(_.toSeq).toSet == want,
+      "vacuum must not disturb the served artifact")
     // a retired id re-inserts as a NEW vector (bloom hit, exact confirm
     // finds routing empty for it) and the fold stays exact
     val one = emb.filter(col("vec_id") === ids.min)
@@ -193,31 +203,152 @@ class GraphMaintenanceSpec extends SparkSpec {
       "re-voting only the influence set must reproduce the full propagation")
   }
 
-  test("a fold touches only the batch's cells on disk") {
+  test("a fold moves only the batch's cells' manifest entries; untouched cell files are byte-stable") {
     val emb = Tables.embeddings(spark, sf)
     val old = emb.filter(col("vec_id") % 5 =!= 0)
     val b1 = emb.filter(col("vec_id") % 5 === 0).limit(3)
     val dir = tmp("prune")
     val m = GraphMaintainer.build(old, dir)
-    def partStamps = new java.io.File(s"$dir/graph").listFiles()
-      .filter(_.getName.startsWith("cell="))
-      .map(d => d.getName ->
-        d.listFiles().map(f => f.getName -> f.lastModified()).toSet)
-      .toMap
-    val before = partStamps
-    Thread.sleep(1100) // FS mtime granularity
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def fileStamps = {
+      def walk(f: java.io.File): Seq[(String, Long)] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else Seq(f.getPath -> f.lastModified())
+      walk(new java.io.File(s"$dir/data")).toMap
+    }
+    val before = GraphMaintainer.latestEntries(fs, dir)
+    val beforeFiles = fileStamps
     m.fold(b1)
     val touched = graft.operators.SimilaritySearch
       .cellAssign(b1.select(col("vec_id"), col("embedding")),
         spark.sparkContext.broadcast(
           SimilaritySearch.ivfCentroids(old.select(col("vec_id"), col("embedding")), 16)))
-      .select(col("cell")).distinct().as[Long].collect()
-      .map(c => s"cell=$c").toSet
-    val after = partStamps
-    val rewritten = after.keySet.filter(p => before.get(p) != after.get(p))
-    assert(rewritten.nonEmpty && rewritten.subsetOf(touched),
-      s"only the batch's cells may be rewritten: changed=$rewritten touched=$touched")
-    assert((before.keySet -- touched).forall(p => before(p) == after(p)),
-      "untouched cell partitions must be byte-stable across a fold")
+      .select(col("cell")).distinct().as[Long].collect().toSet
+    val after = GraphMaintainer.latestEntries(fs, dir)
+    // the commit replaced ONLY the touched cells' entries
+    val moved = (before.keySet ++ after.keySet)
+      .filter(k => before.get(k) != after.get(k))
+    assert(moved.nonEmpty && moved.forall { case (_, c) => touched(c) },
+      s"only the batch's cells may move: moved=$moved touched=$touched")
+    assert((before.keySet.filterNot { case (_, c) => touched(c) })
+      .forall(k => before(k) == after(k)),
+      "untouched cells must keep their manifest entries verbatim")
+    // token files are IMMUTABLE: every pre-fold data file survives the
+    // fold byte-identical (new cells land in a NEW token; nothing in
+    // place is rewritten — the property that makes the commit atomic)
+    val afterFiles = fileStamps
+    assert(beforeFiles.forall { case (p, t) => afterFiles.get(p).contains(t) },
+      "pre-fold data files must be untouched by a fold")
+  }
+
+  test("a fold that lands data but crashes before the manifest rename publishes nothing; the refold converges") {
+    val emb = Tables.embeddings(spark, sf)
+    val old = emb.filter(col("vec_id") % 5 =!= 0)
+    val batch = emb.filter(col("vec_id") % 5 === 0)
+    val dir = tmp("crash")
+    val m = GraphMaintainer.build(old, dir)
+    val preGraph = m.graph.collect().map(_.toSeq).toSet
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val preEntries = GraphMaintainer.latestEntries(fs, dir)
+    // simulate the crash window: the fold's token dirs land (both
+    // artifacts), then the process dies BEFORE commitManifest renames —
+    // i.e. write data the way a fold would, but never publish
+    graft.operators.SimilaritySearch
+      .cellAssign(batch.select(col("vec_id"), col("embedding")),
+        spark.sparkContext.broadcast(
+          SimilaritySearch.ivfCentroids(old.select(col("vec_id"), col("embedding")), 16)))
+      .write.partitionBy("cell").parquet(s"$dir/data/routing/fold=tcrashed")
+    assert(m.graph.collect().map(_.toSeq).toSet == preGraph,
+      "a crashed (unpublished) fold must serve the pinned pre-crash state")
+    assert(m.corpus.count() == old.count(),
+      "the crashed batch's vectors must not be visible")
+    assert(GraphMaintainer.latestEntries(fs, dir) == preEntries)
+    // the redelivered batch refolds from the pinned state and converges
+    val m2 = GraphMaintainer.recover(spark, dir)
+    m2.fold(batch, Some(1L))
+    assert(m2.graph.collect().map(_.toSeq).toSet == rebuildWant,
+      "the refold over the pinned state must equal the rebuild")
+    assert(m2.corpus.count() == emb.count())
+    // and the crashed token is vacuum garbage, not live state
+    m2.vacuum(keepManifests = 2)
+    assert(!new java.io.File(s"$dir/data/routing/fold=tcrashed").exists())
+    assert(m2.graph.collect().map(_.toSeq).toSet == rebuildWant)
+  }
+
+  test("two maintainers race: the superseded owner's late manifest is never served and its marker never advances") {
+    val emb = Tables.embeddings(spark, sf)
+    val old = emb.filter(col("vec_id") % 5 =!= 0)
+    val b1 = emb.filter(col("vec_id") % 5 === 0 && col("vec_id") % 2 === 0)
+    val b2 = emb.filter(col("vec_id") % 5 === 0 && col("vec_id") % 2 =!= 0)
+    val dir = tmp("race")
+    val m1 = GraphMaintainer.build(old, dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // takeover: m2 lands the next owner epoch and folds
+    val m2 = GraphMaintainer.recover(spark, dir)
+    m2.fold(b1, Some(1L))
+    val served = GraphMaintainer.latestEntries(fs, dir)
+    val servedGraph = m2.graph.collect().map(_.toSeq).toSet
+    // the zombie m1 fails loud at its next fold — entry fence
+    val e = intercept[IllegalArgumentException](m1.fold(b2, Some(2L)))
+    assert(e.getMessage.contains("FENCED"), e.getMessage)
+    // deeper: even a zombie that stalled PAST every fence check and
+    // reached the rename cannot be served — its manifest name carries the
+    // SUPERSEDED epoch, which sorts below everything the new owner has
+    // published (the fencing-token backstop the raw partition overwrite
+    // never had). Simulate that worst case by committing directly with
+    // the old epoch:
+    GraphMaintainer.commitManifest(fs, dir, epoch = 1,
+      Map((GraphMaintainer.GraphArt, 0L) -> "tzombie"))
+    assert(GraphMaintainer.latestEntries(fs, dir) == served,
+      "a lower-epoch manifest landing after the takeover must be invisible")
+    assert(m2.graph.collect().map(_.toSeq).toSet == servedGraph)
+    // the zombie's replay marker never advanced, so batch 2 is NOT
+    // wrongly marked applied — the new owner folds it for real
+    m2.fold(b2, Some(2L))
+    assert(m2.graph.collect().map(_.toSeq).toSet == rebuildWant,
+      "the winner's chain must converge to the rebuild")
+  }
+
+  test("a pre-manifest workDir migrates in place on recover and folds on atomically") {
+    val emb = Tables.embeddings(spark, sf)
+    val old = emb.filter(col("vec_id") % 5 =!= 0)
+    val batch = emb.filter(col("vec_id") % 5 === 0)
+    val dir = tmp("legacy")
+    // lay down the PRE-MANIFEST format by hand: cell-partitioned
+    // routing/ and graph/ at the workDir root, centroids, meta.json —
+    // exactly what the partition-overwrite build wrote
+    graft.plans.GraftFunctions.register(spark)
+    val cs = SimilaritySearch.ivfCentroids(
+      old.select(col("vec_id"), col("embedding")), 16)
+    cs.toSeq.toDF("cid", "emb", "norm")
+      .coalesce(1).write.parquet(s"$dir/centroids")
+    val cells = SimilaritySearch.cellAssign(
+      old.select(col("vec_id"), col("embedding")),
+      spark.sparkContext.broadcast(cs)).localCheckpoint()
+    cells.repartition(col("cell"))
+      .write.partitionBy("cell").parquet(s"$dir/routing")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    SimilaritySearch.cellEdgesWithCell(cells, cells)
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+      .select(col("vec_id"), col("neighbor_id"), col("rank"), col("cos"), col("cell"))
+      .repartition(col("cell"))
+      .write.partitionBy("cell").parquet(s"$dir/graph")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/meta.json"),
+      """{"k":5}""".getBytes("UTF-8"))
+    // recover migrates: cell dirs RENAME under data/<artifact>/fold=legacy
+    // and the first manifest pins them — no data is copied
+    val m = GraphMaintainer.recover(spark, dir)
+    assert(!new java.io.File(s"$dir/routing").exists() &&
+      !new java.io.File(s"$dir/graph").exists(),
+      "legacy dirs must move, not copy")
+    assert(m.corpus.count() == old.count())
+    m.fold(batch, Some(1L))
+    assert(m.graph.collect().map(_.toSeq).toSet == rebuildWant,
+      "a migrated artifact must fold on exactly")
   }
 }

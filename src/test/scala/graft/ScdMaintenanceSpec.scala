@@ -361,4 +361,41 @@ class ScdMaintenanceSpec extends SparkSpec {
     assert(!m2.fold(batch, Some(1L)), "redelivery still no-ops for the owner")
     intercept[IllegalArgumentException](m1.fold(batch, Some(2L)))
   }
+
+  test("an out-of-band-deleted owner directory fences, never un-fences") {
+    val dir = tmp("noowner")
+    val m = ScdMaintainer.build(log, dir)
+    // someone rm -rf's the owner dir (or an eventually-consistent store
+    // returns an empty listing): asserting ownership against NO evidence
+    // must fail loud — the vacuous pass would silently un-fence every
+    // zombie at once
+    def rmAll(p: java.io.File): Unit = {
+      Option(p.listFiles()).foreach(_.foreach(rmAll)); p.delete(); ()
+    }
+    rmAll(new java.io.File(s"$dir/owner"))
+    val batch = Seq((1L, 9_000_000_000L, "U", "late", 1.0))
+      .toDF("key", "seq", "op", "name", "val")
+    val e = intercept[IllegalArgumentException](m.fold(batch, Some(1L)))
+    assert(e.getMessage.contains("FENCED") &&
+      e.getMessage.contains("no epoch files"), s"got: ${e.getMessage}")
+  }
+
+  test("in-loop marker retention clamps to current+previous, shielding in-flight readers") {
+    val dir = tmp("clamp")
+    val m = ScdMaintainer.build(log, dir)
+    // keepMarkers = 1 would leave ONLY the just-committed marker — a
+    // reader that listed versions a moment earlier would open a deleted
+    // file; the clamp keeps current + previous like the Bm25/refreshView GCs
+    (0 until 4).foreach { i =>
+      assert(m.fold(
+        Seq((1L + i, 8_000_000_000L + i, "U", s"c$i", i * 1.0))
+          .toDF("key", "seq", "op", "name", "val"),
+        Some(10L + i), keepMarkers = Some(1)))
+      val n = new java.io.File(s"$dir/fold").listFiles()
+        .count(_.getName.endsWith(".txt"))
+      assert(n >= 2 || i == 0,
+        s"clamped retention must keep current+previous, got $n markers")
+      assert(n <= 2, s"retention window must still bound the dir, got $n")
+    }
+  }
 }
