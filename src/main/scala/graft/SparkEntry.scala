@@ -828,6 +828,29 @@ object SparkEntry {
       m.history.withColumn("is_current", col("is_current").cast("int"))
         .orderBy(col("key"), col("valid_from"))
     }),
+    // ...and the CHANGEFEED across that merge-on-read fold: the
+    // replaceKeyedMor commit both ADDS fresh image files and ATTACHES
+    // deletion vectors to old files in ONE version — a shape the DV-only
+    // and rewrite feeds each cover only half of. The (file, vector-set)
+    // diff units must net to exactly the key-level diff of the two
+    // current snapshots (untouched rows in newly-shadowed files are
+    // carried pairs and drop); the oracle recomputes both snapshots from
+    // the raw log
+    "q_scd2_mor_feed" -> ((s, d) => {
+      val log = cdcChangelogFull(s, d)
+      val mid = log.agg(((org.apache.spark.sql.functions.min(col("seq")) +
+          org.apache.spark.sql.functions.max(col("seq"))) / 2).as("m"))
+        .first().getDouble(0)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-scdmorfq").toString
+      val m = streaming.ScdMaintainer.build(log.filter(col("seq") <= mid), dir)
+      val vBefore = sources.LakeTable.latestVersion(s, m.currentTablePath)
+      m.fold(log.filter(col("seq") > mid), Some(0L),
+        morThresholdBytes = Some(0L))
+      val vAfter = sources.LakeTable.latestVersion(s, m.currentTablePath)
+      sources.LakeTable.readChanges(s, m.currentTablePath, vBefore, vAfter)
+        .orderBy(col("key"))
+    }),
     // ...and the MERGE audit row: inserted/updated/deleted/carried key
     // counts + replay depth (changes per touched key)
     "q_cdc_audit" -> ((s, d) =>
@@ -4066,6 +4089,33 @@ object SparkEntry {
         |SELECT key, name, val, seq AS valid_from, valid_to,
         |  CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS is_current
         |FROM h WHERE op = 'U' ORDER BY key, valid_from""".stripMargin,
+    // feed across the MoR fold = key-level diff of the current slice at
+    // the seq midpoint vs the full log (I/U carry the new image, D the
+    // old one — the Debezium rule the net feed implements)
+    "q_scd2_mor_feed" ->
+      """WITH ch AS (SELECT o_custkey AS key, o_orderkey AS seq,
+        |    CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op,
+        |    o_orderpriority AS name, o_totalprice AS val
+        |  FROM orders WHERE o_orderkey % 3 <> 0 AND o_custkey % 17 <> 3),
+        |t AS (SELECT (MIN(seq) + MAX(seq)) / 2 AS mid FROM ch),
+        |cur1 AS (SELECT key, name, val, seq AS valid_from FROM (
+        |    SELECT ch.*, ROW_NUMBER() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
+        |    FROM ch, t WHERE seq <= mid) WHERE rn = 1 AND op = 'U'),
+        |cur2 AS (SELECT key, name, val, seq AS valid_from FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
+        |    FROM ch) WHERE rn = 1 AND op = 'U')
+        |SELECT COALESCE(o.key, n.key) AS key,
+        |  CASE WHEN o.key IS NULL THEN 'I' WHEN n.key IS NULL THEN 'D'
+        |    ELSE 'U' END AS op,
+        |  CASE WHEN n.key IS NULL THEN o.name ELSE n.name END AS name,
+        |  CASE WHEN n.key IS NULL THEN o.val ELSE n.val END AS val,
+        |  CASE WHEN n.key IS NULL THEN o.valid_from
+        |    ELSE n.valid_from END AS valid_from
+        |FROM cur1 o FULL OUTER JOIN cur2 n ON o.key = n.key
+        |WHERE o.key IS NULL OR n.key IS NULL
+        |  OR o.name IS DISTINCT FROM n.name OR o.val IS DISTINCT FROM n.val
+        |  OR o.valid_from IS DISTINCT FROM n.valid_from
+        |ORDER BY key""".stripMargin,
     // net feed across (MERGE, evolution append, DV delete) = the plain
     // two-snapshot diff in the end schema: old side rebuilt from the
     // base, new side = merged minus tombstoned keys plus the appended

@@ -583,6 +583,64 @@ object StreamBench {
     println(f"[stream-bench] scd2 per-forget seconds (box-pruned rewrite on both tables): ${
       scdForgetTimes.map(t => f"$t%.2f").mkString(", ")}")
 
+    // --- long-horizon METADATA arm: 200 folds, every retention knob on ---
+    // the bounded-metadata claims (O(arms) replay markers, O(keep) pair
+    // markers, vacuumManifests' O(keep + checkpoint-interval) commit log,
+    // swept owner epochs) at weeks-of-streaming shape: 200 micro-folds
+    // with keepMarkers + in-loop vacuumManifests + vacuumHistory, the
+    // sampled file counts and latest() resolution time must stay FLAT —
+    // the pre-r12 protocol grew one manifest + one marker per micro-batch
+    // forever (2.6M files after a month of 1 s batches), and an
+    // un-vacuumed log makes every listing-based operation O(folds-ever)
+    val nLongKeys = 1000L
+    val scdLong = graft.streaming.ScdMaintainer.build(
+      spark.range(nLongKeys).select(
+        f.col("id").as("key"), f.col("id").as("seq"),
+        f.lit("U").as("op"), f.concat(f.lit("n"), f.col("id")).as("name"),
+        (f.col("id") * 1.0).as("val")),
+      s"$root/scdlong")
+    def fCount(p: String, pred: String => Boolean): Int =
+      Option(new java.io.File(p).listFiles())
+        .map(_.count(x => pred(x.getName))).getOrElse(0)
+    def isManifest(n: String) = n.startsWith("v") && n.endsWith(".txt")
+    val nLongFolds = 200
+    val longFoldTimes = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val longSamples = scala.collection.mutable.ArrayBuffer.empty[String]
+    (1 to nLongFolds).foreach { i =>
+      val batch = spark.range(25).select(
+        ((f.col("id") * 13L + i * 25L) % nLongKeys).as("key"),
+        (f.col("id") + i * 1000L + nLongKeys * 100L).as("seq"),
+        f.lit("U").as("op"), f.concat(f.lit("u"), f.col("id")).as("name"),
+        (f.col("id") + i * 1.0).as("val"))
+      val t0 = System.nanoTime()
+      scdLong.fold(batch, Some(i.toLong), keepMarkers = Some(2),
+        compactTargetBytes = Some(1L << 20))
+      if (i % 8 == 0) {
+        graft.sources.LakeTable.vacuumManifests(
+          spark, scdLong.closedTablePath, keepManifests = 8)
+        graft.sources.LakeTable.vacuumManifests(
+          spark, scdLong.currentTablePath, keepManifests = 8)
+        scdLong.vacuumHistory(keepVersions = 2)
+        ()
+      }
+      longFoldTimes += (System.nanoTime() - t0) / 1e9
+      if (i % 40 == 0) {
+        val r0 = System.nanoTime()
+        graft.sources.LakeTable.latest(spark, scdLong.currentTablePath)
+        val resolveMs = (System.nanoTime() - r0) / 1e6
+        longSamples += (f"fold $i%3d: " +
+          f"closed-commits=${fCount(s"${scdLong.closedTablePath}/_commits", isManifest)}%d " +
+          f"current-commits=${fCount(s"${scdLong.currentTablePath}/_commits", isManifest)}%d " +
+          f"pair-markers=${fCount(s"$root/scdlong/fold", _.endsWith(".txt"))}%d " +
+          f"owner-epochs=${fCount(s"$root/scdlong/owner", _.endsWith(".txt"))}%d " +
+          f"latest()=$resolveMs%.1f ms")
+      }
+    }
+    longSamples.foreach(s => println(s"[stream-bench] scd2 long-horizon $s"))
+    val q = nLongFolds / 4
+    println(f"[stream-bench] scd2 long-horizon fold-seconds quartile means: ${
+      longFoldTimes.grouped(q).map(g => f"${g.sum / g.size}%.3f").mkString(", ")}")
+
     timeQuery("cdc changelog reduction (transformWithState)", nChanges) {
       val src = spark.readStream
         .schema(org.apache.spark.sql.Encoders.product[

@@ -247,11 +247,27 @@ object LakeTable {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val hinted =
       try {
-        val in = fs.open(new Path(s"$path/_commits/_latest.txt"))
-        val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-          finally in.close()
-        val v = s.toInt
-        if (v >= 1 && fs.exists(commitFile(path, v))) Some(v) else None
+        // the pointer VALUE lives in the hint file's NAME, under a swept
+        // O(1) subdir: a new hint lands before older ones sweep, so a
+        // reader in the swap window always sees at least one (the old
+        // single-file delete+rename protocol had a no-pointer window
+        // that cost every concurrent reader the full listing fallback)
+        val hd = new Path(s"$path/_commits/_latest")
+        val named =
+          if (!fs.exists(hd)) None
+          else fs.listStatus(hd).toSeq.map(_.getPath.getName).collect {
+            case n if n.startsWith("v") && n.endsWith(".txt") &&
+                n.stripPrefix("v").stripSuffix(".txt").forall(_.isDigit) =>
+              n.stripPrefix("v").stripSuffix(".txt").toInt
+          }.maxOption
+        val v0 = named.getOrElse {
+          // legacy single-file pointer (pre-subdir tables)
+          val in = fs.open(new Path(s"$path/_commits/_latest.txt"))
+          val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+            finally in.close()
+          s.toInt
+        }
+        if (v0 >= 1 && fs.exists(commitFile(path, v0))) Some(v0) else None
       } catch { case scala.util.control.NonFatal(_) => None }
     hinted match {
       case Some(v0) =>
@@ -265,22 +281,34 @@ object LakeTable {
   private def commitFile(path: String, version: Int): Path =
     new Path(f"$path%s/_commits/v$version%09d.txt")
 
-  /** Best-effort pointer refresh after a commit rename. Failure modes are
-    * all benign: a crash or lost swap leaves the pointer stale-BEHIND
-    * (probe-forward heals it on the next read, and the next commit
-    * rewrites it), and the delete+rename window leaves NO pointer (full
-    * listing fallback). It is never ahead: it is only written after the
-    * version it names committed.
+  /** Best-effort pointer refresh after a commit rename: land
+    * `_commits/_latest/v%09d.txt` (the value is the NAME — torn content
+    * is irrelevant), then sweep older hints and any legacy single-file
+    * pointer. Land-then-sweep means a concurrent reader always sees at
+    * least the newest hint — there is no pointerless window (the old
+    * single-file delete+rename protocol had one, costing every reader
+    * caught in it the full listing fallback). Failure modes are all
+    * benign: a crash leaves the pointer stale-BEHIND (probe-forward
+    * heals it on the next read, and the next commit rewrites it). It is
+    * never ahead: it is only written after the version it names
+    * committed, and the reader verifies existence before trusting it.
     */
   private def writeLatestHint(
       fs: org.apache.hadoop.fs.FileSystem, path: String, version: Int): Unit =
     try {
-      val tmp = new Path(s"$path/_commits/.tmp-${java.util.UUID.randomUUID()}")
-      val out = fs.create(tmp, false)
-      try out.write(version.toString.getBytes("UTF-8")) finally out.close()
-      val dest = new Path(s"$path/_commits/_latest.txt")
-      fs.delete(dest, false) // local FS rename won't overwrite a file
-      if (!fs.rename(tmp, dest)) fs.delete(tmp, false)
+      val hd = new Path(s"$path/_commits/_latest")
+      fs.mkdirs(hd)
+      fs.create(new Path(hd, f"v$version%09d.txt"), true).close()
+      fs.listStatus(hd).toSeq.map(_.getPath)
+        .filter { p =>
+          val n = p.getName
+          n.startsWith("v") && n.endsWith(".txt") &&
+            n.stripPrefix("v").stripSuffix(".txt").forall(_.isDigit) &&
+            n.stripPrefix("v").stripSuffix(".txt").toInt < version
+        }
+        .foreach(fs.delete(_, false))
+      fs.delete(new Path(s"$path/_commits/_latest.txt"), false) // legacy
+      ()
     } catch { case scala.util.control.NonFatal(_) => () }
 
   /** Every manifest, ascending — the table's audit trail. Resolved in
@@ -1451,9 +1479,28 @@ object LakeTable {
     val cut = marker.indexOf('#')
     if (cut < 0) return false
     val (arm, idStr) = (marker.substring(0, cut), marker.substring(cut + 1))
-    c.appliedBatches.contains(idStr) || // legacy bare marker, exact match
-      (idStr.nonEmpty && idStr.forall(_.isDigit) &&
-        armMaxId(c.appliedBatches, arm).exists(_ >= idStr.toLong))
+    if (c.appliedBatches.contains(idStr)) return true // legacy bare marker
+    if (idStr.isEmpty || !idStr.forall(_.isDigit)) return false
+    val id = idStr.toLong
+    armMaxId(c.appliedBatches, arm) match {
+      case Some(mx) if mx >= id =>
+        // a STRICTLY-below-high-water skip is not a normal redelivery
+        // (foreachBatch only ever redelivers the last uncommitted batch,
+        // whose id equals the recorded max): it is either a reset
+        // checkpoint or — the dangerous case — a second producer sharing
+        // this arm, whose every batch would silently no-op here (for a
+        // tombstone arm, a silent non-delete). Skipping is still the
+        // contract (the arm's high-water says applied), but never silently.
+        if (mx > id) Console.err.println(
+          s"[graft] WARN LakeTable: batchId $id on arm '$arm' skipped as " +
+            s"already applied, but the arm's high-water is $mx — a strictly " +
+            "lower id means a reset checkpoint or TWO PRODUCERS SHARING " +
+            "THE ARM (one arm = one checkpointed stream); if this is a " +
+            "second stream, give it a distinct arm or its batches will " +
+            s"silently no-op against this table")
+        true
+      case _ => false
+    }
   }
 
   /** The max recorded batchId of `arm`'s qualified numeric markers.

@@ -379,12 +379,22 @@ final class GraphMaintainer private (
   /** Attach to a vector stream: every micro-batch folds into the graph
     * via foreachBatch (the artifact-maintenance loop; empty batches are
     * skipped so idle triggers don't churn checkpoints, and the batchId
-    * marker makes redelivered batches no-ops).
+    * marker makes redelivered batches no-ops). With `keepManifests` set,
+    * [[vacuum]] rides the loop so an always-on maintainer holds the
+    * manifest log at O(keep) files and replaced cell slices sweep as
+    * they age out, instead of one manifest + dead tokens per micro-batch
+    * forever — the same in-loop retention the lake arms expose.
     */
-  def attach(stream: DataFrame): StreamingQuery =
+  def attach(
+      stream: DataFrame,
+      keepManifests: Option[Int] = None): StreamingQuery =
     stream.writeStream
       .foreachBatch { (b: Dataset[Row], id: Long) =>
-        if (!b.isEmpty) { fold(b.toDF(), Some(id)); () }
+        if (!b.isEmpty) {
+          fold(b.toDF(), Some(id))
+          keepManifests.foreach(vacuum(_))
+          ()
+        }
       }
       .start()
 }

@@ -42,19 +42,53 @@ import graft.sources.LakeTable
   */
 object LakeMaintenance {
 
+  /** Per-arm single-writer FENCE, acquired at attach time: one arm name
+    * = one checkpointed stream is the contract the high-water replay
+    * marker rests on — two producers sharing an arm would have the
+    * lower counter's EVERY batch silently no-op (for a tombstone arm, a
+    * silent non-delete). The fence makes the contract mechanical
+    * instead of documentary: attaching lands the next [[OwnerFence]]
+    * epoch under `_commits/arms/<arm>/`, and every fold asserts it — a
+    * second attach on the same (table, arm) TAKES OVER and the first
+    * loop fails loud at its next batch, exactly the maintainer
+    * convention (a restarted stream re-acquires and carries on; an
+    * accidental second producer surfaces immediately instead of being
+    * swallowed). One-shot jobs ([[foldOnce]], ad-hoc LakeTable calls)
+    * are not fenced — they pass their own arm or no batchId.
+    */
+  private def armFence(
+      spark: SparkSession, path: String, arm: String): () => Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new org.apache.hadoop.fs.Path(s"$path/_commits")),
+      s"LakeMaintenance: $path is not a committed table — init it before attaching")
+    val dir = s"$path/_commits/arms/$arm"
+    val epoch = OwnerFence.acquire(fs, dir)
+    () => OwnerFence.assertOwner(fs, dir, epoch,
+      s"LakeMaintenance arm '$arm' at $path")
+  }
+
   /** Attach a changelog stream (key, seq, op, val rows) to the table at
     * `path`. Empty batches are skipped (idle triggers must not burn
-    * manifest versions).
+    * manifest versions). With `keepManifests` set, the commit log is
+    * pruned in-loop ([[LakeTable.vacuumManifests]]) so an always-on arm
+    * holds `_commits/` at O(keep) files instead of one manifest per
+    * micro-batch forever — size it to cover the slowest changefeed
+    * subscriber's lag, like any retention window.
     */
   def attach(
       changelog: DataFrame, path: String, cols: Seq[String],
-      keyCol: String = "key", nFilesNew: Int = 2): StreamingQuery = {
+      keyCol: String = "key", nFilesNew: Int = 2,
+      keepManifests: Option[Int] = None): StreamingQuery = {
     val spark = changelog.sparkSession
+    val fence = armFence(spark, path, "cdc")
     changelog.writeStream
       .foreachBatch { (b: Dataset[Row], id: Long) =>
         if (!b.isEmpty) {
+          fence()
           LakeTable.applyChangelog(
             spark, path, b.toDF(), cols, keyCol, nFilesNew, batchId = Some(id))
+          keepManifests.foreach(LakeTable.vacuumManifests(spark, path, _))
           ()
         }
       }
@@ -81,13 +115,17 @@ object LakeMaintenance {
     */
   def attachTombstones(
       tombstones: DataFrame, path: String, cols: Seq[String],
-      keyCol: String = "key", nFilesNew: Int = 2): StreamingQuery = {
+      keyCol: String = "key", nFilesNew: Int = 2,
+      keepManifests: Option[Int] = None): StreamingQuery = {
     val spark = tombstones.sparkSession
+    val fence = armFence(spark, path, "forget")
     tombstones.writeStream
       .foreachBatch { (b: Dataset[Row], id: Long) =>
         if (!b.isEmpty) {
+          fence()
           LakeTable.applyTombstones(
             spark, path, b.toDF(), cols, keyCol, nFilesNew, batchId = Some(id))
+          keepManifests.foreach(LakeTable.vacuumManifests(spark, path, _))
           ()
         }
       }
@@ -108,11 +146,14 @@ object LakeMaintenance {
       tombstones: DataFrame, path: String, cols: Seq[String],
       keyCol: String = "key", nFilesNew: Int = 2,
       materializeAtShadowedFraction: Option[Double] = None,
-      targetFileBytes: Option[Long] = None): StreamingQuery = {
+      targetFileBytes: Option[Long] = None,
+      keepManifests: Option[Int] = None): StreamingQuery = {
     val spark = tombstones.sparkSession
+    val fence = armFence(spark, path, "forget-dv")
     tombstones.writeStream
       .foreachBatch { (b: Dataset[Row], id: Long) =>
         if (!b.isEmpty) {
+          fence()
           LakeTable.applyTombstonesDv(
             spark, path, b.toDF(), keyCol, batchId = Some(id))
           materializeAtShadowedFraction.foreach { frac =>
@@ -124,6 +165,7 @@ object LakeMaintenance {
               ()
             }
           }
+          keepManifests.foreach(LakeTable.vacuumManifests(spark, path, _))
           ()
         }
       }
@@ -144,11 +186,14 @@ object LakeMaintenance {
       changelog: DataFrame, path: String, cols: Seq[String],
       keyCol: String = "key", nFilesNew: Int = 2,
       materializeAtShadowedFraction: Option[Double] = None,
-      targetFileBytes: Option[Long] = None): StreamingQuery = {
+      targetFileBytes: Option[Long] = None,
+      keepManifests: Option[Int] = None): StreamingQuery = {
     val spark = changelog.sparkSession
+    val fence = armFence(spark, path, "cdc-mor")
     changelog.writeStream
       .foreachBatch { (b: Dataset[Row], id: Long) =>
         if (!b.isEmpty) {
+          fence()
           LakeTable.applyChangelogFullMor(
             spark, path, b.toDF(), cols, keyCol, nFilesNew, batchId = Some(id))
           materializeAtShadowedFraction.foreach { frac =>
@@ -158,6 +203,7 @@ object LakeMaintenance {
               ()
             }
           }
+          keepManifests.foreach(LakeTable.vacuumManifests(spark, path, _))
           ()
         }
       }
@@ -183,11 +229,14 @@ object LakeMaintenance {
   def attachAppend(
       records: DataFrame, path: String, cols: Seq[String],
       nFilesNew: Int = 2,
-      compactTargetBytes: Option[Long] = None): StreamingQuery = {
+      compactTargetBytes: Option[Long] = None,
+      keepManifests: Option[Int] = None): StreamingQuery = {
     val spark = records.sparkSession
+    val fence = armFence(spark, path, "ingest")
     records.writeStream
       .foreachBatch { (b: Dataset[Row], id: Long) =>
         if (!b.isEmpty) {
+          fence()
           LakeTable.append(b.toDF(), path, cols, nFilesNew, batchId = Some(id))
           compactTargetBytes.foreach { t =>
             if (LakeTable.shouldCompact(spark, path, t)) {
@@ -195,6 +244,7 @@ object LakeMaintenance {
               ()
             }
           }
+          keepManifests.foreach(LakeTable.vacuumManifests(spark, path, _))
           ()
         }
       }
@@ -220,9 +270,11 @@ object LakeMaintenance {
       measures: Map[(String, String), String],
       keyCol: String = "key", nFilesNew: Int = 2): StreamingQuery = {
     val spark = changelog.sparkSession
+    val fence = armFence(spark, path, "cdc")
     changelog.writeStream
       .foreachBatch { (b: Dataset[Row], id: Long) =>
         if (!b.isEmpty) {
+          fence()
           LakeTable.applyChangelog(
             spark, path, b.toDF(), cols, keyCol, nFilesNew, batchId = Some(id))
           refreshView(spark, path, viewDir, groupCols, measures, keyCol)

@@ -312,6 +312,43 @@ class GraphMaintenanceSpec extends SparkSpec {
       "the winner's chain must converge to the rebuild")
   }
 
+  test("an attached loop with keepManifests bounds the manifest log and sweeps dead tokens") {
+    implicit val sqlCtx = spark.sqlContext
+    val emb = Tables.embeddings(spark, sf)
+    val old = emb.filter(col("vec_id") % 5 =!= 0)
+    val rows = emb.filter(col("vec_id") % 5 === 0)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])].collect()
+    val dir = tmp("gc")
+    val m = GraphMaintainer.build(old, dir)
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = m.attach(input.toDF().toDF("vec_id", "embedding"),
+      keepManifests = Some(2))
+    try {
+      rows.grouped(math.max(1, rows.length / 4)).foreach { g =>
+        input.addData(g.toSeq: _*); q.processAllAvailable()
+      }
+      assert(m.graph.collect().map(_.toSeq).toSet == rebuildWant)
+    } finally q.stop()
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val names = GraphMaintainer.manifestNames(fs, dir)
+    assert(names.size <= 2,
+      s"in-loop vacuum must hold the log at O(keep), got ${names.size}")
+    // every token cell-dir on disk is referenced by a RETAINED manifest —
+    // replaced slices and crashed-commit debris sweep as they age out
+    val referenced = names.flatMap(GraphMaintainer.readManifest(fs, dir, _))
+      .map { case ((a, c), t) => s"$dir/data/$a/fold=$t/cell=$c" }.toSet
+    Seq("graph", "routing").foreach { a =>
+      Option(new java.io.File(s"$dir/data/$a").listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith("fold=")).foreach { fd =>
+          fd.listFiles().filter(_.getName.startsWith("cell=")).foreach { cd =>
+            assert(referenced(cd.getPath),
+              s"unreferenced token slice survived the in-loop vacuum: $cd")
+          }
+        }
+    }
+  }
+
   test("a pre-manifest workDir migrates in place on recover and folds on atomically") {
     val emb = Tables.embeddings(spark, sf)
     val old = emb.filter(col("vec_id") % 5 =!= 0)

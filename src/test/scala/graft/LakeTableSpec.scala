@@ -1455,32 +1455,52 @@ class LakeTableSpec extends SparkSpec {
     assert(LakeTable.latest(spark, dir).appliedBatches == Set("cdc#50"))
   }
 
-  test("latest() resolves from the _latest pointer; stale, missing and torn pointers heal") {
+  test("latest() resolves from the swept _latest/ hint; mid-swap, stale, legacy and torn states heal") {
     val (dir, _) = mkTable("graft-lakeptr")
     LakeTable.append(Seq((900L, "n900", 9.0)).toDF("key", "name", "val"),
       dir, Seq("key")) // v2
-    val ptr = java.nio.file.Paths.get(s"$dir/_commits/_latest.txt")
-    assert(java.nio.file.Files.exists(ptr), "every commit refreshes the pointer")
-    assert(new String(java.nio.file.Files.readAllBytes(ptr), "UTF-8").trim == "2")
+    def hints = Option(new java.io.File(s"$dir/_commits/_latest").listFiles())
+      .getOrElse(Array.empty[java.io.File]).map(_.getName)
+      .filter(n => n.startsWith("v") && n.endsWith(".txt")).sorted.toSeq
+    assert(hints == Seq(f"v${2}%09d.txt"),
+      "every commit lands the new hint and sweeps older ones")
     assert(LakeTable.latestVersion(spark, dir) == 2)
-    // STALE-BEHIND pointer (crash between commit rename and pointer
-    // write): probe-forward must find the newer committed version
-    java.nio.file.Files.write(ptr, "1".getBytes("UTF-8"))
-    new java.io.File(s"$dir/_commits/._latest.txt.crc").delete()
+    // MID-SWAP reader: the new hint landed, an older one not yet swept —
+    // max wins; there is NO pointerless window (the old single-file
+    // delete+rename protocol had one, costing the full listing fallback)
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(s"$dir/_commits/_latest/v000000001.txt"))
     assert(LakeTable.latestVersion(spark, dir) == 2,
-      "a lagging pointer must heal by probing forward")
-    // MISSING pointer (legacy table): full-listing fallback
-    java.nio.file.Files.delete(ptr)
-    new java.io.File(s"$dir/_commits/._latest.txt.crc").delete()
+      "a reader between land and sweep takes the max hint")
+    // STALE-BEHIND hint (crash between commit rename and hint write):
+    // probe-forward must find the newer committed version
+    new java.io.File(s"$dir/_commits/_latest/v000000002.txt").delete()
+    assert(hints == Seq("v000000001.txt"))
+    assert(LakeTable.latestVersion(spark, dir) == 2,
+      "a lagging hint must heal by probing forward")
+    // LEGACY single-file pointer (pre-subdir table): still honored
+    def rmAll(p: java.io.File): Unit = {
+      Option(p.listFiles()).foreach(_.foreach(rmAll)); p.delete(); ()
+    }
+    rmAll(new java.io.File(s"$dir/_commits/_latest"))
+    val legacy = java.nio.file.Paths.get(s"$dir/_commits/_latest.txt")
+    java.nio.file.Files.write(legacy, "2".getBytes("UTF-8"))
+    assert(LakeTable.latestVersion(spark, dir) == 2)
+    // TORN legacy pointer (garbage content): fallback, not a crash
+    java.nio.file.Files.write(legacy, "garbage".getBytes("UTF-8"))
+    assert(LakeTable.latestVersion(spark, dir) == 2)
+    // MISSING pointer entirely: full-listing fallback
+    java.nio.file.Files.delete(legacy)
     assert(LakeTable.latestVersion(spark, dir) == 2)
     assert(LakeTable.latest(spark, dir).version == 2)
-    // TORN pointer (garbage content): fallback, not a crash
-    java.nio.file.Files.write(ptr, "garbage".getBytes("UTF-8"))
-    assert(LakeTable.latestVersion(spark, dir) == 2)
-    // the next commit rewrites it
+    // the next commit lands the subdir hint and sweeps the legacy file
+    java.nio.file.Files.write(legacy, "1".getBytes("UTF-8"))
     LakeTable.append(Seq((901L, "n901", 9.1)).toDF("key", "name", "val"),
       dir, Seq("key"))
-    assert(new String(java.nio.file.Files.readAllBytes(ptr), "UTF-8").trim == "3")
+    assert(hints == Seq(f"v${3}%09d.txt"))
+    assert(!java.nio.file.Files.exists(legacy),
+      "a commit migrates the legacy pointer away")
+    assert(LakeTable.latestVersion(spark, dir) == 3)
   }
 
   test("vacuumManifests prunes the log to the checkpoint anchor; retained versions still resolve") {
@@ -1568,5 +1588,112 @@ class LakeTableSpec extends SparkSpec {
     // the foreign file is vacuum garbage, exactly like crash debris
     LakeTable.vacuum(spark, dir, keepVersions = 1)
     assert(!new java.io.File(s"$dir/$foreign").exists())
+  }
+
+  test("two streams sharing an arm: the second attach fences the first loud; distinct arms coexist") {
+    val dir = Files.createTempDirectory("graft-lakearm").toString + "/t"
+    LakeTable.init(
+      (0L until 50L).map(k => (k, s"n$k", k * 1.0)).toDF("key", "name", "val"),
+      dir, Seq("key"), nFiles = 2)
+    implicit val sqlCtx = spark.sqlContext
+    val inA = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, Double)]
+    val qA = graft.streaming.LakeMaintenance.attachAppend(
+      inA.toDF().toDF("key", "name", "val"), dir, Seq("key"))
+    try {
+      inA.addData((1000L until 1010L).map(k => (k, s"n$k", k * 1.0)))
+      qA.processAllAvailable()
+      assert(LakeTable.readLive(spark, dir).count() == 60L)
+      // a SECOND producer attaches to the same (table, arm): the arm
+      // fence turns the documented one-arm-one-stream contract into
+      // loud/visible failures on BOTH sides — the new owner's
+      // fresh-checkpoint batch 0 collides with the arm's recorded
+      // high-water and is skipped WITH A WARNING (the silent-swallow
+      // foot-gun made visible; a legitimately RESTARTED stream carries
+      // its batchIds forward and never hits this), and the first loop
+      // fails loud FENCED at its next fold (takeover semantics, like
+      // every maintainer: latest attach owns the arm)
+      val inB = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String, Double)]
+      val qB = graft.streaming.LakeMaintenance.attachAppend(
+        inB.toDF().toDF("key", "name", "val"), dir, Seq("key"))
+      try {
+        inB.addData((2000L until 2010L).map(k => (k, s"n$k", k * 1.0)))
+        qB.processAllAvailable()
+        assert(LakeTable.readLive(spark, dir).count() == 60L,
+          "batch 0 collides with the arm's high-water: skipped (warned)")
+        inB.addData((2010L until 2020L).map(k => (k, s"n$k", k * 1.0)))
+        qB.processAllAvailable()
+        assert(LakeTable.readLive(spark, dir).count() == 70L,
+          "the new owner's batches beyond the high-water fold normally")
+        inA.addData((3000L until 3010L).map(k => (k, s"n$k", k * 1.0)))
+        val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+          qA.processAllAvailable())
+        val msg = e.getMessage +
+          Option(e.getCause).map(_.getMessage).getOrElse("")
+        assert(msg.contains("FENCED"),
+          s"the superseded arm owner must fail loud, got: $msg")
+        assert(LakeTable.readLive(spark, dir).count() == 70L,
+          "the fenced loser's batch must not land")
+        // a DIFFERENT arm on the same table is unaffected (one fence per arm)
+        val inT = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[Long]
+        val qT = graft.streaming.LakeMaintenance.attachTombstones(
+          inT.toDF().toDF("key"), dir, Seq("key"))
+        try {
+          inT.addData(2015L)
+          qT.processAllAvailable()
+          assert(LakeTable.readLive(spark, dir).count() == 69L,
+            "an independent arm keeps its own fence")
+        } finally qT.stop()
+      } finally qB.stop()
+    } finally qA.stop()
+  }
+
+  test("in-loop log retention holds _commits at O(keep) while a cursor inside the window still drains") {
+    val dir = Files.createTempDirectory("graft-lakelogret").toString + "/t"
+    val cursorDir = Files.createTempDirectory("graft-lakelogret-cur").toString
+    LakeTable.init(
+      (0L until 50L).map(k => (k, s"n$k", k * 1.0)).toDF("key", "name", "val"),
+      dir, Seq("key"), nFiles = 1)
+    // subscribe from "now" so every later fold is pending until drained
+    assert(LakeTable.pendingChanges(
+      spark, dir, cursorDir, initial = "latest").isEmpty)
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, Double)]
+    val q = graft.streaming.LakeMaintenance.attachAppend(
+      input.toDF().toDF("key", "name", "val"), dir, Seq("key"),
+      nFilesNew = 1, keepManifests = Some(6))
+    def manifestCount = new java.io.File(s"$dir/_commits").listFiles()
+      .count(f => f.getName.startsWith("v") && f.getName.endsWith(".txt"))
+    try {
+      (0 until 20).foreach { i =>
+        input.addData((1000L + i * 10 until 1000L + i * 10 + 10)
+          .map(k => (k, s"n$k", k * 1.0)))
+        q.processAllAvailable()
+        // drain the subscriber every few folds — it stays inside the
+        // retention window, so the pruned log never fails it
+        if (i % 3 == 2) {
+          val pending = LakeTable.pendingChanges(spark, dir, cursorDir)
+          assert(pending.isDefined, "three folds behind: must have changes")
+          val (feed, v) = pending.get
+          assert(feed.filter(col("op") === "I").count() == 30L,
+            "a cursor within the window drains the multi-fold span")
+          LakeTable.commitCursor(spark, cursorDir, v)
+        }
+      }
+      // 20 folds landed 21 versions; without the knob _commits grows one
+      // manifest per micro-batch forever — with it the count stays at
+      // O(keep) (+ back to the checkpoint anchor the delta chain
+      // resolves from: ≤ keep + CheckpointInterval files, here 6 + 10)
+      assert(manifestCount <= 6 + 10,
+        s"in-loop vacuumManifests must bound the log, got $manifestCount")
+      assert(manifestCount < 21,
+        s"the loop must actually have pruned, got $manifestCount of 21")
+      assert(LakeTable.readLive(spark, dir).count() == 50L + 200L)
+      // a span BELOW the pruned horizon fails loud (retention contract)
+      intercept[IllegalArgumentException](LakeTable.commitAt(spark, dir, 1))
+    } finally q.stop()
   }
 }
