@@ -82,8 +82,13 @@ import graft.operators.SimilaritySearch
 final class GraphMaintainer private (
     spark: SparkSession, workDir: String, val k: Int,
     centroids: Broadcast[Array[(Long, Array[Double], Double)]],
-    idFilter: BloomFilter, epoch: Int) {
+    idFilter0: BloomFilter, epoch: Int, initialManifest: Option[String]) {
   import GraphMaintainer._
+
+  // the id prescreen and the manifest it was built at: both move only
+  // under the synchronized mutators (fold/retire/vacuum)
+  private var idFilter: BloomFilter = idFilter0
+  private var lastSeen: Option[String] = initialManifest
 
   /** Cross-JVM single-ownership ([[OwnerFence]]): recover() takes over by
     * landing the next owner epoch and a superseded maintainer fails loud
@@ -94,6 +99,26 @@ final class GraphMaintainer private (
     OwnerFence.assertOwner(fs, s"$workDir/owner", epoch, "GraphMaintainer")
 
   private val fs = new Path(workDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Resolve the manifest every read and the commit base work from —
+    * ONCE per mutation. If someone ELSE committed since this maintainer
+    * last looked (the only legal case: a fenced zombie's late rename
+    * becoming visible before our next commit buries it), the Bloom
+    * prescreen is rebuilt from the new state: a construction-time Bloom
+    * would MISS the zombie-committed ids, let a redelivered batch slip
+    * past the replay probe, and duplicate its rows into routing. Our own
+    * commits record themselves in [[publish]], so the common path never
+    * rebuilds.
+    */
+  private def resolveBase(): Map[(String, Long), String] = {
+    val cur = manifestNames(fs, workDir).lastOption
+    val entries = cur.map(readManifest(fs, workDir, _)).getOrElse(Map.empty)
+    if (cur != lastSeen) {
+      idFilter = bloomOf(spark, workDir, entries)
+      lastSeen = cur
+    }
+    entries
+  }
 
   /** The maintained artifact — what [[SimilaritySearch.graphSearchTopK]]
     * walks and the recall audit measures at the next refresh. Always the
@@ -132,13 +157,17 @@ final class GraphMaintainer private (
       return noneTouched
     val b0 = narrow(batch).localCheckpoint()
     if (b0.isEmpty) return noneTouched
+    // ONE manifest snapshot serves the replay probe, the touched-cell
+    // reads, and the commit base (and refreshes the Bloom if a foreign
+    // commit became visible)
+    val base = resolveBase()
 
     // id-overlap gate: Bloom prescreen, exact confirm only on a hit
     val ids = b0.select(col("vec_id")).as[Long].collect()
     val suspects = ids.filter(idFilter.mightContainLong)
     val replayIds: Set[Long] = if (suspects.isEmpty) Set.empty else {
       val stored =
-        readArtifact(spark, workDir, RoutingArt, latestEntries(fs, workDir), None)
+        readArtifact(spark, workDir, RoutingArt, base, None)
           .join(broadcast(suspects.toSeq.toDF("vec_id")), Seq("vec_id"), "left_semi")
           .select(col("vec_id"), col("embedding").as("stored_emb"))
       val overlap = b0.join(broadcast(stored), Seq("vec_id"))
@@ -155,7 +184,7 @@ final class GraphMaintainer private (
     val b = if (replayIds.isEmpty) b0
       else b0.join(broadcast(replayIds.toSeq.toDF("vec_id")), Seq("vec_id"), "left_anti")
     val touched =
-      if (replayIds.size < ids.length) applyFold(b) else noneTouched
+      if (replayIds.size < ids.length) applyFold(b, base) else noneTouched
     ids.foreach(idFilter.putLong)
     // the marker advances only while STILL owner: a commit that raced a
     // takeover (landed its manifest after the new epoch — invisible the
@@ -202,11 +231,9 @@ final class GraphMaintainer private (
       .foreach(fs.delete(_, false))
   }
 
-  private def applyFold(b: DataFrame): DataFrame = {
+  private def applyFold(
+      b: DataFrame, base: Map[(String, Long), String]): DataFrame = {
     graft.plans.GraftFunctions.register(spark)
-    // the commit base, resolved ONCE: the same manifest answers the
-    // touched-cell reads below and seeds the entries the commit replaces
-    val base = latestEntries(fs, workDir)
     val batchCells = SimilaritySearch.cellAssign(b, centroids).localCheckpoint()
     val touched = batchCells.select(col("cell")).distinct()
       .collect().map(_.getLong(0)).toSeq
@@ -252,8 +279,9 @@ final class GraphMaintainer private (
       gCells.map(c => (GraphArt, c) -> gTok) ++
       rCells.map(c => (RoutingArt, c) -> rTok)
     assertOwner()
-    commitManifest(fs, workDir, epoch, next)
-    ()
+    // record our own commit so resolveBase never mistakes it for a
+    // foreign one (which would trigger a pointless Bloom rebuild)
+    lastSeen = Some(commitManifest(fs, workDir, epoch, next))
   }
 
   /** RETIRE stored vectors from the landed artifact —
@@ -290,7 +318,7 @@ final class GraphMaintainer private (
         "are quantizer centroids — their raw embeddings live in centroids/ " +
         "and route every fold; forgetting them requires rebuilding the " +
         "epoch (GraphMaintainer.build over the surviving corpus)")
-    val base = latestEntries(fs, workDir)
+    val base = resolveBase()
     val routingCells = readArtifact(spark, workDir, RoutingArt, base, None)
       .join(broadcast(doomed), Seq("vec_id"), "left_semi")
       .select(col("cell"))
@@ -355,8 +383,14 @@ final class GraphMaintainer private (
                 dropped += 1
               }
             }
-          if (!fs.listStatus(fd.getPath)
-              .exists(_.getPath.getName.startsWith("cell="))) {
+          // an emptied token dir sweeps too — under the SAME grace: a
+          // token with no cell= children yet may be a concurrent
+          // commit's mid-write directory (only _temporary inside), and
+          // deleting it would crash the in-flight job instead of letting
+          // it lose cleanly at the rename
+          if (now - fd.getModificationTime >= graceMs &&
+              !fs.listStatus(fd.getPath)
+                .exists(_.getPath.getName.startsWith("cell="))) {
             fs.delete(fd.getPath, true)
             ()
           }
@@ -387,12 +421,13 @@ final class GraphMaintainer private (
     */
   def attach(
       stream: DataFrame,
-      keepManifests: Option[Int] = None): StreamingQuery =
+      keepManifests: Option[Int] = None,
+      vacuumGraceMs: Long = 0L): StreamingQuery =
     stream.writeStream
       .foreachBatch { (b: Dataset[Row], id: Long) =>
         if (!b.isEmpty) {
           fold(b.toDF(), Some(id))
-          keepManifests.foreach(vacuum(_))
+          keepManifests.foreach(vacuum(_, vacuumGraceMs))
           ()
         }
       }
@@ -542,12 +577,13 @@ object GraphMaintainer {
       .select(col("vec_id"), col("neighbor_id"), col("rank"), col("cos"), col("cell"))
     val (rTok, rCells) = landCells(fs, workDir, cells, RoutingArt)
     val (gTok, gCells) = landCells(fs, workDir, edges, GraphArt)
-    commitManifest(fs, workDir, epoch,
-      (rCells.map(c => (RoutingArt, c) -> rTok) ++
-        gCells.map(c => (GraphArt, c) -> gTok)).toMap)
+    val entries = (rCells.map(c => (RoutingArt, c) -> rTok) ++
+      gCells.map(c => (GraphArt, c) -> gTok)).toMap
+    val name = commitManifest(fs, workDir, epoch, entries)
     val out = fs.create(new Path(s"$workDir/meta.json"), true)
     out.write(s"""{"k":$k}""".getBytes("UTF-8")); out.close()
-    new GraphMaintainer(spark, workDir, k, bcast, bloomOf(spark, workDir), epoch)
+    new GraphMaintainer(spark, workDir, k, bcast,
+      bloomOf(spark, workDir, entries), epoch, Some(name))
   }
 
   /** Reopen `workDir` after a restart: the frozen quantizer and the
@@ -570,8 +606,14 @@ object GraphMaintainer {
       .getOrElse(throw new IllegalStateException(s"$workDir/meta.json: no k"))
     val cs = spark.read.parquet(s"$workDir/centroids")
       .as[(Long, Array[Double], Double)].collect().sortBy(_._1)
+    // pin the manifest the Bloom is built at BEFORE building it, so a
+    // racing commit between the two is detected (not masked) at the
+    // first fold's resolveBase
+    val name0 = manifestNames(fs, workDir).lastOption
+    val entries0 = name0.map(readManifest(fs, workDir, _)).getOrElse(Map.empty)
     new GraphMaintainer(spark, workDir, k,
-      spark.sparkContext.broadcast(cs), bloomOf(spark, workDir), epoch)
+      spark.sparkContext.broadcast(cs),
+      bloomOf(spark, workDir, entries0), epoch, name0)
   }
 
   /** One-time in-place migration from the pre-manifest layout
@@ -585,31 +627,43 @@ object GraphMaintainer {
   private def migrateLegacy(fs: FileSystem, workDir: String, epoch: Int): Unit = {
     val entries = Seq(RoutingArt, GraphArt).flatMap { a =>
       val old = new Path(s"$workDir/$a")
-      if (!fs.exists(old)) Nil
-      else {
-        val dest = new Path(s"$workDir/data/$a/fold=legacy")
+      val dest = new Path(s"$workDir/data/$a/fold=legacy")
+      if (fs.exists(old)) {
         fs.mkdirs(dest)
-        val cellDirs = fs.listStatus(old).toSeq.map(_.getPath)
+        fs.listStatus(old).toSeq.map(_.getPath)
           .filter(_.getName.startsWith("cell="))
-        cellDirs.foreach { c =>
-          require(fs.rename(c, new Path(dest, c.getName)),
-            s"GraphMaintainer: legacy migration could not move $c")
-        }
+          .foreach { c =>
+            require(fs.rename(c, new Path(dest, c.getName)),
+              s"GraphMaintainer: legacy migration could not move $c")
+          }
         fs.delete(old, true) // _SUCCESS / crc debris
-        cellDirs.map(c => (a, c.getName.stripPrefix("cell=").toLong) -> "legacy")
       }
+      // the manifest pins what is under the DESTINATION, not what this
+      // run happened to move: a migration that crashed mid-rename on a
+      // prior recover() already moved some cells there, and pinning only
+      // the freshly-moved remainder would silently drop them from the
+      // first manifest — permanent loss once vacuum sweeps the
+      // unreferenced slices (crash-idempotence over the rename loop)
+      if (!fs.exists(dest)) Nil
+      else fs.listStatus(dest).toSeq.map(_.getPath.getName)
+        .collect { case n if n.startsWith("cell=") =>
+          (a, n.stripPrefix("cell=").toLong) -> "legacy"
+        }
     }.toMap
     commitManifest(fs, workDir, epoch, entries)
     ()
   }
 
-  /** Driver-held Bloom over every stored id — the O(1) prescreen that
-    * keeps the common no-collision fold from scanning stored ids.
+  /** Driver-held Bloom over every id stored at `entries` — the O(1)
+    * prescreen that keeps the common no-collision fold from scanning
+    * stored ids. Built AT a named manifest so the maintainer can detect
+    * when the snapshot it screens for has moved under it.
     */
-  private def bloomOf(spark: SparkSession, workDir: String): BloomFilter = {
-    val fs = new Path(workDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val ids = readArtifact(spark, workDir, RoutingArt,
-      latestEntries(fs, workDir), None).select(col("vec_id"))
+  private def bloomOf(
+      spark: SparkSession, workDir: String,
+      entries: Map[(String, Long), String]): BloomFilter = {
+    val ids = readArtifact(spark, workDir, RoutingArt, entries, None)
+      .select(col("vec_id"))
     val n = ids.count()
     ids.stat.bloomFilter("vec_id", math.max(1000000L, 8 * n), 0.001)
   }

@@ -64,6 +64,11 @@ object LakeMaintenance {
       s"LakeMaintenance: $path is not a committed table — init it before attaching")
     val dir = s"$path/_commits/arms/$arm"
     val epoch = OwnerFence.acquire(fs, dir)
+    // sweep superseded epochs at every (re)attach: only the max fences,
+    // and without the sweep a frequently-restarted stream grows the arm
+    // dir one file per restart forever — the per-fold assert's listing
+    // must stay O(1)
+    OwnerFence.gcSuperseded(fs, dir)
     () => OwnerFence.assertOwner(fs, dir, epoch,
       s"LakeMaintenance arm '$arm' at $path")
   }
@@ -268,7 +273,8 @@ object LakeMaintenance {
       changelog: DataFrame, path: String, cols: Seq[String],
       viewDir: String, groupCols: Seq[String],
       measures: Map[(String, String), String],
-      keyCol: String = "key", nFilesNew: Int = 2): StreamingQuery = {
+      keyCol: String = "key", nFilesNew: Int = 2,
+      keepManifests: Option[Int] = None): StreamingQuery = {
     val spark = changelog.sparkSession
     val fence = armFence(spark, path, "cdc")
     changelog.writeStream
@@ -278,6 +284,12 @@ object LakeMaintenance {
           LakeTable.applyChangelog(
             spark, path, b.toDF(), cols, keyCol, nFilesNew, batchId = Some(id))
           refreshView(spark, path, viewDir, groupCols, measures, keyCol)
+          // retention runs AFTER the view advanced, and keepManifests
+          // must exceed the view's maximum staleness in versions (it
+          // lags at most one fold when healthy, but a crashed refresh
+          // stretches that to the next batch) — the same
+          // cover-the-slowest-subscriber contract as data-file vacuum
+          keepManifests.foreach(LakeTable.vacuumManifests(spark, path, _))
           ()
         }
       }

@@ -349,14 +349,12 @@ class GraphMaintenanceSpec extends SparkSpec {
     }
   }
 
-  test("a pre-manifest workDir migrates in place on recover and folds on atomically") {
-    val emb = Tables.embeddings(spark, sf)
-    val old = emb.filter(col("vec_id") % 5 =!= 0)
-    val batch = emb.filter(col("vec_id") % 5 === 0)
-    val dir = tmp("legacy")
-    // lay down the PRE-MANIFEST format by hand: cell-partitioned
-    // routing/ and graph/ at the workDir root, centroids, meta.json —
-    // exactly what the partition-overwrite build wrote
+  /** Lay down the PRE-MANIFEST format by hand: cell-partitioned
+    * routing/ and graph/ at the workDir root, centroids, meta.json —
+    * exactly what the partition-overwrite build wrote.
+    */
+  private def layLegacy(dir: String,
+      old: org.apache.spark.sql.DataFrame): Unit = {
     graft.plans.GraftFunctions.register(spark)
     val cs = SimilaritySearch.ivfCentroids(
       old.select(col("vec_id"), col("embedding")), 16)
@@ -377,6 +375,15 @@ class GraphMaintenanceSpec extends SparkSpec {
     java.nio.file.Files.write(
       java.nio.file.Paths.get(s"$dir/meta.json"),
       """{"k":5}""".getBytes("UTF-8"))
+    ()
+  }
+
+  test("a pre-manifest workDir migrates in place on recover and folds on atomically") {
+    val emb = Tables.embeddings(spark, sf)
+    val old = emb.filter(col("vec_id") % 5 =!= 0)
+    val batch = emb.filter(col("vec_id") % 5 === 0)
+    val dir = tmp("legacy")
+    layLegacy(dir, old)
     // recover migrates: cell dirs RENAME under data/<artifact>/fold=legacy
     // and the first manifest pins them — no data is copied
     val m = GraphMaintainer.recover(spark, dir)
@@ -387,5 +394,32 @@ class GraphMaintenanceSpec extends SparkSpec {
     m.fold(batch, Some(1L))
     assert(m.graph.collect().map(_.toSeq).toSet == rebuildWant,
       "a migrated artifact must fold on exactly")
+  }
+
+  test("a migration that crashed mid-rename resumes without dropping the already-moved cells") {
+    val emb = Tables.embeddings(spark, sf)
+    val old = emb.filter(col("vec_id") % 5 =!= 0)
+    val dir = tmp("legacycrash")
+    layLegacy(dir, old)
+    // simulate the prior recover() dying MID-migration: half the routing
+    // cell dirs already moved under the legacy token, no manifest yet —
+    // a re-run that pinned only the not-yet-moved remainder would
+    // silently drop the moved cells from the first manifest (permanent
+    // loss once vacuum sweeps the unreferenced slices)
+    val dest = new java.io.File(s"$dir/data/routing/fold=legacy")
+    java.nio.file.Files.createDirectories(dest.toPath)
+    val cellDirs = new java.io.File(s"$dir/routing").listFiles()
+      .filter(_.getName.startsWith("cell=")).sortBy(_.getName)
+    assert(cellDirs.length >= 2, "fixture needs several cells")
+    cellDirs.take(cellDirs.length / 2).foreach { c =>
+      assert(c.renameTo(new java.io.File(dest, c.getName)))
+    }
+    val m = GraphMaintainer.recover(spark, dir)
+    assert(m.corpus.count() == old.count(),
+      "the resumed migration must pin moved AND unmoved cells")
+    assert(m.graph.collect().map(_.toSeq).toSet ==
+      SimilaritySearch.knnGraph(old, quantizerSource = Some(old))
+        .collect().map(_.toSeq).toSet,
+      "the migrated artifact serves the full pre-crash graph")
   }
 }
