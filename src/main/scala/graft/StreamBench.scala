@@ -238,10 +238,45 @@ object StreamBench {
         .start()
     }
     // the O(batch) contract made visible: fold times must stay flat even
-    // though the accumulated corpus doubles over the run (cell-partitioned
-    // artifacts + dynamic partition overwrite — never an O(corpus) pass)
+    // though the accumulated corpus doubles over the run (manifest-pruned
+    // cell reads + one atomic manifest commit — never an O(corpus) pass)
     println(f"[stream-bench] knn-graph per-fold seconds: ${
       foldTimes.map(t => f"$t%.2f").mkString(", ")}")
+
+    // --- long-horizon graph METADATA arm: 60 folds, in-loop vacuum ---
+    // the graph manifest log's boundedness at weeks-of-streaming shape:
+    // every fold publishes ONE manifest and strands the touched cells'
+    // replaced token slices; with vacuum(keep=2) riding the loop the
+    // manifest count and live token-dir counts must stay FLAT (without
+    // it: one manifest + dead slices per fold, forever — the same
+    // unbounded-metadata class the SCD long-horizon arm measures)
+    val gmLong = graft.streaming.GraphMaintainer.build(
+      spark.range(2000).select(f.col("id").as("vec_id"),
+        embOf(f.col("id") * 31L + 7L).as("embedding")),
+      s"$root/knnlong", k = 5, nCentroids = 16)
+    def dCount(p: String, prefix: String): Int =
+      Option(new java.io.File(p).listFiles())
+        .map(_.count(_.getName.startsWith(prefix))).getOrElse(0)
+    val gmFoldTimes = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val gmSamples = scala.collection.mutable.ArrayBuffer.empty[String]
+    (1 to 60).foreach { i =>
+      val batch = spark.range(25).select(
+        (f.col("id") + 500000L + i * 25L).as("vec_id"),
+        embOf((f.col("id") + 500000L + i * 25L) * 31L + 7L).as("embedding"))
+      val t0 = System.nanoTime()
+      gmLong.fold(batch, Some(i.toLong))
+      gmLong.vacuum(keepManifests = 2)
+      gmFoldTimes += (System.nanoTime() - t0) / 1e9
+      if (i % 15 == 0) gmSamples += (f"fold $i%2d: " +
+        f"manifests=${dCount(s"$root/knnlong/_commits", "m")}%d " +
+        f"graph-tokens=${dCount(s"$root/knnlong/data/graph", "fold=")}%d " +
+        f"routing-tokens=${dCount(s"$root/knnlong/data/routing", "fold=")}%d " +
+        f"markers=${dCount(s"$root/knnlong/folded", "hw-")}%d " +
+        f"owner-epochs=${dCount(s"$root/knnlong/owner", "e")}%d")
+    }
+    gmSamples.foreach(s => println(s"[stream-bench] knn-graph long-horizon $s"))
+    println(f"[stream-bench] knn-graph long-horizon fold-seconds quartile means: ${
+      gmFoldTimes.grouped(15).map(g => f"${g.sum / g.size}%.3f").mkString(", ")}")
 
     // --- timed: BM25-stats maintainer (lexical index folds) ---
     // the GraphMaintainer pattern on the lexical tier: stats refit on half

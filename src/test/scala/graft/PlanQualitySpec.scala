@@ -293,5 +293,37 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("graph maintainer cell read is manifest-pruned: only the requested cells' files open, no shuffle") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.GraphMaintainer
+    val emb = Tables.embeddings(spark, sf)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-plangraph").toString
+    val m = GraphMaintainer.build(
+      emb.select(col("vec_id"), col("embedding")), dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val entries = GraphMaintainer.latestEntries(fs, dir)
+    val cells = entries.keys.collect {
+      case (a, c) if a == GraphMaintainer.RoutingArt => c
+    }.toSeq.sorted
+    assert(cells.size >= 3, s"fixture needs several cells, got $cells")
+    val want = cells.take(2).toSet
+    val read = GraphMaintainer.readArtifact(
+      spark, dir, GraphMaintainer.RoutingArt, entries, Some(want))
+    // pruning happens at the MANIFEST, before Spark ever lists: the
+    // scan's input files sit exclusively under the wanted cells' dirs —
+    // at 100 TB the untouched cells are never even listed, which beats
+    // catalog partition pruning (O(all partitions) listing) outright
+    val files = read.inputFiles
+    assert(files.nonEmpty)
+    assert(files.forall(f => want.exists(c => f.contains(s"/cell=$c/"))),
+      s"scan escaped the manifest-chosen cells: ${files.take(3).mkString(", ")}")
+    // and the read is a pure scan + project — no exchange, no join
+    val p = read.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange") && !p.contains("Join"), p)
+    assert(m.graph.inputFiles.nonEmpty) // full read resolves the same manifest
+  }
+
   private val Dedup = graft.operators.Dedup
 }
