@@ -378,6 +378,56 @@ class GraphMaintenanceSpec extends SparkSpec {
     ()
   }
 
+  test("a foreign commit becoming visible refreshes the replay prescreen: the redelivered batch duplicates nothing") {
+    val emb = Tables.embeddings(spark, sf)
+    val old = emb.filter(col("vec_id") % 5 =!= 0)
+    val b1 = emb.filter(col("vec_id") % 5 === 0)
+    val dir = tmp("zombiebloom")
+    GraphMaintainer.build(old, dir)
+    // the new owner's Bloom prescreen is built HERE, at the build-time
+    // manifest — before the zombie's commit lands
+    val m2 = GraphMaintainer.recover(spark, dir)
+    // worst-case zombie interleaving (impossible to produce through the
+    // API — the entry fence stops it — so simulate at the protocol):
+    // a maintainer that stalled past its fence checks lands b1's fold
+    // and its manifest becomes LATEST (the new owner has not committed
+    // since), but dies before its replay marker — so b1 will be
+    // REDELIVERED to the new owner while already being stored
+    graft.plans.GraftFunctions.register(spark)
+    val cs = spark.sparkContext.broadcast(
+      SimilaritySearch.ivfCentroids(old.select(col("vec_id"), col("embedding")), 16))
+    val allCells = SimilaritySearch
+      .cellAssign(emb.select(col("vec_id"), col("embedding")), cs)
+      .localCheckpoint()
+    allCells.repartition(col("cell")).write.partitionBy("cell")
+      .parquet(s"$dir/data/routing/fold=tzombie")
+    SimilaritySearch.knnGraph(emb.select(col("vec_id"), col("embedding")),
+        quantizerSource = Some(old))
+      .join(allCells.select(col("vec_id"), col("cell")), Seq("vec_id"))
+      .select(col("vec_id"), col("neighbor_id"), col("rank"), col("cos"), col("cell"))
+      .repartition(col("cell")).write.partitionBy("cell")
+      .parquet(s"$dir/data/graph/fold=tzombie")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    import spark.implicits._
+    val cells = allCells.select(col("cell")).distinct().as[Long].collect()
+    GraphMaintainer.commitManifest(fs, dir, epoch = 1,
+      (cells.map(c => (GraphMaintainer.RoutingArt, c) -> "tzombie") ++
+        cells.map(c => (GraphMaintainer.GraphArt, c) -> "tzombie")).toMap)
+    assert(m2.corpus.count() == emb.count(), "the zombie's commit is visible")
+    // the redelivered batch: a stale construction-time Bloom would miss
+    // b1's ids, skip the replay probe, and DUPLICATE every row into
+    // routing — resolveBase must detect the foreign manifest and rebuild
+    m2.fold(b1, Some(7L))
+    assert(m2.corpus.count() == emb.count(),
+      "a redelivered batch over a foreign-committed state must not duplicate routing rows")
+    assert(m2.corpus.select(col("vec_id")).distinct().count() == emb.count())
+    assert(m2.graph.collect().map(_.toSeq).toSet == rebuildWant)
+    // and the no-op still advanced the marker, so the next redelivery
+    // short-circuits on the high-water
+    assert(m2.fold(b1, Some(7L)).isEmpty)
+  }
+
   test("a pre-manifest workDir migrates in place on recover and folds on atomically") {
     val emb = Tables.embeddings(spark, sf)
     val old = emb.filter(col("vec_id") % 5 =!= 0)

@@ -1626,6 +1626,11 @@ class LakeTableSpec extends SparkSpec {
         qB.processAllAvailable()
         assert(LakeTable.readLive(spark, dir).count() == 70L,
           "the new owner's batches beyond the high-water fold normally")
+        // re-attaching swept the superseded epoch: the arm dir stays at
+        // one file however many times the stream restarts
+        assert(new java.io.File(s"$dir/_commits/arms/ingest").listFiles()
+          .count(_.getName.endsWith(".txt")) == 1,
+          "superseded arm epochs must sweep at re-attach")
         inA.addData((3000L until 3010L).map(k => (k, s"n$k", k * 1.0)))
         val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException](
           qA.processAllAvailable())
