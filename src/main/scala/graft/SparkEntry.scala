@@ -370,6 +370,23 @@ object SparkEntry {
       val batch = emb.filter(col("vec_id") % 5 === 0)
       SimilaritySearch.knnGraphIncrement(SimilaritySearch.knnGraph(old), old, batch)
     }),
+    // the STREAMING maintainer's LANDED artifact end-to-end: build
+    // derives the %5≠0 corpus under the atomic manifest protocol
+    // (immutable token dirs, one epoch-prefixed manifest per commit),
+    // fold lands the remaining vectors as one micro-batch, and the graph
+    // served THROUGH the latest manifest must hash-match the same
+    // frozen-quantizer rebuild oracle as q_knn_graph_incr — the storage
+    // protocol proven invisible at the oracle gate, like
+    // q_scd2_maintained for the SCD2 pair
+    "q_knn_graph_maintained" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-gmq").toString
+      val m = streaming.GraphMaintainer.build(
+        emb.filter(col("vec_id") % 5 =!= 0), dir)
+      m.fold(emb.filter(col("vec_id") % 5 === 0), Some(0L))
+      m.graph.orderBy(col("vec_id"), col("rank"))
+    }),
     // index retire: delete every %7 vector from the stored graph under
     // the frozen quantizer — retire==rebuild invariant; oracle = the
     // from-scratch rebuild over the surviving corpus (quantizer still
@@ -3098,6 +3115,28 @@ object SparkEntry {
          |l2 AS (SELECT * FROM l1 UNION ALL SELECT * FROM n2)
          |SELECT vec_id, label, round FROM l2 ORDER BY vec_id""".stripMargin,
     "q_knn_graph_incr" ->
+      s"""WITH e AS ($duckEmb),
+         |eo AS (SELECT * FROM e WHERE vec_id % 5 <> 0),
+         |ic AS (SELECT vec_id AS cid, emb AS cemb FROM eo
+         |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+         |iasg AS (SELECT vec_id, cid FROM (
+         |  SELECT e.vec_id, ic.cid, ROW_NUMBER() OVER (
+         |      PARTITION BY e.vec_id ORDER BY ${duckCos("e.emb", "ic.cemb")} DESC, ic.cid) AS rn
+         |  FROM e CROSS JOIN ic) WHERE rn = 1),
+         |cand AS (SELECT a.vec_id, b.vec_id AS neighbor_id
+         |  FROM iasg a JOIN iasg b ON a.cid = b.cid AND a.vec_id <> b.vec_id),
+         |scored AS (SELECT cand.vec_id, cand.neighbor_id,
+         |    ${duckCos("x.emb", "y.emb")} AS cos
+         |  FROM cand JOIN e x ON x.vec_id = cand.vec_id
+         |  JOIN e y ON y.vec_id = cand.neighbor_id)
+         |SELECT vec_id, neighbor_id, rank, cos FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM scored) WHERE rank <= 5 ORDER BY vec_id, rank""".stripMargin,
+    // the maintained artifact serves the SAME frozen-quantizer rebuild —
+    // identical SQL to q_knn_graph_incr, so hash-match proves the
+    // token-dir + manifest storage protocol end-to-end invisible
+    "q_knn_graph_maintained" ->
       s"""WITH e AS ($duckEmb),
          |eo AS (SELECT * FROM e WHERE vec_id % 5 <> 0),
          |ic AS (SELECT vec_id AS cid, emb AS cemb FROM eo
