@@ -254,9 +254,12 @@ object StreamBench {
       spark.range(2000).select(f.col("id").as("vec_id"),
         embOf(f.col("id") * 31L + 7L).as("embedding")),
       s"$root/knnlong", k = 5, nCentroids = 16)
-    def dCount(p: String, prefix: String): Int =
+    // shared by every long-horizon metadata arm below
+    def fCount(p: String, pred: String => Boolean): Int =
       Option(new java.io.File(p).listFiles())
-        .map(_.count(_.getName.startsWith(prefix))).getOrElse(0)
+        .map(_.count(x => pred(x.getName))).getOrElse(0)
+    def dCount(p: String, prefix: String): Int =
+      fCount(p, _.startsWith(prefix))
     val gmFoldTimes = scala.collection.mutable.ArrayBuffer.empty[Double]
     val gmSamples = scala.collection.mutable.ArrayBuffer.empty[String]
     (1 to 60).foreach { i =>
@@ -634,9 +637,6 @@ object StreamBench {
         f.lit("U").as("op"), f.concat(f.lit("n"), f.col("id")).as("name"),
         (f.col("id") * 1.0).as("val")),
       s"$root/scdlong")
-    def fCount(p: String, pred: String => Boolean): Int =
-      Option(new java.io.File(p).listFiles())
-        .map(_.count(x => pred(x.getName))).getOrElse(0)
     def isManifest(n: String) = n.startsWith("v") && n.endsWith(".txt")
     val nLongFolds = 200
     val longFoldTimes = scala.collection.mutable.ArrayBuffer.empty[Double]

@@ -112,6 +112,22 @@ final class GraphMaintainer private (
     */
   private def resolveBase(): Map[(String, Long), String] = {
     val cur = manifestNames(fs, workDir).lastOption
+    // the listing can only ever move FORWARD for a live maintainer (our
+    // own vacuum keeps the newest; commits append): an empty or
+    // regressed listing means _commits was deleted out-of-band or the
+    // store returned an inconsistent view — treating it as "empty
+    // corpus" would make the next commit publish a batch-only manifest
+    // and silently orphan the whole stored corpus for vacuum to delete
+    // (the same vacuous-pass hole OwnerFence.assertOwner refuses for
+    // the owner dir)
+    require(cur.isDefined || lastSeen.isEmpty,
+      s"GraphMaintainer: _commits at $workDir lists no manifests but this " +
+        s"maintainer last saw $lastSeen — the log was deleted out-of-band " +
+        "or the listing is inconsistent; refusing to treat the corpus as empty")
+    require(lastSeen.isEmpty || cur.exists(_ >= lastSeen.get),
+      s"GraphMaintainer: the latest manifest regressed from $lastSeen to " +
+        s"$cur at $workDir — out-of-band deletion or inconsistent listing; " +
+        "refusing to commit over a rolled-back view of the corpus")
     val entries = cur.map(readManifest(fs, workDir, _)).getOrElse(Map.empty)
     if (cur != lastSeen) {
       idFilter = bloomOf(spark, workDir, entries)
@@ -162,15 +178,35 @@ final class GraphMaintainer private (
     // commit became visible)
     val base = resolveBase()
 
+    // an at-least-once source can duplicate a record WITHIN one
+    // micro-batch too: same-id same-embedding rows collapse here, and a
+    // same-id DIFFERENT-embedding pair fails loud NOW — landing both
+    // would corrupt routing silently, and only the NEXT fold touching
+    // that id would throw, one fold too late to save the artifact
+    val ids0 = b0.select(col("vec_id")).as[Long].collect()
+    val (bIn, ids) =
+      if (ids0.distinct.length == ids0.length) (b0, ids0)
+      else {
+        val conflicted = b0.groupBy(col("vec_id"))
+          .agg(countDistinct(col("embedding")).as("ne"))
+          .filter(col("ne") > 1)
+          .select(col("vec_id")).as[Long].take(5)
+        require(conflicted.isEmpty,
+          s"GraphMaintainer.fold: vec_ids ${conflicted.mkString(", ")} appear " +
+            "more than once IN THE BATCH with different embeddings — an " +
+            "update/re-embed breaks the merge==rebuild invariant; rebuild " +
+            "the epoch instead")
+        (b0.dropDuplicates("vec_id"), ids0.distinct)
+      }
+
     // id-overlap gate: Bloom prescreen, exact confirm only on a hit
-    val ids = b0.select(col("vec_id")).as[Long].collect()
     val suspects = ids.filter(idFilter.mightContainLong)
     val replayIds: Set[Long] = if (suspects.isEmpty) Set.empty else {
       val stored =
         readArtifact(spark, workDir, RoutingArt, base, None)
           .join(broadcast(suspects.toSeq.toDF("vec_id")), Seq("vec_id"), "left_semi")
           .select(col("vec_id"), col("embedding").as("stored_emb"))
-      val overlap = b0.join(broadcast(stored), Seq("vec_id"))
+      val overlap = bIn.join(broadcast(stored), Seq("vec_id"))
         .select(col("vec_id"),
           (col("embedding") === col("stored_emb")).as("same"))
         .as[(Long, Boolean)].collect()
@@ -181,8 +217,8 @@ final class GraphMaintainer private (
           "break the merge==rebuild invariant; rebuild the epoch instead")
       overlap.collect { case (id, true) => id }.toSet
     }
-    val b = if (replayIds.isEmpty) b0
-      else b0.join(broadcast(replayIds.toSeq.toDF("vec_id")), Seq("vec_id"), "left_anti")
+    val b = if (replayIds.isEmpty) bIn
+      else bIn.join(broadcast(replayIds.toSeq.toDF("vec_id")), Seq("vec_id"), "left_anti")
     val touched =
       if (replayIds.size < ids.length) applyFold(b, base) else noneTouched
     ids.foreach(idFilter.putLong)
@@ -383,14 +419,22 @@ final class GraphMaintainer private (
                 dropped += 1
               }
             }
-          // an emptied token dir sweeps too — under the SAME grace: a
-          // token with no cell= children yet may be a concurrent
-          // commit's mid-write directory (only _temporary inside), and
-          // deleting it would crash the in-flight job instead of letting
-          // it lose cleanly at the rename
-          if (now - fd.getModificationTime >= graceMs &&
-              !fs.listStatus(fd.getPath)
-                .exists(_.getPath.getName.startsWith("cell="))) {
+          // an emptied token dir sweeps too — but only once its whole
+          // SUBTREE has been quiet past the grace: a token with no
+          // cell= children yet may be a concurrent commit's mid-write
+          // directory (only _temporary inside), and the dir's own mtime
+          // is fixed at creation while Spark keeps writing underneath —
+          // anchoring on the dir mtime alone would delete a write merely
+          // LONGER than the grace, crashing the in-flight job instead of
+          // letting it lose cleanly at the manifest rename. The clock is
+          // re-read here because THIS pass's cell sweeps above just
+          // touched the dir's mtime — against the loop-entry timestamp
+          // a freshly-emptied token would read as "modified in the
+          // future" and never sweep
+          val nowEmpty = System.currentTimeMillis()
+          if (!fs.listStatus(fd.getPath)
+                .exists(_.getPath.getName.startsWith("cell=")) &&
+              nowEmpty - newestMtime(fs, fd.getPath) >= graceMs) {
             fs.delete(fd.getPath, true)
             ()
           }
@@ -408,6 +452,17 @@ final class GraphMaintainer private (
           now - fs.getFileStatus(p).getModificationTime >= graceMs)
         .foreach { p => fs.delete(p, false); dropped += 1 }
     dropped + OwnerFence.gcSuperseded(fs, s"$workDir/owner")
+  }
+
+  /** The newest modification time anywhere under `p` — the quiet-period
+    * anchor for sweeping a cell-less token dir (activity happens deep in
+    * `_temporary`, never on the token dir itself).
+    */
+  private def newestMtime(fs: FileSystem, p: Path): Long = {
+    val st = fs.getFileStatus(p)
+    val kids =
+      if (st.isDirectory) fs.listStatus(p).toSeq.map(_.getPath) else Nil
+    (st.getModificationTime +: kids.map(newestMtime(fs, _))).max
   }
 
   /** Attach to a vector stream: every micro-batch folds into the graph

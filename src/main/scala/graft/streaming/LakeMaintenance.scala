@@ -276,6 +276,14 @@ object LakeMaintenance {
       keyCol: String = "key", nFilesNew: Int = 2,
       keepManifests: Option[Int] = None): StreamingQuery = {
     val spark = changelog.sparkSession
+    // fail the misconfiguration at ATTACH, not hours later: keep = 1
+    // leaves only the just-committed manifest, so the first crash
+    // between the table commit and the view refresh strands the view's
+    // recorded version below the pruned horizon and the catch-up
+    // readChanges dies on the retention contract
+    keepManifests.foreach(k => require(k >= 2,
+      s"LakeMaintenance.attachWithView: keepManifests must be >= 2 (the " +
+        s"view lags up to one fold, plus the crashed-refresh window), got $k"))
     val fence = armFence(spark, path, "cdc")
     changelog.writeStream
       .foreachBatch { (b: Dataset[Row], id: Long) =>

@@ -163,6 +163,30 @@ class GraphMaintenanceSpec extends SparkSpec {
       "a superseded batchId must no-op against the high-water")
   }
 
+  test("intra-batch duplicate ids: same embedding collapses, different embeddings fail loud") {
+    val emb = Tables.embeddings(spark, sf)
+    val old = emb.filter(col("vec_id") % 5 =!= 0)
+    val b1 = emb.filter(col("vec_id") % 5 === 0)
+    val m = GraphMaintainer.build(old, tmp("batchdup"))
+    // at-least-once sources can duplicate a record WITHIN one
+    // micro-batch: the same-embedding copies must collapse to one row
+    m.fold(b1.unionByName(b1.limit(7)))
+    assert(m.corpus.select(col("vec_id")).distinct().count() == m.corpus.count(),
+      "intra-batch duplicates must not land twice in routing")
+    assert(m.graph.collect().map(_.toSeq).toSet == rebuildWant)
+    // a same-id DIFFERENT-embedding pair in one batch is a re-embed and
+    // must fail loud NOW — landing both would corrupt silently and only
+    // the NEXT fold touching the id would throw, one fold too late
+    val row1 = b1.limit(1)
+      .select(lit(10000000L).as("vec_id"), col("embedding"))
+    val row2 = row1.withColumn("embedding",
+      org.apache.spark.sql.functions.transform(col("embedding"), x => x * 2f))
+    val e = intercept[IllegalArgumentException](m.fold(row1.unionByName(row2)))
+    assert(e.getMessage.contains("IN THE BATCH"), e.getMessage)
+    assert(m.graph.collect().map(_.toSeq).toSet == rebuildWant,
+      "the rejected batch must not have landed anything")
+  }
+
   test("replayed batches are no-ops; a true re-embed fails loud") {
     val emb = Tables.embeddings(spark, sf)
     val old = emb.filter(col("vec_id") % 5 =!= 0)
