@@ -14,46 +14,55 @@ import graft.operators.SimilaritySearch
   * folds every micro-batch of vectors into the serving graph, exactly
   * (the merge==rebuild invariant holds per fold because the coarse
   * quantizer stays PINNED to the refresh-time corpus; it re-fits only at
-  * the next compaction, per the centroid-staleness contract in SCALE.md).
+  * the next compaction — [[GraphMaintainer.rebuildEpoch]] — per the
+  * centroid-staleness contract in SCALE.md).
   *
   * State model: the graph is DERIVED state — an index artifact, not
   * stream state — and it lives on RELIABLE storage, not in the streaming
   * checkpoint and not in `localCheckpoint` lineage: `workDir` holds
-  *   - `centroids/`   the frozen coarse quantizer (written once per epoch),
+  *   - `quantizers/<qtok>/` immutable frozen coarse quantizers (one per
+  *     epoch; the live one is named by the manifest's `#q` line),
   *   - `data/routing/fold=<token>/cell=<c>/`  (vec_id, embedding) cell slices,
   *   - `data/graph/fold=<token>/cell=<c>/`    (vec_id, neighbor_id, rank, cos),
-  *   - `_commits/`    the MANIFEST LOG (see below) — the only thing readers trust,
-  *   - `folded/`      the replay HIGH-WATER marker (`hw-<maxBatchId>`,
-  *                    swept — O(1) files however many batches ever fold;
-  *                    monotone batchIds make `id <= max` the replay test).
+  *   - `_commits/`    the MANIFEST LOG (see below) — the only thing readers trust.
   * Restart semantics are therefore the artifact's: [[GraphMaintainer.recover]]
   * reopens `workDir` and continues folding — an executor or driver loss
   * never costs the epoch (the failure mode `localCheckpoint`, documented
   * non-fault-tolerant, could not survive).
   *
-  * ATOMIC VERSIONED COMMIT: every fold/retire lands its touched cells'
-  * rows as IMMUTABLE files under a fresh `fold=<token>/` directory (never
-  * overwriting a live file), then publishes ONE manifest —
-  * `_commits/m<ownerEpoch>-<seq>.txt`, a line per live (artifact, cell)
-  * naming its token — by rename-without-overwrite. The rename is the
-  * commit point: a crash anywhere before it publishes NOTHING (the landed
-  * token dirs are invisible orphans [[vacuum]] sweeps), and both
-  * artifacts move in the SAME commit, so the routing-clean/graph-stale
-  * half-states the pre-manifest design could leave can no longer exist.
-  * Readers resolve the lexicographically newest manifest; the owner
-  * epoch LEADS the name, so a fenced zombie's late commit (acquired a
-  * lower [[OwnerFence]] epoch, stalled past its fence check) sorts below
-  * everything the new owner publishes and is never served once the new
-  * owner commits — the fencing-token construction: writes are stamped
-  * with the token and only the max-token writer's are honored. The
-  * zombie additionally re-checks the fence AFTER its rename and BEFORE
-  * advancing the replay marker, so a batch whose commit lost the race
-  * can never be marked applied — redelivery re-folds it (the
-  * embedding-equality probe makes the replay a no-op if the commit did
-  * land visibly). This is the same backstop contract as the lake's
-  * versioned rename and Bm25's marker rename; the design cites Delta's
-  * commit-protocol ideas (public knowledge), the implementation is a
-  * bespoke tab-separated format.
+  * ATOMIC VERSIONED COMMIT, DELTA LOG: every fold/retire lands its
+  * touched cells' rows as IMMUTABLE files under a fresh `fold=<token>/`
+  * directory (never overwriting a live file), then publishes ONE commit
+  * file — `_commits/m<ownerEpoch>-<seq>.txt` — by
+  * rename-without-overwrite. The rename is the commit point: a crash
+  * anywhere before it publishes NOTHING (the landed token dirs are
+  * invisible orphans [[vacuum]] sweeps). A commit is either a
+  * CHECKPOINT (the full live (artifact, cell) → token map) or a DELTA
+  * (only the touched cells' upserts and removals, plus a `#base` line
+  * naming the exact commit it was computed against), with a checkpoint
+  * forced every [[GraphMaintainer.CheckpointEvery]] commits — the same
+  * bounded delta-log + checkpoint-anchor shape as the lake's commit log,
+  * so per-commit manifest bytes track the TOUCHED cells, never the total
+  * cell count (at a 100 TB epoch with ~10⁵ cells, a full-map rewrite per
+  * micro-batch would serialize a few MB of text on the driver forever;
+  * a delta is a few lines). Readers resolve the lexicographically newest
+  * commit by walking its pinned `#base` chain back to a checkpoint —
+  * NEVER "the nearest checkpoint below": a fenced zombie's late
+  * checkpoint can land below the head, and an unpinned backward scan
+  * would silently adopt it as the base of the new owner's deltas.
+  *
+  * The owner epoch LEADS the commit name, so a fenced zombie's late
+  * commit (acquired a lower [[OwnerFence]] epoch, stalled past its fence
+  * check) sorts below everything the new owner publishes and is never
+  * served once the new owner commits — the fencing-token construction:
+  * writes are stamped with the token and only the max-token writer's are
+  * honored. Both artifacts and the replay high-water (`#hw`, see below)
+  * move in the SAME commit, so the routing-clean/graph-stale and
+  * committed-but-unmarked half-states of earlier designs cannot exist.
+  * This is the same backstop contract as the lake's versioned rename and
+  * Bm25's marker rename; the design cites Delta's commit-protocol ideas
+  * (public knowledge), the implementation is a bespoke tab-separated
+  * format.
   *
   * Per-fold cost is genuinely incremental: the batch alone is assigned to
   * cells (O(|batch| · nCentroids) kernel work); the stored corpus
@@ -61,34 +70,55 @@ import graft.operators.SimilaritySearch
   * cell to its live files, so reads open exactly the touched cells'
   * directories (manifest-level pruning: untouched cells are never even
   * LISTED, which beats catalog partition pruning at 100 TB scale) — and
-  * the commit replaces only the touched cells' manifest entries.
+  * the commit is a delta over only the touched cells' entries.
   * Untouched cells are never read, re-ranked, or rewritten, so
   * steady-state work tracks the ingest rate × mean cell size, never the
   * accumulated corpus.
   *
   * Idempotence / at-least-once: folds are replay-safe three ways —
-  * (1) an applied batchId short-circuits on the `folded/` high-water;
+  * (1) an applied batchId short-circuits on the `#hw` high-water the
+  * manifest itself carries (marker-advance and data-commit are ONE
+  * atomic rename — the crash-between-commit-and-marker window of the
+  * separate `folded/` marker protocol is impossible by construction;
+  * the embedding-equality probe below remains as a pure backstop);
   * (2) a batch vector whose vec_id is already stored WITH THE SAME
-  * embedding is a replayed row (crash between the manifest commit and the
-  * marker) and is dropped; a same-id DIFFERENT-embedding row is a true
-  * update/re-embed and throws — the fail-loud append-only contract
-  * [[SimilaritySearch.knnGraphIncrement]] pins; (3) the re-rank dedups
-  * (vec_id, neighbor_id) before the window, so re-merging edges an
-  * earlier commit already published cannot double-count a neighbor.
-  * The id-overlap probe is Bloom-prescreened (driver-held filter over all
-  * stored ids, fed per fold), so the common no-collision fold never scans
-  * stored ids at all.
+  * embedding is a replayed row and is dropped; a same-id
+  * DIFFERENT-embedding row is a true update/re-embed and throws — the
+  * fail-loud append-only contract [[SimilaritySearch.knnGraphIncrement]]
+  * pins ([[GraphMaintainer.rebuildEpoch]] is the executable path for
+  * those); (3) the re-rank dedups (vec_id, neighbor_id) before the
+  * window, so re-merging edges an earlier commit already published
+  * cannot double-count a neighbor. The id-overlap probe is
+  * Bloom-prescreened (driver-held filter over all stored ids, fed per
+  * fold), so the common no-collision fold never scans stored ids at all.
   */
 final class GraphMaintainer private (
-    spark: SparkSession, workDir: String, val k: Int,
-    centroids: Broadcast[Array[(Long, Array[Double], Double)]],
-    idFilter0: BloomFilter, epoch: Int, initialManifest: Option[String]) {
+    spark: SparkSession, workDir: String, k0: Int,
+    centroids0: Broadcast[Array[(Long, Array[Double], Double)]],
+    idFilter0: BloomFilter, epoch: Int,
+    state0: GraphMaintainer.GraphState, lastSeen0: Option[String]) {
   import GraphMaintainer._
 
-  // the id prescreen and the manifest it was built at: both move only
-  // under the synchronized mutators (fold/retire/vacuum)
+  // the epoch's in-memory state: quantizer broadcast, k, the id
+  // prescreen, and the commit the caches were resolved at — all move
+  // only under the synchronized mutators (fold/retire/rebuildEpoch/vacuum)
+  private var centroidsB: Broadcast[Array[(Long, Array[Double], Double)]] = centroids0
+  private var kVar: Int = k0
   private var idFilter: BloomFilter = idFilter0
-  private var lastSeen: Option[String] = initialManifest
+  private var lastSeen: Option[String] = lastSeen0
+  private var lastState: Map[(String, Long), String] = state0.entries
+  private var deltasSinceCkpt: Int = state0.deltasSinceCkpt
+  private var hwVar: Option[Long] = state0.hw
+  private var qVar: Option[String] = state0.quantizer
+
+  /** The epoch's k (re-rank fan-out); moves only at [[rebuildEpoch]]. */
+  def k: Int = kVar
+
+  /** The frozen quantizer's vec_ids — the ids whose RAW embeddings live
+    * in the quantizer artifact and therefore cannot be retired without
+    * [[rebuildEpoch]] (the forget-cascade caller's pre-check).
+    */
+  def centroidIds: Seq[Long] = centroidsB.value.map(_._1).toSeq
 
   /** Cross-JVM single-ownership ([[OwnerFence]]): recover() takes over by
     * landing the next owner epoch and a superseded maintainer fails loud
@@ -100,15 +130,24 @@ final class GraphMaintainer private (
 
   private val fs = new Path(workDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Resolve the manifest every read and the commit base work from —
-    * ONCE per mutation. If someone ELSE committed since this maintainer
-    * last looked (the only legal case: a fenced zombie's late rename
-    * becoming visible before our next commit buries it), the Bloom
-    * prescreen is rebuilt from the new state: a construction-time Bloom
-    * would MISS the zombie-committed ids, let a redelivered batch slip
-    * past the replay probe, and duplicate its rows into routing. Our own
-    * commits record themselves in [[publish]], so the common path never
-    * rebuilds.
+  /** The replay high-water this maintainer knows: the manifest-carried
+    * value once any commit has embedded one, else the legacy `folded/`
+    * marker directory of a pre-`#hw` deployment (read from disk only on
+    * that cold path — after the first commit the manifest carries it).
+    */
+  private def currentHw: Option[Long] =
+    (hwVar.toSeq ++ legacyFoldedHw(fs, workDir).toSeq).maxOption
+
+  /** Resolve the state every read and the commit base work from — ONCE
+    * per mutation. If someone ELSE committed since this maintainer last
+    * looked (the only legal case: a fenced zombie's late rename becoming
+    * visible before our next commit buries it), the Bloom prescreen is
+    * rebuilt from the new state: a construction-time Bloom would MISS the
+    * zombie-committed ids, let a redelivered batch slip past the replay
+    * probe, and duplicate its rows into routing. The foreign commit's
+    * `#hw` is honored too — a visible commit DID apply its batch. Our own
+    * commits record themselves in [[commitSelf]], so the common path
+    * touches no manifest files at all.
     */
   private def resolveBase(): Map[(String, Long), String] = {
     val cur = manifestNames(fs, workDir).lastOption
@@ -128,12 +167,16 @@ final class GraphMaintainer private (
       s"GraphMaintainer: the latest manifest regressed from $lastSeen to " +
         s"$cur at $workDir — out-of-band deletion or inconsistent listing; " +
         "refusing to commit over a rolled-back view of the corpus")
-    val entries = cur.map(readManifest(fs, workDir, _)).getOrElse(Map.empty)
-    if (cur != lastSeen) {
-      idFilter = bloomOf(spark, workDir, entries)
+    if (cur == lastSeen) lastState
+    else {
+      val st = cur.map(resolveState(fs, workDir, _)).getOrElse(GraphState.empty)
+      idFilter = bloomOf(spark, workDir, st.entries)
       lastSeen = cur
+      lastState = st.entries
+      deltasSinceCkpt = st.deltasSinceCkpt
+      hwVar = (hwVar.toSeq ++ st.hw.toSeq).maxOption
+      st.entries
     }
-    entries
   }
 
   /** The maintained artifact — what [[SimilaritySearch.graphSearchTopK]]
@@ -153,7 +196,10 @@ final class GraphMaintainer private (
   /** Fold one batch of vectors in — exact per the merge==rebuild
     * invariant (SimilaritySpec pins it); chained folds stay exact because
     * the quantizer never drifts mid-epoch. `batchId` (from foreachBatch)
-    * makes the fold skip already-applied streaming batches on replay.
+    * makes the fold skip already-applied streaming batches on replay —
+    * the applied mark is the `#hw` line of the SAME commit that publishes
+    * the data, so a batch is marked applied exactly when its commit is
+    * the visible one.
     *
     * Returns the fold's INFLUENCE SET — every vertex whose edge list may
     * have changed (the batch plus its cells' stored members): the
@@ -164,18 +210,15 @@ final class GraphMaintainer private (
     import spark.implicits._
     assertOwner()
     def noneTouched = spark.emptyDataset[Long].toDF("vec_id")
-    // checkpointed batchIds are monotone: id <= the high-water marker IS
-    // "already folded" — one swept marker file carries it, where the old
-    // one-empty-file-per-batchId protocol grew the folded/ directory one
-    // inode per micro-batch forever (2.6M files after a month of 1 s
-    // batches); legacy per-batch markers read as their max and sweep out
-    if (batchId.exists(id => foldedHighWater.exists(_ >= id)))
+    // checkpointed batchIds are monotone: id <= the high-water IS
+    // "already folded"
+    if (batchId.exists(id => currentHw.exists(_ >= id)))
       return noneTouched
     val b0 = narrow(batch).localCheckpoint()
     if (b0.isEmpty) return noneTouched
     // ONE manifest snapshot serves the replay probe, the touched-cell
-    // reads, and the commit base (and refreshes the Bloom if a foreign
-    // commit became visible)
+    // reads, and the commit base (and refreshes the Bloom + hw if a
+    // foreign commit became visible)
     val base = resolveBase()
 
     // an at-least-once source can duplicate a record WITHIN one
@@ -195,7 +238,8 @@ final class GraphMaintainer private (
           s"GraphMaintainer.fold: vec_ids ${conflicted.mkString(", ")} appear " +
             "more than once IN THE BATCH with different embeddings — an " +
             "update/re-embed breaks the merge==rebuild invariant; rebuild " +
-            "the epoch instead")
+            "the epoch instead (GraphMaintainer.rebuildEpoch over the " +
+            "corrected corpus)")
         (b0.dropDuplicates("vec_id"), ids0.distinct)
       }
 
@@ -214,63 +258,35 @@ final class GraphMaintainer private (
       require(updates.isEmpty,
         s"GraphMaintainer.fold: vec_ids ${updates.take(5).mkString(", ")} are " +
           "already stored with DIFFERENT embeddings — updates/re-embeds " +
-          "break the merge==rebuild invariant; rebuild the epoch instead")
+          "break the merge==rebuild invariant; rebuild the epoch instead " +
+          "(GraphMaintainer.rebuildEpoch over the corrected corpus)")
       overlap.collect { case (id, true) => id }.toSet
     }
     val b = if (replayIds.isEmpty) bIn
       else bIn.join(broadcast(replayIds.toSeq.toDF("vec_id")), Seq("vec_id"), "left_anti")
     val touched =
-      if (replayIds.size < ids.length) applyFold(b, base) else noneTouched
+      if (replayIds.size < ids.length) applyFold(b, base, batchId)
+      else {
+        // every row was a replay of an already-visible commit (the
+        // redelivery after a pre-`#hw` crash, or a zombie's visible
+        // commit): no data moves, but the batch IS applied — one empty
+        // delta advances the high-water so the next redelivery
+        // short-circuits without the probe
+        batchId.filterNot(id => currentHw.exists(_ >= id)).foreach { id =>
+          assertOwner()
+          commitSelf(Map.empty, Set.empty, base, Some(id))
+        }
+        noneTouched
+      }
     ids.foreach(idFilter.putLong)
-    // the marker advances only while STILL owner: a commit that raced a
-    // takeover (landed its manifest after the new epoch — invisible the
-    // moment the new owner publishes) must stay UNMARKED so the source
-    // redelivers it; the replay probe then makes the redelivery exact
-    // whether or not the racing commit ended up visible
-    batchId.foreach { id => assertOwner(); commitFoldedHighWater(id) }
     touched
   }
 
-  /** The replay high-water: the max over `folded/`'s swept `hw-` markers
-    * and any legacy one-file-per-batchId names (pre-high-water dirs).
-    * The directory is sweep-bounded, so this listing is O(1).
-    */
-  private def foldedHighWater: Option[Long] = {
-    val dir = new Path(s"$workDir/folded")
-    if (!fs.exists(dir)) return None
-    fs.listStatus(dir).toSeq.map(_.getPath.getName).collect {
-      case n if n.startsWith("hw-") &&
-          n.stripPrefix("hw-").forall(_.isDigit) =>
-        n.stripPrefix("hw-").toLong
-      case n if n.nonEmpty && n.forall(_.isDigit) => n.toLong // legacy
-    }.maxOption
-  }
-
-  /** Advance the high-water: land `hw-<id>` (the value lives in the
-    * NAME — max wins, so a crash at any point leaves either the old
-    * marker or both, never none), then sweep superseded markers
-    * including legacy per-batch files. Failures in the sweep are
-    * harmless (max still wins); the sweep is what keeps the directory
-    * O(1) instead of one file per micro-batch forever.
-    */
-  private def commitFoldedHighWater(id: Long): Unit = {
-    val dir = new Path(s"$workDir/folded")
-    fs.mkdirs(dir)
-    fs.create(new Path(dir, f"hw-$id%019d"), true).close()
-    fs.listStatus(dir).toSeq.map(_.getPath)
-      .filter { p =>
-        val n = p.getName
-        (n.startsWith("hw-") && n.stripPrefix("hw-").forall(_.isDigit) &&
-          n.stripPrefix("hw-").toLong < id) ||
-          (n.nonEmpty && n.forall(_.isDigit) && n.toLong < id)
-      }
-      .foreach(fs.delete(_, false))
-  }
-
   private def applyFold(
-      b: DataFrame, base: Map[(String, Long), String]): DataFrame = {
+      b: DataFrame, base: Map[(String, Long), String],
+      batchId: Option[Long]): DataFrame = {
     graft.plans.GraftFunctions.register(spark)
-    val batchCells = SimilaritySearch.cellAssign(b, centroids).localCheckpoint()
+    val batchCells = SimilaritySearch.cellAssign(b, centroidsB).localCheckpoint()
     val touched = batchCells.select(col("cell")).distinct()
       .collect().map(_.getLong(0)).toSeq
     // manifest-pruned reads: only the batch's cells' directories open
@@ -290,45 +306,78 @@ final class GraphMaintainer private (
       // replay safety: a visible racing commit's edges re-merge as duplicates
       .dropDuplicates("vec_id", "neighbor_id")
       .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+      .filter(col("rank") <= kVar)
       .select(col("vec_id"), col("neighbor_id"), col("rank"), col("cos"), col("cell"))
-    publish(base, touched, reranked, oldTouched.unionByName(batchCells))
+    publish(base, touched, reranked, oldTouched.unionByName(batchCells), batchId)
     oldTouched.select(col("vec_id"))
       .unionByName(batchCells.select(col("vec_id"))).localCheckpoint()
   }
 
   /** Land both artifacts' touched-cell rows as immutable token dirs, then
-    * publish ONE manifest replacing the touched cells' entries — cells
-    * the new frames left empty simply drop out (no explicit directory
-    * deletes; their old files become vacuum garbage). The fence re-check
-    * sits immediately before the rename, narrowing the zombie window to
-    * the rename itself, which the epoch-prefixed name then loses silently
-    * (never served once the new owner commits) instead of corrupting.
+    * publish ONE delta commit replacing the touched cells' entries —
+    * cells the new frames left empty become explicit removals (their old
+    * files become vacuum garbage). The fence re-check sits immediately
+    * before the rename, narrowing the zombie window to the rename itself,
+    * which the epoch-prefixed name then loses silently (never served once
+    * the new owner commits) instead of corrupting. `newHw` rides the same
+    * commit — data and applied-mark are one atomic rename.
     */
   private def publish(
       base: Map[(String, Long), String], touched: Seq[Long],
-      graphDf: DataFrame, routingDf: DataFrame): Unit = {
+      graphDf: DataFrame, routingDf: DataFrame, newHw: Option[Long]): Unit = {
     val (gTok, gCells) = landCells(fs, workDir, graphDf, GraphArt)
     val (rTok, rCells) = landCells(fs, workDir, routingDf, RoutingArt)
-    val next = base --
-      touched.map(c => (GraphArt, c)) -- touched.map(c => (RoutingArt, c)) ++
-      gCells.map(c => (GraphArt, c) -> gTok) ++
-      rCells.map(c => (RoutingArt, c) -> rTok)
+    val upserts = (gCells.map(c => (GraphArt, c) -> gTok) ++
+      rCells.map(c => (RoutingArt, c) -> rTok)).toMap
+    val removes = touched
+      .flatMap(c => Seq((GraphArt, c), (RoutingArt, c))).toSet
+      .diff(upserts.keySet).filter(base.contains)
     assertOwner()
-    // record our own commit so resolveBase never mistakes it for a
-    // foreign one (which would trigger a pointless Bloom rebuild)
-    lastSeen = Some(commitManifest(fs, workDir, epoch, next))
+    commitSelf(upserts, removes, base -- removes ++ upserts, newHw)
+  }
+
+  /** Write our next commit — a delta against `lastSeen`, or a checkpoint
+    * when the cadence (or `forceCkpt`, or an empty log) demands one — and
+    * advance every cache so resolveBase never mistakes our own commit for
+    * a foreign one (which would trigger a pointless Bloom rebuild). The
+    * quantizer/k lines always ride along (one line each), so the latest
+    * commit alone names the live epoch artifacts. On success the legacy
+    * `folded/` marker directory (whose high-water is now embedded) is
+    * swept — the one-directory-fewer migration the `#hw` design buys.
+    */
+  private def commitSelf(
+      upserts: Map[(String, Long), String], removes: Set[(String, Long)],
+      next: Map[(String, Long), String], newHw: Option[Long],
+      forceCkpt: Boolean = false,
+      q: Option[String] = qVar, kk: Int = kVar): Unit = {
+    val hw2 = (currentHw.toSeq ++ newHw.toSeq).maxOption
+    val ckpt = forceCkpt || lastSeen.isEmpty ||
+      deltasSinceCkpt + 1 >= CheckpointEvery
+    val name =
+      if (ckpt) commitManifest(fs, workDir, epoch, next,
+        hw = hw2, quantizer = q, k = Some(kk))
+      else commitManifest(fs, workDir, epoch, upserts, removes,
+        checkpoint = false, base = lastSeen,
+        hw = hw2, quantizer = q, k = Some(kk))
+    lastSeen = Some(name)
+    lastState = next
+    deltasSinceCkpt = if (ckpt) 0 else deltasSinceCkpt + 1
+    hwVar = hw2
+    qVar = q
+    kVar = kk
+    val legacy = new Path(s"$workDir/folded")
+    if (fs.exists(legacy)) { fs.delete(legacy, true); () }
   }
 
   /** RETIRE stored vectors from the landed artifact —
     * [[SimilaritySearch.knnGraphRetire]] at the maintainer: the frozen
     * quantizer makes every edge same-cell, so only the doomed ids' cells
     * are read (manifest-pruned), their survivors re-score, and ONLY
-    * those cells' manifest entries move — in the same single atomic
-    * commit as a fold, so no crash can strand stale edges behind an
-    * already-clean routing (both artifacts publish together or not at
-    * all). Returns the influence set (the touched cells' surviving
-    * vertices — the re-vote input, like [[fold]]'s).
+    * those cells' entries move — in the same single atomic commit as a
+    * fold, so no crash can strand stale edges behind an already-clean
+    * routing (both artifacts publish together or not at all). Returns
+    * the influence set (the touched cells' surviving vertices — the
+    * re-vote input, like [[fold]]'s).
     *
     * Idempotent by re-run: touched cells are found via the doomed ids in
     * routing OR as a vertex/neighbor in the graph (both column-pruned
@@ -345,15 +394,16 @@ final class GraphMaintainer private (
     val doomed = tombstones.select(col("vec_id")).localCheckpoint()
     // the quantizer stores VERBATIM corpus vectors (ivfCentroids is a
     // draw, not a mean): a doomed centroid's raw embedding would survive
-    // in centroids/ and keep routing folds — that is a false forget
-    // attestation only an epoch rebuild can honor, so fail loud
+    // in the quantizer artifact and keep routing folds — that is a false
+    // forget attestation only an epoch rebuild can honor, so fail loud
     val doomedCentroids = doomed.as[Long].collect().toSet
-      .intersect(centroids.value.map(_._1).toSet)
+      .intersect(centroidsB.value.map(_._1).toSet)
     require(doomedCentroids.isEmpty,
       s"GraphMaintainer.retire: vec_ids ${doomedCentroids.take(5).mkString(", ")} " +
-        "are quantizer centroids — their raw embeddings live in centroids/ " +
-        "and route every fold; forgetting them requires rebuilding the " +
-        "epoch (GraphMaintainer.build over the surviving corpus)")
+        "are quantizer centroids — their raw embeddings live in the " +
+        "quantizer artifact and route every fold; forgetting them requires " +
+        "rebuilding the epoch (GraphMaintainer.rebuildEpoch over the " +
+        "surviving corpus)")
     val base = resolveBase()
     val routingCells = readArtifact(spark, workDir, RoutingArt, base, None)
       .join(broadcast(doomed), Seq("vec_id"), "left_semi")
@@ -377,34 +427,111 @@ final class GraphMaintainer private (
       .orderBy(col("cos").desc, col("neighbor_id"))
     val repaired = SimilaritySearch.cellEdgesWithCell(survivors, survivors)
       .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+      .filter(col("rank") <= kVar)
       .select(col("vec_id"), col("neighbor_id"), col("rank"), col("cos"), col("cell"))
       .localCheckpoint()
-    publish(base, touched, repaired, survivors)
+    publish(base, touched, repaired, survivors, None)
     survivors.select(col("vec_id"))
   }
 
+  /** REBUILD THE EPOCH IN PLACE — the executable form of the runbook the
+    * re-embed and centroid-forget refusals point at: re-fit the coarse
+    * quantizer over `survivors` (the corrected / surviving corpus), land
+    * the new quantizer, routing, and graph as fresh immutable artifacts,
+    * and cut over in ONE checkpoint commit — the `#q`/`#k` lines flip
+    * with the data in the same rename, so serving never observes a torn
+    * state: a crash anywhere before the rename leaves the old epoch
+    * serving in full (the landed files are vacuum-swept orphans), and a
+    * crash after it leaves the new epoch complete, quantizer included
+    * (the separate `centroids/` overwrite of the legacy layout had a
+    * mid-overwrite crash window this design deletes).
+    *
+    * Forget semantics (the cascade's centroid arm): the doomed ids'
+    * embeddings leave the LIVE state at the cutover; their bytes in
+    * superseded tokens/quantizers/manifests are reclaimed by [[vacuum]]
+    * once retention ages those commits out (one further commit pushes
+    * the pre-rebuild state past the keep-2 in-flight-reader clamp) —
+    * the same commit-then-vacuum forget SLA as the lake's.
+    *
+    * The replay high-water carries across (`#hw` rides the checkpoint):
+    * the attached stream's checkpoint keeps its batchIds, so dropping it
+    * would re-probe every already-applied batch as a suspected replay.
+    */
+  def rebuildEpoch(survivors: DataFrame, newK: Option[Int] = None,
+      nCentroids: Int = 16): Unit = synchronized {
+    assertOwner()
+    graft.plans.GraftFunctions.register(spark)
+    val k2 = newK.getOrElse(kVar)
+    resolveBase() // regression guard; refreshes lastSeen for the cutover
+    val corpus = narrow(survivors).localCheckpoint()
+    val cs = SimilaritySearch.ivfCentroids(corpus, nCentroids)
+    val qTok = landQuantizer(spark, workDir, cs)
+    val bcast = spark.sparkContext.broadcast(cs)
+    val cells = SimilaritySearch.cellAssign(corpus, bcast).localCheckpoint()
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    val edges = SimilaritySearch.cellEdgesWithCell(cells, cells)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k2)
+      .select(col("vec_id"), col("neighbor_id"), col("rank"), col("cos"), col("cell"))
+    val (rTok, rCells) = landCells(fs, workDir, cells, RoutingArt)
+    val (gTok, gCells) = landCells(fs, workDir, edges, GraphArt)
+    val entries = (rCells.map(c => (RoutingArt, c) -> rTok) ++
+      gCells.map(c => (GraphArt, c) -> gTok)).toMap
+    assertOwner()
+    // forced checkpoint: the new epoch shares nothing with the old state
+    commitSelf(entries, Set.empty, entries, None,
+      forceCkpt = true, q = Some(qTok), kk = k2)
+    centroidsB = bcast
+    idFilter = bloomOf(spark, workDir, entries)
+  }
+
   /** Sweep commit garbage: manifests beyond the newest `keepManifests`
-    * (≥ 2 recommended — a reader that resolved "latest" a moment ago must
-    * still be able to open it), token cell-directories no retained
-    * manifest references (crashed commits' orphans, replaced cell
-    * slices), `.tmp-` debris, and superseded owner epochs. `graceMs`
-    * shields a concurrent commit's just-landed-but-not-yet-published
-    * files from the sweep — on a deployment where a fenced zombie could
-    * be mid-commit, set it longer than the longest conceivable
-    * land→rename gap (the same convention as the lake's data-file
-    * vacuum). Returns the number of paths dropped.
+    * (clamped to ≥ 2 — a reader that resolved "latest" a moment before
+    * the sweep must still be able to open it, the same in-flight-reader
+    * clamp as ScdMaintenance's marker retention) PLUS each retained
+    * commit's `#base` chain (a retained delta must stay RESOLVABLE, so
+    * the log never drops below O(keep + CheckpointEvery) files while a
+    * delta heads it), token cell-directories no retained commit
+    * references (crashed commits' orphans, replaced cell slices),
+    * quantizer tokens no retained commit names (superseded epochs'),
+    * `.tmp-` debris, and superseded owner epochs. `graceMs` shields a
+    * concurrent commit's just-landed-but-not-yet-published files from
+    * the sweep — on a deployment where a fenced zombie could be
+    * mid-commit, set it longer than the longest conceivable land→rename
+    * gap (the same convention as the lake's data-file vacuum; [[attach]]
+    * defaults its in-loop sweep to 10 minutes for exactly this reason).
+    * Returns the number of paths dropped, counting swept-empty token
+    * directories.
     */
   def vacuum(keepManifests: Int = 2, graceMs: Long = 0L): Int = synchronized {
     assertOwner()
     require(keepManifests >= 1, "GraphMaintainer.vacuum: keepManifests >= 1")
+    val keepN = math.max(keepManifests, 2)
     val names = manifestNames(fs, workDir)
-    val keep = names.takeRight(keepManifests).toSet
-    val referenced: Set[String] = names.filter(keep).flatMap { n =>
-      readManifest(fs, workDir, n).map { case ((a, c), t) =>
-        s"data/$a/fold=$t/cell=$c"
+    val cache = scala.collection.mutable.Map.empty[String, GraphCommit]
+    def commitOf(n: String): GraphCommit =
+      cache.getOrElseUpdate(n, readCommit(fs, workDir, n))
+    def chainOf(n: String): Seq[String] = {
+      val buf = scala.collection.mutable.ArrayBuffer(n)
+      var c = commitOf(n)
+      while (!c.checkpoint) {
+        val b = c.base.getOrElse(throw new IllegalStateException(
+          s"GraphMaintainer.vacuum: delta manifest ${c.name} at " +
+            s"$workDir/_commits names no #base — corrupt log"))
+        buf += b
+        c = commitOf(b)
       }
+      buf.toSeq
+    }
+    val keep: Set[String] = names.takeRight(keepN).flatMap(chainOf).toSet
+    val kept = keep.toSeq.map(commitOf)
+    // a checkpoint's full map plus every retained delta's upserts covers
+    // the live state AT EVERY retained commit — anything else is garbage
+    val referenced: Set[String] = kept.flatMap { c =>
+      c.entries.map { case ((a, cc), t) => s"data/$a/fold=$t/cell=$cc" }
     }.toSet
+    val refQ: Set[String] = kept.flatMap(_.quantizer).toSet
     val now = System.currentTimeMillis()
     var dropped = 0
     Seq(GraphArt, RoutingArt).foreach { a =>
@@ -436,11 +563,24 @@ final class GraphMaintainer private (
                 .exists(_.getPath.getName.startsWith("cell=")) &&
               nowEmpty - newestMtime(fs, fd.getPath) >= graceMs) {
             fs.delete(fd.getPath, true)
-            ()
+            dropped += 1
           }
         }
       }
     }
+    // superseded epochs' quantizers: rebuildEpoch strands the old token
+    // the moment no retained commit names it (the legacy `centroids/`
+    // dir is never swept — pre-`#q` logs reference it implicitly)
+    val qRoot = new Path(s"$workDir/quantizers")
+    if (fs.exists(qRoot))
+      fs.listStatus(qRoot).foreach { qd =>
+        val nowQ = System.currentTimeMillis()
+        if (!refQ(qd.getPath.getName) &&
+            nowQ - newestMtime(fs, qd.getPath) >= graceMs) {
+          fs.delete(qd.getPath, true)
+          dropped += 1
+        }
+      }
     (names.toSet -- keep).foreach { n =>
       fs.delete(new Path(s"$workDir/_commits/$n"), false)
       dropped += 1
@@ -467,17 +607,22 @@ final class GraphMaintainer private (
 
   /** Attach to a vector stream: every micro-batch folds into the graph
     * via foreachBatch (the artifact-maintenance loop; empty batches are
-    * skipped so idle triggers don't churn checkpoints, and the batchId
-    * marker makes redelivered batches no-ops). With `keepManifests` set,
-    * [[vacuum]] rides the loop so an always-on maintainer holds the
-    * manifest log at O(keep) files and replaced cell slices sweep as
-    * they age out, instead of one manifest + dead tokens per micro-batch
-    * forever — the same in-loop retention the lake arms expose.
+    * skipped so idle triggers don't churn checkpoints, and the `#hw`
+    * high-water makes redelivered batches no-ops). With `keepManifests`
+    * set, [[vacuum]] rides the loop so an always-on maintainer holds the
+    * manifest log at O(keep + CheckpointEvery) files and replaced cell
+    * slices sweep as they age out, instead of one manifest + dead tokens
+    * per micro-batch forever — the same in-loop retention the lake arms
+    * expose. `vacuumGraceMs` defaults to 10 minutes: an in-loop sweep at
+    * grace 0 would delete a fenced zombie's landed-but-not-yet-published
+    * token dirs mid-commit, crashing its write job instead of letting it
+    * lose cleanly at the manifest rename — shrink it only on a
+    * deployment where no second writer can exist.
     */
   def attach(
       stream: DataFrame,
       keepManifests: Option[Int] = None,
-      vacuumGraceMs: Long = 0L): StreamingQuery =
+      vacuumGraceMs: Long = 600000L): StreamingQuery =
     stream.writeStream
       .foreachBatch { (b: Dataset[Row], id: Long) =>
         if (!b.isEmpty) {
@@ -498,6 +643,40 @@ object GraphMaintainer {
   private val RoutingDdl = "vec_id BIGINT, embedding ARRAY<FLOAT>, cell BIGINT"
   private val ManifestRe = """m(\d{6})-(\d{9})\.txt""".r
 
+  /** Checkpoint cadence: a full-map checkpoint every this-many commits;
+    * in between, each commit is a delta of the touched cells only.
+    * Bounds both the per-commit write (O(touched cells) for 9 of every
+    * 10 commits) and the resolution walk / retained-log length
+    * (O(CheckpointEvery) commits).
+    */
+  private[graft] val CheckpointEvery = 10
+
+  /** One parsed commit file. `entries` is the full live map for a
+    * checkpoint, the upserts for a delta; `base` names the exact commit
+    * a delta was computed against (readers walk it — never "the nearest
+    * checkpoint below", which a fenced zombie's late checkpoint could
+    * poison).
+    */
+  private[graft] final case class GraphCommit(
+      name: String, checkpoint: Boolean, base: Option[String],
+      entries: Map[(String, Long), String], removes: Set[(String, Long)],
+      hw: Option[Long], quantizer: Option[String], kOpt: Option[Int])
+
+  /** A commit's RESOLVED view: the folded entry map, the newest-defined
+    * `#hw`/`#q`/`#k` along its chain, the chain itself (checkpoint
+    * first — what vacuum must retain for this commit to stay readable),
+    * and how many deltas sit above the chain's checkpoint (the
+    * checkpoint-cadence counter a maintainer resumes from).
+    */
+  private[graft] final case class GraphState(
+      entries: Map[(String, Long), String], hw: Option[Long],
+      quantizer: Option[String], kOpt: Option[Int],
+      chain: Seq[String], deltasSinceCkpt: Int)
+
+  private[graft] object GraphState {
+    val empty: GraphState = GraphState(Map.empty, None, None, None, Nil, 0)
+  }
+
   private def narrow(df: DataFrame): DataFrame =
     df.select(col("vec_id"), col("embedding"))
 
@@ -512,41 +691,164 @@ object GraphMaintainer {
       .filter(ManifestRe.matches(_)).sorted
   }
 
-  /** One manifest's (artifact, cell) → token map. */
-  private[graft] def readManifest(
-      fs: FileSystem, workDir: String, name: String): Map[(String, Long), String] = {
-    val in = fs.open(new Path(s"$workDir/_commits/$name"))
+  /** Parse one commit file. A body with no `#graft-manifest` header is a
+    * pre-delta-log manifest: a full map (checkpoint) of bare entry
+    * lines. Every malformed line fails loud NAMING the file and the
+    * line — a truncated manifest must never surface as a bare
+    * MatchError with no indication of which commit is damaged.
+    */
+  private[graft] def readCommit(
+      fs: FileSystem, workDir: String, name: String): GraphCommit = {
+    val path = new Path(s"$workDir/_commits/$name")
+    val in = try fs.open(path) catch {
+      case e: java.io.FileNotFoundException => throw new IllegalStateException(
+        s"GraphMaintainer: manifest $name missing at $workDir/_commits — " +
+          "vacuumed or deleted out-of-band while still referenced", e)
+    }
     val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
       finally in.close()
-    lines.filter(_.nonEmpty).map { l =>
-      val Array(a, c, t) = l.split('\t')
-      (a, c.toLong) -> t
-    }.toMap
+    def bad(l: String, why: String): Nothing = throw new IllegalStateException(
+      s"GraphMaintainer: corrupt manifest $path — $why in line: '$l'")
+    var checkpoint = true
+    var base: Option[String] = None
+    var hw: Option[Long] = None
+    var q: Option[String] = None
+    var kOpt: Option[Int] = None
+    val entries = Map.newBuilder[(String, Long), String]
+    val removes = Set.newBuilder[(String, Long)]
+    lines.filter(_.nonEmpty).foreach {
+      case l if l.startsWith("#") => l.split(' ') match {
+        case Array("#graft-manifest", "v2", "ckpt") => checkpoint = true
+        case Array("#graft-manifest", "v2", "delta") => checkpoint = false
+        case Array("#base", b) =>
+          // a base must sort strictly below its own commit — structural
+          // cycle-freedom for the resolution walk; anything else is a
+          // forged or corrupt commit
+          if (b >= name) bad(l, "#base must sort strictly below the commit")
+          base = Some(b)
+        case Array("#hw", v) if v.forall(_.isDigit) => hw = Some(v.toLong)
+        case Array("#q", t) => q = Some(t)
+        case Array("#k", v) if v.forall(_.isDigit) => kOpt = Some(v.toInt)
+        case _ => bad(l, "unrecognized header")
+      }
+      case l if l.startsWith("!") => l.drop(1).split('\t') match {
+        case Array(a, c) if c.nonEmpty && c.forall(_.isDigit) =>
+          removes += ((a, c.toLong))
+        case _ => bad(l, "a removal line must be !<artifact>\\t<cell>")
+      }
+      case l => l.split('\t') match {
+        case Array(a, c, t) if c.nonEmpty && c.forall(_.isDigit) =>
+          entries += ((a, c.toLong) -> t)
+        case _ => bad(l, "an entry line must be <artifact>\\t<cell>\\t<token>")
+      }
+    }
+    if (!checkpoint && base.isEmpty)
+      bad("#graft-manifest v2 delta", "a delta commit names no #base")
+    GraphCommit(name, checkpoint, base, entries.result(), removes.result(),
+      hw, q, kOpt)
   }
 
-  /** The latest committed state (empty before the first commit). */
+  /** One commit's raw entry lines — a checkpoint's full map or a delta's
+    * upserts. Kept as the union-friendly view: across a retained chain,
+    * the union of `readManifest` maps is exactly the checkpoint's
+    * entries plus every later upsert, which covers the live state at
+    * every retained commit (what the in-loop-gc spec audits tokens
+    * against).
+    */
+  private[graft] def readManifest(
+      fs: FileSystem, workDir: String, name: String): Map[(String, Long), String] =
+    readCommit(fs, workDir, name).entries
+
+  /** Resolve the full state AT a commit: walk its pinned `#base` chain
+    * back to a checkpoint, then fold the deltas forward. `#hw`/`#q`/`#k`
+    * take the newest defined value along the chain (every
+    * maintainer-written commit embeds them, so the walk is depth-0 in
+    * practice; hand-forged or legacy commits fall through).
+    */
+  private[graft] def resolveState(
+      fs: FileSystem, workDir: String, name: String): GraphState = {
+    val chain = scala.collection.mutable.ArrayBuffer.empty[GraphCommit]
+    var cur = name
+    var done = false
+    while (!done) {
+      val c = readCommit(fs, workDir, cur)
+      chain += c
+      if (c.checkpoint) done = true
+      else cur = c.base.get // readCommit guarantees it for deltas
+    }
+    val ordered = chain.reverse // checkpoint first
+    val entries = ordered.foldLeft(Map.empty[(String, Long), String]) {
+      (st, c) => if (c.checkpoint) c.entries else st -- c.removes ++ c.entries
+    }
+    def newestDef[A](f: GraphCommit => Option[A]): Option[A] =
+      chain.iterator.flatMap(f(_)).nextOption() // chain is newest-first
+    GraphState(entries, newestDef(_.hw), newestDef(_.quantizer),
+      newestDef(_.kOpt), ordered.map(_.name).toSeq, ordered.size - 1)
+  }
+
+  /** The latest committed state's entry map (empty before the first
+    * commit).
+    */
   private[graft] def latestEntries(
       fs: FileSystem, workDir: String): Map[(String, Long), String] =
-    manifestNames(fs, workDir).lastOption
-      .map(readManifest(fs, workDir, _)).getOrElse(Map.empty)
+    latestState(fs, workDir).entries
 
-  /** Publish `entries` as the next manifest by rename-without-overwrite
-    * — THE commit point. The sequence number is monotone across epochs
-    * (max over every committed name + 1), the epoch prefix puts every
-    * commit of a superseded owner below the new owner's first, and a
-    * lost rename (same name landed twice — impossible under distinct
-    * acquired epochs) fails loud rather than retrying blind.
+  /** The latest committed state, fully resolved. */
+  private[graft] def latestState(fs: FileSystem, workDir: String): GraphState =
+    manifestNames(fs, workDir).lastOption
+      .map(resolveState(fs, workDir, _)).getOrElse(GraphState.empty)
+
+  /** Publish a commit by rename-without-overwrite — THE commit point.
+    * The sequence number is monotone across epochs (max over every
+    * committed name + 1), the epoch prefix puts every commit of a
+    * superseded owner below the new owner's first, and a lost rename
+    * (same name landed twice — impossible under distinct acquired
+    * epochs) fails loud rather than retrying blind. A `checkpoint`
+    * carries the FULL entry map; a delta carries upserts + `removes`
+    * and must pin `base`. Field-width overflow fails loud HERE — a
+    * renamed commit whose name no longer matches [[ManifestRe]] would be
+    * invisible to every reader, silently losing the commit until
+    * resolveBase's regression check tripped much later.
     */
   private[graft] def commitManifest(
       fs: FileSystem, workDir: String, epoch: Int,
-      entries: Map[(String, Long), String]): String = {
+      entries: Map[(String, Long), String],
+      removes: Set[(String, Long)] = Set.empty,
+      checkpoint: Boolean = true,
+      base: Option[String] = None,
+      hw: Option[Long] = None,
+      quantizer: Option[String] = None,
+      k: Option[Int] = None): String = {
+    require(epoch >= 0 && epoch <= 999999,
+      s"GraphMaintainer.commitManifest: owner epoch $epoch overflows the " +
+        "fixed-width name field (m%06d) — the renamed commit would match " +
+        "no reader's listing and be silently lost; rotate the workDir")
+    require(checkpoint || base.isDefined,
+      "GraphMaintainer.commitManifest: a delta commit must pin its #base")
+    require(checkpoint || removes.nonEmpty || entries.nonEmpty || hw.isDefined,
+      "GraphMaintainer.commitManifest: refusing an empty no-op delta")
+    require(!checkpoint || (removes.isEmpty && base.isEmpty),
+      "GraphMaintainer.commitManifest: a checkpoint carries the full map " +
+        "— removes/base are delta-only fields")
     val dir = new Path(s"$workDir/_commits")
     fs.mkdirs(dir)
     val seq = manifestNames(fs, workDir)
       .collect { case ManifestRe(_, s) => s.toLong }.maxOption.getOrElse(0L) + 1
+    require(seq <= 999999999L,
+      s"GraphMaintainer.commitManifest: sequence $seq overflows the " +
+        "fixed-width name field (%09d) — the renamed commit would match " +
+        "no reader's listing and be silently lost; rotate the workDir")
     val name = f"m$epoch%06d-$seq%09d.txt"
-    val body = entries.toSeq.sortBy { case ((a, c), _) => (a, c) }
-      .map { case ((a, c), t) => s"$a\t$c\t$t" }.mkString("\n")
+    val header =
+      Seq(s"#graft-manifest v2 ${if (checkpoint) "ckpt" else "delta"}") ++
+        base.map(b => s"#base $b") ++
+        hw.map(h => s"#hw $h") ++
+        quantizer.map(t => s"#q $t") ++
+        k.map(v => s"#k $v")
+    val body = (header ++
+      entries.toSeq.sortBy { case ((a, c), _) => (a, c) }
+        .map { case ((a, c), t) => s"$a\t$c\t$t" } ++
+      removes.toSeq.sorted.map { case (a, c) => s"!$a\t$c" }).mkString("\n")
     val tmp = new Path(dir, s".tmp-${java.util.UUID.randomUUID()}")
     val out = fs.create(tmp, false)
     try out.write(body.getBytes("UTF-8")) finally out.close()
@@ -579,6 +881,49 @@ object GraphMaintainer {
     (token, cells)
   }
 
+  /** Land one epoch's frozen quantizer as an immutable
+    * `quantizers/<qtok>/` artifact — referenced by the manifest's `#q`
+    * line, so the quantizer cuts over in the SAME atomic rename as the
+    * data it routes (the separate mutable `centroids/` dir of the legacy
+    * layout is read only as a fallback for pre-`#q` logs).
+    */
+  private def landQuantizer(
+      spark: SparkSession, workDir: String,
+      cs: Array[(Long, Array[Double], Double)]): String = {
+    import spark.implicits._
+    val tok = "q" + java.util.UUID.randomUUID().toString.replace("-", "").take(16)
+    cs.toSeq.toDF("cid", "emb", "norm")
+      .coalesce(1).write.parquet(s"$workDir/quantizers/$tok")
+    tok
+  }
+
+  /** Load the quantizer a resolved state names — `quantizers/<qtok>/`,
+    * or the legacy `centroids/` dir when the log predates `#q`.
+    */
+  private def loadQuantizer(
+      spark: SparkSession, workDir: String,
+      q: Option[String]): Array[(Long, Array[Double], Double)] = {
+    import spark.implicits._
+    val p = q.map(t => s"$workDir/quantizers/$t").getOrElse(s"$workDir/centroids")
+    spark.read.parquet(p)
+      .as[(Long, Array[Double], Double)].collect().sortBy(_._1)
+  }
+
+  /** The legacy replay high-water: the max over a pre-`#hw` deployment's
+    * `folded/` markers (swept `hw-` names and one-file-per-batchId
+    * names). Empty once the first `#hw`-carrying commit sweeps the dir.
+    */
+  private[graft] def legacyFoldedHw(fs: FileSystem, workDir: String): Option[Long] = {
+    val dir = new Path(s"$workDir/folded")
+    if (!fs.exists(dir)) return None
+    fs.listStatus(dir).toSeq.map(_.getPath.getName).collect {
+      case n if n.startsWith("hw-") &&
+          n.stripPrefix("hw-").forall(_.isDigit) =>
+        n.stripPrefix("hw-").toLong
+      case n if n.nonEmpty && n.forall(_.isDigit) => n.toLong
+    }.maxOption
+  }
+
   /** Read one artifact at a manifest's state, optionally pruned to a cell
     * set: exactly the chosen cells' directories are passed to the scan
     * (with `basePath` so the fold/cell partition values resolve), so
@@ -607,21 +952,31 @@ object GraphMaintainer {
   }
 
   /** Build the epoch's artifacts in `workDir` (quantizer, routing, graph,
-    * first manifest) from the refresh-time corpus, then maintain from
-    * there.
+    * first manifest — a checkpoint naming all three) from the
+    * refresh-time corpus, then maintain from there. Over an EXISTING
+    * workDir this is an in-place epoch rebuild: the replay high-water
+    * carries across (the attached stream's checkpoint keeps its
+    * batchIds), the old state stays readable until vacuum ages it out,
+    * and any pre-manifest legacy `routing/`/`graph/` dirs at the root —
+    * superseded by this fresh epoch, but outside `data/` where vacuum
+    * sweeps — are reclaimed NOW rather than lingering unreferenced
+    * forever.
     */
   def build(initialCorpus: DataFrame, workDir: String,
       k: Int = 5, nCentroids: Int = 16): GraphMaintainer = {
     val spark = initialCorpus.sparkSession
-    import spark.implicits._
     graft.plans.GraftFunctions.register(spark)
     val fs = new Path(workDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val epoch = OwnerFence.acquire(fs, s"$workDir/owner")
+    val priorHw = (manifestNames(fs, workDir).lastOption
+      .map(resolveState(fs, workDir, _)).flatMap(_.hw).toSeq ++
+      legacyFoldedHw(fs, workDir).toSeq).maxOption
+    Seq(RoutingArt, GraphArt).foreach { a =>
+      fs.delete(new Path(s"$workDir/$a"), true); ()
+    }
     val corpus = narrow(initialCorpus)
     val cs = SimilaritySearch.ivfCentroids(corpus, nCentroids)
-    cs.toSeq.map { case (cid, emb, norm) => (cid, emb, norm) }
-      .toDF("cid", "emb", "norm")
-      .coalesce(1).write.mode("overwrite").parquet(s"$workDir/centroids")
+    val qTok = landQuantizer(spark, workDir, cs)
     val bcast = spark.sparkContext.broadcast(cs)
     val cells = SimilaritySearch.cellAssign(corpus, bcast).localCheckpoint()
     val w = Window.partitionBy(col("vec_id"))
@@ -634,49 +989,57 @@ object GraphMaintainer {
     val (gTok, gCells) = landCells(fs, workDir, edges, GraphArt)
     val entries = (rCells.map(c => (RoutingArt, c) -> rTok) ++
       gCells.map(c => (GraphArt, c) -> gTok)).toMap
-    val name = commitManifest(fs, workDir, epoch, entries)
-    val out = fs.create(new Path(s"$workDir/meta.json"), true)
-    out.write(s"""{"k":$k}""".getBytes("UTF-8")); out.close()
+    val name = commitManifest(fs, workDir, epoch, entries,
+      hw = priorHw, quantizer = Some(qTok), k = Some(k))
+    // the high-water (if any) now rides the manifest — the legacy marker
+    // dir would otherwise need its own sweep forever
+    fs.delete(new Path(s"$workDir/folded"), true)
     new GraphMaintainer(spark, workDir, k, bcast,
-      bloomOf(spark, workDir, entries), epoch, Some(name))
+      bloomOf(spark, workDir, entries), epoch,
+      GraphState(entries, priorHw, Some(qTok), Some(k), Seq(name), 0),
+      Some(name))
   }
 
-  /** Reopen `workDir` after a restart: the frozen quantizer and the
-    * latest manifest's routing/graph are the landed artifacts, so the
+  /** Reopen `workDir` after a restart: the manifest-named quantizer and
+    * the latest commit's routing/graph are the landed artifacts, so the
     * recovered maintainer's next fold equals the uninterrupted one's
     * (GraphMaintenanceSpec pins it). A pre-manifest workDir (the
     * partition-overwrite layout this format replaced) migrates in place:
     * its cell directories rename under a `legacy` token and the first
-    * manifest pins them.
+    * manifest pins them. Pre-`#q`/`#k` logs fall back to the legacy
+    * `centroids/` dir and `meta.json`.
     */
   def recover(spark: SparkSession, workDir: String): GraphMaintainer = {
-    import spark.implicits._
     val fs = new Path(workDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val epoch = OwnerFence.acquire(fs, s"$workDir/owner")
     if (manifestNames(fs, workDir).isEmpty) migrateLegacy(fs, workDir, epoch)
-    val in = fs.open(new Path(s"$workDir/meta.json"))
-    val meta = try scala.io.Source.fromInputStream(in).mkString finally in.close()
-    val k = """"k":(\d+)""".r.findFirstMatchIn(meta)
-      .map(_.group(1).toInt)
-      .getOrElse(throw new IllegalStateException(s"$workDir/meta.json: no k"))
-    val cs = spark.read.parquet(s"$workDir/centroids")
-      .as[(Long, Array[Double], Double)].collect().sortBy(_._1)
-    // pin the manifest the Bloom is built at BEFORE building it, so a
+    // pin the commit the caches are built at BEFORE building them, so a
     // racing commit between the two is detected (not masked) at the
     // first fold's resolveBase
     val name0 = manifestNames(fs, workDir).lastOption
-    val entries0 = name0.map(readManifest(fs, workDir, _)).getOrElse(Map.empty)
+    val st = name0.map(resolveState(fs, workDir, _)).getOrElse(GraphState.empty)
+    val k = st.kOpt.getOrElse {
+      val in = fs.open(new Path(s"$workDir/meta.json"))
+      val meta = try scala.io.Source.fromInputStream(in).mkString finally in.close()
+      """"k":(\d+)""".r.findFirstMatchIn(meta)
+        .map(_.group(1).toInt)
+        .getOrElse(throw new IllegalStateException(s"$workDir/meta.json: no k"))
+    }
+    val cs = loadQuantizer(spark, workDir, st.quantizer)
+    val hw0 = (st.hw.toSeq ++ legacyFoldedHw(fs, workDir).toSeq).maxOption
     new GraphMaintainer(spark, workDir, k,
       spark.sparkContext.broadcast(cs),
-      bloomOf(spark, workDir, entries0), epoch, name0)
+      bloomOf(spark, workDir, st.entries), epoch,
+      st.copy(hw = hw0), name0)
   }
 
   /** One-time in-place migration from the pre-manifest layout
     * (`<workDir>/{routing,graph}/cell=<c>/` rewritten by dynamic
     * partition overwrite): each cell directory RENAMES under
     * `data/<artifact>/fold=legacy/` — a metadata move, no data copied —
-    * and the first manifest pins them, after which every commit is
-    * atomic. Runs under the just-acquired epoch, so a still-live old
+    * and the first manifest pins them (embedding the `folded/` dir's
+    * high-water, whose directory then sweeps), after which every commit
+    * is atomic. Runs under the just-acquired epoch, so a still-live old
     * maintainer is already fenced before the move.
     */
   private def migrateLegacy(fs: FileSystem, workDir: String, epoch: Int): Unit = {
@@ -705,7 +1068,9 @@ object GraphMaintainer {
           (a, n.stripPrefix("cell=").toLong) -> "legacy"
         }
     }.toMap
-    commitManifest(fs, workDir, epoch, entries)
+    commitManifest(fs, workDir, epoch, entries,
+      hw = legacyFoldedHw(fs, workDir))
+    fs.delete(new Path(s"$workDir/folded"), true)
     ()
   }
 

@@ -39,10 +39,10 @@ class GraphMaintenanceSpec extends SparkSpec {
     val dir = tmp("retire")
     val m = GraphMaintainer.build(old, dir)
     m.fold(batch)
-    // a quantizer centroid's raw embedding lives in centroids/ — retiring
-    // one must fail loud (only an epoch rebuild can honor that forget)
-    val centroidIds = spark.read.parquet(s"$dir/centroids")
-      .select(col("cid").as("vec_id"))
+    // a quantizer centroid's raw embedding lives in the quantizer
+    // artifact — retiring one must fail loud (only an epoch rebuild can
+    // honor that forget; the rebuild path has its own spec below)
+    val centroidIds = m.centroidIds.toDF("vec_id")
     intercept[IllegalArgumentException](m.retire(centroidIds.limit(1)))
     val doomed = emb.filter(col("vec_id") % 7 === 0).select(col("vec_id"))
       .join(centroidIds, Seq("vec_id"), "left_anti")
@@ -138,11 +138,13 @@ class GraphMaintenanceSpec extends SparkSpec {
     assert(e.getMessage.contains("FENCED"), e.getMessage)
   }
 
-  test("the folded/ marker directory stays O(1) files across many batchId folds; legacy markers sweep out") {
+  test("the replay high-water rides the manifest; legacy folded/ markers are honored, migrated, and swept") {
     val emb = Tables.embeddings(spark, sf)
     val dir = tmp("hw")
     val m = GraphMaintainer.build(emb.filter(col("vec_id") % 5 =!= 0), dir)
-    // a legacy per-batch marker left by a pre-high-water deployment
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a legacy per-batch marker left by a pre-`#hw` deployment
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/folded"))
     java.nio.file.Files.createFile(java.nio.file.Paths.get(s"$dir/folded/2"))
     // its id must still dedupe (max semantics under monotone batchIds)...
@@ -152,15 +154,21 @@ class GraphMaintenanceSpec extends SparkSpec {
     (3L to 8L).foreach { id =>
       m.fold(fresh.filter(col("vec_id") % 7 === id - 3), Some(id))
     }
-    val markerFiles = new java.io.File(s"$dir/folded").listFiles()
-      .filterNot(_.getName.startsWith(".")) // Hadoop .crc sidecars
-    assert(markerFiles.length == 1,
-      s"six folds must leave ONE swept high-water marker, got " +
-        markerFiles.map(_.getName).mkString(", "))
-    assert(markerFiles.head.getName == f"hw-${8L}%019d",
-      "the marker name carries the max id; the legacy file swept out")
+    // marker-advance and data-commit are ONE atomic rename: the manifest
+    // itself carries the high-water, and the legacy marker dir (its max
+    // now embedded) swept with the first commit — no separate marker
+    // directory needs its own retention ever again
+    assert(GraphMaintainer.latestState(fs, dir).hw.contains(8L),
+      "the latest commit must carry the max applied batchId")
+    assert(!new java.io.File(s"$dir/folded").exists(),
+      "the legacy folded/ dir must sweep once the manifest carries its value")
     assert(m.fold(fresh.limit(1), Some(5L)).isEmpty,
       "a superseded batchId must no-op against the high-water")
+    // the persisted value survives a restart — a recovered maintainer
+    // short-circuits replays without any marker dir on disk
+    val m2 = GraphMaintainer.recover(spark, dir)
+    assert(m2.fold(fresh.limit(1), Some(8L)).isEmpty,
+      "a recovered maintainer must honor the manifest-carried high-water")
   }
 
   test("intra-batch duplicate ids: same embedding collapses, different embeddings fail loud") {
@@ -346,7 +354,7 @@ class GraphMaintenanceSpec extends SparkSpec {
     val m = GraphMaintainer.build(old, dir)
     val input = MemoryStream[(Long, Array[Float])]
     val q = m.attach(input.toDF().toDF("vec_id", "embedding"),
-      keepManifests = Some(2))
+      keepManifests = Some(2), vacuumGraceMs = 0L)
     try {
       rows.grouped(math.max(1, rows.length / 4)).foreach { g =>
         input.addData(g.toSeq: _*); q.processAllAvailable()
@@ -356,8 +364,12 @@ class GraphMaintenanceSpec extends SparkSpec {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val names = GraphMaintainer.manifestNames(fs, dir)
-    assert(names.size <= 2,
-      s"in-loop vacuum must hold the log at O(keep), got ${names.size}")
+    // retention keeps the newest `keep` commits PLUS their #base chains
+    // (a retained delta must stay resolvable) — O(keep + CheckpointEvery)
+    assert(names.size <= 2 + GraphMaintainer.CheckpointEvery,
+      s"in-loop vacuum must hold the log at O(keep + ckpt interval), got ${names.size}")
+    // and every retained commit still RESOLVES (its chain was kept whole)
+    names.foreach(n => GraphMaintainer.resolveState(fs, dir, n))
     // every token cell-dir on disk is referenced by a RETAINED manifest —
     // replaced slices and crashed-commit debris sweep as they age out
     val referenced = names.flatMap(GraphMaintainer.readManifest(fs, dir, _))
@@ -495,5 +507,197 @@ class GraphMaintenanceSpec extends SparkSpec {
       SimilaritySearch.knnGraph(old, quantizerSource = Some(old))
         .collect().map(_.toSeq).toSet,
       "the migrated artifact serves the full pre-crash graph")
+  }
+
+  test("commits are deltas of the touched cells, checkpoint-anchored: per-commit bytes track the batch, never the corpus") {
+    val emb = Tables.embeddings(spark, sf)
+    val old = emb.filter(col("vec_id") % 5 =!= 0)
+    val fresh = emb.filter(col("vec_id") % 5 === 0)
+      .select(col("vec_id"), col("embedding")).collect()
+    val dir = tmp("deltalog")
+    val m = GraphMaintainer.build(old, dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    import spark.implicits._
+    // 12 one-row folds: each touches exactly ONE cell, so its commit may
+    // carry at most one upsert per artifact (+ removals for emptied
+    // cells) — a full-map rewrite would carry EVERY live cell every time
+    fresh.take(12).zipWithIndex.foreach { case (r, i) =>
+      m.fold(Seq((r.getLong(0), r.getSeq[Float](1).toArray))
+        .toDF("vec_id", "embedding"), Some(i.toLong + 1L))
+    }
+    val names = GraphMaintainer.manifestNames(fs, dir)
+    val commits = names.map(GraphMaintainer.readCommit(fs, dir, _))
+    val (ckpts, deltas) = commits.partition(_.checkpoint)
+    assert(deltas.nonEmpty, "folds between checkpoints must commit deltas")
+    // the cadence: build's checkpoint + one forced every CheckpointEvery
+    assert(ckpts.size == 1 + (commits.size - 1) / GraphMaintainer.CheckpointEvery,
+      s"checkpoint cadence broken: ${commits.map(_.checkpoint)}")
+    val liveCells = GraphMaintainer.latestEntries(fs, dir).size
+    deltas.foreach { d =>
+      assert(d.entries.size <= 2 && d.entries.size + d.removes.size < liveCells,
+        s"a one-cell fold's delta must track the touched cell, not the " +
+          s"$liveCells live entries: ${d.name} carried ${d.entries.size}+" +
+          s"${d.removes.size}")
+      assert(d.base.isDefined, s"${d.name} must pin its #base")
+    }
+    // and the delta-log resolution is EXACT: the folded state equals the
+    // frozen-quantizer rebuild over everything landed so far
+    val want = SimilaritySearch.knnGraph(
+        old.select(col("vec_id"), col("embedding"))
+          .unionByName(fresh.take(12).map(r =>
+            (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+            .toDF("vec_id", "embedding")),
+        quantizerSource = Some(old))
+      .collect().map(_.toSeq).toSet
+    assert(m.graph.collect().map(_.toSeq).toSet == want)
+  }
+
+  test("mixed-format upgrade in place: v2 deltas fold on top of a pre-delta full-map manifest") {
+    val emb = Tables.embeddings(spark, sf)
+    val old = emb.filter(col("vec_id") % 5 =!= 0)
+    val batch = emb.filter(col("vec_id") % 5 === 0)
+    val dir = tmp("mixedfmt")
+    val m0 = GraphMaintainer.build(old, dir)
+    // rewrite the build's commit as the OLD format: bare entry lines, no
+    // header — and lay the old sidecars its readers used (meta.json for
+    // k, centroids/ for the quantizer), exactly what a pre-delta-log
+    // deployment left behind
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val name0 = GraphMaintainer.manifestNames(fs, dir).head
+    val p0 = java.nio.file.Paths.get(s"$dir/_commits/$name0")
+    val v1Body = java.nio.file.Files.readAllLines(p0).toArray.map(_.toString)
+      .filterNot(l => l.startsWith("#") || l.isEmpty).mkString("\n")
+    java.nio.file.Files.write(p0, v1Body.getBytes("UTF-8"))
+    // drop the stale Hadoop checksum sidecar the out-of-band rewrite left
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$dir/_commits/.$name0.crc"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/meta.json"),
+      """{"k":5}""".getBytes("UTF-8"))
+    val qTok = new java.io.File(s"$dir/quantizers").listFiles().head.getName
+    spark.read.parquet(s"$dir/quantizers/$qTok")
+      .coalesce(1).write.parquet(s"$dir/centroids")
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/quantizers"), true)
+    // a recovered maintainer reads the v1 manifest as a checkpoint (falls
+    // back to the sidecars) and folds on with v2 deltas CHAINED TO IT
+    val m = GraphMaintainer.recover(spark, dir)
+    m.fold(batch, Some(1L))
+    assert(m.graph.collect().map(_.toSeq).toSet == rebuildWant,
+      "a fold over the v1 base must be exact")
+    val names = GraphMaintainer.manifestNames(fs, dir)
+    val head = GraphMaintainer.readCommit(fs, dir, names.last)
+    assert(!head.checkpoint && head.base.contains(name0),
+      "the new commit must be a delta pinned to the v1 full-map base")
+    // resolution walks across the format boundary
+    assert(GraphMaintainer.resolveState(fs, dir, names.last).entries ==
+      GraphMaintainer.latestEntries(fs, dir))
+    assert(m.corpus.count() == emb.count())
+  }
+
+  test("vacuum clamps retention to current+previous: an in-flight reader's resolved manifest survives keep=1") {
+    val emb = Tables.embeddings(spark, sf)
+    val old = emb.filter(col("vec_id") % 5 =!= 0)
+    val b = emb.filter(col("vec_id") % 5 === 0)
+    val dir = tmp("keepclamp")
+    val m = GraphMaintainer.build(old, dir)
+    m.fold(b.limit(3), Some(1L))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a reader resolves "latest" here...
+    val readerPin = GraphMaintainer.manifestNames(fs, dir).last
+    val pinned = GraphMaintainer.resolveState(fs, dir, readerPin).entries
+    m.fold(b.limit(7), Some(2L))
+    // ...and the sweep lands before its scan: keep=1 must still retain
+    // the previous commit (the ScdMaintenance marker-retention clamp,
+    // applied to the graph log)
+    m.vacuum(keepManifests = 1, graceMs = 0L)
+    assert(GraphMaintainer.manifestNames(fs, dir).contains(readerPin),
+      "keep=1 must clamp to 2: the pre-sweep 'latest' stays resolvable")
+    assert(GraphMaintainer.resolveState(fs, dir, readerPin).entries == pinned,
+      "the in-flight reader's pinned state must still resolve byte-equal")
+  }
+
+  test("rebuildEpoch executes the re-embed runbook: one atomic cutover, folds continue exact, recovery sees the new epoch") {
+    val emb = Tables.embeddings(spark, sf)
+    val old = emb.filter(col("vec_id") % 5 =!= 0)
+    val b1 = emb.filter(col("vec_id") % 5 === 0 && col("vec_id") % 2 === 0)
+    val b2 = emb.filter(col("vec_id") % 5 === 0 && col("vec_id") % 2 =!= 0)
+    val dir = tmp("rebuild")
+    val m = GraphMaintainer.build(old, dir)
+    m.fold(b1, Some(1L))
+    // the corrected corpus: every %3 id re-embedded (scaled) — folding it
+    // is refused (the refusal now NAMES the executable path)...
+    val corrected = m.corpus.withColumn("embedding",
+      when(col("vec_id") % 3 === 0,
+        org.apache.spark.sql.functions.transform(col("embedding"), x => x * 2f))
+        .otherwise(col("embedding")))
+      .localCheckpoint()
+    val e = intercept[IllegalArgumentException](
+      m.fold(corrected.filter(col("vec_id") % 3 === 0).limit(2)))
+    assert(e.getMessage.contains("rebuildEpoch"), e.getMessage)
+    // ...rebuildEpoch IS that path: new quantizer, routing, graph, one
+    // checkpoint commit
+    m.rebuildEpoch(corrected)
+    val want = SimilaritySearch.knnGraph(corrected)
+      .collect().map(_.toSeq).toSet
+    assert(m.graph.collect().map(_.toSeq).toSet == want,
+      "the rebuilt epoch must equal the from-scratch build over the corrected corpus")
+    // the replay high-water carried across the cutover: batch 1 is still
+    // marked applied
+    assert(m.fold(b1, Some(1L)).isEmpty,
+      "an applied batchId must stay applied across an epoch rebuild")
+    // folds continue exact under the NEW frozen quantizer
+    m.fold(b2, Some(2L))
+    val want2 = SimilaritySearch.knnGraph(
+        corrected.unionByName(b2.select(col("vec_id"), col("embedding"))),
+        quantizerSource = Some(corrected))
+      .collect().map(_.toSeq).toSet
+    assert(m.graph.collect().map(_.toSeq).toSet == want2,
+      "post-rebuild folds must be exact under the new quantizer")
+    // the cutover is DURABLE and atomic: a recovered maintainer serves
+    // the same epoch (quantizer and k resolve from the manifest's #q/#k)
+    val m2 = GraphMaintainer.recover(spark, dir)
+    assert(m2.graph.collect().map(_.toSeq).toSet == want2)
+    assert(m2.centroidIds == m.centroidIds)
+  }
+
+  test("forgetting a quantizer centroid goes through rebuildEpoch end-to-end: bytes leave disk after the next commit + vacuum") {
+    val emb = Tables.embeddings(spark, sf)
+    val dir = tmp("centroidforget")
+    val m = GraphMaintainer.build(emb.filter(col("vec_id") % 5 =!= 0), dir)
+    m.fold(emb.filter(col("vec_id") % 5 === 0), Some(1L))
+    import spark.implicits._
+    val doomedId = m.centroidIds.max
+    val doomed = Seq(doomedId).toDF("vec_id")
+    // retire refuses — the raw embedding lives in the quantizer artifact
+    val e = intercept[IllegalArgumentException](m.retire(doomed))
+    assert(e.getMessage.contains("rebuildEpoch"), e.getMessage)
+    // the cascade's executable arm: rebuild the epoch over the survivors
+    val survivors = m.corpus.filter(col("vec_id") =!= doomedId).localCheckpoint()
+    m.rebuildEpoch(survivors)
+    // LIVE attestation at the cutover: no doomed id anywhere served
+    assert(!m.centroidIds.contains(doomedId),
+      "the new quantizer must not draw the doomed id")
+    assert(m.corpus.filter(col("vec_id") === doomedId).isEmpty)
+    assert(m.graph.filter(col("vec_id") === doomedId ||
+      col("neighbor_id") === doomedId).isEmpty)
+    // BYTE attestation: one further commit pushes the pre-rebuild state
+    // past the keep-2 in-flight-reader clamp, and vacuum reclaims it —
+    // the commit-then-vacuum forget SLA
+    m.fold(emb.filter(col("vec_id") % 5 === 0).limit(1)
+      .select((col("vec_id") + 10000000L).as("vec_id"), col("embedding")),
+      Some(2L))
+    m.vacuum(keepManifests = 2, graceMs = 0L)
+    assert(spark.read.option("basePath", s"$dir/data/routing")
+      .parquet(s"$dir/data/routing")
+      .filter(col("vec_id") === doomedId).isEmpty,
+      "the doomed id's embedding must be GONE from every on-disk routing file")
+    assert(spark.read.parquet(s"$dir/quantizers/*")
+      .filter(col("cid") === doomedId).isEmpty,
+      "the superseded quantizer token holding the doomed embedding must be swept")
+    assert(new java.io.File(s"$dir/quantizers").listFiles()
+      .count(_.getName.startsWith("q")) == 1,
+      "exactly the live epoch's quantizer token remains")
   }
 }
