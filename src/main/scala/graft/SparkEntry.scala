@@ -387,6 +387,23 @@ object SparkEntry {
       m.fold(emb.filter(col("vec_id") % 5 === 0), Some(0L))
       m.graph.orderBy(col("vec_id"), col("rank"))
     }),
+    // the EPOCH REBUILD runbook end-to-end: build + fold as above, then
+    // rebuildEpoch over the survivors (every %11 id forgotten — the
+    // class retire refuses when it hits a quantizer centroid): the
+    // quantizer RE-FITS on the survivors and the whole epoch cuts over
+    // in one checkpoint commit. Oracle = the from-scratch survivor
+    // rebuild, survivor-drawn quantizer — hash-match proves the cutover
+    // serves exactly the new epoch, nothing torn, nothing stale
+    "q_knn_graph_rebuilt" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-gmrb").toString
+      val m = streaming.GraphMaintainer.build(
+        emb.filter(col("vec_id") % 5 =!= 0), dir)
+      m.fold(emb.filter(col("vec_id") % 5 === 0), Some(0L))
+      m.rebuildEpoch(m.corpus.filter(col("vec_id") % 11 =!= 0))
+      m.graph.orderBy(col("vec_id"), col("rank"))
+    }),
     // index retire: delete every %7 vector from the stored graph under
     // the frozen quantizer — retire==rebuild invariant; oracle = the
     // from-scratch rebuild over the surviving corpus (quantizer still
@@ -3151,6 +3168,27 @@ object SparkEntry {
          |    ${duckCos("x.emb", "y.emb")} AS cos
          |  FROM cand JOIN e x ON x.vec_id = cand.vec_id
          |  JOIN e y ON y.vec_id = cand.neighbor_id)
+         |SELECT vec_id, neighbor_id, rank, cos FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM scored) WHERE rank <= 5 ORDER BY vec_id, rank""".stripMargin,
+    // the rebuilt epoch: quantizer RE-FIT on the %11-survivors, graph
+    // over the survivors only — the forget/re-embed runbook's oracle
+    "q_knn_graph_rebuilt" ->
+      s"""WITH e AS ($duckEmb),
+         |es AS (SELECT * FROM e WHERE vec_id % 11 <> 0),
+         |ic AS (SELECT vec_id AS cid, emb AS cemb FROM es
+         |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+         |iasg AS (SELECT vec_id, cid FROM (
+         |  SELECT es.vec_id, ic.cid, ROW_NUMBER() OVER (
+         |      PARTITION BY es.vec_id ORDER BY ${duckCos("es.emb", "ic.cemb")} DESC, ic.cid) AS rn
+         |  FROM es CROSS JOIN ic) WHERE rn = 1),
+         |cand AS (SELECT a.vec_id, b.vec_id AS neighbor_id
+         |  FROM iasg a JOIN iasg b ON a.cid = b.cid AND a.vec_id <> b.vec_id),
+         |scored AS (SELECT cand.vec_id, cand.neighbor_id,
+         |    ${duckCos("x.emb", "y.emb")} AS cos
+         |  FROM cand JOIN es x ON x.vec_id = cand.vec_id
+         |  JOIN es y ON y.vec_id = cand.neighbor_id)
          |SELECT vec_id, neighbor_id, rank, cos FROM (
          |  SELECT *, row_number() OVER (
          |    PARTITION BY vec_id ORDER BY cos DESC, neighbor_id) AS rank

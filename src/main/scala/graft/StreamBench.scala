@@ -243,43 +243,115 @@ object StreamBench {
     println(f"[stream-bench] knn-graph per-fold seconds: ${
       foldTimes.map(t => f"$t%.2f").mkString(", ")}")
 
-    // --- long-horizon graph METADATA arm: 60 folds, in-loop vacuum ---
+    // --- long-horizon graph METADATA arm: 60 folds, in-loop vacuum,
+    // --- one CONCURRENT READER racing the sweep the whole run ---
     // the graph manifest log's boundedness at weeks-of-streaming shape:
-    // every fold publishes ONE manifest and strands the touched cells'
-    // replaced token slices; with vacuum(keep=2) riding the loop the
-    // manifest count and live token-dir counts must stay FLAT (without
-    // it: one manifest + dead slices per fold, forever — the same
-    // unbounded-metadata class the SCD long-horizon arm measures)
+    // every fold publishes ONE commit (a delta of the touched cells,
+    // checkpoint-anchored) and strands the touched cells' replaced token
+    // slices; with vacuum(keep=2) riding the loop the manifest count and
+    // live token-dir counts must stay FLAT, and per-commit manifest
+    // bytes must track the TOUCHED cells, never the live cell count
+    // (64 cells here so the delta-vs-checkpoint contrast is visible).
+    // The reader thread resolves + scans the served graph continuously
+    // while folds and the grace-0 sweep churn: keep>=2's in-flight-reader
+    // claim, measured instead of argued — the documented reader protocol
+    // (re-resolve once if a scan loses the race to the sweep) must end
+    // the run with ZERO unrecovered errors and bounded hw staleness.
     val gmLong = graft.streaming.GraphMaintainer.build(
       spark.range(2000).select(f.col("id").as("vec_id"),
         embOf(f.col("id") * 31L + 7L).as("embedding")),
-      s"$root/knnlong", k = 5, nCentroids = 16)
+      s"$root/knnlong", k = 5, nCentroids = 64)
     // shared by every long-horizon metadata arm below
     def fCount(p: String, pred: String => Boolean): Int =
       Option(new java.io.File(p).listFiles())
         .map(_.count(x => pred(x.getName))).getOrElse(0)
     def dCount(p: String, prefix: String): Int =
       fCount(p, _.startsWith(prefix))
+    val gmDir = s"$root/knnlong"
+    val gmFs = new org.apache.hadoop.fs.Path(gmDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    @volatile var gmDone = false
+    @volatile var gmCommittedFold = 0L
+    val gmReads = new java.util.concurrent.atomic.AtomicInteger
+    val gmRetries = new java.util.concurrent.atomic.AtomicInteger
+    val gmErrors = new java.util.concurrent.atomic.AtomicInteger
+    val gmMaxLag = new java.util.concurrent.atomic.AtomicLong
+    val gmReader = new Thread(() => {
+      while (!gmDone) {
+        val foldNow = gmCommittedFold
+        def readOnce(): Long = {
+          val st = graft.streaming.GraphMaintainer.latestState(gmFs, gmDir)
+          graft.streaming.GraphMaintainer.readArtifact(spark, gmDir,
+            graft.streaming.GraphMaintainer.GraphArt, st.entries, None).count()
+          st.hw.getOrElse(0L)
+        }
+        try {
+          val hw = try readOnce() catch { case _: Exception =>
+            gmRetries.incrementAndGet(); readOnce()
+          }
+          gmReads.incrementAndGet()
+          val lag = math.max(0L, foldNow - hw)
+          gmMaxLag.getAndUpdate(l => math.max(l, lag))
+          ()
+        } catch { case e: Exception =>
+          gmErrors.incrementAndGet()
+          println(s"[stream-bench] knn-graph reader ERROR: ${e.getMessage}")
+        }
+        // a realistic subscriber polls at a cadence; a pause-free loop
+        // would just measure core contention, not the reader protocol
+        Thread.sleep(250)
+      }
+    }, "knn-graph-concurrent-reader")
+    gmReader.setDaemon(true)
+    gmReader.start()
     val gmFoldTimes = scala.collection.mutable.ArrayBuffer.empty[Double]
     val gmSamples = scala.collection.mutable.ArrayBuffer.empty[String]
+    val gmDeltaBytes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val gmCkptBytes = scala.collection.mutable.ArrayBuffer.empty[Long]
     (1 to 60).foreach { i =>
       val batch = spark.range(25).select(
         (f.col("id") + 500000L + i * 25L).as("vec_id"),
         embOf((f.col("id") + 500000L + i * 25L) * 31L + 7L).as("embedding"))
       val t0 = System.nanoTime()
       gmLong.fold(batch, Some(i.toLong))
+      gmCommittedFold = i.toLong
       gmLong.vacuum(keepManifests = 2)
       gmFoldTimes += (System.nanoTime() - t0) / 1e9
+      // classify + size the fold's commit: delta bytes must track the
+      // ~20 touched cells, not the 64 live ones
+      Option(new java.io.File(s"$gmDir/_commits").listFiles())
+        .getOrElse(Array.empty)
+        .filter(x => x.getName.startsWith("m") && x.getName.endsWith(".txt"))
+        .maxByOption(_.getName).foreach { newest =>
+          val firstLine = scala.io.Source.fromFile(newest, "UTF-8")
+            .getLines().nextOption().getOrElse("")
+          if (firstLine.endsWith("delta")) gmDeltaBytes += newest.length()
+          else gmCkptBytes += newest.length()
+        }
       if (i % 15 == 0) gmSamples += (f"fold $i%2d: " +
-        f"manifests=${dCount(s"$root/knnlong/_commits", "m")}%d " +
-        f"graph-tokens=${dCount(s"$root/knnlong/data/graph", "fold=")}%d " +
-        f"routing-tokens=${dCount(s"$root/knnlong/data/routing", "fold=")}%d " +
-        f"markers=${dCount(s"$root/knnlong/folded", "hw-")}%d " +
-        f"owner-epochs=${dCount(s"$root/knnlong/owner", "e")}%d")
+        f"manifests=${dCount(s"$gmDir/_commits", "m")}%d " +
+        f"graph-tokens=${dCount(s"$gmDir/data/graph", "fold=")}%d " +
+        f"routing-tokens=${dCount(s"$gmDir/data/routing", "fold=")}%d " +
+        f"quantizers=${dCount(s"$gmDir/quantizers", "q")}%d " +
+        f"owner-epochs=${dCount(s"$gmDir/owner", "e")}%d")
     }
+    gmDone = true
+    gmReader.join(30000)
     gmSamples.foreach(s => println(s"[stream-bench] knn-graph long-horizon $s"))
     println(f"[stream-bench] knn-graph long-horizon fold-seconds quartile means: ${
       gmFoldTimes.grouped(15).map(g => f"${g.sum / g.size}%.3f").mkString(", ")}")
+    println(f"[stream-bench] knn-graph manifest bytes: delta mean=${
+      gmDeltaBytes.sum.toDouble / math.max(1, gmDeltaBytes.size)}%.0f " +
+      f"(n=${gmDeltaBytes.size}%d) ckpt mean=${
+        gmCkptBytes.sum.toDouble / math.max(1, gmCkptBytes.size)}%.0f " +
+      f"(n=${gmCkptBytes.size}%d) live cells=${
+        graft.streaming.GraphMaintainer.latestEntries(gmFs, gmDir).size}%d")
+    println(s"[stream-bench] knn-graph concurrent reader: " +
+      s"reads=${gmReads.get} retries=${gmRetries.get} " +
+      s"errors=${gmErrors.get} max-hw-lag=${gmMaxLag.get} folds")
+    require(gmErrors.get == 0,
+      s"knn-graph concurrent reader hit ${gmErrors.get} unrecovered errors " +
+        "racing the in-loop vacuum — the keep>=2 in-flight-reader clamp is broken")
 
     // --- timed: BM25-stats maintainer (lexical index folds) ---
     // the GraphMaintainer pattern on the lexical tier: stats refit on half
@@ -641,6 +713,50 @@ object StreamBench {
     val nLongFolds = 200
     val longFoldTimes = scala.collection.mutable.ArrayBuffer.empty[Double]
     val longSamples = scala.collection.mutable.ArrayBuffer.empty[String]
+    // a CONCURRENT changefeed subscriber rides the whole 200-fold run:
+    // poll pendingChanges, process (count), commit the cursor — the
+    // documented at-least-once consumer loop — while folds, in-loop
+    // vacuumManifests, and vacuumHistory(keep=2) churn underneath. The
+    // retention-covers-the-slowest-cursor contract plus one re-poll (the
+    // reader protocol when a scan loses the race to a sweep) must end
+    // the run with ZERO unrecovered errors and a bounded version lag.
+    val feedCursorDir = s"$root/scdlong-cursor"
+    @volatile var scdDone = false
+    val feedPolls = new java.util.concurrent.atomic.AtomicInteger
+    val feedRetries = new java.util.concurrent.atomic.AtomicInteger
+    val feedErrors = new java.util.concurrent.atomic.AtomicInteger
+    val feedDrained = new java.util.concurrent.atomic.AtomicLong
+    val feedMaxLag = new java.util.concurrent.atomic.AtomicInteger
+    val feedReader = new Thread(() => {
+      while (!scdDone) {
+        def pollOnce(): Unit = {
+          val before = graft.sources.LakeTable.cursor(spark, feedCursorDir)
+          graft.sources.LakeTable.pendingChanges(spark,
+              scdLong.currentTablePath, feedCursorDir,
+              keyCol = "key", initial = "latest") match {
+            case Some((feed, v)) =>
+              before.foreach(b =>
+                feedMaxLag.getAndUpdate(l => math.max(l, v - b)))
+              feedDrained.addAndGet(feed.count())
+              graft.sources.LakeTable.commitCursor(spark, feedCursorDir, v)
+            case None => ()
+          }
+        }
+        try {
+          try pollOnce() catch { case _: Exception =>
+            feedRetries.incrementAndGet(); pollOnce()
+          }
+          feedPolls.incrementAndGet()
+          ()
+        } catch { case e: Exception =>
+          feedErrors.incrementAndGet()
+          println(s"[stream-bench] scd2 changefeed reader ERROR: ${e.getMessage}")
+        }
+        Thread.sleep(250)
+      }
+    }, "scd2-changefeed-reader")
+    feedReader.setDaemon(true)
+    feedReader.start()
     (1 to nLongFolds).foreach { i =>
       val batch = spark.range(25).select(
         ((f.col("id") * 13L + i * 25L) % nLongKeys).as("key"),
@@ -671,10 +787,19 @@ object StreamBench {
           f"latest()=$resolveMs%.1f ms")
       }
     }
+    scdDone = true
+    feedReader.join(30000)
     longSamples.foreach(s => println(s"[stream-bench] scd2 long-horizon $s"))
     val q = nLongFolds / 4
     println(f"[stream-bench] scd2 long-horizon fold-seconds quartile means: ${
       longFoldTimes.grouped(q).map(g => f"${g.sum / g.size}%.3f").mkString(", ")}")
+    println(s"[stream-bench] scd2 concurrent changefeed reader: " +
+      s"polls=${feedPolls.get} drained=${feedDrained.get} rows " +
+      s"retries=${feedRetries.get} errors=${feedErrors.get} " +
+      s"max-version-lag=${feedMaxLag.get}")
+    require(feedErrors.get == 0,
+      s"scd2 changefeed reader hit ${feedErrors.get} unrecovered errors " +
+        "racing in-loop retention — the keepVersions contract is broken")
 
     timeQuery("cdc changelog reduction (transformWithState)", nChanges) {
       val src = spark.readStream

@@ -584,8 +584,10 @@ object Dedup {
         val ds = rows.map { case (id, s, _, _) => (id, s) }.take(lim).toArray
         if (ds.length > blockCap) {
           droppedBlocks.add(1L)
-          System.err.println(
-            s"[graft] bandedHammingCandidates: block $key exceeds " +
+          // executor-side: resolve the logger in the closure (slf4j
+          // Loggers are not serializable; lookup is cached after first use)
+          org.slf4j.LoggerFactory.getLogger("graft.Dedup").warn(
+            s"bandedHammingCandidates: block $key exceeds " +
               s"blockCap=$blockCap — emitting zero pairs (recall loss)")
           Iterator.empty
         }

@@ -56,6 +56,10 @@ import graft.operators.Cdc
   */
 object LakeTable {
 
+  // operator warnings route through slf4j so log4j-configured deployments
+  // see them (a bare Console.err is invisible to routed logging)
+  private val log = org.slf4j.LoggerFactory.getLogger("graft.LakeTable")
+
   /** One table version: live data files (paths relative to the table
     * root), their zone-map boxes, and the DELETION VECTORS shadowing
     * them — `deletes` maps a data file to an equality-delete sidecar
@@ -1491,8 +1495,8 @@ object LakeTable {
         // this arm, whose every batch would silently no-op here (for a
         // tombstone arm, a silent non-delete). Skipping is still the
         // contract (the arm's high-water says applied), but never silently.
-        if (mx > id) Console.err.println(
-          s"[graft] WARN LakeTable: batchId $id on arm '$arm' skipped as " +
+        if (mx > id) log.warn(
+          s"batchId $id on arm '$arm' skipped as " +
             s"already applied, but the arm's high-water is $mx — a strictly " +
             "lower id means a reset checkpoint or TWO PRODUCERS SHARING " +
             "THE ARM (one arm = one checkpointed stream); if this is a " +
