@@ -323,8 +323,9 @@ object StreamBench {
         .getOrElse(Array.empty)
         .filter(x => x.getName.startsWith("m") && x.getName.endsWith(".txt"))
         .maxByOption(_.getName).foreach { newest =>
-          val firstLine = scala.io.Source.fromFile(newest, "UTF-8")
-            .getLines().nextOption().getOrElse("")
+          val src = scala.io.Source.fromFile(newest, "UTF-8")
+          val firstLine =
+            try src.getLines().nextOption().getOrElse("") finally src.close()
           if (firstLine.endsWith("delta")) gmDeltaBytes += newest.length()
           else gmCkptBytes += newest.length()
         }

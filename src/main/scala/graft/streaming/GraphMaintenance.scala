@@ -101,9 +101,16 @@ final class GraphMaintainer private (
 
   // the epoch's in-memory state: quantizer broadcast, k, the id
   // prescreen, and the commit the caches were resolved at — all move
-  // only under the synchronized mutators (fold/retire/rebuildEpoch/vacuum)
-  private var centroidsB: Broadcast[Array[(Long, Array[Double], Double)]] = centroids0
-  private var kVar: Int = k0
+  // only under the synchronized mutators (fold/retire/rebuildEpoch/
+  // vacuum). centroidsB/kVar are additionally @volatile: the public
+  // k/centroidIds getters are advisory pre-checks other threads may
+  // call without the lock, and a plain var would let them see the
+  // pre-rebuild quantizer indefinitely after rebuildEpoch (no
+  // happens-before edge; retire's own synchronized re-check is the
+  // correctness backstop either way)
+  @volatile private var centroidsB: Broadcast[Array[(Long, Array[Double], Double)]] = centroids0
+  @volatile private var kVar: Int = k0
+  private var legacyFoldedMaybe: Boolean = true
   private var idFilter: BloomFilter = idFilter0
   private var lastSeen: Option[String] = lastSeen0
   private var lastState: Map[(String, Long), String] = state0.entries
@@ -132,11 +139,14 @@ final class GraphMaintainer private (
 
   /** The replay high-water this maintainer knows: the manifest-carried
     * value once any commit has embedded one, else the legacy `folded/`
-    * marker directory of a pre-`#hw` deployment (read from disk only on
-    * that cold path — after the first commit the manifest carries it).
+    * marker directory of a pre-`#hw` deployment. The disk probe runs
+    * ONLY while no high-water is known at all (the pre-first-fold cold
+    * path) — once hwVar is set every call is in-memory, so an
+    * object-store deployment pays no per-micro-batch LIST for a
+    * directory that was swept long ago.
     */
   private def currentHw: Option[Long] =
-    (hwVar.toSeq ++ legacyFoldedHw(fs, workDir).toSeq).maxOption
+    if (hwVar.isDefined) hwVar else legacyFoldedHw(fs, workDir)
 
   /** Resolve the state every read and the commit base work from — ONCE
     * per mutation. If someone ELSE committed since this maintainer last
@@ -365,8 +375,13 @@ final class GraphMaintainer private (
     hwVar = hw2
     qVar = q
     kVar = kk
-    val legacy = new Path(s"$workDir/folded")
-    if (fs.exists(legacy)) { fs.delete(legacy, true); () }
+    // one existence probe EVER, not one per commit: after the first
+    // sweep (or first confirmed absence) the flag short-circuits
+    if (legacyFoldedMaybe) {
+      val legacy = new Path(s"$workDir/folded")
+      if (fs.exists(legacy)) { fs.delete(legacy, true); () }
+      legacyFoldedMaybe = false
+    }
   }
 
   /** RETIRE stored vectors from the landed artifact —
@@ -516,9 +531,7 @@ final class GraphMaintainer private (
       val buf = scala.collection.mutable.ArrayBuffer(n)
       var c = commitOf(n)
       while (!c.checkpoint) {
-        val b = c.base.getOrElse(throw new IllegalStateException(
-          s"GraphMaintainer.vacuum: delta manifest ${c.name} at " +
-            s"$workDir/_commits names no #base — corrupt log"))
+        val b = c.base.get // readCommit fails loud on a base-less delta
         buf += b
         c = commitOf(b)
       }
@@ -663,18 +676,16 @@ object GraphMaintainer {
       hw: Option[Long], quantizer: Option[String], kOpt: Option[Int])
 
   /** A commit's RESOLVED view: the folded entry map, the newest-defined
-    * `#hw`/`#q`/`#k` along its chain, the chain itself (checkpoint
-    * first — what vacuum must retain for this commit to stay readable),
-    * and how many deltas sit above the chain's checkpoint (the
-    * checkpoint-cadence counter a maintainer resumes from).
+    * `#hw`/`#q`/`#k` along its chain, and how many deltas sit above the
+    * chain's checkpoint (the checkpoint-cadence counter a maintainer
+    * resumes from; vacuum re-walks chains itself when retaining).
     */
   private[graft] final case class GraphState(
       entries: Map[(String, Long), String], hw: Option[Long],
-      quantizer: Option[String], kOpt: Option[Int],
-      chain: Seq[String], deltasSinceCkpt: Int)
+      quantizer: Option[String], kOpt: Option[Int], deltasSinceCkpt: Int)
 
   private[graft] object GraphState {
-    val empty: GraphState = GraphState(Map.empty, None, None, None, Nil, 0)
+    val empty: GraphState = GraphState(Map.empty, None, None, None, 0)
   }
 
   private def narrow(df: DataFrame): DataFrame =
@@ -783,7 +794,7 @@ object GraphMaintainer {
     def newestDef[A](f: GraphCommit => Option[A]): Option[A] =
       chain.iterator.flatMap(f(_)).nextOption() // chain is newest-first
     GraphState(entries, newestDef(_.hw), newestDef(_.quantizer),
-      newestDef(_.kOpt), ordered.map(_.name).toSeq, ordered.size - 1)
+      newestDef(_.kOpt), ordered.size - 1)
   }
 
   /** The latest committed state's entry map (empty before the first
@@ -971,9 +982,6 @@ object GraphMaintainer {
     val priorHw = (manifestNames(fs, workDir).lastOption
       .map(resolveState(fs, workDir, _)).flatMap(_.hw).toSeq ++
       legacyFoldedHw(fs, workDir).toSeq).maxOption
-    Seq(RoutingArt, GraphArt).foreach { a =>
-      fs.delete(new Path(s"$workDir/$a"), true); ()
-    }
     val corpus = narrow(initialCorpus)
     val cs = SimilaritySearch.ivfCentroids(corpus, nCentroids)
     val qTok = landQuantizer(spark, workDir, cs)
@@ -991,12 +999,21 @@ object GraphMaintainer {
       gCells.map(c => (GraphArt, c) -> gTok)).toMap
     val name = commitManifest(fs, workDir, epoch, entries,
       hw = priorHw, quantizer = Some(qTok), k = Some(k))
-    // the high-water (if any) now rides the manifest — the legacy marker
-    // dir would otherwise need its own sweep forever
+    // reclamation strictly AFTER the commit point (a build that crashes
+    // mid-land must leave the prior serving state intact — deleting the
+    // legacy dirs before the rename would let a crash lose the old
+    // corpus with nothing published to replace it): the legacy root
+    // routing/ + graph/ dirs this epoch supersedes (vacuum never reaches
+    // them — they sit outside data/), and the folded/ marker dir whose
+    // high-water now rides the manifest. A crash between the rename and
+    // these deletes leaves never-served bytes only — safe direction.
+    Seq(RoutingArt, GraphArt).foreach { a =>
+      fs.delete(new Path(s"$workDir/$a"), true); ()
+    }
     fs.delete(new Path(s"$workDir/folded"), true)
     new GraphMaintainer(spark, workDir, k, bcast,
       bloomOf(spark, workDir, entries), epoch,
-      GraphState(entries, priorHw, Some(qTok), Some(k), Seq(name), 0),
+      GraphState(entries, priorHw, Some(qTok), Some(k), 0),
       Some(name))
   }
 

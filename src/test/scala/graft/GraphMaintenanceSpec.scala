@@ -509,6 +509,67 @@ class GraphMaintenanceSpec extends SparkSpec {
       "the migrated artifact serves the full pre-crash graph")
   }
 
+  test("build over a pre-manifest workDir supersedes AND reclaims the legacy dirs (after its commit)") {
+    val emb = Tables.embeddings(spark, sf)
+    val old = emb.filter(col("vec_id") % 5 =!= 0)
+    val dir = tmp("legacybuild")
+    layLegacy(dir, old)
+    // a fresh-epoch build over the legacy layout: the old root
+    // routing/ + graph/ are superseded by the first commit and
+    // reclaimed (they sit outside data/ where vacuum sweeps, so left
+    // in place they would linger forever, never served) — strictly
+    // AFTER the commit point, so a build that crashes mid-land leaves
+    // the prior state intact for recover()
+    val m = GraphMaintainer.build(
+      emb.select(col("vec_id"), col("embedding")), dir)
+    assert(!new java.io.File(s"$dir/routing").exists() &&
+      !new java.io.File(s"$dir/graph").exists(),
+      "the superseded legacy dirs must be reclaimed by the build")
+    assert(m.graph.collect().map(_.toSeq).toSet ==
+      SimilaritySearch.knnGraph(emb.select(col("vec_id"), col("embedding")))
+        .collect().map(_.toSeq).toSet,
+      "the fresh epoch serves the full rebuild")
+  }
+
+  test("commit-name field overflow fails loud AT the commit point, never an unlistable (silently lost) manifest") {
+    val emb = Tables.embeddings(spark, sf)
+    val dir = tmp("overflow")
+    GraphMaintainer.build(emb.filter(col("vec_id") % 5 =!= 0), dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // an epoch past the m%06d field would rename to a name no reader's
+    // ManifestRe-filtered listing matches: the commit would "succeed"
+    // and vanish — the maintainer only failing much later at the
+    // regression check, with a retire silently unserved until then
+    val e = intercept[IllegalArgumentException](
+      GraphMaintainer.commitManifest(fs, dir, epoch = 1000000,
+        Map((GraphMaintainer.GraphArt, 0L) -> "tovfl")))
+    assert(e.getMessage.contains("overflow"), e.getMessage)
+    assert(GraphMaintainer.manifestNames(fs, dir).size == 1,
+      "the refused commit must have landed nothing")
+  }
+
+  test("a corrupt manifest line fails loud naming the file and the line") {
+    val emb = Tables.embeddings(spark, sf)
+    val dir = tmp("corrupt")
+    GraphMaintainer.build(emb.filter(col("vec_id") % 5 =!= 0), dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val name = GraphMaintainer.manifestNames(fs, dir).head
+    val p = java.nio.file.Paths.get(s"$dir/_commits/$name")
+    // tear the tab structure of the last line — the shape a torn write
+    // or disk corruption leaves (a MatchError here would name nothing)
+    val bytes = java.nio.file.Files.readAllBytes(p)
+    val lastTab = bytes.lastIndexWhere(_ == '\t'.toByte)
+    java.nio.file.Files.write(p, bytes.take(lastTab))
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$dir/_commits/.$name.crc"))
+    val e = intercept[IllegalStateException](
+      GraphMaintainer.readCommit(fs, dir, name))
+    assert(e.getMessage.contains(name) && e.getMessage.contains("corrupt"),
+      s"the error must NAME the damaged manifest: ${e.getMessage}")
+  }
+
   test("commits are deltas of the touched cells, checkpoint-anchored: per-commit bytes track the batch, never the corpus") {
     val emb = Tables.embeddings(spark, sf)
     val old = emb.filter(col("vec_id") % 5 =!= 0)
