@@ -380,10 +380,9 @@ object SparkEntry {
     // q_scd2_maintained for the SCD2 pair
     "q_knn_graph_maintained" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft-gmq").toString
+      val dir = Scratch.dir("graft-gmq")
       val m = streaming.GraphMaintainer.build(
-        emb.filter(col("vec_id") % 5 =!= 0), dir)
+        emb.filter(col("vec_id") % 5 =!= 0), dir, nCentroids = Some(16))
       m.fold(emb.filter(col("vec_id") % 5 === 0), Some(0L))
       m.graph.orderBy(col("vec_id"), col("rank"))
     }),
@@ -396,10 +395,9 @@ object SparkEntry {
     // serves exactly the new epoch, nothing torn, nothing stale
     "q_knn_graph_rebuilt" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft-gmrb").toString
+      val dir = Scratch.dir("graft-gmrb")
       val m = streaming.GraphMaintainer.build(
-        emb.filter(col("vec_id") % 5 =!= 0), dir)
+        emb.filter(col("vec_id") % 5 =!= 0), dir, nCentroids = Some(16))
       m.fold(emb.filter(col("vec_id") % 5 === 0), Some(0L))
       m.rebuildEpoch(m.corpus.filter(col("vec_id") % 11 =!= 0))
       m.graph.orderBy(col("vec_id"), col("rank"))
@@ -563,8 +561,7 @@ object SparkEntry {
     // oracle recomputes the whole MERGE from raw frames, so the hash
     // proves lake MERGE == frame MERGE end-to-end
     "q_lake_apply" -> ((s, d) => {
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft-lakeapply").toString + "/t"
+      val dir = Scratch.dir("graft-lakeapply") + "/t"
       sources.LakeTable.init(cdcBase(s, d), dir, Seq("key"), nFiles = 8)
       sources.LakeTable.applyChangelog(s, dir, cdcChangelog(s, d), Seq("key"))
       sources.LakeTable.readLive(s, dir)
@@ -576,8 +573,7 @@ object SparkEntry {
     // oracle recomputes it from the raw table) — replaced files back the
     // old version until vacuum's retention window drops them
     "q_lake_time_travel" -> ((s, d) => {
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft-laketime").toString + "/t"
+      val dir = Scratch.dir("graft-laketime") + "/t"
       sources.LakeTable.init(cdcBase(s, d), dir, Seq("key"), nFiles = 8)
       sources.LakeTable.applyChangelog(s, dir, cdcChangelog(s, d), Seq("key"))
       sources.LakeTable.readAt(s, dir, 1)
@@ -589,8 +585,7 @@ object SparkEntry {
     // key/name/val shape), so orders clusters on (custkey, totalprice)
     // and the pruned read must equal the raw filter exactly
     "q_lake_prune" -> ((s, d) => {
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft-lakeprune").toString + "/t"
+      val dir = Scratch.dir("graft-lakeprune") + "/t"
       sources.LakeTable.init(
         Tables.orders(s, d), dir, Seq("o_custkey", "o_totalprice"), nFiles = 16)
       sources.LakeTable.readPrunedLive(s, dir, zPruneRanges)
@@ -601,8 +596,7 @@ object SparkEntry {
     // interleaved thirds land as append epochs, the re-cluster rewrites
     // all of it as version 4 — content must equal the raw base exactly
     "q_lake_append_optimize" -> ((s, d) => {
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft-lakeopt").toString + "/t"
+      val dir = Scratch.dir("graft-lakeopt") + "/t"
       val base = cdcBase(s, d)
       sources.LakeTable.init(
         base.filter(col("key") % 3 === 0), dir, Seq("key"), nFiles = 4)
@@ -622,8 +616,7 @@ object SparkEntry {
     // frames), which is the whole contract: compaction fixes file-count
     // metadata, never data
     "q_lake_compact" -> ((s, d) => {
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft-lakecompact").toString + "/t"
+      val dir = Scratch.dir("graft-lakecompact") + "/t"
       val base = cdcBase(s, d)
       sources.LakeTable.init(
         base.filter(col("key") % 4 === 0), dir, Seq("key"), nFiles = 2)
@@ -643,8 +636,7 @@ object SparkEntry {
     // the plain IN filter (the index changes which files open, never
     // the answer), and the harness routes the read THROUGH the index
     "q_lake_bloom" -> ((s, d) => {
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft-lakebloom").toString + "/t"
+      val dir = Scratch.dir("graft-lakebloom") + "/t"
       sources.LakeTable.init(cdcBase(s, d), dir, Seq("key"), nFiles = 8)
       sources.BloomIndex.refresh(s, dir, "name")
       sources.BloomIndex.lookup(s, dir, "name",
@@ -659,8 +651,7 @@ object SparkEntry {
     // of the two logical snapshots from raw frames, so the hash proves
     // file-pruned diff == full logical diff
     "q_lake_changefeed" -> ((s, d) => {
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft-lakecdf").toString + "/t"
+      val dir = Scratch.dir("graft-lakecdf") + "/t"
       sources.LakeTable.init(cdcBase(s, d), dir, Seq("key"), nFiles = 8)
       sources.LakeTable.applyChangelog(s, dir, cdcChangelog(s, d), Seq("key"))
       sources.LakeTable.readChanges(s, dir, 1, 2)
@@ -671,8 +662,7 @@ object SparkEntry {
     // serve NULL through the manifest reader schema, and the oracle
     // rebuilds the union from raw frames
     "q_lake_evolve" -> ((s, d) => {
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft-lakeevoq").toString + "/t"
+      val dir = Scratch.dir("graft-lakeevoq") + "/t"
       sources.LakeTable.init(cdcBase(s, d), dir, Seq("key"), nFiles = 8)
       val batch = Tables.orders(s, d).filter(col("o_orderkey") % 7 === 0)
         .select((col("o_orderkey") + 10000000L).as("key"),
@@ -687,8 +677,7 @@ object SparkEntry {
     // with pre-boundary images serving NULL for the added column; the
     // oracle recomputes the two-snapshot diff from raw frames
     "q_lake_evolve_feed" -> ((s, d) => {
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft-lakeevofq").toString + "/t"
+      val dir = Scratch.dir("graft-lakeevofq") + "/t"
       sources.LakeTable.init(cdcBase(s, d), dir, Seq("key"), nFiles = 8)
       sources.LakeTable.applyChangelog(s, dir, cdcChangelog(s, d), Seq("key"))
       val batch = Tables.orders(s, d).filter(col("o_orderkey") % 7 === 0)
@@ -704,8 +693,7 @@ object SparkEntry {
     // (the spec pins that), yet every read path serves the table minus
     // the tombstoned keys; the oracle is the plain anti-filter
     "q_lake_dv" -> ((s, d) => {
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft-lakedv").toString + "/t"
+      val dir = Scratch.dir("graft-lakedv") + "/t"
       sources.LakeTable.init(cdcBase(s, d), dir, Seq("key"), nFiles = 8)
       sources.LakeTable.applyTombstonesDv(s, dir, dvTombstones(s, d))
       sources.LakeTable.readLive(s, dir)
@@ -717,8 +705,7 @@ object SparkEntry {
     // 'D' rows with their old images — the oracle recomputes the deleted
     // slice from the raw frame
     "q_lake_dv_feed" -> ((s, d) => {
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft-lakedvf").toString + "/t"
+      val dir = Scratch.dir("graft-lakedvf") + "/t"
       sources.LakeTable.init(cdcBase(s, d), dir, Seq("key"), nFiles = 8)
       sources.LakeTable.applyTombstonesDv(s, dir, dvTombstones(s, d))
       sources.LakeTable.readChanges(s, dir, 1, 2)
@@ -729,8 +716,7 @@ object SparkEntry {
     // — and the read-side anti-join must serve the byte-identical MERGE
     // (the oracle recomputes the full-image MERGE from raw frames)
     "q_lake_mor" -> ((s, d) => {
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft-lakemor").toString + "/t"
+      val dir = Scratch.dir("graft-lakemor") + "/t"
       sources.LakeTable.init(cdcBase(s, d), dir, Seq("key"), nFiles = 8)
       sources.LakeTable.applyChangelogFullMor(
         s, dir, cdcChangelogFull(s, d), Seq("key"))
@@ -742,8 +728,7 @@ object SparkEntry {
     // matching keys, the delete commits O(matches) with no rewrite — the
     // oracle is the surviving filter
     "q_lake_delete_where" -> ((s, d) => {
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft-lakedw").toString + "/t"
+      val dir = Scratch.dir("graft-lakedw") + "/t"
       sources.LakeTable.init(cdcBase(s, d), dir, Seq("key"), nFiles = 8)
       sources.LakeTable.deleteWhere(s, dir, col("val") < 0.0)
       sources.LakeTable.readLive(s, dir)
@@ -754,8 +739,7 @@ object SparkEntry {
     // answer for every unshadowed file and only shadowed files are read
     // — the oracle is the plain COUNT over the anti-filtered frame
     "q_lake_count" -> ((s, d) => {
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft-lakecnt").toString + "/t"
+      val dir = Scratch.dir("graft-lakecnt") + "/t"
       sources.LakeTable.init(cdcBase(s, d), dir, Seq("key"), nFiles = 8)
       sources.LakeTable.applyTombstonesDv(s, dir, dvTombstones(s, d))
       import s.implicits._
@@ -786,8 +770,7 @@ object SparkEntry {
       val log = cdcChangelogFull(s, d)
       val hist = operators.Cdc.scdHistory(log)
         .withColumn("is_current", col("is_current").cast("int"))
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft-scd2lake").toString + "/t"
+      val dir = Scratch.dir("graft-scd2lake") + "/t"
       sources.LakeTable.init(hist, dir, Seq("key", "valid_from"), nFiles = 8)
       val mid = log.agg(((org.apache.spark.sql.functions.min(col("seq")) +
           org.apache.spark.sql.functions.max(col("seq"))) / 2).as("m"))
@@ -835,8 +818,7 @@ object SparkEntry {
       val mid = log.agg(((org.apache.spark.sql.functions.min(col("seq")) +
           org.apache.spark.sql.functions.max(col("seq"))) / 2).as("m"))
         .first().getDouble(0)
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft-scdmq").toString
+      val dir = Scratch.dir("graft-scdmq")
       val m = streaming.ScdMaintainer.build(log.filter(col("seq") <= mid), dir)
       m.fold(log.filter(col("seq") > mid), Some(0L))
       m.history.withColumn("is_current", col("is_current").cast("int"))
@@ -854,8 +836,7 @@ object SparkEntry {
       val mid = log.agg(((org.apache.spark.sql.functions.min(col("seq")) +
           org.apache.spark.sql.functions.max(col("seq"))) / 2).as("m"))
         .first().getDouble(0)
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft-scdmor").toString
+      val dir = Scratch.dir("graft-scdmor")
       val m = streaming.ScdMaintainer.build(log.filter(col("seq") <= mid), dir)
       m.fold(log.filter(col("seq") > mid), Some(0L),
         morThresholdBytes = Some(0L))
@@ -875,8 +856,7 @@ object SparkEntry {
       val mid = log.agg(((org.apache.spark.sql.functions.min(col("seq")) +
           org.apache.spark.sql.functions.max(col("seq"))) / 2).as("m"))
         .first().getDouble(0)
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft-scdmorfq").toString
+      val dir = Scratch.dir("graft-scdmorfq")
       val m = streaming.ScdMaintainer.build(log.filter(col("seq") <= mid), dir)
       val vBefore = sources.LakeTable.latestVersion(s, m.currentTablePath)
       m.fold(log.filter(col("seq") > mid), Some(0L),
@@ -1015,8 +995,7 @@ object SparkEntry {
     // — and must equal re-summarizing the post-merge snapshot, which is
     // what the oracle computes from raw frames
     "q_mv_cdc" -> ((s, d) => {
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft-mvcdc").toString + "/t"
+      val dir = Scratch.dir("graft-mvcdc") + "/t"
       sources.LakeTable.init(cdcBase(s, d), dir, Seq("key"), nFiles = 8)
       sources.LakeTable.applyChangelog(s, dir, cdcChangelog(s, d), Seq("key"))
       val groupCols = Seq("name")
@@ -1039,8 +1018,7 @@ object SparkEntry {
     // untouched groups pass through from the old summary — the oracle
     // recomputes the whole rollup from raw frames
     "q_mv_minmax" -> ((s, d) => {
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft-mvmm").toString + "/t"
+      val dir = Scratch.dir("graft-mvmm") + "/t"
       sources.LakeTable.init(cdcBase(s, d), dir, Seq("key"), nFiles = 8)
       sources.LakeTable.applyChangelog(s, dir, cdcChangelog(s, d), Seq("key"))
       val groupCols = Seq("name")
@@ -1061,8 +1039,7 @@ object SparkEntry {
     // rollup of the post-merge state the oracle recomputes from raw
     // frames (the whole maintain→land→serve loop under one hash)
     "q_lake_view" -> ((s, d) => {
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft-lakeviewq").toString
+      val dir = Scratch.dir("graft-lakeviewq")
       val t = s"$dir/t"
       sources.LakeTable.init(cdcBase(s, d), t, Seq("key"), nFiles = 8)
       val groupCols = Seq("name")
@@ -1245,7 +1222,7 @@ object SparkEntry {
     val m = graft.plans.SessionMemo
       .memo[String, (String, Seq[(String, String, Double, Double)])](s, "zLakeArtifact")
     m.getOrElseUpdate(d, {
-      val dir = java.nio.file.Files.createTempDirectory("graft-zlake").toString + "/orders"
+      val dir = Scratch.dir("graft-zlake") + "/orders"
       sources.LakeSink.writeZOrderedBoxed(
         Tables.orders(s, d), dir, Seq("o_custkey", "o_totalprice"), nFiles = 16)
       // the zone map loads once with the layout — per-query pruning is

@@ -28,7 +28,7 @@ object StreamBench {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    val root = java.nio.file.Files.createTempDirectory("graft-sbench").toString
+    val root = Scratch.dir("graft-sbench")
 
     // --- fixture generation (not timed) ---
     val turnstiles = spark.range(nTurnstile).select(
@@ -216,7 +216,7 @@ object StreamBench {
     // the ingest rate, never the accumulated corpus
     val maintainer = {
       val m = graft.streaming.GraphMaintainer.build(
-        corpusVec, s"$root/knngraph", k = 5, nCentroids = 64)
+        corpusVec, s"$root/knngraph", k = 5, nCentroids = Some(64))
       m.graph.count() // land the initial build before the clock starts
       m
     }
@@ -252,15 +252,21 @@ object StreamBench {
     // live token-dir counts must stay FLAT, and per-commit manifest
     // bytes must track the TOUCHED cells, never the live cell count
     // (64 cells here so the delta-vs-checkpoint contrast is visible).
-    // The reader thread resolves + scans the served graph continuously
-    // while folds and the grace-0 sweep churn: keep>=2's in-flight-reader
-    // claim, measured instead of argued — the documented reader protocol
-    // (re-resolve once if a scan loses the race to the sweep) must end
-    // the run with ZERO unrecovered errors and bounded hw staleness.
+    // The reader thread serves + scans the graph continuously THROUGH the
+    // maintainer's serve getters (the hot serving-loop shape: a 250 ms
+    // poller) while folds and the grace-0 sweep churn: keep>=2's
+    // in-flight-reader claim, measured instead of argued — the documented
+    // reader protocol (re-resolve and retry when a scan loses the race to
+    // the sweep, bounded by ELAPSED TIME, not a fixed retry count — a
+    // scan slower than two fold intervals is a slow host, not a broken
+    // clamp) must end the run with ZERO unrecovered errors and bounded hw
+    // staleness. The serve-resolves counter printed at the end measures
+    // the head==lastSeen short-circuit: ~0 means the common serve path
+    // paid no manifest reads at all (one LIST only).
     val gmLong = graft.streaming.GraphMaintainer.build(
       spark.range(2000).select(f.col("id").as("vec_id"),
         embOf(f.col("id") * 31L + 7L).as("embedding")),
-      s"$root/knnlong", k = 5, nCentroids = 64)
+      s"$root/knnlong", k = 5, nCentroids = Some(64))
     // shared by every long-horizon metadata arm below
     def fCount(p: String, pred: String => Boolean): Int =
       Option(new java.io.File(p).listFiles())
@@ -280,14 +286,19 @@ object StreamBench {
       while (!gmDone) {
         val foldNow = gmCommittedFold
         def readOnce(): Long = {
-          val st = graft.streaming.GraphMaintainer.latestState(gmFs, gmDir)
-          graft.streaming.GraphMaintainer.readArtifact(spark, gmDir,
-            graft.streaming.GraphMaintainer.GraphArt, st.entries, None).count()
-          st.hw.getOrElse(0L)
+          gmLong.graph.count()
+          gmLong.highWater.getOrElse(0L)
         }
         try {
-          val hw = try readOnce() catch { case _: Exception =>
-            gmRetries.incrementAndGet(); readOnce()
+          val deadline = System.nanoTime() + 30L * 1000000000L
+          var hw = -1L
+          var ok = false
+          while (!ok) {
+            try { hw = readOnce(); ok = true }
+            catch { case e: Exception =>
+              if (System.nanoTime() > deadline) throw e
+              gmRetries.incrementAndGet(); ()
+            }
           }
           gmReads.incrementAndGet()
           val lag = math.max(0L, foldNow - hw)
@@ -349,10 +360,59 @@ object StreamBench {
         graft.streaming.GraphMaintainer.latestEntries(gmFs, gmDir).size}%d")
     println(s"[stream-bench] knn-graph concurrent reader: " +
       s"reads=${gmReads.get} retries=${gmRetries.get} " +
-      s"errors=${gmErrors.get} max-hw-lag=${gmMaxLag.get} folds")
+      s"errors=${gmErrors.get} max-hw-lag=${gmMaxLag.get} folds " +
+      s"serve-resolves=${gmLong.serveResolves.get} (manifest chain walks " +
+      "on the serve path; ~0 = the head==lastSeen short-circuit held)")
     require(gmErrors.get == 0,
       s"knn-graph concurrent reader hit ${gmErrors.get} unrecovered errors " +
         "racing the in-loop vacuum — the keep>=2 in-flight-reader clamp is broken")
+
+    // --- timed: FORGET-CASCADE CENTROID ARM (the quantizer path) ---
+    // the most expensive forget arm, measured: a doomed id that IS a
+    // quantizer centroid can only be honored by rebuildEpoch — re-fit
+    // (unsized: inherits the 64-cell geometry), re-route, re-edge, ONE
+    // checkpoint cutover — then one further commit pushes the pre-rebuild
+    // state past the keep-2 clamp and vacuum reclaims its bytes: the
+    // commit-then-vacuum forget SLA, byte-attested like the spec twin
+    def dirBytes(p: String): Long = {
+      val stream = java.nio.file.Files.walk(java.nio.file.Paths.get(p))
+      try stream.filter(java.nio.file.Files.isRegularFile(_))
+        .mapToLong(java.nio.file.Files.size(_)).sum()
+      finally stream.close()
+    }
+    val doomedId = gmLong.centroidIds.max
+    // the runbook's entry point: retire must REFUSE the centroid and name
+    // the executable path this arm then takes
+    val retireRefused =
+      try { gmLong.retire(spark.range(1).select(f.lit(doomedId).as("vec_id"))); false }
+      catch { case e: IllegalArgumentException => e.getMessage.contains("rebuildEpoch") }
+    require(retireRefused,
+      "retire must refuse a quantizer centroid and name rebuildEpoch")
+    val bytesBefore = dirBytes(gmDir)
+    val tRb = System.nanoTime()
+    gmLong.rebuildEpoch(gmLong.corpus.filter(f.col("vec_id") =!= doomedId))
+    val rebuildS = (System.nanoTime() - tRb) / 1e9
+    gmLong.fold(spark.range(1).select(
+      (f.col("id") + 900000L).as("vec_id"),
+      embOf((f.col("id") + 900000L) * 31L + 7L).as("embedding")), Some(61L))
+    val tVac = System.nanoTime()
+    val sweptPaths = gmLong.vacuum(keepManifests = 2)
+    val vacuumS = (System.nanoTime() - tVac) / 1e9
+    val bytesAfter = dirBytes(gmDir)
+    val doomedOnDisk = spark.read.option("basePath", s"$gmDir/data/routing")
+      .parquet(s"$gmDir/data/routing")
+      .filter(f.col("vec_id") === doomedId).count() +
+      spark.read.parquet(s"$gmDir/quantizers/*")
+        .filter(f.col("cid") === doomedId).count()
+    println(f"[stream-bench] knn-graph centroid-forget arm (64 cells, ${
+        gmLong.corpus.count()}%d vectors): rebuildEpoch=$rebuildS%.2f s " +
+      f"vacuum=$vacuumS%.2f s paths-swept=$sweptPaths%d " +
+      f"bytes $bytesBefore%d -> $bytesAfter%d " +
+      f"cells=${gmLong.centroidIds.length}%d (geometry inherited) " +
+      f"doomed-bytes-on-disk=$doomedOnDisk%d")
+    require(doomedOnDisk == 0,
+      "centroid-forget attestation failed: the doomed id survives on disk " +
+        "after rebuildEpoch + commit + vacuum")
 
     // --- timed: BM25-stats maintainer (lexical index folds) ---
     // the GraphMaintainer pattern on the lexical tier: stats refit on half
@@ -744,8 +804,17 @@ object StreamBench {
           }
         }
         try {
-          try pollOnce() catch { case _: Exception =>
-            feedRetries.incrementAndGet(); pollOnce()
+          // same elapsed-time-bounded retry as the knn reader: a poll
+          // that loses the race to a sweep re-polls; only a poll that
+          // cannot succeed within the window is an unrecovered error
+          val deadline = System.nanoTime() + 30L * 1000000000L
+          var ok = false
+          while (!ok) {
+            try { pollOnce(); ok = true }
+            catch { case e: Exception =>
+              if (System.nanoTime() > deadline) throw e
+              feedRetries.incrementAndGet(); ()
+            }
           }
           feedPolls.incrementAndGet()
           ()

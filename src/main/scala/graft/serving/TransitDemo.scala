@@ -40,7 +40,7 @@ object TransitDemo {
     dash.upsertStations(graft.operators.Transit.transformStations(stations)
       .dropDuplicates("station_id").as[TransformedStation])
     if (mode == "stream") {
-      val root = java.nio.file.Files.createTempDirectory("graft-demo").toString
+      val root = graft.Scratch.dir("graft-demo")
       arrivals.toDS().write.parquet(s"$root/arrivals")
       turnstiles.toDS().write.parquet(s"$root/turnstile")
       weather.toDS().write.parquet(s"$root/weather")

@@ -115,8 +115,22 @@ final class GraphMaintainer private (
   private var lastSeen: Option[String] = lastSeen0
   private var lastState: Map[(String, Long), String] = state0.entries
   private var deltasSinceCkpt: Int = state0.deltasSinceCkpt
-  private var hwVar: Option[Long] = state0.hw
+  @volatile private var hwVar: Option[Long] = state0.hw
   private var qVar: Option[String] = state0.quantizer
+
+  // serve-path cache: ONE volatile ref pairing the head commit name with
+  // its resolved entries, so the graph/corpus getters (hot serving loops,
+  // possibly off the maintainer thread) read a tear-free snapshot without
+  // the lock; only the synchronized mutators write it, alongside
+  // lastSeen/lastState
+  @volatile private var serveCache: (Option[String], Map[(String, Long), String]) =
+    (lastSeen0, state0.entries)
+
+  /** Serve-path fall-throughs to a full chain resolution (foreign head —
+    * someone else committed). Stays ~0 for a single-owner serving loop;
+    * the StreamBench concurrent-reader arm prints it.
+    */
+  private[graft] val serveResolves = new java.util.concurrent.atomic.AtomicLong
 
   /** The epoch's k (re-rank fan-out); moves only at [[rebuildEpoch]]. */
   def k: Int = kVar
@@ -180,11 +194,28 @@ final class GraphMaintainer private (
     if (cur == lastSeen) lastState
     else {
       val st = cur.map(resolveState(fs, workDir, _)).getOrElse(GraphState.empty)
+      // a foreign commit can carry an epoch CUTOVER too (#q/#k — a fenced
+      // zombie's late rebuildEpoch landing in the check→rename window):
+      // adopting its entries/#hw/Bloom but keeping OUR quantizer would
+      // cell-assign the next batch under the OLD geometry into NEW-epoch
+      // cell partitions and re-stamp the stale #q in our next commit —
+      // silent corruption of the served graph, the one zombie path that
+      // would neither fail loud nor lose cleanly. Adopt the foreign
+      // epoch's quantizer and k with the rest of its state. (A chain
+      // with NO #q anywhere is a legacy log; the construction-time
+      // quantizer is already the right one there.)
+      if (st.quantizer.isDefined && st.quantizer != qVar) {
+        centroidsB = spark.sparkContext.broadcast(
+          loadQuantizer(spark, workDir, st.quantizer))
+        qVar = st.quantizer
+      }
+      st.kOpt.filter(_ != kVar).foreach(kVar = _)
       idFilter = bloomOf(spark, workDir, st.entries)
       lastSeen = cur
       lastState = st.entries
       deltasSinceCkpt = st.deltasSinceCkpt
       hwVar = (hwVar.toSeq ++ st.hw.toSeq).maxOption
+      serveCache = (lastSeen, lastState)
       st.entries
     }
   }
@@ -195,13 +226,41 @@ final class GraphMaintainer private (
     * frame and a torn or orphaned write is never visible.
     */
   def graph: DataFrame =
-    readArtifact(spark, workDir, GraphArt, latestEntries(fs, workDir), None)
+    readArtifact(spark, workDir, GraphArt, serveEntries(), None)
       .select(col("vec_id"), col("neighbor_id"), col("rank"), col("cos"))
 
   /** Vectors folded so far (refresh corpus + every batch). */
   def corpus: DataFrame =
-    readArtifact(spark, workDir, RoutingArt, latestEntries(fs, workDir), None)
+    readArtifact(spark, workDir, RoutingArt, serveEntries(), None)
       .select(col("vec_id"), col("embedding"))
+
+  /** The replay high-water the maintainer has applied — what a same-JVM
+    * serving loop compares its poll against (the bench reader's lag
+    * metric); moves atomically with the commit that carries it.
+    */
+  def highWater: Option[Long] = hwVar
+
+  /** The latest commit's entry map for the serve getters: ONE `_commits`
+    * listing, then short-circuit to the cached resolution when the head
+    * is the commit this maintainer last wrote or resolved — the common
+    * case for a single-owner serving loop, which therefore pays ZERO
+    * manifest reads per serve (an object-store hot loop previously paid
+    * up to CheckpointEvery small reads per call). A foreign head (a
+    * fenced zombie's late rename) falls through to the pinned chain walk
+    * WITHOUT touching the maintainer caches — this path is unsynchronized
+    * by design, and the next mutation's resolveBase adopts the foreign
+    * state (Bloom, #hw, #q/#k) under the lock.
+    */
+  private def serveEntries(): Map[(String, Long), String] = {
+    val head = manifestNames(fs, workDir).lastOption
+    val cached = serveCache
+    if (head == cached._1) cached._2
+    else if (head.isEmpty) Map.empty
+    else {
+      serveResolves.incrementAndGet()
+      resolveState(fs, workDir, head.get).entries
+    }
+  }
 
   /** Fold one batch of vectors in — exact per the merge==rebuild
     * invariant (SimilaritySpec pins it); chained folds stay exact because
@@ -375,6 +434,7 @@ final class GraphMaintainer private (
     hwVar = hw2
     qVar = q
     kVar = kk
+    serveCache = (lastSeen, lastState)
     // one existence probe EVER, not one per commit: after the first
     // sweep (or first confirmed absence) the flag short-circuits
     if (legacyFoldedMaybe) {
@@ -407,6 +467,10 @@ final class GraphMaintainer private (
     import spark.implicits._
     graft.plans.GraftFunctions.register(spark)
     val doomed = tombstones.select(col("vec_id")).localCheckpoint()
+    // resolve FIRST: a foreign epoch cutover (zombie rebuildEpoch) swaps
+    // the quantizer here, so the centroid guard below checks the LIVE
+    // epoch's centroids, not a superseded draw
+    val base = resolveBase()
     // the quantizer stores VERBATIM corpus vectors (ivfCentroids is a
     // draw, not a mean): a doomed centroid's raw embedding would survive
     // in the quantizer artifact and keep routing folds — that is a false
@@ -419,7 +483,6 @@ final class GraphMaintainer private (
         "quantizer artifact and route every fold; forgetting them requires " +
         "rebuilding the epoch (GraphMaintainer.rebuildEpoch over the " +
         "surviving corpus)")
-    val base = resolveBase()
     val routingCells = readArtifact(spark, workDir, RoutingArt, base, None)
       .join(broadcast(doomed), Seq("vec_id"), "left_semi")
       .select(col("cell"))
@@ -473,13 +536,18 @@ final class GraphMaintainer private (
     * would re-probe every already-applied batch as a suspected replay.
     */
   def rebuildEpoch(survivors: DataFrame, newK: Option[Int] = None,
-      nCentroids: Int = 16): Unit = synchronized {
+      nCentroids: Option[Int] = None): Unit = synchronized {
     assertOwner()
     graft.plans.GraftFunctions.register(spark)
     val k2 = newK.getOrElse(kVar)
     resolveBase() // regression guard; refreshes lastSeen for the cutover
     val corpus = narrow(survivors).localCheckpoint()
-    val cs = SimilaritySearch.ivfCentroids(corpus, nCentroids)
+    // unsized rebuilds INHERIT the live epoch's geometry (resolveBase
+    // just refreshed it, so a foreign cutover's count is honored too):
+    // a 64-cell index must not silently re-fit to a fixture-scale
+    // constant. Explicit callers win — resizing is a deliberate act.
+    val nc = nCentroids.getOrElse(centroidsB.value.length)
+    val cs = SimilaritySearch.ivfCentroids(corpus, nc)
     val qTok = landQuantizer(spark, workDir, cs)
     val bcast = spark.sparkContext.broadcast(cs)
     val cells = SimilaritySearch.cellAssign(corpus, bcast).localCheckpoint()
@@ -663,6 +731,18 @@ object GraphMaintainer {
     * (O(CheckpointEvery) commits).
     */
   private[graft] val CheckpointEvery = 10
+
+  /** Corpus-derived coarse-quantizer sizing for an unsized [[build]]:
+    * √n clamped to [16, 131072] — mean cell size √n keeps both the
+    * per-query probe (nCentroids kernel dots) and the per-cell re-rank
+    * balanced as n grows, and lands at SCALE.md's ~10⁵-cell guidance
+    * near 10¹⁰ vectors. 16 survives only as the small-fixture floor;
+    * explicit callers always win (recover/rebuildEpoch inherit the LIVE
+    * epoch's geometry — the quantizer artifact's own length — so no
+    * `#nc` manifest line is needed).
+    */
+  private[graft] def derivedNCentroids(n: Long): Int =
+    math.max(16L, math.min(131072L, math.round(math.sqrt(n.toDouble)))).toInt
 
   /** One parsed commit file. `entries` is the full live map for a
     * checkpoint, the upserts for a delta; `base` names the exact commit
@@ -974,7 +1054,7 @@ object GraphMaintainer {
     * forever.
     */
   def build(initialCorpus: DataFrame, workDir: String,
-      k: Int = 5, nCentroids: Int = 16): GraphMaintainer = {
+      k: Int = 5, nCentroids: Option[Int] = None): GraphMaintainer = {
     val spark = initialCorpus.sparkSession
     graft.plans.GraftFunctions.register(spark)
     val fs = new Path(workDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -983,7 +1063,11 @@ object GraphMaintainer {
       .map(resolveState(fs, workDir, _)).flatMap(_.hw).toSeq ++
       legacyFoldedHw(fs, workDir).toSeq).maxOption
     val corpus = narrow(initialCorpus)
-    val cs = SimilaritySearch.ivfCentroids(corpus, nCentroids)
+    // unsized builds derive the cell count from the corpus (one extra
+    // column-pruned count() on this path only) — the 100 TB entry point
+    // must not default to a fixture-scale constant
+    val nc = nCentroids.getOrElse(derivedNCentroids(corpus.count()))
+    val cs = SimilaritySearch.ivfCentroids(corpus, nc)
     val qTok = landQuantizer(spark, workDir, cs)
     val bcast = spark.sparkContext.broadcast(cs)
     val cells = SimilaritySearch.cellAssign(corpus, bcast).localCheckpoint()

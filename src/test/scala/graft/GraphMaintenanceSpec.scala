@@ -25,7 +25,7 @@ class GraphMaintenanceSpec extends SparkSpec {
     val old = emb.filter(col("vec_id") % 5 =!= 0)
     val b1 = emb.filter(col("vec_id") % 5 === 0 && col("vec_id") % 2 === 0)
     val b2 = emb.filter(col("vec_id") % 5 === 0 && col("vec_id") % 2 =!= 0)
-    val m = GraphMaintainer.build(old, tmp("chain"))
+    val m = GraphMaintainer.build(old, tmp("chain"), nCentroids = Some(16))
     m.fold(b1)
     m.fold(b2)
     assert(m.graph.collect().map(_.toSeq).toSet == rebuildWant)
@@ -37,7 +37,7 @@ class GraphMaintenanceSpec extends SparkSpec {
     val old = emb.filter(col("vec_id") % 5 =!= 0)
     val batch = emb.filter(col("vec_id") % 5 === 0)
     val dir = tmp("retire")
-    val m = GraphMaintainer.build(old, dir)
+    val m = GraphMaintainer.build(old, dir, nCentroids = Some(16))
     m.fold(batch)
     // a quantizer centroid's raw embedding lives in the quantizer
     // artifact — retiring one must fail loud (only an epoch rebuild can
@@ -106,7 +106,7 @@ class GraphMaintenanceSpec extends SparkSpec {
       .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])].collect()
     val (b1, b2) = rows.partition(_._1 % 2 == 0)
     val input = MemoryStream[(Long, Array[Float])]
-    val m = GraphMaintainer.build(old, tmp("stream"))
+    val m = GraphMaintainer.build(old, tmp("stream"), nCentroids = Some(16))
     val q = m.attach(input.toDF().toDF("vec_id", "embedding"))
     try {
       input.addData(b1.toSeq: _*)
@@ -123,7 +123,7 @@ class GraphMaintenanceSpec extends SparkSpec {
     val b1 = emb.filter(col("vec_id") % 5 === 0 && col("vec_id") % 2 === 0)
     val b2 = emb.filter(col("vec_id") % 5 === 0 && col("vec_id") % 2 =!= 0)
     val dir = tmp("recover")
-    val m1 = GraphMaintainer.build(old, dir)
+    val m1 = GraphMaintainer.build(old, dir, nCentroids = Some(16))
     m1.fold(b1)
     // "crash": drop the maintainer object entirely; the graph, routing and
     // quantizer live only in workDir
@@ -141,7 +141,7 @@ class GraphMaintenanceSpec extends SparkSpec {
   test("the replay high-water rides the manifest; legacy folded/ markers are honored, migrated, and swept") {
     val emb = Tables.embeddings(spark, sf)
     val dir = tmp("hw")
-    val m = GraphMaintainer.build(emb.filter(col("vec_id") % 5 =!= 0), dir)
+    val m = GraphMaintainer.build(emb.filter(col("vec_id") % 5 =!= 0), dir, nCentroids = Some(16))
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     // a legacy per-batch marker left by a pre-`#hw` deployment
@@ -175,7 +175,7 @@ class GraphMaintenanceSpec extends SparkSpec {
     val emb = Tables.embeddings(spark, sf)
     val old = emb.filter(col("vec_id") % 5 =!= 0)
     val b1 = emb.filter(col("vec_id") % 5 === 0)
-    val m = GraphMaintainer.build(old, tmp("batchdup"))
+    val m = GraphMaintainer.build(old, tmp("batchdup"), nCentroids = Some(16))
     // at-least-once sources can duplicate a record WITHIN one
     // micro-batch: the same-embedding copies must collapse to one row
     m.fold(b1.unionByName(b1.limit(7)))
@@ -199,7 +199,7 @@ class GraphMaintenanceSpec extends SparkSpec {
     val emb = Tables.embeddings(spark, sf)
     val old = emb.filter(col("vec_id") % 5 =!= 0)
     val b1 = emb.filter(col("vec_id") % 5 === 0)
-    val m = GraphMaintainer.build(old, tmp("replay"))
+    val m = GraphMaintainer.build(old, tmp("replay"), nCentroids = Some(16))
     m.fold(b1)
     val want = m.graph.collect().map(_.toSeq).toSet
     // at-least-once redelivery: same rows, no batchId marker — the
@@ -221,7 +221,7 @@ class GraphMaintenanceSpec extends SparkSpec {
     // sparse seeds so round 2 carries real hearsay (deltas can cascade)
     val seeds = emb.filter(col("vec_id") % 16 === 0)
       .select(col("vec_id"), col("label"))
-    val m = GraphMaintainer.build(old, tmp("labels"))
+    val m = GraphMaintainer.build(old, tmp("labels"), nCentroids = Some(16))
     val oldLabels = SimilaritySearch
       .labelPropagateOnGraph(m.graph, seeds).localCheckpoint()
     val touched = m.fold(batch)
@@ -240,7 +240,7 @@ class GraphMaintenanceSpec extends SparkSpec {
     val old = emb.filter(col("vec_id") % 5 =!= 0)
     val b1 = emb.filter(col("vec_id") % 5 === 0).limit(3)
     val dir = tmp("prune")
-    val m = GraphMaintainer.build(old, dir)
+    val m = GraphMaintainer.build(old, dir, nCentroids = Some(16))
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def fileStamps = {
@@ -279,7 +279,7 @@ class GraphMaintenanceSpec extends SparkSpec {
     val old = emb.filter(col("vec_id") % 5 =!= 0)
     val batch = emb.filter(col("vec_id") % 5 === 0)
     val dir = tmp("crash")
-    val m = GraphMaintainer.build(old, dir)
+    val m = GraphMaintainer.build(old, dir, nCentroids = Some(16))
     val preGraph = m.graph.collect().map(_.toSeq).toSet
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -315,7 +315,7 @@ class GraphMaintenanceSpec extends SparkSpec {
     val b1 = emb.filter(col("vec_id") % 5 === 0 && col("vec_id") % 2 === 0)
     val b2 = emb.filter(col("vec_id") % 5 === 0 && col("vec_id") % 2 =!= 0)
     val dir = tmp("race")
-    val m1 = GraphMaintainer.build(old, dir)
+    val m1 = GraphMaintainer.build(old, dir, nCentroids = Some(16))
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     // takeover: m2 lands the next owner epoch and folds
@@ -351,7 +351,7 @@ class GraphMaintenanceSpec extends SparkSpec {
     val rows = emb.filter(col("vec_id") % 5 === 0)
       .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])].collect()
     val dir = tmp("gc")
-    val m = GraphMaintainer.build(old, dir)
+    val m = GraphMaintainer.build(old, dir, nCentroids = Some(16))
     val input = MemoryStream[(Long, Array[Float])]
     val q = m.attach(input.toDF().toDF("vec_id", "embedding"),
       keepManifests = Some(2), vacuumGraceMs = 0L)
@@ -419,7 +419,7 @@ class GraphMaintenanceSpec extends SparkSpec {
     val old = emb.filter(col("vec_id") % 5 =!= 0)
     val b1 = emb.filter(col("vec_id") % 5 === 0)
     val dir = tmp("zombiebloom")
-    GraphMaintainer.build(old, dir)
+    GraphMaintainer.build(old, dir, nCentroids = Some(16))
     // the new owner's Bloom prescreen is built HERE, at the build-time
     // manifest — before the zombie's commit lands
     val m2 = GraphMaintainer.recover(spark, dir)
@@ -521,7 +521,7 @@ class GraphMaintenanceSpec extends SparkSpec {
     // AFTER the commit point, so a build that crashes mid-land leaves
     // the prior state intact for recover()
     val m = GraphMaintainer.build(
-      emb.select(col("vec_id"), col("embedding")), dir)
+      emb.select(col("vec_id"), col("embedding")), dir, nCentroids = Some(16))
     assert(!new java.io.File(s"$dir/routing").exists() &&
       !new java.io.File(s"$dir/graph").exists(),
       "the superseded legacy dirs must be reclaimed by the build")
@@ -534,7 +534,7 @@ class GraphMaintenanceSpec extends SparkSpec {
   test("commit-name field overflow fails loud AT the commit point, never an unlistable (silently lost) manifest") {
     val emb = Tables.embeddings(spark, sf)
     val dir = tmp("overflow")
-    GraphMaintainer.build(emb.filter(col("vec_id") % 5 =!= 0), dir)
+    GraphMaintainer.build(emb.filter(col("vec_id") % 5 =!= 0), dir, nCentroids = Some(16))
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     // an epoch past the m%06d field would rename to a name no reader's
@@ -552,7 +552,7 @@ class GraphMaintenanceSpec extends SparkSpec {
   test("a corrupt manifest line fails loud naming the file and the line") {
     val emb = Tables.embeddings(spark, sf)
     val dir = tmp("corrupt")
-    GraphMaintainer.build(emb.filter(col("vec_id") % 5 =!= 0), dir)
+    GraphMaintainer.build(emb.filter(col("vec_id") % 5 =!= 0), dir, nCentroids = Some(16))
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val name = GraphMaintainer.manifestNames(fs, dir).head
@@ -576,7 +576,7 @@ class GraphMaintenanceSpec extends SparkSpec {
     val fresh = emb.filter(col("vec_id") % 5 === 0)
       .select(col("vec_id"), col("embedding")).collect()
     val dir = tmp("deltalog")
-    val m = GraphMaintainer.build(old, dir)
+    val m = GraphMaintainer.build(old, dir, nCentroids = Some(16))
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     import spark.implicits._
@@ -619,7 +619,7 @@ class GraphMaintenanceSpec extends SparkSpec {
     val old = emb.filter(col("vec_id") % 5 =!= 0)
     val batch = emb.filter(col("vec_id") % 5 === 0)
     val dir = tmp("mixedfmt")
-    val m0 = GraphMaintainer.build(old, dir)
+    val m0 = GraphMaintainer.build(old, dir, nCentroids = Some(16))
     // rewrite the build's commit as the OLD format: bare entry lines, no
     // header — and lay the old sidecars its readers used (meta.json for
     // k, centroids/ for the quantizer), exactly what a pre-delta-log
@@ -661,7 +661,7 @@ class GraphMaintenanceSpec extends SparkSpec {
     val old = emb.filter(col("vec_id") % 5 =!= 0)
     val b = emb.filter(col("vec_id") % 5 === 0)
     val dir = tmp("keepclamp")
-    val m = GraphMaintainer.build(old, dir)
+    val m = GraphMaintainer.build(old, dir, nCentroids = Some(16))
     m.fold(b.limit(3), Some(1L))
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -685,7 +685,7 @@ class GraphMaintenanceSpec extends SparkSpec {
     val b1 = emb.filter(col("vec_id") % 5 === 0 && col("vec_id") % 2 === 0)
     val b2 = emb.filter(col("vec_id") % 5 === 0 && col("vec_id") % 2 =!= 0)
     val dir = tmp("rebuild")
-    val m = GraphMaintainer.build(old, dir)
+    val m = GraphMaintainer.build(old, dir, nCentroids = Some(16))
     m.fold(b1, Some(1L))
     // the corrected corpus: every %3 id re-embedded (scaled) — folding it
     // is refused (the refusal now NAMES the executable path)...
@@ -726,7 +726,7 @@ class GraphMaintenanceSpec extends SparkSpec {
   test("forgetting a quantizer centroid goes through rebuildEpoch end-to-end: bytes leave disk after the next commit + vacuum") {
     val emb = Tables.embeddings(spark, sf)
     val dir = tmp("centroidforget")
-    val m = GraphMaintainer.build(emb.filter(col("vec_id") % 5 =!= 0), dir)
+    val m = GraphMaintainer.build(emb.filter(col("vec_id") % 5 =!= 0), dir, nCentroids = Some(16))
     m.fold(emb.filter(col("vec_id") % 5 === 0), Some(1L))
     import spark.implicits._
     val doomedId = m.centroidIds.max
@@ -760,5 +760,124 @@ class GraphMaintenanceSpec extends SparkSpec {
     assert(new java.io.File(s"$dir/quantizers").listFiles()
       .count(_.getName.startsWith("q")) == 1,
       "exactly the live epoch's quantizer token remains")
+  }
+
+  test("a foreign epoch cutover is adopted WHOLE at the next fold: #q/#k reload with the entries, never re-stamped stale") {
+    // the documented zombie window: a fenced maintainer's rebuildEpoch
+    // passed its fence check, stalled, and its cutover RENAME became
+    // visible after this owner's caches were built. Adopting its
+    // entries/#hw/Bloom but keeping OUR quantizer would cell-assign the
+    // next batch under the old geometry into new-epoch cell partitions
+    // and re-stamp the stale #q — silent graph corruption. Reproduce the
+    // zombie's landed result with the maintainer's own operators, publish
+    // its checkpoint, and pin that the owner's next fold is EXACT under
+    // the foreign epoch.
+    val emb = Tables.embeddings(spark, sf)
+    val old = emb.filter(col("vec_id") % 5 =!= 0)
+    val dir = tmp("foreignq")
+    val m = GraphMaintainer.build(old, dir, nCentroids = Some(16))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    import spark.implicits._
+    graft.plans.GraftFunctions.register(spark)
+    // the zombie's cutover: a 8-cell re-fit over a %3-survivor corpus, k=4
+    val survivors = m.corpus.filter(col("vec_id") % 3 =!= 0).localCheckpoint()
+    val k2 = 4
+    val cs = SimilaritySearch.ivfCentroids(survivors, 8)
+    val qTok = "qforeigncutover0"
+    cs.toSeq.toDF("cid", "emb", "norm")
+      .coalesce(1).write.parquet(s"$dir/quantizers/$qTok")
+    val bcast = spark.sparkContext.broadcast(cs)
+    val cells = SimilaritySearch.cellAssign(survivors, bcast).localCheckpoint()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    val edges = SimilaritySearch.cellEdgesWithCell(cells, cells)
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k2)
+      .select(col("vec_id"), col("neighbor_id"), col("rank"), col("cos"), col("cell"))
+    def land(df: org.apache.spark.sql.DataFrame, art: String, tok: String): Seq[Long] = {
+      val d = s"$dir/data/$art/fold=$tok"
+      df.repartition(col("cell")).write.partitionBy("cell").parquet(d)
+      new java.io.File(d).listFiles().toSeq.map(_.getName)
+        .collect { case n if n.startsWith("cell=") => n.stripPrefix("cell=").toLong }
+    }
+    val entries =
+      (land(cells, GraphMaintainer.RoutingArt, "tforeignr0000000")
+        .map(c => (GraphMaintainer.RoutingArt, c) -> "tforeignr0000000") ++
+       land(edges, GraphMaintainer.GraphArt, "tforeigng0000000")
+        .map(c => (GraphMaintainer.GraphArt, c) -> "tforeigng0000000")).toMap
+    GraphMaintainer.commitManifest(fs, dir, 1, entries,
+      quantizer = Some(qTok), k = Some(k2))
+    // the owner folds a fresh batch: resolveBase must adopt the WHOLE
+    // foreign epoch — quantizer, k, entries — and the fold stays exact
+    val batch = emb.filter(col("vec_id") % 5 === 0)
+      .select(col("vec_id"), col("embedding"))
+    m.fold(batch, Some(1L))
+    assert(m.centroidIds.toSet == cs.map(_._1).toSet,
+      "the foreign epoch's quantizer must be reloaded, not kept stale")
+    assert(m.k == k2, "the foreign epoch's k must be adopted")
+    val head = GraphMaintainer.readCommit(fs, dir,
+      GraphMaintainer.manifestNames(fs, dir).last)
+    assert(head.quantizer.contains(qTok),
+      "the owner's next commit must re-stamp the FOREIGN #q, not the stale one")
+    assert(head.kOpt.contains(k2))
+    val want = SimilaritySearch.knnGraph(
+        survivors.unionByName(batch), k = k2, nCentroids = 8,
+        quantizerSource = Some(survivors))
+      .collect().map(_.toSeq).toSet
+    assert(m.graph.collect().map(_.toSeq).toSet == want,
+      "the fold over the adopted epoch must equal the from-scratch rebuild " +
+        "under the foreign quantizer")
+  }
+
+  test("serve getters short-circuit resolution: zero chain reads while the head is our own commit; a foreign head falls through correctly") {
+    val emb = Tables.embeddings(spark, sf)
+    val old = emb.filter(col("vec_id") % 5 =!= 0)
+    val dir = tmp("servecache")
+    val m = GraphMaintainer.build(old, dir, nCentroids = Some(16))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    m.fold(emb.filter(col("vec_id") % 5 === 0), Some(1L))
+    val before = m.serveResolves.get
+    (1 to 5).foreach(_ => m.graph.count())
+    val served = m.corpus.count()
+    assert(m.serveResolves.get == before,
+      "a single-owner serving loop must pay ZERO manifest reads per serve " +
+        "(one LIST only) — the hot-path contract the bench reader measures")
+    // a foreign head (a fenced zombie's late empty delta) must fall
+    // through to the pinned chain walk and serve the RESOLVED state
+    val head = GraphMaintainer.manifestNames(fs, dir).last
+    GraphMaintainer.commitManifest(fs, dir, 1, Map.empty,
+      checkpoint = false, base = Some(head), hw = Some(999L))
+    assert(m.corpus.count() == served,
+      "an empty foreign delta resolves to the same served state")
+    assert(m.serveResolves.get == before + 1,
+      "a foreign head must fall through to resolution, not serve stale cache")
+  }
+
+  test("an unsized build derives nCentroids from the corpus (sqrt-n, floor 16, capped); an unsized rebuildEpoch inherits the live geometry") {
+    assert(GraphMaintainer.derivedNCentroids(100L) == 16, "floor")
+    assert(GraphMaintainer.derivedNCentroids(10000000000L) == 100000,
+      "10^10 vectors -> 10^5 cells, SCALE.md's sizing")
+    assert(GraphMaintainer.derivedNCentroids(100000000000L) == 131072, "cap")
+    val emb = Tables.embeddings(spark, sf)
+    val n = emb.count()
+    val want = GraphMaintainer.derivedNCentroids(n)
+    assert(want > 16, s"fixture must exercise the derived path, n=$n")
+    val dir = tmp("derivednc")
+    val m = GraphMaintainer.build(emb, dir) // unsized: the 100 TB entry point
+    assert(m.centroidIds.length == want,
+      s"unsized build must derive sqrt($n)=$want cells, not a fixture constant")
+    // an unsized rebuild INHERITS the epoch's geometry — a 64-cell index
+    // must never silently re-fit to a constant (no #nc line needed: the
+    // quantizer artifact's own length IS the count, recover included)
+    m.rebuildEpoch(m.corpus.filter(col("vec_id") % 11 =!= 0).localCheckpoint())
+    assert(m.centroidIds.length == want,
+      "unsized rebuildEpoch must keep the live epoch's cell count")
+    val m2 = GraphMaintainer.recover(spark, dir)
+    assert(m2.centroidIds.length == want,
+      "recovery inherits the derived geometry from the quantizer artifact")
+    // explicit sizing always wins — resizing is a deliberate act
+    m2.rebuildEpoch(m2.corpus.localCheckpoint(), nCentroids = Some(8))
+    assert(m2.centroidIds.length == 8)
   }
 }
