@@ -50,6 +50,25 @@ object StreamBench {
     val (arrivals, _, _) = sim.run(ticks) // 30 arrivals per tick
     arrivals.toDS().repartition(8).write.parquet(s"$root/arrivals")
 
+    // the concurrent-reader arms' retry protocol, shared: a read that
+    // loses the race to an in-loop sweep re-resolves and retries within
+    // an elapsed-time window (never a fixed retry count — a scan slower
+    // than two fold intervals is a slow host, not a broken retention
+    // clamp); a brief pause between attempts so a persistent failure
+    // doesn't hot-loop full Spark jobs for the whole window
+    def retryFor[T](windowMs: Long, onRetry: () => Unit)(f: => T): T = {
+      val deadline = System.nanoTime() + windowMs * 1000000L
+      var out: Option[T] = None
+      while (out.isEmpty) {
+        try out = Some(f)
+        catch { case e: Exception =>
+          if (System.nanoTime() - deadline > 0) throw e
+          onRetry(); Thread.sleep(50)
+        }
+      }
+      out.get
+    }
+
     // --- timed: grouped-count over the turnstile replay ---
     def timeQuery(label: String, n: Long)(start: => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
       val t0 = System.nanoTime()
@@ -283,23 +302,30 @@ object StreamBench {
     val gmErrors = new java.util.concurrent.atomic.AtomicInteger
     val gmMaxLag = new java.util.concurrent.atomic.AtomicLong
     val gmReader = new Thread(() => {
+      var poll = 0
       while (!gmDone) {
         val foldNow = gmCommittedFold
-        def readOnce(): Long = {
-          gmLong.graph.count()
-          gmLong.highWater.getOrElse(0L)
-        }
-        try {
-          val deadline = System.nanoTime() + 30L * 1000000000L
-          var hw = -1L
-          var ok = false
-          while (!ok) {
-            try { hw = readOnce(); ok = true }
-            catch { case e: Exception =>
-              if (System.nanoTime() > deadline) throw e
-              gmRetries.incrementAndGet(); ()
-            }
+        poll += 1
+        // BOTH reader shapes ride the run, alternating: the same-JVM
+        // serving loop through the maintainer's serve getters (measures
+        // the head==lastSeen short-circuit — the serve-resolves counter)
+        // and the EXTERNAL reader re-resolving the pinned #base chain
+        // from disk every poll (the cross-JVM subscriber whose
+        // chain-walk races against the sweep are exactly what keep>=2
+        // protects — dropping this shape would let a chain-resolution
+        // regression pass the arm green)
+        def readOnce(): Long =
+          if (poll % 2 == 0) {
+            gmLong.graph.count()
+            gmLong.highWater.getOrElse(0L)
+          } else {
+            val st = graft.streaming.GraphMaintainer.latestState(gmFs, gmDir)
+            graft.streaming.GraphMaintainer.readArtifact(spark, gmDir,
+              graft.streaming.GraphMaintainer.GraphArt, st.entries, None).count()
+            st.hw.getOrElse(0L)
           }
+        try {
+          val hw = retryFor(30000L, () => { gmRetries.incrementAndGet(); () })(readOnce())
           gmReads.incrementAndGet()
           val lag = math.max(0L, foldNow - hw)
           gmMaxLag.getAndUpdate(l => math.max(l, lag))
@@ -804,18 +830,7 @@ object StreamBench {
           }
         }
         try {
-          // same elapsed-time-bounded retry as the knn reader: a poll
-          // that loses the race to a sweep re-polls; only a poll that
-          // cannot succeed within the window is an unrecovered error
-          val deadline = System.nanoTime() + 30L * 1000000000L
-          var ok = false
-          while (!ok) {
-            try { pollOnce(); ok = true }
-            catch { case e: Exception =>
-              if (System.nanoTime() > deadline) throw e
-              feedRetries.incrementAndGet(); ()
-            }
-          }
+          retryFor(30000L, () => { feedRetries.incrementAndGet(); () })(pollOnce())
           feedPolls.incrementAndGet()
           ()
         } catch { case e: Exception =>

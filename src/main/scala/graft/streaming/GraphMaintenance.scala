@@ -254,6 +254,19 @@ final class GraphMaintainer private (
   private def serveEntries(): Map[(String, Long), String] = {
     val head = manifestNames(fs, workDir).lastOption
     val cached = serveCache
+    // the same fail-loud contract resolveBase enforces for mutations: an
+    // empty or REGRESSED listing against a head we have already served
+    // means _commits was deleted out-of-band or the store returned an
+    // inconsistent view — silently serving an empty or rolled-back index
+    // is the one thing a recall service must never do
+    require(head.isDefined || cached._1.isEmpty,
+      s"GraphMaintainer: _commits at $workDir lists no manifests but this " +
+        s"maintainer last served ${cached._1} — deleted out-of-band or an " +
+        "inconsistent listing; refusing to serve an empty corpus")
+    require(cached._1.isEmpty || head.exists(_ >= cached._1.get),
+      s"GraphMaintainer: the latest manifest regressed from ${cached._1} " +
+        s"to $head at $workDir — out-of-band deletion or inconsistent " +
+        "listing; refusing to serve a rolled-back view of the corpus")
     if (head == cached._1) cached._2
     else if (head.isEmpty) Map.empty
     else {
@@ -732,14 +745,16 @@ object GraphMaintainer {
     */
   private[graft] val CheckpointEvery = 10
 
-  /** Corpus-derived coarse-quantizer sizing for an unsized [[build]]:
-    * √n clamped to [16, 131072] — mean cell size √n keeps both the
-    * per-query probe (nCentroids kernel dots) and the per-cell re-rank
-    * balanced as n grows, and lands at SCALE.md's ~10⁵-cell guidance
-    * near 10¹⁰ vectors. 16 survives only as the small-fixture floor;
-    * explicit callers always win (recover/rebuildEpoch inherit the LIVE
-    * epoch's geometry — the quantizer artifact's own length — so no
-    * `#nc` manifest line is needed).
+  /** Corpus-derived coarse-quantizer sizing for an unsized [[build]] on
+    * a FRESH workDir: √n clamped to [16, 131072] — mean cell size √n
+    * keeps both the per-query probe (nCentroids kernel dots) and the
+    * per-cell re-rank balanced as n grows, and lands at SCALE.md's
+    * ~10⁵-cell guidance near 10¹⁰ vectors. 16 survives only as the
+    * small-fixture floor; explicit callers always win, and every
+    * unsized path over an EXISTING epoch — recover, rebuildEpoch, and
+    * build's in-place-rebuild case — inherits the LIVE geometry instead
+    * (the quantizer artifact's own length, so no `#nc` manifest line is
+    * needed and a sized index can never silently re-fit).
     */
   private[graft] def derivedNCentroids(n: Long): Int =
     math.max(16L, math.min(131072L, math.round(math.sqrt(n.toDouble)))).toInt
@@ -1059,14 +1074,23 @@ object GraphMaintainer {
     graft.plans.GraftFunctions.register(spark)
     val fs = new Path(workDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val epoch = OwnerFence.acquire(fs, s"$workDir/owner")
-    val priorHw = (manifestNames(fs, workDir).lastOption
-      .map(resolveState(fs, workDir, _)).flatMap(_.hw).toSeq ++
+    val prior = manifestNames(fs, workDir).lastOption
+      .map(resolveState(fs, workDir, _))
+    val priorHw = (prior.flatMap(_.hw).toSeq ++
       legacyFoldedHw(fs, workDir).toSeq).maxOption
     val corpus = narrow(initialCorpus)
-    // unsized builds derive the cell count from the corpus (one extra
-    // column-pruned count() on this path only) — the 100 TB entry point
-    // must not default to a fixture-scale constant
-    val nc = nCentroids.getOrElse(derivedNCentroids(corpus.count()))
+    // unsized sizing, same contract as rebuildEpoch: over an EXISTING
+    // epoch (this build is the in-place rebuild path) INHERIT the live
+    // quantizer's geometry — an explicitly-sized 64-cell index must not
+    // silently re-fit to a corpus-derived count through the sibling
+    // entry point; on a fresh workDir (or a pre-#q legacy log) derive
+    // from the corpus (√n clamped; one extra column-pruned count() on
+    // this path only) — the 100 TB entry point must not default to a
+    // fixture-scale constant. Explicit callers always win.
+    val nc = nCentroids.getOrElse(
+      prior.flatMap(_.quantizer)
+        .map(q => loadQuantizer(spark, workDir, Some(q)).length)
+        .getOrElse(derivedNCentroids(corpus.count())))
     val cs = SimilaritySearch.ivfCentroids(corpus, nc)
     val qTok = landQuantizer(spark, workDir, cs)
     val bcast = spark.sparkContext.broadcast(cs)

@@ -852,6 +852,18 @@ class GraphMaintenanceSpec extends SparkSpec {
       "an empty foreign delta resolves to the same served state")
     assert(m.serveResolves.get == before + 1,
       "a foreign head must fall through to resolution, not serve stale cache")
+    // out-of-band damage fails LOUD on the serve path too — the
+    // resolveBase contract: a regressed listing must never serve a
+    // rolled-back index, an emptied one must never serve 0 rows as truth
+    val names = GraphMaintainer.manifestNames(fs, dir)
+    names.takeRight(2).foreach(n => // the foreign delta + our cached head
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_commits/$n"), false))
+    val e1 = intercept[IllegalArgumentException](m.graph)
+    assert(e1.getMessage.contains("rolled-back"), e1.getMessage)
+    names.dropRight(2).foreach(n =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_commits/$n"), false))
+    val e2 = intercept[IllegalArgumentException](m.corpus)
+    assert(e2.getMessage.contains("empty corpus"), e2.getMessage)
   }
 
   test("an unsized build derives nCentroids from the corpus (sqrt-n, floor 16, capped); an unsized rebuildEpoch inherits the live geometry") {
@@ -879,5 +891,11 @@ class GraphMaintenanceSpec extends SparkSpec {
     // explicit sizing always wins — resizing is a deliberate act
     m2.rebuildEpoch(m2.corpus.localCheckpoint(), nCentroids = Some(8))
     assert(m2.centroidIds.length == 8)
+    // and build's in-place-rebuild case inherits too: an unsized build
+    // over the EXISTING epoch keeps its geometry — the sibling entry
+    // point must not silently re-fit a sized index to a derived count
+    val m3 = GraphMaintainer.build(emb, dir)
+    assert(m3.centroidIds.length == 8,
+      "unsized build over an existing epoch must inherit the live geometry")
   }
 }
