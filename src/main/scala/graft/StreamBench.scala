@@ -50,24 +50,13 @@ object StreamBench {
     val (arrivals, _, _) = sim.run(ticks) // 30 arrivals per tick
     arrivals.toDS().repartition(8).write.parquet(s"$root/arrivals")
 
-    // the concurrent-reader arms' retry protocol, shared: a read that
-    // loses the race to an in-loop sweep re-resolves and retries within
-    // an elapsed-time window (never a fixed retry count — a scan slower
-    // than two fold intervals is a slow host, not a broken retention
-    // clamp); a brief pause between attempts so a persistent failure
-    // doesn't hot-loop full Spark jobs for the whole window
-    def retryFor[T](windowMs: Long, onRetry: () => Unit)(f: => T): T = {
-      val deadline = System.nanoTime() + windowMs * 1000000L
-      var out: Option[T] = None
-      while (out.isEmpty) {
-        try out = Some(f)
-        catch { case e: Exception =>
-          if (System.nanoTime() - deadline > 0) throw e
-          onRetry(); Thread.sleep(50)
-        }
-      }
-      out.get
-    }
+    // the concurrent-reader arms run the LIBRARY protocol, not a bench-local
+    // loop: the elapsed-time-bounded retry lives in ReadRetry, the external
+    // graph subscriber in GraphMaintainer.openReader, and the changefeed
+    // subscriber loop in ScdMaintainer.pollChangefeed — the bench drives the
+    // same entry points a real downstream consumer calls
+    def retryFor[T](windowMs: Long, onRetry: () => Unit)(f: => T): T =
+      graft.streaming.ReadRetry.retryFor(windowMs, onRetry)(f)
 
     // --- timed: grouped-count over the turnstile replay ---
     def timeQuery(label: String, n: Long)(start: => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
@@ -301,6 +290,12 @@ object StreamBench {
     val gmRetries = new java.util.concurrent.atomic.AtomicInteger
     val gmErrors = new java.util.concurrent.atomic.AtomicInteger
     val gmMaxLag = new java.util.concurrent.atomic.AtomicLong
+    // the EXTERNAL subscriber, through the library API (openReader): one
+    // handle for the whole run, so its monotonicity anchor and retry
+    // counter behave exactly as a real cross-JVM consumer's would
+    val gmExtReader = graft.streaming.GraphMaintainer.openReader(
+      spark, gmDir, retryWindowMs = 30000L,
+      onRetry = () => { gmRetries.incrementAndGet(); () })
     val gmReader = new Thread(() => {
       var poll = 0
       while (!gmDone) {
@@ -309,23 +304,23 @@ object StreamBench {
         // BOTH reader shapes ride the run, alternating: the same-JVM
         // serving loop through the maintainer's serve getters (measures
         // the head==lastSeen short-circuit — the serve-resolves counter)
-        // and the EXTERNAL reader re-resolving the pinned #base chain
-        // from disk every poll (the cross-JVM subscriber whose
+        // and the EXTERNAL GraphReader re-resolving the pinned #base
+        // chain from disk every poll (the cross-JVM subscriber whose
         // chain-walk races against the sweep are exactly what keep>=2
         // protects — dropping this shape would let a chain-resolution
         // regression pass the arm green)
         def readOnce(): Long =
-          if (poll % 2 == 0) {
-            gmLong.graph.count()
-            gmLong.highWater.getOrElse(0L)
-          } else {
-            val st = graft.streaming.GraphMaintainer.latestState(gmFs, gmDir)
-            graft.streaming.GraphMaintainer.readArtifact(spark, gmDir,
-              graft.streaming.GraphMaintainer.GraphArt, st.entries, None).count()
-            st.hw.getOrElse(0L)
+          if (poll % 2 == 0)
+            retryFor(30000L, () => { gmRetries.incrementAndGet(); () }) {
+              gmLong.graph.count()
+              gmLong.highWater.getOrElse(0L)
+            }
+          else gmExtReader.snapshot { s =>
+            s.graph.count()
+            s.highWater.getOrElse(0L)
           }
         try {
-          val hw = retryFor(30000L, () => { gmRetries.incrementAndGet(); () })(readOnce())
+          val hw = readOnce()
           gmReads.incrementAndGet()
           val lag = math.max(0L, foldNow - hw)
           gmMaxLag.getAndUpdate(l => math.max(l, lag))
@@ -816,21 +811,25 @@ object StreamBench {
     val feedMaxLag = new java.util.concurrent.atomic.AtomicInteger
     val feedReader = new Thread(() => {
       while (!scdDone) {
+        // the library subscriber loop (poll -> process -> commit cursor,
+        // retry window included) — ScdMaintainer.pollChangefeed is the
+        // entry point a real downstream consumer calls
         def pollOnce(): Unit = {
           val before = graft.sources.LakeTable.cursor(spark, feedCursorDir)
-          graft.sources.LakeTable.pendingChanges(spark,
-              scdLong.currentTablePath, feedCursorDir,
-              keyCol = "key", initial = "latest") match {
-            case Some((feed, v)) =>
+          graft.streaming.ScdMaintainer.pollChangefeed(
+              spark, s"$root/scdlong", feedCursorDir, initial = "latest",
+              retryWindowMs = 30000L,
+              onRetry = () => { feedRetries.incrementAndGet(); () }) {
+            (feed, v) =>
               before.foreach(b =>
                 feedMaxLag.getAndUpdate(l => math.max(l, v - b)))
               feedDrained.addAndGet(feed.count())
-              graft.sources.LakeTable.commitCursor(spark, feedCursorDir, v)
-            case None => ()
+              ()
           }
+          ()
         }
         try {
-          retryFor(30000L, () => { feedRetries.incrementAndGet(); () })(pollOnce())
+          pollOnce()
           feedPolls.incrementAndGet()
           ()
         } catch { case e: Exception =>

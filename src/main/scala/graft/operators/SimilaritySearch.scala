@@ -174,6 +174,37 @@ object SimilaritySearch {
       .map { case (id, f) => val d = f.map(_.toDouble); (id, d, l2NormKernel(d)) }
   }
 
+  /** UNSIZED draw in ONE pass: the `maxN` smallest-md5 candidate centroids
+    * PLUS the corpus row count, measured on the same TakeOrderedAndProject
+    * scan (a LongAccumulator rides it — every row crosses each partition's
+    * top-k heap exactly once, so no second full corpus scan is paid purely
+    * to size the quantizer: the cost the 100 TB entry point must not pay).
+    * The (md5, vec_id) order gives the PREFIX property: the first m
+    * candidates ARE [[ivfCentroids]](corpus, m)'s draw bit-for-bit, so the
+    * caller sizes AFTER the pass and keeps a prefix (returned in draw
+    * order — re-sort by vec_id to match [[ivfCentroids]]' convention).
+    * The count is sizing-only by contract: a speculative or retried task
+    * can double-count an accumulator, which a caller's √n clamp absorbs.
+    * Driver memory is O(maxN·dim) transient — the same order as the final
+    * quantizer broadcast at the clamp-max scale point.
+    */
+  private[graft] def ivfCandidatesWithCount(
+      corpus: DataFrame, maxN: Int): (Array[(Long, Array[Double], Double)], Long) = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val acc = spark.sparkContext.longAccumulator("graft.ivfCorpusSize")
+    val cands = corpus
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .map { r => acc.add(1L); r }
+      .toDF("vec_id", "embedding")
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(maxN)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .collect()
+      .map { case (id, f) => val d = f.map(_.toDouble); (id, d, l2NormKernel(d)) }
+    (cands, acc.value)
+  }
+
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame,
       k: Int = 5, nCentroids: Int = 16): DataFrame = {

@@ -851,6 +851,44 @@ object LakeTable {
       .foreach(fs.delete(_, false))
   }
 
+  /** One at-least-once subscriber POLL — the library form of the consumer
+    * loop every durable changefeed subscriber runs (the reference's
+    * consumer role; previously only SCALE.md prose + the bench's
+    * hand-rolled thread): resolve [[pendingChanges]], hand the feed and
+    * its version to `process`, then [[commitCursor]] — with the WHOLE
+    * attempt retried within an elapsed-time window
+    * ([[graft.streaming.ReadRetry]]) when the span scan loses the race to
+    * in-loop retention ([[vacuum]] aging the span's replaced files out
+    * mid-read). Never a fixed retry count: a scan slower than two fold
+    * intervals is a slow host, not a broken retention clamp; the window
+    * expiring rethrows loud. Getting this interplay wrong silently
+    * reintroduces the reader/sweep race the bench proves closed.
+    *
+    * `process` runs BEFORE the cursor commit, so delivery stays
+    * at-least-once and `process` must be idempotent — a retried attempt
+    * (or a crash between process and commit) re-delivers the same span,
+    * and a span re-resolved mid-retry can have GROWN (new commits landed):
+    * both are the documented subscriber contract, not anomalies. Returns
+    * the version the cursor advanced to, or None when already up to date.
+    * Retention remains the caller's contract: `keepVersions` must cover
+    * the slowest cursor's lag plus one retry window.
+    */
+  def pollChanges(
+      spark: SparkSession, path: String, cursorDir: String,
+      keyCol: String = "key", withPreimage: Boolean = false,
+      initial: String = "earliest",
+      retryWindowMs: Long = 30000L, onRetry: () => Unit = () => ())(
+      process: (DataFrame, Int) => Unit): Option[Int] =
+    graft.streaming.ReadRetry.retryFor(retryWindowMs, onRetry) {
+      pendingChanges(spark, path, cursorDir, keyCol, withPreimage, initial) match {
+        case Some((feed, v)) =>
+          process(feed, v)
+          commitCursor(spark, cursorDir, v)
+          Some(v)
+        case None => None
+      }
+    }
+
   /** Delete data files outside the retention window — anything not
     * referenced by the newest `keepVersions` manifests: crashed writers'
     * uncommitted garbage, and files replaced long enough ago — plus

@@ -205,9 +205,15 @@ final class GraphMaintainer private (
       // with NO #q anywhere is a legacy log; the construction-time
       // quantizer is already the right one there.)
       if (st.quantizer.isDefined && st.quantizer != qVar) {
+        val superseded = centroidsB
         centroidsB = spark.sparkContext.broadcast(
           loadQuantizer(spark, workDir, st.quantizer))
         qVar = st.quantizer
+        // reclaim the superseded broadcast's executor blocks NOW (async):
+        // a long-horizon maintainer surviving many cutovers/rebuilds must
+        // not accumulate one dead broadcast per epoch until driver GC
+        // happens to notice the handle
+        superseded.destroy()
       }
       st.kOpt.filter(_ != kVar).foreach(kVar = _)
       idFilter = bloomOf(spark, workDir, st.entries)
@@ -252,8 +258,14 @@ final class GraphMaintainer private (
     * state (Bloom, #hw, #q/#k) under the lock.
     */
   private def serveEntries(): Map[(String, Long), String] = {
-    val head = manifestNames(fs, workDir).lastOption
+    // snapshot the cache BEFORE listing: a concurrent fold can commit and
+    // advance serveCache between the two reads, and against a LATER cache
+    // snapshot the (stale) listing would look regressed — a spurious
+    // refusal on a healthy single-owner serving loop. Relative to an
+    // EARLIER snapshot the listing can only move forward, so the
+    // regression check below stays sound under concurrency
     val cached = serveCache
+    val head = manifestNames(fs, workDir).lastOption
     // the same fail-loud contract resolveBase enforces for mutations: an
     // empty or REGRESSED listing against a head we have already served
     // means _commits was deleted out-of-band or the store returned an
@@ -552,8 +564,12 @@ final class GraphMaintainer private (
       nCentroids: Option[Int] = None): Unit = synchronized {
     assertOwner()
     graft.plans.GraftFunctions.register(spark)
-    val k2 = newK.getOrElse(kVar)
     resolveBase() // regression guard; refreshes lastSeen for the cutover
+    // k2 reads kVar AFTER resolveBase: a foreign epoch cutover (a fenced
+    // zombie's late rebuildEpoch) carries #k too, and an unsized-k rebuild
+    // must rebuild under the ADOPTED k, not re-stamp the stale one —
+    // mirroring how nc below reads centroidsB after the refresh
+    val k2 = newK.getOrElse(kVar)
     val corpus = narrow(survivors).localCheckpoint()
     // unsized rebuilds INHERIT the live epoch's geometry (resolveBase
     // just refreshed it, so a foreign cutover's count is honored too):
@@ -578,8 +594,13 @@ final class GraphMaintainer private (
     // forced checkpoint: the new epoch shares nothing with the old state
     commitSelf(entries, Set.empty, entries, None,
       forceCkpt = true, q = Some(qTok), kk = k2)
+    val superseded = centroidsB
     centroidsB = bcast
     idFilter = bloomOf(spark, workDir, entries)
+    // the old epoch's quantizer broadcast is unreferenced once centroidsB
+    // moves (every frame that used it is localCheckpoint-materialized) —
+    // reclaim its executor blocks instead of leaking one per rebuild
+    superseded.destroy()
   }
 
   /** Sweep commit garbage: manifests beyond the newest `keepManifests`
@@ -728,6 +749,96 @@ final class GraphMaintainer private (
       .start()
 }
 
+/** Reader-side handle on a graph ANOTHER process maintains — the library
+  * form of the cross-JVM subscriber protocol (the reference's consumer
+  * role, consumers/consumer.py:70-99; SCALE.md's reader contract), which
+  * previously every real subscriber had to reimplement from prose. Each
+  * [[snapshot]] resolves the lexicographically newest commit's pinned
+  * `#base` chain, hands `f` the artifact frames pinned AT that commit,
+  * and — when the read loses the race to the maintainer's in-loop
+  * [[GraphMaintainer.vacuum]] (the commit it resolved aged past the
+  * keep clamp mid-scan) — re-resolves and retries the WHOLE attempt
+  * within an elapsed-time window ([[ReadRetry]]; never a fixed retry
+  * count). Getting the retry/grace interplay wrong silently reintroduces
+  * the reader/sweep race the bench proves closed — use this, not a
+  * hand-rolled loop.
+  *
+  * The reader carries the owner's serve-path fail-loud contract: once a
+  * commit has been served, an emptied or REGRESSED `_commits` listing
+  * refuses to serve (out-of-band deletion or an inconsistent listing)
+  * instead of answering with an empty or rolled-back index. The refusal
+  * itself rides the retry window first — an eventually-consistent LIST
+  * can transiently regress and self-heal — and fails loud only when the
+  * regression outlives the window.
+  *
+  * No ownership is taken and no fence epoch is acquired — any number of
+  * readers run against one live maintainer; a reader never writes.
+  */
+final class GraphReader private[streaming] (
+    spark: SparkSession, workDir: String,
+    retryWindowMs: Long, onRetry: () => Unit) {
+  import GraphMaintainer._
+
+  private val fs = new Path(workDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+  // the newest commit this reader has successfully served — the anchor of
+  // the monotonicity refusal; advances only AFTER f returns, so a retried
+  // attempt re-anchors against the last COMPLETE read
+  @volatile private var lastServed: Option[String] = None
+  private val retriesCtr = new java.util.concurrent.atomic.AtomicLong
+
+  /** Retries paid so far across every [[snapshot]] — the bench's
+    * lost-race telemetry (0 on a quiet log; small and bounded while
+    * racing an in-loop sweep).
+    */
+  def retries: Long = retriesCtr.get
+
+  /** Resolve the newest commit and run `f` against a snapshot pinned at
+    * it. `f` runs the actions (counts, scans, joins) — the frames are
+    * lazy, so the retry must wrap the caller's work, not just the
+    * resolution; `f` therefore must be idempotent (a pure read). Returns
+    * `f`'s result.
+    */
+  def snapshot[T](f: GraphReader.Snapshot => T): T =
+    ReadRetry.retryFor(retryWindowMs,
+        () => { retriesCtr.incrementAndGet(); onRetry() }) {
+      val served = lastServed
+      val head = manifestNames(fs, workDir).lastOption
+      require(head.isDefined || served.isEmpty,
+        s"GraphReader: _commits at $workDir lists no manifests but this " +
+          s"reader last served $served — deleted out-of-band or an " +
+          "inconsistent listing; refusing to serve an empty corpus")
+      require(served.isEmpty || head.exists(_ >= served.get),
+        s"GraphReader: the latest manifest regressed from $served to $head " +
+          s"at $workDir — out-of-band deletion or inconsistent listing; " +
+          "refusing to serve a rolled-back view of the corpus")
+      val st = head.map(resolveState(fs, workDir, _)).getOrElse(GraphState.empty)
+      val out = f(GraphReader.Snapshot(head, st.hw,
+        readArtifact(spark, workDir, GraphArt, st.entries, None)
+          .select(col("vec_id"), col("neighbor_id"), col("rank"), col("cos")),
+        readArtifact(spark, workDir, RoutingArt, st.entries, None)
+          .select(col("vec_id"), col("embedding"))))
+      lastServed = head
+      out
+    }
+
+  /** The replay high-water at the newest commit — one chain resolution,
+    * no data scan (the bench reader's lag probe).
+    */
+  def highWater: Option[Long] = snapshot(_.highWater)
+}
+
+object GraphReader {
+
+  /** One resolved read: the commit it is pinned at (None = empty log),
+    * the replay high-water that commit carries, and the two artifact
+    * frames AT it — same shapes as the owner's serve getters
+    * ([[GraphMaintainer.graph]] / [[GraphMaintainer.corpus]]).
+    */
+  final case class Snapshot(
+      commit: Option[String], highWater: Option[Long],
+      graph: DataFrame, corpus: DataFrame)
+}
+
 object GraphMaintainer {
 
   private[graft] val GraphArt = "graph"
@@ -756,8 +867,11 @@ object GraphMaintainer {
     * (the quantizer artifact's own length, so no `#nc` manifest line is
     * needed and a sized index can never silently re-fit).
     */
+  private[graft] val MaxDerivedCentroids = 131072
+
   private[graft] def derivedNCentroids(n: Long): Int =
-    math.max(16L, math.min(131072L, math.round(math.sqrt(n.toDouble)))).toInt
+    math.max(16L, math.min(MaxDerivedCentroids.toLong,
+      math.round(math.sqrt(n.toDouble)))).toInt
 
   /** One parsed commit file. `entries` is the full live map for a
     * checkpoint, the upserts for a delta; `base` names the exact commit
@@ -1084,14 +1198,23 @@ object GraphMaintainer {
     // quantizer's geometry — an explicitly-sized 64-cell index must not
     // silently re-fit to a corpus-derived count through the sibling
     // entry point; on a fresh workDir (or a pre-#q legacy log) derive
-    // from the corpus (√n clamped; one extra column-pruned count() on
-    // this path only) — the 100 TB entry point must not default to a
-    // fixture-scale constant. Explicit callers always win.
-    val nc = nCentroids.getOrElse(
+    // from the corpus (√n clamped) — the 100 TB entry point must not
+    // default to a fixture-scale constant. Explicit callers always win.
+    val sized = nCentroids.orElse(
       prior.flatMap(_.quantizer)
-        .map(q => loadQuantizer(spark, workDir, Some(q)).length)
-        .getOrElse(derivedNCentroids(corpus.count())))
-    val cs = SimilaritySearch.ivfCentroids(corpus, nc)
+        .map(q => loadQuantizer(spark, workDir, Some(q)).length))
+    val cs = sized match {
+      case Some(nc) => SimilaritySearch.ivfCentroids(corpus, nc)
+      case None =>
+        // fresh-workDir unsized path, ONE corpus pass: draw the clamp-max
+        // candidate prefix and count the corpus on the same scan, then
+        // keep the √n-derived prefix — the (md5, vec_id) prefix property
+        // makes it bit-equal to the separately-counted sized draw, minus
+        // the second full scan that draw's sizing count used to pay here
+        val (cands, n) =
+          SimilaritySearch.ivfCandidatesWithCount(corpus, MaxDerivedCentroids)
+        cands.take(derivedNCentroids(n)).sortBy(_._1)
+    }
     val qTok = landQuantizer(spark, workDir, cs)
     val bcast = spark.sparkContext.broadcast(cs)
     val cells = SimilaritySearch.cellAssign(corpus, bcast).localCheckpoint()
@@ -1124,6 +1247,17 @@ object GraphMaintainer {
       GraphState(entries, priorHw, Some(qTok), Some(k), 0),
       Some(name))
   }
+
+  /** Open a READER on `workDir` — the cross-JVM subscriber role: no
+    * ownership taken, no fence epoch acquired, safe by construction to
+    * run (many at once) against a live maintainer's folds and in-loop
+    * vacuum. See [[GraphReader]] for the resolve-retry-refuse contract;
+    * `retryWindowMs` bounds how long one read keeps retrying a lost race
+    * before failing loud, `onRetry` is per-retry telemetry.
+    */
+  def openReader(spark: SparkSession, workDir: String,
+      retryWindowMs: Long = 30000L, onRetry: () => Unit = () => ()): GraphReader =
+    new GraphReader(spark, workDir, retryWindowMs, onRetry)
 
   /** Reopen `workDir` after a restart: the manifest-named quantizer and
     * the latest commit's routing/graph are the landed artifacts, so the

@@ -478,6 +478,31 @@ object ScdMaintainer {
     new ScdMaintainer(spark, workDir, acquireEpoch(fs, workDir))
   }
 
+  /** Poll this dimension's CHANGEFEED as an external subscriber — the
+    * current-slice lake table's [[graft.sources.LakeTable.pollChanges]]
+    * at this maintainer's layout and key column, so a real downstream
+    * consumer (the reference's consumer role) gets the full
+    * poll→process→commit-cursor protocol, retry window included, as one
+    * library call instead of reimplementing it from SCALE.md prose. No
+    * ownership is taken; any number of subscribers ride one maintainer,
+    * each with its own `cursorDir`. Delivery is at-least-once — `process`
+    * runs before the cursor commit and must be idempotent. The feed is
+    * the CURRENT slice's net changes (the dimension's live rows); closed
+    * validity intervals are append-only history, subscribed separately
+    * via `pollChanges` on [[ScdMaintainer!.closedTablePath]] if needed.
+    * Retention stays the subscriber's contract: the maintainer's
+    * `vacuumHistory(keepVersions)` must cover the slowest cursor's lag
+    * plus one retry window.
+    */
+  def pollChangefeed(
+      spark: SparkSession, workDir: String, cursorDir: String,
+      withPreimage: Boolean = false, initial: String = "latest",
+      retryWindowMs: Long = 30000L, onRetry: () => Unit = () => ())(
+      process: (DataFrame, Int) => Unit): Option[Int] =
+    LakeTable.pollChanges(spark, currentPath(workDir), cursorDir,
+      keyCol = "key", withPreimage = withPreimage, initial = initial,
+      retryWindowMs = retryWindowMs, onRetry = onRetry)(process)
+
   private def closedPath(workDir: String): String = s"$workDir/closed/t"
   private def currentPath(workDir: String): String = s"$workDir/current/t"
 

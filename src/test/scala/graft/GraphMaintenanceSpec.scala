@@ -898,4 +898,90 @@ class GraphMaintenanceSpec extends SparkSpec {
     assert(m3.centroidIds.length == 8,
       "unsized build over an existing epoch must inherit the live geometry")
   }
+
+  test("one-pass unsized sizing: the candidate prefix IS the sized draw, and the same scan yields the corpus count") {
+    val emb = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val n = emb.count()
+    val (cands, counted) = SimilaritySearch.ivfCandidatesWithCount(emb, 24)
+    assert(counted == n,
+      "the accumulator riding the draw pass must see every corpus row — " +
+        "no second scan is paid purely for sizing")
+    assert(cands.length == 24)
+    // prefix property: the first m candidates (re-sorted by vec_id) equal
+    // ivfCentroids(corpus, m) bit-for-bit — what lets build size AFTER
+    // the single pass
+    val prefix = cands.take(10).sortBy(_._1)
+      .map { case (id, e, nn) => (id, e.toSeq, nn) }.toSeq
+    val sizedDraw = SimilaritySearch.ivfCentroids(emb, 10)
+      .map { case (id, e, nn) => (id, e.toSeq, nn) }.toSeq
+    assert(prefix == sizedDraw)
+  }
+
+  test("an unsized-k rebuildEpoch honors a foreign epoch cutover's #k (refreshed BEFORE k is read)") {
+    val emb = Tables.embeddings(spark, sf)
+    val old = emb.filter(col("vec_id") % 5 =!= 0)
+    val dir = tmp("foreignk")
+    val m = GraphMaintainer.build(old, dir, k = 5, nCentroids = Some(16))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a fenced zombie's late delta carrying a #k cutover (same quantizer):
+    // the adoption contract says the owner's next mutation rebuilds under
+    // the ADOPTED k, and an unsized-k rebuild must not re-stamp the stale 5
+    val head = GraphMaintainer.manifestNames(fs, dir).last
+    GraphMaintainer.commitManifest(fs, dir, 1, Map.empty,
+      checkpoint = false, base = Some(head), hw = Some(0L), k = Some(3))
+    val survivors = m.corpus.filter(col("vec_id") % 3 =!= 0).localCheckpoint()
+    m.rebuildEpoch(survivors) // unsized k AND unsized geometry
+    assert(m.k == 3, "the foreign #k must be adopted, not the stale k=5")
+    val newHead = GraphMaintainer.readCommit(fs, dir,
+      GraphMaintainer.manifestNames(fs, dir).last)
+    assert(newHead.kOpt.contains(3),
+      "the rebuild's cutover must re-stamp the ADOPTED k")
+    assert(m.centroidIds.length == 16, "geometry still inherited")
+    val want = SimilaritySearch.knnGraph(
+        survivors, k = 3, nCentroids = 16, quantizerSource = Some(survivors))
+      .collect().map(_.toSeq).toSet
+    assert(m.graph.collect().map(_.toSeq).toSet == want,
+      "the rebuilt graph must be the k=3 rebuild, not a stale-k one")
+  }
+
+  test("serve getters never spuriously refuse under a concurrent fold (cache snapshot precedes the listing)") {
+    // the TOCTOU shape: serveEntries listing _commits BEFORE reading the
+    // volatile serveCache let a concurrent fold commit+advance the cache
+    // between the two reads — head (stale listing) sorted below the
+    // cache and a healthy single-owner loop tripped the regression
+    // refusal. A lost race against the grace-0 sweep (files deleted
+    // mid-scan) is legal and retried; a 'refusing to serve' on a
+    // forward-only log is the bug and fails the spec.
+    val dim = 8
+    def vs(ids: Seq[Long]) = ids.map { id =>
+      (id, Array.tabulate(dim)(j => (((id * (j + 3) + 7) % 97).toFloat / 97f) - 0.5f))
+    }.toDF("vec_id", "embedding")
+    val dir = tmp("servetoctou")
+    val m = GraphMaintainer.build(vs(0L until 60L), dir, nCentroids = Some(8))
+    val nFolds = 12
+    @volatile var writerErr: Option[Throwable] = None
+    val writer = new Thread(() => {
+      try (1 to nFolds).foreach { i =>
+        m.fold(vs((1000L + i * 20L) until (1000L + i * 20L + 20L)), Some(i.toLong))
+        m.vacuum(keepManifests = 2, graceMs = 0L)
+      } catch { case t: Throwable => writerErr = Some(t) }
+    }, "serve-toctou-writer")
+    writer.start()
+    var reads = 0
+    while (writer.isAlive) {
+      try { m.graph.count(); reads += 1 }
+      catch {
+        case e: IllegalArgumentException
+            if e.getMessage.contains("refusing to serve") =>
+          writer.join()
+          fail(s"spurious serve refusal on a healthy single-owner loop: ${e.getMessage}")
+        case _: Exception => () // lost the race to the grace-0 sweep: retryable by contract
+      }
+    }
+    writer.join()
+    assert(writerErr.isEmpty, s"maintainer failed: $writerErr")
+    assert(reads > 0)
+    assert(m.highWater.contains(nFolds.toLong))
+  }
 }
