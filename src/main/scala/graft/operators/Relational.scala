@@ -579,6 +579,38 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy(col("event_type"))
 
+  /** TOLERANCE-CHECKED oracle shape for [[approxDistinctUsersPerType]] —
+    * a sketch DuckDB cannot reproduce bit-for-bit, so the raw estimate
+    * can never hash-match; this audit can. It emits, per group, the EXACT
+    * distinct count (independently recomputed by the oracle — the hash
+    * compare cross-checks it) plus a Spark-side verdict that the HLL++
+    * estimate landed within `boundMult`×rsd of that exact value; the
+    * oracle pins the verdict column to TRUE, so a silent sketch
+    * regression now FAILS the driver compare instead of hiding behind a
+    * rows-only check. The default bound (4σ at rsd=0.02 ⇒ ±8 %) is wide
+    * against the sketch's standard error and deterministic per dataset
+    * (HLL++ is deterministic given the data). The exact `countDistinct`
+    * is the AUDIT's cost, paid like the recall audits pay theirs — the
+    * serving path stays the constant-state sketch.
+    */
+  def approxDistinctAudit(
+      events: DataFrame, rsd: Double = 0.02, boundMult: Double = 4.0): DataFrame = {
+    val spread = Par.spread(events)
+    val approx = spread
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), rsd).as("approx_users"))
+    val exact = spread
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"),
+        count(lit(1)).as("n"))
+    exact.join(broadcast(approx), Seq("event_type"))
+      .select(
+        col("event_type"), col("exact_users"), col("n"),
+        (abs(col("approx_users") - col("exact_users")).cast("double") <=
+          lit(boundMult * rsd) * col("exact_users").cast("double")).as("approx_ok"))
+      .orderBy(col("event_type"))
+  }
+
   /** Deterministic grouped mode — the most frequent user per event type,
     * ties broken toward the lowest user id (built-in `mode()` picks an
     * arbitrary tie winner, which no replayable pipeline should emit).
@@ -669,6 +701,56 @@ object Relational {
         col("q").getItem(2).as("p99"),
         col("n"))
       .orderBy(col("l_returnflag"))
+
+  /** TOLERANCE-CHECKED oracle shape for [[approxPriceQuantiles]] (the
+    * [[approxDistinctAudit]] pattern): per group, the exact row count
+    * (oracle-cross-checked) plus one Spark-side verdict per probed
+    * quantile that the KLL/GK estimate honors its documented RANK
+    * guarantee — the returned value is an actual data value whose rank
+    * interval [#{x < v}+1, #{x ≤ v}] must meet the target band
+    * p·n ± n/accuracy (±1 slack for rank-convention rounding). The
+    * oracle pins the verdicts TRUE, so a sketch regression fails the
+    * driver hash compare. Plan shape: the 3-or-so-row sketch result
+    * broadcasts back onto the fact table for ONE conditional-aggregation
+    * pass — no sort, no window, state O(groups).
+    */
+  def approxQuantilesAudit(
+      lineitem: DataFrame, accuracy: Int = 1000): DataFrame = {
+    val spread = Par.spread(lineitem)
+    val sketch = spread
+      .groupBy(col("l_returnflag"))
+      .agg(percentile_approx(col("l_extendedprice"),
+        array(lit(0.5), lit(0.95), lit(0.99)), lit(accuracy)).as("q"))
+      .select(
+        col("l_returnflag"),
+        col("q").getItem(0).as("est50"),
+        col("q").getItem(1).as("est95"),
+        col("q").getItem(2).as("est99"))
+    def lt(est: String) =
+      sum(when(col("l_extendedprice") < col(est), 1L).otherwise(0L))
+    def le(est: String) =
+      sum(when(col("l_extendedprice") <= col(est), 1L).otherwise(0L))
+    val counted = spread
+      .join(broadcast(sketch), Seq("l_returnflag"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        lt("est50").as("lt50"), le("est50").as("le50"),
+        lt("est95").as("lt95"), le("est95").as("le95"),
+        lt("est99").as("lt99"), le("est99").as("le99"))
+    val eps = 1.0 / accuracy
+    // the estimate's true-rank interval [lt+1, le] must intersect the
+    // guaranteed band [(p-eps)n, (p+eps)n]
+    def ok(p: Double, ltc: String, lec: String): Column =
+      (col(ltc) + lit(1) <= lit(p + eps) * col("n") + lit(1.0)) &&
+        (col(lec).cast("double") >= lit(p - eps) * col("n") - lit(1.0))
+    counted.select(
+      col("l_returnflag"), col("n"),
+      ok(0.50, "lt50", "le50").as("p50_ok"),
+      ok(0.95, "lt95", "le95").as("p95_ok"),
+      ok(0.99, "lt99", "le99").as("p99_ok"))
+      .orderBy(col("l_returnflag"))
+  }
 
   /** Pivot — events per (user, type) as one row per user with a column per
     * type (the dashboard's dir-a/dir-b pivot generalized; SURVEY §2.3 J5

@@ -197,6 +197,41 @@ object TextAnalysis {
         col("col._2").as("est_count"))
   }
 
+  /** TOLERANCE-CHECKED oracle shape for [[tokenFrequenciesSketch]] (the
+    * approxDistinctAudit pattern): MG estimates depend on arrival order,
+    * so neither the emitted token set nor the estimates can be listed by
+    * an oracle — but the MG GUARANTEE is order-free and checkable. This
+    * audit joins every emitted counter to the exact token counts and
+    * reduces to ONE order-independent row: the exact corpus token count
+    * (oracle-cross-checked), the emitted-row count (pinned at k — the
+    * merged summary holds ≥ k counters whenever the vocabulary does),
+    * and a verdict that EVERY emitted counter honors both sides of the
+    * bound — est ≤ true and true − est ≤ N/(capacity+1) (Misra-Gries
+    * 1982; merge rule of Agarwal et al., PODS'12). The oracle pins the
+    * verdict TRUE, so a sketch regression fails the driver hash compare
+    * instead of hiding behind a rows-only check. The exact count is the
+    * audit's cost; the serving path stays the constant-state sketch.
+    */
+  def tokenFreqSketchAudit(
+      docs: DataFrame, capacity: Int = 256, k: Int = 30): DataFrame = {
+    val exact = Par.spread(docs)
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("true_n"))
+    val totals = exact.agg(sum(col("true_n")).as("n_tokens"))
+    tokenFrequenciesSketch(docs, capacity, k)
+      .join(exact, Seq("token")) // emitted tokens come from the stream: inner == left
+      .crossJoin(broadcast(totals))
+      .agg(
+        max(col("n_tokens")).as("n_tokens"),
+        count(lit(1)).as("n_emitted"),
+        (min(when(
+          col("est_count") <= col("true_n") &&
+            (col("true_n") - col("est_count")).cast("double") <=
+              col("n_tokens").cast("double") / lit(capacity + 1),
+          1).otherwise(0)) === 1).as("bounds_ok"))
+  }
+
   /** TF-IDF top terms per document — the classic corpus-weighting operator.
     *
     * tf = in-doc term count; idf = ln(N / df) over the whole corpus;

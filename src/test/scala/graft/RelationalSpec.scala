@@ -81,6 +81,27 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("tolerance audits: every sketch verdict TRUE, exact side equal to the exact twin (the driver-checkable oracle shape)") {
+    val ev = Tables.events(spark, sf)
+    val audit = Relational.approxDistinctAudit(ev).collect()
+    assert(audit.nonEmpty)
+    audit.foreach(r => assert(r.getAs[Boolean]("approx_ok"),
+      s"${r.getString(0)}: HLL++ estimate outside the documented rsd bound"))
+    val exactTwin = Relational.distinctUsersPerType(ev).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("distinct_users")).toMap
+    audit.foreach(r => assert(
+      r.getAs[Long]("exact_users") == exactTwin(r.getString(0)),
+      "the audit's exact side must be the oracle-reproducible exact count"))
+    val qa = Relational.approxQuantilesAudit(Tables.lineitem(spark, sf)).collect()
+    assert(qa.nonEmpty)
+    qa.foreach { r =>
+      Seq("p50_ok", "p95_ok", "p99_ok").foreach(c =>
+        assert(r.getAs[Boolean](c),
+          s"${r.getString(0)}/$c: estimate's rank interval missed the " +
+            "p·n ± n/accuracy band"))
+    }
+  }
+
   test("sessionize splits at inactivity gaps and aggregates per session") {
     import spark.implicits._
     def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)

@@ -290,6 +290,18 @@ class TextAnalysisSpec extends SparkSpec {
     val present = sk.map(_._1).toSet
     exact.collect { case (t, c) if c > err => t }
       .foreach(t => assert(present.contains(t), s"heavy hitter $t missing"))
+
+    // the AUDIT reduction of the same corpus — the order-free row the
+    // driver oracle pins: exact total, exactly k emitted, bounds verdict
+    // TRUE even at capacity << vocabulary (the guarantee, not the
+    // order-dependent estimates, is what the row asserts)
+    val a = TextAnalysis
+      .tokenFreqSketchAudit(docs.repartition(7), capacity = cap, k = 10)
+      .collect().head
+    assert(a.getAs[Long]("n_tokens") == n)
+    assert(a.getAs[Long]("n_emitted") == 10L)
+    assert(a.getAs[Boolean]("bounds_ok"),
+      "every emitted MG counter must honor est <= true <= est + n/(cap+1)")
   }
 
   test("mixturePlan: integer-exact targets, epoch factors, inner-join scoping") {
