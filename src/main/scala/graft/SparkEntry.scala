@@ -4669,7 +4669,12 @@ object SparkEntry {
     // MG-sketch audit: the emitted token set is arrival-order dependent so
     // the oracle pins only the order-free row — exact token total (DuckDB
     // recomputes it), emitted-row count, and the every-counter-within-MG-
-    // bound verdict computed Spark-side against the exact counts
+    // bound verdict computed Spark-side against the exact counts. The
+    // n_emitted=30 pin is a HARNESS-CORPUS fact, not an MG guarantee
+    // (merge-shrink can legally leave < k survivors on a near-uniform
+    // distribution): the documents table's zipfian text holds 30+
+    // survivors at every driver SF, and the spec pins the k-emitted
+    // behavior on a controlled corpus
     "q_token_freq_sketch" ->
       """SELECT COUNT(*) AS n_tokens, CAST(30 AS BIGINT) AS n_emitted,
         |  true AS bounds_ok

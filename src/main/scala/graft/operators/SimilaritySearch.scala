@@ -174,35 +174,56 @@ object SimilaritySearch {
       .map { case (id, f) => val d = f.map(_.toDouble); (id, d, l2NormKernel(d)) }
   }
 
-  /** UNSIZED draw in ONE pass: the `maxN` smallest-md5 candidate centroids
+  /** UNSIZED draw, phase one: the `maxN` smallest-md5 candidate vec_ids
     * PLUS the corpus row count, measured on the same TakeOrderedAndProject
     * scan (a LongAccumulator rides it — every row crosses each partition's
-    * top-k heap exactly once, so no second full corpus scan is paid purely
-    * to size the quantizer: the cost the 100 TB entry point must not pay).
-    * The (md5, vec_id) order gives the PREFIX property: the first m
-    * candidates ARE [[ivfCentroids]](corpus, m)'s draw bit-for-bit, so the
-    * caller sizes AFTER the pass and keeps a prefix (returned in draw
-    * order — re-sort by vec_id to match [[ivfCentroids]]' convention).
-    * The count is sizing-only by contract: a speculative or retried task
-    * can double-count an accumulator, which a caller's √n clamp absorbs.
-    * Driver memory is O(maxN·dim) transient — the same order as the final
-    * quantizer broadcast at the clamp-max scale point.
+    * top-k heap exactly once, so no full-width corpus pass is paid purely
+    * to size the quantizer: the cost the 100 TB entry point must not pay,
+    * and `count()` on an arbitrary — filtered, joined — corpus frame is
+    * not metadata-answerable the way a bare parquet count is). IDS ONLY:
+    * the heaps and the driver collect carry (id, md5) pairs (~24 B each,
+    * a few MB at the 131072 clamp), never embeddings — a clamp-max heap
+    * of full vectors would cost O(maxN·dim) per task and a multi-GB
+    * driver collect at realistic dims. The (md5, vec_id) order gives the
+    * PREFIX property: the first m ids ARE [[ivfCentroids]](corpus, m)'s
+    * draw, so the caller sizes AFTER the pass, keeps a prefix, and
+    * fetches just those ids' embeddings via [[fetchCentroids]] (a
+    * broadcast semi-join — the same fetch work the sized draw's own scan
+    * does, on a column-pruned second pass). The count is sizing-only by
+    * contract: a speculative or retried task can double-count an
+    * accumulator, which the caller's √n clamp absorbs.
     */
-  private[graft] def ivfCandidatesWithCount(
-      corpus: DataFrame, maxN: Int): (Array[(Long, Array[Double], Double)], Long) = {
+  private[graft] def ivfCandidateIdsWithCount(
+      corpus: DataFrame, maxN: Int): (Array[Long], Long) = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val acc = spark.sparkContext.longAccumulator("graft.ivfCorpusSize")
-    val cands = corpus
-      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
-      .map { r => acc.add(1L); r }
-      .toDF("vec_id", "embedding")
+    val ids = corpus
+      .select(col("vec_id")).as[Long]
+      .map { id => acc.add(1L); id }
+      .toDF("vec_id")
       .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
       .limit(maxN)
-      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .select(col("vec_id")).as[Long]
       .collect()
+    (ids, acc.value)
+  }
+
+  /** UNSIZED draw, phase two: the chosen centroid ids' embeddings, by
+    * broadcast semi-join (O(|ids|) broadcast, column-pruned scan).
+    * Returns [[ivfCentroids]]' exact shape and order (sorted by vec_id),
+    * so `fetchCentroids(corpus, ivfCandidateIdsWithCount(corpus, maxN)
+    * ._1.take(m))` is bit-equal to `ivfCentroids(corpus, m)`.
+    */
+  private[graft] def fetchCentroids(
+      corpus: DataFrame, ids: Array[Long]): Array[(Long, Array[Double], Double)] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    corpus
+      .join(broadcast(ids.toSeq.toDF("vec_id")), Seq("vec_id"), "left_semi")
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .collect().sortBy(_._1)
       .map { case (id, f) => val d = f.map(_.toDouble); (id, d, l2NormKernel(d)) }
-    (cands, acc.value)
   }
 
   def ivfTopK(

@@ -214,10 +214,14 @@ object TextAnalysis {
     */
   def tokenFreqSketchAudit(
       docs: DataFrame, capacity: Int = 256, k: Int = 30): DataFrame = {
+    // materialized once: both the per-token join and the corpus total
+    // read this O(vocab) frame — without the checkpoint Spark would
+    // re-run the full explode+aggregate corpus pass for each
     val exact = Par.spread(docs)
       .select(explode(tokens(col("text"))).as("token"))
       .groupBy(col("token"))
       .agg(count(lit(1)).as("true_n"))
+      .localCheckpoint()
     val totals = exact.agg(sum(col("true_n")).as("n_tokens"))
     tokenFrequenciesSketch(docs, capacity, k)
       .join(exact, Seq("token")) // emitted tokens come from the stream: inner == left

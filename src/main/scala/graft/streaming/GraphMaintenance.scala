@@ -177,20 +177,13 @@ final class GraphMaintainer private (
     val cur = manifestNames(fs, workDir).lastOption
     // the listing can only ever move FORWARD for a live maintainer (our
     // own vacuum keeps the newest; commits append): an empty or
-    // regressed listing means _commits was deleted out-of-band or the
-    // store returned an inconsistent view — treating it as "empty
-    // corpus" would make the next commit publish a batch-only manifest
-    // and silently orphan the whole stored corpus for vacuum to delete
-    // (the same vacuous-pass hole OwnerFence.assertOwner refuses for
-    // the owner dir)
-    require(cur.isDefined || lastSeen.isEmpty,
-      s"GraphMaintainer: _commits at $workDir lists no manifests but this " +
-        s"maintainer last saw $lastSeen — the log was deleted out-of-band " +
-        "or the listing is inconsistent; refusing to treat the corpus as empty")
-    require(lastSeen.isEmpty || cur.exists(_ >= lastSeen.get),
-      s"GraphMaintainer: the latest manifest regressed from $lastSeen to " +
-        s"$cur at $workDir — out-of-band deletion or inconsistent listing; " +
-        "refusing to commit over a rolled-back view of the corpus")
+    // regressed listing would make the next commit publish a batch-only
+    // manifest and silently orphan the whole stored corpus for vacuum to
+    // delete (the same vacuous-pass hole OwnerFence.assertOwner refuses
+    // for the owner dir)
+    requireForwardListing("GraphMaintainer", workDir,
+      anchor = lastSeen, head = cur,
+      anchorVerb = "maintainer last saw", refusal = "commit over")
     if (cur == lastSeen) lastState
     else {
       val st = cur.map(resolveState(fs, workDir, _)).getOrElse(GraphState.empty)
@@ -212,8 +205,12 @@ final class GraphMaintainer private (
         // reclaim the superseded broadcast's executor blocks NOW (async):
         // a long-horizon maintainer surviving many cutovers/rebuilds must
         // not accumulate one dead broadcast per epoch until driver GC
-        // happens to notice the handle
-        superseded.destroy()
+        // happens to notice the handle. unpersist, NOT destroy: the
+        // public k/centroidIds getters are documented lock-free advisory
+        // reads — a thread that captured the old reference just before
+        // this swap may still call .value, which destroy() would turn
+        // from a stale-but-valid read into a crash
+        superseded.unpersist()
       }
       st.kOpt.filter(_ != kVar).foreach(kVar = _)
       idFilter = bloomOf(spark, workDir, st.entries)
@@ -266,19 +263,12 @@ final class GraphMaintainer private (
     // regression check below stays sound under concurrency
     val cached = serveCache
     val head = manifestNames(fs, workDir).lastOption
-    // the same fail-loud contract resolveBase enforces for mutations: an
-    // empty or REGRESSED listing against a head we have already served
-    // means _commits was deleted out-of-band or the store returned an
-    // inconsistent view — silently serving an empty or rolled-back index
-    // is the one thing a recall service must never do
-    require(head.isDefined || cached._1.isEmpty,
-      s"GraphMaintainer: _commits at $workDir lists no manifests but this " +
-        s"maintainer last served ${cached._1} — deleted out-of-band or an " +
-        "inconsistent listing; refusing to serve an empty corpus")
-    require(cached._1.isEmpty || head.exists(_ >= cached._1.get),
-      s"GraphMaintainer: the latest manifest regressed from ${cached._1} " +
-        s"to $head at $workDir — out-of-band deletion or inconsistent " +
-        "listing; refusing to serve a rolled-back view of the corpus")
+    // the same fail-loud contract resolveBase enforces for mutations —
+    // silently serving an empty or rolled-back index is the one thing a
+    // recall service must never do
+    requireForwardListing("GraphMaintainer", workDir,
+      anchor = cached._1, head = head,
+      anchorVerb = "maintainer last served", refusal = "serve")
     if (head == cached._1) cached._2
     else if (head.isEmpty) Map.empty
     else {
@@ -599,8 +589,10 @@ final class GraphMaintainer private (
     idFilter = bloomOf(spark, workDir, entries)
     // the old epoch's quantizer broadcast is unreferenced once centroidsB
     // moves (every frame that used it is localCheckpoint-materialized) —
-    // reclaim its executor blocks instead of leaking one per rebuild
-    superseded.destroy()
+    // reclaim its executor blocks instead of leaking one per rebuild.
+    // unpersist, not destroy: the lock-free advisory getters may hold
+    // the old reference mid-swap (see resolveBase's adoption site)
+    superseded.unpersist()
   }
 
   /** Sweep commit garbage: manifests beyond the newest `keepManifests`
@@ -803,26 +795,28 @@ final class GraphReader private[streaming] (
         () => { retriesCtr.incrementAndGet(); onRetry() }) {
       val served = lastServed
       val head = manifestNames(fs, workDir).lastOption
-      require(head.isDefined || served.isEmpty,
-        s"GraphReader: _commits at $workDir lists no manifests but this " +
-          s"reader last served $served — deleted out-of-band or an " +
-          "inconsistent listing; refusing to serve an empty corpus")
-      require(served.isEmpty || head.exists(_ >= served.get),
-        s"GraphReader: the latest manifest regressed from $served to $head " +
-          s"at $workDir — out-of-band deletion or inconsistent listing; " +
-          "refusing to serve a rolled-back view of the corpus")
+      GraphMaintainer.requireForwardListing("GraphReader", workDir,
+        anchor = served, head = head,
+        anchorVerb = "reader last served", refusal = "serve")
       val st = head.map(resolveState(fs, workDir, _)).getOrElse(GraphState.empty)
-      val out = f(GraphReader.Snapshot(head, st.hw,
-        readArtifact(spark, workDir, GraphArt, st.entries, None)
+      val out = f(new GraphReader.Snapshot(head, st.hw,
+        () => readArtifact(spark, workDir, GraphArt, st.entries, None)
           .select(col("vec_id"), col("neighbor_id"), col("rank"), col("cos")),
-        readArtifact(spark, workDir, RoutingArt, st.entries, None)
+        () => readArtifact(spark, workDir, RoutingArt, st.entries, None)
           .select(col("vec_id"), col("embedding"))))
-      lastServed = head
+      // advance only FORWARD: concurrent snapshots on one shared handle
+      // may complete out of order, and a backward write would weaken the
+      // monotonicity refusal's anchor to an already-superseded commit
+      synchronized {
+        if (head.isDefined && lastServed.forall(_ <= head.get))
+          lastServed = head
+      }
       out
     }
 
   /** The replay high-water at the newest commit — one chain resolution,
-    * no data scan (the bench reader's lag probe).
+    * no data scan and (the Snapshot frames being lazy) no artifact
+    * listing either: the bench reader's cheap lag probe.
     */
   def highWater: Option[Long] = snapshot(_.highWater)
 }
@@ -832,11 +826,17 @@ object GraphReader {
   /** One resolved read: the commit it is pinned at (None = empty log),
     * the replay high-water that commit carries, and the two artifact
     * frames AT it — same shapes as the owner's serve getters
-    * ([[GraphMaintainer.graph]] / [[GraphMaintainer.corpus]]).
+    * ([[GraphMaintainer.graph]] / [[GraphMaintainer.corpus]]). The
+    * frames are LAZY: a probe that only reads `commit`/`highWater` pays
+    * the manifest chain walk alone, never the per-artifact file listing
+    * and footer reads `spark.read.parquet` would fire eagerly.
     */
-  final case class Snapshot(
-      commit: Option[String], highWater: Option[Long],
-      graph: DataFrame, corpus: DataFrame)
+  final class Snapshot private[streaming] (
+      val commit: Option[String], val highWater: Option[Long],
+      graphF: () => DataFrame, corpusF: () => DataFrame) {
+    lazy val graph: DataFrame = graphF()
+    lazy val corpus: DataFrame = corpusF()
+  }
 }
 
 object GraphMaintainer {
@@ -899,6 +899,30 @@ object GraphMaintainer {
 
   private def narrow(df: DataFrame): DataFrame =
     df.select(col("vec_id"), col("embedding"))
+
+  /** The forward-only listing contract, ONE implementation for every
+    * anchor that reads it — resolveBase (mutations), the serve getters,
+    * and [[GraphReader]]: relative to a commit this process has already
+    * seen or served, `_commits` can only move FORWARD (our own vacuum
+    * keeps the newest; commits append), so an empty or REGRESSED listing
+    * means the log was deleted out-of-band or the store returned an
+    * inconsistent view — and silently accepting it would orphan the
+    * stored corpus (commit path) or answer with an empty/rolled-back
+    * index (serve path). Shared so the owner and reader refusals cannot
+    * drift apart.
+    */
+  private[streaming] def requireForwardListing(
+      who: String, workDir: String, anchor: Option[String],
+      head: Option[String], anchorVerb: String, refusal: String): Unit = {
+    require(head.isDefined || anchor.isEmpty,
+      s"$who: _commits at $workDir lists no manifests but this " +
+        s"$anchorVerb ${anchor.getOrElse("")} — deleted out-of-band or an " +
+        s"inconsistent listing; refusing to $refusal an empty corpus")
+    require(anchor.isEmpty || head.exists(_ >= anchor.get),
+      s"$who: the latest manifest regressed from $anchor to $head at " +
+        s"$workDir — out-of-band deletion or inconsistent listing; " +
+        s"refusing to $refusal a rolled-back view of the corpus")
+  }
 
   /** Committed manifests, ascending — the epoch field leads the name, so
     * lexicographic order IS fencing order: everything a newer owner
@@ -1206,14 +1230,14 @@ object GraphMaintainer {
     val cs = sized match {
       case Some(nc) => SimilaritySearch.ivfCentroids(corpus, nc)
       case None =>
-        // fresh-workDir unsized path, ONE corpus pass: draw the clamp-max
-        // candidate prefix and count the corpus on the same scan, then
-        // keep the √n-derived prefix — the (md5, vec_id) prefix property
-        // makes it bit-equal to the separately-counted sized draw, minus
-        // the second full scan that draw's sizing count used to pay here
-        val (cands, n) =
-          SimilaritySearch.ivfCandidatesWithCount(corpus, MaxDerivedCentroids)
-        cands.take(derivedNCentroids(n)).sortBy(_._1)
+        // fresh-workDir unsized path: the candidate-id draw and the
+        // sizing count share ONE ids-only scan (no full-width pass paid
+        // purely for sizing), then the √n prefix's embeddings fetch by
+        // broadcast semi-join — the (md5, vec_id) prefix property makes
+        // the result bit-equal to the separately-counted sized draw
+        val (ids, n) =
+          SimilaritySearch.ivfCandidateIdsWithCount(corpus, MaxDerivedCentroids)
+        SimilaritySearch.fetchCentroids(corpus, ids.take(derivedNCentroids(n)))
     }
     val qTok = landQuantizer(spark, workDir, cs)
     val bcast = spark.sparkContext.broadcast(cs)

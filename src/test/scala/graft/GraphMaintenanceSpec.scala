@@ -899,18 +899,18 @@ class GraphMaintenanceSpec extends SparkSpec {
       "unsized build over an existing epoch must inherit the live geometry")
   }
 
-  test("one-pass unsized sizing: the candidate prefix IS the sized draw, and the same scan yields the corpus count") {
+  test("one-pass unsized sizing: the candidate-id prefix IS the sized draw, and the same ids-only scan yields the corpus count") {
     val emb = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
     val n = emb.count()
-    val (cands, counted) = SimilaritySearch.ivfCandidatesWithCount(emb, 24)
+    val (ids, counted) = SimilaritySearch.ivfCandidateIdsWithCount(emb, 24)
     assert(counted == n,
-      "the accumulator riding the draw pass must see every corpus row — " +
-        "no second scan is paid purely for sizing")
-    assert(cands.length == 24)
-    // prefix property: the first m candidates (re-sorted by vec_id) equal
+      "the accumulator riding the ids-only draw pass must see every " +
+        "corpus row — no full-width scan is paid purely for sizing")
+    assert(ids.length == 24)
+    // prefix property + fetch: the first m ids' fetched embeddings equal
     // ivfCentroids(corpus, m) bit-for-bit — what lets build size AFTER
-    // the single pass
-    val prefix = cands.take(10).sortBy(_._1)
+    // the draw pass and fetch only the chosen prefix
+    val prefix = SimilaritySearch.fetchCentroids(emb, ids.take(10))
       .map { case (id, e, nn) => (id, e.toSeq, nn) }.toSeq
     val sizedDraw = SimilaritySearch.ivfCentroids(emb, 10)
       .map { case (id, e, nn) => (id, e.toSeq, nn) }.toSeq
