@@ -325,5 +325,20 @@ class PlanQualitySpec extends SparkSpec {
     assert(m.graph.inputFiles.nonEmpty) // full read resolves the same manifest
   }
 
+  test("sketch audits: the tiny sketch/totals frames broadcast onto the fact side, never a fact sort-merge") {
+    // the tolerance audits' scale shape: q_approx_quantiles joins the
+    // 3-row sketch result back to lineitem for ONE conditional-agg pass,
+    // and q_token_freq_sketch joins the 30-row emitted set + 1-row total
+    // onto the exact counts — all small sides must broadcast
+    val pq = plan("q_approx_quantiles")
+    assert(pq.contains("BroadcastHashJoin"), pq)
+    assert(!pq.contains("SortMergeJoin"), pq)
+    val pt = plan("q_token_freq_sketch")
+    assert(pt.contains("BroadcastHashJoin"), pt)
+    assert(!pt.contains("SortMergeJoin"), pt)
+    val pd = plan("q_approx_distinct")
+    assert(!pd.contains("SortMergeJoin"), pd)
+  }
+
   private val Dedup = graft.operators.Dedup
 }
