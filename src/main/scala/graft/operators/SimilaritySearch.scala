@@ -219,11 +219,21 @@ object SimilaritySearch {
       corpus: DataFrame, ids: Array[Long]): Array[(Long, Array[Double], Double)] = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    corpus
+    val out = corpus
       .join(broadcast(ids.toSeq.toDF("vec_id")), Seq("vec_id"), "left_semi")
       .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
       .collect().sortBy(_._1)
       .map { case (id, f) => val d = f.map(_.toDouble); (id, d, l2NormKernel(d)) }
+    // the two-scan draw trusts the corpus frame to be scan-stable and
+    // vec_id-unique; a frame that changed between the scans (or carries
+    // duplicate ids) would otherwise land a silently mis-sized/mis-drawn
+    // quantizer — fail loud instead
+    require(out.length == ids.length,
+      s"SimilaritySearch.fetchCentroids: asked for ${ids.length} centroid " +
+        s"ids but the corpus returned ${out.length} rows — the corpus frame " +
+        "changed between the draw and the fetch, or vec_ids are not unique; " +
+        "the unsized draw requires a scan-stable, unique-id corpus")
+    out
   }
 
   def ivfTopK(

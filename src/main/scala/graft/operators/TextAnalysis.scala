@@ -216,12 +216,15 @@ object TextAnalysis {
       docs: DataFrame, capacity: Int = 256, k: Int = 30): DataFrame = {
     // materialized once: both the per-token join and the corpus total
     // read this O(vocab) frame — without the checkpoint Spark would
-    // re-run the full explode+aggregate corpus pass for each
+    // re-run the full explode+aggregate corpus pass for each. LAZY
+    // checkpoint: eager would fire the whole corpus job at DataFrame
+    // CONSTRUCTION time, charging plan-only consumers (explain/PlanDump)
+    // for an aggregation they never run
     val exact = Par.spread(docs)
       .select(explode(tokens(col("text"))).as("token"))
       .groupBy(col("token"))
       .agg(count(lit(1)).as("true_n"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val totals = exact.agg(sum(col("true_n")).as("n_tokens"))
     tokenFrequenciesSketch(docs, capacity, k)
       .join(exact, Seq("token")) // emitted tokens come from the stream: inner == left

@@ -799,11 +799,12 @@ final class GraphReader private[streaming] (
         anchor = served, head = head,
         anchorVerb = "reader last served", refusal = "serve")
       val st = head.map(resolveState(fs, workDir, _)).getOrElse(GraphState.empty)
-      val out = f(new GraphReader.Snapshot(head, st.hw,
+      val snap = new GraphReader.Snapshot(head, st.hw,
         () => readArtifact(spark, workDir, GraphArt, st.entries, None)
           .select(col("vec_id"), col("neighbor_id"), col("rank"), col("cos")),
         () => readArtifact(spark, workDir, RoutingArt, st.entries, None)
-          .select(col("vec_id"), col("embedding"))))
+          .select(col("vec_id"), col("embedding")))
+      val out = try f(snap) finally snap.open = false
       // advance only FORWARD: concurrent snapshots on one shared handle
       // may complete out of order, and a backward write would weaken the
       // monotonicity refusal's anchor to an already-superseded commit
@@ -834,8 +835,22 @@ object GraphReader {
   final class Snapshot private[streaming] (
       val commit: Option[String], val highWater: Option[Long],
       graphF: () => DataFrame, corpusF: () => DataFrame) {
-    lazy val graph: DataFrame = graphF()
-    lazy val corpus: DataFrame = corpusF()
+    // frames must be FORCED inside snapshot{}: the retry window and the
+    // forward-listing refusal protect only work done there — a thunk
+    // escaping f would run its file listing unretried against the
+    // owner's in-loop vacuum, so late first-access fails loud instead
+    // (a frame already forced inside f stays usable, same as the eager
+    // design: the listing it needed happened under the window)
+    @volatile private[streaming] var open = true
+    private def force(what: String, mk: () => DataFrame): DataFrame = {
+      require(open,
+        s"GraphReader.Snapshot: $what first accessed after snapshot{} " +
+          "returned — resolve the frames INSIDE f, where the retry " +
+          "window and the forward-listing refusal protect the read")
+      mk()
+    }
+    lazy val graph: DataFrame = force("graph", graphF)
+    lazy val corpus: DataFrame = force("corpus", corpusF)
   }
 }
 

@@ -915,6 +915,12 @@ class GraphMaintenanceSpec extends SparkSpec {
     val sizedDraw = SimilaritySearch.ivfCentroids(emb, 10)
       .map { case (id, e, nn) => (id, e.toSeq, nn) }.toSeq
     assert(prefix == sizedDraw)
+    // the fetch fails loud when the corpus can't return every drawn id
+    // (frame changed between the two scans, or duplicate vec_ids) —
+    // never a silently mis-sized quantizer
+    val e = intercept[IllegalArgumentException](
+      SimilaritySearch.fetchCentroids(emb, ids.take(3) :+ -999L))
+    assert(e.getMessage.contains("scan-stable"), e.getMessage)
   }
 
   test("an unsized-k rebuildEpoch honors a foreign epoch cutover's #k (refreshed BEFORE k is read)") {

@@ -38,6 +38,13 @@ class ReaderProtocolSpec extends SparkSpec {
     }
     assert(r.highWater.contains(1L))
     assert(r.retries == 0L, "a quiet log must cost zero retries")
+    // frames must not ESCAPE f: the retry window and the forward-listing
+    // refusal protect only reads inside snapshot{} — a leaked unforced
+    // frame fails loud at first access instead of racing the owner's
+    // vacuum unretried
+    val escaped = r.snapshot(identity)
+    val e = intercept[IllegalArgumentException](escaped.graph)
+    assert(e.getMessage.contains("INSIDE f"), e.getMessage)
     // opening readers acquired no fence epoch: the owner's next mutation
     // must still succeed (a reader that took ownership would fence it)
     m.fold(vecs(200L until 210L), Some(2L))
