@@ -176,37 +176,38 @@ object SimilaritySearch {
 
   /** UNSIZED draw, phase one: the `maxN` smallest-md5 candidate vec_ids
     * PLUS the corpus row count, measured on the same TakeOrderedAndProject
-    * scan (a LongAccumulator rides it — every row crosses each partition's
-    * top-k heap exactly once, so no full-width corpus pass is paid purely
-    * to size the quantizer: the cost the 100 TB entry point must not pay,
-    * and `count()` on an arbitrary — filtered, joined — corpus frame is
-    * not metadata-answerable the way a bare parquet count is). IDS ONLY:
-    * the heaps and the driver collect carry (id, md5) pairs (~24 B each,
-    * a few MB at the 131072 clamp), never embeddings — a clamp-max heap
-    * of full vectors would cost O(maxN·dim) per task and a multi-GB
-    * driver collect at realistic dims. The (md5, vec_id) order gives the
-    * PREFIX property: the first m ids ARE [[ivfCentroids]](corpus, m)'s
-    * draw, so the caller sizes AFTER the pass, keeps a prefix, and
-    * fetches just those ids' embeddings via [[fetchCentroids]] (a
-    * broadcast semi-join — the same fetch work the sized draw's own scan
-    * does, on a column-pruned second pass). The count is sizing-only by
-    * contract: a speculative or retried task can double-count an
-    * accumulator, which the caller's √n clamp absorbs.
+    * scan (a `Dataset.observe` count aggregate rides it — every row
+    * crosses the CollectMetrics node below each partition's top-k heap
+    * exactly once, so no full-width corpus pass is paid purely to size
+    * the quantizer: the cost the 100 TB entry point must not pay, and
+    * `count()` on an arbitrary — filtered, joined — corpus frame is not
+    * metadata-answerable the way a bare parquet count is; observed
+    * metrics are exactly-once by construction, unlike an accumulator
+    * under speculative retries, and the scan stays codegen'd instead of
+    * paying a typed `.map`'s per-row deserialization). IDS ONLY: the
+    * heaps and the driver collect carry (id, md5) pairs (~24 B each, a
+    * few MB at the 131072 clamp), never embeddings — a clamp-max heap of
+    * full vectors would cost O(maxN·dim) per task and a multi-GB driver
+    * collect at realistic dims. The (md5, vec_id) order gives the PREFIX
+    * property: the first m ids ARE [[ivfCentroids]](corpus, m)'s draw,
+    * so the caller sizes AFTER the pass, keeps a prefix, and fetches
+    * just those ids' embeddings via [[fetchCentroids]] (a broadcast
+    * semi-join — the same fetch work the sized draw's own scan does, on
+    * a column-pruned second pass).
     */
   private[graft] def ivfCandidateIdsWithCount(
       corpus: DataFrame, maxN: Int): (Array[Long], Long) = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val acc = spark.sparkContext.longAccumulator("graft.ivfCorpusSize")
+    val obs = new org.apache.spark.sql.Observation("graft.ivfCorpusSize")
     val ids = corpus
-      .select(col("vec_id")).as[Long]
-      .map { id => acc.add(1L); id }
-      .toDF("vec_id")
+      .select(col("vec_id"))
+      .observe(obs, count(lit(1)).as("n"))
       .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
       .limit(maxN)
       .select(col("vec_id")).as[Long]
       .collect()
-    (ids, acc.value)
+    (ids, obs.get("n").asInstanceOf[Long]) // get blocks until the collect's metrics land
   }
 
   /** UNSIZED draw, phase two: the chosen centroid ids' embeddings, by

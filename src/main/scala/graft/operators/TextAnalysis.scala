@@ -230,13 +230,17 @@ object TextAnalysis {
       .join(exact, Seq("token")) // emitted tokens come from the stream: inner == left
       .crossJoin(broadcast(totals))
       .agg(
-        max(col("n_tokens")).as("n_tokens"),
+        // a degenerate (empty) corpus emits zero counters: the global agg
+        // still returns its one row, so coalesce the aggregates to their
+        // vacuous values (0 tokens, 0 emitted, bound trivially honored)
+        // instead of NULLs that would silently diverge from the oracle
+        coalesce(max(col("n_tokens")), lit(0L)).as("n_tokens"),
         count(lit(1)).as("n_emitted"),
-        (min(when(
+        coalesce(min(when(
           col("est_count") <= col("true_n") &&
             (col("true_n") - col("est_count")).cast("double") <=
               col("n_tokens").cast("double") / lit(capacity + 1),
-          1).otherwise(0)) === 1).as("bounds_ok"))
+          1).otherwise(0)) === 1, lit(true)).as("bounds_ok"))
   }
 
   /** TF-IDF top terms per document — the classic corpus-weighting operator.
