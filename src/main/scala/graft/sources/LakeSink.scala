@@ -286,6 +286,53 @@ object LakeSink {
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/_boxes")
   }
 
+  /** ONE footer pass per landed file set: row count, byte size, and the
+    * clustered columns' min/max boxes from the same opened footer — the
+    * fused form of [[boxesOf]] + [[rowCountsOf]] + a per-file status
+    * probe, which every lake mutation previously paid as two separate
+    * executor jobs plus O(files) driver-side getFileStatus RPCs per
+    * commit (three metadata passes over the same footers). Zero-row
+    * files report empty boxes (nothing to bound; callers drop them
+    * before the manifest). Returned per file: (rows, bytes,
+    * Seq((col, mn, mx))).
+    */
+  private[sources] def footerMeta(
+      spark: org.apache.spark.sql.SparkSession, files: Seq[String],
+      cols: Seq[String]): Map[String, (Long, Long, Seq[(String, Double, Double)])] = {
+    if (files.isEmpty) return Map.empty
+    spark.sparkContext
+      .parallelize(files, math.max(1, math.min(files.size, 32)))
+      .map { f =>
+        import scala.jdk.CollectionConverters._
+        val conf = new org.apache.hadoop.conf.Configuration()
+        val inputFile = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f), conf)
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(inputFile)
+        try {
+          val blocks = reader.getFooter.getBlocks.asScala.toSeq
+          val rows = blocks.map(_.getRowCount).sum
+          val boxes =
+            if (rows == 0L) Nil
+            else cols.map { c =>
+              val stats = blocks.flatMap(
+                _.getColumns.asScala.find(_.getPath.toDotString == c))
+                .map(_.getStatistics)
+                .filter(s => s != null && s.hasNonNullValue)
+              require(stats.nonEmpty, s"footerMeta: no footer stats for '$c' in $f")
+              def d(v: Any): Double = v match {
+                case n: java.lang.Number => n.doubleValue()
+                case other => throw new IllegalArgumentException(
+                  s"footerMeta: non-numeric stats for '$c' (${other.getClass.getName})")
+              }
+              (c, stats.map(s => d(s.genericGetMin)).min,
+                stats.map(s => d(s.genericGetMax)).max)
+            }
+          (f, (rows, inputFile.getLength, boxes))
+        } finally reader.close()
+      }
+      .collect().toMap
+  }
+
   /** Footer pass over `files` only — the executor-fanned metadata read
     * shared by [[landBoxes]] (all files) and [[appendBoxed]] (the fresh
     * batch's files).

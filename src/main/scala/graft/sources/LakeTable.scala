@@ -114,14 +114,16 @@ object LakeTable {
         "fold into it (applyChangelog/append) or choose a fresh path")
     LakeSink.writeZOrdered(df, path, cols, nFiles, bits)
     val files = LakeSink.listParquet(spark, path)
-    val boxes = LakeSink.boxesOf(spark, files, cols)
+    // ONE footer job covers boxes, row counts and sizes (was three
+    // metadata passes over the same footers)
+    val metas = LakeSink.footerMeta(spark, files, cols)
     writeCommit(spark, path, 1,
       files.map(rel(path, _)),
-      boxes.map { case (f, c, mn, mx) => (rel(path, f), c, mn, mx) },
+      files.flatMap(f => metas(f)._3.map { case (cn, mn, mx) =>
+        (rel(path, f), cn, mn, mx) }),
       df.schema.toDDL,
-      rowCounts = LakeSink.rowCountsOf(spark, files)
-        .map { case (f, n) => (rel(path, f), n) }.toMap,
-      sizes = sizesOf(fs, path, files))
+      rowCounts = files.map(f => (rel(path, f), metas(f)._1)).toMap,
+      sizes = files.map(f => (rel(path, f), metas(f)._2)).toMap)
   }
 
   /** Every committed version number, ascending. */
@@ -614,9 +616,8 @@ object LakeTable {
     // conservatively rewrite it forever)
     val rows = readFilesResolved(spark, path, c, small)
     val landed = landZOrdered(spark, path, rows, cols, nFiles, bits)
-    val fresh = landed.map(_._1)
-    val freshBoxes = LakeSink.boxesOf(spark, fresh, cols)
-      .map { case (f, cn, mn, mx) => (rel(path, f), cn, mn, mx) }
+    val fresh = landed.map(_.path)
+    val freshBoxes = landedBoxes(path, landed)
     val kept = c.files.filterNot(smallSet)
     val committed = writeCommit(spark, path, c.version + 1,
       kept ++ fresh.map(rel(path, _)),
@@ -624,10 +625,10 @@ object LakeTable {
       c.schemaDdl, c.appliedBatches,
       deletes = c.deletes.filterNot(d => smallSet(d._1)),
       rowCounts = c.rowCounts.view.filterKeys(!smallSet(_)).toMap ++
-        landed.map { case (f, n) => (rel(path, f), n) },
+        landed.map(l => (rel(path, l.path), l.rows)),
       prev = Some(c),
       sizes = c.sizes.view.filterKeys(!smallSet(_)).toMap ++
-        sizesOf(fs, path, fresh))
+        landed.map(l => (rel(path, l.path), l.bytes)))
     ApplyStats(committed.version, small.size, kept.size, fresh.size)
   }
 
@@ -1258,9 +1259,8 @@ object LakeTable {
         return DvStats(c.version, 0, 0L)
       // land the fresh image files first (uncommitted = invisible) ...
       val landed = landZOrdered(spark, path, images, cols, nFilesNew, bits)
-      val fresh = landed.map(_._1)
-      val freshBoxes = LakeSink.boxesOf(spark, fresh, cols)
-        .map { case (f, cn, mn, mx) => (rel(path, f), cn, mn, mx) }
+      val fresh = landed.map(_.path)
+      val freshBoxes = landedBoxes(path, landed)
       // ... then the sidecar, attached to PRE-COMMIT files only — the
       // fresh files hold the new images and must not be shadowed
       val (dvAttach, nKeys) =
@@ -1277,11 +1277,9 @@ object LakeTable {
           marker.foldLeft(c.appliedBatches)(addMarker),
           c.deletes ++ dvAttach,
           rowCounts = c.rowCounts ++ landed
-            .map { case (f, n) => (rel(path, f), n) },
+            .map(l => (rel(path, l.path), l.rows)),
           prev = Some(c),
-          sizes = c.sizes ++ sizesOf(
-            new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration),
-            path, fresh))
+          sizes = c.sizes ++ landed.map(l => (rel(path, l.path), l.bytes)))
         return DvStats(c.version + 1, shadowed.size, nKeys)
       } catch {
         case e: CommitConflictException => lastConflict = e
@@ -1325,9 +1323,8 @@ object LakeTable {
       val landed = landZOrdered(spark, path, rows, cols, nFilesNew, bits)
       if (shadowed.isEmpty && landed.isEmpty)
         return DvStats(c.version, 0, 0L)
-      val fresh = landed.map(_._1)
-      val freshBoxes = LakeSink.boxesOf(spark, fresh, cols)
-        .map { case (f, cn, mn, mx) => (rel(path, f), cn, mn, mx) }
+      val fresh = landed.map(_.path)
+      val freshBoxes = landedBoxes(path, landed)
       val (dvAttach, nKeys) =
         if (shadowed.isEmpty) (Seq.empty[(String, String)], 0L)
         else {
@@ -1342,11 +1339,9 @@ object LakeTable {
           marker.foldLeft(c.appliedBatches)(addMarker),
           c.deletes ++ dvAttach,
           rowCounts = c.rowCounts ++ landed
-            .map { case (f, n) => (rel(path, f), n) },
+            .map(l => (rel(path, l.path), l.rows)),
           prev = Some(c),
-          sizes = c.sizes ++ sizesOf(
-            new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration),
-            path, fresh))
+          sizes = c.sizes ++ landed.map(l => (rel(path, l.path), l.bytes)))
         return DvStats(c.version + 1, shadowed.size, nKeys)
       } catch {
         case e: CommitConflictException => lastConflict = e
@@ -1432,9 +1427,8 @@ object LakeTable {
       case _ => nFilesNew
     }
     val landed = landZOrdered(spark, path, rows, cols, nOut, bits)
-    val fresh = landed.map(_._1)
-    val freshBoxes = LakeSink.boxesOf(spark, fresh, cols)
-      .map { case (f, cn, mn, mx) => (rel(path, f), cn, mn, mx) }
+    val fresh = landed.map(_.path)
+    val freshBoxes = landedBoxes(path, landed)
     val shadowedSet = shadowed.toSet
     val kept = c.files.filterNot(shadowedSet)
     val committed = writeCommit(spark, path, c.version + 1,
@@ -1442,37 +1436,48 @@ object LakeTable {
       c.boxes.filterNot(b => shadowedSet(b._1)) ++ freshBoxes,
       c.schemaDdl, c.appliedBatches, deletes = Seq.empty,
       rowCounts = c.rowCounts.view.filterKeys(!shadowedSet(_)).toMap ++
-        landed.map { case (f, n) => (rel(path, f), n) },
+        landed.map(l => (rel(path, l.path), l.rows)),
       prev = Some(c),
       sizes = c.sizes.view.filterKeys(!shadowedSet(_)).toMap ++
-        sizesOf(
-          new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration),
-          path, fresh))
+        landed.map(l => (rel(path, l.path), l.bytes)))
     ApplyStats(committed.version, shadowed.size, kept.size, fresh.size)
   }
 
   // ---- internals ----------------------------------------------------
 
+  /** One file this mutation landed: absolute path plus EVERYTHING the
+    * next manifest needs to know about it (footer row count, byte size,
+    * per-clustered-column min/max boxes) — captured in the single footer
+    * pass [[landZOrdered]] already pays, so no caller re-opens a footer
+    * or stats a file it just landed.
+    */
+  private final case class Landed(
+      path: String, rows: Long, bytes: Long,
+      boxes: Seq[(String, Double, Double)])
+
   /** Land `rows` z-order-clustered as fresh data files, returning EXACTLY
-    * the (absolute path, footer row count) pairs this call landed. The
+    * the files this call landed with their manifest metadata. The
     * write stages into a per-attempt `.stage-<uuid>/` subdirectory
     * (hidden — invisible to every data listing) and renames each part
     * file into the table root, so the landed set is tracked EXPLICITLY:
     * the previous before/after directory-listing diff could sweep a
     * CONCURRENT writer's landed-but-uncommitted files into this writer's
     * manifest — when the loser then retried, its rows committed twice.
-    * Zero-row part files (an empty range partition) are dropped and
-    * deleted here: they carry no footer stats, so they would enter the
-    * manifest unboxed and be conservatively rewritten by every later
-    * keyed mutation forever. An empty frame lands nothing. A crash
+    * Zero-row part files (an empty range partition, or an entirely empty
+    * frame's schema-bearing part) are dropped and deleted here: they
+    * carry no footer stats, so they would enter the manifest unboxed and
+    * be conservatively rewritten by every later keyed mutation forever.
+    * An empty frame therefore lands nothing — WITHOUT a pre-write
+    * `isEmpty` probe, which evaluated the whole rewrite pipeline a
+    * second time per mutation (the z-order stats aggregate is already an
+    * unavoidable second pass; the empty-check made it three). A crash
     * mid-stage leaves only the hidden stage dir ([[vacuum]] garbage);
     * a crash mid-rename leaves renamed-but-uncommitted files (also
     * vacuum garbage, exactly like the pre-staging protocol).
     */
   private def landZOrdered(
       spark: SparkSession, path: String, rows: DataFrame, cols: Seq[String],
-      nFiles: Int, bits: Int): Seq[(String, Long)] = {
-    if (rows.isEmpty) return Nil
+      nFiles: Int, bits: Int): Seq[Landed] = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val stage = s"$path/.stage-${java.util.UUID.randomUUID()}"
     LakeSink.zorderFrame(rows, cols, bits)
@@ -1483,20 +1488,29 @@ object LakeTable {
     val parts = fs.listStatus(new Path(stage)).toSeq
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       .map(_.getPath).sortBy(_.getName)
-    val counted = LakeSink.rowCountsOf(spark, parts.map(_.toString)).toMap
+    // ONE footer job covers row counts, sizes and boxes (the three
+    // passes mutations used to pay separately per commit)
+    val metas = LakeSink.footerMeta(spark, parts.map(_.toString), cols)
     val landed = parts.flatMap { p =>
-      if (counted.getOrElse(p.toString, 0L) == 0L) None
+      val (n, bytes, boxes) = metas(p.toString)
+      if (n == 0L) None
       else {
         val dest = new Path(s"$path/${p.getName}")
         require(fs.rename(p, dest),
           s"LakeTable: fresh-file rename collision at $dest — part names " +
             "carry the write job's uuid and must be unique")
-        Some((dest.toString, counted(p.toString)))
+        Some(Landed(dest.toString, n, bytes, boxes))
       }
     }
     fs.delete(new Path(stage), true)
     landed
   }
+
+  /** The landed files' box rows in manifest form (path made relative). */
+  private def landedBoxes(
+      path: String, landed: Seq[Landed]): Seq[(String, String, Double, Double)] =
+    landed.flatMap(l =>
+      l.boxes.map { case (cn, mn, mx) => (rel(path, l.path), cn, mn, mx) })
 
   /** True iff a replay marker is already recorded in the commit's applied
     * set. Markers are arm-qualified (`arm#batchId`) since the multi-arm
@@ -1703,9 +1717,8 @@ object LakeTable {
     }
 
     val landed = landZOrdered(spark, path, next, cols, nFilesNew, bits)
-    val fresh = landed.map(_._1)
-    val freshBoxes = LakeSink.boxesOf(spark, fresh, cols)
-      .map { case (f, cn, mn, mx) => (rel(path, f), cn, mn, mx) }
+    val fresh = landed.map(_.path)
+    val freshBoxes = landedBoxes(path, landed)
 
     val touchedSet = touched.toSet
     val keptFiles = c.files.filterNot(touchedSet)
@@ -1718,12 +1731,10 @@ object LakeTable {
       // untouched files keep their attachments verbatim
       deletes = c.deletes.filterNot(d => touchedSet(d._1)),
       rowCounts = c.rowCounts.view.filterKeys(!touchedSet(_)).toMap ++
-        landed.map { case (f, n) => (rel(path, f), n) },
+        landed.map(l => (rel(path, l.path), l.rows)),
       prev = Some(c),
       sizes = c.sizes.view.filterKeys(!touchedSet(_)).toMap ++
-        sizesOf(
-          new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration),
-          path, fresh))
+        landed.map(l => (rel(path, l.path), l.bytes)))
     // replaced files become invisible at the commit point but stay ON
     // DISK: they back time travel (readAt) until vacuum's retention
     // window drops them — GC is a policy decision, not a correctness one
@@ -1753,19 +1764,16 @@ object LakeTable {
       spark: SparkSession, path: String, cols: Seq[String], nFiles: Int,
       bits: Int, c: Commit, rows: DataFrame): ApplyStats = {
     val landed = landZOrdered(spark, path, rows, cols, nFiles, bits)
-    val fresh = landed.map(_._1)
-    val freshBoxes = LakeSink.boxesOf(spark, fresh, cols)
-      .map { case (f, cn, mn, mx) => (rel(path, f), cn, mn, mx) }
+    val fresh = landed.map(_.path)
+    val freshBoxes = landedBoxes(path, landed)
     // a full rewrite replaces every file — its "delta" would be 2×|files|
     // lines, so commit it as a checkpoint (prev omitted): an OPTIMIZE is
     // the natural point to re-anchor the readers' walk-back anyway
     val committed = writeCommit(spark, path, c.version + 1,
       fresh.map(rel(path, _)), freshBoxes,
       unionDdl(c.schemaDdl, rows.schema), c.appliedBatches,
-      rowCounts = landed.map { case (f, n) => (rel(path, f), n) }.toMap,
-      sizes = sizesOf(
-        new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration),
-        path, fresh))
+      rowCounts = landed.map(l => (rel(path, l.path), l.rows)).toMap,
+      sizes = landed.map(l => (rel(path, l.path), l.bytes)).toMap)
     ApplyStats(committed.version, c.files.size, 0, fresh.size)
   }
 
@@ -1982,19 +1990,6 @@ object LakeTable {
     }
     org.apache.spark.sql.types.StructType(merged).toDDL
   }
-
-  /** Driver-side byte sizes of just-landed files (manifest-relative
-    * keys) — recorded at commit time, O(fresh files) stats, so
-    * [[shouldCompact]]/[[compact]] decide from manifest arithmetic
-    * instead of stat-ing every live file per maintenance poll (at the
-    * million-file shape that poll would be millions of namenode RPCs
-    * per micro-batch).
-    */
-  private def sizesOf(
-      fs: org.apache.hadoop.fs.FileSystem, path: String,
-      absFiles: Seq[String]): Map[String, Long] =
-    absFiles.map(f =>
-      rel(path, f) -> fs.getFileStatus(new Path(f)).getLen).toMap
 
   private def rel(path: String, f: String): String = {
     val p = new Path(path).toUri.getPath

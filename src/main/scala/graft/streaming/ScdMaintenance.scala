@@ -183,7 +183,17 @@ final class ScdMaintainer private (
     val v = currentVersion
     val m = markerOf(fs, workDir, v)
     if (batchId.exists(applied(m.folded, "fold", _))) return false
-    if (batch.isEmpty) return false
+    // ONE materialization of the micro-batch (O(batch) executor-local
+    // blocks, the same trade GraphMaintainer.fold makes): the empty
+    // check, the touch probe, the box probe inside shadowedFiles, the
+    // merge input and the MoR/MoW rewrite all read the cached blocks —
+    // without the barrier each action re-derives the batch's whole
+    // upstream pipeline (measured ~5 re-derivations per fold at bench
+    // scale when the batch is a filtered/windowed changelog frame)
+    val b = batch.select(
+      col("key"), col("seq"), col("op"), col("name"), col("val"))
+      .localCheckpoint()
+    if (b.isEmpty) return false
     // HEAL first: any lake version beyond the pair marker's pin is a
     // crashed fold's half-applied work (single maintainer; compaction
     // commits BEFORE the marker, so a healthy fold always leaves
@@ -194,7 +204,7 @@ final class ScdMaintainer private (
     // full (batchId set, source redelivers) or is discarded ATOMICALLY
     // (no partial closed-without-current state can ever reach a marker).
     heal(m)
-    val touched = batch.select(col("key")).distinct()
+    val touched = b.select(col("key")).distinct()
     // the touched keys' current rows, box-pruned — the ONLY history the
     // incremental derivation needs (closed intervals are immutable).
     // Resolved ONCE: the same manifest answers the touch probe, the
@@ -209,8 +219,7 @@ final class ScdMaintainer private (
          .join(broadcast(touched), Seq("key"), "left_semi"))
         .withColumn("valid_to", lit(null).cast("bigint"))
         .withColumn("is_current", lit(true))
-    val merged = Cdc.scdMerge(curTouched, batch.select(
-      col("key"), col("seq"), col("op"), col("name"), col("val")))
+    val merged = Cdc.scdMerge(curTouched, b)
       .localCheckpoint() // one derivation feeds two commits
     val newClosed = merged.filter(!col("is_current"))
       .select(col("key"), col("name"), col("val"),
@@ -316,9 +325,12 @@ final class ScdMaintainer private (
       val v = currentVersion
       val m = markerOf(fs, workDir, v)
       if (batchId.exists(applied(m.folded, "forget", _))) return false
-      if (tombstones.isEmpty) return false
+      // materialize the key set once: the empty check plus TWO
+      // applyTombstones passes (each a box probe + an anti-join rewrite)
+      // would otherwise re-derive the tombstone pipeline four times
+      val keys = tombstones.select(col("key")).distinct().localCheckpoint()
+      if (keys.isEmpty) return false
       heal(m)
-      val keys = tombstones.select(col("key")).distinct()
       // unlike a fold (whose rewrite is batch-sized), a forget rewrite
       // carries every KEPT row of the box-intersecting files — on a
       // years-deep closed table that is touched-files-sized, so use the
