@@ -299,7 +299,10 @@ final class GraphMaintainer private (
     if (batchId.exists(id => currentHw.exists(_ >= id)))
       return noneTouched
     val b0 = narrow(batch).localCheckpoint()
-    if (b0.isEmpty) return noneTouched
+    // the ids collect below doubles as the empty probe — no separate
+    // isEmpty job over the checkpointed blocks
+    val ids0 = b0.select(col("vec_id")).as[Long].collect()
+    if (ids0.isEmpty) return noneTouched
     // ONE manifest snapshot serves the replay probe, the touched-cell
     // reads, and the commit base (and refreshes the Bloom + hw if a
     // foreign commit became visible)
@@ -310,7 +313,6 @@ final class GraphMaintainer private (
     // same-id DIFFERENT-embedding pair fails loud NOW — landing both
     // would corrupt routing silently, and only the NEXT fold touching
     // that id would throw, one fold too late to save the artifact
-    val ids0 = b0.select(col("vec_id")).as[Long].collect()
     val (bIn, ids) =
       if (ids0.distinct.length == ids0.length) (b0, ids0)
       else {
@@ -384,11 +386,18 @@ final class GraphMaintainer private (
     val oldEdges =
       readArtifact(spark, workDir, GraphArt, base, Some(touched.toSet))
         .select(col("vec_id"), col("neighbor_id"), col("cell"), col("cos"))
-    val w = Window.partitionBy(col("vec_id"))
+    // ONE exchange serves dedup, re-rank AND the landed layout: hash on
+    // cell up front, then key the dedup and the window by (cell, vec_id)
+    // — vec_id determines cell under the frozen quantizer, so both are
+    // row-identical to the (vec_id)-keyed forms while HashPartitioning
+    // on cell already satisfies their required distribution (no further
+    // exchange), and landCells writes preClustered (one file per cell)
+    val w = Window.partitionBy(col("cell"), col("vec_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     val reranked = oldEdges.unionByName(fresh)
+      .repartition(col("cell"))
       // replay safety: a visible racing commit's edges re-merge as duplicates
-      .dropDuplicates("vec_id", "neighbor_id")
+      .dropDuplicates("cell", "vec_id", "neighbor_id")
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= kVar)
       .select(col("vec_id"), col("neighbor_id"), col("rank"), col("cos"), col("cell"))
@@ -409,8 +418,16 @@ final class GraphMaintainer private (
   private def publish(
       base: Map[(String, Long), String], touched: Seq[Long],
       graphDf: DataFrame, routingDf: DataFrame, newHw: Option[Long]): Unit = {
-    val (gTok, gCells) = landCells(fs, workDir, graphDf, GraphArt)
-    val (rTok, rCells) = landCells(fs, workDir, routingDf, RoutingArt)
+    // the two artifact writes are independent jobs — overlap them so the
+    // second write's tasks back-fill the executor slots the first one's
+    // tail leaves idle (both inputs are localCheckpoint-materialized, so
+    // neither thread re-derives shared upstream work)
+    val rFut = scala.concurrent.Future(
+      landCells(fs, workDir, routingDf, RoutingArt))(GraphMaintainer.landEc)
+    val (gTok, gCells) =
+      landCells(fs, workDir, graphDf, GraphArt, preClustered = true)
+    val (rTok, rCells) = scala.concurrent.Await.result(
+      rFut, scala.concurrent.duration.Duration.Inf)
     val upserts = (gCells.map(c => (GraphArt, c) -> gTok) ++
       rCells.map(c => (RoutingArt, c) -> rTok)).toMap
     val removes = touched
@@ -516,9 +533,13 @@ final class GraphMaintainer private (
         .select(col("vec_id"), col("embedding"), col("cell"))
         .join(broadcast(doomed), Seq("vec_id"), "left_anti")
         .localCheckpoint()
-    val w = Window.partitionBy(col("vec_id"))
+    // same one-exchange shape as applyFold: cell-hash once, window keyed
+    // (cell, vec_id) — row-identical (vec_id determines cell), and the
+    // checkpoint preserves the layout for the preClustered land
+    val w = Window.partitionBy(col("cell"), col("vec_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     val repaired = SimilaritySearch.cellEdgesWithCell(survivors, survivors)
+      .repartition(col("cell"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= kVar)
       .select(col("vec_id"), col("neighbor_id"), col("rank"), col("cos"), col("cell"))
@@ -570,14 +591,19 @@ final class GraphMaintainer private (
     val qTok = landQuantizer(spark, workDir, cs)
     val bcast = spark.sparkContext.broadcast(cs)
     val cells = SimilaritySearch.cellAssign(corpus, bcast).localCheckpoint()
-    val w = Window.partitionBy(col("vec_id"))
+    // same one-exchange edge path + overlapped artifact writes as build
+    val w = Window.partitionBy(col("cell"), col("vec_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     val edges = SimilaritySearch.cellEdgesWithCell(cells, cells)
+      .repartition(col("cell"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k2)
       .select(col("vec_id"), col("neighbor_id"), col("rank"), col("cos"), col("cell"))
-    val (rTok, rCells) = landCells(fs, workDir, cells, RoutingArt)
-    val (gTok, gCells) = landCells(fs, workDir, edges, GraphArt)
+    val rFut = scala.concurrent.Future(
+      landCells(fs, workDir, cells, RoutingArt))(GraphMaintainer.landEc)
+    val (gTok, gCells) = landCells(fs, workDir, edges, GraphArt, preClustered = true)
+    val (rTok, rCells) = scala.concurrent.Await.result(
+      rFut, scala.concurrent.duration.Duration.Inf)
     val entries = (rCells.map(c => (RoutingArt, c) -> rTok) ++
       gCells.map(c => (GraphArt, c) -> gTok)).toMap
     assertOwner()
@@ -586,7 +612,8 @@ final class GraphMaintainer private (
       forceCkpt = true, q = Some(qTok), kk = k2)
     val superseded = centroidsB
     centroidsB = bcast
-    idFilter = bloomOf(spark, workDir, entries)
+    idFilter = GraphMaintainer.bloomOf(
+      cells.select(col("vec_id")), cells.count())
     // the old epoch's quantizer broadcast is unreferenced once centroidsB
     // moves (every frame that used it is localCheckpoint-materialized) —
     // reclaim its executor blocks instead of leaking one per rebuild.
@@ -871,6 +898,21 @@ object GraphMaintainer {
     */
   private[graft] val CheckpointEvery = 10
 
+  /** Daemon pool for overlapping the two independent artifact lands of a
+    * commit (guide-§2.6 back-fill: the routing write's tasks fill the
+    * executor slots the edge pipeline's tail leaves idle). One extra
+    * thread suffices — each publish runs the graph land on the calling
+    * thread and only the routing land here, so the pool can never
+    * deadlock on itself.
+    */
+  private[streaming] lazy val landEc: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutor(
+      java.util.concurrent.Executors.newCachedThreadPool(r => {
+        val t = new Thread(r, "graft-land-cells")
+        t.setDaemon(true)
+        t
+      }))
+
   /** Corpus-derived coarse-quantizer sizing for an unsized [[build]] on
     * a FRESH workDir: √n clamped to [16, 131072] — mean cell size √n
     * keeps both the per-query probe (nCentroids kernel dots) and the
@@ -1131,10 +1173,15 @@ object GraphMaintainer {
     */
   private def landCells(
       fs: FileSystem, workDir: String, df: DataFrame,
-      artifact: String): (String, Seq[Long]) = {
+      artifact: String, preClustered: Boolean = false): (String, Seq[Long]) = {
     val token = "t" + java.util.UUID.randomUUID().toString.replace("-", "").take(16)
     val dir = s"$workDir/data/$artifact/fold=$token"
-    df.repartition(col("cell")).write.partitionBy("cell").parquet(dir)
+    // preClustered: the caller's pipeline already ends hash-partitioned
+    // on cell (the edge pipelines repartition(cell) BEFORE their window
+    // so one exchange serves both) — repartitioning again here would pay
+    // a second full shuffle of the same rows for the same layout
+    val clustered = if (preClustered) df else df.repartition(col("cell"))
+    clustered.write.partitionBy("cell").parquet(dir)
     val cells = fs.listStatus(new Path(dir)).toSeq.map(_.getPath.getName)
       .collect { case n if n.startsWith("cell=") => n.stripPrefix("cell=").toLong }
     (token, cells)
@@ -1257,14 +1304,23 @@ object GraphMaintainer {
     val qTok = landQuantizer(spark, workDir, cs)
     val bcast = spark.sparkContext.broadcast(cs)
     val cells = SimilaritySearch.cellAssign(corpus, bcast).localCheckpoint()
-    val w = Window.partitionBy(col("vec_id"))
+    // one exchange for the whole edge path: hash on cell, window keyed
+    // (cell, vec_id) — row-identical to the (vec_id) window since a
+    // vector routes to exactly one cell — then land WITHOUT the second
+    // repartition (preClustered). The routing land overlaps the edge
+    // compute+land on a second thread (independent jobs, §2.6).
+    val w = Window.partitionBy(col("cell"), col("vec_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     val edges = SimilaritySearch.cellEdgesWithCell(cells, cells)
+      .repartition(col("cell"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("vec_id"), col("neighbor_id"), col("rank"), col("cos"), col("cell"))
-    val (rTok, rCells) = landCells(fs, workDir, cells, RoutingArt)
-    val (gTok, gCells) = landCells(fs, workDir, edges, GraphArt)
+    val rFut = scala.concurrent.Future(
+      landCells(fs, workDir, cells, RoutingArt))(GraphMaintainer.landEc)
+    val (gTok, gCells) = landCells(fs, workDir, edges, GraphArt, preClustered = true)
+    val (rTok, rCells) = scala.concurrent.Await.result(
+      rFut, scala.concurrent.duration.Duration.Inf)
     val entries = (rCells.map(c => (RoutingArt, c) -> rTok) ++
       gCells.map(c => (GraphArt, c) -> gTok)).toMap
     val name = commitManifest(fs, workDir, epoch, entries,
@@ -1282,7 +1338,7 @@ object GraphMaintainer {
     }
     fs.delete(new Path(s"$workDir/folded"), true)
     new GraphMaintainer(spark, workDir, k, bcast,
-      bloomOf(spark, workDir, entries), epoch,
+      bloomOf(cells.select(col("vec_id")), cells.count()), epoch,
       GraphState(entries, priorHw, Some(qTok), Some(k), 0),
       Some(name))
   }
@@ -1382,7 +1438,15 @@ object GraphMaintainer {
       entries: Map[(String, Long), String]): BloomFilter = {
     val ids = readArtifact(spark, workDir, RoutingArt, entries, None)
       .select(col("vec_id"))
-    val n = ids.count()
-    ids.stat.bloomFilter("vec_id", math.max(1000000L, 8 * n), 0.001)
+    bloomOf(ids, ids.count())
   }
+
+  /** Bloom prescreen over an id frame already in hand — [[build]] and
+    * [[GraphMaintainer.rebuildEpoch]] pass their localCheckpoint'd cell
+    * frame so the filter builds from cached blocks instead of re-scanning
+    * the parquet files they just landed (two full artifact reads saved
+    * per epoch build).
+    */
+  private[streaming] def bloomOf(ids: DataFrame, n: Long): BloomFilter =
+    ids.stat.bloomFilter("vec_id", math.max(1000000L, 8 * n), 0.001)
 }
