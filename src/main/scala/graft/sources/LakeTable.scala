@@ -1308,7 +1308,8 @@ object LakeTable {
       spark: SparkSession, path: String, keys: DataFrame, rows: DataFrame,
       cols: Seq[String], keyCol: String = "key", nFilesNew: Int = 2,
       bits: Int = 16, batchId: Option[Long] = None,
-      arm: String = "replace-mor"): DvStats = {
+      arm: String = "replace-mor",
+      touchedHint: Option[(Int, Seq[String])] = None): DvStats = {
     val marker = batchId.map(b => s"$arm#$b")
     var lastConflict: CommitConflictException = null
     (0 to MaxCommitRetries).foreach { _ =>
@@ -1316,7 +1317,10 @@ object LakeTable {
       if (marker.exists(batchApplied(c, _)))
         return DvStats(c.version, 0, 0L)
       val ks = keys.select(col(keyCol)).distinct()
-      val shadowed = shadowedFiles(spark, c, ks, keyCol)
+      // version-pinned probe reuse, same contract as mutate's hint
+      val shadowed = touchedHint
+        .collect { case (v, fs) if v == c.version => fs }
+        .getOrElse(shadowedFiles(spark, c, ks, keyCol))
       // land the fresh replacement files first (uncommitted = invisible);
       // the sidecar attaches to PRE-COMMIT files only — fresh files hold
       // the new images and must not be shadowed
@@ -1662,12 +1666,13 @@ object LakeTable {
       nFilesNew: Int, bits: Int,
       touchKeys: DataFrame, rewrite: DataFrame => DataFrame,
       appliedBatch: Option[String] = None,
-      appendOnly: Boolean = false): ApplyStats = {
+      appendOnly: Boolean = false,
+      touchedHint: Option[(Int, Seq[String])] = None): ApplyStats = {
     var lastConflict: CommitConflictException = null
     (0 to MaxCommitRetries).foreach { _ =>
       try return mutateOnce(
         spark, path, cols, keyCol, nFilesNew, bits, touchKeys, rewrite,
-        appliedBatch, appendOnly)
+        appliedBatch, appendOnly, touchedHint)
       catch { case e: CommitConflictException => lastConflict = e }
     }
     throw lastConflict
@@ -1678,7 +1683,8 @@ object LakeTable {
       nFilesNew: Int, bits: Int,
       touchKeys: DataFrame, rewrite: DataFrame => DataFrame,
       appliedBatch: Option[String],
-      appendOnly: Boolean = false): ApplyStats = {
+      appendOnly: Boolean = false,
+      touchedHint: Option[(Int, Seq[String])] = None): ApplyStats = {
     import spark.implicits._
     val c = latest(spark, path)
     // re-check the replay marker on the FRESH manifest: the interloper
@@ -1690,10 +1696,15 @@ object LakeTable {
     // contract — the probe's conservative unboxed-files-always-touched
     // rule is for KEYED rewrites, whose callback carries the base rows;
     // append's callback ignores its base, so probing here would drop an
-    // unboxed file's rows from the manifest
+    // unboxed file's rows from the manifest. A caller that already ran
+    // the probe for its own routing (the SCD fold's MoW/MoR decision)
+    // passes it as a version-pinned hint — honored only while this
+    // attempt resolves the SAME version, so a lost race recomputes
     val touched =
       if (appendOnly) Seq.empty[String]
-      else shadowedFiles(spark, c, touchKeys.select(col("key").as(keyCol)), keyCol)
+      else touchedHint.collect { case (v, fs) if v == c.version => fs }
+        .getOrElse(shadowedFiles(
+          spark, c, touchKeys.select(col("key").as(keyCol)), keyCol))
     // DV-resolved: a rewrite of a shadowed file must fold its deletion
     // vectors in, or the rows they hide would resurrect into fresh files
     val base =

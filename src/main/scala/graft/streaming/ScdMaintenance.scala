@@ -193,7 +193,9 @@ final class ScdMaintainer private (
     val b = batch.select(
       col("key"), col("seq"), col("op"), col("name"), col("val"))
       .localCheckpoint()
-    if (b.isEmpty) return false
+    // the empty probe rides the touched-keys materialization below — a
+    // batch is empty iff its distinct key set is (distinct keeps nulls),
+    // so no separate isEmpty job runs over the checkpointed blocks
     // HEAL first: any lake version beyond the pair marker's pin is a
     // crashed fold's half-applied work (single maintainer; compaction
     // commits BEFORE the marker, so a healthy fold always leaves
@@ -203,8 +205,13 @@ final class ScdMaintainer private (
     // consistent cross-table cut: a crashed batch either replays in
     // full (batchId set, source redelivers) or is discarded ATOMICALLY
     // (no partial closed-without-current state can ever reach a marker).
+    // materialized once: the empty probe, the box probe, the
+    // current-slice semi-join and the MoW/MoR commit all reuse the
+    // distinct key set — un-barriered, each re-shuffles the batch for
+    // its own distinct
+    val touched = b.select(col("key")).distinct().localCheckpoint()
+    if (touched.isEmpty) return false
     heal(m)
-    val touched = b.select(col("key")).distinct()
     // the touched keys' current rows, box-pruned — the ONLY history the
     // incremental derivation needs (closed intervals are immutable).
     // Resolved ONCE: the same manifest answers the touch probe, the
@@ -237,12 +244,16 @@ final class ScdMaintainer private (
     //    no matter how wide the current table's files have grown
     val touchedBytes = touchedFiles.map(f => cCur.sizes.getOrElse(f, 0L)).sum
     val useMor = morThresholdBytes.exists(touchedBytes > _)
+    // the routing probe above already resolved the touched files at
+    // cCur — hand them down version-pinned so the commit path does not
+    // re-run the same box probe (it recomputes on any version mismatch)
+    val hint = Some((cCur.version, touchedFiles))
     var kv =
       if (useMor)
         LakeTable.replaceKeyedMor(
           spark, currentTablePath, touched, newCur, Seq("key"),
           keyCol = "key", nFilesNew = 1, batchId = batchId,
-          arm = "scd-current").version
+          arm = "scd-current", touchedHint = hint).version
       else
         LakeTable.mutate(
           spark, currentTablePath, Seq("key"), keyCol = "key",
@@ -251,7 +262,8 @@ final class ScdMaintainer private (
           rewrite = base =>
             base.join(broadcast(touched), Seq("key"), "left_anti")
               .unionByName(newCur),
-          appliedBatch = batchId.map(b => s"scd-current#$b")).version
+          appliedBatch = batchId.map(b => s"scd-current#$b"),
+          touchedHint = hint).version
     // 3. bounded read amplification: MoR folds accumulate deletion
     //    vectors — with the fraction set, fold them back in once that
     //    share of the files is shadowed (manifest arithmetic via
