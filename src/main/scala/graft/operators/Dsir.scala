@@ -46,16 +46,17 @@ object Dsir {
     */
   private def featureStream(
       docs: DataFrame, flag: Column, buckets: Int): DataFrame = {
-    val toks = Par.spread(docs)
+    import graft.functions.TextFunctions.shingles
+    // ONE explode over unigrams ++ bigrams instead of a two-branch union
+    // that scanned and tokenized the corpus twice per evaluation (row
+    // order differs from the old union, but every consumer aggregates
+    // order-independently; shingles(t,2) emits exactly the old zip_with
+    // pairs as the same "a b" strings, and the same f multiset hashes to
+    // the same bucket counts)
+    Par.spread(docs)
       .select(col("doc_id"), flag.as("tgt"), tokens(col("text")).as("t"))
-    val uni = toks.select(col("doc_id"), col("tgt"), explode(col("t")).as("f"))
-    val bi = toks.select(col("doc_id"), col("tgt"), explode(
-        zip_with(col("t"), slice(col("t"), lit(2), size(col("t"))),
-          (a, b) => struct(a.as("a"), b.as("b")))).as("bg"))
-      .filter(col("bg.b").isNotNull)
       .select(col("doc_id"), col("tgt"),
-        concat_ws(" ", col("bg.a"), col("bg.b")).as("f"))
-    uni.unionByName(bi)
+        explode(concat(col("t"), shingles(col("t"), 2))).as("f"))
       .select(col("doc_id"), col("tgt"), bucketOf(col("f"), buckets).as("bkt"))
   }
 
@@ -64,13 +65,25 @@ object Dsir {
     * the smoothing-only ratio. `buckets` rows, broadcastable forever.
     */
   def dsirLogRatios(
-      docs: DataFrame, isTarget: Column, buckets: Int = 1024): DataFrame = {
-    val spark = docs.sparkSession
-    val counts = featureStream(docs, isTarget, buckets)
-      .groupBy(col("bkt"))
-      .agg(
-        sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"),
-        sum(when(!col("tgt"), 1L).otherwise(0L)).as("cr"))
+      docs: DataFrame, isTarget: Column, buckets: Int = 1024): DataFrame =
+    logRatiosFromCounts(
+      docs.sparkSession,
+      featureStream(docs, isTarget, buckets)
+        .groupBy(col("bkt"))
+        .agg(
+          sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"),
+          sum(when(!col("tgt"), 1L).otherwise(0L)).as("cr")),
+      buckets)
+
+  /** The smoothing/ratio arithmetic over a per-bucket (ct, cr) count
+    * frame — shared by [[dsirLogRatios]] (counts off the raw feature
+    * stream) and [[dsirWeights]] (counts re-aggregated from its
+    * materialized per-doc bucket counts; Σ of per-doc counts ≡ the raw
+    * stream count, so both fit the SAME model).
+    */
+  private def logRatiosFromCounts(
+      spark: org.apache.spark.sql.SparkSession, counts: DataFrame,
+      buckets: Int): DataFrame = {
     val tot = counts.agg(
       sum(col("ct")).cast("double").as("nt"),
       sum(col("cr")).cast("double").as("nr"))
@@ -125,12 +138,27 @@ object Dsir {
   def dsirWeights(
       docs: DataFrame, isTarget: Column, buckets: Int = 1024,
       tau: Double = 0.0): DataFrame = {
-    val lr = dsirLogRatios(docs, isTarget, buckets)
-      .select(col("bkt"), col("lrd"))
-    featureStream(docs, isTarget, buckets)
-      .filter(!col("tgt"))
-      .groupBy(col("doc_id"), col("bkt"))
+    // per-(doc, bkt) feature counts materialized ONCE: previously the
+    // model fit and the scoring pass each re-ran the whole tokenize +
+    // explode + hash stream (measured as two identical 64-task stages
+    // per run). The model's per-bucket counts re-aggregate from this
+    // frame (Σ of per-doc counts ≡ the stream count), so fit and
+    // scoring share one evaluation; doc-bucket counts are the smallest
+    // faithful intermediate (≤ buckets rows per doc).
+    val fs = featureStream(docs, isTarget, buckets)
+      .groupBy(col("doc_id"), col("tgt"), col("bkt"))
       .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val lr = logRatiosFromCounts(
+      docs.sparkSession,
+      fs.groupBy(col("bkt"))
+        .agg(
+          sum(when(col("tgt"), col("n")).otherwise(0L)).as("ct"),
+          sum(when(!col("tgt"), col("n")).otherwise(0L)).as("cr")),
+      buckets)
+      .select(col("bkt"), col("lrd"))
+    fs.filter(!col("tgt"))
+      .select(col("doc_id"), col("bkt"), col("n"))
       .join(broadcast(lr), "bkt")
       .groupBy(col("doc_id"))
       .agg(

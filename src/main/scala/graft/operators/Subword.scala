@@ -128,9 +128,15 @@ object Subword {
     val wc = Par.spread(docs)
       .select(explode(split(col("text"), " ")).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    // checkpointed: every round's pair-count collect re-derived the
+    // corpus word count + top-K through the accumulating merge chain
+    // (rounds × full corpus passes); the working vocabulary is at most
+    // maxVocab rows, so materializing it once leaves each round a
+    // trivial plan over the cached frame
     var vocab = wc
       .orderBy(col("cnt").desc, col("token")).limit(maxVocab)
       .select(col("token"), col("cnt"), wrap(col("token")).as("seq"))
+      .localCheckpoint()
     val out = scala.collection.mutable.ArrayBuffer.empty[Merge]
     for (r <- 0 until rounds) {
       val pairs = vocab

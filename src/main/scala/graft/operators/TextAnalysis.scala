@@ -259,10 +259,16 @@ object TextAnalysis {
     // DataFrame construction lazy (no job fires until the caller acts) and
     // mirrors the oracle's CROSS JOIN n
     val n = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    // checkpointed once: the df table and the scoring join are differently
+    // column-pruned consumers (df's partial aggregate drops the count), so
+    // their exchanges canonicalize UNEQUAL and exchange reuse cannot fire —
+    // without the barrier the corpus explode+aggregate runs twice (plan
+    // audit: two Generate chains). Stage-boundary trade as in corpusBuild.
     val docTerms = spread
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     // docTerms is keyed by (doc_id, token) — one row per pair — so plain
     // count IS the document frequency; countDistinct would add a second
     // distinct-aggregate layer for nothing
@@ -306,8 +312,13 @@ object TextAnalysis {
       docs: DataFrame, queryTerms: Seq[String], k: Int = 25,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val spread = Par.spread(docs)
+    // both doc-level frames are consumed twice (stats + length join; df +
+    // scoring join) by differently-pruned branches, so without barriers
+    // the corpus is tokenized four times per evaluation — checkpoint the
+    // two small aggregates (docs-count and posting-list sized) instead
     val docLen = spread.select(
       col("doc_id"), size(tokens(col("text"))).cast("double").as("dl"))
+      .localCheckpoint()
     val stats = docLen.agg(
       count(lit(1)).cast("double").as("n_docs"),
       (sum(col("dl").cast("decimal(18,0)")).cast("double") /
@@ -317,6 +328,7 @@ object TextAnalysis {
       .filter(col("token").isin(queryTerms: _*))
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).cast("double").as("tf"))
+      .localCheckpoint()
     val df = docTerms.groupBy(col("token"))
       .agg(count(lit(1)).cast("double").as("df"))
     docTerms
@@ -495,18 +507,24 @@ object TextAnalysis {
   def bigramPmi(docs: DataFrame, minCount: Long = 5, k: Int = 30): DataFrame = {
     val spread = Par.spread(docs)
     val toks = spread.select(col("doc_id"), tokens(col("text")).as("t"))
+    // both vocabulary aggregates are checkpointed: unigrams feeds THREE
+    // consumers (grand total + both sides of the PMI join) and bigramsAll
+    // two (grand total + the scored output), each pruned differently, so
+    // exchange reuse cannot fire and the corpus explode ran five times
+    // per evaluation. The barriers are vocab-sized (executor-local).
     val unigrams = toks.select(explode(col("t")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .localCheckpoint()
     val bigramsAll = toks.select(explode(
       zip_with(col("t"), slice(col("t"), lit(2), size(col("t"))),
         (a, b) => struct(a.as("a"), b.as("b")))).as("bg"))
       .filter(col("bg.b").isNotNull)
       .select(col("bg.a").as("a"), col("bg.b").as("b"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("nab"))
+      .localCheckpoint()
     // grand totals as broadcast 1-row frames (sums are < 2^53 so the double
-    // cast is exact): the whole computation stays ONE lazy plan — no eager
-    // collect jobs, no persisted frames leaking into the session cache.
-    // Probabilities are over ALL bigrams; the min-count filter gates output.
+    // cast is exact). Probabilities are over ALL bigrams; the min-count
+    // filter gates output.
     val tu = unigrams.agg(sum(col("n")).cast("double").as("tu"))
     val tb = bigramsAll.agg(sum(col("nab")).cast("double").as("tb"))
     bigramsAll.filter(col("nab") >= minCount)
@@ -721,10 +739,14 @@ object TextAnalysis {
     */
   def lmPerplexityScore(docs: DataFrame, dropAbove: Double = 10.0): DataFrame = {
     val spread = Par.spread(docs)
+    // checkpointed once — the vocabulary fit and the per-doc scoring join
+    // prune this aggregate differently, so exchange reuse cannot fire and
+    // the corpus explode ran twice (same defect and fix as tfidfTopTerms)
     val docTerms = spread
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val vocab = docTerms.groupBy(col("token")).agg(sum(col("tf")).as("n_t"))
     val tot = vocab.agg(
       sum(col("n_t")).cast("double").as("t_tokens"),
@@ -832,11 +854,15 @@ object TextAnalysis {
   def nbClassifierWeights(
       seed: DataFrame,
       isPositive: org.apache.spark.sql.Column): DataFrame = {
+    // checkpointed once: the totals row and the weight projection both
+    // consume this vocabulary aggregate — un-barriered, the seed corpus
+    // explode runs twice (pruning-asymmetric consumers, no exchange reuse)
     val counts = Par.spread(seed)
       .select(isPositive.as("pos"), explode(tokens(col("text"))).as("token"))
       .groupBy(col("token"))
       .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("n_pos"),
         sum(when(!col("pos"), 1L).otherwise(0L)).as("n_neg"))
+      .localCheckpoint()
     val tot = counts.agg(
       sum(col("n_pos")).cast("double").as("t_pos"),
       sum(col("n_neg")).cast("double").as("t_neg"),
@@ -909,10 +935,18 @@ object TextAnalysis {
     */
   def lmBigramScore(docs: DataFrame, dropAbove: Double = 10.0): DataFrame = {
     val spread = Par.spread(docs)
+    // checkpointed once: docBi feeds THREE consumers (the corpus bigram
+    // counts, their context sums via `big`, and the per-doc scoring
+    // join), and the join-inferred not-null filters differ per branch —
+    // they land BELOW this aggregate, so exchange reuse cannot fire and
+    // the whole explode+aggregate ran three times (measured: 3 identical
+    // map stages per run). The barrier is the corpusBuild stage-boundary
+    // trade; at 100 TB a pipeline would land this aggregate in the lake.
     val docBi = spread
       .select(col("doc_id"), explode(shingles(tokens(col("text")), 2)).as("bg"))
       .groupBy(col("doc_id"), col("bg"))
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val big = docBi.groupBy(col("bg")).agg(sum(col("tf")).as("n_bg"))
       .withColumn("w1", substring_index(col("bg"), " ", 1))
     val ctx = big.groupBy(col("w1")).agg(sum(col("n_bg")).as("n_ctx"))
