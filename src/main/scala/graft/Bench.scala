@@ -195,7 +195,25 @@ object Bench {
     }.mkString("{", ",", "}")
     val totalRaw = results.collect { case (_, v, true, _, _) => v }.sum
     val totalClean = results.collect { case (k, _, true, _, _) => cleanVal(k) }.sum
-    println(s"""{"metric":"total_clean","value":$totalClean,"unit":"sec","total_raw_s":$totalRaw,"clean_host":$cleanHost,"queries":$qs,"samples":$samp,"errors":$errs,"control":$ctl,"suspect":$sus,"resampled":$res,"retimed":$ret,"sf":"$sfDir"}""")
+    val mainLine = s"""{"metric":"total_clean","value":$totalClean,"unit":"sec","total_raw_s":$totalRaw,"clean_host":$cleanHost,"queries":$qs,"samples":$samp,"errors":$errs,"control":$ctl,"suspect":$sus,"resampled":$res,"retimed":$ret,"sf":"$sfDir"}"""
+    println(mainLine)
+    // ARTIFACT DURABILITY (round-17 lesson: a tail-window harvest truncated
+    // the head of the line above and the per-query map was lost, so the
+    // next round's official round-over-round pairing had nothing to pair):
+    // additionally land the full line as a sidecar FILE — best-effort, the
+    // stdout contract stays primary
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_last.json"), mainLine + "\n")
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] sidecar write failed: ${e.getMessage}")
+    }
+    // ...and re-emit the per-query CLEAN map as its own line directly above
+    // the final summary (values rounded to ms — ~4.5 KB for 214 queries),
+    // so a tail window big enough for the map + summary preserves both
+    val qsRounded = results.map { case (k, _, ok, _, _) =>
+      s"\"" + k + "\":" + (if (ok) math.round(cleanVal(k) * 1000) / 1000.0 else -1)
+    }.mkString("{", ",", "}")
+    println(s"""{"queries_clean":$qsRounded}""")
     // tail-window-safe summary: harvesters that keep only the last N chars of
     // stdout truncate the HEAD of the full line above (its "metric" field
     // sits at the start) — re-emit the headline numbers as a short final

@@ -38,7 +38,10 @@ object Profile {
     val stageShuf = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Long, Int)]()
     val jobStages = new java.util.concurrent.ConcurrentHashMap[Int, Seq[Int]]()
     val sqlDescs = new java.util.concurrent.ConcurrentHashMap[Long, String]()
-    var listening = false
+    // @volatile: flipped on the main thread, read on the listener-bus
+    // thread — without it JMM visibility could mis-attribute or drop job
+    // rows at the measurement boundaries
+    @volatile var listening = false
     val listener = new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit = if (listening) {
         // the result stage's name is the action's call site; jobs spawned

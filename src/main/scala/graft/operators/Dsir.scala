@@ -144,7 +144,10 @@ object Dsir {
     // per run). The model's per-bucket counts re-aggregate from this
     // frame (Σ of per-doc counts ≡ the stream count), so fit and
     // scoring share one evaluation; doc-bucket counts are the smallest
-    // faithful intermediate (≤ buckets rows per doc).
+    // faithful intermediate (≤ buckets rows PER DOC — corpus-scale, not
+    // model-sized; TextAnalysis.tfidfTopTerms' SCALE/RELIABILITY NOTE
+    // applies: executor-local blocks, an executor loss fails the query,
+    // a production pipeline lands this in the lake instead).
     val fs = featureStream(docs, isTarget, buckets)
       .groupBy(col("doc_id"), col("tgt"), col("bkt"))
       .agg(count(lit(1)).as("n"))

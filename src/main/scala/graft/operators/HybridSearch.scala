@@ -154,6 +154,25 @@ object HybridSearch {
     val qVec = embeddings.filter(col("vec_id") === queryVecId)
     def denseIds(df: DataFrame): DataFrame =
       df.select(col("neighbor_id").as("id"), col("rank"))
+    // the three approximate tiers' constructions run their own
+    // driver-side fits (PQ codebook collects) — independent of each other
+    // and of the exact-fusion truth set, given the checkpointed `lex` —
+    // so they build concurrently while THIS thread materializes the truth
+    // checkpoint (§2.6 overlap; the assembled plan, and the result, are
+    // unchanged)
+    val tierFuts = Seq(
+      "ivfpq_rerank" -> (() => rrfFuse(lex,
+        denseIds(Pq.ivfPqTopKRerank(embeddings, qVec, k = perList,
+          shortlist = 100)), k)),
+      "ivfpq_rerank_mp4" -> (() => rrfFuse(lex,
+        denseIds(Pq.ivfPqTopKRerank(embeddings, qVec, k = perList,
+          shortlist = 100, nprobe = 4)), k)),
+      "lsh_multiprobe" -> (() => rrfFuse(lex,
+        denseIds(SimilaritySearch.lshMultiProbeTopK(
+          embeddings, qVec, k = perList)), k))
+    ).map { case (tier, f) =>
+      tier -> scala.concurrent.Future(f())(Par.overlapEc)
+    }
     val exactFused = rrfFuse(lex,
       denseIds(SimilaritySearch.bruteForceTopK(embeddings, qVec, k = perList)), k)
       .localCheckpoint() // the truth set, probed by every tier row
@@ -167,14 +186,14 @@ object HybridSearch {
         .select(
           lit(tier).as("tier"), col("returned"), col("hits"),
           round(col("hits").cast("double") / lit(k.toDouble), 6).as("recall"))
+    val tiers = tierFuts.map { case (tier, fut) =>
+      tier -> scala.util.Try(scala.concurrent.Await.result(
+        fut, scala.concurrent.duration.Duration.Inf))
+    }
+    tiers.collect { case (_, scala.util.Failure(e)) => throw e }
     audit("exact_brute", exactFused)
-      .unionAll(audit("ivfpq_rerank", rrfFuse(lex,
-        denseIds(Pq.ivfPqTopKRerank(embeddings, qVec, k = perList, shortlist = 100)), k)))
-      .unionAll(audit("ivfpq_rerank_mp4", rrfFuse(lex,
-        denseIds(Pq.ivfPqTopKRerank(embeddings, qVec, k = perList, shortlist = 100,
-          nprobe = 4)), k)))
-      .unionAll(audit("lsh_multiprobe", rrfFuse(lex,
-        denseIds(SimilaritySearch.lshMultiProbeTopK(embeddings, qVec, k = perList)), k)))
+      .unionAll(tiers.map { case (t, f) => audit(t, f.get) }
+        .reduce(_ unionAll _))
       .orderBy(col("tier"))
   }
 }

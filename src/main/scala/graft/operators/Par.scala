@@ -18,6 +18,36 @@ import org.apache.spark.sql.DataFrame
   * orderBy on a unique key).
   */
 private[graft] object Par {
+
+  /** Daemon pool for overlapping INDEPENDENT pieces of one query that the
+    * scheduler cannot overlap by itself because driver code runs them
+    * sequentially (guide §2.6): per-tier index fits whose collect()s fire
+    * at DataFrame construction, or a commit's writes to two independent
+    * tables. Unbounded cached threads — a caller that runs one branch on
+    * its own thread and the rest here can never deadlock on the pool —
+    * and daemon, so a crashed driver never hangs on pool shutdown.
+    */
+  lazy val overlapEc: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutor(
+      java.util.concurrent.Executors.newCachedThreadPool(r => {
+        val t = new Thread(r, "graft-overlap")
+        t.setDaemon(true)
+        t
+      }))
+
+  /** Run `fs` concurrently on [[overlapEc]] and return their results in
+    * order; the calling thread blocks until EVERY branch settles (even
+    * when one fails — an escaped in-flight branch could race whatever
+    * recovery the caller runs next), then the first failure rethrows —
+    * the same fail-loud contract as running them sequentially.
+    */
+  def joinAll[A](fs: Seq[() => A]): Seq[A] = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    val futs = fs.map(f => Future(f())(overlapEc))
+    futs.map(f => scala.util.Try(Await.result(f, Duration.Inf))).map(_.get)
+  }
+
   def spread(df: DataFrame): DataFrame = {
     // streaming frames can't be partition-inspected (toRdd is batch-only),
     // and their parallelism is the source's + the query's own shuffles —

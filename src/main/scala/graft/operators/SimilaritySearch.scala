@@ -335,19 +335,30 @@ object SimilaritySearch {
       nCentroids: Int = 16, numPlanes: Int = 4, dim: Int = 64): DataFrame = {
     val truth = bruteForceTopK(corpus, queries, k, dim)
       .select(col("query_id"), col("neighbor_id"))
-    val methods = Seq(
-      "ivf" -> ivfTopK(corpus, queries, k, nCentroids),
-      "ivf_kmeans" -> ivfTopKKmeans(corpus, queries, k, nCentroids),
-      "ivf_pq" -> Pq.ivfPqTopK(corpus, queries, k, nCentroids),
-      "ivf_pq_rerank" -> Pq.ivfPqTopKRerank(corpus, queries, k, 20, nCentroids),
-      "ivf_pq_mp" -> Pq.ivfPqTopKRerank(corpus, queries, k, 20, nCentroids,
-        nprobe = 4),
-      "lsh" -> lshTopK(corpus, queries, numPlanes, dim, k),
-      "lsh_mp" -> lshMultiProbeTopK(corpus, queries, numPlanes, dim, k),
-      "mrl" -> mrlTopK(corpus, queries, k),
-      "pq" -> Pq.pqTopK(corpus, queries, k),
-      "pq_rerank" -> Pq.pqTopKRerank(corpus, queries, k, 20),
-      "sq8" -> Sq.sq8TopK(corpus, queries, k))
+    // each tier's DataFrame construction runs its own driver-side index
+    // fit (PQ codebooks, k-means iterations, SQ stats — collect()-based
+    // jobs that fire BEFORE any downstream stage); built sequentially
+    // they serialize ~11 fits head-to-tail, so construct the tiers
+    // concurrently and let the scheduler overlap the fit jobs (§2.6).
+    // The assembled audit plan — and therefore the result — is identical:
+    // only the construction-time fits move in time, and each builder
+    // touches no shared mutable state (function registration is
+    // idempotent behind the registry's own lock)
+    val methodFns: Seq[(String, () => DataFrame)] = Seq(
+      "ivf" -> (() => ivfTopK(corpus, queries, k, nCentroids)),
+      "ivf_kmeans" -> (() => ivfTopKKmeans(corpus, queries, k, nCentroids)),
+      "ivf_pq" -> (() => Pq.ivfPqTopK(corpus, queries, k, nCentroids)),
+      "ivf_pq_rerank" ->
+        (() => Pq.ivfPqTopKRerank(corpus, queries, k, 20, nCentroids)),
+      "ivf_pq_mp" -> (() => Pq.ivfPqTopKRerank(corpus, queries, k, 20,
+        nCentroids, nprobe = 4)),
+      "lsh" -> (() => lshTopK(corpus, queries, numPlanes, dim, k)),
+      "lsh_mp" -> (() => lshMultiProbeTopK(corpus, queries, numPlanes, dim, k)),
+      "mrl" -> (() => mrlTopK(corpus, queries, k)),
+      "pq" -> (() => Pq.pqTopK(corpus, queries, k)),
+      "pq_rerank" -> (() => Pq.pqTopKRerank(corpus, queries, k, 20)),
+      "sq8" -> (() => Sq.sq8TopK(corpus, queries, k)))
+    val methods = methodFns.map(_._1).zip(Par.joinAll(methodFns.map(_._2)))
     val tagged = methods.map { case (m, df) =>
       df.select(lit(m).as("method"), col("query_id"), col("neighbor_id"))
     }.reduce(_.unionByName(_))

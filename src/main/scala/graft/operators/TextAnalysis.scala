@@ -255,15 +255,26 @@ object TextAnalysis {
     */
   def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
     val spread = Par.spread(docs)
-    // corpus size as a broadcast 1-row frame, not an eager count(): keeps
-    // DataFrame construction lazy (no job fires until the caller acts) and
-    // mirrors the oracle's CROSS JOIN n
+    // corpus size as a broadcast 1-row frame, not an eager count(),
+    // mirroring the oracle's CROSS JOIN n. (Construction of this operator
+    // is NOT lazy overall: the docTerms barrier below fires the corpus
+    // tokenize job eagerly at construction time.)
     val n = docs.agg(count(lit(1)).cast("double").as("n_docs"))
     // checkpointed once: the df table and the scoring join are differently
     // column-pruned consumers (df's partial aggregate drops the count), so
     // their exchanges canonicalize UNEQUAL and exchange reuse cannot fire —
     // without the barrier the corpus explode+aggregate runs twice (plan
     // audit: two Generate chains). Stage-boundary trade as in corpusBuild.
+    // SCALE/RELIABILITY NOTE (shared by every corpus-grain barrier in this
+    // family — lmPerplexityScore's docTerms, lmBigramScore's docBi, DSIR's
+    // doc-bucket counts): this intermediate is doc×token-grain — CORPUS-
+    // scale, not vocab-sized. localCheckpoint blocks are executor-local and
+    // non-replicated with lineage truncated, so at cluster scale an
+    // executor loss mid-query FAILS the query (retry-whole-query semantics)
+    // instead of recomputing the lost partitions; a production pipeline
+    // lands this aggregate durably in the lake between stages and gets the
+    // same single-evaluation shape with fault tolerance. The trade buys
+    // one corpus pass instead of two per evaluation.
     val docTerms = spread
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
       .groupBy(col("doc_id"), col("token"))
@@ -741,7 +752,9 @@ object TextAnalysis {
     val spread = Par.spread(docs)
     // checkpointed once — the vocabulary fit and the per-doc scoring join
     // prune this aggregate differently, so exchange reuse cannot fire and
-    // the corpus explode ran twice (same defect and fix as tfidfTopTerms)
+    // the corpus explode ran twice (same defect and fix as tfidfTopTerms;
+    // doc×token-grain barrier — tfidfTopTerms' SCALE/RELIABILITY NOTE
+    // applies: executor-local blocks, executor loss fails the query)
     val docTerms = spread
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
       .groupBy(col("doc_id"), col("token"))
@@ -941,7 +954,9 @@ object TextAnalysis {
     // they land BELOW this aggregate, so exchange reuse cannot fire and
     // the whole explode+aggregate ran three times (measured: 3 identical
     // map stages per run). The barrier is the corpusBuild stage-boundary
-    // trade; at 100 TB a pipeline would land this aggregate in the lake.
+    // trade; doc×bigram-grain (corpus-scale, not vocab-sized) — at 100 TB
+    // a pipeline lands this aggregate in the lake (tfidfTopTerms'
+    // SCALE/RELIABILITY NOTE applies: executor loss fails the query).
     val docBi = spread
       .select(col("doc_id"), explode(shingles(tokens(col("text")), 2)).as("bg"))
       .groupBy(col("doc_id"), col("bg"))

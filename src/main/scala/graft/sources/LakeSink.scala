@@ -300,11 +300,18 @@ object LakeSink {
       spark: org.apache.spark.sql.SparkSession, files: Seq[String],
       cols: Seq[String]): Map[String, (Long, Long, Seq[(String, Double, Double)])] = {
     if (files.isEmpty) return Map.empty
+    // ship the SESSION's hadoop configuration into the footer tasks (as
+    // Spark's own file readers do): a bare `new Configuration()` would
+    // drop spark.hadoop.* settings — object-store credentials, custom
+    // filesystems — and the footer job would fail where the write worked
+    val confB = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
     spark.sparkContext
       .parallelize(files, math.max(1, math.min(files.size, 32)))
       .map { f =>
         import scala.jdk.CollectionConverters._
-        val conf = new org.apache.hadoop.conf.Configuration()
+        val conf = confB.value.value
         val inputFile = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
           new org.apache.hadoop.fs.Path(f), conf)
         val reader = org.apache.parquet.hadoop.ParquetFileReader.open(inputFile)

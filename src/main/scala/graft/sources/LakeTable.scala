@@ -451,8 +451,14 @@ object LakeTable {
     // streaming at-least-once: an already-applied batchId is a no-op —
     // the applied set travels IN the manifest, so the check and the
     // apply commit atomically together (the Bm25Maintainer lesson);
-    // the check itself lives in mutate, on the FRESH manifest per retry
-    val reduced = Cdc.compactChangelog(changelog)
+    // the check itself lives in mutate, on the FRESH manifest per retry.
+    // The compacted changelog is materialized ONCE (O(batch) executor-
+    // local blocks, the ScdMaintainer.fold trade): the box probe, the
+    // merge join under the z-order stats pass, the range-sampling pass
+    // and the landing write each re-ran the whole compaction window
+    // otherwise — four evaluations of the changelog pipeline per MERGE
+    // (profiled; commit retries also reuse the blocks)
+    val reduced = Cdc.compactChangelog(changelog).localCheckpoint()
     mutate(spark, path, cols, keyCol, nFilesNew, bits,
       touchKeys = reduced.select(col("key")),
       rewrite = base => Cdc.mergeChangelog(base, reduced).drop("last_seq"),
@@ -471,7 +477,8 @@ object LakeTable {
       cols: Seq[String], keyCol: String = "key", nFilesNew: Int = 2,
       bits: Int = 16, batchId: Option[Long] = None,
       arm: String = "cdc"): ApplyStats = {
-    val reduced = Cdc.compactChangelogFull(changelog)
+    // materialized once — same rationale as applyChangelog's barrier
+    val reduced = Cdc.compactChangelogFull(changelog).localCheckpoint()
     mutate(spark, path, cols, keyCol, nFilesNew, bits,
       touchKeys = reduced.select(col("key")),
       rewrite = base => Cdc.mergeChangelogFull(base, reduced).drop("last_seq"),
@@ -1244,7 +1251,9 @@ object LakeTable {
       bits: Int = 16, batchId: Option[Long] = None,
       arm: String = "cdc-mor"): DvStats = {
     import spark.implicits._
-    val reduced = Cdc.compactChangelogFull(changelog)
+    // materialized once — same rationale as applyChangelog's barrier (here
+    // the probe keys, the sidecar land and the image land all re-derive it)
+    val reduced = Cdc.compactChangelogFull(changelog).localCheckpoint()
     val marker = batchId.map(b => s"$arm#$b")
     var lastConflict: CommitConflictException = null
     (0 to MaxCommitRetries).foreach { _ =>
@@ -1257,18 +1266,27 @@ object LakeTable {
         .select(col("key"), col("name"), col("val"))
       if (shadowed.isEmpty && images.isEmpty)
         return DvStats(c.version, 0, 0L)
-      // land the fresh image files first (uncommitted = invisible) ...
-      val landed = landZOrdered(spark, path, images, cols, nFilesNew, bits)
+      // the sidecar and the fresh image files are independent lands (both
+      // uncommitted = invisible; the sidecar attaches to PRE-COMMIT files
+      // only, never the fresh ones) — overlapped (§2.6), both settled
+      // before the attempt proceeds or unwinds
+      val dvFut: Option[scala.concurrent.Future[(String, Long)]] =
+        if (shadowed.isEmpty) None
+        else Some(scala.concurrent.Future(landSidecar(spark, path, keys))(
+          graft.operators.Par.overlapEc))
+      val landedTry = scala.util.Try(
+        landZOrdered(spark, path, images, cols, nFilesNew, bits))
+      val dvTry = dvFut.map(f => scala.util.Try(scala.concurrent.Await
+        .result(f, scala.concurrent.duration.Duration.Inf)))
+      val landed = landedTry.get
       val fresh = landed.map(_.path)
       val freshBoxes = landedBoxes(path, landed)
-      // ... then the sidecar, attached to PRE-COMMIT files only — the
-      // fresh files hold the new images and must not be shadowed
-      val (dvAttach, nKeys) =
-        if (shadowed.isEmpty) (Seq.empty[(String, String)], 0L)
-        else {
-          val (dvRel, n) = landSidecar(spark, path, keys)
+      val (dvAttach, nKeys) = dvTry match {
+        case None => (Seq.empty[(String, String)], 0L)
+        case Some(t) =>
+          val (dvRel, n) = t.get
           (shadowed.map(f => (f, dvRel)), n)
-        }
+      }
       try {
         writeCommit(spark, path, c.version + 1,
           c.files ++ fresh.map(rel(path, _)),
@@ -1309,32 +1327,49 @@ object LakeTable {
       cols: Seq[String], keyCol: String = "key", nFilesNew: Int = 2,
       bits: Int = 16, batchId: Option[Long] = None,
       arm: String = "replace-mor",
-      touchedHint: Option[(Int, Seq[String])] = None): DvStats = {
+      touchedHint: Option[(Int, Seq[String])] = None,
+      keysDistinct: Boolean = false): DvStats = {
     val marker = batchId.map(b => s"$arm#$b")
     var lastConflict: CommitConflictException = null
     (0 to MaxCommitRetries).foreach { _ =>
       val c = latest(spark, path)
       if (marker.exists(batchApplied(c, _)))
         return DvStats(c.version, 0, 0L)
-      val ks = keys.select(col(keyCol)).distinct()
+      // keysDistinct is the caller's CONTRACT that `keys` is already
+      // key-unique (e.g. the SCD fold's checkpointed distinct() output) —
+      // re-running distinct() on it here would pay one whole exchange per
+      // fold for rows that cannot change
+      val ks =
+        if (keysDistinct) keys.select(col(keyCol))
+        else keys.select(col(keyCol)).distinct()
       // version-pinned probe reuse, same contract as mutate's hint
       val shadowed = touchedHint
         .collect { case (v, fs) if v == c.version => fs }
         .getOrElse(shadowedFiles(spark, c, ks, keyCol))
-      // land the fresh replacement files first (uncommitted = invisible);
-      // the sidecar attaches to PRE-COMMIT files only — fresh files hold
-      // the new images and must not be shadowed
-      val landed = landZOrdered(spark, path, rows, cols, nFilesNew, bits)
+      // the two lands are independent (both uncommitted = invisible, and
+      // the sidecar's attachment list comes from the PRE-COMMIT manifest,
+      // never from the fresh files) — overlap them (§2.6) instead of
+      // serializing sidecar-after-files; both must settle before the
+      // attempt proceeds or unwinds
+      val dvFut: Option[scala.concurrent.Future[(String, Long)]] =
+        if (shadowed.isEmpty) None
+        else Some(scala.concurrent.Future(landSidecar(spark, path, ks))(
+          graft.operators.Par.overlapEc))
+      val landedTry = scala.util.Try(
+        landZOrdered(spark, path, rows, cols, nFilesNew, bits))
+      val dvTry = dvFut.map(f => scala.util.Try(scala.concurrent.Await
+        .result(f, scala.concurrent.duration.Duration.Inf)))
+      val landed = landedTry.get
       if (shadowed.isEmpty && landed.isEmpty)
         return DvStats(c.version, 0, 0L)
       val fresh = landed.map(_.path)
       val freshBoxes = landedBoxes(path, landed)
-      val (dvAttach, nKeys) =
-        if (shadowed.isEmpty) (Seq.empty[(String, String)], 0L)
-        else {
-          val (dvRel, n) = landSidecar(spark, path, ks)
+      val (dvAttach, nKeys) = dvTry match {
+        case None => (Seq.empty[(String, String)], 0L)
+        case Some(t) =>
+          val (dvRel, n) = t.get
           (shadowed.map(f => (f, dvRel)), n)
-        }
+      }
       try {
         writeCommit(spark, path, c.version + 1,
           c.files ++ fresh.map(rel(path, _)),

@@ -420,8 +420,10 @@ final class GraphMaintainer private (
       graphDf: DataFrame, routingDf: DataFrame, newHw: Option[Long]): Unit = {
     // the two artifact writes are independent jobs — overlap them so the
     // second write's tasks back-fill the executor slots the first one's
-    // tail leaves idle (both inputs are localCheckpoint-materialized, so
-    // neither thread re-derives shared upstream work)
+    // tail leaves idle. The SHARED upstream (the batch/touched cell
+    // frames) is localCheckpoint-materialized, so neither thread
+    // re-derives it; applyFold's reranked graph frame itself is lazy and
+    // evaluates once, on the graph-land thread alone
     val rFut = scala.concurrent.Future(
       landCells(fs, workDir, routingDf, RoutingArt))(GraphMaintainer.landEc)
     val (gTok, gCells) =
@@ -612,8 +614,12 @@ final class GraphMaintainer private (
       forceCkpt = true, q = Some(qTok), kk = k2)
     val superseded = centroidsB
     centroidsB = bcast
+    // per-cell audit + Bloom sizing in ONE aggregate (replaces the bare
+    // count()): flags quantizer skew — guide §2.5 — without an extra job
+    val (nRows, hot) = GraphMaintainer.cellStats(cells, cs.length)
+    GraphMaintainer.warnHotCells(s"rebuildEpoch($workDir)", nRows, hot)
     idFilter = GraphMaintainer.bloomOf(
-      cells.select(col("vec_id")), cells.count())
+      cells.select(col("vec_id")), nRows)
     // the old epoch's quantizer broadcast is unreferenced once centroidsB
     // moves (every frame that used it is localCheckpoint-materialized) —
     // reclaim its executor blocks instead of leaking one per rebuild.
@@ -1179,7 +1185,13 @@ object GraphMaintainer {
     // preClustered: the caller's pipeline already ends hash-partitioned
     // on cell (the edge pipelines repartition(cell) BEFORE their window
     // so one exchange serves both) — repartitioning again here would pay
-    // a second full shuffle of the same rows for the same layout
+    // a second full shuffle of the same rows for the same layout. This is
+    // a PERF-ONLY hint with a correct-but-degraded fallback: Spark does
+    // not guarantee the upstream partitioning survives the plan (an AQE
+    // or version change inserting an exchange is legal), in which case
+    // the write is still row-identical but a cell's rows may span tasks
+    // and the cell directory holds several small files instead of one —
+    // compaction-shaped slack, never wrong data
     val clustered = if (preClustered) df else df.repartition(col("cell"))
     clustered.write.partitionBy("cell").parquet(dir)
     val cells = fs.listStatus(new Path(dir)).toSeq.map(_.getPath.getName)
@@ -1337,8 +1349,12 @@ object GraphMaintainer {
       fs.delete(new Path(s"$workDir/$a"), true); ()
     }
     fs.delete(new Path(s"$workDir/folded"), true)
+    // per-cell audit + Bloom sizing in ONE aggregate (replaces the bare
+    // count()): flags quantizer skew — guide §2.5 — without an extra job
+    val (nRows, hot) = cellStats(cells, cs.length)
+    warnHotCells(s"build($workDir)", nRows, hot)
     new GraphMaintainer(spark, workDir, k, bcast,
-      bloomOf(cells.select(col("vec_id")), cells.count()), epoch,
+      bloomOf(cells.select(col("vec_id")), nRows), epoch,
       GraphState(entries, priorHw, Some(qTok), Some(k), 0),
       Some(name))
   }
@@ -1449,4 +1465,48 @@ object GraphMaintainer {
     */
   private[streaming] def bloomOf(ids: DataFrame, n: Long): BloomFilter =
     ids.stat.bloomFilter("vec_id", math.max(1000000L, 8 * n), 0.001)
+
+  private val log = org.slf4j.LoggerFactory.getLogger("graft.GraphMaintainer")
+
+  /** Hot-cell exposure bound for the (cell, vec_id)-keyed edge pipeline:
+    * the one repartition(cell) puts a whole cell in ONE task, and the √n
+    * quantizer sizing bounds only the MEAN cell population — a skewed
+    * centroid (guide §2.5) serializes its cell into a straggler at 100 TB.
+    * A cell more than this factor over the mean is flagged.
+    */
+  private[graft] val HotCellFactor = 8.0
+
+  /** Per-cell population audit over a materialized cell-assign frame:
+    * (total rows, cells whose population exceeds [[HotCellFactor]] × the
+    * mean the quantizer was SIZED for — total / nCentroids, the √n
+    * contract's own denominator; empty cells must count against the mean
+    * or a skew that empties half the cells would mask itself). One
+    * aggregate over the checkpointed blocks with nCells rows to the
+    * driver — callers use the total for the Bloom sizing, so the audit
+    * REPLACES the count() job they already paid (no extra pass).
+    */
+  private[graft] def cellStats(
+      cells: DataFrame, nCentroids: Int): (Long, Seq[(Long, Long)]) = {
+    val counts = cells.groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val total = counts.map(_._2).sum
+    val mean = total.toDouble / math.max(1, nCentroids)
+    (total, counts.filter(_._2 > HotCellFactor * mean).toSeq.sortBy(-_._2))
+  }
+
+  /** Log the hot-cell warning for an epoch build/rebuild — the documented
+    * response is operational, not automatic: re-fit with more centroids
+    * (splitting dense regions), or pre-split the hot cells / salt the
+    * window key with a rank prefix if the density is irreducible. The
+    * build itself stays correct either way (a hot cell is a straggler,
+    * never wrong data), so this warns rather than fails.
+    */
+  private[graft] def warnHotCells(
+      where: String, total: Long, hot: Seq[(Long, Long)]): Unit =
+    if (hot.nonEmpty) log.warn(
+      s"$where: ${hot.size} hot cell(s) exceed ${HotCellFactor}x the mean " +
+        s"population (worst: cell=${hot.head._1} n=${hot.head._2} of " +
+        s"$total rows) — each cell is one task in the edge re-rank, so " +
+        "these serialize into stragglers; re-fit with more centroids or " +
+        "pre-split/salt the hot cells")
 }

@@ -233,11 +233,21 @@ final class ScdMaintainer private (
         col("valid_from"), col("valid_to"))
     val newCur = merged.filter(col("is_current"))
       .select(col("key"), col("name"), col("val"), col("valid_from"))
+    // 1 ∥ 2. the closed append and the current-slice update commit to
+    //    INDEPENDENT tables from the same checkpointed inputs (`merged`,
+    //    `touched`), so they run as overlapping jobs (guide §2.6): the
+    //    current commit's tasks back-fill the executor slots the closed
+    //    append's tail leaves idle. Each commit is atomic on its own
+    //    table; the pair marker below is what publishes them together,
+    //    exactly as before — a crash between the two is healed on entry
+    //    regardless of which landed first.
+    //
     // 1. closed intervals append immutably (empty appends still commit,
     //    carrying the replay marker)
-    val closedStats = LakeTable.append(
+    val closedFut = scala.concurrent.Future(LakeTable.append(
       newClosed, closedTablePath, Seq("key", "valid_from"),
-      nFilesNew = 1, batchId = batchId, arm = "scd-closed")
+      nFilesNew = 1, batchId = batchId, arm = "scd-closed"))(
+      graft.operators.Par.overlapEc)
     // 2. the current slice: rewrite its touched files (merge-on-write)
     //    while they are small; once the touched footprint outgrows the
     //    threshold, commit merge-on-read instead — O(batch) landed bytes
@@ -248,12 +258,19 @@ final class ScdMaintainer private (
     // cCur — hand them down version-pinned so the commit path does not
     // re-run the same box probe (it recomputes on any version mismatch)
     val hint = Some((cCur.version, touchedFiles))
-    var kv =
+    // the current commit runs on THIS thread while the closed append is
+    // in flight; whatever happens, the fold never unwinds before the
+    // closed append settles — an escaped in-flight commit would race the
+    // next fold's heal-on-entry rollback
+    val kvTry = scala.util.Try {
       if (useMor)
         LakeTable.replaceKeyedMor(
           spark, currentTablePath, touched, newCur, Seq("key"),
           keyCol = "key", nFilesNew = 1, batchId = batchId,
-          arm = "scd-current", touchedHint = hint).version
+          arm = "scd-current", touchedHint = hint,
+          // `touched` is the checkpointed output of a distinct() above —
+          // skip the redundant re-distinct exchange inside the commit
+          keysDistinct = true).version
       else
         LakeTable.mutate(
           spark, currentTablePath, Seq("key"), keyCol = "key",
@@ -264,6 +281,11 @@ final class ScdMaintainer private (
               .unionByName(newCur),
           appliedBatch = batchId.map(b => s"scd-current#$b"),
           touchedHint = hint).version
+    }
+    val closedTry = scala.util.Try(scala.concurrent.Await.result(
+      closedFut, scala.concurrent.duration.Duration.Inf))
+    var kv = kvTry.get
+    val closedStats = closedTry.get
     // 3. bounded read amplification: MoR folds accumulate deletion
     //    vectors — with the fraction set, fold them back in once that
     //    share of the files is shadowed (manifest arithmetic via
@@ -346,15 +368,19 @@ final class ScdMaintainer private (
       // unlike a fold (whose rewrite is batch-sized), a forget rewrite
       // carries every KEPT row of the box-intersecting files — on a
       // years-deep closed table that is touched-files-sized, so use the
-      // tombstone arms' default output width rather than one file/task
-      val cStats = LakeTable.applyTombstones(
-        spark, closedTablePath, keys, Seq("key", "valid_from"),
-        keyCol = "key", batchId = batchId,
-        arm = "scd-forget-closed")
-      val kStats = LakeTable.applyTombstones(
-        spark, currentTablePath, keys, Seq("key"),
-        keyCol = "key", batchId = batchId,
-        arm = "scd-forget-current")
+      // tombstone arms' default output width rather than one file/task.
+      // The two rewrites hit INDEPENDENT tables from the one checkpointed
+      // key set — overlapped like the fold's pair (§2.6); joinAll blocks
+      // until both settle, so no in-flight commit ever escapes the forget
+      val Seq(cStats, kStats) = graft.operators.Par.joinAll(Seq(
+        () => LakeTable.applyTombstones(
+          spark, closedTablePath, keys, Seq("key", "valid_from"),
+          keyCol = "key", batchId = batchId,
+          arm = "scd-forget-closed"),
+        () => LakeTable.applyTombstones(
+          spark, currentTablePath, keys, Seq("key"),
+          keyCol = "key", batchId = batchId,
+          arm = "scd-forget-current")))
       assertOwner()
       commitMarker(fs, workDir, v + 1,
         Marker(cStats.version, kStats.version,
@@ -466,15 +492,18 @@ object ScdMaintainer {
     fs.delete(new Path(closedPath(workDir)), true)
     fs.delete(new Path(currentPath(workDir)), true)
     val hist = Cdc.scdHistory(initialLog).localCheckpoint()
-    LakeTable.init(
-      hist.filter(!col("is_current"))
-        .select(col("key"), col("name"), col("val"),
-          col("valid_from"), col("valid_to")),
-      closedPath(workDir), Seq("key", "valid_from"), nFiles = 2)
-    LakeTable.init(
-      hist.filter(col("is_current"))
-        .select(col("key"), col("name"), col("val"), col("valid_from")),
-      currentPath(workDir), Seq("key"), nFiles = 2)
+    // two independent tables derived from the one checkpointed history —
+    // overlapped inits (§2.6), same back-fill win as the fold's pair
+    graft.operators.Par.joinAll(Seq(
+      () => LakeTable.init(
+        hist.filter(!col("is_current"))
+          .select(col("key"), col("name"), col("val"),
+            col("valid_from"), col("valid_to")),
+        closedPath(workDir), Seq("key", "valid_from"), nFiles = 2),
+      () => LakeTable.init(
+        hist.filter(col("is_current"))
+          .select(col("key"), col("name"), col("val"), col("valid_from")),
+        currentPath(workDir), Seq("key"), nFiles = 2)))
     commitMarker(fs, workDir, 1, Marker(1, 1, Set.empty))
     new ScdMaintainer(spark, workDir, acquireEpoch(fs, workDir))
   }

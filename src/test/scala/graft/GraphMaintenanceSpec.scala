@@ -990,4 +990,41 @@ class GraphMaintenanceSpec extends SparkSpec {
     assert(reads > 0)
     assert(m.highWater.contains(nFolds.toLong))
   }
+
+  test("cellStats flags a skewed quantizer's hot cells and keeps the Bloom total exact") {
+    // deliberately skewed corpus: vectors 0..79 are IDENTICAL (every
+    // dense vector routes to the same first-wins centroid), 80..95 spread
+    // across 8 orthogonal axes — the dense cell holds 80 of 96 rows
+    // against a quantizer sized for a mean of 96/16 = 6, far past the
+    // HotCellFactor bound
+    val dim = 8
+    val rows = (0L until 80L).map { i =>
+      (i, Array.tabulate(dim)(d => if (d == 0) 1.0f else 0.0f))
+    } ++ (80L until 96L).map { i =>
+      (i, Array.tabulate(dim)(d => if (d == (i % dim).toInt) 1.0f else 0.0f))
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val cs = SimilaritySearch.ivfCentroids(emb, 16)
+    val cells = SimilaritySearch
+      .cellAssign(emb.select(col("vec_id"), col("embedding")),
+        spark.sparkContext.broadcast(cs))
+      .localCheckpoint()
+    val (total, hot) = GraphMaintainer.cellStats(cells, cs.length)
+    assert(total == 96L) // the Bloom sizing count the audit replaces
+    assert(hot.nonEmpty, "the dense cell must be flagged")
+    assert(hot.head._2 >= 80L,
+      s"the flagged cell must be the dense mass: $hot")
+    // and a balanced corpus (12 rows per axis, mean 12 at 8 centroids —
+    // even total pile-up under cosine ties cannot cross 8×12) flags nothing
+    val balanced = (0L until 96L)
+      .map(i => (i, Array.tabulate(dim)(d => if (d == (i % dim).toInt) 1.0f else 0.0f)))
+      .toDF("vec_id", "embedding")
+    val cs2 = SimilaritySearch.ivfCentroids(balanced, 8)
+    val (t2, hot2) = GraphMaintainer.cellStats(
+      SimilaritySearch.cellAssign(
+        balanced.select(col("vec_id"), col("embedding")),
+        spark.sparkContext.broadcast(cs2)).localCheckpoint(), cs2.length)
+    assert(t2 == 96L)
+    assert(hot2.isEmpty, s"balanced corpus must not flag: $hot2")
+  }
 }
