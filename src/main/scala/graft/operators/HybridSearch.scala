@@ -127,11 +127,19 @@ object HybridSearch {
       docs: DataFrame, embeddings: DataFrame, queryTerms: Seq[String],
       queryVecId: Long, k: Int = 25, perList: Int = 50,
       rrfK: Int = 60, shortlist: Int = 100, nprobe: Int = 1): DataFrame = {
+    // the dense tier's construction runs the PQ/IVF codebook fits
+    // (driver-side collects) and the lexical side's construction fires
+    // bm25TopK's eager corpus barriers — independent work, overlapped
+    // (§2.6) so the fits back-fill the corpus stages' tails; the fused
+    // plan (and the ranking) is unchanged
+    val denseFut = scala.concurrent.Future(
+      Pq.ivfPqTopKRerank(
+        embeddings, embeddings.filter(col("vec_id") === queryVecId),
+        k = perList, shortlist = shortlist, nprobe = nprobe)
+        .select(col("neighbor_id").as("id"), col("rank")))(Par.overlapEc)
     val lex = lexShortlist(docs, queryTerms, perList)
-    val dense = Pq.ivfPqTopKRerank(
-      embeddings, embeddings.filter(col("vec_id") === queryVecId),
-      k = perList, shortlist = shortlist, nprobe = nprobe)
-      .select(col("neighbor_id").as("id"), col("rank"))
+    val dense = scala.concurrent.Await.result(
+      denseFut, scala.concurrent.duration.Duration.Inf)
     rrfFuse(lex, dense, k, rrfK)
   }
 

@@ -590,9 +590,15 @@ final class GraphMaintainer private (
     // constant. Explicit callers win — resizing is a deliberate act.
     val nc = nCentroids.getOrElse(centroidsB.value.length)
     val cs = SimilaritySearch.ivfCentroids(corpus, nc)
-    val qTok = landQuantizer(spark, workDir, cs)
+    // the quantizer land (a tiny coalesce(1) write) is independent of the
+    // cell-assign materialization — overlap them (§2.6); the token is not
+    // needed until the commit below
+    val qTokFut = scala.concurrent.Future(
+      landQuantizer(spark, workDir, cs))(graft.operators.Par.overlapEc)
     val bcast = spark.sparkContext.broadcast(cs)
     val cells = SimilaritySearch.cellAssign(corpus, bcast).localCheckpoint()
+    val qTok = scala.concurrent.Await.result(
+      qTokFut, scala.concurrent.duration.Duration.Inf)
     // same one-exchange edge path + overlapped artifact writes as build
     val w = Window.partitionBy(col("cell"), col("vec_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
@@ -1313,9 +1319,13 @@ object GraphMaintainer {
           SimilaritySearch.ivfCandidateIdsWithCount(corpus, MaxDerivedCentroids)
         SimilaritySearch.fetchCentroids(corpus, ids.take(derivedNCentroids(n)))
     }
-    val qTok = landQuantizer(spark, workDir, cs)
+    // quantizer land ∥ cell-assign materialization, as in rebuildEpoch
+    val qTokFut = scala.concurrent.Future(
+      landQuantizer(spark, workDir, cs))(graft.operators.Par.overlapEc)
     val bcast = spark.sparkContext.broadcast(cs)
     val cells = SimilaritySearch.cellAssign(corpus, bcast).localCheckpoint()
+    val qTok = scala.concurrent.Await.result(
+      qTokFut, scala.concurrent.duration.Duration.Inf)
     // one exchange for the whole edge path: hash on cell, window keyed
     // (cell, vec_id) — row-identical to the (vec_id) window since a
     // vector routes to exactly one cell — then land WITHOUT the second
