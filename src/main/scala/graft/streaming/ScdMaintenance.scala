@@ -226,7 +226,18 @@ final class ScdMaintainer private (
          .join(broadcast(touched), Seq("key"), "left_semi"))
         .withColumn("valid_to", lit(null).cast("bigint"))
         .withColumn("is_current", lit(true))
-    val merged = Cdc.scdMerge(curTouched, b)
+    // [[Cdc.scdMerge]] specialised to the fold's own invariant: curTouched
+    // is BY CONSTRUCTION all-current with keys ⊆ touched (built above as
+    // is_current=true over a touched semi-join), so scdMerge's
+    // closed-or-untouched branches are provably EMPTY here — the merge
+    // reduces to one scdHistory over (reopened current rows ∪ batch).
+    // Same rows as scdMerge(curTouched, b) (the oracle hash re-proves it
+    // and ScdMaintenanceSpec pins fold == refit); two history joins and
+    // scdMerge's internal key distinct drop out of every fold.
+    val reopened = curTouched.select(
+      col("key"), col("valid_from").as("seq"), lit("U").as("op"),
+      col("name"), col("val"))
+    val merged = Cdc.scdHistory(reopened.unionByName(b))
       .localCheckpoint() // one derivation feeds two commits
     val newClosed = merged.filter(!col("is_current"))
       .select(col("key"), col("name"), col("val"),
